@@ -1,0 +1,246 @@
+"""Aggregation inventory — SURVEY.md §2.4 A1-A5, plus the Spark extensions
+(rollup/cube/grouping sets) the reference lacks.
+
+Every SUM/AVG over doubles goes through the DECIMAL trick in
+``functions.dsum`` so results are order-independent and hash-identical to
+the DuckDB oracle (partial map-side aggregation stays enabled — decimal sums
+are still associative and Catalyst still plans partial_sum → final_sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import register, shared_sql
+from ..catalog import load_tables
+from ..functions import davg_sql, dsum, dsum_sql
+
+
+# --- A2: global aggregates, no grouping (test_queries.txt:6 COUNT(*)) ------------
+@register(
+    "agg_global",
+    oracle="SELECT COUNT(*) AS n_orders, "
+    + dsum_sql("o_totalprice")
+    + " AS total_price, MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price "
+    "FROM orders",
+    doc="A2 COUNT/SUM/MIN/MAX without GROUP BY",
+    tags=("agg",),
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    return t["orders"].agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+# --- A1+A2: hash aggregate with grouping (plan_generator.cpp:180-200) ------------
+@register(
+    "agg_groupby",
+    oracle="SELECT o_orderstatus, COUNT(*) AS n, "
+    + dsum_sql("o_totalprice")
+    + " AS total, "
+    + davg_sql("o_totalprice")
+    + " AS avg_price, MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order "
+    "FROM orders GROUP BY o_orderstatus",
+    doc="A1 GROUP BY + A2 all five aggregate functions",
+    tags=("agg",),
+)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    return t["orders"].groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        dsum("o_totalprice").alias("total"),
+        (dsum("o_totalprice", scale=6) / F.count("o_totalprice")).alias("avg_price"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+# --- A3: HAVING — port of test_complex_queries.sql:1 ------------------------------
+# "SELECT u.name, SUM(o.amount * 1.1) AS total FROM users u INNER JOIN orders o
+#  ... GROUP BY u.name HAVING SUM(o.amount) > 100 ORDER BY total DESC LIMIT 5"
+@register(
+    "agg_having",
+    oracle="SELECT c.c_name, "
+    + dsum_sql("o.o_totalprice * 1.1", scale=6)
+    + " AS total "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "WHERE c.c_acctbal > 0 AND o.o_orderstatus IN ('F', 'O') "
+    "GROUP BY c.c_name "
+    "HAVING " + dsum_sql("o.o_totalprice") + " > 1000000 "
+    "ORDER BY total DESC, c_name LIMIT 5",
+    doc="A3 HAVING with aggregate expression (test_complex_queries.sql:1)",
+    tags=("agg", "sort"),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    c = t["customer"].filter(F.col("c_acctbal") > 0)
+    o = t["orders"].filter(F.col("o_orderstatus").isin("F", "O"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name")
+        .agg(
+            dsum(F.col("o_totalprice") * 1.1, scale=6).alias("total"),
+            dsum("o_totalprice").alias("_sum_raw"),
+        )
+        .filter(F.col("_sum_raw") > 1000000)
+        .orderBy(F.col("total").desc(), F.col("c_name"))
+        .select("c_name", "total")
+        .limit(5)
+    )
+
+
+# --- A4: DISTINCT (reference drops it from regenerated SQL — TODO.md:31; we don't)
+@register(
+    "agg_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    doc="A4 DISTINCT (test_queries.txt:7; reference bug TODO.md:31 fixed here)",
+    tags=("agg",),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer",))
+    return t["customer"].select("c_mktsegment", "c_nationkey").distinct()
+
+
+@register(
+    "agg_count_distinct",
+    oracle="SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers "
+    "FROM orders GROUP BY o_orderstatus",
+    doc="A4 COUNT(DISTINCT) — expand+two-phase aggregate in Spark",
+    tags=("agg",),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+    )
+
+
+# --- A5 extensions: rollup / cube / grouping sets (absent in reference) ----------
+@register(
+    "agg_rollup",
+    oracle="SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, "
+    + dsum_sql("o_totalprice")
+    + " AS total FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)",
+    doc="A5 ROLLUP: hierarchical subtotals incl. grand total",
+    tags=("agg",),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    return t["orders"].rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n "
+    "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)",
+    doc="A5 CUBE: all grouping combinations",
+    tags=("agg",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+shared_sql(
+    "agg_grouping_sets",
+    "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders "
+    "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())",
+    doc="A5 GROUPING SETS",
+    tags=("agg",),
+)
+
+
+# --- TPC-H Q1 shape: the canonical scan-heavy aggregation (bench headline) -------
+@register(
+    "tpch_q1",
+    oracle="SELECT l_returnflag, l_linestatus, "
+    + dsum_sql("l_quantity")
+    + " AS sum_qty, "
+    + dsum_sql("l_extendedprice")
+    + " AS sum_base_price, "
+    + dsum_sql("l_extendedprice * (1 - l_discount)", scale=6)
+    + " AS sum_disc_price, "
+    + dsum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", scale=6)
+    + " AS sum_charge, "
+    + davg_sql("l_quantity")
+    + " AS avg_qty, "
+    + davg_sql("l_extendedprice")
+    + " AS avg_price, "
+    + davg_sql("l_discount")
+    + " AS avg_disc, COUNT(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+    "GROUP BY l_returnflag, l_linestatus",
+    doc="TPC-H Q1 pricing summary: one wide scan, 8 aggregates, partial agg "
+    "map-side; the scan-throughput headline query",
+    tags=("agg", "bench"),
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus").agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price, scale=6).alias("sum_disc_price"),
+            dsum(charge, scale=6).alias("sum_charge"),
+            (dsum("l_quantity", scale=6) / F.count("l_quantity")).alias("avg_qty"),
+            (dsum("l_extendedprice", scale=6) / F.count("l_extendedprice")).alias(
+                "avg_price"
+            ),
+            (dsum("l_discount", scale=6) / F.count("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --- TPC-H Q3 shape: join-heavy bench headline ------------------------------------
+@register(
+    "tpch_q3",
+    oracle="SELECT l.l_orderkey, "
+    + dsum_sql("l.l_extendedprice * (1 - l.l_discount)", scale=6)
+    + " AS revenue, o.o_orderdate, o.o_orderpriority "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "WHERE c.c_mktsegment = 'BUILDING' "
+    "AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00' "
+    "AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00' "
+    "GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority "
+    "ORDER BY revenue DESC, l_orderkey LIMIT 10",
+    doc="TPC-H Q3 shipping priority: selective dim filter broadcast into "
+    "fact-fact join + top-k",
+    tags=("join", "agg", "bench"),
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    o = t["orders"].filter(F.col("o_orderdate") < cutoff)
+    li = t["lineitem"].filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .limit(10)
+    )

@@ -1,0 +1,240 @@
+"""Join inventory — SURVEY.md §2.3 J1-J11.
+
+DataFrame-API implementations with explicit broadcast hints for the
+dimension side (customer/nation/region are dimensions; orders/lineitem are
+facts).  At 100 TB the facts shuffle on their join keys and the dims
+broadcast — exactly the plan these queries produce on local[32] too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import register, shared_sql
+from ..catalog import load_tables
+from ..operators.joins import full_outer_anti_join, right_anti_join
+
+
+# --- J1: inner equi-join (engine/src/parser.cpp:112-119) -------------------------
+@register(
+    "join_inner",
+    oracle="SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "WHERE o.o_orderstatus = 'F'",
+    doc="J1 inner equi-join, dim side broadcast (test_queries.txt:5)",
+    tags=("join",),
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    orders = t["orders"].filter(F.col("o_orderstatus") == "F")
+    return (
+        orders.join(
+            F.broadcast(t["customer"]),
+            orders.o_custkey == t["customer"].c_custkey,
+            "inner",
+        )
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+    )
+
+
+# --- J2: outer joins (engine/src/parser.cpp:101-103) -----------------------------
+@register(
+    "join_left",
+    oracle="SELECT c.c_custkey, o.o_orderkey, o.o_totalprice "
+    "FROM customer c LEFT JOIN "
+    "(SELECT * FROM orders WHERE o_totalprice > 450000) o "
+    "ON c.c_custkey = o.o_custkey",
+    doc="J2 LEFT JOIN — unmatched customers surface with NULL order columns",
+    tags=("join",),
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    big = t["orders"].filter(F.col("o_totalprice") > 450000)
+    return (
+        t["customer"]
+        .join(big, t["customer"].c_custkey == big.o_custkey, "left")
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "join_right",
+    oracle="SELECT c.c_custkey, o.o_orderkey "
+    "FROM (SELECT * FROM orders WHERE o_totalprice > 450000) o "
+    "RIGHT JOIN customer c ON o.o_custkey = c.c_custkey",
+    doc="J2 RIGHT JOIN (same rows as join_left, exercised as its own plan)",
+    tags=("join",),
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    big = t["orders"].filter(F.col("o_totalprice") > 450000)
+    return (
+        big.join(t["customer"], big.o_custkey == t["customer"].c_custkey, "right")
+        .select("c_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "join_full",
+    oracle="SELECT c.c_custkey, c.c_nationkey, s.s_suppkey, s.s_nationkey "
+    "FROM (SELECT * FROM customer WHERE c_acctbal > 9900) c "
+    "FULL JOIN (SELECT * FROM supplier WHERE s_acctbal > 9000) s "
+    "ON c.c_nationkey = s.s_nationkey",
+    doc="J2 FULL OUTER JOIN with NULLs on both sides",
+    tags=("join",),
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "supplier"))
+    c = t["customer"].filter(F.col("c_acctbal") > 9900)
+    s = t["supplier"].filter(F.col("s_acctbal") > 9000)
+    return (
+        c.join(s, c.c_nationkey == s.s_nationkey, "full")
+        .select("c_custkey", "c_nationkey", "s_suppkey", "s_nationkey")
+    )
+
+
+# --- J3: NATURAL JOIN (engine/src/parser.cpp:104) --------------------------------
+# Fixture columns are prefixed (n_/r_), so the natural key is exposed via
+# renaming subqueries — the NATURAL JOIN itself is genuine in both engines.
+shared_sql(
+    "join_natural",
+    "SELECT n_nationkey, n_name, regionkey, r_name FROM "
+    "(SELECT n_nationkey, n_name, n_regionkey AS regionkey FROM nation) AS n "
+    "NATURAL JOIN "
+    "(SELECT r_regionkey AS regionkey, r_name FROM region) AS r",
+    doc="J3 NATURAL JOIN on the shared 'regionkey' column",
+    tags=("join",),
+)
+
+
+# --- J4: anti-join family (engine/include/ast.h:10) ------------------------------
+@register(
+    "join_left_anti",
+    oracle="SELECT c_custkey, c_name FROM customer c "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+    "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)",
+    doc="J4 LEFT ANTI: customers with no large order (filtered right side "
+    "keeps the result non-empty at every sf)",
+    tags=("join",),
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    big = t["orders"].filter(F.col("o_totalprice") > 400000)
+    return (
+        t["customer"]
+        .join(big, t["customer"].c_custkey == big.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "join_right_anti",
+    oracle="SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS ("
+    "SELECT 1 FROM orders o WHERE o.o_orderstatus = 'F' AND o.o_custkey = c.c_custkey)",
+    doc="J4 RIGHT ANTI (reference parser.cpp:102): right-side rows with no "
+    "left match; composed as swapped left_anti (operators/joins.py)",
+    tags=("join",),
+)
+def join_right_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    f_orders = t["orders"].filter(F.col("o_orderstatus") == "F")
+    out = right_anti_join(
+        f_orders,
+        t["customer"],
+        f_orders.o_custkey == t["customer"].c_custkey,
+    )
+    return out.select("c_custkey", "c_name")
+
+
+@register(
+    "join_full_outer_anti",
+    oracle="SELECT c.c_custkey, c.c_nationkey, s.s_suppkey, s.s_nationkey "
+    "FROM (SELECT * FROM customer WHERE c_acctbal > 9900) c "
+    "FULL JOIN (SELECT * FROM supplier WHERE s_acctbal > 9000) s "
+    "ON c.c_nationkey = s.s_nationkey "
+    "WHERE c.c_custkey IS NULL OR s.s_suppkey IS NULL",
+    doc="J4 FULL OUTER ANTI (reference parser.cpp:103): rows unmatched on "
+    "either side; composed full join + null filter (operators/joins.py)",
+    tags=("join",),
+)
+def join_full_outer_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "supplier"))
+    c = t["customer"].filter(F.col("c_acctbal") > 9900)
+    s = t["supplier"].filter(F.col("s_acctbal") > 9000)
+    out = full_outer_anti_join(
+        c, s, c.c_nationkey == s.s_nationkey, "c_custkey", "s_suppkey"
+    )
+    return out.select("c_custkey", "c_nationkey", "s_suppkey", "s_nationkey")
+
+
+# --- J11: semi join (absent in reference; TODO.md:24 lists IN-subquery) ----------
+@register(
+    "join_semi",
+    oracle="SELECT c_custkey, c_name FROM customer c "
+    "WHERE EXISTS (SELECT 1 FROM orders o "
+    "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)",
+    doc="J11 LEFT SEMI: customers having at least one large order",
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    big = t["orders"].filter(F.col("o_totalprice") > 400000)
+    return (
+        t["customer"]
+        .join(big, t["customer"].c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+# --- J5: comma join — R1 comma-join→INNER JOIN conversion is Catalyst-native ----
+# (reference needed 4 layers of rewriting: engine/src/query_rewriter.cpp:41-215)
+shared_sql(
+    "join_comma",
+    "SELECT c.c_name, o.o_orderkey FROM customer c, orders o "
+    "WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 9000",
+    doc="J5/R1: implicit comma join; Catalyst extracts the equi-condition "
+    "from WHERE natively",
+    tags=("join", "rewrite"),
+)
+
+# --- J6: cross join (sqlopt.cpp:648-652 penalizes these 1000x) -------------------
+shared_sql(
+    "join_cross",
+    "SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n",
+    doc="J6 CROSS JOIN (125 rows of region x nation)",
+    tags=("join",),
+)
+
+# --- J10: theta / non-equi join (reference parses but ignores; parser.cpp:113-118)
+shared_sql(
+    "join_theta",
+    "SELECT n1.n_name AS nation_a, n2.n_name AS nation_b "
+    "FROM nation n1 JOIN nation n2 "
+    "ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey",
+    doc="J10 theta join: unordered nation pairs within a region "
+    "(equi part hash-joins; inequality as post-filter)",
+    tags=("join",),
+)
+
+
+# --- multi-way join: R6 join-ordering surface ------------------------------------
+@register(
+    "join_three_way",
+    oracle="SELECT r.r_name, n.n_name, count(*) AS n_customers "
+    "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "GROUP BY r.r_name, n.n_name",
+    doc="J1 chain + R6: 3-way join (fact + 2 broadcast dims) with aggregation; "
+    "Catalyst/CBO orders the joins (reference used Selinger DP, sqlopt.cpp:607-670)",
+    tags=("join", "agg"),
+)
+def join_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "nation", "region"))
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )

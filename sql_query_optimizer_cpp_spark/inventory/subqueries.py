@@ -1,0 +1,76 @@
+"""Subquery inventory — the reference's headline rewrite surface.
+
+R2 (scalar subquery -> LEFT JOIN, ``engine/src/query_rewriter.cpp:217-330``)
+and subquery flattening (IN -> semi join, stubbed at
+``query_rewriter.cpp:332-340``) are Catalyst built-ins
+(``RewriteCorrelatedScalarSubquery``, ``RewritePredicateSubquery``); these
+queries exercise them end-to-end, including the flagship election-demo
+query ported onto the fixture schema (FIXTURES.md §C mapping:
+candidate→customer, party→nation, district→region).
+"""
+
+from __future__ import annotations
+
+from . import shared_sql
+
+# --- R2: scalar subquery in SELECT ------------------------------------------------
+shared_sql(
+    "scalar_subquery",
+    "SELECT c_custkey, c_name, "
+    "(SELECT n_name FROM nation n WHERE n.n_nationkey = c.c_nationkey) AS nation_name "
+    "FROM customer c WHERE c_acctbal > 9500",
+    doc="R2: correlated scalar subquery — Catalyst decorrelates to LEFT JOIN "
+    "(reference needed regex pattern-matching, query_rewriter.cpp:292-318)",
+    tags=("subquery", "rewrite"),
+)
+
+shared_sql(
+    "scalar_subquery_agg",
+    "SELECT c_custkey, "
+    "(SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders "
+    "FROM customer c WHERE c_acctbal > 9000",
+    doc="R2: correlated aggregate subquery (the N+1 pattern the reference's "
+    "demo eliminates, OPTIMIZATION_DEMO.md:101-139)",
+    tags=("subquery", "rewrite"),
+)
+
+# --- IN / EXISTS predicates (reference TODO.md:24,32 — unsupported there) ---------
+shared_sql(
+    "in_subquery",
+    "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN "
+    "(SELECT o_custkey FROM orders WHERE o_totalprice > 450000)",
+    doc="IN-subquery → left semi join (RewritePredicateSubquery)",
+    tags=("subquery",),
+)
+
+shared_sql(
+    "not_in_subquery",
+    "SELECT s_suppkey, s_name FROM supplier WHERE s_nationkey NOT IN "
+    "(SELECT n_nationkey FROM nation WHERE n_regionkey = 0)",
+    doc="NOT IN subquery → null-aware anti join",
+    tags=("subquery",),
+)
+
+# --- Flagship: the reference demo query (demo_query.sql:1-11) ---------------------
+# Original: comma joins (candidate, electionwinner, election) + two scalar
+# subqueries (party/district names) + filters (age > 30, ElectionYear = 2024)
+# + LIMIT 10.  Port: customer↔candidate, orders↔electionwinner,
+# lineitem↔election, nation↔party, region↔district; a deterministic total
+# ORDER BY replaces the reference's unordered LIMIT.
+shared_sql(
+    "flagship_demo",
+    "SELECT c.c_custkey, c.c_name, "
+    "(SELECT n_name FROM nation n WHERE n.n_nationkey = c.c_nationkey) AS party_name, "
+    "(SELECT r_name FROM region r JOIN nation n2 ON r.r_regionkey = n2.n_regionkey "
+    " WHERE n2.n_nationkey = c.c_nationkey) AS district_name "
+    "FROM customer c, orders o, lineitem l "
+    "WHERE c.c_custkey = o.o_custkey "
+    "AND o.o_orderkey = l.l_orderkey "
+    "AND c.c_acctbal > 3000 "
+    "AND year(o.o_orderdate) = 2000 "
+    "ORDER BY c.c_custkey, o.o_orderkey, l.l_linenumber "
+    "LIMIT 10",
+    doc="Flagship (demo_query.sql): comma joins + 2 scalar subqueries + "
+    "filters + LIMIT — exercises R1+R2+R3 in one Catalyst pass",
+    tags=("subquery", "join", "rewrite", "bench"),
+)

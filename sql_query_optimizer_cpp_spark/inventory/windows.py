@@ -1,0 +1,98 @@
+"""Window functions — absent from the reference (SURVEY.md §0), first-class
+Spark extensions.
+
+Determinism notes: every window ORDER BY ends in a unique key so
+row_number/lag/lead are reproducible; running sums go through DECIMAL (some
+engines evaluate windowed sums with segment trees, which reorders float
+addition) and ranking functions are cast to BIGINT on the Spark side because
+DuckDB emits BIGINT for them while Spark emits INT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from . import register
+from ..catalog import load_tables
+
+
+@register(
+    "win_topk_per_group",
+    oracle="SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
+    "SELECT o_custkey, o_orderkey, o_totalprice, "
+    "row_number() OVER (PARTITION BY o_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t "
+    "WHERE rn <= 3",
+    doc="top-k per group via row_number window (the canonical Spark pattern)",
+    tags=("window",),
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t["orders"]
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "win_rank_lag",
+    oracle="SELECT o_custkey, o_orderkey, "
+    "rank() OVER w AS rnk, dense_rank() OVER w AS drnk, "
+    "lag(o_orderkey) OVER w AS prev_order, lead(o_orderkey) OVER w AS next_order "
+    "FROM orders WHERE o_custkey < 50 "
+    "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)",
+    doc="rank/dense_rank/lag/lead over an event sequence per customer",
+    tags=("window",),
+)
+def win_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t["orders"]
+        .filter(F.col("o_custkey") < 50)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.lag("o_orderkey").over(w).alias("prev_order"),
+            F.lead("o_orderkey").over(w).alias("next_order"),
+        )
+    )
+
+
+@register(
+    "win_running_sum",
+    oracle="SELECT o_custkey, o_orderkey, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER ("
+    "PARTITION BY o_custkey ORDER BY o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total "
+    "FROM orders WHERE o_custkey < 50",
+    doc="cumulative sum per customer (decimal-exact for cross-engine parity)",
+    tags=("window",),
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        t["orders"]
+        .filter(F.col("o_custkey") < 50)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            .alias("running_total"),
+        )
+    )
