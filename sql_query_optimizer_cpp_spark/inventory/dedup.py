@@ -1,1 +1,192 @@
-"""Placeholder — filled in a later milestone."""
+"""Dedup inventory queries over ``documents``, with full SQL oracles.
+
+The MinHash/SimHash oracles are generated programmatically from the same
+seeds and band layout as the Spark operators, so even the approximate
+pipelines are hash-compared end-to-end (not rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import register
+from ..catalog import load_tables
+from ..functions import hash64_sql
+from ..operators import dedup as D
+from ..operators.text import content_fingerprint_sql
+
+NUM_HASHES = 16
+BANDS = 4
+SIMHASH_BITS = 16
+SIMHASH_BANDS = 4
+THRESHOLD = 0.8
+
+
+# --- exact dedup -------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle="SELECT "
+    + content_fingerprint_sql("text")
+    + " AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS rep_doc_id, "
+    "CAST(COUNT(*) AS BIGINT) AS n_copies "
+    "FROM documents GROUP BY 1",
+    doc="exact dedup: hash-groupBy on normalized content, min-id representative",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return D.exact_dedup(t["documents"])
+
+
+# --- n-gram Jaccard (exact) ----------------------------------------------------
+def _ex_cte() -> str:
+    return (
+        "ex AS (SELECT DISTINCT doc_id, s FROM "
+        f"(SELECT doc_id, unnest({D.shingles_sql('text')}) AS s FROM documents))"
+    )
+
+
+_NGRAM_ORACLE = f"""
+WITH {_ex_cte()},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM ex GROUP BY 1)
+SELECT doc_a, doc_b,
+       CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {THRESHOLD}
+"""
+
+
+@register(
+    "dedup_ngram_pairs",
+    oracle=_NGRAM_ORACLE,
+    doc="exact 3-gram Jaccard near-dup pairs (threshold 0.8), "
+    "blocked on shared shingles — no cross join",
+    tags=("dedup",),
+)
+def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return D.ngram_jaccard_pairs(t["documents"], threshold=THRESHOLD)
+
+
+# --- MinHash + LSH ---------------------------------------------------------------
+def _minhash_oracle() -> str:
+    rows = NUM_HASHES // BANDS
+    mh_exprs = ", ".join(
+        f"MIN({hash64_sql('s', seed=f'mh{i}:')}) AS mh_{i}" for i in range(NUM_HASHES)
+    )
+    band_selects = []
+    for b in range(BANDS):
+        members = ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        bh = hash64_sql(f"concat_ws(',', {members})", seed=f"band{b}:")
+        band_selects.append(f"SELECT doc_id, {b} AS band_id, {bh} AS bh FROM sig")
+    buckets = " UNION ALL ".join(band_selects)
+    return f"""
+WITH {_ex_cte()},
+sig AS (SELECT doc_id, {mh_exprs} FROM ex GROUP BY doc_id),
+buckets AS ({buckets}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM cand c
+  JOIN ex ea ON ea.doc_id = c.doc_a
+  JOIN ex eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM ex GROUP BY 1)
+SELECT doc_a, doc_b,
+       CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {THRESHOLD}
+"""
+
+
+@register(
+    "dedup_minhash_pairs",
+    oracle=_minhash_oracle(),
+    doc="MinHash(16)+LSH(4 bands) near-dup pairs verified by exact Jaccard "
+    ">= 0.8; oracle replicates signatures, banding and verification",
+    tags=("dedup", "bench"),
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return D.minhash_lsh_pairs(
+        t["documents"], num_hashes=NUM_HASHES, bands=BANDS, threshold=THRESHOLD
+    )
+
+
+# --- SimHash ----------------------------------------------------------------------
+def _simhash_cte() -> str:
+    bit_sums = ", ".join(
+        f"SUM(cnt * (((th >> {j}) & 1) * 2 - 1)) AS s_{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+tok AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS cnt FROM
+  (SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS t
+   FROM documents) GROUP BY 1, 2
+),
+th AS (SELECT doc_id, cnt, {hash64_sql('t', seed='sh:')} AS th FROM tok),
+bitsums AS (SELECT doc_id, {bit_sums} FROM th GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bitsums)
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"WITH {_simhash_cte()} SELECT doc_id, simhash FROM fp",
+    doc="SimHash fingerprints (16-bit, token-frequency weighted); "
+    "oracle replicates the full bit pipeline",
+    tags=("dedup",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return D.simhash(t["documents"], bits=SIMHASH_BITS)
+
+
+def _simhash_pairs_oracle() -> str:
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << width) - 1
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band_id, (simhash >> {b * width}) & {mask} AS bv FROM fp"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH {_simhash_cte()},
+buckets AS ({band_selects})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM buckets a JOIN buckets b
+  ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+"""
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=_simhash_pairs_oracle(),
+    doc="SimHash near-dup pairs (hamming <= 2) via nibble-band blocking "
+    "(pigeonhole guarantees no missed pairs at hamming <= bands-1)",
+    tags=("dedup",),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return D.simhash_pairs(
+        t["documents"], bits=SIMHASH_BITS, bands=SIMHASH_BANDS, max_hamming=2
+    )

@@ -1,1 +1,90 @@
-"""Placeholder — filled in a later milestone."""
+"""Text-analysis inventory queries over the ``documents`` table.
+
+Each query pairs the Spark operator (operators/text.py — pure built-in
+expressions) with a DuckDB oracle generated from the same helper so the
+heuristics are replicated bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import register
+from ..catalog import load_tables
+from ..operators import text as T
+
+
+@register(
+    "text_tokens",
+    oracle="SELECT doc_id, "
+    + T.token_count_sql("text")
+    + " AS n_tokens, CAST(length(text) AS BIGINT) AS n_chars_actual "
+    "FROM documents",
+    doc="token counting (whitespace tokenizer) + char counts",
+    tags=("text",),
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return t["documents"].select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle="SELECT doc_id, "
+    + T.token_count_sql("text")
+    + " AS n_tokens, "
+    + T.stopword_count_sql("text")
+    + " AS n_stopwords, "
+    + T.avg_token_len_sql("text")
+    + " AS avg_token_len, "
+    + T.quality_score_sql("text")
+    + " AS quality FROM documents",
+    doc="quality scoring: stopword ratio + length + token-shape heuristic "
+    "(all JVM-side expressions; no UDFs)",
+    tags=("text", "bench"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return t["documents"].select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.stopword_count("text").alias("n_stopwords"),
+        T.avg_token_len("text").alias("avg_token_len"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+@register(
+    "text_langid",
+    oracle="SELECT doc_id, "
+    + T.lang_id_sql("text")
+    + " AS lang_pred FROM documents",
+    doc="language-ID heuristic (stopword-profile argmax with fixed "
+    "tie-break; the fixture corpus shares one vocabulary across lang labels, "
+    "so this verifies deterministic classification, not label recovery)",
+    tags=("text",),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return t["documents"].select("doc_id", T.lang_id("text").alias("lang_pred"))
+
+
+@register(
+    "text_fingerprint",
+    oracle="SELECT doc_id, "
+    + T.content_fingerprint_sql("text")
+    + " AS content_hash FROM documents",
+    doc="document fingerprinting: 60-bit hash of normalized content "
+    "(lowercased, space-collapsed)",
+    tags=("text",),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return t["documents"].select(
+        "doc_id", T.content_fingerprint("text").alias("content_hash")
+    )

@@ -1,0 +1,304 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Standard near-dup machinery for LLM training corpora (Broder'97 shingling /
+MinHash, Charikar'02 SimHash, banded LSH as in Mining of Massive Datasets
+ch.3), expressed as pure DataFrame compositions:
+
+- shingle/token explosion is a flatMap (no shuffle),
+- signatures are one hash-partitioned aggregation by doc_id,
+- candidate generation is a self-equi-join on (band_id, band_hash) — i.e.
+  a shuffle on the *bucket* key, never an all-pairs cross join,
+- verification joins only the candidate pairs back to shingle sets.
+
+At 100 TB the only heavy shuffles are the two groupBys (doc_id, band key);
+both are linear in corpus size.  Skewed buckets (a shingle/band shared by
+millions of docs) are handled by AQE skew-join splitting; for adversarial
+skew, raise ``num_hashes``/``bands`` or add a bucket-size cap filter before
+the pair join (documented, not needed at fixture scale).
+
+Every function is deterministic (seeded md5-prefix hashes from
+``functions.hash64``) so the DuckDB oracles in ``inventory/dedup.py`` can
+replicate results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hash64, hash64_sql
+from .text import content_fingerprint, tokens
+
+
+def shingle_expr(col: str = "text", n: int = 3) -> str:
+    """Spark SQL expression for word n-gram shingles (lambda-safe form)."""
+    t = f"split(trim({col}), ' +')"
+    joined = " || ' ' || ".join(f"element_at({t}, i + {k})" for k in range(n))
+    return (
+        f"CASE WHEN size({t}) >= {n} THEN "
+        f"transform(sequence(1, size({t}) - {n - 1}), i -> {joined}) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
+def shingles_sql(expr: str = "text", n: int = 3) -> str:
+    """DuckDB twin of :func:`shingles` (1-based list indexing, empty
+    generate_series when the text is shorter than n tokens)."""
+    t = f"regexp_split_to_array(trim({expr}), ' +')"
+    joined = " || ' ' || ".join(f"{t}[i + {k}]" for k in range(n))
+    return f"list_transform(generate_series(1, len({t}) - {n - 1}), i -> {joined})"
+
+
+def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                 n: int = 3) -> DataFrame:
+    """(doc_id, shingle) pairs, distinct — the set representation."""
+    return (
+        df.select(F.col(id_col), F.explode(F.expr(shingle_expr(text_col, n))).alias("s"))
+        .distinct()
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by normalized-content hash: one representative (min id)
+    per distinct content, with the duplicate count.
+
+    One hash-aggregation; at scale this is the cheapest possible dedup
+    (shuffle on a 60-bit key, heavily combinable map-side).
+    """
+    return (
+        df.select(
+            F.col(id_col), content_fingerprint(text_col).alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("rep_doc_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: for seed i, min over shingles of
+    hash64(seed_i || shingle).  Columns mh_0..mh_{k-1}."""
+    ex = doc_shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(hash64(F.col("s"), seed=f"mh{i}:")).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH, verified by true Jaccard.
+
+    bands=4 x rows=4 over 16 hashes → candidate-capture probability
+    1-(1-j^4)^4 (≈0.98 at j=0.8).  Candidates sharing ≥1 band bucket are
+    verified against exact shingle-set Jaccard >= threshold, so the output
+    has no false positives; recall is the LSH capture probability.
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
+
+    band_cols = []
+    for b in range(bands):
+        members = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_hash = hash64(F.concat_ws(",", *members), seed=f"band{b}:")
+        band_cols.append(F.struct(F.lit(b).alias("band_id"), band_hash.alias("bh")))
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_id", "band.bh")
+
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _verify_jaccard(df, cand, id_col, text_col, n, threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs, blocked on shared shingles.
+
+    Candidates = pairs sharing at least one shingle (an equi-join on the
+    shingle value — no cross join), then exact Jaccard >= threshold.
+    At 100 TB, add prefix filtering (keep only each doc's (1-t)|S|+1 rarest
+    shingles as blocking keys — exact for a given threshold) to cut the
+    candidate blow-up from ubiquitous shingles.
+    """
+    ex = doc_shingles(df, id_col, text_col, n)
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    sizes = ex.groupBy(id_col).agg(F.count("*").cast("long").alias("sz"))
+    sa = sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sz", "sz_a")
+    sb = sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sz", "sz_b")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _verify_jaccard(
+    df: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs (no false positives)."""
+    ex = doc_shingles(df, id_col, text_col, n)
+    ea = ex.select(F.col(id_col).alias("doc_a"), F.col("s"))
+    eb = ex.select(F.col(id_col).alias("_doc_b"), F.col("s").alias("s_b"))
+    inter = (
+        cand.join(ea, "doc_a")
+        .join(
+            eb,
+            (F.col("doc_b") == F.col("_doc_b")) & (F.col("s") == F.col("s_b")),
+            "inner",
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    sizes = ex.groupBy(id_col).agg(F.count("*").cast("long").alias("sz"))
+    sa = sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sz", "sz_a")
+    sb = sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sz", "sz_b")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """Charikar SimHash fingerprint (token-frequency weighted).
+
+    Per document: for bit j, s_j = sum over tokens of cnt * (2*bit_j(h)-1)
+    where h = hash64(token); fingerprint bit j is set iff s_j > 0.
+    One explode + one aggregation; entirely JVM-side expressions.
+
+    Output: (doc_id, simhash bigint).
+    """
+    tok = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+        .groupBy(id_col, "t")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("th", hash64(F.col("t"), seed="sh:"))
+    )
+    bit_sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.col("cnt") * (F.expr(f"(th >> {j}) & 1") * 2 - 1)
+            ).alias(f"s_{j}")
+            for j in range(bits)
+        ]
+    )
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return bit_sums.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Blocking: split the fingerprint into ``bands`` nibble bands; any pair
+    with hamming <= bands-1 shares at least one identical band (pigeonhole),
+    so candidates come from an equi-join on (band_id, band_value) — never an
+    all-pairs scan.  Output: (doc_a, doc_b, hamming).
+    """
+    assert max_hamming <= bands - 1, "pigeonhole blocking needs max_hamming < bands"
+    band_width = bits // bands
+    mask = (1 << band_width) - 1
+    fp = simhash(df, id_col, text_col, bits)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.expr(f"(simhash >> {b * band_width}) & {mask}").alias("bv"),
+        )
+        for b in range(bands)
+    ]
+    buckets = fp.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "simhash", "band.band_id", "band.bv")
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

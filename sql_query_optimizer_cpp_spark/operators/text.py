@@ -1,0 +1,156 @@
+"""Text-analysis operators for training-data pipelines.
+
+The reference has no scalar functions at all (SURVEY.md §2.7); these are the
+driver-mandated LLM-data-pipeline extensions: tokenization, quality scoring,
+language-ID heuristics, and document fingerprinting over the ``documents``
+table.
+
+Everything is built-in-expression-only (JVM-side, whole-stage codegen): no
+Python UDFs anywhere in this module, so the same pipeline runs at 100 TB
+bounded by scan throughput, not Python serde.
+
+Cross-engine note: each helper has a DuckDB twin (``*_sql``) used by the
+inventory oracles; tokenization is regex-split on runs of spaces after
+trim in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..functions import hash64, hash64_sql
+
+#: Tiny stopword inventories for the lang-id heuristic (public-knowledge
+#: function-word lists, a la textcat / CLD n-gram profiles, reduced to the
+#: whitespace-tokenizable case).
+STOPWORDS = {
+    "en": ("the", "of", "and", "to", "in", "is", "a"),
+    "es": ("el", "la", "de", "que", "y", "los", "una"),
+    "de": ("der", "die", "und", "das", "nicht", "ein", "ist"),
+    "fr": ("le", "la", "et", "les", "des", "une", "est"),
+}
+
+#: Quality-heuristic stopwords (English function words; a high ratio of
+#: function words correlates with natural prose vs. boilerplate/code).
+QUALITY_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokens of a trimmed text column (array<string>)."""
+    return F.split(F.trim(F.col(col)), " +")
+
+
+def tokens_sql(expr: str = "text") -> str:
+    return f"regexp_split_to_array(trim({expr}), ' +')"
+
+
+def token_count(col: str = "text") -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def token_count_sql(expr: str = "text") -> str:
+    return f"CAST(len({tokens_sql(expr)}) AS BIGINT)"
+
+
+def _in_list(items: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in items)
+
+
+def stopword_count(col: str = "text", words: tuple[str, ...] = QUALITY_STOPWORDS) -> Column:
+    return F.expr(
+        f"size(filter(split(trim({col}), ' +'), t -> t IN ({_in_list(words)})))"
+    ).cast("long")
+
+
+def stopword_count_sql(expr: str = "text", words: tuple[str, ...] = QUALITY_STOPWORDS) -> str:
+    return (
+        f"CAST(len(list_filter({tokens_sql(expr)}, "
+        f"t -> t IN ({_in_list(words)}))) AS BIGINT)"
+    )
+
+
+def avg_token_len(col: str = "text") -> Column:
+    """Mean token length = len(all chars in tokens) / n_tokens (double)."""
+    toks = f"split(trim({col}), ' +')"
+    return F.expr(
+        f"CAST(length(concat_ws('', {toks})) AS DOUBLE) / size({toks})"
+    )
+
+
+def avg_token_len_sql(expr: str = "text") -> str:
+    toks = tokens_sql(expr)
+    return (
+        f"(CAST(length(list_aggregate({toks}, 'string_agg', '')) AS DOUBLE)"
+        f" / len({toks}))"
+    )
+
+
+def quality_score(col: str = "text") -> Column:
+    """Composite prose-quality heuristic in [0, ~1.5]:
+
+    0.5 * stopword_ratio + 0.5 * min(n_tokens/100, 1) + 0.5 * (avg token
+    length between 3 and 8).  Deterministic double arithmetic only.
+    """
+    n = token_count(col).cast("double")
+    sw = stopword_count(col).cast("double") / n
+    length_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    atl = avg_token_len(col)
+    shape_term = F.when((atl >= 3.0) & (atl <= 8.0), F.lit(0.5)).otherwise(F.lit(0.0))
+    return sw * 0.5 + length_term * 0.5 + shape_term
+
+
+def quality_score_sql(expr: str = "text") -> str:
+    n = f"CAST({token_count_sql(expr)} AS DOUBLE)"
+    sw = f"(CAST({stopword_count_sql(expr)} AS DOUBLE) / {n})"
+    length_term = f"least({n} / 100.0, 1.0)"
+    atl = avg_token_len_sql(expr)
+    shape = f"(CASE WHEN {atl} >= 3.0 AND {atl} <= 8.0 THEN 0.5 ELSE 0.0 END)"
+    return f"({sw} * 0.5 + {length_term} * 0.5 + {shape})"
+
+
+def lang_scores(col: str = "text") -> dict[str, Column]:
+    """Per-language stopword hit counts (the textcat-style evidence)."""
+    return {lang: stopword_count(col, words) for lang, words in STOPWORDS.items()}
+
+
+def lang_id(col: str = "text") -> Column:
+    """Deterministic argmax over language stopword scores.
+
+    Ties break in fixed priority order en > es > de > fr; all-zero evidence
+    labels the document 'und' (undetermined, BCP-47 convention).
+    """
+    s = lang_scores(col)
+    return (
+        F.when(
+            (s["en"] + s["es"] + s["de"] + s["fr"]) == 0, F.lit("und")
+        )
+        .when((s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]), F.lit("en"))
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]), F.lit("es"))
+        .when(s["de"] >= s["fr"], F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def lang_id_sql(expr: str = "text") -> str:
+    s = {
+        lang: stopword_count_sql(expr, words) for lang, words in STOPWORDS.items()
+    }
+    return (
+        f"(CASE WHEN ({s['en']} + {s['es']} + {s['de']} + {s['fr']}) = 0 THEN 'und' "
+        f"WHEN {s['en']} >= {s['es']} AND {s['en']} >= {s['de']} AND {s['en']} >= {s['fr']} THEN 'en' "
+        f"WHEN {s['es']} >= {s['de']} AND {s['es']} >= {s['fr']} THEN 'es' "
+        f"WHEN {s['de']} >= {s['fr']} THEN 'de' ELSE 'fr' END)"
+    )
+
+
+def content_fingerprint(col: str = "text") -> Column:
+    """60-bit content hash of the normalized (trimmed, space-collapsed,
+    lowercased) text — the exact-dedup key."""
+    normalized = F.lower(F.regexp_replace(F.trim(F.col(col)), " +", " "))
+    return hash64(normalized)
+
+
+def content_fingerprint_sql(expr: str = "text") -> str:
+    normalized = f"lower(regexp_replace(trim({expr}), ' +', ' ', 'g'))"
+    return hash64_sql(normalized)
