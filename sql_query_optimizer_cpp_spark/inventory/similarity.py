@@ -1,1 +1,161 @@
-"""Placeholder — filled in a later milestone."""
+"""Similarity-search inventory queries over ``embeddings``.
+
+Full SQL oracles even for the ANN variants — the sign-LSH hyperplanes are
+md5-derived constants inlined into both dialects, and dot products are
+decimal-exact, so every cosine matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import register
+from ..catalog import load_tables
+from ..operators import similarity as S
+
+N_QUERIES = 10
+K_BRUTE = 10
+K_ANN = 5
+NEARDUP_THRESHOLD = 0.4  # fixture embeddings have no pairs above ~0.6
+
+
+def _e_cte() -> str:
+    return (
+        "e AS (SELECT vec_id, embedding, "
+        + S.normsq_expr("embedding", duck=True)
+        + " AS nsq FROM embeddings)"
+    )
+
+
+_BRUTE_ORACLE = f"""
+WITH {_e_cte()},
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, nsq AS q_nsq
+      FROM e WHERE vec_id < {N_QUERIES}),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round({S.dot_expr("q_emb", "embedding", duck=True)}
+           / (sqrt(q.q_nsq) * sqrt(e.nsq)), 6) AS cos_sim
+  FROM e JOIN q ON e.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, cos_sim, rn FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rn
+  FROM pairs) t WHERE rn <= {K_BRUTE}
+"""
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=_BRUTE_ORACLE,
+    doc="exact cosine top-10 for 10 query vectors: broadcast query set x "
+    "full corpus + per-query window (the exactness baseline)",
+    tags=("similarity", "bench"),
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return S.brute_force_topk(t["embeddings"], n_queries=N_QUERIES, k=K_BRUTE)
+
+
+_ANN_ORACLE = f"""
+WITH {_e_cte()},
+eb AS (SELECT vec_id, embedding, nsq,
+       {S.bucket_expr("embedding", duck=True)} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, nsq AS q_nsq,
+             bucket AS q_bucket
+      FROM eb WHERE vec_id < {N_QUERIES}),
+pairs AS (
+  SELECT q.query_id, eb.vec_id AS neighbor_id,
+         round({S.dot_expr("q_emb", "embedding", duck=True)}
+           / (sqrt(q.q_nsq) * sqrt(eb.nsq)), 6) AS cos_sim
+  FROM eb JOIN q ON eb.bucket = q.q_bucket AND eb.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, cos_sim, rn FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rn
+  FROM pairs) t WHERE rn <= {K_ANN}
+"""
+
+
+@register(
+    "sim_ann_lsh_topk",
+    oracle=_ANN_ORACLE,
+    doc="ANN top-5 probing only the query's sign-LSH(4-plane) bucket — "
+    "equi-join on bucket id, touches ~1/16 of the corpus per query",
+    tags=("similarity",),
+)
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return S.lsh_bucketed_topk(t["embeddings"], n_queries=N_QUERIES, k=K_ANN)
+
+
+_NEARDUP_ORACLE = f"""
+WITH {_e_cte()},
+eb AS (SELECT vec_id, embedding, nsq,
+       {S.bucket_expr("embedding", duck=True)} AS bucket FROM e)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({S.dot_expr("a.embedding", "b.embedding", duck=True)}
+         / (sqrt(a.nsq) * sqrt(b.nsq)), 6) AS cos_sim
+FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({S.dot_expr("a.embedding", "b.embedding", duck=True)}
+        / (sqrt(a.nsq) * sqrt(b.nsq)), 6) >= {NEARDUP_THRESHOLD}
+"""
+
+
+@register(
+    "sim_neardup_pairs",
+    oracle=_NEARDUP_ORACLE,
+    doc="embedding-cosine near-dup pairs (>= 0.4), LSH-bucket blocked "
+    "(exact precision, bucket recall)",
+    tags=("similarity", "dedup"),
+)
+def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return S.embedding_neardup_pairs(t["embeddings"], threshold=NEARDUP_THRESHOLD)
+
+
+_CENTROID_ORACLE = """
+WITH comp AS (
+  -- parallel unnests zip in DuckDB: pos runs 1..len alongside the values
+  SELECT vec_id, label,
+         unnest(generate_series(1, len(embedding))) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS xd
+  FROM embeddings),
+centroids AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(xd AS DECIMAL(28,20))) AS DOUBLE) / COUNT(*) AS c
+  FROM comp GROUP BY 1, 2),
+cnorm AS (
+  SELECT label, CAST(SUM(CAST(c * c AS DECIMAL(28,20))) AS DOUBLE) AS c_nsq
+  FROM centroids GROUP BY 1),
+vnorm AS (
+  SELECT vec_id, CAST(SUM(CAST(xd * xd AS DECIMAL(28,20))) AS DOUBLE) AS v_nsq
+  FROM comp GROUP BY 1),
+dots AS (
+  SELECT comp.vec_id, centroids.label AS cand_label,
+         CAST(SUM(CAST(comp.xd * centroids.c AS DECIMAL(28,20))) AS DOUBLE) AS dot
+  FROM comp JOIN centroids ON comp.pos = centroids.pos
+  GROUP BY 1, 2),
+scored AS (
+  SELECT d.vec_id, d.cand_label,
+         d.dot / (sqrt(v.v_nsq) * sqrt(c.c_nsq)) AS cos_sim
+  FROM dots d
+  JOIN vnorm v ON v.vec_id = d.vec_id
+  JOIN cnorm c ON c.label = d.cand_label)
+SELECT vec_id, CAST(cand_label AS INTEGER) AS pred_label FROM (
+  SELECT vec_id, cand_label,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, cand_label) AS rn
+  FROM scored) t WHERE rn = 1
+"""
+
+
+@register(
+    "sim_nearest_centroid",
+    oracle=_CENTROID_ORACLE,
+    doc="IVF coarse quantizer: per-label decimal-exact mean centroids, "
+    "each vector assigned to nearest centroid by cosine",
+    tags=("similarity",),
+)
+def sim_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return S.nearest_centroid(t["embeddings"])

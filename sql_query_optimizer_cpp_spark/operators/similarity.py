@@ -1,0 +1,275 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three search strategies over the ``embeddings`` fixture (64-dim unit-ish
+vectors), all pure DataFrame compositions:
+
+- brute-force cosine top-k: the exactness baseline — queries broadcast
+  against the corpus, one window per query for the top-k;
+- sign-LSH (random hyperplane, Charikar'02) bucketed ANN: vectors hash to a
+  small bucket id from the signs of 4 pseudo-random hyperplane projections;
+  search joins query->bucket only.  At 100 TB the bucket id becomes the
+  shuffle/partition key and each probe touches 1/2^planes of the corpus;
+- IVF-style nearest-centroid assignment: per-label mean centroids (the
+  "coarse quantizer"), every vector assigned to its nearest centroid.
+
+Determinism/portability: dot products are exact — per-element double
+products (IEEE, portable) cast to DECIMAL(28,20) and summed (exact, order
+independent), so Spark and the DuckDB oracle produce bit-identical cosines.
+Hyperplane weights are md5-derived constants computed in Python and inlined
+into both dialects.
+
+At real scale the decimal trick costs ~2x over a plain double `aggregate`;
+the structure (broadcast queries, bucket blocking, no cross joins beyond
+the query set) is the part that carries to 100 TB.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+DIM = 64
+NUM_PLANES = 4
+
+
+def _md5_int(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def plane_weights(num_planes: int = NUM_PLANES, dim: int = DIM) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1), md5-derived so
+    both engines inline the identical literals."""
+    return [
+        [(_md5_int(f"plane{p}:{i}") % 2000) / 1000.0 - 1.0 for i in range(dim)]
+        for p in range(num_planes)
+    ]
+
+
+def _elem(col: str, i: int, duck: bool) -> str:
+    # both engines index lists/arrays 1-based via these forms
+    return f"{col}[{i}]" if duck else f"element_at({col}, {i})"
+
+
+def dot_expr(a: str, b: str, duck: bool, dim: int = DIM) -> str:
+    """Exact dot product of two float-array columns as DOUBLE (see module
+    docstring for why DECIMAL).
+
+    Spark: ``aggregate`` HOF with the accumulator type pinned by an explicit
+    CAST each step — a plain ``t1 + t2 + ...`` chain would hit Spark's
+    decimal-precision cap after ~18 additions and silently shrink the scale
+    to 6.  DuckDB: a literal term chain (its widening rules keep scale 20).
+    """
+    if duck:
+        terms = " + ".join(
+            f"CAST(CAST({_elem(a, i, duck)} AS DOUBLE) * CAST({_elem(b, i, duck)} AS DOUBLE)"
+            f" AS DECIMAL(28,20))"
+            for i in range(1, dim + 1)
+        )
+        return f"CAST(({terms}) AS DOUBLE)"
+    return (
+        f"CAST(aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,20))), "
+        f"CAST(0 AS DECIMAL(38,20)), "
+        f"(acc, v) -> CAST(acc + v AS DECIMAL(38,20))) AS DOUBLE)"
+    )
+
+
+def normsq_expr(a: str, duck: bool, dim: int = DIM) -> str:
+    return dot_expr(a, a, duck, dim)
+
+
+def plane_dot_expr(col: str, weights: list[float], duck: bool) -> str:
+    """Exact projection of an embedding onto a constant hyperplane."""
+    if duck:
+        terms = " + ".join(
+            f"CAST(CAST({_elem(col, i + 1, duck)} AS DOUBLE) * ({w!r}) AS DECIMAL(28,20))"
+            for i, w in enumerate(weights)
+        )
+        return f"CAST(({terms}) AS DOUBLE)"
+    arr = ", ".join(f"CAST({w!r} AS DOUBLE)" for w in weights)
+    return (
+        f"CAST(aggregate(zip_with({col}, array({arr}), (x, y) -> "
+        f"CAST(CAST(x AS DOUBLE) * y AS DECIMAL(28,20))), "
+        f"CAST(0 AS DECIMAL(38,20)), "
+        f"(acc, v) -> CAST(acc + v AS DECIMAL(38,20))) AS DOUBLE)"
+    )
+
+
+def bucket_expr(col: str, duck: bool, num_planes: int = NUM_PLANES) -> str:
+    """Sign-LSH bucket id in [0, 2^planes) as BIGINT."""
+    planes = plane_weights(num_planes)
+    bits = " + ".join(
+        f"(CASE WHEN {plane_dot_expr(col, planes[p], duck)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(num_planes)
+    )
+    return f"CAST(({bits}) AS BIGINT)"
+
+
+def with_norm(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    return df.withColumn("nsq", F.expr(normsq_expr(emb_col, duck=False)))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    n_queries: int = 10,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: query set (id < n_queries) broadcast against the
+    whole corpus; per-query window keeps the top k.
+
+    Output: (query_id, neighbor_id, cos_sim, rn)."""
+    e = with_norm(df.select(id_col, emb_col))
+    q = e.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    pairs = (
+        e.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .withColumn("dot", F.expr(dot_expr("q_emb", emb_col, duck=False)))
+        .withColumn(
+            "cos_sim",
+            F.round(F.col("dot") / (F.sqrt("q_nsq") * F.sqrt("nsq")), 6),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), "cos_sim", "rn"
+        )
+    )
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k probing only the query's sign-LSH bucket (1/16th of the
+    corpus on average) — the scale path: candidates come from an equi-join
+    on bucket, not a cross join.
+
+    Output: (query_id, neighbor_id, cos_sim, rn)."""
+    e = with_norm(df.select(id_col, emb_col)).withColumn(
+        "bucket", F.expr(bucket_expr(emb_col, duck=False))
+    )
+    q = e.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        F.col("nsq").alias("q_nsq"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    pairs = (
+        e.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col(id_col) != F.col("query_id")),
+        )
+        .withColumn("dot", F.expr(dot_expr("q_emb", emb_col, duck=False)))
+        .withColumn(
+            "cos_sim",
+            F.round(F.col("dot") / (F.sqrt("q_nsq") * F.sqrt("nsq")), 6),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cos_sim", "rn")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked on the sign-LSH bucket
+    (exact precision, LSH recall).  Output: (vec_a, vec_b, cos_sim)."""
+    e = with_norm(df.select(id_col, emb_col)).withColumn(
+        "bucket", F.expr(bucket_expr(emb_col, duck=False))
+    )
+    a = e.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(emb_col).alias("emb_a"),
+        F.col("nsq").alias("nsq_a"),
+        F.col("bucket").alias("bucket_a"),
+    )
+    b = e.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(emb_col).alias("emb_b"),
+        F.col("nsq").alias("nsq_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("bucket_a") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .withColumn("dot", F.expr(dot_expr("emb_a", "emb_b", duck=False)))
+        .withColumn(
+            "cos_sim",
+            F.round(F.col("dot") / (F.sqrt("nsq_a") * F.sqrt("nsq_b")), 6),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+def nearest_centroid(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-style coarse quantizer: per-label mean centroids, then each
+    vector assigned to its nearest centroid by cosine.
+
+    Centroid components are exact decimal means; vector-centroid dots go
+    through a posexplode + (pos,label) join — all built-in operators, one
+    shuffle on (id, label).  Output: (vec_id, pred_label)."""
+    comp = df.select(
+        F.col(id_col), F.col(label_col), F.posexplode(emb_col).alias("pos", "x")
+    ).withColumn("xd", F.col("x").cast("double"))
+
+    centroids = comp.groupBy(label_col, "pos").agg(
+        (
+            F.sum(F.col("xd").cast("decimal(28,20)")).cast("double")
+            / F.count("*")
+        ).alias("c")
+    )
+    cnorm = centroids.groupBy(label_col).agg(
+        F.sum((F.col("c") * F.col("c")).cast("decimal(28,20)")).cast("double").alias("c_nsq")
+    )
+
+    vec = comp.select(id_col, "pos", "xd")
+    vnorm = vec.groupBy(id_col).agg(
+        F.sum((F.col("xd") * F.col("xd")).cast("decimal(28,20)")).cast("double").alias("v_nsq")
+    )
+
+    dots = (
+        vec.join(centroids.withColumnRenamed(label_col, "cand_label"), "pos")
+        .groupBy(id_col, "cand_label")
+        .agg(F.sum((F.col("xd") * F.col("c")).cast("decimal(28,20)")).cast("double").alias("dot"))
+    )
+    scored = (
+        dots.join(vnorm, id_col)
+        .join(cnorm.withColumnRenamed(label_col, "cand_label"), "cand_label")
+        .withColumn("cos_sim", F.col("dot") / (F.sqrt("v_nsq") * F.sqrt("c_nsq")))
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("cos_sim").desc(), F.col("cand_label"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), F.col("cand_label").cast("int").alias("pred_label"))
+    )

@@ -48,14 +48,14 @@ def _rows_table(columns, rows):
 
 
 def _cells_equal(a, b) -> bool:
-    if isinstance(a, float) and isinstance(b, float):
-        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+    # Exact equality, even for floats: the inventory queries are built so
+    # float results are bit-identical across engines (DECIMAL aggregation,
+    # rounded similarity outputs).  Any drift is a portability bug that the
+    # driver's value-hash would also flag — surface it here first.
     if isinstance(a, tuple) and isinstance(b, tuple):
         return len(a) == len(b) and all(_cells_equal(x, y) for x, y in zip(a, b))
-    if isinstance(a, float) and isinstance(b, int):
-        return math.isclose(a, float(b), rel_tol=1e-9)
-    if isinstance(a, int) and isinstance(b, float):
-        return math.isclose(float(a), b, rel_tol=1e-9)
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return float(a) == float(b) or (math.isnan(a) and math.isnan(b))
     return a == b
 
 
