@@ -53,6 +53,7 @@ _MODULES = (
     "dedup",
     "similarity",
     "events",
+    "multimodal",
 )
 
 

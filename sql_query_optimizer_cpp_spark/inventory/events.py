@@ -1,1 +1,140 @@
-"""Placeholder — filled in a later milestone."""
+"""Event-time window inventory over the ``events`` table (batch mode).
+
+The reference has no streaming at all (SURVEY.md §2.8); these are the
+extension operators a training-data pipeline needs for event streams:
+tumbling / sliding / session windows and JSON-ish property extraction.
+The same window expressions run under Structured Streaming in
+``streaming/windows.py``; batch mode here makes them oracle-checkable.
+
+Oracle notes: Spark's ``window()`` aligns to the epoch, so the tumbling
+oracle is ``date_trunc``; the sliding oracle enumerates the 2 covering
+windows per event (slide = length/2); the session oracle is the classic
+gaps-and-islands rewrite with a *strict* new-session condition
+(gap >= 10 min), matching Spark's half-open [start, last+gap) semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import register
+from ..catalog import load_tables
+from ..functions import dsum, dsum_sql
+
+
+@register(
+    "events_tumbling",
+    oracle="SELECT date_trunc('hour', ts) AS win_start, "
+    "date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end, "
+    "event_type, COUNT(*) AS n, "
+    + dsum_sql("value", scale=6)
+    + " AS total "
+    "FROM events GROUP BY 1, 2, 3",
+    doc="tumbling 1h event-time window + per-type aggregates",
+    tags=("events", "window", "bench"),
+)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value", scale=6).alias("total"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "events_sliding",
+    oracle="""
+SELECT make_timestamp(((epoch_us(ts) // 1800000000) - k) * 1800000000) AS win_start,
+       make_timestamp((((epoch_us(ts) // 1800000000) - k) * 1800000000) + 3600000000) AS win_end,
+       COUNT(*) AS n, """
+    + dsum_sql("value", scale=6)
+    + """ AS total
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) offsets
+GROUP BY 1, 2""",
+    doc="sliding window (1h length, 30min slide): each event lands in 2 "
+    "windows; oracle enumerates them via epoch arithmetic",
+    tags=("events", "window"),
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), dsum("value", scale=6).alias("total"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "events_session",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+m AS (
+  SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 10 MINUTE
+                 THEN 1 ELSE 0 END AS is_new
+  FROM o),
+g AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS grp
+  FROM m)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+       COUNT(*) AS n_events, """
+    + dsum_sql("value", scale=6)
+    + """ AS total
+FROM g GROUP BY user_id, grp""",
+    doc="session windows (10min gap) per user; oracle is the gaps-and-"
+    "islands rewrite of Spark's session_window merge semantics",
+    tags=("events", "window"),
+)
+def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value", scale=6).alias("total"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total",
+        )
+    )
+
+
+@register(
+    "events_props_extract",
+    oracle="SELECT event_type, "
+    "CAST(SUM(CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT)"
+    " AS k_sum, COUNT(*) AS n "
+    "FROM events GROUP BY event_type",
+    doc="semi-structured property extraction from the JSON-ish props string "
+    "(regex-based so no JSON-extension dependency in the oracle)",
+    tags=("events", "text"),
+)
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(F.sum(k).cast("long").alias("k_sum"), F.count("*").alias("n"))
+    )

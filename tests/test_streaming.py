@@ -1,0 +1,86 @@
+"""Structured Streaming tests: the streamed window results must equal the
+batch (oracle-checked) results, and the stateful operator must carry state
+across micro-batches."""
+
+from __future__ import annotations
+
+import pytest
+
+from sql_query_optimizer_cpp_spark.catalog import load_tables
+from sql_query_optimizer_cpp_spark.streaming.windows import (
+    read_events_stream,
+    run_to_memory,
+    session_counts,
+    tumbling_counts,
+)
+
+from .conftest import SF_DIR
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_stream_tumbling_equals_batch(spark):
+    stream = read_events_stream(spark, SF_DIR)
+    name, q = run_to_memory(tumbling_counts(stream), output_mode="complete")
+    try:
+        streamed = _rows(spark.sql(f"SELECT * FROM {name}"))
+    finally:
+        q.stop()
+
+    batch = load_tables(spark, SF_DIR, ("events",))["events"]
+    expected = _rows(_batch_tumbling(spark, batch))
+    assert streamed == expected
+    assert len(streamed) > 0
+
+
+def _batch_tumbling(spark, events):
+    from pyspark.sql import functions as F
+
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def test_stream_session_windows(spark):
+    stream = read_events_stream(spark, SF_DIR)
+    name, q = run_to_memory(session_counts(stream), output_mode="complete")
+    try:
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        q.stop()
+    assert len(rows) > 0
+    # session invariant: end = last event + gap => end > start always
+    assert all(r.session_end > r.session_start for r in rows)
+
+
+def test_stateful_running_counts(spark):
+    from sql_query_optimizer_cpp_spark.streaming.stateful import (
+        running_user_counts,
+    )
+
+    stream = read_events_stream(spark, SF_DIR)
+    name, q = run_to_memory(running_user_counts(stream), output_mode="update")
+    try:
+        rows = spark.sql(
+            f"SELECT user_id, max(n_events) AS n FROM {name} GROUP BY user_id"
+        ).collect()
+    finally:
+        q.stop()
+
+    batch = load_tables(spark, SF_DIR, ("events",))["events"]
+    expected = {
+        r.user_id: r.n
+        for r in batch.groupBy("user_id").count().withColumnRenamed("count", "n").collect()
+    }
+    got = {r.user_id: r.n for r in rows}
+    assert got == expected
