@@ -1,0 +1,113 @@
+"""Engine: the reference's capability surface on a SparkSession.
+
+The reference's lifecycle is lex -> parse -> validate -> optimize (rewrites
++ cost-based plan choice) -> explain/trace -> execute-by-delegation
+(SURVEY.md §3).  The Spark-native equivalent keeps the same user-visible
+verbs with Catalyst doing the work:
+
+    eng = Engine(spark, sf_dir)         # session + catalog (views)
+    eng.sql(text)                       # execute -> DataFrame
+    eng.explain(text)                   # reference-style plan tree + stats
+    eng.optimize(text)                  # rewrite report WITHOUT executing
+                                        #   (= the standalone sqlopt.cpp path)
+    eng.transform_log(text)             # named-rewrite trace (R9)
+    eng.cost(text)                      # 4-component cost report (§4.2)
+    eng.analyze(); eng.table_stats(t)   # stats harvest + readback (S4)
+
+Errors surface as Spark AnalysisException with Catalyst's own suggestions
+(the reference's semantic validator warns and suggests via Levenshtein,
+``engine/include/utils.h:23-45``; Spark's analyzer does the same with
+"Did you mean ...?").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import catalog
+from .plans.cost import CostReport, cost_report
+from .plans.explain import explain_full, explain_tree
+from .plans.trace import TransformLog, build_transform_log
+from .rules import rewrite as pre_rewrite
+
+
+@dataclass
+class OptimizeReport:
+    """What ``EXPLAIN``+trace shows, without executing — the equivalent of
+    the standalone optimizer's output (``sqlopt.cpp:727-798``)."""
+
+    original_sql: str
+    rewritten_sql: str
+    pre_rewrites: list[str]
+    transform_log: TransformLog
+    plan_tree: str
+
+    def render(self) -> str:
+        parts = ["=== Optimizer Trace ==="]
+        for name in self.pre_rewrites:
+            parts.append(f"[PreRewrite] {name}")
+        parts.append(str(self.transform_log))
+        parts.append("")
+        parts.append(self.plan_tree)
+        if self.rewritten_sql != self.original_sql:
+            parts.append("")
+            parts.append(f"Rewritten SQL: {self.rewritten_sql}")
+        return "\n".join(parts)
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str | None = None,
+        enable_pre_rewrites: bool = False,
+    ):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.enable_pre_rewrites = enable_pre_rewrites
+        if sf_dir:
+            catalog.register_views(spark, sf_dir)
+
+    # -- execute ---------------------------------------------------------
+    def sql(self, text: str) -> DataFrame:
+        """Parse/optimize/execute via Catalyst (entry point A, SURVEY §3.1)."""
+        if self.enable_pre_rewrites:
+            text = pre_rewrite(text).sql
+        return self.spark.sql(text)
+
+    def frame(self, name: str) -> DataFrame:
+        """DataFrame-builder entry: a registered table by name (S1 scan)."""
+        return self.spark.table(name)
+
+    # -- optimize without executing (entry point C, SURVEY §3.3) ----------
+    def optimize(self, text: str) -> OptimizeReport:
+        rr = pre_rewrite(text)
+        df = self.spark.sql(rr.sql)  # plans lazily; nothing executes
+        return OptimizeReport(
+            original_sql=text,
+            rewritten_sql=rr.sql,
+            pre_rewrites=rr.applied,
+            transform_log=build_transform_log(df),
+            plan_tree=explain_tree(df),
+        )
+
+    # -- explain (entry point B, SURVEY §3.2 — ours doesn't also execute) --
+    def explain(self, text: str) -> str:
+        return explain_full(self.spark.sql(text))
+
+    def transform_log(self, text: str) -> TransformLog:
+        return build_transform_log(self.spark.sql(text))
+
+    def cost(self, text: str) -> CostReport:
+        return cost_report(self.spark.sql(text))
+
+    # -- statistics (S4 harvest + readback) --------------------------------
+    def analyze(self, names: tuple[str, ...] | None = None) -> None:
+        if not self.sf_dir:
+            raise ValueError("Engine built without sf_dir; nothing to analyze")
+        catalog.analyze_tables(self.spark, self.sf_dir, names)
+
+    def table_stats(self, name: str) -> dict[str, str]:
+        return catalog.table_stats(self.spark, f"stats_{name}")

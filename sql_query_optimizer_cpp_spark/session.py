@@ -61,6 +61,11 @@ def get_session(
         master = f"local[{cpus}]"
     builder = SparkSession.builder.master(master).appName(app_name)
     conf = dict(_DEFAULTS)
+    # per-process warehouse keeps ANALYZE'd managed tables out of the repo
+    # and avoids stale-location collisions across runs
+    conf.setdefault(
+        "spark.sql.warehouse.dir", f"/tmp/sqoc-warehouse-{os.getpid()}"
+    )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
