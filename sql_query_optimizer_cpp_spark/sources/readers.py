@@ -1,0 +1,84 @@
+"""Format-dispatched readers.
+
+The reference discovers schema from the live database (SHOW TABLES /
+DESCRIBE, ``engine/src/mysql_connector.cpp:130-186``); Spark's sources
+carry their own schema (parquet/orc) or accept one (csv/json — pass
+``schema`` rather than ``inferSchema`` in production: inference is a full
+extra scan at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_FORMATS = ("parquet", "orc", "csv", "json")
+
+
+def read(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    """Read ``path`` as ``fmt`` with optional explicit schema.
+
+    csv defaults to header=true; all formats accept native Spark options
+    via kwargs (e.g. ``pathGlobFilter``, ``recursiveFileLookup``).
+    """
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", options.pop("header", "true"))
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options,
+) -> DataFrame:
+    """JDBC source — the literal parity path for the reference's MySQL
+    connector (``engine/include/mysql_connector.h:10-69``).
+
+    Requires the vendor JDBC driver jar on the Spark classpath, which this
+    environment does not ship — callers get a clear error instead of a
+    py4j stack.  ``partition_column``+bounds split the read into
+    ``num_partitions`` parallel range queries (without it a JDBC read is a
+    single-threaded scan — never acceptable at scale).
+    """
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    )
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partition_column requires lower_bound/upper_bound")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    try:
+        return reader.load()
+    except Exception as exc:  # driver jar absent in this environment
+        msg = str(exc)
+        if "No suitable driver" in msg or "ClassNotFound" in msg:
+            raise NotImplementedError(
+                "JDBC read requires the vendor driver jar on the Spark "
+                "classpath (not shipped in this environment)"
+            ) from exc
+        raise

@@ -1,0 +1,51 @@
+"""Writers: parquet/orc/csv/json sinks with the scale-relevant layout knobs.
+
+partition_by: hive-style directory partitioning — readers prune partitions
+from WHERE clauses for free (the Spark analog of the reference's index
+selection, SURVEY.md §2.1 S2).
+
+bucket_by: pre-shuffled, co-located layout — equi-joins and aggregations on
+the bucket key skip their shuffle entirely.  Bucketed writes must go
+through ``saveAsTable`` (the bucket metadata lives in the catalog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_FORMATS = ("parquet", "orc", "csv", "json")
+
+
+def write(
+    df: DataFrame,
+    path: str | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    bucket_by: tuple[int, list[str]] | None = None,
+    table: str | None = None,
+    **options,
+) -> None:
+    """Write ``df`` to ``path`` (file layout) or ``table`` (catalog table;
+    required for bucket_by)."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
+    w = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        w = w.option("header", options.pop("header", "true"))
+    for k, v in options.items():
+        w = w.option(k, v)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if bucket_by:
+        n, cols = bucket_by
+        if not table:
+            raise ValueError("bucket_by requires a catalog table name")
+        w.bucketBy(n, *cols).sortBy(*cols).saveAsTable(table)
+        return
+    if table:
+        w.saveAsTable(table)
+    else:
+        if not path:
+            raise ValueError("either path or table is required")
+        w.save(path)
