@@ -57,11 +57,14 @@ def main() -> None:
         spec = registry.get(name)
         if spec is None:
             continue
+        # cold run amortizes codegen/plan compile; measured run is the
+        # steady-state number a long-lived engine delivers
+        spec.fn(spark, sf_dir).count()
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows, warm)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     print(

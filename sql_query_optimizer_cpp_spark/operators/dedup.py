@@ -49,11 +49,24 @@ def shingles_sql(expr: str = "text", n: int = 3) -> str:
     return f"list_transform(generate_series(1, len({t}) - {n - 1}), i -> {joined})"
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread rows across all cores before hash-heavy per-row work.
+
+    A small documents file arrives as one input split, and Spark evaluates
+    shingle explosion + seeded hashing map-side in that single task (12s
+    single-core at sf0.1).  At 100 TB the scan naturally yields thousands
+    of splits; locally this round-robin repartition buys the same
+    parallelism for the price of shuffling the (tiny) raw docs.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                  n: int = 3) -> DataFrame:
     """(doc_id, shingle) pairs, distinct — the set representation."""
     return (
-        df.select(F.col(id_col), F.explode(F.expr(shingle_expr(text_col, n))).alias("s"))
+        _spread(df)
+        .select(F.col(id_col), F.explode(F.expr(shingle_expr(text_col, n))).alias("s"))
         .distinct()
     )
 
@@ -237,7 +250,8 @@ def simhash(
     Output: (doc_id, simhash bigint).
     """
     tok = (
-        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+        _spread(df)
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
         .groupBy(id_col, "t")
         .agg(F.count("*").alias("cnt"))
         .withColumn("th", hash64(F.col("t"), seed="sh:"))
