@@ -244,3 +244,119 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .limit(10)
     )
+
+
+# --- Ports of the reference's remaining complex-query corpus ----------------------
+# test_complex_queries.sql:2 — LEFT JOIN folded to inner by the o-filter,
+# mixed join chain + BETWEEN + ORDER BY count.
+shared_sql(
+    "complex_q2",
+    "SELECT p.p_name, COUNT(*) AS order_count "
+    "FROM part p LEFT JOIN lineitem l ON p.p_partkey = l.l_partkey "
+    "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "WHERE p.p_retailprice BETWEEN 900 AND 950 AND o.o_orderstatus = 'F' "
+    "GROUP BY p.p_name "
+    "ORDER BY order_count DESC, p_name LIMIT 20",
+    doc="reference test_complex_queries.sql:2 ported (products->part, "
+    "order_items->lineitem); Catalyst folds the LEFT JOIN to inner since "
+    "the WHERE references the right side",
+    tags=("join", "agg"),
+)
+
+# test_complex_queries.sql:5 — 4-table chain + DISTINCT + arithmetic + OR/LIKE.
+shared_sql(
+    "complex_q5",
+    "SELECT DISTINCT c.c_name, p.p_name, "
+    "o.o_totalprice + l.l_quantity * p.p_retailprice AS total_value "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+    "JOIN part p ON l.l_partkey = p.p_partkey "
+    "WHERE c.c_acctbal > 0 AND o.o_orderstatus = 'P' AND p.p_retailprice > 0 "
+    "AND (l.l_quantity > 30 OR p.p_name LIKE '%1%') "
+    "ORDER BY total_value DESC, c_name, p_name LIMIT 10",
+    doc="reference test_complex_queries.sql:5 ported: 4-table join, "
+    "DISTINCT, select-list arithmetic, OR/LIKE predicate, top-k",
+    tags=("join", "agg", "sort"),
+)
+
+
+# --- Pivot (extension; reference lacks set ops entirely) --------------------------
+@register(
+    "agg_pivot",
+    oracle="SELECT o_orderstatus, "
+    "CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p_urgent, "
+    "CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p_high, "
+    "CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p_medium, "
+    "CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p_notspec, "
+    "CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p_low "
+    "FROM orders GROUP BY o_orderstatus",
+    doc="pivot: order counts by status x priority (oracle as CASE sums)",
+    tags=("agg",),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    piv = (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .count()
+    )
+    renames = {
+        "1-URGENT": "p_urgent",
+        "2-HIGH": "p_high",
+        "3-MEDIUM": "p_medium",
+        "4-NOT SPECIFIED": "p_notspec",
+        "5-LOW": "p_low",
+    }
+    for old, new in renames.items():
+        piv = piv.withColumnRenamed(old, new)
+    # pivot emits NULL for empty cells; counts should read 0
+    return piv.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in renames.values()],
+    )
+
+
+# --- Percentiles (extension: exact linear-interpolation quantiles) ---------------
+@register(
+    "agg_percentiles",
+    oracle="SELECT o_orderstatus, "
+    "round(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 4) AS p50, "
+    "round(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 4) AS p90 "
+    "FROM orders GROUP BY o_orderstatus",
+    doc="exact percentiles (type-7 linear interpolation in both engines; "
+    "rounded to 4dp — the two engines interpolate with algebraically equal "
+    "but FP-different formulas)",
+    tags=("agg",),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        )
+    )
+
+
+# --- Approximate distinct (HLL values differ per engine: rows-only check) --------
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HyperLogLog estimates are engine-specific by nature
+    doc="approx_count_distinct (HLL) — sketch values are engine-specific, "
+    "so this is deliberately the inventory's only rows-only check; the "
+    "exact twin agg_count_distinct is fully oracle-compared",
+    tags=("agg",),
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey").alias("approx_customers"))
+    )

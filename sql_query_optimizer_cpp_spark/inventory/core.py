@@ -176,3 +176,41 @@ def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "c_acctbal")
         .limit(10)
     )
+
+
+# --- Scalar-function surface (absent in reference, SURVEY.md §2.7) ---------------
+# One query exercising the string/math library; text identical in both
+# dialects (dayofweek/round excluded: engine semantics differ).
+shared_sql(
+    "scalar_functions",
+    "SELECT c_custkey, "
+    "upper(c_name) AS name_upper, "
+    "lower(c_mktsegment) AS seg_lower, "
+    "substring(c_name, 10, 5) AS name_mid, "
+    "length(c_name) AS name_len, "
+    "lpad(CAST(c_nationkey AS STRING), 4, '0') AS nation_padded, "
+    "concat(c_name, ':', c_mktsegment) AS name_seg, "
+    "abs(c_acctbal) AS bal_abs, "
+    # floor/ceil: BIGINT in Spark but DOUBLE in DuckDB — pin the type
+    "CAST(floor(c_acctbal) AS BIGINT) AS bal_floor, "
+    "CAST(ceil(c_acctbal) AS BIGINT) AS bal_ceil, "
+    "sqrt(abs(c_acctbal)) AS bal_sqrt, "
+    "power(CAST(c_nationkey AS DOUBLE), 2) AS nation_sq, "
+    "mod(c_custkey, 7) AS key_mod "
+    "FROM customer",
+    doc="scalar string/math functions (reference has none — §2.7)",
+    tags=("functions",),
+)
+
+shared_sql(
+    "date_functions",
+    "SELECT o_orderkey, "
+    "year(o_orderdate) AS yr, "
+    "month(o_orderdate) AS mo, "
+    "dayofmonth(o_orderdate) AS dom, "
+    "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start, "
+    "CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start "
+    "FROM orders WHERE o_orderkey < 500",
+    doc="date/time extraction and truncation (reference has none — §2.7)",
+    tags=("functions",),
+)

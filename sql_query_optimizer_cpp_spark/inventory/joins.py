@@ -13,7 +13,8 @@ from pyspark.sql import functions as F
 
 from . import register, shared_sql
 from ..catalog import load_tables
-from ..operators.joins import full_outer_anti_join, right_anti_join
+from ..functions import dsum, dsum_sql
+from ..operators.joins import asof_join, full_outer_anti_join, right_anti_join
 
 
 # --- J1: inner equi-join (engine/src/parser.cpp:112-119) -------------------------
@@ -237,4 +238,96 @@ def join_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# --- J10 extension: AS-OF join (absent in reference and in native Spark) --------
+@register(
+    "join_asof",
+    oracle="""
+SELECT e.event_id, e.user_id, e.ts,
+       p.event_id AS asof_event_id, p.value AS asof_value
+FROM (SELECT * FROM events WHERE event_type <> 'purchase') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+""",
+    doc="J10 as-of join: each non-purchase event matched to the user's most "
+    "recent prior (or simultaneous) purchase; composed as tagged union + "
+    "last(ignorenulls) window — one shuffle, no range join "
+    "(operators/joins.py asof_join); oracle uses DuckDB's native ASOF JOIN",
+    tags=("join", "events"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    left = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        left,
+        right,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["event_id", "value"],
+        right_tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_event_id"),
+        F.col("asof_value"),
+    )
+
+
+# --- TPC-H Q5 shape: 6-table join — the join-reorder stress query ----------------
+@register(
+    "tpch_q5",
+    oracle="SELECT n.n_name, "
+    + dsum_sql("l.l_extendedprice * (1 - l.l_discount)", scale=6)
+    + " AS revenue "
+    "FROM customer c "
+    "JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey "
+    "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "WHERE r.r_name = 'ASIA' "
+    "AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00' "
+    "GROUP BY n.n_name",
+    doc="TPC-H Q5 local supplier volume: 6-table join chain; CBO/AQE order "
+    "the joins (the reference's Selinger DP territory, sqlopt.cpp:607-670)",
+    tags=("join", "agg", "bench"),
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir, ("customer", "orders", "lineitem", "supplier", "nation", "region")
+    )
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    r = t["region"].filter(F.col("r_name") == "ASIA")
+    return (
+        t["lineitem"]
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias(
+                "revenue"
+            )
+        )
     )

@@ -7,6 +7,8 @@ heuristics are replicated bit-for-bit.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -88,3 +90,25 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["documents"].select(
         "doc_id", T.content_fingerprint("text").alias("content_hash")
     )
+
+
+@register(
+    "text_tokens_pandas_udf",
+    oracle="SELECT doc_id, " + T.token_count_sql("text") + " AS n_tokens FROM documents",
+    doc="UDF surface (§2.9, absent in reference): Arrow-vectorized pandas "
+    "UDF computing token counts; carries the SAME oracle as the built-in "
+    "expression path, proving the two implementations agree — use built-ins "
+    "in hot paths, this exists to exercise the UDF machinery",
+    tags=("text", "udf"),
+)
+def text_tokens_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def n_tokens(texts: pd.Series) -> pd.Series:
+        # same tokenizer semantics as operators/text.tokens: trim, split on
+        # runs of spaces
+        return texts.str.strip().str.split(" +", regex=True).map(len).astype("int64")
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return t["documents"].select("doc_id", n_tokens(F.col("text")).alias("n_tokens"))

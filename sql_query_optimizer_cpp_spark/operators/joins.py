@@ -14,7 +14,8 @@ native join would need.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
 
 
 def right_anti_join(left: DataFrame, right: DataFrame, on: Column) -> DataFrame:
@@ -42,3 +43,71 @@ def full_outer_anti_join(
     """
     joined = left.join(right, on, "full_outer")
     return joined.filter(joined[left_key].isNull() | joined[right_key].isNull())
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """AS-OF join: for each left row, the right row with the greatest
+    ``right_ts <= left_ts`` within the same ``key`` (LEFT semantics: left
+    rows with no prior right row keep NULL payloads).
+
+    Spark has no native as-of join (SURVEY.md §2.3 J10).  Instead of a
+    range join (quadratic per key) or per-group ``pd.merge_asof`` (Python
+    boundary), this composes built-ins: tag and union both inputs, sort by
+    (ts, side) within each key partition — right rows first on ties, so a
+    right row at exactly left_ts matches — and carry payloads forward with
+    ``last(ignorenulls)``.  One shuffle on ``key``, O(n log n) per
+    partition, whole-stage codegen throughout; this is the shape that
+    survives 100 TB (the shuffle key is the join key, state is one row of
+    payload per partition cursor).
+
+    ``right_tiebreak``: a unique right column ordering simultaneous right
+    rows deterministically (required if (key, right_ts) can repeat).
+    """
+    lcols = [c for c in left.columns]
+    tagged_left = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols if c != key],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload_cols],
+    )
+    tagged_right = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != key],
+        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    order = [F.col("_ts"), F.col("_side")]
+    if right_tiebreak:
+        order.append(F.col(f"_p_{right_tiebreak}"))
+    w = (
+        W.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in payload_cols
+        ],
+    )
+    return (
+        filled.filter(F.col("_side") == 1)
+        .select(
+            F.col("_k").alias(key),
+            F.col("_ts").alias(left_ts),
+            *[F.col(c) for c in lcols if c not in (key, left_ts)],
+            *[F.col(f"asof_{c}") for c in payload_cols],
+        )
+    )

@@ -55,7 +55,14 @@ def _cells_equal(a, b) -> bool:
     if isinstance(a, tuple) and isinstance(b, tuple):
         return len(a) == len(b) and all(_cells_equal(x, y) for x, y in zip(a, b))
     if isinstance(a, (int, float)) and isinstance(b, (int, float)):
-        return float(a) == float(b) or (math.isnan(a) and math.isnan(b))
+        # int-vs-float is a TYPE mismatch (e.g. Spark floor()->bigint vs
+        # DuckDB floor()->double): the driver's value-hash would flag it,
+        # so fail here even when the numeric values agree
+        if isinstance(a, float) != isinstance(b, float):
+            return False
+        return a == b or (
+            isinstance(a, float) and math.isnan(a) and math.isnan(b)
+        )
     return a == b
 
 

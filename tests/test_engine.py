@@ -147,3 +147,25 @@ def test_analysis_error_is_helpful(engine):
     with pytest.raises(AnalysisException) as e:
         engine.sql("SELECT c_custkeyy FROM customer").collect()
     assert "c_custkey" in str(e.value)  # Spark suggests the correct column
+
+
+def test_update_delete_parity(engine, spark):
+    """S7/S8: the reference parses UPDATE/DELETE but never executes them
+    (engine/src/parser.cpp:232-296, cli skips execution).  Spark's parser
+    likewise accepts them; execution against a non-transactional parquet
+    table is refused with a clear error — same parse-only surface."""
+    from pyspark.errors.exceptions.captured import (
+        AnalysisException,
+        UnsupportedOperationException,
+    )
+
+    refused = (AnalysisException, UnsupportedOperationException)
+    spark.sql("DROP TABLE IF EXISTS upd_test")
+    engine.frame("region").write.saveAsTable("upd_test")
+    with pytest.raises(refused):
+        spark.sql("UPDATE upd_test SET r_name = 'X' WHERE r_regionkey = 0")
+    with pytest.raises(refused):
+        spark.sql("DELETE FROM upd_test WHERE r_regionkey = 0")
+    # the table is untouched
+    assert spark.table("upd_test").count() == engine.frame("region").count()
+    spark.sql("DROP TABLE IF EXISTS upd_test")

@@ -86,3 +86,22 @@ def test_dedup_minhash_parallel_hashing(spark):
     df = QUERIES["dedup_minhash_pairs"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange RoundRobinPartitioning" in plan
+
+def test_join_strategy_hints(spark):
+    """J7/J8/J9: the reference cost-modeled nested-loop/hash/merge joins but
+    always instantiated nested-loop (SURVEY §4.3); Spark picks per stats and
+    honors explicit strategy hints."""
+    from sql_query_optimizer_cpp_spark.catalog import load_tables
+
+    t = load_tables(spark, SF_DIR, ("customer", "orders"))
+    c, o = t["customer"], t["orders"]
+    cond = c.c_custkey == o.o_custkey
+
+    merge = o.join(c.hint("merge"), cond)
+    assert "SortMergeJoin" in merge._jdf.queryExecution().executedPlan().toString()
+
+    shuffle_hash = o.join(c.hint("shuffle_hash"), cond)
+    assert "ShuffledHashJoin" in shuffle_hash._jdf.queryExecution().executedPlan().toString()
+
+    bcast = o.join(c.hint("broadcast"), cond)
+    assert "BroadcastHashJoin" in bcast._jdf.queryExecution().executedPlan().toString()
