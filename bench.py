@@ -26,18 +26,21 @@ from sql_query_optimizer_cpp_spark.session import get_session
 HEADLINE = [
     "tpch_q1",
     "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
     "flagship_demo",
     "agg_having",
     "agg_rollup",
     "join_three_way",
     "join_inner",
+    "join_asof",
     "win_topk_per_group",
     "scalar_subquery_agg",
-    # llm-pipeline ops (registered by later milestones; skipped if absent)
     "text_quality",
     "dedup_minhash_pairs",
     "sim_topk_bruteforce",
     "events_tumbling",
+    "events_session",
 ]
 
 

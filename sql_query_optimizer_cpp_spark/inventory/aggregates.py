@@ -360,3 +360,29 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.approx_count_distinct("o_custkey").alias("approx_customers"))
     )
+
+
+# --- TPC-H Q6: pure filter-aggregate (scan-throughput floor) ---------------------
+@register(
+    "tpch_q6",
+    oracle="SELECT "
+    + dsum_sql("l_extendedprice * l_discount", scale=6)
+    + " AS revenue FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+    "AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24",
+    doc="TPC-H Q6 forecasting revenue change: the pure pushdown+scan+agg "
+    "query — every predicate reaches the parquet reader",
+    tags=("agg", "bench"),
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), scale=6).alias("revenue")
+    )

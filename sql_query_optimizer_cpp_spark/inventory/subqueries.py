@@ -74,3 +74,15 @@ shared_sql(
     "filters + LIMIT — exercises R1+R2+R3 in one Catalyst pass",
     tags=("subquery", "join", "rewrite", "bench"),
 )
+
+# --- scalar subquery in WHERE (uncorrelated) --------------------------------------
+shared_sql(
+    "scalar_subquery_where",
+    "SELECT c_custkey, c_name, c_acctbal FROM customer "
+    "WHERE c_acctbal > (SELECT "
+    "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) "
+    "FROM customer) * 1.8",
+    doc="uncorrelated scalar subquery in WHERE (threshold = 1.8x the mean "
+    "balance, decimal-exact so both engines compute the same cutoff)",
+    tags=("subquery",),
+)

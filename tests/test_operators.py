@@ -1,0 +1,91 @@
+"""Direct operator-level tests (beyond the inventory parity harness):
+skew-salted aggregation equivalence and as-of join edge cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sql_query_optimizer_cpp_spark.catalog import load_tables
+from sql_query_optimizer_cpp_spark.operators.joins import asof_join
+from sql_query_optimizer_cpp_spark.operators.skew import salted_agg
+
+from .conftest import SF_DIR
+
+
+def test_salted_agg_equals_direct(spark):
+    orders = load_tables(spark, SF_DIR, ("orders",))["orders"]
+    direct = {
+        (r.o_orderstatus,): (r.n, r.total)
+        for r in orders.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.o_orderstatus,): (r.n, r.total)
+        for r in salted_agg(
+            orders,
+            ["o_orderstatus"],
+            {
+                "n": (F.count("*"), F.sum("n")),
+                "total": (
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                    F.sum("total").cast("double"),
+                ),
+            },
+            n_salts=8,
+        ).collect()
+    }
+    assert direct == salted
+
+
+def test_salted_agg_spreads_hot_key(spark):
+    """The phase-1 aggregate must carry the salt column (the spreading
+    mechanism) and phase 2 must group only by the original key."""
+    orders = load_tables(spark, SF_DIR, ("orders",))["orders"]
+    out = salted_agg(
+        orders, ["o_orderstatus"], {"n": (F.count("*"), F.sum("n"))}, n_salts=8
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" in plan  # phase-1 grouping includes the salt
+    assert out.columns == ["o_orderstatus", "n"]
+
+
+def test_asof_join_no_prior_match(spark):
+    """Left rows earlier than every right row keep NULL payloads (LEFT
+    as-of semantics)."""
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 50, "b")], ["k", "t", "tag"]
+    )
+    right = spark.createDataFrame([(1, 10, 100.0)], ["k", "t", "val"])
+    out = asof_join(
+        left.select("k", F.col("t").alias("ts"), "tag"),
+        right.select("k", F.col("t").alias("ts"), "val"),
+        key="k",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["val"],
+    ).collect()
+    by_tag = {r.tag: r.asof_val for r in out}
+    assert by_tag["a"] is None  # t=5 precedes the only right row (t=10)
+    assert by_tag["b"] == 100.0  # t=50 sees it
+
+
+def test_asof_join_tie_is_match(spark):
+    """A right row at exactly left_ts matches (>= semantics, like DuckDB
+    ASOF)."""
+    left = spark.createDataFrame([(1, 10, "x")], ["k", "t", "tag"])
+    right = spark.createDataFrame([(1, 10, 7.0)], ["k", "t", "val"])
+    out = asof_join(
+        left.select("k", F.col("t").alias("ts"), "tag"),
+        right.select("k", F.col("t").alias("ts"), "val"),
+        key="k",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["val"],
+    ).collect()
+    assert out[0].asof_val == 7.0
