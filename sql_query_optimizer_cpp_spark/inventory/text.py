@@ -112,3 +112,35 @@ def text_tokens_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ("documents",))
     return t["documents"].select("doc_id", n_tokens(F.col("text")).alias("n_tokens"))
+
+
+@register(
+    "text_fuzzy_match",
+    oracle="SELECT n1.n_name AS name_a, n2.n_name AS name_b, "
+    "CAST(levenshtein(n1.n_name, n2.n_name) AS BIGINT) AS edit_dist "
+    "FROM nation n1 JOIN nation n2 "
+    "ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey "
+    "WHERE levenshtein(n1.n_name, n2.n_name) <= 6",
+    doc="fuzzy string matching: Levenshtein edit distance over "
+    "region-blocked name pairs (blocking bounds the comparison set — "
+    "the same structure as the dedup pair joins)",
+    tags=("text", "join"),
+)
+def text_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("nation",))
+    n1 = t["nation"].select(
+        F.col("n_name").alias("name_a"),
+        F.col("n_nationkey").alias("key_a"),
+        F.col("n_regionkey").alias("reg_a"),
+    )
+    n2 = t["nation"].select(
+        F.col("n_name").alias("name_b"),
+        F.col("n_nationkey").alias("key_b"),
+        F.col("n_regionkey").alias("reg_b"),
+    )
+    return (
+        n1.join(n2, (F.col("reg_a") == F.col("reg_b")) & (F.col("key_a") < F.col("key_b")))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("edit_dist") <= 6)
+        .select("name_a", "name_b", "edit_dist")
+    )

@@ -96,3 +96,35 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("running_total"),
         )
     )
+
+
+@register(
+    "win_distribution",
+    oracle="SELECT o_custkey, o_orderkey, "
+    "CAST(ntile(4) OVER w AS BIGINT) AS quartile, "
+    "percent_rank() OVER w AS pct_rank, "
+    "cume_dist() OVER w AS cum_dist, "
+    "first_value(o_orderkey) OVER w AS biggest_order "
+    "FROM orders WHERE o_custkey < 50 "
+    "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)",
+    doc="distribution window functions: ntile/percent_rank/cume_dist/"
+    "first_value (ntile cast: Spark int vs DuckDB bigint)",
+    tags=("window",),
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t["orders"]
+        .filter(F.col("o_custkey") < 50)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cum_dist"),
+            F.first("o_orderkey").over(w).alias("biggest_order"),
+        )
+    )

@@ -23,7 +23,7 @@ replicate results bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions import hash64, hash64_sql
@@ -159,42 +159,52 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs, blocked on shared shingles.
+    """Exact n-gram-Jaccard near-dup pairs.
 
-    Candidates = pairs sharing at least one shingle (an equi-join on the
-    shingle value — no cross join), then exact Jaccard >= threshold.
-    At 100 TB, add prefix filtering (keep only each doc's (1-t)|S|+1 rarest
-    shingles as blocking keys — exact for a given threshold) to cut the
-    candidate blow-up from ubiquitous shingles.
+    With ``prefix_filter`` (the 100 TB path, PPJoin-style): under a global
+    total order on shingles (ascending corpus frequency, then value), any
+    pair with Jaccard >= t must share a shingle within each doc's first
+    ``|S| - ceil(t*|S|) + 1`` shingles — so only those prefixes are
+    blocking keys.  Exact for the given threshold: the final Jaccard filter
+    is unchanged, the prefix only prunes candidates that provably cannot
+    pass it.  Rare-first ordering also shrinks bucket sizes (the hottest,
+    most-skewed shingles land outside most prefixes).
+
+    Without it: block on every shared shingle (still an equi-join, never a
+    cross join).  Results are identical; tests assert so.
     """
     ex = doc_shingles(df, id_col, text_col, n)
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (
+    if prefix_filter:
+        freq = ex.groupBy("s").agg(F.count("*").alias("_freq"))
+        sizes_w = ex.groupBy(id_col).agg(F.count("*").alias("_sz"))
+        rank_w = W.partitionBy(id_col).orderBy(F.col("_freq"), F.col("s"))
+        block = (
+            ex.join(freq, "s")
+            .join(sizes_w, id_col)
+            .withColumn("_rk", F.row_number().over(rank_w))
+            .filter(
+                F.col("_rk")
+                <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+            )
+            .select(id_col, "s")
+        )
+    else:
+        block = ex
+    a, b = block.alias("a"), block.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .groupBy(
+        .select(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
-        .agg(F.count("*").cast("long").alias("inter"))
+        .distinct()
     )
-    sizes = ex.groupBy(id_col).agg(F.count("*").cast("long").alias("sz"))
-    sa = sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sz", "sz_a")
-    sb = sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sz", "sz_b")
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _verify_jaccard(df, cand, id_col, text_col, n, threshold)
 
 
 def _verify_jaccard(

@@ -89,3 +89,19 @@ def test_asof_join_tie_is_match(spark):
         payload_cols=["val"],
     ).collect()
     assert out[0].asof_val == 7.0
+
+
+def test_ngram_prefix_filter_exact(spark):
+    """Prefix filtering must not change the result set — it only prunes
+    candidates that provably cannot reach the threshold."""
+    from sql_query_optimizer_cpp_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_tables(spark, SF_DIR, ("documents",))["documents"]
+    with_prefix = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, threshold=0.8, prefix_filter=True).collect())
+    )
+    without = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, threshold=0.8, prefix_filter=False).collect())
+    )
+    assert with_prefix == without
+    assert len(with_prefix) > 0
