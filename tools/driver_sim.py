@@ -1,0 +1,68 @@
+"""Simulate the driver's t1 smoke + t2 correctness pass at sf0.01."""
+import hashlib
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import __spark_entry__ as e
+from sql_query_optimizer_cpp_spark.session import get_session
+
+SF = "/root/testdata/sf0.01"
+
+spark = get_session(app_name="driver-sim")
+
+# t1 smoke
+df = e.entry(spark)
+rows = df.collect()
+print(f"t1 entry: {len(rows)} rows, schema={df.columns}", flush=True)
+assert len(rows) >= 0
+
+# t2 oracle comparison
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+def value_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "|".join(repr(r[i]) for i in order) for r in rows
+    )
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+q = e.queries()
+o = e.oracle_sql()
+fails = []
+for name in sorted(q):
+    sdf = q[name](spark, SF)
+    srows = [tuple(r) for r in sdf.collect()]
+    if name not in o:
+        print(f"  {name}: rows-only check, {len(srows)} rows")
+        continue
+    rel = con.sql(o[name])
+    drows = [tuple(r) for r in rel.fetchall()]
+    scols = [c.lower() for c in sdf.columns]
+    dcols = [c.lower() for c in rel.columns]
+    ok_schema = sorted(scols) == sorted(dcols)
+    ok_count = len(srows) == len(drows)
+    # normalize: Decimal->float, datetime->iso
+    import datetime
+    from decimal import Decimal
+    def norm(v):
+        if isinstance(v, Decimal): return float(v)
+        if isinstance(v, datetime.datetime): return v.replace(tzinfo=None).isoformat()
+        return v
+    sh = value_hash(scols, [[norm(x) for x in r] for r in srows])
+    dh = value_hash(dcols, [[norm(x) for x in r] for r in drows])
+    ok_hash = sh == dh
+    status = "OK" if (ok_schema and ok_count and ok_hash) else "FAIL"
+    if status == "FAIL":
+        fails.append((name, ok_schema, ok_count, ok_hash))
+    print(f"  {name}: {status} rows={len(srows)}/{len(drows)} schema={ok_schema} hash={ok_hash}")
+
+print(f"\n{len(q)} queries, {len(o)} with oracles, {len(fails)} FAIL")
+if fails:
+    print("FAILURES:", fails)
+    sys.exit(1)
+print("ALL MATCH")
+spark.stop()
