@@ -386,3 +386,57 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         dsum(F.col("l_extendedprice") * F.col("l_discount"), scale=6).alias("revenue")
     )
+
+
+# --- TPC-H Q14: conditional-aggregate ratio ---------------------------------------
+@register(
+    "tpch_q14",
+    oracle="SELECT 100.0 * "
+    + dsum_sql(
+        "CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) "
+        "ELSE 0 END",
+        scale=6,
+    )
+    + " / "
+    + dsum_sql("l.l_extendedprice * (1 - l.l_discount)", scale=6)
+    + " AS promo_revenue_pct "
+    "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+    "WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND l.l_shipdate < TIMESTAMP '1996-02-01 00:00:00'",
+    doc="TPC-H Q14 promo revenue: ratio of two decimal-exact conditional "
+    "sums (division of identical doubles — deterministic in both engines)",
+    tags=("agg", "join"),
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * dsum(promo, scale=6)
+                / dsum(disc_price, scale=6)
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# --- FILTER-clause aggregates (modern conditional aggregation, both dialects) ----
+shared_sql(
+    "agg_filter_clause",
+    "SELECT o_orderstatus, "
+    "COUNT(*) AS n, "
+    "COUNT(*) FILTER (WHERE o_totalprice > 300000) AS n_large, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) "
+    "FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_total "
+    "FROM orders GROUP BY o_orderstatus",
+    doc="FILTER (WHERE ...) conditional aggregates — identical syntax in "
+    "Spark 4 and DuckDB",
+    tags=("agg",),
+)

@@ -214,3 +214,48 @@ shared_sql(
     doc="date/time extraction and truncation (reference has none — §2.7)",
     tags=("functions",),
 )
+
+
+# --- NULL semantics: null-safe equality, NULLIF/COALESCE -------------------------
+@register(
+    "null_semantics",
+    oracle="SELECT o_orderkey, "
+    "NULLIF(o_orderstatus, 'P') AS status_or_null, "
+    "COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_filled, "
+    "(NULLIF(o_orderstatus, 'P') IS NOT DISTINCT FROM NULL) AS is_pending "
+    "FROM orders WHERE o_orderkey < 200",
+    doc="NULL handling: NULLIF/COALESCE and null-safe comparison (Spark "
+    "<=> == DuckDB IS NOT DISTINCT FROM); fixtures have no native NULLs, "
+    "NULLIF manufactures them",
+    tags=("filter",),
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    status_or_null = F.expr("NULLIF(o_orderstatus, 'P')")
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") < 200)
+        .select(
+            "o_orderkey",
+            status_or_null.alias("status_or_null"),
+            F.coalesce(status_or_null, F.lit("PENDING")).alias("status_filled"),
+            status_or_null.eqNullSafe(F.lit(None)).alias("is_pending"),
+        )
+    )
+
+
+@register(
+    "filter_regex",
+    oracle="SELECT c_custkey, c_name FROM customer "
+    "WHERE regexp_matches(c_name, 'Customer#0*1[0-9]{2}$')",
+    doc="regex predicate (Spark RLIKE / DuckDB regexp_matches — both "
+    "unanchored searches)",
+    tags=("filter",),
+)
+def filter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer",))
+    return (
+        t["customer"]
+        .filter(F.col("c_name").rlike("Customer#0*1[0-9]{2}$"))
+        .select("c_custkey", "c_name")
+    )
