@@ -8,7 +8,8 @@ import duckdb
 import __spark_entry__ as e
 from sql_query_optimizer_cpp_spark.session import get_session
 
-SF = "/root/testdata/sf0.01"
+import os
+SF = os.environ.get("SIM_SF_DIR", "/root/testdata/sf0.01")
 
 spark = get_session(app_name="driver-sim")
 
