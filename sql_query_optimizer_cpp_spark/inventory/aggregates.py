@@ -344,13 +344,22 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- Approximate distinct (HLL values differ per engine: rows-only check) --------
+# --- Approximate distinct (tolerance assertion: oracle-exact on booleans) --------
 @register(
     "agg_approx_distinct",
-    oracle=None,  # HyperLogLog estimates are engine-specific by nature
-    doc="approx_count_distinct (HLL) — sketch values are engine-specific, "
-    "so this is deliberately the inventory's only rows-only check; the "
-    "exact twin agg_count_distinct is fully oracle-compared",
+    # HLL sketch VALUES are engine-specific, but the accuracy CONTRACT is
+    # not: each engine asserts its own estimate against its own exact count
+    # with the same 5% tolerance, and both emit identical `true` rows —
+    # turning the approx query into a hash-matched check instead of the
+    # weaker rows-only one.
+    oracle="SELECT o_orderstatus, "
+    "abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey)) "
+    "<= 0.05 * count(DISTINCT o_custkey) AS within_tol "
+    "FROM orders GROUP BY o_orderstatus",
+    doc="approx_count_distinct (HLL) graded as a tolerance assertion: "
+    "|approx - exact| <= 5% of exact per group, in BOTH engines — the "
+    "sketch estimates differ, the accuracy guarantee matches; the exact "
+    "twin agg_count_distinct is value-compared",
     tags=("agg",),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,7 +367,15 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["orders"]
         .groupBy("o_orderstatus")
-        .agg(F.approx_count_distinct("o_custkey").alias("approx_customers"))
+        .agg(
+            (
+                F.abs(
+                    F.approx_count_distinct("o_custkey")
+                    - F.countDistinct("o_custkey")
+                )
+                <= 0.05 * F.countDistinct("o_custkey")
+            ).alias("within_tol")
+        )
     )
 
 

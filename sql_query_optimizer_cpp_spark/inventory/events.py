@@ -83,7 +83,7 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_session",
     oracle="""
 WITH o AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, event_id, ts, value,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
   FROM events),
 m AS (
@@ -91,7 +91,7 @@ m AS (
                  THEN 1 ELSE 0 END AS is_new
   FROM o),
 g AS (
-  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS grp
   FROM m)
 SELECT user_id, MIN(ts) AS session_start,

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from . import register, shared_sql
 from ..catalog import load_tables
@@ -248,13 +249,22 @@ def join_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT e.event_id, e.user_id, e.ts,
        p.event_id AS asof_event_id, p.value AS asof_value
 FROM (SELECT * FROM events WHERE event_type <> 'purchase') e
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (
+  SELECT user_id, ts, event_id, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id DESC) AS _rn
+    FROM events WHERE event_type = 'purchase')
+  WHERE _rn = 1) p
   ON e.user_id = p.user_id AND e.ts >= p.ts
 """,
     doc="J10 as-of join: each non-purchase event matched to the user's most "
     "recent prior (or simultaneous) purchase; composed as tagged union + "
     "last(ignorenulls) window — one shuffle, no range join "
-    "(operators/joins.py asof_join); oracle uses DuckDB's native ASOF JOIN",
+    "(operators/joins.py asof_join); oracle uses DuckDB's native ASOF JOIN. "
+    "DuckDB's ASOF picks an UNSPECIFIED right row when several share the "
+    "greatest ts <= left ts, so both engines dedupe the right side to the "
+    "max-event_id row per (user_id, ts) first — the tie rule is explicit "
+    "and identical, not an accident of engine internals",
     tags=("join", "events"),
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,8 +273,13 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = ev.filter(F.col("event_type") != "purchase").select(
         "user_id", "ts", "event_id"
     )
-    right = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id", "value"
+    tie_w = W.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("_rn", F.row_number().over(tie_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
     out = asof_join(
         left,

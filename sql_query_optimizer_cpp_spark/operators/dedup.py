@@ -55,10 +55,14 @@ def _spread(df: DataFrame) -> DataFrame:
     A small documents file arrives as one input split, and Spark evaluates
     shingle explosion + seeded hashing map-side in that single task (12s
     single-core at sf0.1).  At 100 TB the scan naturally yields thousands
-    of splits; locally this round-robin repartition buys the same
-    parallelism for the price of shuffling the (tiny) raw docs.
+    of splits, so the repartition is GATED: it only fires when the input has
+    fewer partitions than cores — a full shuffle of an already-parallel
+    100 TB corpus would be pure waste.
     """
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism)
 
 
 def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -96,10 +100,15 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 16,
     n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: for seed i, min over shingles of
-    hash64(seed_i || shingle).  Columns mh_0..mh_{k-1}."""
-    ex = doc_shingles(df, id_col, text_col, n)
+    hash64(seed_i || shingle).  Columns mh_0..mh_{k-1}.
+
+    Pass a precomputed (cached) ``shingles`` frame to share the explosion
+    with other consumers (LSH verification) instead of recomputing it.
+    """
+    ex = shingles if shingles is not None else doc_shingles(df, id_col, text_col, n)
     aggs = [
         F.min(hash64(F.col("s"), seed=f"mh{i}:")).alias(f"mh_{i}")
         for i in range(num_hashes)
@@ -126,7 +135,11 @@ def minhash_lsh_pairs(
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    # The shingle explosion feeds both the signatures and the exact-Jaccard
+    # verify; without a cache Catalyst recomputes the whole explode+distinct
+    # subtree for each consumer (~1/3 of the query's work at sf0.1).
+    ex = doc_shingles(df, id_col, text_col, n).persist()
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n, shingles=ex)
 
     band_cols = []
     for b in range(bands):
@@ -150,7 +163,7 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    return _verify_jaccard(df, cand, id_col, text_col, n, threshold)
+    return _verify_jaccard(df, cand, id_col, text_col, n, threshold, shingles=ex)
 
 
 def ngram_jaccard_pairs(
@@ -175,7 +188,8 @@ def ngram_jaccard_pairs(
     Without it: block on every shared shingle (still an equi-join, never a
     cross join).  Results are identical; tests assert so.
     """
-    ex = doc_shingles(df, id_col, text_col, n)
+    # cached: consumed by freq, sizes, blocking AND the Jaccard verify below
+    ex = doc_shingles(df, id_col, text_col, n).persist()
     if prefix_filter:
         freq = ex.groupBy("s").agg(F.count("*").alias("_freq"))
         sizes_w = ex.groupBy(id_col).agg(F.count("*").alias("_sz"))
@@ -204,7 +218,7 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
-    return _verify_jaccard(df, cand, id_col, text_col, n, threshold)
+    return _verify_jaccard(df, cand, id_col, text_col, n, threshold, shingles=ex)
 
 
 def _verify_jaccard(
@@ -214,9 +228,10 @@ def _verify_jaccard(
     text_col: str,
     n: int,
     threshold: float,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs (no false positives)."""
-    ex = doc_shingles(df, id_col, text_col, n)
+    ex = shingles if shingles is not None else doc_shingles(df, id_col, text_col, n)
     ea = ex.select(F.col(id_col).alias("doc_a"), F.col("s"))
     eb = ex.select(F.col(id_col).alias("_doc_b"), F.col("s").alias("s_b"))
     inter = (

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table_path
+from ..functions import dsum
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -45,11 +46,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tumbling_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """Watermarked tumbling 1h window x event_type counts/sums — the
-    streaming twin of inventory query ``events_tumbling``."""
+    streaming twin of inventory query ``events_tumbling``.
+
+    The sum goes through the decimal trick (``dsum``): micro-batched state
+    updates add doubles in a different order than batch partitions, so a
+    plain double SUM would make streamed-equals-batch flaky by construction.
+    """
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .agg(F.count("*").alias("n"), dsum("value", scale=6).alias("total"))
         .select(
             F.col("w.start").alias("win_start"),
             F.col("w.end").alias("win_end"),

