@@ -364,13 +364,18 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("orders",))
+    # rsd=0.01 (not the 0.05 default): rsd is a standard deviation, not a
+    # bound — asserting |err| <= 1σ fails ~⅓ of the time by construction
+    # (observed 4.8–5.7% low on the ~1.4K-cardinality fixture groups).  At
+    # rsd=0.01 the 5% tolerance has ~5σ headroom; DuckDB's default sketch
+    # sits at ~0.7% error, so both engines emit all-true deterministically.
     return (
         t["orders"]
         .groupBy("o_orderstatus")
         .agg(
             (
                 F.abs(
-                    F.approx_count_distinct("o_custkey")
+                    F.approx_count_distinct("o_custkey", 0.01)
                     - F.countDistinct("o_custkey")
                 )
                 <= 0.05 * F.countDistinct("o_custkey")

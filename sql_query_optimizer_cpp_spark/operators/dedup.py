@@ -25,9 +25,39 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions import hash64, hash64_sql
 from .text import content_fingerprint, tokens
+
+#: Shingle frames persisted by the pair pipelines.  The JVM-side cache
+#: outlives the Python DataFrame object, so each persisted frame is held
+#: here (a DataFrame handle is just a plan reference — cheap) until a
+#: long-lived session (the driver iterates all 84 registry queries in one
+#: session) reclaims storage via :func:`release_cached`.  The persists use
+#: MEMORY_AND_DISK explicitly: un-released caches are LRU-evicted by the
+#: block manager (spilling to disk first), so accumulation degrades
+#: gracefully rather than failing — but callers that materialize a result
+#: should still call release_cached() when done.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(df)
+    return df
+
+
+def release_cached() -> int:
+    """Unpersist every shingle cache created by this module's pipelines.
+
+    Safe to call at any time (lazy re-computation kicks in if a released
+    plan is re-executed).  Returns the number of frames released.
+    """
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+    return n
 
 
 def shingle_expr(col: str = "text", n: int = 3) -> str:
@@ -138,7 +168,8 @@ def minhash_lsh_pairs(
     # The shingle explosion feeds both the signatures and the exact-Jaccard
     # verify; without a cache Catalyst recomputes the whole explode+distinct
     # subtree for each consumer (~1/3 of the query's work at sf0.1).
-    ex = doc_shingles(df, id_col, text_col, n).persist()
+    # Tracked for release_cached(); LRU-evictable in the meantime.
+    ex = _persist_tracked(doc_shingles(df, id_col, text_col, n))
     sig = minhash_signatures(df, id_col, text_col, num_hashes, n, shingles=ex)
 
     band_cols = []
@@ -188,8 +219,9 @@ def ngram_jaccard_pairs(
     Without it: block on every shared shingle (still an equi-join, never a
     cross join).  Results are identical; tests assert so.
     """
-    # cached: consumed by freq, sizes, blocking AND the Jaccard verify below
-    ex = doc_shingles(df, id_col, text_col, n).persist()
+    # cached: consumed by freq, sizes, blocking AND the Jaccard verify below;
+    # tracked for release_cached(), LRU-evictable in the meantime
+    ex = _persist_tracked(doc_shingles(df, id_col, text_col, n))
     if prefix_filter:
         freq = ex.groupBy("s").agg(F.count("*").alias("_freq"))
         sizes_w = ex.groupBy(id_col).agg(F.count("*").alias("_sz"))

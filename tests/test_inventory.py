@@ -20,12 +20,40 @@ def test_registry_nonempty():
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_oracle_parity(spark, duck, name):
     spec = QUERIES[name]
+    # Drop all fixture temp views first so each query proves it registers
+    # every view it needs — a missed (e.g. case-miss) table detection must
+    # fail HERE deterministically, not only when query order leaves the
+    # view unregistered (views persist across queries in a session).
+    from sql_query_optimizer_cpp_spark.catalog import TABLES
+
+    for t in TABLES:
+        spark.catalog.dropTempView(t)
     df = spec.fn(spark, SF_DIR)
     if spec.oracle is None:
         assert df.count() >= 0  # rows-only check, like the driver
         return
     rel = duck.sql(spec.oracle)
     assert_same_result(df, rel, name=name)
+
+
+def test_detect_tables_case_insensitive():
+    from sql_query_optimizer_cpp_spark.inventory import detect_tables
+
+    assert detect_tables("SELECT * FROM ORDERS O, Lineitem l") == (
+        "orders",
+        "lineitem",
+    )
+    # word-boundary: 'reorders' must not match 'orders'
+    assert detect_tables("SELECT * FROM reorders") == ()
+
+
+def test_release_cached(spark):
+    from sql_query_optimizer_cpp_spark.operators import dedup as dd
+
+    spec = QUERIES["dedup_minhash_pairs"]
+    spec.fn(spark, SF_DIR).count()
+    assert dd.release_cached() >= 1  # the tracked shingle cache
+    assert dd.release_cached() == 0  # idempotent once drained
 
 
 def test_entry_smoke(spark):
