@@ -12,15 +12,21 @@ vectors), all pure DataFrame compositions:
 - IVF-style nearest-centroid assignment: per-label mean centroids (the
   "coarse quantizer"), every vector assigned to its nearest centroid.
 
-Determinism/portability: dot products are exact — per-element double
+Determinism/portability: with ``exact=True`` (the default, used by every
+oracle-graded inventory query) dot products are exact — per-element double
 products (IEEE, portable) cast to DECIMAL(28,20) and summed (exact, order
 independent), so Spark and the DuckDB oracle produce bit-identical cosines.
 Hyperplane weights are md5-derived constants computed in Python and inlined
 into both dialects.
 
-At real scale the decimal trick costs ~2x over a plain double `aggregate`;
-the structure (broadcast queries, bucket blocking, no cross joins beyond
-the query set) is the part that carries to 100 TB.
+The decimal trick costs ~2x over a plain double ``aggregate``, so every
+search entry point also takes ``exact=False``: a plain-double sequential
+sum — the production path at scale, where cross-engine bit-parity isn't a
+requirement.  Values agree with the exact path after the 6-dp cosine
+rounding on the fixtures (tested); only the dot product switches — bucket
+assignment (sign decisions) stays exact so ANN probes identical buckets on
+both paths.  The structure (broadcast queries, bucket blocking, no cross
+joins beyond the query set) is the part that carries to 100 TB.
 """
 
 from __future__ import annotations
@@ -52,15 +58,25 @@ def _elem(col: str, i: int, duck: bool) -> str:
     return f"{col}[{i}]" if duck else f"element_at({col}, {i})"
 
 
-def dot_expr(a: str, b: str, duck: bool, dim: int = DIM) -> str:
-    """Exact dot product of two float-array columns as DOUBLE (see module
-    docstring for why DECIMAL).
+def dot_expr(a: str, b: str, duck: bool, dim: int = DIM, exact: bool = True) -> str:
+    """Dot product of two float-array columns as DOUBLE.
 
+    ``exact=True`` (oracle path — see module docstring for why DECIMAL).
     Spark: ``aggregate`` HOF with the accumulator type pinned by an explicit
     CAST each step — a plain ``t1 + t2 + ...`` chain would hit Spark's
     decimal-precision cap after ~18 additions and silently shrink the scale
     to 6.  DuckDB: a literal term chain (its widening rules keep scale 20).
+
+    ``exact=False`` (production path): plain sequential double sum, ~2x
+    cheaper; Spark-side only (oracles always grade the exact path).
     """
+    if not exact:
+        assert not duck, "oracle SQL always grades the exact path"
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
     if duck:
         terms = " + ".join(
             f"CAST(CAST({_elem(a, i, duck)} AS DOUBLE) * CAST({_elem(b, i, duck)} AS DOUBLE)"
@@ -76,8 +92,8 @@ def dot_expr(a: str, b: str, duck: bool, dim: int = DIM) -> str:
     )
 
 
-def normsq_expr(a: str, duck: bool, dim: int = DIM) -> str:
-    return dot_expr(a, a, duck, dim)
+def normsq_expr(a: str, duck: bool, dim: int = DIM, exact: bool = True) -> str:
+    return dot_expr(a, a, duck, dim, exact)
 
 
 def plane_dot_expr(col: str, weights: list[float], duck: bool) -> str:
@@ -107,8 +123,8 @@ def bucket_expr(col: str, duck: bool, num_planes: int = NUM_PLANES) -> str:
     return f"CAST(({bits}) AS BIGINT)"
 
 
-def with_norm(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
-    return df.withColumn("nsq", F.expr(normsq_expr(emb_col, duck=False)))
+def with_norm(df: DataFrame, emb_col: str = "embedding", exact: bool = True) -> DataFrame:
+    return df.withColumn("nsq", F.expr(normsq_expr(emb_col, duck=False, exact=exact)))
 
 
 def brute_force_topk(
@@ -117,12 +133,13 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    exact: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k: query set (id < n_queries) broadcast against the
     whole corpus; per-query window keeps the top k.
 
     Output: (query_id, neighbor_id, cos_sim, rn)."""
-    e = with_norm(df.select(id_col, emb_col))
+    e = with_norm(df.select(id_col, emb_col), exact=exact)
     q = e.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"),
         F.col(emb_col).alias("q_emb"),
@@ -130,7 +147,7 @@ def brute_force_topk(
     )
     pairs = (
         e.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
-        .withColumn("dot", F.expr(dot_expr("q_emb", emb_col, duck=False)))
+        .withColumn("dot", F.expr(dot_expr("q_emb", emb_col, duck=False, exact=exact)))
         .withColumn(
             "cos_sim",
             F.round(F.col("dot") / (F.sqrt("q_nsq") * F.sqrt("nsq")), 6),
@@ -152,13 +169,17 @@ def lsh_bucketed_topk(
     k: int = 5,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    exact: bool = True,
 ) -> DataFrame:
     """ANN top-k probing only the query's sign-LSH bucket (1/16th of the
     corpus on average) — the scale path: candidates come from an equi-join
     on bucket, not a cross join.
 
+    ``exact`` switches only the pair dot products; bucket assignment stays
+    on the exact path so both modes probe identical buckets.
+
     Output: (query_id, neighbor_id, cos_sim, rn)."""
-    e = with_norm(df.select(id_col, emb_col)).withColumn(
+    e = with_norm(df.select(id_col, emb_col), exact=exact).withColumn(
         "bucket", F.expr(bucket_expr(emb_col, duck=False))
     )
     q = e.filter(F.col(id_col) < n_queries).select(
@@ -173,7 +194,7 @@ def lsh_bucketed_topk(
             (F.col("bucket") == F.col("q_bucket"))
             & (F.col(id_col) != F.col("query_id")),
         )
-        .withColumn("dot", F.expr(dot_expr("q_emb", emb_col, duck=False)))
+        .withColumn("dot", F.expr(dot_expr("q_emb", emb_col, duck=False, exact=exact)))
         .withColumn(
             "cos_sim",
             F.round(F.col("dot") / (F.sqrt("q_nsq") * F.sqrt("nsq")), 6),
@@ -192,10 +213,11 @@ def embedding_neardup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    exact: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked on the sign-LSH bucket
     (exact precision, LSH recall).  Output: (vec_a, vec_b, cos_sim)."""
-    e = with_norm(df.select(id_col, emb_col)).withColumn(
+    e = with_norm(df.select(id_col, emb_col), exact=exact).withColumn(
         "bucket", F.expr(bucket_expr(emb_col, duck=False))
     )
     a = e.select(
@@ -216,7 +238,7 @@ def embedding_neardup_pairs(
             (F.col("bucket_a") == F.col("bucket_b"))
             & (F.col("vec_a") < F.col("vec_b")),
         )
-        .withColumn("dot", F.expr(dot_expr("emb_a", "emb_b", duck=False)))
+        .withColumn("dot", F.expr(dot_expr("emb_a", "emb_b", duck=False, exact=exact)))
         .withColumn(
             "cos_sim",
             F.round(F.col("dot") / (F.sqrt("nsq_a") * F.sqrt("nsq_b")), 6),

@@ -105,3 +105,26 @@ def test_ngram_prefix_filter_exact(spark):
     )
     assert with_prefix == without
     assert len(with_prefix) > 0
+
+
+def test_similarity_fast_path_matches_exact(spark):
+    """exact=False (plain-double dots, the production path) must produce the
+    same rounded-6dp results as the decimal oracle path on the fixtures —
+    and must not emit any DECIMAL cast in the physical plan."""
+    from sql_query_optimizer_cpp_spark.operators import similarity as S
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    for fn in (S.brute_force_topk, S.lsh_bucketed_topk):
+        exact = sorted(tuple(r) for r in fn(emb, exact=True).collect())
+        fast_df = fn(emb, exact=False)
+        fast = sorted(tuple(r) for r in fast_df.collect())
+        assert fast == exact, fn.__name__
+    # the brute-force fast plan really dropped the decimal accumulator
+    # (the LSH variant keeps decimal ONLY in bucket assignment, by design)
+    plan = (
+        S.brute_force_topk(emb, exact=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "decimal(38,20)" not in plan.lower()
