@@ -11,10 +11,16 @@ SQL text and show me what changed" surface the reference offers, and their
 effect is verified against Catalyst's plan in tests (the plan must be
 identical with and without the pre-rewrite).
 
-A JVM-injected Catalyst rule (``spark.sql.extensions``) would be the
-production route for genuinely new rules; that requires a compiled jar,
-which this environment cannot build — documented limitation, matching
-SURVEY.md §7.2 step 5.
+A JVM-injected Catalyst rule (``spark.sql.extensions``) is the production
+route for genuinely new rules, and the engine ships one: ``jvmext/``
+contains ``sqloptspark.GraftExtensions`` (compiled with plain javac against
+the pyspark-shipped jars — no Scala toolchain needed), which injects a
+rule into Catalyst's operator-optimization batch on every query.  Build
+with ``python jvmext/build.py``; loaded-and-fired is proven by
+``tests/test_extensions.py`` in a fresh session with
+``spark.driver.extraClassPath`` + ``spark.sql.extensions`` set.  This
+closes SURVEY.md §7.2 step 5 (reference analog: the rewrite-pass chain in
+``engine/src/query_rewriter.cpp:7-22``).
 """
 
 from __future__ import annotations
