@@ -55,6 +55,7 @@ _MODULES = (
     "similarity",
     "events",
     "multimodal",
+    "curation",
 )
 
 
@@ -165,20 +166,21 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q5",
     "tpch_q6",
     "tpch_q14",
-    # -- 15 regression-guard slots: headline + one per pipeline family ----
+    # -- new in round 3: curation + cluster ops (first grading) -----------
+    "dedup_clusters",
+    "sample_stratified",
+    "pack_sequences",
+    "text_filter_pipeline",
+    # -- 11 regression-guard slots: headline + one per pipeline family ----
     "flagship_demo",
     "join_asof",
-    "scalar_subquery_agg",
     "win_topk_per_group",
-    "text_tokens",
     "text_quality",
     "dedup_exact",
     "dedup_minhash_pairs",
-    "dedup_ngram_pairs",
     "dedup_simhash",
     "sim_topk_bruteforce",
     "sim_ann_lsh_topk",
-    "sim_nearest_centroid",
     "events_session",
     "multimodal_meta",
 )

@@ -76,7 +76,9 @@ def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- MinHash + LSH ---------------------------------------------------------------
-def _minhash_oracle() -> str:
+def _minhash_ctes() -> str:
+    """CTE chain ending in ``pairs(doc_a, doc_b, jaccard)`` — shared by the
+    pair query and the cluster (connected-components) query."""
     rows = NUM_HASHES // BANDS
     mh_exprs = ", ".join(
         f"MIN({hash64_sql('s', seed=f'mh{i}:')}) AS mh_{i}" for i in range(NUM_HASHES)
@@ -87,8 +89,7 @@ def _minhash_oracle() -> str:
         bh = hash64_sql(f"concat_ws(',', {members})", seed=f"band{b}:")
         band_selects.append(f"SELECT doc_id, {b} AS band_id, {bh} AS bh FROM sig")
     buckets = " UNION ALL ".join(band_selects)
-    return f"""
-WITH {_ex_cte()},
+    return f"""{_ex_cte()},
 sig AS (SELECT doc_id, {mh_exprs} FROM ex GROUP BY doc_id),
 buckets AS ({buckets}),
 cand AS (
@@ -103,14 +104,19 @@ inter AS (
   JOIN ex eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
   GROUP BY 1, 2
 ),
-sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM ex GROUP BY 1)
-SELECT doc_a, doc_b,
-       CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {THRESHOLD}
-"""
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM ex GROUP BY 1),
+pairs AS (
+  SELECT doc_a, doc_b,
+         CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {THRESHOLD}
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"WITH {_minhash_ctes()} SELECT doc_a, doc_b, jaccard FROM pairs"
 
 
 @register(
@@ -189,4 +195,48 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     return D.simhash_pairs(
         t["documents"], bits=SIMHASH_BITS, bands=SIMHASH_BANDS, max_hamming=2
+    )
+
+
+# --- Near-dup clusters (connected components over the pair graph) ----------------
+def _clusters_oracle() -> str:
+    """DuckDB twin of min-label propagation: a recursive CTE computes the
+    full reachability closure of the symmetric pair graph, then MIN over
+    the reachable set per doc — the same fixpoint the Spark iteration
+    converges to (propagation order doesn't change it)."""
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT rr.id, e.b FROM reach rr JOIN edges e ON e.a = rr.r
+),
+comp AS (SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id),
+csize AS (
+  SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY 1
+)
+SELECT comp.doc_id, comp.cluster_rep, csize.cluster_size
+FROM comp JOIN csize ON comp.cluster_rep = csize.cluster_rep
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=_clusters_oracle(),
+    doc="connected components over the MinHash near-dup pair graph: "
+    "(doc_id, cluster_rep=min reachable id, cluster_size); Spark runs "
+    "min-label propagation to a fixpoint, the oracle a recursive-CTE "
+    "reachability closure — same fixpoint",
+    tags=("dedup",),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return D.neardup_clusters(
+        t["documents"], num_hashes=NUM_HASHES, bands=BANDS, threshold=THRESHOLD
     )

@@ -1,0 +1,216 @@
+"""Corpus-curation operators: stratified sampling, sequence packing, and a
+composite quality-filter pipeline.
+
+These are the training-data-pipeline steps that sit AFTER dedup/quality
+scoring and BEFORE the trainer: rebalance languages/sources with a
+deterministic sample, decide keep/drop with auditable reasons, and pack
+documents into fixed context windows.  The reference engine has no analog
+(it stops at SQL rewriting); these extend the LLM-pipeline surface the
+driver mandates.
+
+All pure built-in expressions (JVM-side, whole-stage codegen):
+
+- **stratified_sample**: keep a row iff ``hash64(seed‖id) mod 10_000 <
+  rate·10_000`` with a per-stratum rate.  Hash-based (not ``rand()``) so
+  the sample is deterministic, reproducible across engines/runs, and
+  stable under repartitioning — the property a 100 TB pipeline needs so
+  re-runs and backfills select the same rows.  No shuffle at all: the
+  filter is map-side; skew-free since the hash is uniform per id.
+- **pack_sequences**: GPT-style concat-and-chop packing.  Docs are
+  concatenated in id order within a shard; a window cumsum assigns each
+  doc the context bin where its first token lands (``bin = floor(start /
+  ctx)``).  One shuffle on (shard); each shard's window sorts locally.
+  At 100 TB, shard count is the parallelism knob (pick ~10k shards so a
+  shard's docs fit an executor's sort buffer).
+- **quality_filter**: composite keep/drop with a first-failing-rule
+  reason column, composed from the text-analysis operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions import hash64, hash64_sql
+from .text import (
+    lang_id,
+    lang_id_sql,
+    quality_score,
+    quality_score_sql,
+    token_count,
+    token_count_sql,
+)
+
+SAMPLE_MOD = 10_000
+
+
+def sample_bucket(id_col: str = "doc_id", seed: str = "strat:") -> Column:
+    """Deterministic per-row bucket in [0, 10000) from the seeded 60-bit
+    content hash of the id — the cross-engine-portable analog of
+    ``rand()`` for sampling decisions."""
+    return F.pmod(hash64(F.col(id_col).cast("string"), seed=seed), F.lit(SAMPLE_MOD))
+
+
+def sample_bucket_sql(id_expr: str = "doc_id", seed: str = "strat:") -> str:
+    return f"({hash64_sql(f'CAST({id_expr} AS VARCHAR)', seed=seed)} % {SAMPLE_MOD})"
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+    seed: str = "strat:",
+) -> DataFrame:
+    """Deterministic stratified sample: keep a row iff its hash bucket falls
+    under its stratum's rate.  Output keeps (id, stratum, sample_bucket)
+    so the decision is auditable."""
+    rates = rates or {}
+    rate = F.lit(int(default_rate * SAMPLE_MOD))
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(int(r * SAMPLE_MOD))).otherwise(
+            rate
+        )
+    bucket = sample_bucket(id_col, seed)
+    return (
+        df.withColumn("sample_bucket", bucket)
+        .filter(F.col("sample_bucket") < rate)
+        .select(id_col, strata_col, "sample_bucket")
+    )
+
+
+def stratified_sample_sql(
+    table: str = "documents",
+    strata_col: str = "lang",
+    rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    id_expr: str = "doc_id",
+    seed: str = "strat:",
+) -> str:
+    """DuckDB twin of :func:`stratified_sample` (same hash, same buckets)."""
+    rates = rates or {}
+    branches = " ".join(
+        f"WHEN {strata_col} = '{v}' THEN {int(r * SAMPLE_MOD)}"
+        for v, r in sorted(rates.items())
+    )
+    rate = f"(CASE {branches} ELSE {int(default_rate * SAMPLE_MOD)} END)"
+    bucket = sample_bucket_sql(id_expr, seed)
+    return (
+        f"SELECT {id_expr}, {strata_col}, {bucket} AS sample_bucket "
+        f"FROM {table} WHERE {bucket} < {rate}"
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 8,
+    ctx: int = 2048,
+) -> DataFrame:
+    """Concat-and-chop sequence packing: within a shard (``id mod
+    n_shards``), documents are laid out in id order and chopped into
+    ``ctx``-token context windows; each doc is labeled with the bin where
+    its first token lands and its offset inside that bin.
+
+    Output: (doc_id, shard, n_tokens, bin_id, bin_offset) — all BIGINT.
+    """
+    w = (
+        W.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    toks = df.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).alias("shard"),
+        token_count(text_col).alias("n_tokens"),
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        toks.withColumn("start", start)
+        .select(
+            id_col,
+            "shard",
+            "n_tokens",
+            F.floor(F.col("start") / ctx).alias("bin_id"),
+            (F.col("start") % ctx).alias("bin_offset"),
+        )
+    )
+
+
+def pack_sequences_sql(
+    table: str = "documents",
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    n_shards: int = 8,
+    ctx: int = 2048,
+) -> str:
+    """DuckDB twin of :func:`pack_sequences`."""
+    return f"""
+WITH toks AS (
+  SELECT {id_expr}, {id_expr} % {n_shards} AS shard,
+         {token_count_sql(text_expr)} AS n_tokens
+  FROM {table}),
+laid AS (
+  SELECT {id_expr}, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY {id_expr}
+             ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  FROM toks)
+SELECT {id_expr}, shard, n_tokens,
+       CAST(floor(CAST(start AS DOUBLE) / {ctx}) AS BIGINT) AS bin_id,
+       start % {ctx} AS bin_offset
+FROM laid
+"""
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    min_score: float = 0.5,
+    langs: tuple[str, ...] = ("en", "es", "de", "fr"),
+) -> DataFrame:
+    """Composite keep/drop decision with a first-failing-rule reason —
+    the auditable filter a curation pipeline applies before training.
+
+    Rules in order: too_short (token count), low_quality (composite
+    score), lang_not_allowed (heuristic lang-id outside the allowlist).
+    Output: (doc_id, keep, reason) with reason 'ok' for kept rows.
+    """
+    n = token_count(text_col)
+    q = quality_score(text_col)
+    lid = lang_id(text_col)
+    reason = (
+        F.when(n < min_tokens, F.lit("too_short"))
+        .when(q < min_score, F.lit("low_quality"))
+        .when(~lid.isin(*langs), F.lit("lang_not_allowed"))
+        .otherwise(F.lit("ok"))
+    )
+    return df.select(
+        F.col(id_col),
+        reason.alias("reason"),
+    ).withColumn("keep", F.col("reason") == "ok")
+
+
+def quality_filter_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    min_tokens: int = 20,
+    min_score: float = 0.5,
+    langs: tuple[str, ...] = ("en", "es", "de", "fr"),
+) -> str:
+    """DuckDB twin of :func:`quality_filter`."""
+    lang_list = ", ".join(f"'{l}'" for l in langs)
+    reason = (
+        f"(CASE WHEN {token_count_sql(text_expr)} < {min_tokens} THEN 'too_short' "
+        f"WHEN {quality_score_sql(text_expr)} < {min_score} THEN 'low_quality' "
+        f"WHEN {lang_id_sql(text_expr)} NOT IN ({lang_list}) THEN 'lang_not_allowed' "
+        f"ELSE 'ok' END)"
+    )
+    return (
+        f"SELECT {id_expr}, {reason} AS reason, {reason} = 'ok' AS keep "
+        f"FROM {table}"
+    )

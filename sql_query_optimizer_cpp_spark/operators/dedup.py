@@ -373,3 +373,72 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def neardup_clusters(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_iter: int = 25,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: every document
+    labeled with the smallest doc id reachable through near-dup edges (its
+    cluster representative) plus the cluster size — the step that turns
+    pairwise dedup output into keep/drop groups.
+
+    Algorithm: iterative min-label propagation to a fixpoint.  Each round
+    is two shuffles (edges⋈labels groupBy dst, then labels⋈neighbor-min);
+    rounds needed = graph diameter, which for near-dup clusters at a 0.8
+    Jaccard threshold is small (near-cliques).  Lineage is truncated per
+    round with localCheckpoint so plans stay bounded.  For adversarially
+    long chains at 100 TB, switch to the alternating large-star/small-star
+    variant (Kiveris et al., "Connected Components in MapReduce"), which
+    converges in O(log n) rounds with the same per-round shuffle shape —
+    propagation order does not change the fixpoint, so results agree.
+
+    Output: (doc_id, cluster_rep, cluster_size); singleton docs are their
+    own representative with size 1.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(df, id_col, text_col, **minhash_kwargs)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    )
+    edges = _persist_tracked(edges)
+    labels = df.select(F.col(id_col)).distinct().withColumn("label", F.col(id_col))
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["src"] == labels[id_col])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        step = (
+            labels.join(neigh, labels[id_col] == neigh["dst"], "left")
+            .select(labels[id_col], "label", "nlabel")
+            .localCheckpoint()  # truncate the iterative lineage
+        )
+        changed = step.filter(F.col("nlabel") < F.col("label")).count()
+        labels = step.select(
+            F.col(id_col), F.least("label", "nlabel").alias("label")
+        )
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_iter} rounds; "
+            "use the large-star/small-star variant for long-chain graphs"
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col(id_col),
+            F.col("label").alias("cluster_rep"),
+            F.col("cluster_size"),
+        )
+    )
