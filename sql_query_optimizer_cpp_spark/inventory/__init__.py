@@ -171,11 +171,11 @@ _PRIORITY: tuple[str, ...] = (
     "sample_stratified",
     "pack_sequences",
     "text_filter_pipeline",
-    # -- 11 regression-guard slots: headline + one per pipeline family ----
+    "decontaminate",
+    "text_vocab_topk",
+    # -- 9 regression-guard slots: headline + one per pipeline family -----
     "flagship_demo",
     "join_asof",
-    "win_topk_per_group",
-    "text_quality",
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_simhash",

@@ -76,3 +76,24 @@ def text_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_score=MIN_SCORE,
         langs=ALLOWED_LANGS,
     )
+
+
+PROBE_MOD = 97
+MIN_SHARED = 2
+
+
+@register(
+    "decontaminate",
+    oracle=C.decontaminate_sql(
+        "documents", probe_mod=PROBE_MOD, min_shared=MIN_SHARED
+    ),
+    doc="benchmark decontamination: flag training docs sharing >= 2 "
+    "distinct 3-gram shingles with the held-out probe split (doc_id % 97 "
+    "== 0) — broadcast probe side, shingle equi-join, never a cross join",
+    tags=("curation", "dedup"),
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return C.decontaminate(
+        t["documents"], probe_mod=PROBE_MOD, min_shared=MIN_SHARED
+    )

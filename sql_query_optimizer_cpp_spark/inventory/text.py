@@ -144,3 +144,16 @@ def text_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 6)
         .select("name_a", "name_b", "edit_dist")
     )
+
+
+@register(
+    "text_vocab_topk",
+    oracle=T.vocab_topk_sql("documents", k=100),
+    doc="corpus vocabulary: top-100 tokens by frequency with deterministic "
+    "rank (count desc, token) — flatMap explode + one combinable agg + "
+    "TakeOrderedAndProject; rank window runs over only k rows",
+    tags=("text", "curation"),
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return T.vocab_topk(t["documents"], k=100)

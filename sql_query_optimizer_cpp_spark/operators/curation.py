@@ -214,3 +214,66 @@ def quality_filter_sql(
         f"SELECT {id_expr}, {reason} AS reason, {reason} = 'ok' AS keep "
         f"FROM {table}"
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_mod: int = 97,
+    min_shared: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: docs whose id ≡ 0 (mod ``probe_mod``)
+    stand in for the held-out benchmark split; every training doc sharing
+    ≥ ``min_shared`` distinct n-gram shingles with any probe doc is
+    flagged (the n-gram-overlap decontamination rule used for LLM
+    training corpora).
+
+    Shape for scale: the probe side is a tiny fraction of the corpus →
+    broadcast; candidate generation is an equi-join on the shingle (the
+    same bucketed-join discipline as the dedup pipelines — never a cross
+    join); one final map-side-combinable aggregation per flagged doc.
+
+    Output: (doc_id, n_shared_shingles, n_probe_docs).
+    """
+    from .dedup import doc_shingles
+
+    ex = doc_shingles(df, id_col, text_col, n)
+    probes = ex.filter(F.col(id_col) % probe_mod == 0).select(
+        F.col(id_col).alias("probe_id"), "s"
+    )
+    train = ex.filter(F.col(id_col) % probe_mod != 0)
+    return (
+        train.join(F.broadcast(probes), "s")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("s").cast("long").alias("n_shared_shingles"),
+            F.countDistinct("probe_id").cast("long").alias("n_probe_docs"),
+        )
+        .filter(F.col("n_shared_shingles") >= min_shared)
+    )
+
+
+def decontaminate_sql(
+    table: str = "documents",
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    probe_mod: int = 97,
+    min_shared: int = 2,
+    n: int = 3,
+) -> str:
+    """DuckDB twin of :func:`decontaminate`."""
+    from .dedup import shingles_sql
+
+    return f"""
+WITH ex AS (SELECT DISTINCT {id_expr}, s FROM
+  (SELECT {id_expr}, unnest({shingles_sql(text_expr, n)}) AS s FROM {table})),
+probes AS (SELECT {id_expr} AS probe_id, s FROM ex WHERE {id_expr} % {probe_mod} = 0),
+train AS (SELECT {id_expr}, s FROM ex WHERE {id_expr} % {probe_mod} <> 0)
+SELECT t.{id_expr},
+       CAST(COUNT(DISTINCT t.s) AS BIGINT) AS n_shared_shingles,
+       CAST(COUNT(DISTINCT p.probe_id) AS BIGINT) AS n_probe_docs
+FROM train t JOIN probes p ON t.s = p.s
+GROUP BY 1 HAVING COUNT(DISTINCT t.s) >= {min_shared}
+"""

@@ -154,3 +154,38 @@ def content_fingerprint(col: str = "text") -> Column:
 def content_fingerprint_sql(expr: str = "text") -> str:
     normalized = f"lower(regexp_replace(trim({expr}), ' +', ' ', 'g'))"
     return hash64_sql(normalized)
+
+
+def vocab_topk(df, k: int = 100, text_col: str = "text"):
+    """Corpus vocabulary: top-k tokens by frequency with a deterministic
+    rank (count desc, then token) — the tokenizer-training precursor.
+
+    Shape for scale: explode is a flatMap, the count is one map-side-
+    combinable aggregation on token, and the top-k goes through
+    sort+LIMIT (TakeOrderedAndProject — no global sort materialized);
+    the rank window then runs over only k rows.
+
+    Output: (token, cnt, rank), all ranks 1..k.
+    """
+    from pyspark.sql import Window as W
+
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    top = counts.orderBy(F.col("cnt").desc(), "token").limit(k)
+    w = W.orderBy(F.col("cnt").desc(), "token")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def vocab_topk_sql(table: str = "documents", k: int = 100, text_expr: str = "text") -> str:
+    """DuckDB twin of :func:`vocab_topk`."""
+    return f"""
+WITH tok AS (SELECT unnest({tokens_sql(text_expr)}) AS token FROM {table}),
+counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+top AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT {k})
+SELECT token, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
+FROM top
+"""

@@ -107,3 +107,25 @@ def test_join_strategy_hints(spark):
 
     bcast = o.join(c.hint("broadcast"), cond)
     assert "BroadcastHashJoin" in bcast._jdf.queryExecution().executedPlan().toString()
+
+
+def test_stratified_sample_no_shuffle(spark):
+    """The sampling decision is a map-side filter: no Exchange anywhere —
+    the property that makes it free at 100 TB."""
+    plan = _physical(spark, "sample_stratified")
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_single_shard_shuffle(spark):
+    """Exactly one shuffle (hash on shard for the window); the cumsum sorts
+    locally inside each shard partition."""
+    plan = _physical(spark, "pack_sequences")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_decontaminate_broadcasts_probes(spark):
+    """The probe split must broadcast (tiny side) so the shingle equi-join
+    never shuffles the training corpus against it."""
+    plan = _physical(spark, "decontaminate")
+    assert "BroadcastHashJoin" in plan
