@@ -89,3 +89,31 @@ def test_stateful_running_counts(spark):
     }
     got = {r.user_id: r.n for r in rows}
     assert got == expected
+
+
+def test_stream_exact_dedup_equals_batch(spark):
+    """Streamed dedup-on-ingest must surface exactly the batch-distinct
+    content hashes (which doc represents a duplicate set is arrival-order
+    dependent, so the comparison keys on content_hash only)."""
+    from sql_query_optimizer_cpp_spark.operators.text import content_fingerprint
+    from sql_query_optimizer_cpp_spark.streaming.dedup import (
+        read_documents_stream,
+        streaming_exact_dedup,
+    )
+
+    stream = read_documents_stream(spark, SF_DIR)
+    name, q = run_to_memory(
+        streaming_exact_dedup(stream), output_mode="append"
+    )
+    try:
+        streamed = spark.sql(f"SELECT content_hash FROM {name}").collect()
+    finally:
+        q.stop()
+    batch = (
+        load_tables(spark, SF_DIR, ("documents",))["documents"]
+        .select(content_fingerprint("text").alias("content_hash"))
+        .distinct()
+        .collect()
+    )
+    assert len(streamed) == len(batch)  # exactly one row per distinct content
+    assert {r.content_hash for r in streamed} == {r.content_hash for r in batch}
