@@ -52,11 +52,15 @@ def read_jdbc(
     """JDBC source — the literal parity path for the reference's MySQL
     connector (``engine/include/mysql_connector.h:10-69``).
 
-    Requires the vendor JDBC driver jar on the Spark classpath, which this
-    environment does not ship — callers get a clear error instead of a
-    py4j stack.  ``partition_column``+bounds split the read into
-    ``num_partitions`` parallel range queries (without it a JDBC read is a
-    single-threaded scan — never acceptable at scale).
+    Requires the vendor JDBC driver jar on the Spark classpath (pass
+    ``driver=`` for drivers that don't self-register).  No MySQL driver
+    ships in this environment, so that path raises a clear error instead
+    of a py4j stack — but the path itself is LIVE-tested end-to-end
+    against the Derby embedded driver pyspark ships
+    (``tests/test_sources.py::test_jdbc_live_roundtrip``), including the
+    partitioned range read.  ``partition_column``+bounds split the read
+    into ``num_partitions`` parallel range queries (without it a JDBC
+    read is a single-threaded scan — never acceptable at scale).
     """
     reader = (
         spark.read.format("jdbc").option("url", url).option("dbtable", table)

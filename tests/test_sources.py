@@ -85,3 +85,37 @@ def test_jdbc_gated(spark):
         read_jdbc(
             spark, "jdbc:mysql://localhost:3306/db", "t"
         ).collect()
+
+
+def test_jdbc_live_roundtrip(spark, tmp_path):
+    """LIVE JDBC parity path: pyspark ships the Derby embedded driver, so
+    the reference's MySQL-connector analog (mysql_connector.cpp:22-186)
+    can be exercised end-to-end — including the partitioned range read
+    that makes a JDBC scan parallel (8 range queries on the id column),
+    not just the no-driver error path."""
+    from sql_query_optimizer_cpp_spark.sources import read_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        st.execute("CREATE TABLE people (id INT PRIMARY KEY, name VARCHAR(20))")
+        for i in range(20):
+            st.execute(f"INSERT INTO people VALUES ({i}, 'name{i}')")
+        st.close()
+    finally:
+        conn.close()
+
+    df = read_jdbc(
+        spark,
+        f"jdbc:derby:{tmp_path}/derbydb",
+        "people",
+        partition_column="id",
+        num_partitions=8,
+        lower_bound=0,
+        upper_bound=20,
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    assert df.rdd.getNumPartitions() == 8  # the parallel range read
+    rows = {(r.ID, r.NAME) for r in df.collect()}
+    assert rows == {(i, f"name{i}") for i in range(20)}
