@@ -15,6 +15,6 @@ that matter at 100 TB: ``partition_by`` (directory partition pruning) and
 """
 
 from .readers import read, read_jdbc
-from .writers import write
+from .writers import write, write_jdbc
 
-__all__ = ["read", "read_jdbc", "write"]
+__all__ = ["read", "read_jdbc", "write", "write_jdbc"]

@@ -49,3 +49,36 @@ def write(
         if not path:
             raise ValueError("either path or table is required")
         w.save(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+    **options,
+) -> None:
+    """JDBC sink — the executed counterpart of the reference's parse-only
+    INSERT path (``engine/src/cli.cpp:154-163`` routes INSERT to MySQL
+    without planning it).
+
+    ``batchsize`` controls rows per round-trip (the JDBC write throughput
+    knob); ``num_partitions`` caps concurrent connections — at scale an
+    unthrottled 1000-task write is a denial of service against the
+    database, so cap it to what the DB can absorb.  Live-tested against
+    the pyspark-shipped Derby embedded driver.
+    """
+    if num_partitions is not None:
+        df = df.coalesce(num_partitions)
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .mode(mode)
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()

@@ -119,3 +119,29 @@ def test_jdbc_live_roundtrip(spark, tmp_path):
     assert df.rdd.getNumPartitions() == 8  # the parallel range read
     rows = {(r.ID, r.NAME) for r in df.collect()}
     assert rows == {(i, f"name{i}") for i in range(20)}
+
+
+def test_jdbc_write_roundtrip(spark, tmp_path):
+    """JDBC sink: write a DataFrame into Derby (overwrite creates the
+    table), read it back through the same connector."""
+    from sql_query_optimizer_cpp_spark.sources import read_jdbc, write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/derbyw;create=true"
+    df = spark.range(50).withColumnRenamed("id", "k")
+    write_jdbc(
+        df,
+        url,
+        "kv",
+        mode="overwrite",
+        num_partitions=2,
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    back = read_jdbc(
+        spark,
+        f"jdbc:derby:{tmp_path}/derbyw",
+        "kv",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    # Spark-created Derby tables keep the quoted lowercase column name
+    # (unlike the DDL-created uppercase one above) — access positionally
+    assert sorted(r[0] for r in back.collect()) == list(range(50))
