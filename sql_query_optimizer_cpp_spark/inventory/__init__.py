@@ -173,12 +173,12 @@ _PRIORITY: tuple[str, ...] = (
     "text_filter_pipeline",
     "decontaminate",
     "text_vocab_topk",
-    # -- 9 regression-guard slots: headline + one per pipeline family -----
+    "curation_pipeline_e2e",
+    # -- 8 regression-guard slots: headline + one per pipeline family -----
     "flagship_demo",
     "join_asof",
     "dedup_exact",
     "dedup_minhash_pairs",
-    "dedup_simhash",
     "sim_topk_bruteforce",
     "sim_ann_lsh_topk",
     "events_session",
