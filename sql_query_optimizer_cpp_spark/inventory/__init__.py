@@ -56,6 +56,7 @@ _MODULES = (
     "events",
     "multimodal",
     "curation",
+    "tpch_extra",
 )
 
 
@@ -174,14 +175,14 @@ _PRIORITY: tuple[str, ...] = (
     "decontaminate",
     "text_vocab_topk",
     "curation_pipeline_e2e",
-    # -- 8 regression-guard slots: headline + one per pipeline family -----
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q18",
+    # -- 4 regression-guard slots: headline + heaviest pipelines ----------
     "flagship_demo",
-    "join_asof",
-    "dedup_exact",
     "dedup_minhash_pairs",
     "sim_topk_bruteforce",
-    "sim_ann_lsh_topk",
-    "events_session",
     "multimodal_meta",
 )
 
