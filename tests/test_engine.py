@@ -169,3 +169,38 @@ def test_update_delete_parity(engine, spark):
     # the table is untouched
     assert spark.table("upd_test").count() == engine.frame("region").count()
     spark.sql("DROP TABLE IF EXISTS upd_test")
+
+
+def test_hash64_tri_engine_portability(spark, duck):
+    """The portable 60-bit hash (md5-prefix) must agree across Python,
+    Spark, and DuckDB on edge-case inputs — it underpins every dedup/LSH
+    oracle, so a single divergent input would silently break parity."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from sql_query_optimizer_cpp_spark.functions import hash64, hash64_sql
+
+    cases = [
+        "",
+        " ",
+        "  leading and trailing  ",
+        "the quick brown fox",
+        "naïve café résumé",          # latin-1-ish accents
+        "日本語のテキスト",              # CJK
+        "emoji 🙂🚀 mix",
+        "tab\tand'quote\"chars",
+        "0",
+        "a" * 1000,
+    ]
+    py = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in cases]
+    sdf = spark.createDataFrame([(s,) for s in cases], ["s"])
+    sp = [r.h for r in sdf.select(hash64(F.col("s")).alias("h")).collect()]
+    dk = [
+        duck.sql(
+            f"SELECT {hash64_sql('s')} AS h FROM (SELECT ? AS s)", params=[s]
+        ).fetchone()[0]
+        for s in cases
+    ]
+    assert sp == py, "spark hash64 diverges from python md5 reference"
+    assert dk == py, "duckdb hash64_sql diverges from python md5 reference"

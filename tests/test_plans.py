@@ -129,3 +129,24 @@ def test_decontaminate_broadcasts_probes(spark):
     never shuffles the training corpus against it."""
     plan = _physical(spark, "decontaminate")
     assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q7_broadcasts_nation_dims(spark):
+    """Both nation dimension joins (supplier side and customer side) must
+    broadcast — the fact table shuffles only for the fact-fact join."""
+    plan = _physical(spark, "tpch_q7")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_tpch_q10_topk_fuses(spark):
+    plan = _physical(spark, "tpch_q10")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q4_and_q18_semi_join(spark):
+    """EXISTS (q4) and IN-over-aggregate (q18) must decorrelate to semi
+    joins, never re-execute the subquery per row."""
+    for name in ("tpch_q4", "tpch_q18"):
+        plan = _physical(spark, name)
+        assert "LeftSemi" in plan, name
+        assert "InSubquery" not in plan and "exists" not in plan.lower(), name
