@@ -179,11 +179,12 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q7",
     "tpch_q10",
     "tpch_q18",
-    # -- 4 regression-guard slots: headline + heaviest pipelines ----------
+    # -- new in round 3: multimodal decode-adjacent ops (first grading) ---
+    "multimodal_resize",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    # -- regression-guard slot: the headline query ------------------------
     "flagship_demo",
-    "dedup_minhash_pairs",
-    "sim_topk_bruteforce",
-    "multimodal_meta",
 )
 
 
