@@ -346,3 +346,44 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# --- J10 (cont.): range join, binned to an equi-join -----------------------------
+@register(
+    "join_range",
+    oracle="""
+WITH bands AS (
+    SELECT CAST(i AS BIGINT) AS band_id,
+           i * 20000.0 AS lo,
+           i * 20000.0 + 50000.0 AS hi
+    FROM range(30) AS r(i)
+)
+SELECT b.band_id, count(*) AS n_orders,
+       """
+    + dsum_sql("o.o_totalprice")
+    + """ AS sum_price
+FROM orders o JOIN bands b
+  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.band_id
+""",
+    doc="J10 range join: orders matched to overlapping price bands "
+    "(lo <= price < hi) via range_join_binned — interval side exploded to "
+    "bin ids, hash equi-join on bin, exact predicate as post-filter; never "
+    "a nested-loop join (plan-asserted in tests/test_plans.py)",
+    tags=("join",),
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import range_join_binned
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    # 30 overlapping price bands: [i*20k, i*20k + 50k) — each order lands
+    # in 2-3 bands, the non-degenerate (overlapping-interval) case
+    bands = spark.range(30).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 20000.0).alias("lo"),
+        (F.col("id") * 20000.0 + 50000.0).alias("hi"),
+    )
+    j = range_join_binned(t["orders"], bands, "o_totalprice", "lo", "hi", 25000.0)
+    return j.groupBy("band_id").agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice").alias("sum_price")
+    )

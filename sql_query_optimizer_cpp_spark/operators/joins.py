@@ -111,3 +111,48 @@ def asof_join(
             *[F.col(f"asof_{c}") for c in payload_cols],
         )
     )
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Interval (range) join: point rows matched to interval rows with
+    ``lo <= point < hi`` — binned so it executes as an equi-join.
+
+    Spark plans a raw range predicate as BroadcastNestedLoopJoin (or a
+    cartesian product when neither side broadcasts): O(n*m) comparisons,
+    which does not survive a large interval side.  Binning is the standard
+    scale fix (the same strategy behind Databricks' range-join hints):
+
+    - each point gets one bin id ``floor(point / W)``;
+    - each interval is exploded to every bin it overlaps
+      (``sequence(floor(lo/W), floor(hi/W))`` — a JVM-side flatMap,
+      ~``len/W + 1`` rows per interval);
+    - bins equi-join (hash, broadcast if one side is small), then the exact
+      predicate filters the bin-boundary false positives.
+
+    Cost: one shuffle per side on the bin id (none for a broadcastable
+    side), candidate pairs limited to same-bin pairs.  Pick ``bin_width``
+    near the median interval length: wider bins → fewer interval replicas
+    but more false-positive candidates; narrower → the reverse.
+
+    The reference parses no range joins at all (SURVEY.md §2.3 J10 gap,
+    ``engine/src/parser.cpp:99-121``); this is the missing scale-path
+    variant alongside theta (``join_theta``) and as-of (:func:`asof_join`).
+    Column names must not collide across the two inputs.
+    """
+    w = F.lit(float(bin_width))
+    p = points.withColumn("_bin", F.floor(F.col(point_col) / w))
+    iv = intervals.withColumn(
+        "_bin", F.explode(F.sequence(F.floor(F.col(lo_col) / w), F.floor(F.col(hi_col) / w)))
+    )
+    return (
+        p.join(iv, "_bin")
+        .filter((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col)))
+        .drop("_bin")
+    )

@@ -170,3 +170,44 @@ def test_stratified_sample_rates(spark):
         frac = got.get(lang, 0) / n
         want = rates.get(lang, 1.0)
         assert abs(frac - want) < 0.25, (lang, frac, want)
+
+
+def test_range_join_binned_equals_naive(spark):
+    """range_join_binned must return exactly the naive range-predicate
+    join's rows (binning only changes the execution strategy), including
+    boundary behavior: lo inclusive, hi exclusive."""
+    from pyspark.sql import functions as F
+    from sql_query_optimizer_cpp_spark.catalog import load_tables
+    from sql_query_optimizer_cpp_spark.operators.joins import range_join_binned
+
+    t = load_tables(spark, SF_DIR, ("orders",))
+    pts = t["orders"].select("o_orderkey", "o_totalprice")
+    bands = spark.range(30).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 20000.0).alias("lo"),
+        (F.col("id") * 20000.0 + 50000.0).alias("hi"),
+    )
+    binned = range_join_binned(pts, bands, "o_totalprice", "lo", "hi", 25000.0)
+    naive = pts.join(
+        bands,
+        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+    )
+    got = sorted(tuple(r) for r in binned.select("o_orderkey", "band_id").collect())
+    want = sorted(tuple(r) for r in naive.select("o_orderkey", "band_id").collect())
+    assert got == want and len(got) > 0
+
+
+def test_range_join_binned_boundary_rows(spark):
+    """A point exactly on lo matches; exactly on hi does not; bin-boundary
+    crossers (interval spanning multiple bins) are found once, not twice."""
+    from pyspark.sql import functions as F
+    from sql_query_optimizer_cpp_spark.operators.joins import range_join_binned
+
+    pts = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 19.999), (4, 5.0)], "pid int, v double"
+    )
+    iv = spark.createDataFrame([(100, 10.0, 20.0)], "iid int, lo double, hi double")
+    # bin width 7 -> interval [10,20) spans bins 1..2; point 10 in bin 1
+    out = range_join_binned(pts, iv, "v", "lo", "hi", 7.0)
+    rows = sorted((r.pid, r.iid) for r in out.collect())
+    assert rows == [(1, 100), (3, 100)]

@@ -150,3 +150,26 @@ def test_tpch_q4_and_q18_semi_join(spark):
         plan = _physical(spark, name)
         assert "LeftSemi" in plan, name
         assert "InSubquery" not in plan and "exists" not in plan.lower(), name
+
+
+def test_range_join_is_equi_join(spark):
+    """J10 range join: the binned rewrite must execute as a HASH equi-join
+    on the bin id — never the BroadcastNestedLoopJoin Spark would plan for
+    a raw range predicate.  That's the whole point of the operator: at
+    100 TB the interval side can't nested-loop."""
+    plan = _physical(spark, "join_range")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan  # Broadcast- or Shuffled-, either is equi
+
+
+def test_multimodal_ops_no_shuffle(spark):
+    """resize/features/frame-sample are mapInPandas over the scan: zero
+    Exchange (embarrassingly parallel at 100 TB); the driver queries add
+    at most the posexplode projection, still shuffle-free."""
+    for name in ("multimodal_resize", "multimodal_features", "multimodal_frame_sample"):
+        plan = _physical(spark, name)
+        assert "Exchange" not in plan, f"{name} shuffles"
+        assert "ArrowEvalPython" in plan or "MapInPandas" in plan, (
+            f"{name} lost its Arrow-batched python stage"
+        )
