@@ -138,3 +138,35 @@ def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum(k).cast("long").alias("k_sum"), F.count("*").alias("n"))
     )
+
+
+# --- hypertable rollup: continuous aggregates, coarse from fine ------------------
+@register(
+    "events_rollup_hypertable",
+    oracle="""
+SELECT 'hour' AS grain, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+       event_type, count(*) AS n_events, """
+    + dsum_sql("value", scale=6)
+    + """ AS sum_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day', CAST(date_trunc('day', ts) AS TIMESTAMP), event_type, count(*), """
+    + dsum_sql("value", scale=6)
+    + """, min(value), max(value)
+FROM events GROUP BY 2, 3
+""",
+    doc="hypertable rollup (continuous aggregates): hour partials computed "
+    "once from raw events, day grain re-aggregated from the persisted hour "
+    "partials (count->sum, decimal-sum->sum, min/max->min/max) — the oracle "
+    "aggregates each grain directly from raw, proving re-aggregation is "
+    "exact; raw is scanned once (plan-asserted)",
+    tags=("events", "rollup"),
+)
+def events_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rollup import hierarchical_rollup
+
+    t = load_tables(spark, sf_dir, ("events",))
+    return hierarchical_rollup(
+        t["events"], "ts", "event_type", "value", grains=("hour", "day")
+    )

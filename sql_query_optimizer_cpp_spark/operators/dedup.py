@@ -25,39 +25,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from ..functions import hash64, hash64_sql
+from .cache import persist_tracked as _persist_tracked, release_cached  # noqa: F401
 from .text import content_fingerprint, tokens
 
-#: Shingle frames persisted by the pair pipelines.  The JVM-side cache
-#: outlives the Python DataFrame object, so each persisted frame is held
-#: here (a DataFrame handle is just a plan reference — cheap) until a
-#: long-lived session (the driver iterates all 84 registry queries in one
-#: session) reclaims storage via :func:`release_cached`.  The persists use
-#: MEMORY_AND_DISK explicitly: un-released caches are LRU-evicted by the
-#: block manager (spilling to disk first), so accumulation degrades
-#: gracefully rather than failing — but callers that materialize a result
-#: should still call release_cached() when done.
-_PERSISTED: list[DataFrame] = []
-
-
-def _persist_tracked(df: DataFrame) -> DataFrame:
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED.append(df)
-    return df
-
-
-def release_cached() -> int:
-    """Unpersist every shingle cache created by this module's pipelines.
-
-    Safe to call at any time (lazy re-computation kicks in if a released
-    plan is re-executed).  Returns the number of frames released.
-    """
-    n = len(_PERSISTED)
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
-    return n
+# Shingle frames from the pair pipelines are persisted via the shared
+# tracked-cache helper (operators/cache.py): MEMORY_AND_DISK, LRU-evictable,
+# reclaimed by release_cached() (re-exported here for compatibility).
 
 
 def shingle_expr(col: str = "text", n: int = 3) -> str:

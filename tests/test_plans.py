@@ -173,3 +173,17 @@ def test_multimodal_ops_no_shuffle(spark):
         assert "ArrowEvalPython" in plan or "MapInPandas" in plan, (
             f"{name} lost its Arrow-batched python stage"
         )
+
+
+def test_rollup_scans_raw_once(spark):
+    """The hypertable rollup's whole point: one raw scan (hour partials),
+    coarser grains read the persisted partials, not the parquet."""
+    df = QUERIES["events_rollup_hypertable"].fn(spark, SF_DIR)
+    df.count()  # materialize so the cache is populated and AQE finalizes
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # BOTH grain branches read the persisted hour partials: the raw
+    # FileScan appears only inside the InMemoryRelation's build plan
+    # (printed per branch), never as a live scan of its own.
+    assert plan.count("InMemoryTableScan") == 2, plan
+    from sql_query_optimizer_cpp_spark.operators.cache import release_cached
+    assert release_cached() >= 1
