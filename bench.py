@@ -50,6 +50,11 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "events_tumbling",
     "events_session",
+    # round 3 additions: binned range join, hierarchical rollup, and the
+    # composed end-to-end curation pass
+    "join_range",
+    "events_rollup_hypertable",
+    "curation_pipeline_e2e",
 ]
 
 RUNS = 3

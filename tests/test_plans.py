@@ -187,3 +187,40 @@ def test_rollup_scans_raw_once(spark):
     assert plan.count("InMemoryTableScan") == 2, plan
     from sql_query_optimizer_cpp_spark.operators.cache import release_cached
     assert release_cached() >= 1
+
+
+def test_runtime_bloom_filter_reduction(spark):
+    """At 100 TB the killer join pattern is fact ⋈ selectively-filtered
+    dim where the dim is too big to broadcast: Spark injects a runtime
+    bloom filter built from the dim's join keys into the fact scan
+    (semi-join reduction), cutting the shuffled fact volume by the dim
+    filter's selectivity.  The conf is ON by default; its application-side
+    size threshold (10 GB) is what keeps it out of local toy plans, so
+    lower it here to prove the rewrite fires."""
+    from pyspark.sql import functions as F
+
+    from sql_query_optimizer_cpp_spark.catalog import load_tables
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # else broadcast wins
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        t = load_tables(spark, SF_DIR, ("orders", "lineitem"))
+        j = t["lineitem"].join(
+            t["orders"].filter("o_orderstatus = 'F'"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "BloomFilterMightContain" in plan or "bloomFilter" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
