@@ -55,6 +55,7 @@ _MODULES = (
     "similarity",
     "events",
     "multimodal",
+    "udf",
     "curation",
     "tpch_extra",
 )
