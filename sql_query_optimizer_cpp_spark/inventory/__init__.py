@@ -125,10 +125,13 @@ def shared_sql(
 #: queries WITHOUT a green r02 row lead — the 4 never-sampled in either
 #: round, the recalibrated ``agg_approx_distinct``, then the 30 entries
 #: whose green row is from the r01 window — so that after this round every
-#: registered query has a green row in some round.  The remaining 15 slots
-#: re-grade the flagship and one representative per LLM-pipeline family as
-#: a regression guard.  Everything after the window keeps registration
-#: order and stays covered by tests/test_inventory.py + tools/driver_sim.py.
+#: pre-round-3 query has a green row in some round.  The remaining 15
+#: slots grade the round-3 additions (curation + extra TPC-H + multimodal)
+#: for the first time, plus the flagship as a regression guard.  The four
+#: youngest ops (join_range, events_rollup_hypertable, agg_udaf_pandas,
+#: text_bigrams_udtf) sit just past the window for the r04 rotation;
+#: everything outside the window keeps registration order and stays
+#: covered by tests/test_inventory.py + tools/driver_sim.py.
 _PRIORITY: tuple[str, ...] = (
     # -- never driver-sampled (r01/r02 windows both missed them) ----------
     "dedup_simhash_pairs",

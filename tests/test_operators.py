@@ -211,3 +211,84 @@ def test_range_join_binned_boundary_rows(spark):
     out = range_join_binned(pts, iv, "v", "lo", "hi", 7.0)
     rows = sorted((r.pid, r.iid) for r in out.collect())
     assert rows == [(1, 100), (3, 100)]
+
+
+def test_range_join_binned_randomized(spark):
+    """Seeded-random equivalence sweep: for several bin widths (smaller,
+    comparable, and larger than typical interval length — including bins
+    much narrower than intervals, where each interval explodes across many
+    bins), binned == naive on random points and intervals with negative
+    values and empty intervals mixed in."""
+    import random
+
+    from pyspark.sql import functions as F
+    from sql_query_optimizer_cpp_spark.operators.joins import range_join_binned
+
+    rng = random.Random(42)
+    pts_rows = [(i, rng.uniform(-50.0, 50.0)) for i in range(300)]
+    iv_rows = []
+    for j in range(60):
+        lo = rng.uniform(-60.0, 45.0)
+        iv_rows.append((j, lo, lo + rng.uniform(0.0, 20.0)))
+    pts = spark.createDataFrame(pts_rows, "pid int, v double")
+    iv = spark.createDataFrame(iv_rows, "iid int, lo double, hi double")
+    naive = sorted(
+        (r.pid, r.iid)
+        for r in pts.join(
+            iv, (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi"))
+        ).collect()
+    )
+    assert len(naive) > 0
+    for width in (0.7, 5.0, 40.0):
+        binned = sorted(
+            (r.pid, r.iid)
+            for r in range_join_binned(pts, iv, "v", "lo", "hi", width).collect()
+        )
+        assert binned == naive, f"width={width}"
+
+
+def test_rollup_reaggregation_randomized(spark):
+    """Seeded-random: re-aggregating hour partials to day equals the direct
+    day aggregation from raw — including the decimal partial sums, which is
+    the property a double accumulator would NOT satisfy."""
+    import datetime
+    import random
+
+    from pyspark.sql import functions as F
+    from sql_query_optimizer_cpp_spark.operators.rollup import hierarchical_rollup
+
+    rng = random.Random(7)
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (
+            base + datetime.timedelta(seconds=rng.randrange(14 * 86400)),
+            rng.choice(["a", "b", "c"]),
+            round(rng.uniform(-100.0, 100.0), 2),
+        )
+        for _ in range(2000)
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, k string, value double")
+    rolled = hierarchical_rollup(ev, "ts", "k", "value", grains=("hour", "day"))
+    got = {
+        (r.bucket, r.k): (r.n_events, r.sum_value, r.min_value, r.max_value)
+        for r in rolled.filter("grain = 'day'").collect()
+    }
+    direct = {
+        (r.bucket, r.k): (r.n_events, r.sum_value, r.min_value, r.max_value)
+        for r in ev.groupBy(
+            F.date_trunc("day", "ts").alias("bucket"), "k"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert got == direct and len(got) >= 14 * 3 - 5
+    from sql_query_optimizer_cpp_spark.operators.cache import release_cached
+
+    release_cached()
