@@ -117,3 +117,52 @@ def test_stream_exact_dedup_equals_batch(spark):
     )
     assert len(streamed) == len(batch)  # exactly one row per distinct content
     assert {r.content_hash for r in streamed} == {r.content_hash for r in batch}
+
+
+def test_incremental_rollup_equals_batch(tmp_path, spark):
+    """Drive the events fixture through 4 genuine micro-batches; the
+    compacted partials log must equal the batch hour partials exactly
+    (decimal sums make this deterministic), and rolling the same log up
+    to day grain must equal the batch day rollup."""
+    from pyspark.sql import functions as F
+
+    from sql_query_optimizer_cpp_spark.operators.rollup import (
+        grain_partials,
+        reaggregate,
+    )
+    from sql_query_optimizer_cpp_spark.streaming.rollup import (
+        compact,
+        incremental_rollup_to_log,
+    )
+
+    events = load_tables(spark, SF_DIR, ("events",))["events"]
+    src = str(tmp_path / "src")
+    events.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = incremental_rollup_to_log(
+        stream, str(tmp_path / "log"), str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        assert q.lastProgress["batchId"] >= 3  # really incremental
+    finally:
+        q.stop()
+
+    def finalized(df):
+        return sorted(
+            (r.bucket, r.event_type, r.n_events, float(r._sum), r.min_value, r.max_value)
+            for r in df.collect()
+        )
+
+    streamed_hour = compact(spark, str(tmp_path / "log"))
+    batch_hour = grain_partials(events, "ts", "event_type", "value", "hour")
+    assert finalized(streamed_hour) == finalized(batch_hour)
+
+    streamed_day = compact(spark, str(tmp_path / "log"), grain="day")
+    batch_day = reaggregate(batch_hour, "event_type", "day")
+    assert finalized(streamed_day) == finalized(batch_day)
