@@ -113,8 +113,9 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_neardup_pairs(t["embeddings"], threshold=NEARDUP_THRESHOLD)
 
 
-_CENTROID_ORACLE = """
-WITH comp AS (
+# CTE chain shared by the coarse-quantizer oracle and the IVF-search
+# oracle: assignment of every vector to its nearest per-label centroid.
+_CENTROID_CTES = """comp AS (
   -- parallel unnests zip in DuckDB: pos runs 1..len alongside the values
   SELECT vec_id, label,
          unnest(generate_series(1, len(embedding))) AS pos,
@@ -140,12 +141,17 @@ scored AS (
          d.dot / (sqrt(v.v_nsq) * sqrt(c.c_nsq)) AS cos_sim
   FROM dots d
   JOIN vnorm v ON v.vec_id = d.vec_id
-  JOIN cnorm c ON c.label = d.cand_label)
-SELECT vec_id, CAST(cand_label AS INTEGER) AS pred_label FROM (
-  SELECT vec_id, cand_label,
-         row_number() OVER (PARTITION BY vec_id
-                            ORDER BY cos_sim DESC, cand_label) AS rn
-  FROM scored) t WHERE rn = 1
+  JOIN cnorm c ON c.label = d.cand_label),
+assign AS (
+  SELECT vec_id, cand_label FROM (
+    SELECT vec_id, cand_label,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos_sim DESC, cand_label) AS rn
+    FROM scored) t WHERE rn = 1)"""
+
+_CENTROID_ORACLE = f"""
+WITH {_CENTROID_CTES}
+SELECT vec_id, CAST(cand_label AS INTEGER) AS pred_label FROM assign
 """
 
 
@@ -159,3 +165,39 @@ SELECT vec_id, CAST(cand_label AS INTEGER) AS pred_label FROM (
 def sim_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
     return S.nearest_centroid(t["embeddings"])
+
+
+_IVF_ORACLE = f"""
+WITH {_CENTROID_CTES},
+{_e_cte()},
+ea AS (
+  SELECT e.vec_id, e.embedding, e.nsq, a.cand_label AS pred_label
+  FROM e JOIN assign a ON a.vec_id = e.vec_id),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, nsq AS q_nsq,
+             pred_label AS q_list
+      FROM ea WHERE vec_id < {N_QUERIES}),
+pairs AS (
+  SELECT q.query_id, ea.vec_id AS neighbor_id,
+         round({S.dot_expr("q_emb", "embedding", duck=True)}
+           / (sqrt(q.q_nsq) * sqrt(ea.nsq)), 6) AS cos_sim
+  FROM ea JOIN q ON ea.pred_label = q.q_list AND ea.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, cos_sim, rn FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rn
+  FROM pairs) t WHERE rn <= {K_ANN}
+"""
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=_IVF_ORACLE,
+    doc="IVF search (nprobe=1): vectors coarse-quantized to per-label "
+    "centroids, each query scored only against its own posting list "
+    "(~1/10 of the corpus) — the inverted-file twin of the LSH probe, "
+    "with data-adaptive cells",
+    tags=("similarity",),
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return S.ivf_topk(t["embeddings"], n_queries=N_QUERIES, k=K_ANN)

@@ -315,3 +315,51 @@ def nearest_centroid(
         .filter(F.col("rn") == 1)
         .select(F.col(id_col), F.col("cand_label").cast("int").alias("pred_label"))
     )
+
+
+def ivf_topk(
+    df: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    exact: bool = True,
+) -> DataFrame:
+    """IVF search (nprobe=1): coarse-quantize every vector to its nearest
+    centroid (:func:`nearest_centroid`), then score a query only against
+    its own posting list — the inverted-file analog of the LSH bucket
+    probe, with data-adaptive cells instead of fixed hyperplanes.
+
+    At 100 TB: the centroid set is tiny (broadcast), assignment is one
+    scan + one (pos,label) shuffle, and each query's candidate set is one
+    posting list (~N/num_cells).  Raising recall means probing the
+    next-nearest centroids too — same pattern as multi-probe LSH.
+
+    Output: (query_id, neighbor_id, cos_sim, rn)."""
+    assign = nearest_centroid(df, id_col, emb_col, label_col)
+    e = with_norm(df.select(id_col, emb_col), exact=exact).join(assign, id_col)
+    q = e.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        F.col("nsq").alias("q_nsq"),
+        F.col("pred_label").alias("q_list"),
+    )
+    pairs = (
+        e.join(
+            F.broadcast(q),
+            (F.col("pred_label") == F.col("q_list"))
+            & (F.col(id_col) != F.col("query_id")),
+        )
+        .withColumn("dot", F.expr(dot_expr("q_emb", emb_col, duck=False, exact=exact)))
+        .withColumn(
+            "cos_sim",
+            F.round(F.col("dot") / (F.sqrt("q_nsq") * F.sqrt("nsq")), 6),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cos_sim", "rn")
+    )
