@@ -58,6 +58,7 @@ _MODULES = (
     "udf",
     "curation",
     "tpch_extra",
+    "analytics",
 )
 
 

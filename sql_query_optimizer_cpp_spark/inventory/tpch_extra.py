@@ -81,6 +81,54 @@ shared_sql(
 )
 
 shared_sql(
+    "tpch_q12",
+    "SELECT l_linestatus, "
+    "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+    "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+    "GROUP BY l_linestatus",
+    doc="TPC-H Q12 (shipping-priority audit, adapted: l_linestatus stands "
+    "in for the absent l_shipmode, shipdate for commit/receipt dates) — "
+    "conditional-count aggregation over one fact-fact join; the CASE "
+    "branches fold into the map-side partial agg",
+    tags=("tpch", "agg"),
+)
+
+shared_sql(
+    "tpch_q19",
+    "SELECT "
+    + dsum_sql("l_extendedprice * (1 - l_discount)", scale=4)
+    + " AS revenue, CAST(COUNT(*) AS BIGINT) AS n_lines "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "WHERE ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 "
+    "        AND l_quantity BETWEEN 1 AND 20) "
+    "    OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30 "
+    "        AND l_quantity BETWEEN 10 AND 35) "
+    "    OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 "
+    "        AND l_quantity BETWEEN 20 AND 50)) "
+    # Redundant single-table conjuncts derived from the disjunction: a
+    # cross-table OR-of-ANDs is not factorable by Catalyst, so without
+    # these both scans read everything and the whole predicate evaluates
+    # post-join.  Stating the per-side unions explicitly (semantically
+    # implied, verified by the oracle) pushes brand/size to the part scan
+    # and quantity to the lineitem scan — the classic Q19 rewrite.
+    "AND p_brand IN ('Brand#12', 'Brand#23', 'Brand#3') "
+    "AND p_size BETWEEN 1 AND 50 "
+    "AND l_quantity BETWEEN 1 AND 50",
+    doc="TPC-H Q19 (discounted revenue under a disjunction of brand/size/"
+    "quantity branches; container/shipmode columns absent from the "
+    "fixture) — the common p_partkey = l_partkey conjunct stays a hash "
+    "equi-join (never nested-loop); redundant per-side conjuncts derived "
+    "from the OR reach both parquet scans as PushedFilters, with the full "
+    "disjunction re-checked post-join",
+    tags=("tpch", "join", "agg"),
+)
+
+shared_sql(
     "tpch_q18",
     "SELECT c_name, c_custkey, o_orderkey, o_totalprice, "
     + dsum_sql("l_quantity", scale=2)

@@ -152,6 +152,34 @@ def test_tpch_q4_and_q18_semi_join(spark):
         assert "InSubquery" not in plan and "exists" not in plan.lower(), name
 
 
+def test_tpch_q19_pushes_disjunction_factors(spark):
+    """Q19's cross-table OR-of-ANDs is not factorable by Catalyst, so the
+    query states the implied per-side conjuncts explicitly — both scans
+    must show them as PushedFilters (brand IN-list on part, quantity range
+    on lineitem), with a hash equi-join on partkey."""
+    plan = _physical(spark, "tpch_q19")
+    assert "In(p_brand" in plan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "HashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_events_funnel_single_effective_key(spark):
+    """The funnel's three stage frames and both joins all key on user_id;
+    no stage may introduce a cartesian or nested-loop strategy."""
+    plan = _physical(spark, "events_funnel")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stats_mcv_topk_fuses(spark):
+    """MCV histogram = partial count + top-k: TakeOrderedAndProject, and
+    the scan reads only the histogrammed column."""
+    plan = _physical(spark, "stats_mcv_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "ReadSchema: struct<p_brand:string>" in plan
+
+
 def test_range_join_is_equi_join(spark):
     """J10 range join: the binned rewrite must execute as a HASH equi-join
     on the bin id — never the BroadcastNestedLoopJoin Spark would plan for
