@@ -37,6 +37,41 @@ def hash64_sql(expr: str, seed: str = "") -> str:
     return f"CAST(('0x' || substr(md5({inner}), 1, 15)) AS BIGINT)"
 
 
+#: Universal-hash family for MinHash permutations: mh_i(x) = (a_i*x + b_i)
+#: mod P over x = hash64(shingle) truncated to 30 bits.  One md5 per
+#: shingle feeds all k permutations — vs k seeded md5s, hashing cost drops
+#: k-fold, which is the dominant CPU in signature computation at corpus
+#: scale.  P = 2^31-1 (Mersenne); a < P, x < 2^30 keeps a*x + b < 2^62,
+#: overflow-free in int64 on both engines, so the SQL twin is plain BIGINT
+#: arithmetic.
+MINHASH_P = 2_147_483_647
+MINHASH_X_MASK = (1 << 30) - 1
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the permutation family, derived
+    from fixed md5 strings (no RNG state; identical in every process and
+    round)."""
+    import hashlib
+
+    params = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"mha{i}".encode()).hexdigest()[:15], 16) % (MINHASH_P - 1) + 1
+        b = int(hashlib.md5(f"mhb{i}".encode()).hexdigest()[:15], 16) % MINHASH_P
+        params.append((a, b))
+    return params
+
+
+def minhash_transform(h: Column, a: int, b: int) -> Column:
+    """Permutation i applied to the base shingle hash (JVM-side integer ops)."""
+    return (F.lit(a) * (h.bitwiseAND(F.lit(MINHASH_X_MASK))) + F.lit(b)) % F.lit(MINHASH_P)
+
+
+def minhash_transform_sql(h_expr: str, a: int, b: int) -> str:
+    """DuckDB twin of :func:`minhash_transform` (same bits, same dtype)."""
+    return f"(({a} * ({h_expr} & {MINHASH_X_MASK}) + {b}) % {MINHASH_P})"
+
+
 def dsum(col: Column | str, scale: int = 2, precision: int = 18) -> Column:
     """Order-independent SUM of a double column.
 

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import register
 from ..catalog import load_tables
-from ..functions import hash64_sql
+from ..functions import hash64_sql, minhash_params, minhash_transform_sql
 from ..operators import dedup as D
 from ..operators.text import content_fingerprint_sql
 
@@ -81,7 +81,8 @@ def _minhash_ctes() -> str:
     pair query and the cluster (connected-components) query."""
     rows = NUM_HASHES // BANDS
     mh_exprs = ", ".join(
-        f"MIN({hash64_sql('s', seed=f'mh{i}:')}) AS mh_{i}" for i in range(NUM_HASHES)
+        f"MIN({minhash_transform_sql('h', a, b)}) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_params(NUM_HASHES))
     )
     band_selects = []
     for b in range(BANDS):
@@ -90,7 +91,8 @@ def _minhash_ctes() -> str:
         band_selects.append(f"SELECT doc_id, {b} AS band_id, {bh} AS bh FROM sig")
     buckets = " UNION ALL ".join(band_selects)
     return f"""{_ex_cte()},
-sig AS (SELECT doc_id, {mh_exprs} FROM ex GROUP BY doc_id),
+exh AS (SELECT doc_id, s, {hash64_sql("s", seed="mh:")} AS h FROM ex),
+sig AS (SELECT doc_id, {mh_exprs} FROM exh GROUP BY doc_id),
 buckets AS ({buckets}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -128,3 +128,36 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("o_orderkey").over(w).alias("biggest_order"),
         )
     )
+
+
+@register(
+    "win_range_frame",
+    oracle="SELECT event_id, user_id, ts, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER ("
+    "PARTITION BY user_id ORDER BY epoch_ms(ts) "
+    "RANGE BETWEEN 1800000 PRECEDING AND CURRENT ROW) AS DOUBLE) "
+    "AS trailing_30m "
+    "FROM events",
+    doc="time-based RANGE window frame: per-user 30-minute trailing sum — "
+    "the frame is bounded by the ordering VALUE (epoch millis), not row "
+    "count, so sparse and bursty users get the same time semantics; sum "
+    "through DECIMAL so the frame-order float addition matches DuckDB "
+    "bit-for-bit (epoch_ms / unix_millis both floor to the millisecond)",
+    tags=("window", "events"),
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_millis("ts"))
+        .rangeBetween(-1_800_000, 0)
+    )
+    return t["events"].select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_30m"),
+    )

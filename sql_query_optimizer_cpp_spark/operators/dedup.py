@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..functions import hash64, hash64_sql
+from ..functions import hash64, hash64_sql, minhash_params, minhash_transform
 from .cache import persist_tracked as _persist_tracked, release_cached  # noqa: F401
 from .text import content_fingerprint, tokens
 
@@ -107,16 +107,23 @@ def minhash_signatures(
     n: int = 3,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """MinHash signature per document: for seed i, min over shingles of
-    hash64(seed_i || shingle).  Columns mh_0..mh_{k-1}.
+    """MinHash signature per document: one base hash64 per shingle, then
+    ``num_hashes`` universal-hash permutations (a_i*x + b_i mod 2^31-1)
+    minimized per document.  Columns mh_0..mh_{k-1}.
+
+    One md5 feeds all k permutations — k seeded md5s per shingle would cost
+    k× the hashing CPU for the same MinHash guarantees (k-mins estimator
+    over a 2-universal family), and hashing dominates this stage at corpus
+    scale.
 
     Pass a precomputed (cached) ``shingles`` frame to share the explosion
     with other consumers (LSH verification) instead of recomputing it.
     """
     ex = shingles if shingles is not None else doc_shingles(df, id_col, text_col, n)
+    base = hash64(F.col("s"), seed="mh:")
     aggs = [
-        F.min(hash64(F.col("s"), seed=f"mh{i}:")).alias(f"mh_{i}")
-        for i in range(num_hashes)
+        F.min(minhash_transform(base, a, b)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
     ]
     return ex.groupBy(id_col).agg(*aggs)
 
