@@ -15,6 +15,8 @@ import textwrap
 
 import pytest
 
+from .conftest import SF_DIR
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 PROBE = textwrap.dedent(
@@ -35,10 +37,28 @@ PROBE = textwrap.dedent(
     )
     # any optimized query exercises the injected rule
     assert spark.range(100).filter("id > 5").count() == 94
-    applied = spark.sparkContext._jvm.sqloptspark.GraftMarkerRule.applied()
+    jvm = spark.sparkContext._jvm.sqloptspark.GraftMarkerRule
+    applied = jvm.applied()
+
+    # the rule's real rewrite: x = x on a nullable parquet column becomes
+    # IsNotNull(x) — Catalyst alone leaves the self-comparison in the plan
+    # (SimplifyBinaryComparison needs non-nullable; InferFilters only ADDS
+    # an isnotnull beside it) and IsNotNull pushes to the scan
+    df = spark.read.parquet(
+        {lineitem!r}
+    ).where("l_orderkey = l_orderkey")
+    assert df.count() == 6000
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "= l_orderkey" not in opt, "self-equality survived: " + opt
+    assert "isnotnull(l_orderkey" in opt
+    assert "PushedFilters: [IsNotNull(l_orderkey)]" in phys
+    rewritten = jvm.rewritten()
     spark.stop()
     print("APPLIED", applied)
+    print("REWRITTEN", rewritten)
     assert applied > 0, "injected rule never ran inside the optimizer"
+    assert rewritten > 0, "self-equality rewrite never fired"
     """
 )
 
@@ -46,7 +66,14 @@ PROBE = textwrap.dedent(
 @pytest.mark.skipif(shutil.which("javac") is None, reason="no JDK compiler")
 def test_jvm_rule_injected_and_fires():
     proc = subprocess.run(
-        [sys.executable, "-c", PROBE.format(repo=REPO)],
+        [
+            sys.executable,
+            "-c",
+            PROBE.format(
+                repo=REPO,
+                lineitem=os.path.join(SF_DIR, "lineitem.parquet"),
+            ),
+        ],
         capture_output=True,
         text=True,
         timeout=300,
