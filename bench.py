@@ -50,11 +50,14 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "events_tumbling",
     "events_session",
-    # round 3 additions: binned range join, hierarchical rollup, and the
-    # composed end-to-end curation pass
+    # round 3 additions: binned range join, hierarchical rollup, the
+    # composed end-to-end curation pass, the disjunctive-pushdown TPC-H
+    # shape, and the multi-stage funnel
     "join_range",
     "events_rollup_hypertable",
     "curation_pipeline_e2e",
+    "tpch_q19",
+    "events_funnel",
 ]
 
 RUNS = 3
