@@ -128,11 +128,13 @@ def shared_sql(
 #: whose green row is from the r01 window — so that after this round every
 #: pre-round-3 query has a green row in some round.  The remaining 15
 #: slots grade the round-3 additions (curation + extra TPC-H + multimodal)
-#: for the first time, plus the flagship as a regression guard.  The four
-#: youngest ops (join_range, events_rollup_hypertable, agg_udaf_pandas,
-#: text_bigrams_udtf) sit just past the window for the r04 rotation;
-#: everything outside the window keeps registration order and stays
-#: covered by tests/test_inventory.py + tools/driver_sim.py.
+#: for the first time, plus the flagship as a regression guard.  The
+#: youngest ops sit just past the window for the r04 rotation:
+#: join_range, events_rollup_hypertable, agg_udaf_pandas,
+#: text_bigrams_udtf, sim_ivf_topk, tpch_q12, tpch_q19, events_funnel,
+#: events_retention, stats_mcv_topk, win_range_frame.  Everything outside
+#: the window keeps registration order and stays covered by
+#: tests/test_inventory.py + tools/driver_sim.py.
 _PRIORITY: tuple[str, ...] = (
     # -- never driver-sampled (r01/r02 windows both missed them) ----------
     "dedup_simhash_pairs",
