@@ -1,25 +1,31 @@
-"""Additional TPC-H-shaped benchmark queries (q4/q7/q10/q18), adapted to
-the trimmed fixture schema (no l_commitdate/l_receiptdate/l_shipmode —
-date predicates substitute l_shipdate vs o_orderdate; nation names are the
-fixture's NATION_n).
+"""Additional TPC-H-shaped benchmark queries, adapted to the trimmed
+fixture schema (no l_commitdate/l_receiptdate/l_shipmode/l_container,
+no partsupp table, no c_phone/o_comment — date predicates substitute
+l_shipdate vs o_orderdate, lineitem stands in for partsupp, nationkey
+for phone country codes; nation names are the fixture's NATION_n).
 
-All four are ``shared_sql``: the identical ANSI text runs on Spark and
-DuckDB (parity by construction), with double aggregates through the
-portable decimal-SUM text (``dsum_sql``) and ``year()`` pinned to BIGINT
-(Spark emits INT, DuckDB BIGINT).
+All are ``shared_sql``: the identical ANSI text runs on Spark and DuckDB
+(parity by construction), with double aggregates through the portable
+decimal-SUM/AVG text (``dsum_sql``/``davg_sql``) and ``year()`` pinned
+to BIGINT (Spark emits INT, DuckDB BIGINT).
 
 Plan shapes these exercise (asserted by the global plan guards):
 - q4: correlated EXISTS → left-semi join on the fact table
 - q7: two independent nation dims joined twice (supp/cust side) — both
   broadcast; one fact-fact shuffle
 - q10: 3-way join + group-by + TakeOrderedAndProject top-20
+- q13: outer join with a join-side predicate → two-level aggregation
+- q16: NOT IN over a dim subquery → null-aware anti join + COUNT(DISTINCT)
+- q17: correlated scalar AVG subquery → decorrelated aggregate + join
 - q18: IN over a grouped HAVING subquery → semi join against an aggregate
+- q21: EXISTS + NOT EXISTS on the same fact → semi then anti join chain
+- q22: uncorrelated scalar AVG threshold + NOT EXISTS anti join
 """
 
 from __future__ import annotations
 
 from . import shared_sql
-from ..functions import dsum_sql
+from ..functions import davg_sql, dsum_sql
 
 shared_sql(
     "tpch_q4",
@@ -145,4 +151,118 @@ shared_sql(
     "exceeds 200) — IN over a grouped HAVING subquery becomes a semi join "
     "against the aggregate; quantity sum through portable decimal",
     tags=("tpch", "subquery", "agg", "topk"),
+)
+
+shared_sql(
+    "tpch_q13",
+    "SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM ("
+    "  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count "
+    "  FROM customer LEFT JOIN orders "
+    "    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' "
+    "  GROUP BY c_custkey"
+    ") c_orders "
+    "GROUP BY c_count ORDER BY custdist DESC, c_count DESC",
+    doc="TPC-H Q13 (customer order-count distribution, adapted: the "
+    "o_comment NOT LIKE filter becomes a priority filter since the fixture "
+    "has no comment column) — the filter sits in the LEFT JOIN's ON clause "
+    "so filtered-out customers still appear with c_count = 0, then a "
+    "second aggregation histograms the counts; COUNT(o_orderkey) counts "
+    "only matched rows (NULL-skipping), the semantic core of the query",
+    tags=("tpch", "join", "agg"),
+)
+
+shared_sql(
+    "tpch_q16",
+    "SELECT p_brand, p_type, p_size, "
+    "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM' "
+    "AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35) "
+    "AND l_suppkey NOT IN ("
+    "  SELECT s_suppkey FROM supplier WHERE s_name LIKE '%77%') "
+    "GROUP BY p_brand, p_type, p_size "
+    "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size",
+    doc="TPC-H Q16 (parts/supplier relationship count, adapted: the "
+    "fixture has no partsupp table so lineitem supplies the part-supplier "
+    "pairs, and no s_comment so the complaint filter matches s_name) — "
+    "NOT IN over a non-null dim key becomes a null-aware anti join that "
+    "Catalyst simplifies to a plain left-anti, then COUNT(DISTINCT) "
+    "expands per group",
+    tags=("tpch", "subquery", "agg"),
+)
+
+shared_sql(
+    "tpch_q17",
+    "SELECT CAST(" + dsum_sql("l_extendedprice", scale=4)
+    + " / 7.0 AS DOUBLE) AS avg_yearly "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "WHERE p_brand = 'Brand#23' "
+    "AND l_quantity < ("
+    "  SELECT 0.2 * " + davg_sql("l_quantity")
+    + "  FROM lineitem l2 WHERE l2.l_partkey = p_partkey)",
+    doc="TPC-H Q17 (small-quantity-order revenue, adapted: the fixture "
+    "has no p_container so the brand predicate alone selects the part "
+    "group) — the correlated scalar AVG subquery decorrelates to a "
+    "grouped aggregate joined back on l_partkey; the threshold uses the "
+    "order-independent decimal AVG so both engines compute the identical "
+    "double before the 0.2 multiply, and l_quantity values are integral "
+    "so the comparison never sits on an FP boundary",
+    tags=("tpch", "subquery", "agg"),
+)
+
+shared_sql(
+    "tpch_q21",
+    "SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait "
+    "FROM supplier "
+    "JOIN lineitem l1 ON s_suppkey = l1.l_suppkey "
+    "JOIN orders ON o_orderkey = l1.l_orderkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' "
+    "AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3') "
+    "AND EXISTS ("
+    "  SELECT 1 FROM lineitem l2 "
+    "  WHERE l2.l_orderkey = l1.l_orderkey "
+    "  AND l2.l_suppkey <> l1.l_suppkey) "
+    "AND NOT EXISTS ("
+    "  SELECT 1 FROM lineitem l3 "
+    "  WHERE l3.l_orderkey = l1.l_orderkey "
+    "  AND l3.l_suppkey <> l1.l_suppkey "
+    "  AND l3.l_returnflag = 'R') "
+    "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100",
+    doc="TPC-H Q21 (suppliers who kept orders waiting, adapted: a "
+    "returned line (l_returnflag = 'R') stands in for a late delivery "
+    "since the fixture has no commit/receipt dates) — the EXISTS "
+    "decorrelates to a left-semi and the NOT EXISTS to a left-anti, both "
+    "correlated on l_orderkey with a non-equi extra conjunct, chained on "
+    "the same fact table; LIMIT carries a unique (numwait, s_name) "
+    "tie-break",
+    tags=("tpch", "subquery", "join", "topk"),
+)
+
+shared_sql(
+    "tpch_q22",
+    "SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust, "
+    + dsum_sql("c_acctbal", scale=4)
+    + " AS totacctbal FROM ("
+    "  SELECT CAST(c_nationkey AS BIGINT) AS cntrycode, c_acctbal, "
+    "         c_custkey "
+    "  FROM customer WHERE c_nationkey IN (10, 13, 17, 18, 23) "
+    "  AND c_acctbal > ("
+    "    SELECT " + davg_sql("c_acctbal")
+    + "    FROM customer WHERE c_acctbal > 0.0 "
+    "    AND c_nationkey IN (10, 13, 17, 18, 23))"
+    ") custsale "
+    "WHERE NOT EXISTS ("
+    "  SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+    "  AND o_orderpriority = '1-URGENT') "
+    "GROUP BY cntrycode ORDER BY cntrycode",
+    doc="TPC-H Q22 (global sales opportunity, adapted: c_nationkey "
+    "stands in for the phone country code, and — because every fixture "
+    "customer has orders — the anti join excludes customers with URGENT "
+    "orders rather than any orders, keeping the result non-trivial) — "
+    "an uncorrelated scalar AVG threshold (computed once, broadcast) "
+    "plus a NOT EXISTS anti join; the threshold uses the "
+    "order-independent decimal AVG so the > comparison is bit-identical "
+    "across engines",
+    tags=("tpch", "subquery", "agg"),
 )
