@@ -266,3 +266,179 @@ shared_sql(
     "across engines",
     tags=("tpch", "subquery", "agg"),
 )
+
+#: The fixture has no partsupp table; the remaining TPC-H queries that
+#: need one (q2/q9) derive an equivalent from lineitem: the distinct
+#: (partkey, suppkey) pairs that actually traded, with the minimum
+#: observed line price as the supply cost.  MIN over 2-decimal doubles
+#: is order-independent AND keeps every downstream product/sum at <= 4
+#: decimals, so no double->DECIMAL cast ever lands on a halfway
+#: rounding boundary (a unit-price MIN(l_extendedprice / l_quantity)
+#: carries full 53-bit precision and was observed to round-trip one
+#: group 1e-4 apart between Spark's exact BigDecimal rounding and
+#: DuckDB's multiply-then-nearbyint decimal cast).
+_PARTSUPP_CTE = (
+    "WITH partsupp AS ("
+    "  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey, "
+    "         MIN(l_extendedprice) AS ps_supplycost "
+    "  FROM lineitem GROUP BY l_partkey, l_suppkey) "
+)
+
+shared_sql(
+    "tpch_q2",
+    _PARTSUPP_CTE
+    + "SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost "
+    "FROM part "
+    "JOIN partsupp ON p_partkey = ps_partkey "
+    "JOIN supplier ON s_suppkey = ps_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20 "
+    "AND r_name = 'EUROPE' "
+    "AND ps_supplycost = ("
+    "  SELECT MIN(ps2.ps_supplycost) "
+    "  FROM partsupp ps2 "
+    "  JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey "
+    "  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey "
+    "  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey "
+    "  WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE') "
+    "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100",
+    doc="TPC-H Q2 (minimum-cost supplier per European part in a size/type "
+    "class) — the correlated MIN subquery decorrelates to a per-part "
+    "aggregate joined back on ps_partkey; supply cost from the derived "
+    "partsupp CTE, equality safe because MIN over 2-decimal doubles is "
+    "bit-identical in both engines",
+    tags=("tpch", "subquery", "join", "topk"),
+    tables=("part", "supplier", "nation", "region", "lineitem"),
+)
+
+shared_sql(
+    "tpch_q8",
+    "SELECT o_year, CAST("
+    + dsum_sql("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END", scale=4)
+    + " / " + dsum_sql("volume", scale=4)
+    + " AS DOUBLE) AS mkt_share FROM ("
+    "  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+    "         l_extendedprice * (1 - l_discount) AS volume, "
+    "         n2.n_name AS nation "
+    "  FROM part "
+    "  JOIN lineitem ON p_partkey = l_partkey "
+    "  JOIN supplier ON s_suppkey = l_suppkey "
+    "  JOIN orders ON l_orderkey = o_orderkey "
+    "  JOIN customer ON o_custkey = c_custkey "
+    "  JOIN nation n1 ON c_nationkey = n1.n_nationkey "
+    "  JOIN region ON n1.n_regionkey = r_regionkey "
+    "  JOIN nation n2 ON s_nationkey = n2.n_nationkey "
+    "  WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY' "
+    "  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' "
+    "  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"
+    ") all_nations "
+    "GROUP BY o_year ORDER BY o_year",
+    doc="TPC-H Q8 (national market share within a region, by year) — "
+    "conditional-sum ratio over an 8-table star join with nation joined "
+    "twice; both sums go through portable decimal so the final double "
+    "division is bit-identical across engines",
+    tags=("tpch", "join", "agg"),
+)
+
+shared_sql(
+    "tpch_q9",
+    _PARTSUPP_CTE
+    + "SELECT nation, o_year, "
+    + dsum_sql("amount", scale=4)
+    + " AS sum_profit FROM ("
+    "  SELECT n_name AS nation, "
+    "         CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+    "         l_extendedprice * (1 - l_discount) "
+    "           - ps_supplycost * l_quantity AS amount "
+    "  FROM part "
+    "  JOIN lineitem ON p_partkey = l_partkey "
+    "  JOIN supplier ON s_suppkey = l_suppkey "
+    "  JOIN partsupp ON ps_suppkey = l_suppkey AND ps_partkey = l_partkey "
+    "  JOIN orders ON o_orderkey = l_orderkey "
+    "  JOIN nation ON s_nationkey = n_nationkey "
+    "  WHERE p_name LIKE '%widget%'"
+    ") profit "
+    "GROUP BY nation, o_year "
+    "ORDER BY nation, o_year DESC",
+    doc="TPC-H Q9 (product-type profit by nation and year, adapted: "
+    "supply cost from the derived partsupp CTE since the fixture has no "
+    "partsupp; p_name LIKE matches the fixture's word-pair names) — "
+    "the profit expression is per-row IEEE arithmetic (deterministic), "
+    "summed through portable decimal",
+    tags=("tpch", "join", "agg"),
+    tables=("part", "supplier", "nation", "orders", "lineitem"),
+)
+
+shared_sql(
+    "tpch_q11",
+    "SELECT ps_partkey, value FROM ("
+    "  SELECT l_partkey AS ps_partkey, "
+    + dsum_sql("l_extendedprice", scale=4)
+    + " AS value "
+    "  FROM lineitem "
+    "  JOIN supplier ON l_suppkey = s_suppkey "
+    "  JOIN nation ON s_nationkey = n_nationkey "
+    "  WHERE n_name = 'NATION_3' "
+    "  GROUP BY l_partkey"
+    ") part_value "
+    "WHERE value > ("
+    "  SELECT " + dsum_sql("l_extendedprice", scale=4)
+    + " * 0.001 "
+    "  FROM lineitem "
+    "  JOIN supplier ON l_suppkey = s_suppkey "
+    "  JOIN nation ON s_nationkey = n_nationkey "
+    "  WHERE n_name = 'NATION_3') "
+    "ORDER BY value DESC, ps_partkey",
+    doc="TPC-H Q11 (important stock identification, adapted: traded value "
+    "per part from lineitem since the fixture has no partsupp/availqty) — "
+    "grouped sum filtered against an uncorrelated global-sum scalar "
+    "subquery scaled by a fraction; both sums decimal-portable so the "
+    "threshold comparison is deterministic",
+    tags=("tpch", "subquery", "agg"),
+)
+
+shared_sql(
+    "tpch_q15",
+    "WITH revenue AS ("
+    "  SELECT l_suppkey AS supplier_no, "
+    + dsum_sql("l_extendedprice * (1 - l_discount)", scale=4)
+    + " AS total_revenue "
+    "  FROM lineitem "
+    "  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' "
+    "  GROUP BY l_suppkey) "
+    "SELECT s_suppkey, s_name, total_revenue "
+    "FROM supplier JOIN revenue ON s_suppkey = supplier_no "
+    "WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue) "
+    "ORDER BY s_suppkey",
+    doc="TPC-H Q15 (top supplier by quarterly revenue; the standard "
+    "view+MAX formulation as a CTE) — the revenue CTE is evaluated for "
+    "both the join and the MAX scalar; revenue is decimal-portable so "
+    "the equality against MAX is bit-exact across engines",
+    tags=("tpch", "subquery", "agg"),
+    tables=("supplier", "lineitem"),
+)
+
+shared_sql(
+    "tpch_q20",
+    "SELECT s_name, s_acctbal "
+    "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+    "WHERE n_name = 'NATION_3' "
+    "AND s_suppkey IN ("
+    "  SELECT l_suppkey FROM lineitem "
+    "  WHERE l_partkey IN ("
+    "    SELECT p_partkey FROM part WHERE p_name LIKE '%widget%') "
+    "  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+    "  GROUP BY l_suppkey, l_partkey "
+    "  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 30) "
+    "ORDER BY s_name",
+    doc="TPC-H Q20 (potential part promotion, adapted: a supplier "
+    "qualifies when it shipped more than a quantity threshold of some "
+    "promoted part in the year, replacing the availqty comparison the "
+    "fixture cannot express) — nested IN subqueries (parts inside the "
+    "supplier filter) with a grouped-HAVING threshold; both INs become "
+    "semi joins",
+    tags=("tpch", "subquery", "join"),
+)
