@@ -252,3 +252,40 @@ def test_runtime_bloom_filter_reduction(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_tpch_q2_decorrelates_min_subquery(spark):
+    """Q2's correlated MIN-cost subquery must decorrelate to a per-part
+    aggregate joined back on ps_partkey — no Subquery node may survive to
+    re-execute per row — and the LIMIT 100 must fuse into top-k."""
+    plan = _physical(spark, "tpch_q2")
+    assert "Subquery" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q8_q9_broadcast_dims(spark):
+    """The 8-table (q8) and 6-table (q9) stars must broadcast every
+    dimension side; the only shuffles are fact-fact joins and the final
+    aggregate."""
+    for name, min_bcast in (("tpch_q8", 5), ("tpch_q9", 4)):
+        plan = _physical(spark, name)
+        assert plan.count("BroadcastHashJoin") >= min_bcast, name
+
+
+def test_tpch_q11_q15_scalar_subquery_runs_once(spark):
+    """The uncorrelated threshold (q11) / MAX (q15) scalar subqueries must
+    plan as a single Subquery node (one extra job), never a per-row
+    re-execution strategy: no nested-loop join against the subquery
+    result."""
+    for name in ("tpch_q11", "tpch_q15"):
+        plan = _physical(spark, name)
+        assert "Subquery" in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_tpch_q20_nested_in_becomes_semi(spark):
+    """Both nested IN subqueries (parts inside the supplier filter) must
+    become semi joins."""
+    plan = _physical(spark, "tpch_q20")
+    assert "LeftSemi" in plan
+    assert "InSubquery" not in plan
