@@ -62,10 +62,13 @@ def stratified_sample(
     default_rate: float = 1.0,
     id_col: str = "doc_id",
     seed: str = "strat:",
+    passthrough: bool = False,
 ) -> DataFrame:
     """Deterministic stratified sample: keep a row iff its hash bucket falls
     under its stratum's rate.  Output keeps (id, stratum, sample_bucket)
-    so the decision is auditable."""
+    so the decision is auditable; ``passthrough=True`` keeps every input
+    column instead (plus sample_bucket) so the sample composes into a
+    longer pipeline without a join-back on the id."""
     rates = rates or {}
     rate = F.lit(int(default_rate * SAMPLE_MOD))
     for value, r in sorted(rates.items()):
@@ -73,11 +76,12 @@ def stratified_sample(
             rate
         )
     bucket = sample_bucket(id_col, seed)
-    return (
-        df.withColumn("sample_bucket", bucket)
-        .filter(F.col("sample_bucket") < rate)
-        .select(id_col, strata_col, "sample_bucket")
+    out = df.withColumn("sample_bucket", bucket).filter(
+        F.col("sample_bucket") < rate
     )
+    if passthrough:
+        return out
+    return out.select(id_col, strata_col, "sample_bucket")
 
 
 def stratified_sample_sql(
@@ -108,13 +112,17 @@ def pack_sequences(
     text_col: str = "text",
     n_shards: int = 8,
     ctx: int = 2048,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Concat-and-chop sequence packing: within a shard (``id mod
     n_shards``), documents are laid out in id order and chopped into
     ``ctx``-token context windows; each doc is labeled with the bin where
     its first token lands and its offset inside that bin.
 
-    Output: (doc_id, shard, n_tokens, bin_id, bin_offset) — all BIGINT.
+    Output: (doc_id, shard, n_tokens, bin_id, bin_offset) — all BIGINT —
+    plus any ``carry_cols`` passed through unchanged (rides the same
+    window shuffle; saves a join-back when a downstream stage needs, say,
+    the language label alongside the packing assignment).
     """
     w = (
         W.partitionBy("shard")
@@ -125,6 +133,7 @@ def pack_sequences(
         F.col(id_col),
         (F.col(id_col) % n_shards).alias("shard"),
         token_count(text_col).alias("n_tokens"),
+        *[F.col(c) for c in carry_cols],
     )
     start = F.sum("n_tokens").over(w) - F.col("n_tokens")
     return (
@@ -135,6 +144,7 @@ def pack_sequences(
             "n_tokens",
             F.floor(F.col("start") / ctx).alias("bin_id"),
             (F.col("start") % ctx).alias("bin_offset"),
+            *carry_cols,
         )
     )
 
@@ -171,13 +181,17 @@ def quality_filter(
     min_tokens: int = 20,
     min_score: float = 0.5,
     langs: tuple[str, ...] = ("en", "es", "de", "fr"),
+    passthrough: bool = False,
 ) -> DataFrame:
     """Composite keep/drop decision with a first-failing-rule reason —
     the auditable filter a curation pipeline applies before training.
 
     Rules in order: too_short (token count), low_quality (composite
     score), lang_not_allowed (heuristic lang-id outside the allowlist).
-    Output: (doc_id, keep, reason) with reason 'ok' for kept rows.
+    Output: (doc_id, keep, reason) with reason 'ok' for kept rows;
+    ``passthrough=True`` keeps every input column too, so the next
+    pipeline stage filters in place instead of joining back on the id
+    (which would re-scan the corpus and re-evaluate these expressions).
     """
     n = token_count(text_col)
     q = quality_score(text_col)
@@ -188,6 +202,10 @@ def quality_filter(
         .when(~lid.isin(*langs), F.lit("lang_not_allowed"))
         .otherwise(F.lit("ok"))
     )
+    if passthrough:
+        return df.withColumn("reason", reason).withColumn(
+            "keep", F.col("reason") == "ok"
+        )
     return df.select(
         F.col(id_col),
         reason.alias("reason"),

@@ -99,6 +99,27 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def exact_dedup_keep(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Pass-through exact dedup: keep only the min-id representative ROW
+    per content hash, all columns intact.
+
+    Same keep-set as :func:`exact_dedup` (min id per normalized-content
+    hash), but as a window rank over the content-hash partition instead of
+    an aggregate — so a pipeline keeps flowing through one shuffle with no
+    join-back against the input (which would re-scan and re-compute every
+    upstream expression).  Use :func:`exact_dedup` when you want the
+    dup-count summary; use this inside multi-stage pipelines.
+    """
+    w = W.partitionBy(content_fingerprint(text_col)).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -289,3 +289,15 @@ def test_tpch_q20_nested_in_becomes_semi(spark):
     plan = _physical(spark, "tpch_q20")
     assert "LeftSemi" in plan
     assert "InSubquery" not in plan
+
+
+def test_curation_pipeline_single_scan_two_shuffles(spark):
+    """The e2e curation pass must stay linear: ONE corpus scan, ZERO
+    joins, and exactly two hash shuffles (content-hash window for dedup,
+    shard window for packing).  Join-backs on doc_id would re-scan the
+    corpus and re-run the regex-heavy quality expressions per stage —
+    the difference between 1 and ~4 corpus passes at 100 TB."""
+    plan = _physical(spark, "curation_pipeline_e2e")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
