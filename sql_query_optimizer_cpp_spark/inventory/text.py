@@ -157,3 +157,90 @@ def text_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     return T.vocab_topk(t["documents"], k=100)
+
+
+#: The synthetic corpus carries no real PII, so the redaction query
+#: plants some deterministically from row data — emails for doc_id % 3
+#: != 0, phone numbers for even ids, IPv4s for doc_id % 5 == 0 — then
+#: scrubs it.  Both engines run the identical construction, so the
+#: regex behavior (greedy matching, global replace) is what's graded.
+def _pii_text_col() -> F.Column:
+    did = F.col("doc_id")
+    email = F.when(
+        did % 3 > 0,
+        F.concat(
+            F.lit(" contact user"),
+            did.cast("string"),
+            F.lit("@mail-"),
+            F.col("source"),
+            F.lit(".com"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit(" call +1-555-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit(" from 10."),
+            (did % 256).cast("string"),
+            F.lit(".0."),
+            ((did * 7) % 256).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(F.substring("text", 1, 40), email, phone, ip)
+
+
+_PII_TEXT_SQL = (
+    "substr(text, 1, 40) "
+    "|| CASE WHEN doc_id % 3 > 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) "
+    "|| '@mail-' || source || '.com' ELSE '' END "
+    "|| CASE WHEN doc_id % 2 = 0 THEN ' call +1-555-' "
+    "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END "
+    "|| CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) "
+    "|| '.0.' || CAST(doc_id * 7 % 256 AS VARCHAR) ELSE '' END"
+)
+
+
+def _redact_oracle() -> str:
+    counts = T.pii_counts_sql("pii_text")
+    clean = " + ".join(T.pii_counts_sql("redacted").values())
+    return (
+        f"WITH planted AS (SELECT doc_id, {_PII_TEXT_SQL} AS pii_text FROM documents), "
+        f"scrubbed AS (SELECT doc_id, pii_text, {T.redact_pii_sql('pii_text')} AS redacted FROM planted) "
+        f"SELECT doc_id, {counts['email']} AS n_email, {counts['phone']} AS n_phone, "
+        f"{counts['ipv4']} AS n_ipv4, redacted, ({clean}) = 0 AS clean "
+        f"FROM scrubbed"
+    )
+
+
+@register(
+    "text_redact_pii",
+    oracle=_redact_oracle(),
+    doc="PII redaction: emails / phone numbers / IPv4s masked with typed "
+    "placeholders via a portable regexp_replace chain (Java-regex/RE2 "
+    "common subset; DuckDB needs the 'g' flag Spark implies); per-kind "
+    "hit counts as audit columns and a redacted-is-clean assertion — "
+    "zero shuffle, pure codegen'd expressions",
+    tags=("text", "curation"),
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    planted = t["documents"].select(
+        "doc_id", _pii_text_col().alias("pii_text")
+    )
+    counts = T.pii_counts("pii_text")
+    scrubbed = planted.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ipv4"].alias("n_ipv4"),
+        T.redact_pii("pii_text").alias("redacted"),
+    )
+    residue = T.pii_counts("redacted")
+    clean = (residue["email"] + residue["phone"] + residue["ipv4"]) == 0
+    return scrubbed.withColumn("clean", clean)

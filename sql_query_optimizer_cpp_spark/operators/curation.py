@@ -106,6 +106,56 @@ def stratified_sample_sql(
     )
 
 
+def sample_fixed_k(
+    df: DataFrame,
+    strata_col: str = "lang",
+    k: int = 100,
+    id_col: str = "doc_id",
+    seed: str = "fixk:",
+) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum — the budgeted
+    counterpart of :func:`stratified_sample` (which keeps a *fraction*).
+    Deterministic: rows are ranked by the portable 60-bit hash of their id
+    (ties broken by id), so re-runs, backfills, and both engines pick the
+    same rows — a distributed reservoir sample without the randomness.
+
+    One shuffle on the stratum key.  For a stratum so large its partition
+    can't sort in memory, pre-thin with ``stratified_sample`` at a rate
+    that over-samples k (e.g. keep ~10k hash buckets) and rank the
+    survivors — same result whenever the pre-filter keeps >= k rows,
+    because the rank order is the same hash.
+
+    Output: (id, stratum, pos) with pos 1..k.
+    """
+    w = W.partitionBy(strata_col).orderBy(
+        hash64(F.col(id_col).cast("string"), seed=seed), id_col
+    )
+    return (
+        df.select(id_col, strata_col)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .filter(F.col("pos") <= k)
+    )
+
+
+def sample_fixed_k_sql(
+    table: str = "documents",
+    strata_col: str = "lang",
+    k: int = 100,
+    id_expr: str = "doc_id",
+    seed: str = "fixk:",
+) -> str:
+    """DuckDB twin of :func:`sample_fixed_k` (same hash, same ranks)."""
+    h = hash64_sql(f"CAST({id_expr} AS VARCHAR)", seed=seed)
+    return (
+        f"SELECT {id_expr}, {strata_col}, pos FROM ("
+        f"  SELECT {id_expr}, {strata_col}, "
+        f"         CAST(row_number() OVER (PARTITION BY {strata_col} "
+        f"              ORDER BY {h}, {id_expr}) AS BIGINT) AS pos "
+        f"  FROM {table}) ranked "
+        f"WHERE pos <= {k}"
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",

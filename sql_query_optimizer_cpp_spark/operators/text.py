@@ -189,3 +189,55 @@ SELECT token, cnt,
        CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
 FROM top
 """
+
+
+#: PII patterns shared by the Spark and DuckDB sides.  Written for the
+#: common subset of Java regex (Spark) and RE2 (DuckDB): character
+#: classes, bounded repetition, and greedy quantifiers only — no
+#: backreferences or lookaround (RE2 has neither), no \d/\b shorthands
+#: (identical in both, but spelled out to keep the subset obvious).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("phone", "[+][0-9]{1,3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ipv4", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+)
+
+
+def redact_pii(col: str = "text") -> Column:
+    """Mask emails, international-format phone numbers, and IPv4 addresses
+    with typed placeholder tokens — the standard scrub a pre-training
+    corpus gets before the tokenizer ever sees it.
+
+    Pure ``regexp_replace`` chain: JVM-side, codegen'd, embarrassingly
+    parallel — zero shuffle at any scale.  Order matters: emails first so
+    the phone/IP passes never see user@host fragments.
+    """
+    c = F.col(col)
+    for _, pattern, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
+def redact_pii_sql(expr: str = "text") -> str:
+    """DuckDB twin of :func:`redact_pii` (note the 'g' flag: DuckDB's
+    regexp_replace is first-match-only by default, Spark's is global)."""
+    out = expr
+    for _, pattern, token in PII_PATTERNS:
+        sql_pattern = pattern.replace("'", "''")
+        out = f"regexp_replace({out}, '{sql_pattern}', '{token}', 'g')"
+    return out
+
+
+def pii_counts(col: str = "text") -> dict[str, Column]:
+    """Per-kind PII hit counts (BIGINT) for audit columns."""
+    return {
+        kind: F.regexp_count(F.col(col), F.lit(pattern)).cast("long")
+        for kind, pattern, _ in PII_PATTERNS
+    }
+
+
+def pii_counts_sql(expr: str = "text") -> dict[str, str]:
+    return {
+        kind: f"CAST(len(regexp_extract_all({expr}, '{pattern}')) AS BIGINT)"
+        for kind, pattern, _ in PII_PATTERNS
+    }

@@ -333,3 +333,47 @@ def test_lsh_multiprobe_recall_on_planted_twins(spark):
     assert single >= 0.7
     assert multi >= 0.85
     assert multi > single
+
+
+def test_redact_pii_edge_cases(spark):
+    """Global replace (every occurrence, not just the first), mixed kinds
+    in one string, and PII-free text passing through byte-identical."""
+    from sql_query_optimizer_cpp_spark.operators.text import redact_pii
+
+    rows = [
+        ("a@b.com then c.d-e@f.org done", "<EMAIL> then <EMAIL> done"),
+        ("call +1-555-0100 or +44-020-7946", "call <PHONE> or <PHONE>"),
+        ("host 10.0.0.1 and 192.168.255.254 up", "host <IP> and <IP> up"),
+        ("user1@mail-web.com +1-555-0042 10.3.0.7", "<EMAIL> <PHONE> <IP>"),
+        ("no pii here, just text. really.", "no pii here, just text. really."),
+        ("almost@an@email and 1.2.3 and +1-55", "almost@an@email and 1.2.3 and +1-55"),
+    ]
+    df = spark.createDataFrame(rows, ["text", "expected"])
+    got = df.select("expected", redact_pii("text").alias("redacted")).collect()
+    for r in got:
+        assert r.redacted == r.expected
+
+
+def test_sample_fixed_k_invariants(spark):
+    """Each stratum yields exactly min(k, |stratum|) rows, pos is dense
+    1..n, and the keep-set is invariant under repartitioning (the
+    determinism a backfill at scale relies on)."""
+    from sql_query_optimizer_cpp_spark.operators.curation import sample_fixed_k
+
+    docs = load_tables(spark, SF_DIR, ("documents",))["documents"]
+    k = 7
+    out = sample_fixed_k(docs, "lang", k).collect()
+    sizes = {
+        r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r.pos)
+    assert set(by_lang) == set(sizes)
+    for lang, poss in by_lang.items():
+        assert sorted(poss) == list(range(1, min(k, sizes[lang]) + 1)), lang
+
+    reshuffled = sample_fixed_k(docs.repartition(13), "lang", k).collect()
+    assert {(r.doc_id, r.lang) for r in reshuffled} == {
+        (r.doc_id, r.lang) for r in out
+    }

@@ -301,3 +301,17 @@ def test_curation_pipeline_single_scan_two_shuffles(spark):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_redact_pii_no_shuffle(spark):
+    """Redaction is a regexp_replace chain over the scan: zero Exchange —
+    embarrassingly parallel at any scale."""
+    plan = _physical(spark, "text_redact_pii")
+    assert "Exchange" not in plan
+
+
+def test_sample_fixed_k_single_shuffle(spark):
+    """Exactly one hash shuffle (the per-stratum rank window); the k
+    filter runs inside the window stage."""
+    plan = _physical(spark, "sample_fixed_k")
+    assert plan.count("Exchange hashpartitioning") == 1
