@@ -134,7 +134,8 @@ def shared_sql(
 #: text_bigrams_udtf, sim_ivf_topk, tpch_q12, tpch_q19, events_funnel,
 #: events_retention, stats_mcv_topk, win_range_frame, the TPC-H
 #: completion set (q2 q8 q9 q11 q13 q15 q16 q17 q20 q21 q22), and the
-#: late-round-3 curation ops (text_redact_pii, sample_fixed_k).
+#: late-round-3 curation ops (text_redact_pii, sample_fixed_k,
+#: text_repetition, corpus_mix_report, events_latest_by_user).
 #: Everything outside
 #: the window keeps registration order and stays covered by
 #: tests/test_inventory.py + tools/driver_sim.py.

@@ -170,3 +170,32 @@ def events_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hierarchical_rollup(
         t["events"], "ts", "event_type", "value", grains=("hour", "day")
     )
+
+
+# --- latest event per key: the CDC-snapshot shape --------------------------------
+@register(
+    "events_latest_by_user",
+    oracle="SELECT user_id, event_id, ts, event_type, value FROM ("
+    "  SELECT user_id, event_id, ts, event_type, value, "
+    "         row_number() OVER (PARTITION BY user_id "
+    "                            ORDER BY ts DESC, event_id DESC) AS rn "
+    "  FROM events) ranked WHERE rn = 1",
+    doc="latest event per user (max ts, event_id tie-break) — the "
+    "compact-a-changelog-to-a-snapshot operation every CDC/upsert "
+    "pipeline runs; one shuffle on the key, rank evaluated inside the "
+    "window stage with no join-back",
+    tags=("events", "window"),
+)
+def events_latest_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("events",))
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        t["events"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )

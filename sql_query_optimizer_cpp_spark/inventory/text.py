@@ -244,3 +244,32 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     residue = T.pii_counts("redacted")
     clean = (residue["email"] + residue["phone"] + residue["ipv4"]) == 0
     return scrubbed.withColumn("clean", clean)
+
+
+def _repetition_oracle() -> str:
+    s = T.repetition_stats_sql("text")
+    return (
+        f"SELECT doc_id, {s['n_bigrams']} AS n_bigrams, "
+        f"{s['n_distinct']} AS n_distinct, {s['rep_ratio']} AS rep_ratio "
+        f"FROM documents"
+    )
+
+
+@register(
+    "text_repetition",
+    oracle=_repetition_oracle(),
+    doc="Gopher-style repetition signal: fraction of adjacent-token "
+    "bigrams that repeat an earlier bigram in the document (high = "
+    "boilerplate/degenerate text); per-row array expressions, zero "
+    "shuffle",
+    tags=("text", "curation"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    s = T.repetition_stats("text")
+    return t["documents"].select(
+        "doc_id",
+        s["n_bigrams"].alias("n_bigrams"),
+        s["n_distinct"].alias("n_distinct"),
+        s["rep_ratio"].alias("rep_ratio"),
+    )

@@ -241,3 +241,65 @@ def pii_counts_sql(expr: str = "text") -> dict[str, str]:
         kind: f"CAST(len(regexp_extract_all({expr}, '{pattern}')) AS BIGINT)"
         for kind, pattern, _ in PII_PATTERNS
     }
+
+
+def bigram_list(col: str = "text") -> Column:
+    """Adjacent-token bigrams as an array<string> — built-in expressions
+    only (the UDTF twin ``text_bigrams_udtf`` exists to exercise the UDTF
+    surface; THIS is the hot-path formulation).  Empty array below 2
+    tokens: Spark's ``sequence(1, 0)`` counts DOWN, so the guard is not
+    optional."""
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) >= 2,
+        F.expr(
+            f"transform(sequence(1, size({tokens_sql_spark(col)}) - 1), "
+            f"i -> concat(element_at({tokens_sql_spark(col)}, i), ' ', "
+            f"element_at({tokens_sql_spark(col)}, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def tokens_sql_spark(col: str = "text") -> str:
+    """The tokens() expression as Spark-SQL text (for use inside
+    ``F.expr`` lambdas, which can't splice Column objects)."""
+    return f"split(trim({col}), ' +')"
+
+
+def bigram_list_sql(expr: str = "text") -> str:
+    """DuckDB twin of :func:`bigram_list` (range(1, n) is empty for
+    n <= 1, so no guard needed)."""
+    t = tokens_sql(expr)
+    return (
+        f"list_transform(range(1, len({t})), "
+        f"i -> {t}[i] || ' ' || {t}[i + 1])"
+    )
+
+
+def repetition_stats(col: str = "text") -> dict[str, Column]:
+    """Gopher-style repetition signal: the fraction of adjacent-token
+    bigrams that are repeats of an earlier bigram in the same document.
+    High ratio = boilerplate/spam/degenerate text; a standard pre-training
+    quality gate alongside :func:`quality_score`.
+
+    Per-row array expressions — zero shuffle at any scale.  The ratio is
+    one scalar IEEE division per row, deterministic across engines.
+    """
+    bi = bigram_list(col)
+    n = F.size(bi).cast("long")
+    d = F.size(F.array_distinct(bi)).cast("long")
+    ratio = F.when(n > 0, 1.0 - d.cast("double") / n.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return {"n_bigrams": n, "n_distinct": d, "rep_ratio": ratio}
+
+
+def repetition_stats_sql(expr: str = "text") -> dict[str, str]:
+    bi = bigram_list_sql(expr)
+    n = f"CAST(len({bi}) AS BIGINT)"
+    d = f"CAST(len(list_distinct({bi})) AS BIGINT)"
+    ratio = (
+        f"(CASE WHEN {n} > 0 THEN 1.0 - CAST({d} AS DOUBLE) / "
+        f"CAST({n} AS DOUBLE) ELSE 0.0 END)"
+    )
+    return {"n_bigrams": n, "n_distinct": d, "rep_ratio": ratio}

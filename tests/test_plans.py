@@ -315,3 +315,25 @@ def test_sample_fixed_k_single_shuffle(spark):
     filter runs inside the window stage."""
     plan = _physical(spark, "sample_fixed_k")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_text_repetition_no_shuffle(spark):
+    """Per-row array expressions only: zero Exchange."""
+    plan = _physical(spark, "text_repetition")
+    assert "Exchange" not in plan
+
+
+def test_events_latest_by_user_single_shuffle(spark):
+    """CDC-snapshot compaction: one hash shuffle on the key, the rank
+    filter inside the window stage, no join-back."""
+    plan = _physical(spark, "events_latest_by_user")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_corpus_mix_report_partial_agg(spark):
+    """Map-side combine before the one shuffle: bytes to the reducers are
+    proportional to (lang, source) cardinality, not corpus size."""
+    plan = _physical(spark, "corpus_mix_report")
+    assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan
+    assert "partial" in plan
