@@ -462,3 +462,39 @@ shared_sql(
     "Spark 4 and DuckDB",
     tags=("agg",),
 )
+
+
+# --- Approximate quantiles (tolerance assertion, like agg_approx_distinct) -------
+@register(
+    "agg_approx_quantile",
+    # Sketch VALUES differ by construction (Spark: Greenwald-Khanna rank
+    # sketch at accuracy=10000; DuckDB: t-digest), so each engine asserts
+    # its own estimate against its own exact quantile with the same 2%
+    # value tolerance and the booleans are hash-compared.  Headroom math
+    # (the agg_approx_distinct lesson): worst observed error on the
+    # fixtures is 0.162% (DuckDB t-digest, sf0.01) — 2% is ~12x that,
+    # while Spark's rank-error bound at accuracy=10000 is ~0.01%.
+    oracle="SELECT o_orderstatus, "
+    "abs(approx_quantile(o_totalprice, 0.5) - quantile_cont(o_totalprice, 0.5)) "
+    "<= 0.02 * quantile_cont(o_totalprice, 0.5) AS within_tol "
+    "FROM orders GROUP BY o_orderstatus",
+    doc="approx_percentile graded as a tolerance assertion: |approx p50 - "
+    "exact p50| <= 2% of exact per group in BOTH engines; the exact twin "
+    "agg_percentiles is value-compared",
+    tags=("agg", "approx"),
+)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            (
+                F.abs(
+                    F.expr("approx_percentile(o_totalprice, 0.5, 10000)")
+                    - F.expr("percentile(o_totalprice, 0.5)")
+                )
+                <= 0.02 * F.expr("percentile(o_totalprice, 0.5)")
+            ).alias("within_tol")
+        )
+    )

@@ -166,3 +166,45 @@ def test_incremental_rollup_equals_batch(tmp_path, spark):
     streamed_day = compact(spark, str(tmp_path / "log"), grain="day")
     batch_day = reaggregate(batch_hour, "event_type", "day")
     assert finalized(streamed_day) == finalized(batch_day)
+
+
+def test_stream_latest_snapshot_equals_batch(tmp_path, spark):
+    """Drive events through 4 genuine micro-batches; the per-user best row
+    emitted last must equal the batch window-rank answer — i.e. the
+    O(keys) streaming state reproduces the full-history rank."""
+    from sql_query_optimizer_cpp_spark.inventory import all_queries
+    from sql_query_optimizer_cpp_spark.streaming.latest import latest_snapshot
+
+    events = load_tables(spark, SF_DIR, ("events",))["events"]
+    src = str(tmp_path / "src")
+    events.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name, q = run_to_memory(latest_snapshot(stream), output_mode="update")
+    try:
+        q.processAllAvailable()
+        assert q.lastProgress["batchId"] >= 3  # really incremental
+        # update mode re-emits a key's best-so-far each batch that touches
+        # it; the emission sequence per key is monotone in (ts, event_id),
+        # so the max emitted row per key is the final snapshot
+        snapshot = {
+            r.user_id: (r.event_id, r.ts, r.event_type, r.value)
+            for r in spark.sql(
+                f"""SELECT * FROM (
+                      SELECT *, row_number() OVER (
+                        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                      ) AS rn FROM {name}) WHERE rn = 1"""
+            ).collect()
+        }
+    finally:
+        q.stop()
+
+    batch = {
+        r.user_id: (r.event_id, r.ts, r.event_type, r.value)
+        for r in all_queries()["events_latest_by_user"].fn(spark, SF_DIR).collect()
+    }
+    assert snapshot == batch
