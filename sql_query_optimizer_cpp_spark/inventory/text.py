@@ -273,3 +273,35 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         s["n_distinct"].alias("n_distinct"),
         s["rep_ratio"].alias("rep_ratio"),
     )
+
+
+@register(
+    "text_tokens_bpeish",
+    oracle="WITH planted AS (SELECT doc_id, text, "
+    + _PII_TEXT_SQL
+    + " AS rich_text FROM documents) "
+    "SELECT doc_id, "
+    + T.token_count_sql("text")
+    + " AS n_ws, "
+    + T.bpeish_token_count_sql("text")
+    + " AS n_bpeish, "
+    + T.bpeish_token_count_sql("rich_text")
+    + " AS n_bpeish_rich FROM planted",
+    doc="BPE-ish model-token counting: GPT-2-shape pre-tokenizer regex "
+    "(letter/digit/punctuation runs, optional leading space) alongside "
+    "the whitespace count — the budget number that matters when 'tokens' "
+    "means model tokens; also counted over punctuation-rich planted text "
+    "since the synthetic corpus is bare lowercase words",
+    tags=("text",),
+)
+def text_tokens_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    planted = t["documents"].select(
+        "doc_id", "text", _pii_text_col().alias("rich_text")
+    )
+    return planted.select(
+        "doc_id",
+        T.token_count("text").alias("n_ws"),
+        T.bpeish_token_count("text").alias("n_bpeish"),
+        T.bpeish_token_count("rich_text").alias("n_bpeish_rich"),
+    )

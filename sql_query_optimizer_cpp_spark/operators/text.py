@@ -303,3 +303,29 @@ def repetition_stats_sql(expr: str = "text") -> dict[str, str]:
         f"CAST({n} AS DOUBLE) ELSE 0.0 END)"
     )
     return {"n_bigrams": n, "n_distinct": d, "rep_ratio": ratio}
+
+
+#: BPE-ish pre-tokenization pattern (the GPT-2 shape, simplified to the
+#: Java-regex/RE2 common subset — no contraction lookaheads): a token is
+#: an optionally-space-prefixed letter run, digit run, or punctuation
+#: run.  This is the *pre-tokenizer* split every BPE implementation
+#: applies before merges; counting these pieces upper-bounds (and on
+#: prose closely tracks) the trained-vocab token count without shipping
+#: a merges table into the engine.
+BPEISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpeish_token_count(col: str = "text") -> Column:
+    """Count of BPE-ish pre-tokens (see :data:`BPEISH_PATTERN`) — the
+    budget estimator a training pipeline uses when 'tokens' means model
+    tokens, not whitespace words.  Pure JVM regex, zero shuffle."""
+    return F.size(
+        F.expr(f"regexp_extract_all({col}, '{BPEISH_PATTERN}', 0)")
+    ).cast("long")
+
+
+def bpeish_token_count_sql(expr: str = "text") -> str:
+    """DuckDB twin of :func:`bpeish_token_count`."""
+    return (
+        f"CAST(len(regexp_extract_all({expr}, '{BPEISH_PATTERN}')) AS BIGINT)"
+    )
