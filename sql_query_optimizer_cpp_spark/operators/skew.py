@@ -41,3 +41,31 @@ def salted_agg(
         *[merge.alias(name) for name, (_, merge) in aggs.items()]
     )
     return phase2
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-salted equi-join for the case AQE's skew split can't fix and
+    broadcast can't reach: ``left`` is the skewed big side, ``right`` is
+    mid-size — too big to broadcast, small enough to replicate
+    ``n_salts``×.
+
+    Each left row gets a random salt in [0, n_salts); the right side is
+    replicated once per salt value; the join keys become (on..., salt), so
+    the hot key's rows spread across ``n_salts`` reducers instead of one.
+
+    Only ``inner`` and ``left`` joins are salt-safe (an unmatched RIGHT
+    row exists once per replica and would surface ``n_salts`` times under
+    right/full semantics) — enforced.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, not {how!r}")
+    salts = F.array([F.lit(i) for i in range(n_salts)])
+    l = left.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
+    r = right.withColumn("_salt", F.explode(salts))
+    return l.join(r, [*on, "_salt"], how).drop("_salt")

@@ -23,13 +23,36 @@ def write(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     bucket_by: tuple[int, list[str]] | None = None,
+    sort_for_skipping: list[str] | tuple[int, list[str]] | None = None,
     table: str | None = None,
     **options,
 ) -> None:
     """Write ``df`` to ``path`` (file layout) or ``table`` (catalog table;
-    required for bucket_by)."""
+    required for bucket_by).
+
+    ``sort_for_skipping``: range-partition then sort rows by these columns
+    before writing, so the output files carry DISJOINT value ranges and
+    each parquet row group's min/max footer statistics cover a narrow
+    slice — point/range predicates on those columns then skip whole
+    files/row groups at scan time (single-dimension Z-order; at 100 TB
+    this is the difference between reading 100 TB and reading the one
+    file that can match).  Costs one range shuffle at write time; worth
+    it for any table queried selectively on the sort key.  Pass
+    ``(n, cols)`` to pin the output file count — without it AQE may
+    coalesce a small write to one file (fine at scale, where the shuffle
+    is sized by data volume).  Clustering quality proven from the written
+    footers in tests/test_sources.py.
+    """
     if fmt not in _FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
+    if sort_for_skipping:
+        if isinstance(sort_for_skipping, tuple):
+            n, cols = sort_for_skipping
+            df = df.repartitionByRange(n, *cols)
+        else:
+            cols = sort_for_skipping
+            df = df.repartitionByRange(*cols)
+        df = df.sortWithinPartitions(*cols)
     w = df.write.format(fmt).mode(mode)
     if fmt == "csv":
         w = w.option("header", options.pop("header", "true"))

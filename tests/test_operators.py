@@ -377,3 +377,34 @@ def test_sample_fixed_k_invariants(spark):
     assert {(r.doc_id, r.lang) for r in reshuffled} == {
         (r.doc_id, r.lang) for r in out
     }
+
+
+def test_salted_join_equals_direct(spark):
+    """The salted (key, salt) equi-join must return exactly the plain
+    join's rows, for inner and left; right/full are rejected (unmatched
+    right rows would surface once per salt replica)."""
+    import pytest as _pytest
+
+    from sql_query_optimizer_cpp_spark.operators.skew import salted_join
+
+    t = load_tables(spark, SF_DIR, ("orders", "customer"))
+    orders, customer = t["orders"], t["customer"]
+    cust = customer.withColumnRenamed("c_custkey", "o_custkey")
+
+    for how in ("inner", "left"):
+        direct = sorted(
+            (r.o_orderkey, r.c_name)
+            for r in orders.join(cust, ["o_custkey"], how)
+            .select("o_orderkey", "c_name")
+            .collect()
+        )
+        salted = sorted(
+            (r.o_orderkey, r.c_name)
+            for r in salted_join(orders, cust, ["o_custkey"], n_salts=8, how=how)
+            .select("o_orderkey", "c_name")
+            .collect()
+        )
+        assert salted == direct, how
+
+    with _pytest.raises(ValueError):
+        salted_join(orders, cust, ["o_custkey"], how="full")

@@ -145,3 +145,59 @@ def test_jdbc_write_roundtrip(spark, tmp_path):
     # Spark-created Derby tables keep the quoted lowercase column name
     # (unlike the DDL-created uppercase one above) — access positionally
     assert sorted(r[0] for r in back.collect()) == list(range(50))
+
+
+def test_sort_for_skipping_clusters_row_groups(tmp_path, spark):
+    """sort_for_skipping must produce parquet files whose per-file
+    [min, max] ranges on the sort key are (near-)disjoint — the footer
+    property scan-time skipping runs on.  The unsorted write of the same
+    data is the control: its file ranges all span ~the full domain."""
+    import pyarrow.parquet as pq
+
+    from sql_query_optimizer_cpp_spark.catalog import load_tables
+    from sql_query_optimizer_cpp_spark.sources.writers import write
+
+    from .conftest import SF_DIR
+
+    orders = load_tables(spark, SF_DIR, ("orders",))["orders"]
+    lo, hi = orders.agg(
+        F.min("o_totalprice"), F.max("o_totalprice")
+    ).first()
+    domain = hi - lo
+
+    def file_ranges(path):
+        out = []
+        for f in sorted((tmp_path / path).glob("*.parquet")):
+            md = pq.ParquetFile(str(f)).metadata
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }["o_totalprice"]
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            out.append((min(mins), max(maxs)))
+        return out
+
+    write(
+        orders.repartition(8),
+        path=str(tmp_path / "unsorted"),
+    )
+    write(
+        orders.repartition(8),
+        path=str(tmp_path / "sorted"),
+        sort_for_skipping=(8, ["o_totalprice"]),
+    )
+
+    unsorted_spans = [mx - mn for mn, mx in file_ranges("unsorted")]
+    sorted_ranges = sorted(file_ranges("sorted"))
+    sorted_spans = [mx - mn for mn, mx in sorted_ranges]
+    assert len(sorted_ranges) > 1
+    # control: every hash-partitioned file spans ~the whole domain
+    assert min(unsorted_spans) > 0.9 * domain
+    # clustered: each file covers a narrow slice...
+    assert max(sorted_spans) < 0.2 * domain
+    # ...and consecutive files don't overlap (range partitioning)
+    for (_, prev_max), (next_min, _) in zip(sorted_ranges, sorted_ranges[1:]):
+        assert next_min >= prev_max
