@@ -136,7 +136,8 @@ def shared_sql(
 #: completion set (q2 q8 q9 q11 q13 q15 q16 q17 q20 q21 q22), and the
 #: late-round-3 curation ops (text_redact_pii, sample_fixed_k,
 #: text_repetition, corpus_mix_report, events_latest_by_user,
-#: agg_approx_quantile).
+#: agg_approx_quantile, text_tokens_bpeish, intersect_all, except_all,
+#: win_first_last).
 #: Everything outside
 #: the window keeps registration order and stays covered by
 #: tests/test_inventory.py + tools/driver_sim.py.

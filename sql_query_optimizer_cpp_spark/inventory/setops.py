@@ -64,3 +64,35 @@ def except_(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # DataFrame.subtract == SQL EXCEPT (distinct) semantics
     return all_c.subtract(pending)
+
+
+@register(
+    "intersect_all",
+    oracle="SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' "
+    "INTERSECT ALL "
+    "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'",
+    doc="INTERSECT ALL (bag semantics: multiplicity = min of the two "
+    "sides' multiplicities per value)",
+    tags=("setop",),
+)
+def intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    f = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = t["orders"].filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersectAll(o)
+
+
+@register(
+    "except_all",
+    oracle="SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' "
+    "EXCEPT ALL "
+    "SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'",
+    doc="EXCEPT ALL (bag semantics: multiplicity = left minus right, "
+    "floored at zero)",
+    tags=("setop",),
+)
+def except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    f = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    p = t["orders"].filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return f.exceptAll(p)

@@ -161,3 +161,38 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("trailing_30m"),
     )
+
+
+@register(
+    "win_first_last",
+    oracle="SELECT o_custkey, o_orderkey, "
+    "first_value(o_orderkey) OVER w AS first_order, "
+    "last_value(o_orderkey) OVER w AS last_order, "
+    "nth_value(o_orderkey, 2) OVER w AS second_order "
+    "FROM orders WHERE o_custkey < 50 "
+    "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)",
+    doc="first_value/last_value/nth_value over the FULL partition frame — "
+    "the explicit UNBOUNDED FOLLOWING bound matters: the default frame "
+    "ends at CURRENT ROW, which silently turns last_value into 'current "
+    "value' (the classic window-function bug, identical in both engines)",
+    tags=("window",),
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        t["orders"]
+        .filter(F.col("o_custkey") < 50)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.last("o_orderkey").over(w).alias("last_order"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        )
+    )
