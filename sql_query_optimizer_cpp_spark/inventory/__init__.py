@@ -137,7 +137,7 @@ def shared_sql(
 #: late-round-3 curation ops (text_redact_pii, sample_fixed_k,
 #: text_repetition, corpus_mix_report, events_latest_by_user,
 #: agg_approx_quantile, text_tokens_bpeish, intersect_all, except_all,
-#: win_first_last).
+#: win_first_last, curation_pipeline_neardup).
 #: Everything outside
 #: the window keeps registration order and stays covered by
 #: tests/test_inventory.py + tools/driver_sim.py.

@@ -39,10 +39,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- n-gram Jaccard (exact) ----------------------------------------------------
-def _ex_cte() -> str:
+def _ex_cte(table: str = "documents") -> str:
     return (
         "ex AS (SELECT DISTINCT doc_id, s FROM "
-        f"(SELECT doc_id, unnest({D.shingles_sql('text')}) AS s FROM documents))"
+        f"(SELECT doc_id, unnest({D.shingles_sql('text')}) AS s FROM {table}))"
     )
 
 
@@ -76,9 +76,10 @@ def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- MinHash + LSH ---------------------------------------------------------------
-def _minhash_ctes() -> str:
+def _minhash_ctes(table: str = "documents") -> str:
     """CTE chain ending in ``pairs(doc_a, doc_b, jaccard)`` — shared by the
-    pair query and the cluster (connected-components) query."""
+    pair query, the cluster (connected-components) query, and the near-dup
+    curation pipeline (which runs it over the quality-filtered subset)."""
     rows = NUM_HASHES // BANDS
     mh_exprs = ", ".join(
         f"MIN({minhash_transform_sql('h', a, b)}) AS mh_{i}"
@@ -90,7 +91,7 @@ def _minhash_ctes() -> str:
         bh = hash64_sql(f"concat_ws(',', {members})", seed=f"band{b}:")
         band_selects.append(f"SELECT doc_id, {b} AS band_id, {bh} AS bh FROM sig")
     buckets = " UNION ALL ".join(band_selects)
-    return f"""{_ex_cte()},
+    return f"""{_ex_cte(table)},
 exh AS (SELECT doc_id, s, {hash64_sql("s", seed="mh:")} AS h FROM ex),
 sig AS (SELECT doc_id, {mh_exprs} FROM exh GROUP BY doc_id),
 buckets AS ({buckets}),
@@ -201,6 +202,22 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- Near-dup clusters (connected components over the pair graph) ----------------
+def _cc_ctes(table: str = "documents") -> str:
+    """CTEs ``edges``/``reach``/``comp`` — the reachability closure over
+    the symmetric near-dup pair graph (assumes ``pairs`` is in scope)."""
+    return f"""edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM {table}
+  UNION
+  SELECT rr.id, e.b FROM reach rr JOIN edges e ON e.a = rr.r
+),
+comp AS (SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id)"""
+
+
 def _clusters_oracle() -> str:
     """DuckDB twin of min-label propagation: a recursive CTE computes the
     full reachability closure of the symmetric pair graph, then MIN over
@@ -208,17 +225,7 @@ def _clusters_oracle() -> str:
     converges to (propagation order doesn't change it)."""
     return f"""
 WITH RECURSIVE {_minhash_ctes()},
-edges AS (
-  SELECT doc_a AS a, doc_b AS b FROM pairs
-  UNION ALL
-  SELECT doc_b AS a, doc_a AS b FROM pairs
-),
-reach(id, r) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT rr.id, e.b FROM reach rr JOIN edges e ON e.a = rr.r
-),
-comp AS (SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id),
+{_cc_ctes()},
 csize AS (
   SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
   FROM comp GROUP BY 1
