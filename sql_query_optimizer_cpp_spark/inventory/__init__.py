@@ -128,19 +128,14 @@ def shared_sql(
 #: whose green row is from the r01 window — so that after this round every
 #: pre-round-3 query has a green row in some round.  The remaining 15
 #: slots grade the round-3 additions (curation + extra TPC-H + multimodal)
-#: for the first time, plus the flagship as a regression guard.  The
-#: youngest ops sit just past the window for the r04 rotation:
-#: join_range, events_rollup_hypertable, agg_udaf_pandas,
-#: text_bigrams_udtf, sim_ivf_topk, tpch_q12, tpch_q19, events_funnel,
-#: events_retention, stats_mcv_topk, win_range_frame, the TPC-H
-#: completion set (q2 q8 q9 q11 q13 q15 q16 q17 q20 q21 q22), and the
-#: late-round-3 curation ops (text_redact_pii, sample_fixed_k,
-#: text_repetition, corpus_mix_report, events_latest_by_user,
-#: agg_approx_quantile, text_tokens_bpeish, intersect_all, except_all,
-#: win_first_last, curation_pipeline_neardup).
-#: Everything outside
-#: the window keeps registration order and stays covered by
-#: tests/test_inventory.py + tools/driver_sim.py.
+#: for the first time, plus the flagship as a regression guard.
+#:
+#: Positions 50+ of _PRIORITY hold the r04 QUEUE in grading order — every
+#: round-3 op the r03 window can't reach (newest analytics, the TPC-H
+#: completion set, late curation ops).  Next round: move that block to
+#: the front.  Everything past _PRIORITY keeps registration order; all
+#: 131 queries stay covered every round by tests/test_inventory.py +
+#: tools/driver_sim.py regardless of window position.
 _PRIORITY: tuple[str, ...] = (
     # -- never driver-sampled (r01/r02 windows both missed them) ----------
     "dedup_simhash_pairs",
@@ -198,6 +193,40 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_frame_sample",
     # -- regression-guard slot: the headline query ------------------------
     "flagship_demo",
+    # ==== end of the 50-entry r03 window; r04 queue below ================
+    "join_range",
+    "events_rollup_hypertable",
+    "agg_udaf_pandas",
+    "text_bigrams_udtf",
+    "sim_ivf_topk",
+    "tpch_q12",
+    "tpch_q19",
+    "events_funnel",
+    "events_retention",
+    "stats_mcv_topk",
+    "win_range_frame",
+    "tpch_q2",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "curation_pipeline_neardup",
+    "text_redact_pii",
+    "sample_fixed_k",
+    "text_repetition",
+    "corpus_mix_report",
+    "events_latest_by_user",
+    "agg_approx_quantile",
+    "text_tokens_bpeish",
+    "intersect_all",
+    "except_all",
+    "win_first_last",
 )
 
 

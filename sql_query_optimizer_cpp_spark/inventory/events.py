@@ -183,7 +183,11 @@ def events_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="latest event per user (max ts, event_id tie-break) — the "
     "compact-a-changelog-to-a-snapshot operation every CDC/upsert "
     "pipeline runs; one shuffle on the key, rank evaluated inside the "
-    "window stage with no join-back",
+    "window stage with no join-back.  Timestamp-parity note: both "
+    "engines order on MICROS (catalog.load_tables truncates the nanos "
+    "fixture via timestamp_micros; DuckDB's read_parquet coerces "
+    "TIMESTAMP_NANOS to its micros TIMESTAMP), and the event_id "
+    "tie-break makes the winner deterministic under any sub-micro ties",
     tags=("events", "window"),
 )
 def events_latest_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:

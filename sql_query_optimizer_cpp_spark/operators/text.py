@@ -246,24 +246,26 @@ def pii_counts_sql(expr: str = "text") -> dict[str, str]:
 def bigram_list(col: str = "text") -> Column:
     """Adjacent-token bigrams as an array<string> — built-in expressions
     only (the UDTF twin ``text_bigrams_udtf`` exists to exercise the UDTF
-    surface; THIS is the hot-path formulation).  Empty array below 2
-    tokens: Spark's ``sequence(1, 0)`` counts DOWN, so the guard is not
-    optional."""
+    surface; THIS is the hot-path formulation).
+
+    Formulated as ``zip_with`` over two shifted slices of the token array
+    rather than ``transform(sequence(...), i -> element_at(toks, i)...)``:
+    Catalyst doesn't hoist deterministic subtrees out of HOF lambdas, so
+    the index formulation would re-split the full text per ELEMENT
+    (O(n_tokens) splits per row); slices reference the array a constant
+    number of times per row.  Empty array below 2 tokens: Spark's
+    ``sequence(1, 0)`` counts DOWN and ``slice`` rejects negative
+    lengths, so the guard is not optional."""
     toks = tokens(col)
+    n = F.size(toks)
     return F.when(
-        F.size(toks) >= 2,
-        F.expr(
-            f"transform(sequence(1, size({tokens_sql_spark(col)}) - 1), "
-            f"i -> concat(element_at({tokens_sql_spark(col)}, i), ' ', "
-            f"element_at({tokens_sql_spark(col)}, i + 1)))"
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, F.lit(1), n - 1),
+            F.slice(toks, F.lit(2), n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-
-
-def tokens_sql_spark(col: str = "text") -> str:
-    """The tokens() expression as Spark-SQL text (for use inside
-    ``F.expr`` lambdas, which can't splice Column objects)."""
-    return f"split(trim({col}), ' +')"
 
 
 def bigram_list_sql(expr: str = "text") -> str:

@@ -46,11 +46,18 @@ def write(
     if fmt not in _FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
     if sort_for_skipping:
-        if isinstance(sort_for_skipping, tuple):
+        # (n, cols) pins the file count; a bare sequence of column names
+        # (list OR tuple) must not be misread as that pair
+        if (
+            isinstance(sort_for_skipping, tuple)
+            and len(sort_for_skipping) == 2
+            and isinstance(sort_for_skipping[0], int)
+            and not isinstance(sort_for_skipping[1], str)
+        ):
             n, cols = sort_for_skipping
             df = df.repartitionByRange(n, *cols)
         else:
-            cols = sort_for_skipping
+            cols = list(sort_for_skipping)
             df = df.repartitionByRange(*cols)
         df = df.sortWithinPartitions(*cols)
     w = df.write.format(fmt).mode(mode)
