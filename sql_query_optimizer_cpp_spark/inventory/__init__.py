@@ -133,9 +133,9 @@ def shared_sql(
 #: Positions 50+ of _PRIORITY hold the r04 QUEUE in grading order — every
 #: round-3 op the r03 window can't reach (newest analytics, the TPC-H
 #: completion set, late curation ops).  Next round: move that block to
-#: the front.  Everything past _PRIORITY keeps registration order; all
-#: 131 queries stay covered every round by tests/test_inventory.py +
-#: tools/driver_sim.py regardless of window position.
+#: the front.  Everything past _PRIORITY keeps registration order; every
+#: registered query stays covered every round by tests/test_inventory.py
+#: + tools/driver_sim.py regardless of window position.
 _PRIORITY: tuple[str, ...] = (
     # -- never driver-sampled (r01/r02 windows both missed them) ----------
     "dedup_simhash_pairs",
@@ -227,6 +227,8 @@ _PRIORITY: tuple[str, ...] = (
     "intersect_all",
     "except_all",
     "win_first_last",
+    "events_props_json",
+    "agg_array_collect",
 )
 
 

@@ -498,3 +498,29 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_tol")
         )
     )
+
+
+# --- Array aggregation (nested result types round-trip both engines) -------------
+@register(
+    "agg_array_collect",
+    oracle="SELECT o_orderstatus, list_sort(list(o_custkey)) AS custkeys, "
+    "CAST(len(list(o_custkey)) AS BIGINT) AS n "
+    "FROM orders WHERE o_custkey < 50 GROUP BY o_orderstatus",
+    doc="array-valued aggregation: per-status sorted customer-key list "
+    "(collect_list is arrival-order nondeterministic, so array_sort is "
+    "what makes the result comparable at all — across engines AND across "
+    "Spark's own partitionings); proves nested result types round-trip "
+    "the result path",
+    tags=("agg",),
+)
+def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .filter(F.col("o_custkey") < 50)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.array_sort(F.collect_list("o_custkey")).alias("custkeys"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )

@@ -203,3 +203,35 @@ def events_latest_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("rn = 1")
         .select("user_id", "event_id", "ts", "event_type", "value")
     )
+
+
+# --- JSON path extraction (props is a JSON-ish string column) --------------------
+@register(
+    "events_props_json",
+    oracle="SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, "
+    "CAST(count(*) AS BIGINT) AS n, "
+    + dsum_sql("value", scale=6)
+    + " AS total "
+    "FROM events GROUP BY 1 ORDER BY k LIMIT 50",
+    doc="JSON path extraction over the props column (Spark "
+    "get_json_object vs DuckDB json_extract_string — same JSONPath "
+    "subset), aggregated per extracted key value; the JSON parse is a "
+    "per-row JVM expression, pushdown-friendly",
+    tags=("events", "functions"),
+)
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .select(
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            "value",
+        )
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dsum("value", scale=6).alias("total"),
+        )
+        .orderBy("k")
+        .limit(50)
+    )
