@@ -229,6 +229,7 @@ _PRIORITY: tuple[str, ...] = (
     "win_first_last",
     "events_props_json",
     "agg_array_collect",
+    "join_lateral",
 )
 
 

@@ -387,3 +387,26 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("band_id").agg(
         F.count("*").alias("n_orders"), dsum("o_totalprice").alias("sum_price")
     )
+
+
+_LATERAL_SPARK = (
+    "SELECT c.c_custkey, o.o_orderkey, o.o_totalprice "
+    "FROM customer c JOIN LATERAL ("
+    "  SELECT o_orderkey, o_totalprice FROM orders "
+    "  WHERE o_custkey = c.c_custkey "
+    "  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o "
+    "ORDER BY c.c_custkey"
+)
+
+shared_sql(
+    "join_lateral",
+    _LATERAL_SPARK,
+    # DuckDB requires an explicit ON for JOIN LATERAL; Spark requires its
+    # absence — same semantics, one dialect token apart
+    oracle=_LATERAL_SPARK.replace(") o ", ") o ON true "),
+    doc="correlated LATERAL join: each customer's single most expensive "
+    "order (top-1-per-row as a correlated subquery instead of a window "
+    "rank) — Catalyst decorrelates the LIMIT-bearing subquery rather "
+    "than re-executing it per row",
+    tags=("join", "subquery"),
+)
