@@ -230,6 +230,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_props_json",
     "agg_array_collect",
     "join_lateral",
+    "agg_listagg",
 )
 
 

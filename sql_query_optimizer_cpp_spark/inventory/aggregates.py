@@ -524,3 +524,28 @@ def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n"),
         )
     )
+
+
+# --- Ordered string aggregation (listagg / string_agg dialect pair) --------------
+@register(
+    "agg_listagg",
+    oracle="SELECT o_orderstatus, "
+    "string_agg(CAST(o_custkey AS VARCHAR), ',' "
+    "ORDER BY o_custkey, o_orderkey) AS keys "
+    "FROM orders WHERE o_custkey < 10 GROUP BY o_orderstatus",
+    doc="ordered string aggregation — Spark listagg WITHIN GROUP vs "
+    "DuckDB string_agg ORDER BY (same semantics, different spellings); "
+    "the WITHIN GROUP ordering with a unique tie-break is what makes a "
+    "concatenated string deterministic at all",
+    tags=("agg",),
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        "SELECT o_orderstatus, "
+        "listagg(CAST(o_custkey AS STRING), ',') "
+        "WITHIN GROUP (ORDER BY o_custkey, o_orderkey) AS keys "
+        "FROM orders WHERE o_custkey < 10 GROUP BY o_orderstatus"
+    )
