@@ -149,7 +149,7 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("events",))
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.unix_millis("ts"))
+        .orderBy(F.unix_millis(F.col("ts").cast("timestamp")))
         .rangeBetween(-1_800_000, 0)
     )
     return t["events"].select(

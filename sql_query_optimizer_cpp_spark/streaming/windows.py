@@ -41,6 +41,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if dict(raw.dtypes).get("ts") == "bigint":
         raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dict(raw.dtypes).get("ts") == "timestamp_ntz":
+        # watermarks/event-time require TIMESTAMP (LTZ); the session zone is
+        # pinned to UTC, so this cast is a deterministic relabel of the
+        # naive parquet timestamps, not a wall-clock shift.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 
