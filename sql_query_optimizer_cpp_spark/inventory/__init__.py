@@ -121,79 +121,22 @@ def shared_sql(
 
 
 #: Evaluation-priority order.  The driver grades registry entries in
-#: iteration order and stops after a fixed 50-query window (r01 and r02
-#: each sampled a different 50 of the 84).  Round-3 rotation: the 35
-#: queries WITHOUT a green r02 row lead — the 4 never-sampled in either
-#: round, the recalibrated ``agg_approx_distinct``, then the 30 entries
-#: whose green row is from the r01 window — so that after this round every
-#: pre-round-3 query has a green row in some round.  The remaining 15
-#: slots grade the round-3 additions (curation + extra TPC-H + multimodal)
-#: for the first time, plus the flagship as a regression guard.
-#:
-#: Positions 50+ of _PRIORITY hold the r04 QUEUE in grading order — every
-#: round-3 op the r03 window can't reach (newest analytics, the TPC-H
-#: completion set, late curation ops).  Next round: move that block to
-#: the front.  Everything past _PRIORITY keeps registration order; every
-#: registered query stays covered every round by tests/test_inventory.py
-#: + tools/driver_sim.py regardless of window position.
+#: iteration order and stops after a fixed 50-query window (r01/r02/r03
+#: each sampled a different 50).  Round-4 rotation: the two r03 reds lead
+#: (both shared one root cause — the pack_sequences oracle exposed a
+#: DuckDB HUGEINT column, fixed by a CAST), then the 37 queries that have
+#: never had a driver row (the r04 queue staged last round: newest
+#: analytics, the TPC-H completion set, late curation ops), then the
+#: round-4 additions.  After this round every registered query should have
+#: a green row in some round.  Everything past _PRIORITY keeps
+#: registration order; every registered query stays covered every round by
+#: tests/test_inventory.py + tools/driver_sim.py regardless of window
+#: position.
 _PRIORITY: tuple[str, ...] = (
-    # -- never driver-sampled (r01/r02 windows both missed them) ----------
-    "dedup_simhash_pairs",
-    "text_tokens_pandas_udf",
-    "union_distinct",
-    "win_distribution",
-    # -- red in r02; recalibrated this round (rsd=0.01) -------------------
-    "agg_approx_distinct",
-    # -- green only in the r01 window; regrade under the fixed catalog ----
-    "scan_project",
-    "filter_like",
-    "filter_between",
-    "filter_regex",
-    "null_semantics",
-    "arith_project",
-    "topk",
-    "join_inner",
-    "join_left",
-    "join_right",
-    "join_full",
-    "join_left_anti",
-    "join_right_anti",
-    "join_full_outer_anti",
-    "join_semi",
-    "join_three_way",
-    "agg_global",
-    "agg_groupby",
-    "agg_having",
-    "agg_distinct",
-    "agg_count_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_pivot",
-    "agg_percentiles",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q14",
-    # -- new in round 3: curation + cluster ops (first grading) -----------
-    "dedup_clusters",
-    "sample_stratified",
+    # -- red in r03 (HUGEINT bin_offset in the shared oracle CTE; fixed) --
     "pack_sequences",
-    "text_filter_pipeline",
-    "decontaminate",
-    "text_vocab_topk",
     "curation_pipeline_e2e",
-    "tpch_q4",
-    "tpch_q7",
-    "tpch_q10",
-    "tpch_q18",
-    # -- new in round 3: multimodal decode-adjacent ops (first grading) ---
-    "multimodal_resize",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    # -- regression-guard slot: the headline query ------------------------
-    "flagship_demo",
-    # ==== end of the 50-entry r03 window; r04 queue below ================
+    # -- never driver-graded: the staged r04 queue ------------------------
     "join_range",
     "events_rollup_hypertable",
     "agg_udaf_pandas",
@@ -231,6 +174,20 @@ _PRIORITY: tuple[str, ...] = (
     "agg_array_collect",
     "join_lateral",
     "agg_listagg",
+    # -- new in round 4 (first grading) -----------------------------------
+    "dedup_embedding_cosine",
+    "sim_topk_blockmax",
+    "text_lang_confidence",
+    "events_sessionize_attrib",
+    "win_cumulative_share",
+    "agg_hll_union",
+    "text_minhash_signature",
+    "events_gap_stats",
+    "doc_span_extract",
+    "agg_weighted_avg",
+    # -- regression-guard slot: the headline query ------------------------
+    "flagship_demo",
+    # ==== end of the 50-entry r04 window ================================
 )
 
 

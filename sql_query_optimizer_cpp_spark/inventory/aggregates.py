@@ -549,3 +549,87 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITHIN GROUP (ORDER BY o_custkey, o_orderkey) AS keys "
         "FROM orders WHERE o_custkey < 10 GROUP BY o_orderstatus"
     )
+
+
+# --- Mergeable HLL sketches (partial sketch -> union -> estimate) ----------------
+@register(
+    "agg_hll_union",
+    # Like agg_approx_distinct: sketch BYTES are engine-specific, the
+    # accuracy contract is not — each engine asserts its own estimate
+    # against its own exact count and both emit identical (group, exact,
+    # true) rows.
+    oracle="SELECT o_orderpriority, "
+    "CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact, "
+    "abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey)) "
+    "<= 0.05 * count(DISTINCT o_custkey) AS within_tol "
+    "FROM orders GROUP BY o_orderpriority",
+    doc="mergeable-sketch distinct counting: per-(shard, group) Apache "
+    "DataSketches HLL partials (hll_sketch_agg over o_orderkey%2 shards) "
+    "merged with hll_union_agg, then estimated — the pre-aggregation "
+    "pattern behind every incremental/rollup distinct-count at scale "
+    "(sketches re-aggregate, COUNT(DISTINCT) does not); graded as a "
+    "tolerance assertion at lgConfigK=14 (~0.8% rse, so the 5% check has "
+    "~6 sigma of headroom)",
+    tags=("agg",),
+)
+def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    partials = (
+        t["orders"]
+        .withColumn("shard", F.col("o_orderkey") % 2)
+        .groupBy("shard", "o_orderpriority")
+        .agg(F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk"))
+    )
+    merged = partials.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx")
+    )
+    exact = (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n_exact"))
+    )
+    return exact.join(merged, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_exact",
+        (
+            F.abs(F.col("approx") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("within_tol"),
+    )
+
+
+# --- Weighted average (ratio of two exact decimal sums) --------------------------
+@register(
+    "agg_weighted_avg",
+    oracle="SELECT l_returnflag, "
+    "round(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) "
+    "AS DOUBLE) / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), "
+    "6) AS w_avg_price, CAST(count(*) AS BIGINT) AS n "
+    "FROM lineitem GROUP BY l_returnflag",
+    doc="quantity-weighted average price per return flag: "
+    "sum(w*x)/sum(w) with BOTH sums decimal-exact (the per-row double "
+    "product is IEEE-portable, the aggregation order-independent) and "
+    "one final division — the only correct way to average under "
+    "non-uniform weights, and still one map-side-combinable aggregation",
+    tags=("agg",),
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_quantity")).cast(
+                        "decimal(28,6)"
+                    )
+                ).cast("double")
+                / F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("w_avg_price"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )

@@ -249,3 +249,43 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.neardup_clusters(
         t["documents"], num_hashes=NUM_HASHES, bands=BANDS, threshold=THRESHOLD
     )
+
+
+# --- raw MinHash signature vectors ----------------------------------------------
+def _signature_oracle() -> str:
+    mins = ", ".join(
+        f"MIN({minhash_transform_sql('h', a, b)})"
+        for a, b in minhash_params(NUM_HASHES)
+    )
+    return f"""
+WITH ex AS (SELECT DISTINCT doc_id, s FROM
+  (SELECT doc_id, unnest({D.shingles_sql('text')}) AS s
+   FROM documents WHERE doc_id < 50)),
+exh AS (SELECT doc_id, s, {hash64_sql("s", seed="mh:")} AS h FROM ex)
+SELECT doc_id, [{mins}] AS signature FROM exh GROUP BY doc_id
+"""
+
+
+@register(
+    "text_minhash_signature",
+    oracle=_signature_oracle(),
+    doc="the MinHash signature ITSELF as a 16-element array column (docs "
+    "0-49) — the persistable document sketch an incremental dedup "
+    "pipeline stores and re-bands later without re-shingling the corpus; "
+    "one shingle explosion (flatMap) + one groupBy, signature values are "
+    "bit-identical across engines via the portable universal-hash family",
+    tags=("dedup", "text"),
+)
+def text_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    sig = D.minhash_signatures(
+        t["documents"].filter(F.col("doc_id") < 50), num_hashes=NUM_HASHES
+    )
+    return sig.select(
+        "doc_id",
+        F.array(*[F.col(f"mh_{i}") for i in range(NUM_HASHES)]).alias(
+            "signature"
+        ),
+    )

@@ -235,3 +235,135 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("k")
         .limit(50)
     )
+
+
+# --- sessionization with entry/exit attribution ----------------------------------
+@register(
+    "events_sessionize_attrib",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+m AS (
+  SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 10 MINUTE
+                 THEN 1 ELSE 0 END AS is_new
+  FROM o),
+g AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS grp
+  FROM m),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, grp
+                               ORDER BY ts, event_id) AS rn_a,
+            row_number() OVER (PARTITION BY user_id, grp
+                               ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM g)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(CASE WHEN rn_a = 1 THEN event_type END) AS entry_type,
+       MAX(CASE WHEN rn_d = 1 THEN event_type END) AS exit_type,
+       COUNT(*) AS n_events, """
+    + dsum_sql("value", scale=6)
+    + """ AS total
+FROM r GROUP BY user_id, grp""",
+    doc="sessionization with first/last-touch attribution: gaps-and-"
+    "islands sessions (10min gap) plus each session's entry and exit "
+    "event_type — the session-attribution report behind funnel/marketing "
+    "analytics; one shuffle on user_id feeds every window (same "
+    "partitioning reused across lag, cumsum, and both ranks), then one "
+    "combinable aggregation",
+    tags=("events", "window"),
+)
+def events_sessionize_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("events",))
+    w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w_ord)
+    # .cast("timestamp") before unix_micros: a no-op for the LTZ frames
+    # load_tables builds, but keeps the query valid if events.ts arrives
+    # as TIMESTAMP_NTZ (same guard as win_range_frame)
+    is_new = F.when(
+        prev.isNull()
+        | (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(prev.cast("timestamp"))
+            >= 600_000_000
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    g = (
+        t["events"]
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .withColumn("is_new", is_new)
+        .withColumn(
+            "grp",
+            F.sum("is_new").over(
+                w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+    )
+    w_sess = W.partitionBy("user_id", "grp").orderBy("ts", "event_id")
+    w_sess_d = W.partitionBy("user_id", "grp").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = g.withColumn("rn_a", F.row_number().over(w_sess)).withColumn(
+        "rn_d", F.row_number().over(w_sess_d)
+    )
+    return (
+        r.groupBy("user_id", "grp")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max(F.when(F.col("rn_a") == 1, F.col("event_type"))).alias(
+                "entry_type"
+            ),
+            F.max(F.when(F.col("rn_d") == 1, F.col("event_type"))).alias(
+                "exit_type"
+            ),
+            F.count("*").alias("n_events"),
+            dsum("value", scale=6).alias("total"),
+        )
+        .drop("grp")
+    )
+
+
+# --- inter-event gap statistics --------------------------------------------------
+@register(
+    "events_gap_stats",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events)
+SELECT user_id, CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+       CAST(MAX(gap_us) AS DOUBLE) / 1e6 AS max_gap_s,
+       round(CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) / 1e6, 6) AS avg_gap_s
+FROM gaps WHERE gap_us IS NOT NULL GROUP BY user_id""",
+    doc="inter-event gap statistics per user (count/max/mean seconds "
+    "between consecutive events) — the cadence profile behind bot "
+    "detection and session-gap tuning; gaps are exact integer "
+    "microseconds from one lag window, aggregated map-side-combinably "
+    "(the mean divides two exact integers, so cross-engine bits match)",
+    tags=("events", "window"),
+)
+def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("events",))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    mic = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = mic - F.lag(mic).over(w)
+    return (
+        t["events"]
+        .select("user_id", gap.alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_us").cast("long").alias("n_gaps"),
+            (F.max("gap_us").cast("double") / 1e6).alias("max_gap_s"),
+            F.round(
+                F.sum("gap_us").cast("double") / F.count("gap_us") / 1e6, 6
+            ).alias("avg_gap_s"),
+        )
+    )

@@ -113,6 +113,65 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_neardup_pairs(t["embeddings"], threshold=NEARDUP_THRESHOLD)
 
 
+@register(
+    "sim_topk_blockmax",
+    oracle=_BRUTE_ORACLE,
+    doc="EXACT top-10 via two-phase selection: per-(query, LSH-bucket) "
+    "local top-k, then a global rank over only the 16k survivors — same "
+    "answer as sim_topk_bruteforce (the oracle IS the brute-force SQL), "
+    "but the per-query selection window is split across 16 independent "
+    "partitions instead of one skewed reducer; the selection pattern that "
+    "survives N growing 100x",
+    tags=("similarity",),
+)
+def sim_topk_blockmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return S.two_phase_topk(t["embeddings"], n_queries=N_QUERIES, k=K_BRUTE)
+
+
+_DEDUP_COS_ORACLE = f"""
+WITH {_e_cte()},
+eb AS (SELECT vec_id, embedding, nsq,
+       {S.bucket_expr("embedding", duck=True)} AS bucket FROM e),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round({S.dot_expr("a.embedding", "b.embedding", duck=True)}
+          / (sqrt(a.nsq) * sqrt(b.nsq)), 6) >= {NEARDUP_THRESHOLD}),
+dropped AS (SELECT DISTINCT vec_b AS vec_id FROM pairs)
+SELECT e.vec_id, d.vec_id IS NULL AS keep
+FROM e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=_DEDUP_COS_ORACLE,
+    doc="embedding-cosine near-dup DEDUP decision: every vector keeps "
+    "unless an earlier (smaller-id) vector is cosine-similar above the "
+    "threshold — sim_neardup_pairs turned into the keep/drop verdict a "
+    "curation pipeline consumes; candidate pairs stay LSH-bucket-blocked "
+    "(equi-join), the drop set is a tiny id column broadcast back",
+    tags=("similarity", "dedup"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    pairs = S.embedding_neardup_pairs(t["embeddings"], threshold=NEARDUP_THRESHOLD)
+    dropped = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+    return (
+        t["embeddings"]
+        .select("vec_id")
+        .join(
+            F.broadcast(dropped.withColumn("_dropped", F.lit(True))),
+            "vec_id",
+            "left",
+        )
+        .select("vec_id", F.col("_dropped").isNull().alias("keep"))
+    )
+
+
 # CTE chain shared by the coarse-quantizer oracle and the IVF-search
 # oracle: assignment of every vector to its nearest per-label centroid.
 _CENTROID_CTES = """comp AS (

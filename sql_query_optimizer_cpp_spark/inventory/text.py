@@ -305,3 +305,71 @@ def text_tokens_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.bpeish_token_count("text").alias("n_bpeish"),
         T.bpeish_token_count("rich_text").alias("n_bpeish_rich"),
     )
+
+
+@register(
+    "text_lang_confidence",
+    oracle="SELECT doc_id, "
+    + T.lang_id_sql("text")
+    + " AS lang_pred, "
+    + T.lang_margin_sql("text")
+    + " AS margin, ("
+    + T.lang_margin_sql("text")
+    + " >= 2 AND "
+    + T.lang_id_sql("text")
+    + " <> 'und') AS confident FROM documents",
+    doc="language-ID with a confidence verdict: evidence margin (best "
+    "stopword-hit count minus runner-up) plus a confident flag (margin "
+    ">= 2 and not 'und') — the signal a curation pipeline thresholds on "
+    "before trusting the heuristic label; pure JVM expressions, the "
+    "four profile counts are computed once per row map-side",
+    tags=("text", "curation"),
+)
+def text_lang_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    margin = T.lang_margin("text")
+    lang = T.lang_id("text")
+    return t["documents"].select(
+        "doc_id",
+        lang.alias("lang_pred"),
+        margin.alias("margin"),
+        ((margin >= 2) & (lang != "und")).alias("confident"),
+    )
+
+
+#: Span-extraction pattern: long alphabetic runs (>= 8 chars).  Written in
+#: the shared Java-regex/RE2 subset (see PII_PATTERNS note) so both
+#: engines extract identical spans from identical offsets.
+_SPAN_PATTERN = "[A-Za-z][a-z]{7,}"
+
+
+@register(
+    "doc_span_extract",
+    oracle=f"""
+WITH m AS (SELECT doc_id,
+                  regexp_extract_all(text, '{_SPAN_PATTERN}') AS spans
+           FROM documents WHERE doc_id < 200)
+SELECT doc_id,
+       CAST(unnest(generate_series(1, len(spans))) - 1 AS INTEGER) AS pos,
+       unnest(spans) AS span
+FROM m
+""",
+    doc="span extraction: every >=8-char alphabetic run per document with "
+    "its match ordinal — the extract-then-explode shape (regexp_extract_all "
+    "+ posexplode) behind mention/entity harvesting; the explode is a "
+    "flatMap (zero shuffle), and the DuckDB twin zips parallel unnests "
+    "to reproduce Spark's posexplode ordinals",
+    tags=("text",),
+)
+def doc_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (
+        t["documents"]
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(f"regexp_extract_all(text, '{_SPAN_PATTERN}', 0)")
+            ).alias("pos", "span"),
+        )
+    )

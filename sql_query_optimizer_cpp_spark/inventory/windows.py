@@ -196,3 +196,40 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
         )
     )
+
+
+@register(
+    "win_cumulative_share",
+    oracle="SELECT c_custkey, c_nationkey, c_acctbal, "
+    "round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER ("
+    "PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
+    "/ CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER ("
+    "PARTITION BY c_nationkey) AS DOUBLE), 6) AS cum_share "
+    "FROM customer",
+    doc="cumulative share (running decimal-exact sum / partition total, "
+    "two frames over ONE partitioning): the Pareto/concentration curve — "
+    "'the top accounts hold X% of balance' — per nation; both window "
+    "sums reuse the same c_nationkey shuffle, and the share divides two "
+    "exact decimals cast to double so cross-engine bits match",
+    tags=("window",),
+)
+def win_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer",))
+    dec = F.col("c_acctbal").cast("decimal(18,2)")
+    w_run = (
+        W.partitionBy("c_nationkey")
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("c_nationkey")
+    return t["customer"].select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.round(
+            F.sum(dec).over(w_run).cast("double")
+            / F.sum(dec).over(w_all).cast("double"),
+            6,
+        ).alias("cum_share"),
+    )

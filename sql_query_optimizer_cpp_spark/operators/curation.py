@@ -219,7 +219,7 @@ laid AS (
   FROM toks)
 SELECT {id_expr}, shard, n_tokens,
        CAST(floor(CAST(start AS DOUBLE) / {ctx}) AS BIGINT) AS bin_id,
-       start % {ctx} AS bin_offset
+       CAST(start % {ctx} AS BIGINT) AS bin_offset
 FROM laid
 """
 

@@ -228,6 +228,64 @@ def lsh_bucketed_topk(
     )
 
 
+def two_phase_topk(
+    df: DataFrame,
+    n_queries: int = 10,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exact: bool = True,
+) -> DataFrame:
+    """EXACT top-k via two-phase (block-local then global) selection —
+    same result set as :func:`brute_force_topk`, different selection plan.
+
+    Phase 1 ranks candidates inside each (query, LSH-bucket) block and
+    keeps k per block; phase 2 ranks only those ``buckets*k`` survivors
+    globally.  Correct because a global top-k row is by definition inside
+    its own block's top-k (scores are scored identically everywhere), so
+    phase 1 never discards a final answer — the classic distributed top-k
+    argument (TakeOrdered partial-then-merge, generalized to any blocking
+    key).
+
+    Why it matters at 100 TB: brute-force puts *all* N scored rows for a
+    query through one window partition (single-reducer skew per query);
+    here the big window is split into 2^planes independent partitions and
+    the global pass sees only ``16*k`` rows per query.  Scoring cost is
+    unchanged — this optimizes the selection shuffle, which is what
+    actually breaks first when N grows.
+    """
+    e = with_norm(df.select(id_col, emb_col), exact=exact).withColumn(
+        "bucket", F.expr(bucket_expr(emb_col, duck=False))
+    )
+    q = e.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    pairs = (
+        e.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .withColumn("dot", F.expr(dot_expr("q_emb", emb_col, duck=False, exact=exact)))
+        .withColumn(
+            "cos_sim",
+            F.round(F.col("dot") / (F.sqrt("q_nsq") * F.sqrt("nsq")), 6),
+        )
+    )
+    w_local = W.partitionBy("query_id", "bucket").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    survivors = pairs.withColumn("_lrn", F.row_number().over(w_local)).filter(
+        F.col("_lrn") <= k
+    )
+    w_global = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        survivors.withColumn("rn", F.row_number().over(w_global).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cos_sim", "rn")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.4,

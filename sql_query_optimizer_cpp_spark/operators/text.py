@@ -144,6 +144,22 @@ def lang_id_sql(expr: str = "text") -> str:
     )
 
 
+def lang_margin(col: str = "text") -> Column:
+    """Evidence margin for the lang-id decision: best stopword-hit count
+    minus second-best across the four language profiles (bigint).  The
+    classifier-confidence signal a curation pipeline thresholds on before
+    trusting a heuristic label."""
+    s = lang_scores(col)
+    arr = F.array_sort(F.array(*[s[l].cast("long") for l in STOPWORDS]))
+    return (F.element_at(arr, -1) - F.element_at(arr, -2)).cast("long")
+
+
+def lang_margin_sql(expr: str = "text") -> str:
+    s = {lang: stopword_count_sql(expr, w) for lang, w in STOPWORDS.items()}
+    arr = f"list_sort([{', '.join(s[l] for l in STOPWORDS)}])"
+    return f"CAST(({arr}[-1] - {arr}[-2]) AS BIGINT)"
+
+
 def content_fingerprint(col: str = "text") -> Column:
     """60-bit content hash of the normalized (trimmed, space-collapsed,
     lowercased) text — the exact-dedup key."""

@@ -30,6 +30,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     single fixture file.  The nanos->micros conversion matches
     ``catalog.load_tables``.
     """
+    # The NTZ->LTZ cast below is only a relabel when the session zone is
+    # UTC; mirror catalog.load_tables' runtime guard here rather than
+    # assuming the session was built by session.get_session() — a vanilla
+    # embedder session in another zone would otherwise wall-clock-shift
+    # event times and every watermark/window boundary with them.
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = table_path(sf_dir, "events")
     schema = spark.read.parquet(path).schema
     # streaming file sources take a directory; select just the events file

@@ -36,6 +36,45 @@ def test_oracle_parity(spark, duck, name):
     assert_same_result(df, rel, name=name)
 
 
+_TYPE_CATEGORY = {
+    # Spark simpleString prefixes / DuckDB type names -> comparable category
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "integer": "int", "hugeint": "decimal", "uhugeint": "decimal",
+    "ubigint": "int", "uinteger": "int", "usmallint": "int", "utinyint": "int",
+    "float": "float", "double": "float", "real": "float",
+    "decimal": "decimal", "boolean": "bool", "string": "str", "varchar": "str",
+    "date": "date", "timestamp": "ts", "timestamp_ntz": "ts",
+    "timestamp with time zone": "ts",
+}
+
+
+def _category(type_str: str) -> str:
+    t = type_str.lower()
+    if t.startswith("decimal"):
+        return "decimal"
+    if t.startswith(("array", "struct", "map")) or t.endswith("[]"):
+        return "nested"
+    return _TYPE_CATEGORY.get(t, t)
+
+
+@pytest.mark.parametrize("name", sorted(n for n in QUERIES if QUERIES[n].oracle))
+def test_oracle_type_parity(spark, duck, name):
+    """Column TYPE category must match between the Spark result schema and
+    the DuckDB oracle relation — cheap (plan-only, nothing executes) and
+    exactly the class of bug the driver's value-hash flags but fetchall()
+    replay hides: r03's only reds were pack_sequences' ``start % ctx``
+    riding a DuckDB window SUM(BIGINT)->HUGEINT into an Arrow
+    decimal128 column, repr-diverging from Spark's bigint ('5.0' vs '5')
+    while rows and column names still matched."""
+    spec = QUERIES[name]
+    sdtypes = {c.lower(): _category(t) for c, t in spec.fn(spark, SF_DIR).dtypes}
+    rel = duck.sql(spec.oracle)
+    ddtypes = {c.lower(): _category(str(t)) for c, t in zip(rel.columns, rel.types)}
+    assert sdtypes == ddtypes, (
+        f"{name}: result type categories diverge: spark={sdtypes} duck={ddtypes}"
+    )
+
+
 def test_detect_tables_case_insensitive():
     from sql_query_optimizer_cpp_spark.inventory import detect_tables
 

@@ -52,7 +52,13 @@ for name in q:
         print(f"  {name}: rows-only check, {len(srows)} rows")
         continue
     rel = con.sql(o[name])
-    drows = [tuple(r) for r in rel.fetchall()]
+    # fetch via Arrow, not fetchall(): the driver does, and the two differ
+    # on wide types — e.g. DuckDB window SUM(BIGINT) yields HUGEINT, which
+    # fetchall() silently narrows to int but Arrow surfaces as
+    # decimal128(38,0) -> Decimal -> (driver norm) float -> repr mismatch
+    # against Spark's int.  This exact gap hid the pack_sequences r03 red.
+    tbl = rel.fetch_arrow_table()
+    drows = [tuple(r.values()) for r in tbl.to_pylist()]
     scols = [c.lower() for c in sdf.columns]
     dcols = [c.lower() for c in rel.columns]
     ok_schema = sorted(scols) == sorted(dcols)
