@@ -187,7 +187,13 @@ _PRIORITY: tuple[str, ...] = (
     "agg_weighted_avg",
     # -- regression-guard slot: the headline query ------------------------
     "flagship_demo",
-    # ==== end of the 50-entry r04 window ================================
+    # ==== end of the 50-entry r04 window; r05 queue below ================
+    "join_event_attribution",
+    "events_path_bigrams",
+    "text_tfidf_topk",
+    "orders_rfm",
+    "join_skew_salted",
+    "agg_skew_salted",
 )
 
 

@@ -633,3 +633,34 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n"),
         )
     )
+
+
+# --- skew-salted two-phase aggregation, graded against the direct groupBy --------
+@register(
+    "agg_skew_salted",
+    oracle="SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n, "
+    + dsum_sql("l_quantity")
+    + " AS total_qty FROM lineitem GROUP BY l_suppkey",
+    doc="skew-salted two-phase aggregation (operators/skew.salted_agg): "
+    "phase 1 aggregates on (key, salt) spreading a hot key over 16 "
+    "partitions, phase 2 merges per-salt partials (count->sum, "
+    "decimal-sum->sum) — for the single-group-dominates case where the "
+    "hot partition's hash map overflows even with map-side combine; the "
+    "oracle is the DIRECT groupBy, proving the two-phase rewrite exact",
+    tags=("agg", "skew"),
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_agg
+
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return salted_agg(
+        t["lineitem"],
+        ["l_suppkey"],
+        {
+            "n": (F.count("*").cast("long"), F.sum("n").cast("long")),
+            "total_qty": (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")),
+                F.sum("total_qty").cast("double"),
+            ),
+        },
+    )

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from . import register, shared_sql
 from ..catalog import load_tables
+from ..functions import dsum, dsum_sql
 
 #: Ordered funnel: a user converts through a stage only with an event of
 #: that type STRICTLY LATER than their entry into the previous stage
@@ -142,3 +143,55 @@ shared_sql(
     "bytes scale with distinct values, not rows",
     tags=("stats", "topk"),
 )
+
+
+@register(
+    "orders_rfm",
+    oracle="""
+WITH anchor AS (SELECT MAX(o_orderdate) AS max_date FROM orders),
+rfm AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', MAX(o_orderdate),
+                        (SELECT max_date FROM anchor)) AS BIGINT) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         """
+    + dsum_sql("o_totalprice")
+    + """ AS monetary
+  FROM orders GROUP BY o_custkey)
+SELECT o_custkey, recency_days, frequency, monetary,
+       CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT)
+         AS m_quintile
+FROM rfm""",
+    doc="RFM customer segmentation: per-customer recency (days since "
+    "last order vs the corpus anchor date), frequency, decimal-exact "
+    "monetary total, and a monetary quintile — one combinable aggregate "
+    "on o_custkey, the scalar anchor broadcast, then a rank window; at "
+    "scale the unpartitioned ntile becomes a two-pass quantile-cut "
+    "(approx boundaries + map-side bucketing), same output contract",
+    tags=("agg", "window"),
+)
+def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    anchor = t["orders"].agg(F.max("o_orderdate").alias("max_date"))
+    rfm = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").cast("long").alias("frequency"),
+            dsum("o_totalprice").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("max_date"), F.col("last_order"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    w = W.orderBy(F.col("monetary").desc(), "o_custkey")
+    return rfm.withColumn("m_quintile", F.ntile(5).over(w).cast("long"))

@@ -367,3 +367,94 @@ def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_gap_s"),
         )
     )
+
+
+# --- click->purchase attribution (the stream-stream interval join, batch twin) ---
+@register(
+    "join_event_attribution",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'),
+purchases AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT p.user_id, p.purchase_id, p.purchase_ts, c.click_id, c.click_ts
+  FROM purchases p JOIN clicks c
+    ON c.user_id = p.user_id
+   AND c.click_ts < p.purchase_ts
+   AND c.click_ts >= p.purchase_ts - INTERVAL 1800 SECOND),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY purchase_id
+                               ORDER BY click_ts DESC, click_id DESC) AS rn
+  FROM pairs)
+SELECT user_id, purchase_id, purchase_ts,
+       CAST(COUNT(*) AS BIGINT) AS n_prior_clicks,
+       MAX(CASE WHEN rn = 1 THEN click_id END) AS attributed_click
+FROM ranked GROUP BY user_id, purchase_id, purchase_ts""",
+    doc="last-touch conversion attribution: each purchase joined to the "
+    "same user's clicks in the 30-minute lookback (equi-join on user_id "
+    "with the time bound as a post-predicate — never a cross join), "
+    "counting prior clicks and picking the latest as attributed; the "
+    "batch twin of streaming/joins.py's stream-stream interval join, "
+    "where the same range bound is what lets Spark expire click state",
+    tags=("events", "join", "streaming"),
+)
+def join_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..streaming.joins import click_purchase_pairs
+
+    t = load_tables(spark, sf_dir, ("events",))
+    pairs = click_purchase_pairs(t["events"])
+    w = W.partitionBy("purchase_id").orderBy(
+        F.col("click_ts").desc(), F.col("click_id").desc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .groupBy("user_id", "purchase_id", "purchase_ts")
+        .agg(
+            F.count("*").cast("long").alias("n_prior_clicks"),
+            F.max(F.when(F.col("rn") == 1, F.col("click_id"))).alias(
+                "attributed_click"
+            ),
+        )
+    )
+
+
+# --- event-type transition bigrams (Markov path analysis) ------------------------
+@register(
+    "events_path_bigrams",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type AS src_type, event_type AS dst_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY 1, 2""",
+    doc="event-path transition counts (the Markov-chain edge weights "
+    "behind user-journey analysis): per-user lag gives consecutive "
+    "event-type bigrams, then one combinable count per (src, dst) — one "
+    "shuffle for the sequence window, one for the tiny 25-row aggregate",
+    tags=("events", "window"),
+)
+def events_path_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("events",))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t["events"]
+        .select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("src_type"),
+        )
+        .filter(F.col("src_type").isNotNull())
+        .groupBy("src_type", F.col("event_type").alias("dst_type"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )

@@ -410,3 +410,41 @@ shared_sql(
     "than re-executing it per row",
     tags=("join", "subquery"),
 )
+
+
+# --- skew-salted fact-fact join, graded against the plain join -------------------
+@register(
+    "join_skew_salted",
+    oracle="SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items, "
+    + dsum_sql("l.l_extendedprice * (1 - l.l_discount)", scale=6)
+    + " AS revenue "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "GROUP BY o.o_orderpriority",
+    doc="skew-salted fact-fact join (operators/skew.salted_join): each "
+    "lineitem row gets a random salt, orders replicates once per salt, "
+    "and the join key becomes (orderkey, salt) so a pathologically hot "
+    "key spreads over 16 reducers instead of one — for the skew AQE's "
+    "split can't fix and broadcast can't reach; the oracle is the PLAIN "
+    "join, proving the rewrite is semantics-preserving (salt never "
+    "leaks into results)",
+    tags=("join", "skew"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    li = t["lineitem"].select(
+        F.col("l_orderkey").alias("orderkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    o = t["orders"].select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    j = salted_join(li, o, on=["orderkey"], n_salts=16)
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_items"),
+        dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6
+        ).alias("revenue"),
+    )

@@ -373,3 +373,71 @@ def doc_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos", "span"),
         )
     )
+
+
+_TFIDF_K = 3
+_TFIDF_DOCS = 100
+
+
+@register(
+    "text_tfidf_topk",
+    # score = tf * N / df as a single int->double division per token:
+    # IEEE-portable without transcendental log() (whose last-ulp behavior
+    # differs between JVM StrictMath and libm builds); same ranking as
+    # tf*idf under any monotone idf(df).
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, t AS token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({T.tokens_sql('text')}) AS t FROM documents)
+  GROUP BY 1, 2),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tok.doc_id, tok.token, tok.tf, df.df,
+         round(CAST(tok.tf * n.n_docs AS DOUBLE) / df.df, 6) AS score
+  FROM tok JOIN df USING (token) CROSS JOIN n
+  WHERE tok.doc_id < {_TFIDF_DOCS})
+SELECT doc_id, token, tf, df, score, rnk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, token) AS BIGINT) AS rnk
+  FROM scored) t WHERE rnk <= {_TFIDF_K}
+""",
+    doc="TF-IDF distinctive terms: corpus-wide document frequencies "
+    "joined back to per-doc term frequencies, top-3 terms per document "
+    "by tf*N/df (rational idf — same ranking as log-idf, but exactly "
+    "portable without transcendental functions); the df side is a "
+    "token-keyed aggregate a 100 TB run broadcasts for common tokens "
+    "and the per-doc rank is a small window over each doc's own terms",
+    tags=("text",),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    tok = (
+        docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_counts = tok.groupBy("token").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    scored = (
+        tok.filter(F.col("doc_id") < _TFIDF_DOCS)
+        .join(df_counts, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"), 6
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _TFIDF_K)
+        .select("doc_id", "token", "tf", "df", "score", "rnk")
+    )

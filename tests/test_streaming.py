@@ -208,3 +208,21 @@ def test_stream_latest_snapshot_equals_batch(tmp_path, spark):
         for r in all_queries()["events_latest_by_user"].fn(spark, SF_DIR).collect()
     }
     assert snapshot == batch
+
+
+def test_stream_stream_interval_join_equals_batch(spark):
+    from sql_query_optimizer_cpp_spark.streaming.joins import click_purchase_pairs
+
+    stream = read_events_stream(spark, SF_DIR)
+    # append mode: stream-stream inner joins emit rows only once both
+    # sides' watermarks allow, so processAllAvailable drains the fixture
+    name, q = run_to_memory(click_purchase_pairs(stream), output_mode="append")
+    try:
+        streamed = _rows(spark.sql(f"SELECT * FROM {name}"))
+    finally:
+        q.stop()
+
+    batch = load_tables(spark, SF_DIR, ("events",))["events"]
+    expected = _rows(click_purchase_pairs(batch))
+    assert streamed == expected
+    assert len(streamed) > 0
