@@ -226,3 +226,59 @@ def test_stream_stream_interval_join_equals_batch(spark):
     expected = _rows(click_purchase_pairs(batch))
     assert streamed == expected
     assert len(streamed) > 0
+
+
+def test_read_events_stream_pins_utc(spark):
+    """ADVICE r03: the NTZ->LTZ cast in read_events_stream is only a
+    relabel under UTC; the reader must pin the zone itself rather than
+    assume catalog.load_tables already ran in this session."""
+    prev = spark.conf.get("spark.sql.session.timeZone", None)
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        read_events_stream(spark, SF_DIR)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_stateful_tws_running_counts(spark):
+    """The transformWithStateInPandas twin must converge to the same
+    per-user totals as the applyInPandasWithState operator and the batch
+    aggregate.
+
+    Skips where google.protobuf is unavailable (this container): the TWS
+    state-server protocol needs it and nothing may be installed here —
+    the operator documents the same limitation.  Runs fully on any
+    protobuf-equipped deployment.
+    """
+    import importlib.util
+    import warnings
+
+    from sql_query_optimizer_cpp_spark.streaming.stateful import (
+        running_user_counts_tws,
+    )
+
+    if importlib.util.find_spec("google") is None:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            running_user_counts_tws(read_events_stream(spark, SF_DIR))
+        assert any("google.protobuf" in str(x.message) for x in w)
+        pytest.skip("google.protobuf absent: TWS state server cannot start")
+
+    stream = read_events_stream(spark, SF_DIR)
+    name, q = run_to_memory(running_user_counts_tws(stream), output_mode="update")
+    try:
+        rows = spark.sql(
+            f"SELECT user_id, max(n_events) AS n FROM {name} GROUP BY user_id"
+        ).collect()
+    finally:
+        q.stop()
+
+    batch = load_tables(spark, SF_DIR, ("events",))["events"]
+    expected = {
+        r.user_id: r.n
+        for r in batch.groupBy("user_id").count().withColumnRenamed("count", "n").collect()
+    }
+    got = {r.user_id: r.n for r in rows}
+    assert got == expected
