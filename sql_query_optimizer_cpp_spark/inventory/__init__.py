@@ -194,6 +194,8 @@ _PRIORITY: tuple[str, ...] = (
     "orders_rfm",
     "join_skew_salted",
     "agg_skew_salted",
+    "dedup_clusters_star",
+    "dedup_incremental",
 )
 
 

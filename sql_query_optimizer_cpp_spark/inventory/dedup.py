@@ -289,3 +289,109 @@ def text_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "signature"
         ),
     )
+
+
+@register(
+    "dedup_clusters_star",
+    oracle=_clusters_oracle(),
+    doc="the SAME cluster output as dedup_clusters (identical oracle) "
+    "computed by alternating large-star/small-star contraction "
+    "(Kiveris et al. SoCC'14) instead of min-label propagation — "
+    "O(log n) rounds vs O(diameter), the variant a 100 TB corpus with "
+    "adversarially chained near-dups needs; grading both against one "
+    "oracle proves the algorithms interchangeable",
+    tags=("dedup",),
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    pairs = D.minhash_lsh_pairs(
+        docs, num_hashes=NUM_HASHES, bands=BANDS, threshold=THRESHOLD
+    )
+    labels = D.cc_labels_star(pairs)
+    full = (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_rep"),
+        )
+    )
+    sizes = full.groupBy("cluster_rep").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return full.join(sizes, "cluster_rep").select(
+        "doc_id", "cluster_rep", "cluster_size"
+    )
+
+
+# --- incremental dedup: new batch vs already-ingested corpus ---------------------
+_BATCH_MOD = 10
+_BATCH_REMAINDER = 7
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+WITH f AS (SELECT doc_id, {content_fingerprint_sql('text')} AS h FROM documents),
+newb AS (SELECT doc_id, h FROM f WHERE doc_id % {_BATCH_MOD} = {_BATCH_REMAINDER}),
+corpus AS (SELECT h, MIN(doc_id) AS corpus_rep FROM f
+           WHERE doc_id % {_BATCH_MOD} <> {_BATCH_REMAINDER} GROUP BY 1),
+batchmin AS (
+  SELECT doc_id, h,
+         MIN(doc_id) OVER (PARTITION BY h ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS earlier
+  FROM newb)
+SELECT b.doc_id,
+       CASE WHEN c.corpus_rep IS NOT NULL THEN 'dup_corpus'
+            WHEN b.earlier IS NOT NULL THEN 'dup_batch'
+            ELSE 'new' END AS verdict,
+       COALESCE(c.corpus_rep, b.earlier) AS dup_of
+FROM batchmin b LEFT JOIN corpus c ON b.h = c.h
+""",
+    doc="incremental (new-batch-vs-corpus) exact dedup: docs with id%10==7 "
+    "play the incoming batch, the rest the already-ingested corpus; each "
+    "new doc gets a verdict — dup_corpus (content hash already ingested, "
+    "dup_of = earliest corpus holder), dup_batch (an earlier doc in the "
+    "same batch), or new.  The shape that matters at 100 TB: the corpus "
+    "side reduces to (hash, min_id) — the persisted fingerprint index an "
+    "ingestion pipeline keeps — so each increment joins hash-to-hash "
+    "against an index, never re-scanning corpus text",
+    tags=("dedup",),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ..operators.text import content_fingerprint
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    f = t["documents"].select(
+        "doc_id", content_fingerprint("text").alias("h")
+    )
+    is_new = F.col("doc_id") % _BATCH_MOD == _BATCH_REMAINDER
+    newb = f.filter(is_new)
+    corpus = (
+        f.filter(~is_new)
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("corpus_rep"))
+    )
+    w = (
+        W.partitionBy("h")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    batchmin = newb.withColumn("earlier", F.min("doc_id").over(w))
+    return (
+        batchmin.join(corpus, "h", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("corpus_rep").isNotNull(), F.lit("dup_corpus"))
+            .when(F.col("earlier").isNotNull(), F.lit("dup_batch"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.coalesce("corpus_rep", "earlier").alias("dup_of"),
+        )
+    )

@@ -378,6 +378,91 @@ def simhash_pairs(
     )
 
 
+def cc_labels_star(
+    pairs: DataFrame,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected-component labels via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the O(log n)-round alternative to min-label propagation
+    for adversarially long near-dup chains.
+
+    Each round is two node-keyed aggregations + joins (same shuffle shape
+    as one propagation step), but the star moves contract paths
+    doubly-exponentially, so round count is ~log(diameter) instead of
+    diameter.  Both algorithms converge to the same fixpoint (every node
+    edged to its component minimum), so either can serve
+    :func:`neardup_clusters`; equivalence is asserted in
+    tests/test_operators.py.
+
+    * large-star: for every node u, hang each LARGER neighbor v > u onto
+      m = min(N(u) ∪ {u});
+    * small-star: for every node u, hang u and each not-larger neighbor
+      onto their collective minimum.
+
+    Input: (doc_a, doc_b) pair frame (any extra columns ignored).
+    Output: (doc_id, label) for every node appearing in some pair —
+    label = component minimum.  Singletons don't appear (no edges), same
+    contract as the pair graph itself.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _bidir(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    for _ in range(max_iter):
+        # large-star: (v, m) for v in N(u), v > u, m = min(N(u) ∪ {u})
+        b = _bidir(edges)
+        mins = b.groupBy("u").agg(F.min("v").alias("_nmin"))
+        mins = mins.withColumn("m", F.least(F.col("_nmin"), F.col("u")))
+        large = (
+            b.join(mins.select("u", "m"), "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over the large-star output: for node u over its
+        # not-larger neighborhood N<=, hang everyone (incl. u) onto the min
+        b2 = _bidir(large)
+        le = b2.filter(F.col("v") <= F.col("u"))
+        mins2 = le.groupBy("u").agg(F.min("v").alias("_nmin"))
+        mins2 = mins2.withColumn("m", F.least(F.col("_nmin"), F.col("u")))
+        hang_neighbors = (
+            le.join(mins2.select("u", "m"), "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        hang_self = mins2.select("u", F.col("m").alias("v"))
+        small = (
+            hang_neighbors.union(hang_self)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()  # truncate the iterative lineage
+        )
+        # fixpoint: star rounds leave the edge set unchanged exactly when
+        # every node points straight at its component minimum
+        if small.count() == edges.count() and small.exceptAll(edges).isEmpty():
+            edges = small
+            break
+        edges = small
+    else:
+        raise RuntimeError(f"cc_labels_star did not converge in {max_iter} rounds")
+
+    b = _bidir(edges)
+    return (
+        b.groupBy("u")
+        .agg(F.min("v").alias("_nmin"))
+        .select(
+            F.col("u").alias("doc_id"),
+            F.least(F.col("_nmin"), F.col("u")).alias("label"),
+        )
+    )
+
+
 def neardup_clusters(
     df: DataFrame,
     pairs: DataFrame | None = None,

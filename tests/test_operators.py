@@ -408,3 +408,38 @@ def test_salted_join_equals_direct(spark):
 
     with _pytest.raises(ValueError):
         salted_join(orders, cust, ["o_custkey"], how="full")
+
+
+def test_cc_star_equals_label_propagation(spark):
+    """Large-star/small-star and min-label propagation must reach the
+    same fixpoint (every doc labeled with its component minimum) on the
+    fixture near-dup graph AND on a synthetic long chain — the case star
+    contraction exists for (diameter >> log n)."""
+    from pyspark.sql import functions as F
+
+    from sql_query_optimizer_cpp_spark.catalog import load_tables
+    from sql_query_optimizer_cpp_spark.operators import dedup as D
+
+    from .conftest import SF_DIR
+
+    docs = load_tables(spark, SF_DIR, ("documents",))["documents"]
+    pairs = D.minhash_lsh_pairs(docs)
+    star = {
+        (r.doc_id, r.label) for r in D.cc_labels_star(pairs).collect()
+    }
+    prop = {
+        (r.doc_id, r.cluster_rep)
+        for r in D.neardup_clusters(docs, pairs=pairs).collect()
+        if r.cluster_size > 1
+    }
+    assert star == prop
+
+    # chain 0-1-2-...-19 plus a disjoint triangle {100,101,102}
+    chain = [(i, i + 1) for i in range(19)]
+    tri = [(100, 101), (101, 102), (100, 102)]
+    edges = spark.createDataFrame(chain + tri, ["doc_a", "doc_b"])
+    got = {
+        (r.doc_id, r.label) for r in D.cc_labels_star(edges).collect()
+    }
+    want = {(i, 0) for i in range(20)} | {(i, 100) for i in (100, 101, 102)}
+    assert got == want

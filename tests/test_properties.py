@@ -1,0 +1,136 @@
+"""Property-based tests (hypothesis) for operator invariants.
+
+The oracle parity suite checks point equality against DuckDB on the
+fixtures; these check *algebraic invariants* on adversarial generated
+inputs — the properties that must hold at any scale on any data:
+
+- sequence packing tiles shards exactly (offsets in range, bins dense,
+  cumsum consistent),
+- salted aggregation/join are semantics-preserving vs their direct forms,
+- hash-bucket sampling is invariant under repartitioning (the property
+  rand()-sampling lacks).
+
+``max_examples`` is small because each example runs Spark jobs; the
+generators bias toward the edge cases that matter (empty strings,
+single-token docs, duplicate texts, hot keys).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+_WORDS = st.lists(
+    st.sampled_from(["the", "cat", "sat", "on", "a", "mat", "x", "longword"]),
+    min_size=0,
+    max_size=30,
+)
+_DOCS = st.lists(_WORDS, min_size=1, max_size=25)
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(docs=_DOCS)
+@settings(**_SETTINGS)
+def test_pack_sequences_tiles_shards(spark, docs):
+    from sql_query_optimizer_cpp_spark.operators.curation import pack_sequences
+
+    ctx, n_shards = 16, 3
+    df = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs)],
+        ["doc_id", "text"],
+    )
+    rows = pack_sequences(df, n_shards=n_shards, ctx=ctx).collect()
+    assert len(rows) == len(docs)
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r.bin_offset < ctx
+        assert r.shard == r.doc_id % n_shards
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.doc_id)
+        start = 0
+        for r in shard_rows:
+            # each doc's bin/offset must equal the running concat position
+            assert r.bin_id == start // ctx
+            assert r.bin_offset == start % ctx
+            start += r.n_tokens
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # hot key space
+            st.integers(min_value=-100, max_value=100),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(**_SETTINGS)
+def test_salted_agg_equals_direct(spark, rows):
+    from sql_query_optimizer_cpp_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(rows, ["k", "x"])
+    direct = {
+        (r.k): (r.n, r.total)
+        for r in df.groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("total"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.k): (r.n, r.total)
+        for r in salted_agg(
+            df,
+            ["k"],
+            {
+                "n": (F.count("*").cast("long"), F.sum("n").cast("long")),
+                "total": (F.sum("x").cast("long"), F.sum("total").cast("long")),
+            },
+            n_salts=4,
+        ).collect()
+    }
+    assert salted == direct
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    n_parts=st.integers(min_value=1, max_value=7),
+)
+@settings(**_SETTINGS)
+def test_stratified_sample_partition_invariant(spark, ids, n_parts):
+    """The hash-bucket sample must pick the same rows however the input is
+    partitioned — the reproducibility contract rand() cannot give."""
+    from sql_query_optimizer_cpp_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in ids], ["doc_id", "lang"]
+    )
+    rates = {"en": 0.5}
+    base = {
+        r.doc_id
+        for r in stratified_sample(df, "lang", rates, 0.9).collect()
+    }
+    shuffled = {
+        r.doc_id
+        for r in stratified_sample(
+            df.repartition(n_parts), "lang", rates, 0.9
+        ).collect()
+    }
+    assert base == shuffled
