@@ -196,6 +196,10 @@ _PRIORITY: tuple[str, ...] = (
     "agg_skew_salted",
     "dedup_clusters_star",
     "dedup_incremental",
+    "orders_market_basket",
+    "events_anomaly_zscore",
+    "text_ngram_lm",
+    "sim_recall_report",
 )
 
 

@@ -195,3 +195,111 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.orderBy(F.col("monetary").desc(), "o_custkey")
     return rfm.withColumn("m_quintile", F.ntile(5).over(w).cast("long"))
+
+
+@register(
+    "orders_market_basket",
+    oracle="""
+WITH pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs GROUP BY 1, 2
+ORDER BY n DESC, part_a, part_b LIMIT 20""",
+    doc="market-basket co-occurrence: top-20 part pairs bought in the "
+    "same order (association-rule support counts) — the self-join blocks "
+    "on the natural basket key l_orderkey (equi-join, pairs per order = "
+    "O(basket^2) with baskets small), one combinable count, then "
+    "TakeOrderedAndProject; the classic co-occurrence shape reused for "
+    "token co-occurrence matrices at corpus scale",
+    tags=("join", "agg"),
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"].select("l_orderkey", "l_partkey")
+    a = li.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("l_orderkey") == F.col("_ok"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    # variance from exact integer moments: num = n*sumsq - sum^2 (exact
+    # BIGINT), var = num/n^2 as ONE double division, std = sqrt (IEEE
+    # correctly-rounded) -> both engines produce identical bits; z rounded
+    # 6dp at output
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+moments AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(n) AS BIGINT) AS s,
+         CAST(SUM(n * n) AS BIGINT) AS ss
+  FROM hourly GROUP BY 1)
+SELECT h.event_type, h.bucket, h.n,
+       round((CAST(h.n AS DOUBLE) - CAST(m.s AS DOUBLE) / m.n_hours)
+             / sqrt(CAST(m.n_hours * m.ss - m.s * m.s AS DOUBLE)
+                    / (m.n_hours * m.n_hours)), 6) AS z,
+       abs((CAST(h.n AS DOUBLE) - CAST(m.s AS DOUBLE) / m.n_hours)
+           / sqrt(CAST(m.n_hours * m.ss - m.s * m.s AS DOUBLE)
+                  / (m.n_hours * m.n_hours))) >= 2.0 AS is_anomaly
+FROM hourly h JOIN moments m ON h.event_type = m.event_type""",
+    doc="volume-anomaly detection: per event_type, hourly counts scored "
+    "as z-scores against that type's own mean/std (population std from "
+    "exact integer moments, so the doubles match across engines "
+    "bit-for-bit) — the telemetry check a pipeline runs on its own "
+    "ingest rates; two combinable aggregations, the per-type moments "
+    "broadcast back",
+    tags=("events", "agg"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    hourly = (
+        t["events"]
+        .groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    moments = hourly.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_hours")
+    var = (
+        (F.col("n_hours") * F.col("ss") - F.col("s") * F.col("s")).cast(
+            "double"
+        )
+        / (F.col("n_hours") * F.col("n_hours"))
+    )
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    return (
+        hourly.join(F.broadcast(moments), "event_type")
+        .select(
+            "event_type",
+            "bucket",
+            "n",
+            F.round(z, 6).alias("z"),
+            (F.abs(z) >= 2.0).alias("is_anomaly"),
+        )
+    )

@@ -260,3 +260,59 @@ SELECT query_id, neighbor_id, cos_sim, rn FROM (
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
     return S.ivf_topk(t["embeddings"], n_queries=N_QUERIES, k=K_ANN)
+
+
+def _recall_oracle() -> str:
+    """Compose the brute-force and ANN oracles (identical CTE generators)
+    into the recall@k measurement."""
+    return f"""
+WITH exact_topk AS ({_BRUTE_ORACLE.replace(f'rn <= {K_BRUTE}', f'rn <= {K_ANN}')}),
+ann_topk AS ({_ANN_ORACLE})
+SELECT e.query_id,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_matched,
+       round(CAST(COUNT(a.neighbor_id) AS DOUBLE) / {K_ANN}, 6) AS recall
+FROM exact_topk e
+LEFT JOIN ann_topk a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register(
+    "sim_recall_report",
+    oracle=_recall_oracle(),
+    doc="ANN quality evaluation as a query: recall@5 of the single-probe "
+    "sign-LSH search against the exact top-5, per query vector — the "
+    "measurement loop every ANN deployment runs before trading recall "
+    "for probes; both sides are the already-graded searches, the join "
+    "is on (query, neighbor), and the count divides by a constant k",
+    tags=("similarity",),
+)
+def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    exact = S.brute_force_topk(
+        t["embeddings"], n_queries=N_QUERIES, k=K_ANN
+    ).select("query_id", "neighbor_id")
+    ann = S.lsh_bucketed_topk(
+        t["embeddings"], n_queries=N_QUERIES, k=K_ANN
+    ).select(
+        F.col("query_id").alias("_qid"),
+        F.col("neighbor_id").alias("_nid"),
+    )
+    return (
+        exact.join(
+            ann,
+            (F.col("query_id") == F.col("_qid"))
+            & (F.col("neighbor_id") == F.col("_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("_nid").cast("long").alias("n_matched"),
+            F.round(F.count("_nid").cast("double") / K_ANN, 6).alias(
+                "recall"
+            ),
+        )
+    )

@@ -441,3 +441,61 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TFIDF_K)
         .select("doc_id", "token", "tf", "df", "score", "rnk")
     )
+
+
+_LM_MIN_COUNT = 5
+
+from ..operators.dedup import shingles_sql as _shingles_sql  # noqa: E402
+
+
+@register(
+    "text_ngram_lm",
+    # trigram occurrences (MULTISET — no distinct: LM counts weigh
+    # repetitions), conditional probability as one exact-int division
+    oracle=f"""
+WITH tri AS (
+  SELECT s FROM (SELECT unnest({_shingles_sql('text', 3)}) AS s
+                 FROM documents)),
+split AS (
+  SELECT s, regexp_extract(s, '^(.*) ([^ ]+)$', 1) AS ctx,
+            regexp_extract(s, '^(.*) ([^ ]+)$', 2) AS w
+  FROM tri),
+c3 AS (SELECT ctx, w, CAST(COUNT(*) AS BIGINT) AS n3 FROM split GROUP BY 1, 2),
+c2 AS (SELECT ctx, CAST(SUM(n3) AS BIGINT) AS n2 FROM c3 GROUP BY 1)
+SELECT c3.ctx, c3.w, c3.n3, c2.n2,
+       round(CAST(c3.n3 AS DOUBLE) / c2.n2, 6) AS p
+FROM c3 JOIN c2 ON c3.ctx = c2.ctx
+WHERE c3.n3 >= {_LM_MIN_COUNT}""",
+    doc="n-gram language-model counts: trigram multiset counts split into "
+    "(context bigram, next word), conditional p(w|ctx) = c3/c2 as one "
+    "exact-integer division (6dp) — the count-based LM/data-quality "
+    "signal (predictable continuations = boilerplate); explode is a "
+    "flatMap, both counts map-side combinable on the context key",
+    tags=("text",),
+)
+def text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingle_expr
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    tri = t["documents"].select(
+        F.explode(F.expr(shingle_expr("text", 3))).alias("s")
+    )
+    split = tri.select(
+        F.regexp_extract("s", r"^(.*) ([^ ]+)$", 1).alias("ctx"),
+        F.regexp_extract("s", r"^(.*) ([^ ]+)$", 2).alias("w"),
+    )
+    c3 = split.groupBy("ctx", "w").agg(
+        F.count("*").cast("long").alias("n3")
+    )
+    c2 = c3.groupBy("ctx").agg(F.sum("n3").cast("long").alias("n2"))
+    return (
+        c3.join(c2, "ctx")
+        .filter(F.col("n3") >= _LM_MIN_COUNT)
+        .select(
+            "ctx",
+            "w",
+            "n3",
+            "n2",
+            F.round(F.col("n3").cast("double") / F.col("n2"), 6).alias("p"),
+        )
+    )

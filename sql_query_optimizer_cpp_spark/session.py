@@ -24,6 +24,13 @@ from pyspark.sql import SparkSession
 # count locally; at 100 TB you would size this to ~2-3x total executor cores
 # (AQE coalesces down, so err high).
 _DEFAULTS: dict[str, str] = {
+    # Spark's 1g driver default is sized for a thin cluster client, not a
+    # local[32] engine: one long-lived session that plans/caches hundreds
+    # of distinct queries (codegen classes, broadcasts, AQE stats) will
+    # eventually OOM the 1g JVM — observed as a mid-suite py4j
+    # ConnectionRefused cascade.  Builder-time only; ignored by already-
+    # running embedder JVMs.
+    "spark.driver.memory": "8g",
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
