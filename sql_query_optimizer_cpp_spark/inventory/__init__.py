@@ -200,6 +200,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_anomaly_zscore",
     "text_ngram_lm",
     "sim_recall_report",
+    "dedup_ngram_containment",
 )
 
 

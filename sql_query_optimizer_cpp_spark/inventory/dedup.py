@@ -395,3 +395,38 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("corpus_rep", "earlier").alias("dup_of"),
         )
     )
+
+
+_CONTAINMENT_T = 0.9
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=f"""
+WITH {_ex_cte()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(COUNT(DISTINCT ea.s) AS BIGINT) AS inter
+  FROM cand c
+  JOIN ex ea ON ea.doc_id = c.doc_a
+  JOIN ex eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+  GROUP BY 1, 2),
+sizes AS (SELECT doc_id, CAST(COUNT(DISTINCT s) AS BIGINT) AS sz FROM ex GROUP BY 1)
+SELECT doc_a, doc_b,
+       CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) >= {_CONTAINMENT_T}""",
+    doc="shingle-set CONTAINMENT near-dup pairs (|A∩B|/min(|A|,|B|) >= "
+    "0.9): the metric that catches a short doc fully embedded in a "
+    "longer one (quotes, boilerplate wrapping), which Jaccard's union "
+    "term dilutes away — same shared-shingle equi-join blocking as the "
+    "Jaccard path, exact verify on candidates only",
+    tags=("dedup",),
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return D.ngram_containment_pairs(t["documents"], threshold=_CONTAINMENT_T)

@@ -71,13 +71,20 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                 n: int = 3) -> DataFrame:
-    """(doc_id, shingle) pairs, distinct — the set representation."""
-    return (
-        _spread(df)
-        .select(F.col(id_col), F.explode(F.expr(shingle_expr(text_col, n))).alias("s"))
-        .distinct()
+                 n: int = 3, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) pairs — the set representation when ``distinct``
+    (default), else the raw multiset.
+
+    ``distinct=False`` skips a full corpus-wide shuffle (the explode stays
+    a pure flatMap) and is correct wherever duplicates don't change the
+    answer: MinHash signatures (min is duplicate-invariant) paired with a
+    duplicate-aware verify (:func:`_verify_jaccard` counts DISTINCT
+    matches).  Keep the default for consumers whose counts are
+    set-semantics (PPJoin prefix ranks, probe-overlap joins)."""
+    ex = _spread(df).select(
+        F.col(id_col), F.explode(F.expr(shingle_expr(text_col, n))).alias("s")
     )
+    return ex.distinct() if distinct else ex
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -169,10 +176,13 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     # The shingle explosion feeds both the signatures and the exact-Jaccard
-    # verify; without a cache Catalyst recomputes the whole explode+distinct
-    # subtree for each consumer (~1/3 of the query's work at sf0.1).
-    # Tracked for release_cached(); LRU-evictable in the meantime.
-    ex = _persist_tracked(doc_shingles(df, id_col, text_col, n))
+    # verify; without a cache Catalyst recomputes the whole explode subtree
+    # for each consumer (~1/3 of the query's work at sf0.1).  Tracked for
+    # release_cached(); LRU-evictable in the meantime.  MULTISET on
+    # purpose: MinHash mins ignore duplicates and the verify dedups
+    # per-candidate, so the corpus-wide distinct() shuffle is pure waste
+    # here (measured 0.9 s at sf0.1, linear in corpus at scale).
+    ex = _persist_tracked(doc_shingles(df, id_col, text_col, n, distinct=False))
     sig = minhash_signatures(df, id_col, text_col, num_hashes, n, shingles=ex)
 
     band_cols = []
@@ -265,8 +275,18 @@ def _verify_jaccard(
     threshold: float,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact-Jaccard verification of candidate pairs (no false positives)."""
+    """Exact-Jaccard verification of candidate pairs (no false positives).
+
+    Set semantics regardless of the shingle frame's duplication:
+    intersections count DISTINCT shared shingles and sizes are DISTINCT
+    counts, so a multiset ``shingles`` input (the cheap path — see
+    :func:`doc_shingles`) verifies identically to a pre-distinct one."""
     ex = shingles if shingles is not None else doc_shingles(df, id_col, text_col, n)
+    # per-SIDE dedup happens inside the candidate-scoped aggregation (the
+    # countDistinct below), NOT as a corpus-wide distinct() here — that
+    # corpus shuffle is exactly what the multiset path exists to avoid;
+    # join fan-out from duplicated shingles is bounded by per-doc
+    # duplication and only on candidate pairs
     ea = ex.select(F.col(id_col).alias("doc_a"), F.col("s"))
     eb = ex.select(F.col(id_col).alias("_doc_b"), F.col("s").alias("s_b"))
     inter = (
@@ -277,9 +297,11 @@ def _verify_jaccard(
             "inner",
         )
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("long").alias("inter"))
+        .agg(F.countDistinct("s").cast("long").alias("inter"))
     )
-    sizes = ex.groupBy(id_col).agg(F.count("*").cast("long").alias("sz"))
+    sizes = ex.groupBy(id_col).agg(
+        F.countDistinct("s").cast("long").alias("sz")
+    )
     sa = sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sz", "sz_a")
     sb = sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sz", "sz_b")
     return (
@@ -292,6 +314,63 @@ def _verify_jaccard(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Near-dup pairs by shingle-set CONTAINMENT: |A∩B| / min(|A|,|B|).
+
+    Jaccard misses the doc-inside-a-longer-doc case (a quoted article, a
+    boilerplate-wrapped page): the union term dilutes the score.
+    Containment normalizes by the smaller set, so a short doc fully
+    embedded in a long one scores 1.0.  Same blocking discipline as the
+    Jaccard path — candidates from a shared-shingle equi-join, never a
+    cross join — then the exact containment verify on candidates only.
+
+    Output: (doc_a, doc_b, containment) with doc_a < doc_b.
+    """
+    ex = _persist_tracked(doc_shingles(df, id_col, text_col, n))
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    ea = ex.select(F.col(id_col).alias("doc_a"), F.col("s"))
+    eb = ex.select(F.col(id_col).alias("_doc_b"), F.col("s").alias("s_b"))
+    inter = (
+        cand.join(ea, "doc_a")
+        .join(
+            eb,
+            (F.col("doc_b") == F.col("_doc_b")) & (F.col("s") == F.col("s_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("s").cast("long").alias("inter"))
+    )
+    sizes = ex.groupBy(id_col).agg(F.countDistinct("s").cast("long").alias("sz"))
+    sa = sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sz", "sz_a")
+    sb = sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sz", "sz_b")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment",
+            F.col("inter").cast("double") / F.least("sz_a", "sz_b"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
     )
 
 
@@ -405,15 +484,39 @@ def cc_labels_star(
     label = component minimum.  Singletons don't appear (no edges), same
     contract as the pair graph itself.
     """
+    # Explicitly bound the loop's partitioning: under a vanilla session
+    # (shuffle.partitions=200) each of the ~6 shuffles per round spawns
+    # 200 mostly-empty tasks, and across rounds the stage/broadcast
+    # bookkeeping alone can OOM a default-heap driver.  The edge frame is
+    # the contracted graph (small and shrinking), so core-count partitions
+    # are plenty locally; at cluster scale defaultParallelism scales with
+    # the executor fleet.
+    par = pairs.sparkSession.sparkContext.defaultParallelism
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .repartition(par, "u")
+        .localCheckpoint()
     )
 
     def _bidir(e: DataFrame) -> DataFrame:
         return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
+    def _sig(e: DataFrame) -> tuple:
+        # Order-independent edge-set fingerprint: (count, XOR of per-edge
+        # hashes — overflow-free under ANSI mode, unlike SUM).  One cheap
+        # aggregate per round instead of a per-round exceptAll (two extra
+        # shuffle/broadcast stages); a false "converged" needs a 64-bit
+        # XOR collision AT equal counts over distinct edge sets, and the
+        # final result is confirmed exactly below before returning.
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = _sig(edges)
     for _ in range(max_iter):
         # large-star: (v, m) for v in N(u), v > u, m = min(N(u) ∪ {u})
         b = _bidir(edges)
@@ -441,14 +544,18 @@ def cc_labels_star(
             hang_neighbors.union(hang_self)
             .filter(F.col("u") != F.col("v"))
             .distinct()
+            .repartition(par, "u")
             .localCheckpoint()  # truncate the iterative lineage
         )
         # fixpoint: star rounds leave the edge set unchanged exactly when
         # every node points straight at its component minimum
-        if small.count() == edges.count() and small.exceptAll(edges).isEmpty():
+        sig = _sig(small)
+        if sig == prev:
+            # exact confirmation, ONCE at convergence (not per round)
+            assert small.exceptAll(edges).isEmpty(), "fingerprint collision"
             edges = small
             break
-        edges = small
+        edges, prev = small, sig
     else:
         raise RuntimeError(f"cc_labels_star did not converge in {max_iter} rounds")
 
@@ -491,9 +598,14 @@ def neardup_clusters(
     """
     if pairs is None:
         pairs = minhash_lsh_pairs(df, id_col, text_col, **minhash_kwargs)
+    # bounded partitioning for the iterative stages (same rationale as
+    # cc_labels_star): under a vanilla 200-shuffle-partition session the
+    # per-round task/stage bookkeeping dwarfs the tiny contracted frames
+    par = df.sparkSession.sparkContext.defaultParallelism
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .repartition(par, "src")
     )
     edges = _persist_tracked(edges)
     labels = df.select(F.col(id_col)).distinct().withColumn("label", F.col(id_col))

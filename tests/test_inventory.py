@@ -110,3 +110,15 @@ def test_oracle_keys_subset():
     q = e.queries()
     o = e.oracle_sql()
     assert set(o) <= set(q)
+
+
+def test_priority_names_all_registered():
+    """Every _PRIORITY entry must name a registered query: all_queries()
+    silently skips unknown names, so a typo in a rotation edit would
+    silently drop that query from the driver's 50-entry grading window —
+    exactly the failure mode the rotation exists to prevent."""
+    from sql_query_optimizer_cpp_spark.inventory import _PRIORITY
+
+    unknown = [n for n in _PRIORITY if n not in QUERIES]
+    assert not unknown, f"_PRIORITY names not in registry: {unknown}"
+    assert len(set(_PRIORITY)) == len(_PRIORITY), "duplicate _PRIORITY entries"
