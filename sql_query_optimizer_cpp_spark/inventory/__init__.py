@@ -188,6 +188,12 @@ _PRIORITY: tuple[str, ...] = (
     # -- regression-guard slot: the headline query ------------------------
     "flagship_demo",
     # ==== end of the 50-entry r04 window; r05 queue below ================
+    # r05 rotation plan: confirm the r04 window in CORRECTNESS_r04, then
+    # move this queue block (17 entries) to the front, keep flagship as
+    # the guard, and fill the remaining ~32 slots with round-5 additions
+    # or re-grades of the oldest green rows (r01-window entries have the
+    # stalest evidence).  test_priority_names_all_registered guards the
+    # edit.
     "join_event_attribution",
     "events_path_bigrams",
     "text_tfidf_topk",

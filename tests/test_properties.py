@@ -134,3 +134,42 @@ def test_stratified_sample_partition_invariant(spark, ids, n_parts):
         ).collect()
     }
     assert base == shuffled
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="ascii", categories=["L", "N", "P", "Z"]
+            ),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+@settings(**_SETTINGS)
+def test_hash64_cross_engine_portable(spark, duck, texts):
+    """The seeded md5-prefix hash64 must agree bit-for-bit between Spark
+    and DuckDB on arbitrary strings — it is the foundation every
+    dedup/sampling/LSH oracle stands on, so probe it directly on
+    generated inputs, not just the fixture corpus."""
+    from sql_query_optimizer_cpp_spark.functions import hash64, hash64_sql
+
+    df = spark.createDataFrame([(t,) for t in texts], ["s"])
+    got = {
+        r.s: r.h
+        for r in df.select("s", hash64(F.col("s"), seed="pt:").alias("h")).collect()
+    }
+    duck.execute("CREATE OR REPLACE TABLE _pt(s VARCHAR)")
+    duck.executemany("INSERT INTO _pt VALUES (?)", [(t,) for t in texts])
+    want = {
+        s: h
+        for s, h in duck.sql(
+            f"SELECT s, {hash64_sql('s', seed='pt:')} AS h FROM _pt"
+        ).fetchall()
+    }
+    duck.execute("DROP TABLE _pt")
+    assert got == want
