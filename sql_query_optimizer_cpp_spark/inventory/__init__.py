@@ -189,7 +189,7 @@ _PRIORITY: tuple[str, ...] = (
     "flagship_demo",
     # ==== end of the 50-entry r04 window; r05 queue below ================
     # r05 rotation plan: confirm the r04 window in CORRECTNESS_r04, then
-    # move this queue block (17 entries) to the front, keep flagship as
+    # move this queue block (15 entries) to the front, keep flagship as
     # the guard, and fill the remaining ~32 slots with round-5 additions
     # or re-grades of the oldest green rows (r01-window entries have the
     # stalest evidence).  test_priority_names_all_registered guards the
@@ -207,6 +207,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_ngram_lm",
     "sim_recall_report",
     "dedup_ngram_containment",
+    "win_moving_avg",
+    "agg_grouping_id",
 )
 
 

@@ -664,3 +664,36 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         },
     )
+
+
+# --- GROUPING() markers under grouping sets --------------------------------------
+@register(
+    "agg_grouping_id",
+    oracle="SELECT o_orderstatus, o_orderpriority, "
+    "CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status, "
+    "CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority, "
+    "CAST(count(*) AS BIGINT) AS n, "
+    + dsum_sql("o_totalprice")
+    + " AS total "
+    "FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), "
+    "(o_orderstatus), ())",
+    doc="GROUPING() markers under grouping sets: the per-column 0/1 flag "
+    "that tells a subtotal row apart from a genuine NULL group value — "
+    "without it, rollup output over nullable keys is ambiguous; one "
+    "expanded aggregation, identical semantics both engines",
+    tags=("agg",),
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        "SELECT o_orderstatus, o_orderpriority, "
+        "CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status, "
+        "CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        + dsum_sql("o_totalprice")
+        + " AS total "
+        "FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), "
+        "(o_orderstatus), ())"
+    )

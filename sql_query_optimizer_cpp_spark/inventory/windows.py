@@ -233,3 +233,42 @@ def win_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_share"),
     )
+
+
+@register(
+    "win_moving_avg",
+    oracle="SELECT o_custkey, o_orderkey, "
+    "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)"
+    " / COUNT(*) OVER w, 6) AS moving_avg "
+    "FROM orders WHERE o_custkey < 50 "
+    "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)",
+    doc="centered 5-row moving average per customer (2 preceding + 2 "
+    "following — a bounded two-sided frame, unlike the cumulative and "
+    "RANGE frames elsewhere): decimal-exact frame sum divided by the "
+    "frame COUNT so edge rows average over their real 3-4 neighbors, "
+    "and bits match across engines",
+    tags=("window",),
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 2)
+    )
+    return (
+        t["orders"]
+        .filter(F.col("o_custkey") < 50)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .over(w)
+                .cast("double")
+                / F.count("*").over(w),
+                6,
+            ).alias("moving_avg"),
+        )
+    )
