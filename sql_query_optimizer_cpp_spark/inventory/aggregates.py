@@ -501,19 +501,17 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- Array aggregation (nested result types round-trip both engines) -------------
-@register(
-    "agg_array_collect",
-    oracle="SELECT o_orderstatus, list_sort(list(o_custkey)) AS custkeys, "
-    "CAST(len(list(o_custkey)) AS BIGINT) AS n "
-    "FROM orders WHERE o_custkey < 50 GROUP BY o_orderstatus",
-    doc="array-valued aggregation: per-status sorted customer-key list "
-    "(collect_list is arrival-order nondeterministic, so array_sort is "
-    "what makes the result comparable at all — across engines AND across "
-    "Spark's own partitionings); proves nested result types round-trip "
-    "the result path",
-    tags=("agg",),
-)
-def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_array_collect_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The array-typed variant: per-status sorted customer-key LIST column.
+
+    collect_list is arrival-order nondeterministic, so array_sort is what
+    makes the result comparable at all — across engines AND across Spark's
+    own partitionings.  NOT driver-graded: the driver's pandas-based hash
+    compare cannot factorize a top-level array column (r04 red:
+    ``TypeError: unhashable type 'list'``), so the graded query below
+    serializes it and this variant is asserted by the local suite
+    (tests/test_aggregates.py::test_array_collect_roundtrip).
+    """
     t = load_tables(spark, sf_dir, ("orders",))
     return (
         t["orders"]
@@ -523,6 +521,30 @@ def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list("o_custkey")).alias("custkeys"),
             F.count("*").cast("long").alias("n"),
         )
+    )
+
+
+@register(
+    "agg_array_collect",
+    oracle="SELECT o_orderstatus, "
+    "array_to_string(list_sort(list(o_custkey)), ',') AS custkeys, "
+    "CAST(len(list(o_custkey)) AS BIGINT) AS n "
+    "FROM orders WHERE o_custkey < 50 GROUP BY o_orderstatus",
+    doc="array-valued aggregation, graded through a serialized projection: "
+    "the per-status sorted customer-key list is built as a real "
+    "array<bigint> (array_sort(collect_list)) then array_join-ed to a "
+    "scalar string for the driver's pandas hash compare, which cannot "
+    "factorize top-level list cells (the r04 red); the array-typed "
+    "variant stays covered by the local suite",
+    tags=("agg",),
+)
+def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg_array_collect_arrays(spark, sf_dir).select(
+        "o_orderstatus",
+        F.array_join(
+            F.transform(F.col("custkeys"), lambda x: x.cast("string")), ","
+        ).alias("custkeys"),
+        "n",
     )
 
 
@@ -696,4 +718,89 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         + " AS total "
         "FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), "
         "(o_orderstatus), ())"
+    )
+
+
+# --- Pearson correlation from exact integer/decimal moments ----------------------
+@register(
+    "agg_corr_moments",
+    # moments are exact DECIMAL sums; the corr formula is then evaluated in
+    # double with IDENTICAL spelling on both engines — every *, -, /, sqrt
+    # is IEEE correctly-rounded over identical inputs, so bits match
+    # without trusting either engine's native corr() accumulation order
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY 1)
+SELECT l_returnflag, n,
+       round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr_qty_price
+FROM m""",
+    doc="Pearson correlation of quantity vs extendedprice per returnflag, "
+    "computed from exact decimal moments (one combinable aggregation — "
+    "the map-side-combine shape that scales) instead of the engines' "
+    "native corr(), whose float accumulation order differs per "
+    "partitioning; the closed-form double arithmetic is spelled "
+    "identically on both sides so the result is bit-stable",
+    tags=("agg",),
+)
+def agg_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    dq = F.col("l_quantity").cast("decimal(18,2)")
+    de = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = t["lineitem"].groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dq).cast("double").alias("sx"),
+        F.sum(de).cast("double").alias("sy"),
+        F.sum(dq * de).cast("double").alias("sxy"),
+        F.sum(dq * dq).cast("double").alias("sxx"),
+        F.sum(de * de).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    corr = (nd * sxy - sx * sy) / (
+        F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    )
+    return m.select(
+        "l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price")
+    )
+
+
+# --- UNPIVOT: the inverse reshape of agg_pivot -----------------------------------
+@register(
+    "unpivot_metrics",
+    # DuckDB's UNPIVOT spelling differs, so the oracle is the ANSI UNION
+    # ALL equivalent — same rows, same types
+    oracle="""
+WITH m AS (
+  SELECT o_orderstatus, CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+  FROM orders GROUP BY 1)
+SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM m
+UNION ALL
+SELECT o_orderstatus, 'total_price' AS metric, total_price AS value FROM m""",
+    doc="UNPIVOT (long-form reshape, the inverse of agg_pivot): per-status "
+    "metrics melted to (status, metric, value) rows via Spark's native "
+    "UNPIVOT clause — a narrow projection over the aggregate, no extra "
+    "shuffle (the UNION ALL oracle would rescan; UNPIVOT does not)",
+    tags=("agg",),
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        "SELECT o_orderstatus, metric, value FROM ("
+        "  SELECT o_orderstatus, CAST(COUNT(*) AS DOUBLE) AS n_orders, "
+        "         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price "
+        "  FROM orders GROUP BY o_orderstatus"
+        ") UNPIVOT (value FOR metric IN (n_orders, total_price))"
     )

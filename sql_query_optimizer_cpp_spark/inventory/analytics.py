@@ -256,10 +256,10 @@ moments AS (
   FROM hourly GROUP BY 1)
 SELECT h.event_type, h.bucket, h.n,
        round((CAST(h.n AS DOUBLE) - CAST(m.s AS DOUBLE) / m.n_hours)
-             / sqrt(CAST(m.n_hours * m.ss - m.s * m.s AS DOUBLE)
+             / sqrt(CAST(NULLIF(m.n_hours * m.ss - m.s * m.s, 0) AS DOUBLE)
                     / (m.n_hours * m.n_hours)), 6) AS z,
        abs((CAST(h.n AS DOUBLE) - CAST(m.s AS DOUBLE) / m.n_hours)
-           / sqrt(CAST(m.n_hours * m.ss - m.s * m.s AS DOUBLE)
+           / sqrt(CAST(NULLIF(m.n_hours * m.ss - m.s * m.s, 0) AS DOUBLE)
                   / (m.n_hours * m.n_hours))) >= 2.0 AS is_anomaly
 FROM hourly h JOIN moments m ON h.event_type = m.event_type""",
     doc="volume-anomaly detection: per event_type, hourly counts scored "
@@ -286,13 +286,13 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n") * F.col("n")).cast("long").alias("ss"),
     )
     mean = F.col("s").cast("double") / F.col("n_hours")
-    var = (
-        (F.col("n_hours") * F.col("ss") - F.col("s") * F.col("s")).cast(
-            "double"
-        )
-        / (F.col("n_hours") * F.col("n_hours"))
-    )
-    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    # exact-integer variance numerator; when it is 0 (single bucket or
+    # constant counts) both engines must emit NULL, not NaN/Infinity —
+    # Spark's 0/0 and DuckDB's x/0 semantics diverge otherwise.  Guarded
+    # here with when(num > 0) and in the oracle with NULLIF(num, 0).
+    num = F.col("n_hours") * F.col("ss") - F.col("s") * F.col("s")
+    var = num.cast("double") / (F.col("n_hours") * F.col("n_hours"))
+    z = F.when(num > 0, (F.col("n").cast("double") - mean) / F.sqrt(var))
     return (
         hourly.join(F.broadcast(moments), "event_type")
         .select(
@@ -302,4 +302,54 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("z"),
             (F.abs(z) >= 2.0).alias("is_anomaly"),
         )
+    )
+
+
+@register(
+    "date_series_gapfill",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+           FROM hourly GROUP BY 1),
+series AS (SELECT b.event_type, CAST(g.ts AS TIMESTAMP) AS bucket
+           FROM bounds b,
+                unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS g(ts))
+SELECT s.event_type, s.bucket, CAST(coalesce(h.n, 0) AS BIGINT) AS n
+FROM series s
+LEFT JOIN hourly h ON h.event_type = s.event_type AND h.bucket = s.bucket""",
+    doc="gap-filled hourly time series per event_type: the dense, "
+    "zero-filled series every dashboard / anomaly detector needs (a "
+    "missing hour must be a 0, not an absent row) — Spark "
+    "sequence()+explode generates each type's full [min,max] hour range "
+    "(generator-side, no driver loop; range length is bounded by "
+    "wall-clock span, not data volume), then a left join back onto the "
+    "aggregated buckets; DuckDB twin uses lateral generate_series",
+    tags=("events", "agg"),
+)
+def date_series_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    hourly = (
+        t["events"]
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    series = (
+        hourly.groupBy("event_type")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.expr("sequence(lo, hi, interval 1 hour)")
+            ).alias("bucket"),
+        )
+    )
+    return series.join(hourly, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
     )

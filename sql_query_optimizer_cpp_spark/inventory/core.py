@@ -259,3 +259,17 @@ def filter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_name").rlike("Customer#0*1[0-9]{2}$"))
         .select("c_custkey", "c_name")
     )
+
+
+# --- GROUP BY ALL (same text both engines — parity by construction) --------------
+shared_sql(
+    "group_by_all_report",
+    "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+    "FROM documents GROUP BY ALL",
+    doc="GROUP BY ALL (every non-aggregate select item becomes a key) — "
+    "the corpus-composition report spelled the way analysts actually "
+    "write it; Spark and DuckDB both resolve ALL to (lang, source), so "
+    "one SQL text serves as both implementation and oracle",
+    tags=("agg",),
+)

@@ -262,21 +262,18 @@ WITH ex AS (SELECT DISTINCT doc_id, s FROM
   (SELECT doc_id, unnest({D.shingles_sql('text')}) AS s
    FROM documents WHERE doc_id < 50)),
 exh AS (SELECT doc_id, s, {hash64_sql("s", seed="mh:")} AS h FROM ex)
-SELECT doc_id, [{mins}] AS signature FROM exh GROUP BY doc_id
+SELECT doc_id, array_to_string([{mins}], '-') AS signature
+FROM exh GROUP BY doc_id
 """
 
 
-@register(
-    "text_minhash_signature",
-    oracle=_signature_oracle(),
-    doc="the MinHash signature ITSELF as a 16-element array column (docs "
-    "0-49) — the persistable document sketch an incremental dedup "
-    "pipeline stores and re-bands later without re-shingling the corpus; "
-    "one shingle explosion (flatMap) + one groupBy, signature values are "
-    "bit-identical across engines via the portable universal-hash family",
-    tags=("dedup", "text"),
-)
-def text_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_minhash_signature_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The array-typed variant: the 16-element MinHash signature as a real
+    ``array<bigint>`` column — the persistable document sketch an
+    incremental dedup pipeline stores and re-bands later without
+    re-shingling the corpus.  NOT driver-graded (pandas hash compare
+    cannot take top-level list cells — the r04 red); asserted by
+    tests/test_dedup.py::test_minhash_signature_roundtrip."""
     from pyspark.sql import functions as F
 
     t = load_tables(spark, sf_dir, ("documents",))
@@ -288,6 +285,29 @@ def text_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.col(f"mh_{i}") for i in range(NUM_HASHES)]).alias(
             "signature"
         ),
+    )
+
+
+@register(
+    "text_minhash_signature",
+    oracle=_signature_oracle(),
+    doc="the MinHash signature (docs 0-49), graded through a serialized "
+    "'-'-joined string projection of the 16-element array — the driver's "
+    "pandas hash compare cannot factorize top-level list cells (r04 red), "
+    "so the graded row compares scalars while the array-typed sketch "
+    "stays covered by the local suite; one shingle explosion (flatMap) + "
+    "one groupBy, values bit-identical across engines via the portable "
+    "universal-hash family",
+    tags=("dedup", "text"),
+)
+def text_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return text_minhash_signature_arrays(spark, sf_dir).select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("signature"), lambda x: x.cast("string")), "-"
+        ).alias("signature"),
     )
 
 
@@ -430,3 +450,38 @@ WHERE CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) >= {_CONTAINMENT_T}""",
 def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     return D.ngram_containment_pairs(t["documents"], threshold=_CONTAINMENT_T)
+
+
+@register(
+    "corpus_dedup_report",
+    oracle="WITH fp AS (SELECT "
+    + content_fingerprint_sql("text")
+    + " AS fp FROM documents) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS total_docs, "
+    "CAST(COUNT(DISTINCT fp) AS BIGINT) AS distinct_contents, "
+    "CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS dup_docs, "
+    "round(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6) "
+    "AS dup_rate FROM fp",
+    doc="corpus-level exact-duplication report: total docs, distinct "
+    "normalized contents, duplicate count and rate — the one-row health "
+    "metric a dedup pipeline publishes per snapshot; COUNT(DISTINCT) "
+    "over the 64-bit content fingerprint is a two-phase partial "
+    "aggregate (shuffle ∝ distinct fingerprints, not corpus bytes)",
+    tags=("dedup",),
+)
+def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.text import content_fingerprint
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    fp = t["documents"].select(content_fingerprint("text").alias("fp"))
+    return fp.agg(
+        F.count("*").cast("long").alias("total_docs"),
+        F.countDistinct("fp").cast("long").alias("distinct_contents"),
+        (F.count("*") - F.countDistinct("fp")).cast("long").alias("dup_docs"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("fp").cast("double") / F.count("*"),
+            6,
+        ).alias("dup_rate"),
+    )

@@ -86,3 +86,20 @@ shared_sql(
     "balance, decimal-exact so both engines compute the same cutoff)",
     tags=("subquery",),
 )
+
+
+# --- correlated EXISTS / NOT EXISTS ----------------------------------------------
+shared_sql(
+    "exists_subquery",
+    "SELECT c_custkey, c_name FROM customer c "
+    "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+    "AND o.o_totalprice > 300000) "
+    "AND NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey "
+    "AND o2.o_orderstatus = 'P')",
+    doc="correlated EXISTS + NOT EXISTS in one predicate — Catalyst plans "
+    "these as a left-semi and a left-anti join on c_custkey (no per-row "
+    "re-execution), the decorrelation that makes correlated subqueries "
+    "viable at scale; complements in_subquery/not_in_subquery which "
+    "exercise the IN spelling",
+    tags=("subquery", "join"),
+)

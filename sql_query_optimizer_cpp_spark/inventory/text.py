@@ -499,3 +499,28 @@ def text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n3").cast("double") / F.col("n2"), 6).alias("p"),
         )
     )
+
+
+@register(
+    "doc_quality_histogram",
+    oracle="SELECT CAST(floor("
+    + T.quality_score_sql("text")
+    + " * 20) AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n_docs "
+    "FROM documents GROUP BY 1",
+    doc="quality-score histogram in 0.05-wide bins: the distribution "
+    "readout that decides where a corpus quality threshold should sit "
+    "before filtering — the score is the same exact-integer-ratio "
+    "expression as text_quality (bit-identical across engines, so "
+    "floor() bins agree even at boundaries); map-side-combinable count, "
+    "shuffle bytes ∝ number of bins",
+    tags=("text", "agg"),
+)
+def doc_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (
+        t["documents"]
+        .groupBy(
+            F.floor(T.quality_score("text") * 20).cast("long").alias("bin")
+        )
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )

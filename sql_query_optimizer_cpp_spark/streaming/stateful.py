@@ -119,7 +119,15 @@ def running_user_counts_tws(events: DataFrame) -> DataFrame:
     and runs fully anywhere protobuf exists — the same honest-gating
     pattern as the image-codec stub in operators/multimodal.py.
     """
-    if importlib.util.find_spec("google") is None:
+    # probe the ACTUAL dependency, not the bare 'google' namespace: any
+    # other installed google-namespace package (google-auth, ...) would
+    # make a find_spec('google') probe pass while the TWS stream still
+    # dies at the first micro-batch
+    try:
+        _has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        _has_protobuf = False
+    if not _has_protobuf:
         warnings.warn(
             "transformWithStateInPandas needs google.protobuf (absent in "
             "this environment); the returned stream will fail at its first "

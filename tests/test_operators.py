@@ -443,3 +443,129 @@ def test_cc_star_equals_label_propagation(spark):
     }
     want = {(i, 0) for i in range(20)} | {(i, 100) for i in (100, 101, 102)}
     assert got == want
+
+
+def test_array_collect_roundtrip(spark, duck):
+    """The array-typed variant of agg_array_collect (not driver-graded:
+    the driver's pandas hasher can't factorize top-level list cells) must
+    still round-trip a real array<bigint> column bit-identically vs DuckDB,
+    and its serialized graded twin must be the array_join of exactly it."""
+    from .compare import assert_same_result
+    from sql_query_optimizer_cpp_spark.inventory.aggregates import (
+        agg_array_collect_arrays,
+    )
+
+    sdf = agg_array_collect_arrays(spark, SF_DIR)
+    rel = duck.sql(
+        "SELECT o_orderstatus, list_sort(list(o_custkey)) AS custkeys, "
+        "CAST(len(list(o_custkey)) AS BIGINT) AS n "
+        "FROM orders WHERE o_custkey < 50 GROUP BY o_orderstatus"
+    )
+    assert_same_result(sdf, rel, "agg_array_collect_arrays")
+    # graded twin == array_join of the array variant
+    joined = {
+        r.o_orderstatus: ",".join(str(x) for x in r.custkeys)
+        for r in sdf.collect()
+    }
+    from sql_query_optimizer_cpp_spark.inventory import all_queries
+
+    graded = all_queries()["agg_array_collect"].fn(spark, SF_DIR)
+    for r in graded.collect():
+        assert r.custkeys == joined[r.o_orderstatus]
+
+
+def test_minhash_signature_roundtrip(spark, duck):
+    """Same contract for the MinHash signature sketch: the array<bigint>
+    signature matches DuckDB's list-typed oracle, and the graded string
+    projection is its '-'-join."""
+    from .compare import assert_same_result
+    from sql_query_optimizer_cpp_spark.functions import (
+        hash64_sql,
+        minhash_params,
+        minhash_transform_sql,
+    )
+    from sql_query_optimizer_cpp_spark.inventory.dedup import (
+        NUM_HASHES,
+        text_minhash_signature_arrays,
+    )
+    from sql_query_optimizer_cpp_spark.operators import dedup as D
+
+    sdf = text_minhash_signature_arrays(spark, SF_DIR)
+    mins = ", ".join(
+        f"MIN({minhash_transform_sql('h', a, b)})"
+        for a, b in minhash_params(NUM_HASHES)
+    )
+    rel = duck.sql(
+        f"""
+WITH ex AS (SELECT DISTINCT doc_id, s FROM
+  (SELECT doc_id, unnest({D.shingles_sql('text')}) AS s
+   FROM documents WHERE doc_id < 50)),
+exh AS (SELECT doc_id, s, {hash64_sql("s", seed="mh:")} AS h FROM ex)
+SELECT doc_id, [{mins}] AS signature FROM exh GROUP BY doc_id
+"""
+    )
+    assert_same_result(sdf, rel, "text_minhash_signature_arrays")
+    joined = {
+        r.doc_id: "-".join(str(x) for x in r.signature) for r in sdf.collect()
+    }
+    from sql_query_optimizer_cpp_spark.inventory import all_queries
+
+    graded = all_queries()["text_minhash_signature"].fn(spark, SF_DIR)
+    for r in graded.collect():
+        assert r.signature == joined[r.doc_id]
+
+
+def test_anomaly_zscore_zero_variance_yields_null(spark, tmp_path):
+    """An event_type with a single hourly bucket (variance 0) must emit
+    NULL z / is_anomaly in BOTH engines — Spark's 0/0 (NaN) and DuckDB's
+    x/0 semantics diverge without the num>0 / NULLIF guard (ADVICE r04)."""
+    import datetime
+
+    import duckdb
+
+    from sql_query_optimizer_cpp_spark.inventory import all_queries
+
+    rows = [
+        # 'lonely' has ONE hourly bucket -> n_hours=1, var=0
+        (1, "lonely", datetime.datetime(2024, 1, 1, 10, 0, 0), "{}"),
+        (2, "lonely", datetime.datetime(2024, 1, 1, 10, 30, 0), "{}"),
+        # 'steady' has two buckets with EQUAL counts -> var=0 as well
+        (3, "steady", datetime.datetime(2024, 1, 1, 10, 0, 0), "{}"),
+        (4, "steady", datetime.datetime(2024, 1, 1, 11, 0, 0), "{}"),
+        # 'varied' has real variance -> non-NULL z
+        (5, "varied", datetime.datetime(2024, 1, 1, 10, 0, 0), "{}"),
+        (6, "varied", datetime.datetime(2024, 1, 1, 10, 5, 0), "{}"),
+        (7, "varied", datetime.datetime(2024, 1, 1, 11, 0, 0), "{}"),
+    ]
+    sdf = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts timestamp, props string"
+    )
+    sf = str(tmp_path)
+    sdf.coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    spec = all_queries()["events_anomaly_zscore"]
+    out = {
+        (r.event_type, r.bucket): (r.z, r.is_anomaly)
+        for r in spec.fn(spark, sf).collect()
+    }
+    for (etype, _), (z, anom) in out.items():
+        if etype in ("lonely", "steady"):
+            assert z is None and anom is None, (etype, z, anom)
+        else:
+            assert z is not None
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet/*.parquet')"
+    )
+    dout = {
+        (r[0], r[1]): (r[3], r[4]) for r in con.execute(spec.oracle).fetchall()
+    }
+    assert set(dout) == set(out)
+    for k, (z, anom) in dout.items():
+        sz, sanom = out[k]
+        if z is None:
+            assert sz is None and sanom is None and anom is None
+        else:
+            assert sz == z and sanom == anom
+    con.close()

@@ -337,3 +337,14 @@ def test_corpus_mix_report_partial_agg(spark):
     plan = _physical(spark, "corpus_mix_report")
     assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan
     assert "partial" in plan
+
+
+def test_tpch_q5_broadcasts_dims(spark):
+    """Q5's 6-table star must broadcast its dimension sides (region,
+    nation, supplier, customer are all far below the broadcast threshold
+    at any realistic sf) — pinned so a conf regression (e.g. someone
+    zeroing autoBroadcastJoinThreshold session-wide) can't silently turn
+    the star into a chain of full shuffles.  AQE may upgrade more joins
+    at tiny sf; >= 3 is the floor that must hold at 100 TB too."""
+    plan = _physical(spark, "tpch_q5")
+    assert plan.count("BroadcastHashJoin") >= 3

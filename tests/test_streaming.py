@@ -259,7 +259,14 @@ def test_stateful_tws_running_counts(spark):
         running_user_counts_tws,
     )
 
-    if importlib.util.find_spec("google") is None:
+    # probe the actual dependency (google.protobuf), not the bare google
+    # namespace — a google-auth install would otherwise hide the skip
+    # while the stream still dies at the first micro-batch
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_protobuf = False
+    if not has_protobuf:
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
             running_user_counts_tws(read_events_stream(spark, SF_DIR))
