@@ -63,6 +63,32 @@ def main() -> None:
 
     print()
     print("=" * 72)
+    print("GENETIC JOIN-ORDER SEARCH (the reference's disabled skeleton, live)")
+    print("=" * 72)
+    from sql_query_optimizer_cpp_spark.catalog import load_tables
+    from sql_query_optimizer_cpp_spark.plans.genetic import (
+        chain_cost,
+        genetic_join_order,
+        graph_from_stats,
+    )
+
+    names = ("customer", "orders", "lineitem", "supplier", "nation", "region")
+    keys = [
+        ("customer", "c_custkey", "orders", "o_custkey"),
+        ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    graph = graph_from_stats(load_tables(spark, sf_dir, names), keys)
+    order, cost = genetic_join_order(graph, seed=42)
+    print(f"as-written order cost: {chain_cost(list(names), graph):,.1f}")
+    print(f"GA-found order:        {' -> '.join(order)}  (cost {cost:,.1f})")
+    print("(advisory — Catalyst CBO+AQE still pick the executed plan)")
+
+    print()
+    print("=" * 72)
     print("RESULT")
     print("=" * 72)
     eng.sql(FLAGSHIP).show(truncate=False)

@@ -59,6 +59,7 @@ _MODULES = (
     "curation",
     "tpch_extra",
     "analytics",
+    "sources_rt",
 )
 
 
@@ -192,9 +193,19 @@ _PRIORITY: tuple[str, ...] = (
     "text_fingerprint",
     "text_fuzzy_match",
     # ==== end of the 50-entry r05 window; r06 queue below ================
-    # Remaining r02-only greens deferred one round (their operator families
-    # all have fresher green rows: multimodal_* r03, union/intersect/except
-    # ALL-variants r04, dedup pipeline variants r04).
+    # r06 rotation plan: confirm the r05 window went green, then move this
+    # queue to the front — first the round-5 additions staged past the
+    # window (the source/sink roundtrips turn §2.1's test-only rows into
+    # driver-graded evidence), then the remaining r02-only greens (their
+    # operator families all have fresher green rows: multimodal_* r03,
+    # union/intersect/except ALL-variants r04, dedup pipeline variants
+    # r04), then re-grades of the stalest remaining rows.
+    "source_roundtrip_partitioned",
+    "source_roundtrip_formats",
+    "embeddings_norm_stats",
+    "events_dau_stickiness",
+    "orders_yoy_growth",
+    "events_hourly_topk_types",
     "multimodal_meta",
     "union_all",
     "intersect",

@@ -353,3 +353,147 @@ def date_series_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
     )
+
+
+@register(
+    "events_dau_stickiness",
+    oracle="""
+WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   user_id FROM events),
+days AS (SELECT DISTINCT day FROM du),
+contrib AS (
+  SELECT du.day + to_days(CAST(o.o AS INTEGER)) AS anchor_day, du.user_id
+  FROM du, unnest(generate_series(0, 6)) AS o(o)),
+wau AS (
+  SELECT c.anchor_day AS day, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau
+  FROM contrib c JOIN days d ON d.day = c.anchor_day
+  GROUP BY 1),
+dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY 1)
+SELECT dau.day, dau.dau, wau.wau,
+       round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day""",
+    doc="DAU / trailing-7-day WAU / stickiness per day — the canonical "
+    "engagement readout.  The trailing-window DISTINCT is NOT computed "
+    "as a range join (nested-loop at scale): each (day, user) pair is "
+    "exploded into the <=7 anchor days it contributes to, turning the "
+    "window into an equi-groupBy on anchor day — shuffle bytes <= 7x the "
+    "distinct day-user pairs, independent of raw event volume; at even "
+    "larger horizons the same shape degrades gracefully (k× blowup) or "
+    "swaps to mergeable HLL partials per day (agg_hll_union shows that "
+    "surface)",
+    tags=("events", "analytics"),
+)
+def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    du = (
+        t["events"]
+        .select(
+            F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+        )
+        .distinct()
+    )
+    days = du.select("day").distinct()
+    # explode the 0..6 day offsets (equi-shape; no range join)
+    contrib = du.select(
+        "day", "user_id", F.explode(F.expr("sequence(0, 6)")).alias("o")
+    ).select(
+        F.expr("day + make_dt_interval(o)").alias("anchor_day"), "user_id"
+    )
+    wau = (
+        contrib.join(days, contrib.anchor_day == days.day)
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("long").alias("wau"))
+    )
+    dau = du.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+            "stickiness"
+        ),
+    )
+
+
+@register(
+    "orders_yoy_growth",
+    oracle="""
+WITH yearly AS (
+  SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS yr,
+         """
+    + dsum_sql("o_totalprice")
+    + """ AS revenue
+  FROM orders GROUP BY 1, 2)
+SELECT o_orderpriority, yr, revenue,
+       round((revenue - lag(revenue) OVER w)
+             / NULLIF(lag(revenue) OVER w, 0), 6) AS yoy_growth
+FROM yearly WINDOW w AS (PARTITION BY o_orderpriority ORDER BY yr)""",
+    doc="year-over-year revenue growth per order priority: decimal-exact "
+    "yearly sums, then a lag window over (priority, year) — the growth "
+    "ratio divides two already-exact doubles once (NULLIF-guarded so a "
+    "zero prior year yields NULL in both engines, and the first year has "
+    "no prior so lag is NULL); the window partition count is tiny "
+    "(priorities x years), so the second stage is trivially cheap at any "
+    "scale — all the heavy lifting is the map-side-combinable first "
+    "aggregate",
+    tags=("agg", "window"),
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    yearly = (
+        t["orders"]
+        .groupBy(
+            "o_orderpriority",
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    w = W.partitionBy("o_orderpriority").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "o_orderpriority",
+        "yr",
+        "revenue",
+        F.round(
+            (F.col("revenue") - prev) / F.nullif(prev, F.lit(0.0)), 6
+        ).alias("yoy_growth"),
+    )
+
+
+@register(
+    "events_hourly_topk_types",
+    oracle="""
+WITH hourly AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2)
+SELECT bucket, event_type, n, rk FROM (
+  SELECT bucket, event_type, n,
+         CAST(row_number() OVER (PARTITION BY bucket
+              ORDER BY n DESC, event_type) AS BIGINT) AS rk
+  FROM hourly) t WHERE rk <= 3""",
+    doc="top-3 event types per hour (windowed top-k over time buckets): "
+    "hourly counts are a map-side-combinable aggregate, then the rank "
+    "window partitions by bucket — thousands of small partitions, no "
+    "single-reducer skew; deterministic via the event_type tie-break",
+    tags=("events", "window", "topk"),
+)
+def events_hourly_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("events",))
+    hourly = (
+        t["events"]
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = W.partitionBy("bucket").orderBy(F.col("n").desc(), "event_type")
+    return (
+        hourly.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("bucket", "event_type", "n", "rk")
+    )

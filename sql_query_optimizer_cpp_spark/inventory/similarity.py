@@ -316,3 +316,44 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "embeddings_norm_stats",
+    oracle=f"""
+WITH n AS (SELECT label, sqrt({S.normsq_expr("embedding", duck=True)}) AS nrm
+           FROM embeddings)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       round(MIN(nrm), 6) AS min_norm,
+       round(MAX(nrm), 6) AS max_norm,
+       round(CAST(SUM(CAST(round(nrm, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_norm
+FROM n GROUP BY label""",
+    doc="embedding-table QA: per-label vector-norm distribution (count, "
+    "min/max/mean L2 norm) — the sanity readout that catches unnormalized "
+    "or degenerate embedding batches before they poison an ANN index; "
+    "norms via the DECIMAL-exact accumulator (bit-identical across "
+    "engines), mean through a decimal sum of 6dp-rounded norms so "
+    "accumulation order cannot drift; map-side combinable, one shuffle "
+    "of per-label partials",
+    tags=("similarity", "agg"),
+)
+def embeddings_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    nrm = F.sqrt(F.expr(S.normsq_expr("embedding", duck=False)))
+    rounded = F.round(nrm, 6).cast("decimal(18,6)")
+    return (
+        t["embeddings"]
+        .select("label", nrm.alias("nrm"), rounded.alias("nrm6"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+            F.round(
+                F.sum("nrm6").cast("double") / F.count("*"), 6
+            ).alias("mean_norm"),
+        )
+    )
