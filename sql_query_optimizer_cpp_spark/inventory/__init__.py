@@ -200,6 +200,7 @@ _PRIORITY: tuple[str, ...] = (
     # operator families all have fresher green rows: multimodal_* r03,
     # union/intersect/except ALL-variants r04, dedup pipeline variants
     # r04), then re-grades of the stalest remaining rows.
+    "ingest_incremental_e2e",
     "source_roundtrip_partitioned",
     "source_roundtrip_formats",
     "embeddings_norm_stats",
