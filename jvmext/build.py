@@ -29,6 +29,7 @@ def spark_jars_classpath() -> str:
         "spark-catalyst_",
         "spark-sql-api_",
         "spark-common-utils_",  # org.apache.spark.internal.Logging
+        "spark-unsafe_",  # org.apache.spark.unsafe.types.UTF8String
         "scala-library-",
     )
     paths = [
@@ -59,7 +60,10 @@ def build(force: bool = False) -> str:
     shutil.rmtree(classes, ignore_errors=True)
     os.makedirs(classes, exist_ok=True)
     subprocess.run(
-        [javac, "-cp", spark_jars_classpath(), "-d", classes, *sources],
+        # -encoding pinned: the sources use UTF-8 punctuation in javadoc
+        # and javac falls back to the platform locale (US-ASCII in some
+        # shells), which turns them into hard compile errors
+        [javac, "-encoding", "UTF-8", "-cp", spark_jars_classpath(), "-d", classes, *sources],
         check=True,
     )
     if jar_tool is not None:

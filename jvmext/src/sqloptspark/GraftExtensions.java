@@ -30,9 +30,19 @@ public class GraftExtensions
         }
     }
 
+    /** Builder for the substring-prefix-equality → StartsWith rule. */
+    public static class PrefixBuilder
+            extends AbstractFunction1<SparkSession, Rule<LogicalPlan>> {
+        @Override
+        public Rule<LogicalPlan> apply(SparkSession session) {
+            return new PrefixEqualityRule();
+        }
+    }
+
     @Override
     public BoxedUnit apply(SparkSessionExtensions extensions) {
         extensions.injectOptimizerRule(new Builder());
+        extensions.injectOptimizerRule(new PrefixBuilder());
         return BoxedUnit.UNIT;
     }
 }

@@ -91,3 +91,73 @@ def test_builder_produces_jar():
 
     jar = build()
     assert os.path.exists(jar) and jar.endswith("graft-ext.jar")
+
+
+PREFIX_PROBE = textwrap.dedent(
+    """
+    import sys
+    sys.path.insert(0, {repo!r})
+    from jvmext.build import build
+    from pyspark.sql import SparkSession
+
+    jar = build()
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName("ext-probe-prefix")
+        .config("spark.driver.extraClassPath", jar)
+        .config("spark.sql.extensions", "sqloptspark.GraftExtensions")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    part = {part!r}
+
+    # the rewrite: substring(x,1,n) = 'lit' (len(lit)==n) -> StartsWith,
+    # which parquet pushes as StringStartsWith; Catalyst alone leaves the
+    # per-row Substring equality and pushes nothing
+    df = spark.read.parquet(part).where("substring(p_brand, 1, 7) = 'Brand#1'")
+    want = spark.read.parquet(part).where("p_brand LIKE 'Brand#1%'").count()
+    got = df.count()
+    assert got == want and got > 0, (got, want)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "startswith" in opt.lower(), opt
+    assert "substring" not in opt.lower(), opt
+    assert "StringStartsWith(p_brand,Brand#1)" in phys, phys
+
+    # NOT rewritten when the literal is shorter than n (that form pins the
+    # total length of x, not a prefix)
+    df2 = spark.read.parquet(part).where("substring(p_brand, 1, 9) = 'Brand#1'")
+    opt2 = df2._jdf.queryExecution().optimizedPlan().toString()
+    assert "substring" in opt2.lower(), opt2
+    # semantics check for the guarded form: only rows whose WHOLE value is
+    # 'Brand#1' (length <= 9) qualify
+    assert df2.count() == spark.read.parquet(part).where("p_brand = 'Brand#1'").count()
+
+    jvm = spark.sparkContext._jvm.sqloptspark.PrefixEqualityRule
+    rewritten = jvm.rewritten()
+    spark.stop()
+    print("REWRITTEN", rewritten)
+    assert rewritten > 0, "prefix rewrite never fired"
+    """
+)
+
+
+@pytest.mark.skipif(shutil.which("javac") is None, reason="no JDK compiler")
+def test_jvm_prefix_rule_rewrites_and_pushes():
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            PREFIX_PROBE.format(
+                repo=REPO,
+                part=os.path.join(SF_DIR, "part.parquet"),
+            ),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    rewritten = [l for l in proc.stdout.splitlines() if l.startswith("REWRITTEN")]
+    assert rewritten and int(rewritten[0].split()[1]) > 0

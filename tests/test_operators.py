@@ -569,3 +569,42 @@ def test_anomaly_zscore_zero_variance_yields_null(spark, tmp_path):
         else:
             assert sz == z and sanom == anom
     con.close()
+
+
+def test_cc_randomized_graphs_vs_union_find(spark):
+    """Both CC implementations must match a driver-side union-find ground
+    truth on seeded random graphs (denser and loopier than the fixture's
+    near-dup graph — cycles, multi-edges, isolated pairs)."""
+    import random
+
+    from sql_query_optimizer_cpp_spark.operators import dedup as D
+
+    for seed, n, m in ((11, 60, 45), (23, 80, 120), (37, 40, 15)):
+        rng = random.Random(seed)
+        edges = []
+        for _ in range(m):
+            a, b = rng.sample(range(n), 2)
+            edges.append((min(a, b), max(a, b)))
+        # union-find ground truth
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {x for e in edges for x in e}
+        want = {(x, find(x)) for x in touched}
+
+        edf = spark.createDataFrame(
+            [(a, b) for a, b in edges], ["doc_a", "doc_b"]
+        )
+        got_star = {
+            (r.doc_id, r.label) for r in D.cc_labels_star(edf).collect()
+        }
+        assert got_star == want, f"star labels diverge (seed={seed})"
