@@ -12,6 +12,7 @@ verbs with Catalyst doing the work:
                                         #   (= the standalone sqlopt.cpp path)
     eng.transform_log(text)             # named-rewrite trace (R9)
     eng.cost(text)                      # 4-component cost report (§4.2)
+    eng.join_order_advice(text)         # genetic join-order recommendation
     eng.analyze(); eng.table_stats(t)   # stats harvest + readback (S4)
 
 Errors surface as Spark AnalysisException with Catalyst's own suggestions
@@ -55,6 +56,25 @@ class OptimizeReport:
             parts.append("")
             parts.append(f"Rewritten SQL: {self.rewritten_sql}")
         return "\n".join(parts)
+
+
+@dataclass
+class JoinOrderAdvice:
+    """Result of :meth:`Engine.join_order_advice`."""
+
+    order: list[str]
+    cost: float
+    as_written: list[str]
+    as_written_cost: float
+    table_rows: dict[str, int]
+
+    def render(self) -> str:
+        return (
+            f"as written: {' JOIN '.join(self.as_written)}  "
+            f"(cost {self.as_written_cost:,.1f})\n"
+            f"advised:    {' JOIN '.join(self.order)}  "
+            f"(cost {self.cost:,.1f})"
+        )
 
 
 class Engine:
@@ -102,6 +122,34 @@ class Engine:
 
     def cost(self, text: str) -> CostReport:
         return cost_report(self.spark.sql(text))
+
+    def join_order_advice(self, text: str, seed: int = 42) -> "JoinOrderAdvice":
+        """Genetic join-order recommendation for a SELECT — the working
+        version of the reference's ``GeneticOptimizer::optimize(SelectQuery)``
+        (genetic_optimizer.h:14; skeleton-only and disabled there).
+
+        Advisory: Catalyst CBO+AQE still plan execution; this reports the
+        best left-deep order the GA finds over the query's own join graph
+        (leaves + equi-edges pulled from the analyzed plan, cardinalities
+        from Catalyst stats) next to the as-written order's cost.
+        Subquery-less SELECTs only — see plans.genetic.graph_from_plan.
+        """
+        from .plans.genetic import (
+            chain_cost,
+            genetic_join_order,
+            graph_from_plan,
+        )
+
+        df = self.spark.sql(text)
+        graph, as_written = graph_from_plan(df)
+        order, cost = genetic_join_order(graph, seed=seed)
+        return JoinOrderAdvice(
+            order=order,
+            cost=cost,
+            as_written=as_written,
+            as_written_cost=chain_cost(as_written, graph),
+            table_rows=dict(graph.rows),
+        )
 
     # -- statistics (S4 harvest + readback) --------------------------------
     def analyze(self, names: tuple[str, ...] | None = None) -> None:

@@ -235,3 +235,101 @@ def compose_join(
         acc = acc.join(tables[nxt], reduce(lambda x, y: x & y, conds))
         joined.add(nxt)
     return acc
+
+
+# --- plan-derived graphs: advice straight from a SQL text -----------------------
+def _walk_jplan(node, fn, alias=None):
+    name = node.nodeName()
+    if name == "SubqueryAlias" and alias is None:
+        # OUTERMOST alias wins: `FROM nation n1` plans as
+        # SubqueryAlias(n1, SubqueryAlias(nation, View(...))) and the
+        # user-facing name is n1 — it also keeps two uses of one view
+        # distinct without synthetic suffixes
+        try:
+            alias = node.alias()
+        except Exception:
+            pass
+    fn(node, alias)
+    it = node.children().iterator()
+    while it.hasNext():
+        _walk_jplan(it.next(), fn, alias)
+
+
+def _expr_equalities(jexpr, out):
+    """Collect (exprId, exprId) pairs from EqualTo(attr, attr) nodes."""
+    cls = jexpr.getClass().getSimpleName()
+    if cls == "EqualTo":
+        left, right = jexpr.children().apply(0), jexpr.children().apply(1)
+        if (
+            left.getClass().getSimpleName() == "AttributeReference"
+            and right.getClass().getSimpleName() == "AttributeReference"
+        ):
+            out.append((left.exprId().id(), right.exprId().id()))
+    it = jexpr.children().iterator()
+    while it.hasNext():
+        _expr_equalities(it.next(), out)
+
+
+def graph_from_plan(df) -> tuple[JoinGraph, list[str]]:
+    """Derive a JoinGraph from a DataFrame's ANALYZED plan — the bridge
+    that lets :func:`genetic_join_order` take a SQL query the way the
+    reference's ``GeneticOptimizer::optimize(SelectQuery)`` signature
+    promises (genetic_optimizer.h:14).
+
+    Leaves become tables (named by their innermost SubqueryAlias, deduped
+    with ``#i`` when a view appears twice, as nation does in TPC-H q8);
+    equi-conditions from Join nodes AND Filter conditions (comma joins
+    put them in WHERE) become edges.  Row counts come from Catalyst leaf
+    stats; NDV falls back to the leaf's row count (exact for the PK side
+    of an FK join — the side that decides the System-R selectivity).
+    Subquery-less SELECTs only: scalar/IN subqueries add leaves the FROM
+    clause can't order.
+    """
+    jplan = df._jdf.queryExecution().analyzed()
+    leaves: list[tuple[str, object]] = []
+    eqs: list[tuple[int, int]] = []
+
+    def visit(node, alias):
+        if node.children().isEmpty():
+            nm = alias or node.nodeName().lower()
+            names = [n for n, _ in leaves]
+            if nm in names:
+                nm = f"{nm}#{sum(1 for n in names if n.split('#')[0] == nm)}"
+            leaves.append((nm, node))
+        nn = node.nodeName()
+        if "Join" in nn:
+            cond = node.condition()
+            if cond.isDefined():
+                _expr_equalities(cond.get(), eqs)
+        elif nn == "Filter":
+            _expr_equalities(node.condition(), eqs)
+
+    _walk_jplan(jplan, visit)
+
+    rows: dict[str, int] = {}
+    attr_owner: dict[int, str] = {}
+    for nm, node in leaves:
+        stats = node.stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            n = rc.get()
+            rows[nm] = n if isinstance(n, int) else int(n.toString())
+        else:
+            sz = stats.sizeInBytes()
+            rows[nm] = max((sz if isinstance(sz, int) else int(sz.toString())) // 100, 1)
+        it = node.output().iterator()
+        while it.hasNext():
+            attr_owner[it.next().exprId().id()] = nm
+
+    edges = []
+    seen = set()
+    for l_id, r_id in eqs:
+        a, b = attr_owner.get(l_id), attr_owner.get(r_id)
+        if a is None or b is None or a == b:
+            continue
+        key = frozenset((a, b, l_id, r_id))
+        if key in seen:
+            continue
+        seen.add(key)
+        edges.append(JoinEdge(a=a, b=b, ndv_a=rows[a], ndv_b=rows[b]))
+    return JoinGraph(rows=rows, edges=edges), [n for n, _ in leaves]

@@ -91,3 +91,46 @@ def test_ga_on_live_tpch_q5_graph(spark):
     n_best = compose_join(t, best_order, _Q5_KEYS).count()
     n_naive = compose_join(t, list(names), _Q5_KEYS).count()
     assert n_best == n_naive
+
+
+def test_engine_join_order_advice_from_sql(spark):
+    """Engine.join_order_advice takes a SQL text (the reference's
+    GeneticOptimizer::optimize(SelectQuery) signature, working): graph
+    from the analyzed plan, advised order never costs more than the
+    as-written order, and both are permutations of the FROM tables."""
+    from sql_query_optimizer_cpp_spark.engine import Engine
+
+    eng = Engine(spark, SF_DIR)
+    advice = eng.join_order_advice(
+        "SELECT c.c_name, n.n_name, r.r_name, o.o_totalprice "
+        "FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey"
+    )
+    assert sorted(advice.order) == sorted(advice.as_written)
+    assert set(advice.order) == {"l", "o", "c", "n", "r"}
+    assert advice.cost <= advice.as_written_cost + 1e-6
+    assert "advised:" in advice.render()
+
+
+def test_graph_from_plan_comma_join_and_dup_views(spark):
+    """Comma-join predicates live in WHERE (Filter node) and a view used
+    twice must become two distinct graph tables."""
+    from sql_query_optimizer_cpp_spark.catalog import register_views
+    from sql_query_optimizer_cpp_spark.plans.genetic import graph_from_plan
+
+    register_views(spark, SF_DIR, ("nation", "region", "supplier"))
+    df = spark.sql(
+        "SELECT * FROM supplier s, nation n1, nation n2, region r "
+        "WHERE s.s_nationkey = n1.n_nationkey "
+        "AND n1.n_regionkey = r.r_regionkey "
+        "AND n2.n_regionkey = r.r_regionkey"
+    )
+    graph, leaves = graph_from_plan(df)
+    assert len(leaves) == 4 and len(set(leaves)) == 4
+    assert len(graph.edges) == 3
+    # every edge endpoint is a known table
+    for e in graph.edges:
+        assert e.a in graph.rows and e.b in graph.rows
