@@ -65,26 +65,14 @@ def main() -> None:
     print("=" * 72)
     print("GENETIC JOIN-ORDER SEARCH (the reference's disabled skeleton, live)")
     print("=" * 72)
-    from sql_query_optimizer_cpp_spark.catalog import load_tables
-    from sql_query_optimizer_cpp_spark.plans.genetic import (
-        chain_cost,
-        genetic_join_order,
-        graph_from_stats,
+    advice = eng.join_order_advice(
+        "SELECT c.c_name, n.n_name, r.r_name "
+        "FROM lineitem l, orders o, customer c, supplier s, nation n, region r "
+        "WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey "
+        "AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = n.n_nationkey "
+        "AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey"
     )
-
-    names = ("customer", "orders", "lineitem", "supplier", "nation", "region")
-    keys = [
-        ("customer", "c_custkey", "orders", "o_custkey"),
-        ("orders", "o_orderkey", "lineitem", "l_orderkey"),
-        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
-        ("customer", "c_nationkey", "nation", "n_nationkey"),
-        ("supplier", "s_nationkey", "nation", "n_nationkey"),
-        ("nation", "n_regionkey", "region", "r_regionkey"),
-    ]
-    graph = graph_from_stats(load_tables(spark, sf_dir, names), keys)
-    order, cost = genetic_join_order(graph, seed=42)
-    print(f"as-written order cost: {chain_cost(list(names), graph):,.1f}")
-    print(f"GA-found order:        {' -> '.join(order)}  (cost {cost:,.1f})")
+    print(advice.render())
     print("(advisory — Catalyst CBO+AQE still pick the executed plan)")
 
     print()

@@ -201,6 +201,7 @@ _PRIORITY: tuple[str, ...] = (
     # union/intersect/except ALL-variants r04, dedup pipeline variants
     # r04), then re-grades of the stalest remaining rows.
     "ingest_incremental_e2e",
+    "text_boilerplate_ngrams",
     "source_roundtrip_partitioned",
     "source_roundtrip_formats",
     "embeddings_norm_stats",

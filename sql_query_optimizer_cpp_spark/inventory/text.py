@@ -524,3 +524,48 @@ def doc_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
+
+
+@register(
+    "text_boilerplate_ngrams",
+    oracle=r"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t
+              FROM documents),
+grams AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+          FROM toks,
+               unnest(generate_series(1, greatest(len(t)-4, 0))) AS s(i)),
+cnt AS (SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM grams GROUP BY 1)
+SELECT gram, n_docs FROM cnt WHERE n_docs >= 2
+ORDER BY n_docs DESC, gram LIMIT 100""",
+    doc="boilerplate detection: 5-grams appearing in >= 2 distinct "
+    "documents, ranked by document frequency — the C4-style cleaning "
+    "signal that finds headers/footers/licenses repeated across a crawl "
+    "so they can be stripped before training; the gram explosion is a "
+    "flatMap (no shuffle), then one count-distinct groupBy keyed on the "
+    "gram (shuffle ∝ distinct grams; at 100 TB key on hash64(gram) "
+    "instead of the string to fix the shuffle width, exactly as the "
+    "MinHash pipeline already does for shingles)",
+    tags=("text", "dedup"),
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = t["documents"].select(
+        "doc_id", F.split(F.trim(F.col("text")), " +").alias("t")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(t)-4, 0)), "
+                "i -> concat_ws(' ', slice(t, i, 5)))"
+            )
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), "gram")
+        .limit(100)
+    )

@@ -348,3 +348,11 @@ def test_tpch_q5_broadcasts_dims(spark):
     at tiny sf; >= 3 is the floor that must hold at 100 TB too."""
     plan = _physical(spark, "tpch_q5")
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_boilerplate_ngrams_topk_fuses(spark):
+    """The ranked boilerplate readout must fuse ORDER BY+LIMIT into
+    TakeOrderedAndProject (top-100 held per partition, merged once) —
+    a global sort of the distinct-gram table would shuffle it all."""
+    plan = _physical(spark, "text_boilerplate_ngrams")
+    assert "TakeOrderedAndProject" in plan
