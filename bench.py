@@ -141,7 +141,18 @@ def bench_spark(spark, registry, sf_dir: str) -> tuple[dict[str, float], dict[st
 def bench_duckdb(registry, sf_dir: str) -> dict[str, float]:
     """Time the SAME oracle SQL DuckDB-side on the same parquet files —
     the judge-facing baseline column (BASELINE.md's MySQL numbers are not
-    reproducible; DuckDB on identical inputs is the operative bar)."""
+    reproducible; DuckDB on identical inputs is the operative bar).
+
+    Like-for-like rule: where the Spark headline times a production path
+    (see _production_fns), the baseline times the same arithmetic — for
+    sim_topk_bruteforce that is the plain-double DuckDB twin, so the row
+    and the total never compare cheap-Spark against exact-DuckDB.
+    """
+    from sql_query_optimizer_cpp_spark.inventory.similarity import (
+        brute_oracle_sql,
+    )
+
+    baseline_overrides = {"sim_topk_bruteforce": brute_oracle_sql(exact=False)}
     try:
         import duckdb
     except ImportError:  # pragma: no cover - baked into the env
@@ -160,8 +171,9 @@ def bench_duckdb(registry, sf_dir: str) -> dict[str, float]:
         spec = registry.get(name)
         if spec is None or spec.oracle is None:
             continue
-        con.sql(spec.oracle).fetchall()  # cold run, like the Spark side
-        baseline[name] = timed_median(lambda: con.sql(spec.oracle).fetchall())
+        sql = baseline_overrides.get(name, spec.oracle)
+        con.sql(sql).fetchall()  # cold run, like the Spark side
+        baseline[name] = timed_median(lambda: con.sql(sql).fetchall())
         print(f"# {name}: {baseline[name]:.3f}s (duckdb baseline)", file=sys.stderr)
     return baseline
 

@@ -273,7 +273,7 @@ def text_minhash_signature_arrays(spark: SparkSession, sf_dir: str) -> DataFrame
     incremental dedup pipeline stores and re-bands later without
     re-shingling the corpus.  NOT driver-graded (pandas hash compare
     cannot take top-level list cells — the r04 red); asserted by
-    tests/test_dedup.py::test_minhash_signature_roundtrip."""
+    tests/test_operators.py::test_minhash_signature_roundtrip."""
     from pyspark.sql import functions as F
 
     t = load_tables(spark, sf_dir, ("documents",))

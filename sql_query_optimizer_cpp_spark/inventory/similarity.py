@@ -19,21 +19,27 @@ K_ANN = 5
 NEARDUP_THRESHOLD = 0.4  # fixture embeddings have no pairs above ~0.6
 
 
-def _e_cte() -> str:
+def _e_cte(exact: bool = True) -> str:
     return (
         "e AS (SELECT vec_id, embedding, "
-        + S.normsq_expr("embedding", duck=True)
+        + S.normsq_expr("embedding", duck=True, exact=exact)
         + " AS nsq FROM embeddings)"
     )
 
 
-_BRUTE_ORACLE = f"""
-WITH {_e_cte()},
+def brute_oracle_sql(exact: bool = True) -> str:
+    """DuckDB brute-force top-k.  ``exact=True`` is the GRADED oracle
+    (DECIMAL-exact dots, bit-portable).  ``exact=False`` is plain-double
+    arithmetic and exists only as bench.py's like-for-like baseline for
+    the Spark production path — never graded (plain-double term order is
+    not bit-portable across engines)."""
+    return f"""
+WITH {_e_cte(exact)},
 q AS (SELECT vec_id AS query_id, embedding AS q_emb, nsq AS q_nsq
       FROM e WHERE vec_id < {N_QUERIES}),
 pairs AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
-         round({S.dot_expr("q_emb", "embedding", duck=True)}
+         round({S.dot_expr("q_emb", "embedding", duck=True, exact=exact)}
            / (sqrt(q.q_nsq) * sqrt(e.nsq)), 6) AS cos_sim
   FROM e JOIN q ON e.vec_id <> q.query_id)
 SELECT query_id, neighbor_id, cos_sim, rn FROM (
@@ -42,6 +48,9 @@ SELECT query_id, neighbor_id, cos_sim, rn FROM (
               ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rn
   FROM pairs) t WHERE rn <= {K_BRUTE}
 """
+
+
+_BRUTE_ORACLE = brute_oracle_sql(exact=True)
 
 
 @register(

@@ -531,9 +531,10 @@ def doc_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t
               FROM documents),
+long_enough AS (SELECT * FROM toks WHERE len(t) >= 5),
 grams AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS gram
-          FROM toks,
-               unnest(generate_series(1, greatest(len(t)-4, 0))) AS s(i)),
+          FROM long_enough,
+               unnest(generate_series(1, len(t)-4)) AS s(i)),
 cnt AS (SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
         FROM grams GROUP BY 1)
 SELECT gram, n_docs FROM cnt WHERE n_docs >= 2
@@ -553,11 +554,16 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = t["documents"].select(
         "doc_id", F.split(F.trim(F.col("text")), " +").alias("t")
     )
-    grams = toks.select(
+    # docs shorter than one gram are filtered BEFORE sequence(): Spark's
+    # sequence(1, 0) steps DOWNWARD to [1, 0] and slice(t, 0, 5) then
+    # throws — greatest(size-4, 0) does not save it (found in review; the
+    # DuckDB twin's generate_series(1, 0) is empty, so filtering is also
+    # the parity-preserving behavior)
+    grams = toks.filter(F.size("t") >= 5).select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(t)-4, 0)), "
+                "transform(sequence(1, size(t)-4), "
                 "i -> concat_ws(' ', slice(t, i, 5)))"
             )
         ).alias("gram"),

@@ -68,10 +68,19 @@ def dot_expr(a: str, b: str, duck: bool, dim: int = DIM, exact: bool = True) -> 
     to 6.  DuckDB: a literal term chain (its widening rules keep scale 20).
 
     ``exact=False`` (production path): plain sequential double sum, ~2x
-    cheaper; Spark-side only (oracles always grade the exact path).
+    cheaper.  Graded ORACLES always use the exact path; the duck
+    ``exact=False`` form exists ONLY so bench.py can time a like-for-like
+    DuckDB baseline against the Spark production path (plain doubles on
+    both sides — never used in a CORRECTNESS oracle, where plain-double
+    term order would not be bit-portable).
     """
     if not exact:
-        assert not duck, "oracle SQL always grades the exact path"
+        if duck:
+            terms = " + ".join(
+                f"CAST({_elem(a, i, duck)} AS DOUBLE) * CAST({_elem(b, i, duck)} AS DOUBLE)"
+                for i in range(1, dim + 1)
+            )
+            return f"({terms})"
         return (
             f"aggregate(zip_with({a}, {b}, (x, y) -> "
             f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "

@@ -276,7 +276,7 @@ def graph_from_plan(df) -> tuple[JoinGraph, list[str]]:
     reference's ``GeneticOptimizer::optimize(SelectQuery)`` signature
     promises (genetic_optimizer.h:14).
 
-    Leaves become tables (named by their innermost SubqueryAlias, deduped
+    Leaves become tables (named by their outermost SubqueryAlias, deduped
     with ``#i`` when a view appears twice, as nation does in TPC-H q8);
     equi-conditions from Join nodes AND Filter conditions (comma joins
     put them in WHERE) become edges.  Row counts come from Catalyst leaf

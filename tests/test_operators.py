@@ -608,3 +608,51 @@ def test_cc_randomized_graphs_vs_union_find(spark):
             (r.doc_id, r.label) for r in D.cc_labels_star(edf).collect()
         }
         assert got_star == want, f"star labels diverge (seed={seed})"
+
+
+def test_corr_moments_degenerate_group_yields_null(spark, tmp_path):
+    """A group with one row (or a constant column) has zero variance: the
+    unguarded formula is 0/0 (Spark NaN, DuckDB NULL) and double
+    cancellation can even push the sqrt argument negative, which DuckDB
+    hard-errors on.  Both engines must emit NULL instead (review finding,
+    same class as events_anomaly_zscore)."""
+    import datetime
+
+    import duckdb
+
+    from sql_query_optimizer_cpp_spark.inventory import all_queries
+
+    rows = [
+        # group 'S': a single lineitem row -> both variances are 0
+        (1, 1, 1, 1, 5.0, 100.0, 0.0, 0.0, "S", "O", datetime.datetime(2024, 1, 1)),
+        # group 'C': constant quantity -> x-variance 0, y-variance > 0
+        (2, 1, 1, 1, 7.0, 100.0, 0.0, 0.0, "C", "O", datetime.datetime(2024, 1, 1)),
+        (3, 1, 1, 2, 7.0, 200.0, 0.0, 0.0, "C", "O", datetime.datetime(2024, 1, 1)),
+        # group 'V': real variance on both sides -> non-NULL corr
+        (4, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "V", "O", datetime.datetime(2024, 1, 1)),
+        (5, 1, 1, 2, 2.0, 250.0, 0.0, 0.0, "V", "O", datetime.datetime(2024, 1, 1)),
+        (6, 1, 1, 3, 3.0, 290.0, 0.0, 0.0, "V", "O", datetime.datetime(2024, 1, 1)),
+    ]
+    schema = (
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber bigint, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp"
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{sf}/lineitem.parquet")
+
+    spec = all_queries()["agg_corr_moments"]
+    got = {r.l_returnflag: r.corr_qty_price for r in spec.fn(spark, sf).collect()}
+    assert got["S"] is None and got["C"] is None
+    assert got["V"] is not None
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf}/lineitem.parquet/*.parquet')"
+    )
+    duck = {r[0]: r[2] for r in con.execute(spec.oracle).fetchall()}
+    con.close()
+    assert duck == got
