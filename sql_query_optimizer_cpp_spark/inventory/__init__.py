@@ -202,6 +202,8 @@ _PRIORITY: tuple[str, ...] = (
     # r04), then re-grades of the stalest remaining rows.
     "ingest_incremental_e2e",
     "text_boilerplate_ngrams",
+    "dedup_cluster_size_hist",
+    "text_oov_rate",
     "source_roundtrip_partitioned",
     "source_roundtrip_formats",
     "embeddings_norm_stats",

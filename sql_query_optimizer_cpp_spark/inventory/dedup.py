@@ -485,3 +485,37 @@ def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_rate"),
     )
+
+
+@register(
+    "dedup_cluster_size_hist",
+    oracle=f"""
+WITH RECURSIVE {_minhash_ctes()},
+{_cc_ctes()},
+csize AS (
+  SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY 1
+)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM csize GROUP BY 1""",
+    doc="near-dup cluster-size distribution: how many clusters of each "
+    "size the MinHash pair graph forms — the QA readout that decides "
+    "whether a corpus has a pathological mega-cluster (a template farm "
+    "or a crawler loop) before rep-selection drops data; one distinct "
+    "over (rep, size) then a tiny groupBy — all the cost is the CC "
+    "pass itself, and sizes are already materialized per row",
+    tags=("dedup",),
+)
+def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    clusters = D.neardup_clusters(
+        t["documents"], num_hashes=NUM_HASHES, bands=BANDS, threshold=THRESHOLD
+    )
+    return (
+        clusters.select("cluster_rep", "cluster_size")
+        .distinct()
+        .groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+    )

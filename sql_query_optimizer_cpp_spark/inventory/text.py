@@ -575,3 +575,84 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), "gram")
         .limit(100)
     )
+
+
+VOCAB_K = 500
+
+
+@register(
+    "text_oov_rate",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, lang, unnest({T.tokens_sql('text')}) AS token
+             FROM documents),
+freq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+vocab AS (SELECT token FROM (
+    SELECT token, row_number() OVER (ORDER BY cnt DESC, token) AS rk
+    FROM freq) t WHERE rk <= {VOCAB_K}),
+per_doc AS (
+  SELECT tok.doc_id, tok.lang,
+         CAST(COUNT(*) AS BIGINT) AS n_tok,
+         CAST(COUNT(*) FILTER (WHERE v.token IS NULL) AS BIGINT) AS n_oov
+  FROM tok LEFT JOIN vocab v ON tok.token = v.token
+  GROUP BY 1, 2),
+ratios AS (
+  SELECT lang,
+         round(CAST(n_oov AS DOUBLE) / NULLIF(n_tok, 0), 6) AS oov
+  FROM per_doc)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(MIN(oov), 6) AS min_oov, round(MAX(oov), 6) AS max_oov,
+       round(CAST(SUM(CAST(oov AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_oov
+FROM ratios GROUP BY 1""",
+    doc=f"out-of-vocabulary rate per language against the corpus's own "
+    f"top-{VOCAB_K} token vocabulary (deterministic tie-break on the "
+    "token): the tokenizer-coverage QA a pipeline runs before committing "
+    "to a vocab — languages with high OOV get garbage tokenization; the "
+    "vocab is a top-k over token frequencies (combinable agg + rank) and "
+    "broadcasts into the per-doc left join, per-doc ratios aggregate "
+    "through 6dp-rounded decimals so accumulation order cannot drift",
+    tags=("text",),
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    tok = t["documents"].select(
+        "doc_id", "lang", F.explode(T.tokens("text")).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count("*").cast("long").alias("cnt"))
+    vocab = (
+        freq.withColumn(
+            "rk",
+            F.row_number().over(W.orderBy(F.col("cnt").desc(), "token")),
+        )
+        .filter(F.col("rk") <= VOCAB_K)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_tok"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    oov = F.round(
+        F.col("n_oov").cast("double") / F.nullif("n_tok", F.lit(0)), 6
+    )
+    return (
+        per_doc.select("lang", oov.alias("oov"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.min("oov"), 6).alias("min_oov"),
+            F.round(F.max("oov"), 6).alias("max_oov"),
+            F.round(
+                F.sum(F.col("oov").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_oov"),
+        )
+    )
