@@ -142,7 +142,9 @@ class Engine:
 
         df = self.spark.sql(text)
         graph, as_written = graph_from_plan(df)
-        order, cost = genetic_join_order(graph, seed=seed)
+        # seeding the population with the as-written order makes
+        # "advised never costs more than what you wrote" an invariant
+        order, cost = genetic_join_order(graph, seed=seed, seeds=[as_written])
         return JoinOrderAdvice(
             order=order,
             cost=cost,

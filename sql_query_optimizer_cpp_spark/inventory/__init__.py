@@ -206,6 +206,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_oov_rate",
     "source_roundtrip_partitioned",
     "source_roundtrip_formats",
+    "insert_select_roundtrip",
     "embeddings_norm_stats",
     "events_dau_stickiness",
     "orders_yoy_growth",

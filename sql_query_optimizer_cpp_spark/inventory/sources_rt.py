@@ -115,3 +115,50 @@ def source_roundtrip_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out_df = out_df.unionAll(p)
     return out_df
+
+
+@register(
+    "insert_select_roundtrip",
+    oracle="""
+WITH all_rows AS (
+  SELECT n_nationkey, n_regionkey FROM nation
+  UNION ALL
+  SELECT n_nationkey + 100 AS n_nationkey, n_regionkey FROM nation)
+SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+FROM all_rows GROUP BY 1""",
+    doc="S6 graded end-to-end (the reference PARSES INSERT but never "
+    "executes it, cli.cpp:321-323 — this engine executes): the nation "
+    "table is materialized as a catalog table (external, tmpdir-backed), "
+    "a derived batch is INSERT INTO ... SELECT-ed into it, and the "
+    "post-insert aggregate must equal the oracle's UNION ALL of both "
+    "row sets computed directly on the fixture — proving the insert "
+    "appended exactly the selected rows with correct values; the table "
+    "is rebuilt per invocation so the query stays idempotent under the "
+    "driver's repeated runs",
+    tags=("sources",),
+)
+def insert_select_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    t = load_tables(spark, sf_dir, ("nation",))
+    register_views(spark, sf_dir, ("nation",))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    table = f"rt_nation_ins_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    path = _rt_dir(sf_dir, "nation_ins")
+    # external table: the data lives under the tmpdir, never in a
+    # cwd-relative spark-warehouse the driver's session would litter
+    t["nation"].write.mode("overwrite").option("path", path).saveAsTable(table)
+    spark.sql(
+        f"INSERT INTO {table} "
+        "SELECT n_nationkey + 100, n_name, n_regionkey FROM nation"
+    )
+    return (
+        spark.table(table)
+        .groupBy("n_regionkey")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("n_nationkey").cast("long").alias("key_sum"),
+        )
+    )

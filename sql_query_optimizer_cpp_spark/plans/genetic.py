@@ -123,22 +123,56 @@ def _mutate(rng: random.Random, order: list[str]) -> None:
         order[i], order[j] = order[j], order[i]
 
 
+def greedy_order(graph: JoinGraph) -> list[str]:
+    """Greedy connected construction: start at the smallest table, always
+    append the (preferring connected) table that minimizes the next
+    step's incremental cost.  O(n^2); used to seed the GA population so
+    the search starts from a sane order instead of pure shuffles."""
+    remaining = set(graph.rows)
+    if not remaining:
+        return []
+    order = [min(remaining, key=lambda t: (graph.rows[t], t))]
+    remaining.discard(order[0])
+    while remaining:
+        best_t, best_c = None, None
+        for t in sorted(remaining):
+            c = chain_cost(order + [t], graph)
+            if best_c is None or c < best_c:
+                best_t, best_c = t, c
+        order.append(best_t)
+        remaining.discard(best_t)
+    return order
+
+
 def genetic_join_order(
     graph: JoinGraph,
     seed: int = 42,
     population_size: int = POPULATION_SIZE,
     generations: int = GENERATIONS,
+    seeds: list[list[str]] | None = None,
 ) -> tuple[list[str], float]:
     """Best-found left-deep join order and its cost.
 
     Deterministic for a given (graph, seed).  Early-stops when the best
     individual has not improved for 15 generations (the reference fixes
     generations=100; the early-stop only ever does less work).
+
+    The initial population is SEEDED (GEQO-style) with the greedy
+    connected order, the sorted order, and any caller-provided orders
+    (e.g. the query's as-written order) — elitism then guarantees the
+    result never costs more than any seed, turning 'advised order is at
+    least as good as what you wrote' from a heuristic hope into an
+    invariant.  A property test found the unseeded GA converging to a
+    local optimum 13% above the naive order on a 5-table chain.
     """
     tables = sorted(graph.rows)
     rng = random.Random(seed)
-    population = []
-    for _ in range(population_size):
+    population = [greedy_order(graph), tables[:]]
+    for extra in seeds or []:
+        if sorted(extra) == tables:
+            population.append(list(extra))
+    population = population[:population_size]
+    while len(population) < population_size:
         order = tables[:]
         rng.shuffle(order)
         population.append(order)

