@@ -204,6 +204,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_boilerplate_ngrams",
     "dedup_cluster_size_hist",
     "text_oov_rate",
+    "split_leakage_report",
     "source_roundtrip_partitioned",
     "source_roundtrip_formats",
     "insert_select_roundtrip",
