@@ -52,17 +52,31 @@ public class GraftMarkerRule extends Rule<LogicalPlan> {
         return null;
     }
 
+    /** Same one-slot per-thread memo as PrefixEqualityRule: applyOrElse
+     *  probes isDefinedAt then apply on the same node. */
+    private static final ThreadLocal<Object[]> MEMO =
+            ThreadLocal.withInitial(() -> new Object[2]);
+
+    private static Expression memoized(Expression e) {
+        Object[] m = MEMO.get();
+        if (m[0] != e) {
+            m[0] = e;
+            m[1] = selfEquality(e);
+        }
+        return (Expression) m[1];
+    }
+
     private static final AbstractPartialFunction<Expression, Expression> EXPR_RULE =
             new AbstractPartialFunction<Expression, Expression>() {
                 @Override
                 public boolean isDefinedAt(Expression e) {
-                    return selfEquality(e) != null;
+                    return memoized(e) != null;
                 }
 
                 @Override
                 public Expression apply(Expression e) {
                     REWRITTEN.incrementAndGet();
-                    return new IsNotNull(selfEquality(e));
+                    return new IsNotNull(memoized(e));
                 }
             };
 

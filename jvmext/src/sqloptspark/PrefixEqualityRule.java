@@ -88,17 +88,36 @@ public class PrefixEqualityRule extends Rule<LogicalPlan> {
         return new StartsWith(sub.str(), lit);
     }
 
+    /**
+     * applyOrElse calls isDefinedAt then apply on the same node, and the
+     * optimizer re-runs the rule every fixed-point iteration — a
+     * per-thread one-slot memo avoids recomputing (and re-allocating)
+     * the rewrite twice per matching node.  ThreadLocal because rules
+     * run concurrently across sessions.
+     */
+    private static final ThreadLocal<Expression[]> MEMO =
+            ThreadLocal.withInitial(() -> new Expression[2]);
+
+    private static Expression memoized(Expression e) {
+        Expression[] m = MEMO.get();
+        if (m[0] != e) {
+            m[0] = e;
+            m[1] = asStartsWith(e);
+        }
+        return m[1];
+    }
+
     private static final AbstractPartialFunction<Expression, Expression> EXPR_RULE =
             new AbstractPartialFunction<Expression, Expression>() {
                 @Override
                 public boolean isDefinedAt(Expression e) {
-                    return asStartsWith(e) != null;
+                    return memoized(e) != null;
                 }
 
                 @Override
                 public Expression apply(Expression e) {
                     REWRITTEN.incrementAndGet();
-                    return asStartsWith(e);
+                    return memoized(e);
                 }
             };
 

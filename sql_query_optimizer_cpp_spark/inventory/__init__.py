@@ -130,8 +130,11 @@ def shared_sql(
 #: projection), then the 15 queries that have never had a driver row (the
 #: r05 queue staged last round), the flagship guard, the 8 round-5
 #: additions, and 24 re-grades of the stalest greens (queries whose only
-#: green row is r02).  After this round every registered query has a
-#: green driver row in some round.  Everything past _PRIORITY keeps
+#: green row is r02).  After this round every query REGISTERED AS OF THE
+#: r05 WINDOW EDIT has a green driver row in some round; the later
+#: round-5 additions staged in the r06 queue below have local-sim
+#: evidence only until the r06 window grades them.  Everything past
+#: _PRIORITY keeps
 #: registration order; every registered query stays covered every round
 #: by tests/test_inventory.py + tools/driver_sim.py regardless of window
 #: position.

@@ -74,13 +74,22 @@ class JoinGraph:
         ]
 
 
-def chain_cost(order: list[str], graph: JoinGraph) -> float:
-    """Total cost of the left-deep chain in ``order`` under the
-    reference's hash-join formula, cardinalities propagated bottom-up."""
+def chain_cost_detail(order: list[str], graph: JoinGraph) -> tuple[int, float]:
+    """(cartesian_steps, cost) of the left-deep chain in ``order`` under
+    the reference's hash-join formula, cardinalities propagated bottom-up.
+
+    The pair is what the GA compares LEXICOGRAPHICALLY: a review pass
+    proved an additive penalty constant is not a detector — on large-row
+    graphs a legitimate penalty-free chain can cost more than any fixed
+    constant, letting a cartesian order win.  Ordering by
+    (fewest cartesian steps, then cost) makes 'never go cartesian when a
+    connected order exists' structural instead of numeric.
+    """
     if not order:
-        return 0.0
+        return (0, 0.0)
     acc_rows = float(graph.rows[order[0]])
     total = 0.0
+    n_cross = 0
     joined = {order[0]}
     for nxt in order[1:]:
         r = float(graph.rows[nxt])
@@ -92,10 +101,18 @@ def chain_cost(order: list[str], graph: JoinGraph) -> float:
             for e in conn:
                 out *= e.selectivity
         else:
-            total += CROSS_JOIN_PENALTY
+            n_cross += 1
         acc_rows = max(out, 1.0)
         joined.add(nxt)
-    return total
+    return (n_cross, total)
+
+
+def chain_cost(order: list[str], graph: JoinGraph) -> float:
+    """Scalar cost: the detail cost plus the additive penalty per
+    cartesian step (back-compat reporting form; the GA itself compares
+    the detail tuple, where the penalty is structural)."""
+    n_cross, total = chain_cost_detail(order, graph)
+    return total + n_cross * CROSS_JOIN_PENALTY
 
 
 def _order_crossover(rng: random.Random, p1: list[str], p2: list[str]) -> list[str]:
@@ -125,9 +142,11 @@ def _mutate(rng: random.Random, order: list[str]) -> None:
 
 def greedy_order(graph: JoinGraph) -> list[str]:
     """Greedy connected construction: start at the smallest table, always
-    append the (preferring connected) table that minimizes the next
-    step's incremental cost.  O(n^2); used to seed the GA population so
-    the search starts from a sane order instead of pure shuffles."""
+    append the table minimizing the (cartesian_steps, cost) detail of the
+    extended prefix — connected candidates always beat disconnected ones,
+    so on a connected graph the result has zero cartesian steps.  O(n^2);
+    used to seed the GA population so the search starts from a sane order
+    instead of pure shuffles."""
     remaining = set(graph.rows)
     if not remaining:
         return []
@@ -136,7 +155,7 @@ def greedy_order(graph: JoinGraph) -> list[str]:
     while remaining:
         best_t, best_c = None, None
         for t in sorted(remaining):
-            c = chain_cost(order + [t], graph)
+            c = chain_cost_detail(order + [t], graph)
             if best_c is None or c < best_c:
                 best_t, best_c = t, c
         order.append(best_t)
@@ -177,8 +196,12 @@ def genetic_join_order(
         rng.shuffle(order)
         population.append(order)
 
-    def fitness(order: list[str]) -> float:
-        return -chain_cost(order, graph)
+    def fitness(order: list[str]) -> tuple[int, float]:
+        # lexicographic: fewest cartesian steps first, then cheapest —
+        # tuples compare elementwise, so max() prefers (0, -x) over
+        # (-1, -y) for ANY costs x, y
+        n_cross, cost = chain_cost_detail(order, graph)
+        return (-n_cross, -cost)
 
     scored = [(fitness(o), o) for o in population]
     best_f, best_o = max(scored, key=lambda t: t[0])
@@ -201,7 +224,9 @@ def genetic_join_order(
             stale += 1
             if stale >= 15:
                 break
-    return best_o, -best_f
+    # report the scalar cost (detail cost + additive penalty) for display;
+    # the search itself ranked by the (n_cross, cost) tuple
+    return best_o, chain_cost(best_o, graph)
 
 
 def graph_from_stats(
@@ -246,8 +271,18 @@ def compose_join(
 
     Each step joins the accumulated frame to the next table on EVERY edge
     connecting it to any already-joined table (conjunctive equi-join);
-    raises if the order would force a cartesian step — the GA's penalty
-    makes that unreachable for a connected graph.
+    raises if the order would force a cartesian step.  The GA never
+    produces such an order for a connected graph: it ranks candidates by
+    (cartesian_steps, cost) lexicographically and its population is
+    seeded with the greedy CONNECTED construction, so a zero-cross order
+    always exists in the population and always outranks any cross order.
+
+    Join conditions reference the ORIGINAL per-table DataFrames
+    (``tables[prev][col]``), not the accumulated frame — after two joined
+    tables share a bare column name, ``acc[col]`` would be ambiguous.
+    (Passing the SAME DataFrame object under two names still can't be
+    disambiguated this way; use ``df.alias(...)`` per name for
+    self-joins.)
     """
     from functools import reduce
 
@@ -261,7 +296,9 @@ def compose_join(
         for prev in joined:
             for a, ca, b, cb in by_pair.get(frozenset((prev, nxt)), ()):
                 left_col, right_col = (ca, cb) if a == prev else (cb, ca)
-                conds.append(acc[left_col] == tables[nxt][right_col])
+                conds.append(
+                    tables[prev][left_col] == tables[nxt][right_col]
+                )
         if not conds:
             raise ValueError(
                 f"order {order} makes {nxt} a cartesian step (no edge to {joined})"
@@ -272,26 +309,46 @@ def compose_join(
 
 
 # --- plan-derived graphs: advice straight from a SQL text -----------------------
-def _walk_jplan(node, fn, alias=None):
+def _walk_jplan(node, fn, alias=None, _token=None, _counter=None):
+    if _counter is None:
+        _counter = [0]
     name = node.nodeName()
     if name == "SubqueryAlias" and alias is None:
         # OUTERMOST alias wins: `FROM nation n1` plans as
         # SubqueryAlias(n1, SubqueryAlias(nation, View(...))) and the
         # user-facing name is n1 — it also keeps two uses of one view
-        # distinct without synthetic suffixes
+        # distinct without synthetic suffixes.  The token identifies the
+        # alias NODE (not just the name): one token covering two leaves
+        # means a derived table, which a FROM-clause reorder cannot
+        # touch — graph_from_plan refuses those.
         try:
             alias = node.alias()
+            _counter[0] += 1
+            _token = _counter[0]
         except Exception:
             pass
-    fn(node, alias)
+    fn(node, alias, _token)
     it = node.children().iterator()
     while it.hasNext():
-        _walk_jplan(it.next(), fn, alias)
+        _walk_jplan(it.next(), fn, alias, _token, _counter)
 
 
 def _expr_equalities(jexpr, out):
-    """Collect (exprId, exprId) pairs from EqualTo(attr, attr) nodes."""
+    """Collect (exprId, exprId) pairs from TOP-LEVEL-CONJUNCT
+    EqualTo(attr, attr) nodes.
+
+    Only the And spine is descended: an equality nested under OR, NOT,
+    CASE etc. is NOT a conjunctive equi-join edge — review found the
+    previous any-depth harvest turning ``NOT (a.x = b.y)`` (a
+    near-cartesian predicate) and both branches of ``... OR ...`` into
+    AND-ed edges, corrupting the cardinality model the GA optimizes.
+    Non-equality conjuncts are simply ignored (they are filters, not
+    join structure)."""
     cls = jexpr.getClass().getSimpleName()
+    if cls == "And":
+        _expr_equalities(jexpr.children().apply(0), out)
+        _expr_equalities(jexpr.children().apply(1), out)
+        return
     if cls == "EqualTo":
         left, right = jexpr.children().apply(0), jexpr.children().apply(1)
         if (
@@ -299,9 +356,6 @@ def _expr_equalities(jexpr, out):
             and right.getClass().getSimpleName() == "AttributeReference"
         ):
             out.append((left.exprId().id(), right.exprId().id()))
-    it = jexpr.children().iterator()
-    while it.hasNext():
-        _expr_equalities(it.next(), out)
 
 
 def graph_from_plan(df) -> tuple[JoinGraph, list[str]]:
@@ -312,19 +366,32 @@ def graph_from_plan(df) -> tuple[JoinGraph, list[str]]:
 
     Leaves become tables (named by their outermost SubqueryAlias, deduped
     with ``#i`` when a view appears twice, as nation does in TPC-H q8);
-    equi-conditions from Join nodes AND Filter conditions (comma joins
-    put them in WHERE) become edges.  Row counts come from Catalyst leaf
-    stats; NDV falls back to the leaf's row count (exact for the PK side
-    of an FK join — the side that decides the System-R selectivity).
-    Subquery-less SELECTs only: scalar/IN subqueries add leaves the FROM
-    clause can't order.
+    TOP-LEVEL-CONJUNCT equi-conditions from INNER Join nodes and Filter
+    conditions (comma joins put them in WHERE) become edges.  Row counts
+    come from Catalyst leaf stats; NDV falls back to the leaf's row count
+    (exact for the PK side of an FK join — the side that decides the
+    System-R selectivity).
+
+    Refused with ValueError (a FROM-clause reorder cannot preserve their
+    semantics, so confident-but-wrong advice would be worse than none):
+    derived tables / subqueries in FROM (one alias covering multiple
+    leaves) and outer/semi/anti joins.
     """
     jplan = df._jdf.queryExecution().analyzed()
     leaves: list[tuple[str, object]] = []
     eqs: list[tuple[int, int]] = []
+    token_leaf_count: dict[int, int] = {}
 
-    def visit(node, alias):
+    def visit(node, alias, token):
         if node.children().isEmpty():
+            if token is not None:
+                token_leaf_count[token] = token_leaf_count.get(token, 0) + 1
+                if token_leaf_count[token] > 1:
+                    raise ValueError(
+                        f"derived table/subquery {alias!r} spans multiple "
+                        "base relations; join_order_advice only reorders "
+                        "plain FROM-clause tables"
+                    )
             nm = alias or node.nodeName().lower()
             names = [n for n, _ in leaves]
             if nm in names:
@@ -332,6 +399,12 @@ def graph_from_plan(df) -> tuple[JoinGraph, list[str]]:
             leaves.append((nm, node))
         nn = node.nodeName()
         if "Join" in nn:
+            jt = node.joinType().toString()
+            if jt not in ("Inner", "Cross"):
+                raise ValueError(
+                    f"{jt} join is not freely reorderable; "
+                    "join_order_advice handles inner/comma joins only"
+                )
             cond = node.condition()
             if cond.isDefined():
                 _expr_equalities(cond.get(), eqs)

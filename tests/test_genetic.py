@@ -186,3 +186,79 @@ def test_ga_properties_on_random_graphs(graph, seed):
     assert abs(chain_cost(order, graph) - cost) < 1e-9
     assert cost <= chain_cost(sorted(graph.rows), graph) + 1e-9
     assert cost <= chain_cost(greedy_order(graph), graph) + 1e-9
+
+
+def test_graph_from_plan_ignores_non_conjunct_equalities(spark):
+    """NOT (a = b) and OR-branch equalities must NOT become edges —
+    review found the any-depth harvest costing a near-cartesian NOT
+    predicate as an equi-join (selectivity 1/ndv)."""
+    from sql_query_optimizer_cpp_spark.catalog import register_views
+    from sql_query_optimizer_cpp_spark.plans.genetic import graph_from_plan
+
+    register_views(spark, SF_DIR, ("nation", "supplier", "region"))
+    g_not, _ = graph_from_plan(
+        spark.sql(
+            "SELECT * FROM supplier s, nation n "
+            "WHERE NOT (s.s_nationkey = n.n_nationkey)"
+        )
+    )
+    assert g_not.edges == []
+    g_or, _ = graph_from_plan(
+        spark.sql(
+            "SELECT * FROM supplier s, nation n "
+            "WHERE s.s_nationkey = n.n_nationkey OR s.s_suppkey = n.n_nationkey"
+        )
+    )
+    assert g_or.edges == []
+    # the plain conjunct still harvests
+    g_and, _ = graph_from_plan(
+        spark.sql(
+            "SELECT * FROM supplier s, nation n, region r "
+            "WHERE s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey"
+        )
+    )
+    assert len(g_and.edges) == 2
+
+
+def test_graph_from_plan_refuses_derived_tables_and_outer_joins(spark):
+    """A derived table spanning multiple base relations and any outer
+    join must raise instead of producing confident nonsense."""
+    import pytest as _pytest
+
+    from sql_query_optimizer_cpp_spark.catalog import register_views
+    from sql_query_optimizer_cpp_spark.plans.genetic import graph_from_plan
+
+    register_views(spark, SF_DIR, ("nation", "supplier", "region"))
+    with _pytest.raises(ValueError, match="derived table"):
+        graph_from_plan(
+            spark.sql(
+                "SELECT * FROM (SELECT n.n_nationkey, r.r_name FROM nation n "
+                "JOIN region r ON n.n_regionkey = r.r_regionkey) t, supplier s "
+                "WHERE t.n_nationkey = s.s_nationkey"
+            )
+        )
+    with _pytest.raises(ValueError, match="not freely reorderable"):
+        graph_from_plan(
+            spark.sql(
+                "SELECT * FROM supplier s LEFT JOIN nation n "
+                "ON s.s_nationkey = n.n_nationkey"
+            )
+        )
+
+
+def test_ga_never_cartesian_on_connected_graph():
+    """With lexicographic (cartesian_steps, cost) ranking and the greedy
+    connected seed, the GA must return a zero-cross order whenever one
+    exists — even when large-row chains cost more than the old additive
+    penalty constant (the case that broke the constant-based approach)."""
+    from sql_query_optimizer_cpp_spark.plans.genetic import chain_cost_detail
+
+    # rows big enough that legitimate chain costs exceed 1e12
+    rows = {f"t{i}": 10_000_000 for i in range(6)}
+    edges = [
+        JoinEdge(f"t{i}", f"t{i+1}", ndv_a=1, ndv_b=1) for i in range(5)
+    ]
+    g = JoinGraph(rows=rows, edges=edges)
+    order, _cost = genetic_join_order(g, seed=3)
+    n_cross, _ = chain_cost_detail(order, g)
+    assert n_cross == 0
