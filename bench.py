@@ -135,6 +135,22 @@ def bench_spark(spark, registry, sf_dir: str) -> tuple[dict[str, float], dict[st
         f"(DECIMAL-exact oracle-graded path)",
         file=sys.stderr,
     )
+
+    # Round-5 pipeline additions, measured as extras (the 22-query
+    # headline stays fixed for round-over-round comparability).
+    for name in (
+        "ingest_incremental_e2e",
+        "text_boilerplate_ngrams",
+        "text_oov_rate",
+        "dedup_cluster_size_hist",
+    ):
+        spec = registry.get(name)
+        if spec is None:
+            continue
+        spec.fn(spark, sf_dir).count()
+        extras[name] = timed_median(lambda: spec.fn(spark, sf_dir).count())
+        print(f"# {name}: {extras[name]:.3f}s (extra)", file=sys.stderr)
+        dedup_ops.release_cached()
     return timings, extras
 
 
