@@ -99,3 +99,29 @@ def davg(col: Column | str, scale: int = 6) -> Column:
 
 def davg_sql(expr: str, scale: int = 6) -> str:
     return f"({dsum_sql(expr, scale=scale)} / COUNT({expr}))"
+
+
+def pround(col: Column | str, scale: int = 6) -> Column:
+    """PORTABLE display rounding: ``floor(x * 10^s + 0.5) / 10^s``.
+
+    Native round() is a latent cross-engine divergence on ties: Spark
+    routes doubles through BigDecimal HALF_UP of the exact binary
+    expansion while DuckDB scales in double arithmetic — the round-5
+    sf0.1 stress replay caught them disagreeing by 1 ulp on a real
+    value (events_gap_stats avg, ...042.5 microseconds).  This helper
+    spells the same IEEE-exact op chain on both engines (multiply, add,
+    floor, divide — each correctly rounded over identical inputs), so
+    the result is bit-identical by construction, ties included.
+
+    Caveat: |x|*10^s must stay below 2^53 for the quantization to be
+    meaningful — true for every display-rounded metric here.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    p = float(10**scale)
+    return F.floor(c * F.lit(p) + F.lit(0.5)) / F.lit(p)
+
+
+def pround_sql(expr: str, scale: int = 6) -> str:
+    """DuckDB twin of :func:`pround` (same ops, same bits)."""
+    p = float(10**scale)
+    return f"(floor(({expr}) * {p!r} + 0.5) / {p!r})"

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from . import register
 from ..catalog import load_tables
-from ..functions import dsum, dsum_sql
+from ..functions import dsum, dsum_sql, pround_sql
 
 
 @register(
@@ -338,17 +338,24 @@ WITH gaps AS (
   FROM events)
 SELECT user_id, CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
        CAST(MAX(gap_us) AS DOUBLE) / 1e6 AS max_gap_s,
-       round(CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) / 1e6, 6) AS avg_gap_s
+       """
+    + pround_sql("CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) / 1e6")
+    + """ AS avg_gap_s
 FROM gaps WHERE gap_us IS NOT NULL GROUP BY user_id""",
     doc="inter-event gap statistics per user (count/max/mean seconds "
     "between consecutive events) — the cadence profile behind bot "
     "detection and session-gap tuning; gaps are exact integer "
-    "microseconds from one lag window, aggregated map-side-combinably "
-    "(the mean divides two exact integers, so cross-engine bits match)",
+    "microseconds from one lag window, aggregated map-side-combinably; "
+    "the mean is display-rounded with the PORTABLE floor-based pround "
+    "(native round() ties diverge 1 ulp across engines — the sf0.1 "
+    "stress replay caught exactly one user's ...042.5-microsecond mean "
+    "rounding differently)",
     tags=("events", "window"),
 )
 def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
+
+    from ..functions import pround
 
     t = load_tables(spark, sf_dir, ("events",))
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -362,8 +369,8 @@ def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("gap_us").cast("long").alias("n_gaps"),
             (F.max("gap_us").cast("double") / 1e6).alias("max_gap_s"),
-            F.round(
-                F.sum("gap_us").cast("double") / F.count("gap_us") / 1e6, 6
+            pround(
+                F.sum("gap_us").cast("double") / F.count("gap_us") / 1e6
             ).alias("avg_gap_s"),
         )
     )

@@ -173,3 +173,40 @@ def test_hash64_cross_engine_portable(spark, duck, texts):
     }
     duck.execute("DROP TABLE _pt")
     assert got == want
+
+
+def test_pround_tie_parity_vs_duckdb(spark, tmp_path):
+    """pround must agree bit-for-bit across engines ON TIES — the case
+    native round() gets wrong (Spark BigDecimal HALF_UP vs DuckDB's
+    scaled double multiply; the sf0.1 stress replay hit a real ...5
+    mean).  Values chosen to land exactly on and around .xxxxxx5."""
+    import duckdb
+
+    from sql_query_optimizer_cpp_spark.functions import pround, pround_sql
+    from pyspark.sql import functions as F
+
+    vals = [
+        33374.0610425,  # the real divergent mean from the stress run
+        0.0000005,
+        1.0000015,
+        -2.0000025,
+        123.4567895,
+        0.1 + 0.2,      # classic non-exact double
+    ]
+    sdf = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, x double")
+    p = str(tmp_path / "vals.parquet")
+    sdf.coalesce(1).write.mode("overwrite").parquet(p)
+
+    got = {
+        r.i: r.y
+        for r in spark.read.parquet(p).select("i", pround("x").alias("y")).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT i, {pround_sql('x')} AS y FROM read_parquet('{p}/*.parquet')"
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
