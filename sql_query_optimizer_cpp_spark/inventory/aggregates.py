@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from . import register, shared_sql
 from ..catalog import load_tables
-from ..functions import davg_sql, dsum, dsum_sql
+from ..functions import davg_sql, dsum, dsum_sql, pround, pround_sql
 
 
 # --- A2: global aggregates, no grouping (test_queries.txt:6 COUNT(*)) ------------
@@ -624,9 +624,12 @@ def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_weighted_avg",
     oracle="SELECT l_returnflag, "
-    "round(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) "
-    "AS DOUBLE) / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), "
-    "6) AS w_avg_price, CAST(count(*) AS BIGINT) AS n "
+    + pround_sql(
+        "CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) "
+        "AS DOUBLE) / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)",
+        6,
+    )
+    + " AS w_avg_price, CAST(count(*) AS BIGINT) AS n "
     "FROM lineitem GROUP BY l_returnflag",
     doc="quantity-weighted average price per return flag: "
     "sum(w*x)/sum(w) with BOTH sums decimal-exact (the per-row double "
@@ -641,7 +644,7 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .groupBy("l_returnflag")
         .agg(
-            F.round(
+            pround(
                 F.sum(
                     (F.col("l_extendedprice") * F.col("l_quantity")).cast(
                         "decimal(28,6)"

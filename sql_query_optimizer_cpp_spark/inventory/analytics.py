@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from . import register, shared_sql
 from ..catalog import load_tables
-from ..functions import dsum, dsum_sql
+from ..functions import dsum, dsum_sql, pround, pround_sql
 
 #: Ordered funnel: a user converts through a stage only with an event of
 #: that type STRICTLY LATER than their entry into the previous stage
@@ -370,7 +370,7 @@ wau AS (
   GROUP BY 1),
 dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY 1)
 SELECT dau.day, dau.dau, wau.wau,
-       round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+       (floor((CAST(dau.dau AS DOUBLE) / wau.wau) * 1000000.0 + 0.5) / 1000000.0) AS stickiness
 FROM dau JOIN wau ON dau.day = wau.day""",
     doc="DAU / trailing-7-day WAU / stickiness per day — the canonical "
     "engagement readout.  The trailing-window DISTINCT is NOT computed "
@@ -409,7 +409,7 @@ def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "dau",
         "wau",
-        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+        pround(F.col("dau").cast("double") / F.col("wau"), 6).alias(
             "stickiness"
         ),
     )
@@ -425,8 +425,7 @@ WITH yearly AS (
     + """ AS revenue
   FROM orders GROUP BY 1, 2)
 SELECT o_orderpriority, yr, revenue,
-       round((revenue - lag(revenue) OVER w)
-             / NULLIF(lag(revenue) OVER w, 0), 6) AS yoy_growth
+       (floor(((revenue - lag(revenue) OVER w) / NULLIF(lag(revenue) OVER w, 0)) * 1000000.0 + 0.5) / 1000000.0) AS yoy_growth
 FROM yearly WINDOW w AS (PARTITION BY o_orderpriority ORDER BY yr)""",
     doc="year-over-year revenue growth per order priority: decimal-exact "
     "yearly sums, then a lag window over (priority, year) — the growth "
@@ -456,7 +455,7 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "yr",
         "revenue",
-        F.round(
+        pround(
             (F.col("revenue") - prev) / F.nullif(prev, F.lit(0.0)), 6
         ).alias("yoy_growth"),
     )

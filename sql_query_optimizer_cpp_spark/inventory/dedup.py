@@ -11,7 +11,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import register
 from ..catalog import load_tables
-from ..functions import hash64_sql, minhash_params, minhash_transform_sql
+from ..functions import (
+    hash64_sql,
+    minhash_params,
+    minhash_transform_sql,
+    pround,
+)
 from ..operators import dedup as D
 from ..operators.text import content_fingerprint_sql
 
@@ -460,7 +465,7 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT CAST(COUNT(*) AS BIGINT) AS total_docs, "
     "CAST(COUNT(DISTINCT fp) AS BIGINT) AS distinct_contents, "
     "CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS dup_docs, "
-    "round(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6) "
+    "(floor((1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0) "
     "AS dup_rate FROM fp",
     doc="corpus-level exact-duplication report: total docs, distinct "
     "normalized contents, duplicate count and rate — the one-row health "
@@ -480,7 +485,7 @@ def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("total_docs"),
         F.countDistinct("fp").cast("long").alias("distinct_contents"),
         (F.count("*") - F.countDistinct("fp")).cast("long").alias("dup_docs"),
-        F.round(
+        pround(
             F.lit(1.0) - F.countDistinct("fp").cast("double") / F.count("*"),
             6,
         ).alias("dup_rate"),

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import register
 from ..catalog import load_tables
+from ..functions import pround
 from ..operators import similarity as S
 
 N_QUERIES = 10
@@ -279,7 +280,7 @@ WITH exact_topk AS ({_BRUTE_ORACLE.replace(f'rn <= {K_BRUTE}', f'rn <= {K_ANN}')
 ann_topk AS ({_ANN_ORACLE})
 SELECT e.query_id,
        CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_matched,
-       round(CAST(COUNT(a.neighbor_id) AS DOUBLE) / {K_ANN}, 6) AS recall
+       (floor((CAST(COUNT(a.neighbor_id) AS DOUBLE) / {K_ANN}) * 1000000.0 + 0.5) / 1000000.0) AS recall
 FROM exact_topk e
 LEFT JOIN ann_topk a
   ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
@@ -320,7 +321,7 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(
             F.count("_nid").cast("long").alias("n_matched"),
-            F.round(F.count("_nid").cast("double") / K_ANN, 6).alias(
+            pround(F.count("_nid").cast("double") / K_ANN, 6).alias(
                 "recall"
             ),
         )

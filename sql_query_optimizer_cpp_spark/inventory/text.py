@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from . import register
 from ..catalog import load_tables
+from ..functions import pround
 from ..operators import text as T
 
 
@@ -394,7 +395,7 @@ df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY 1),
 n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
 scored AS (
   SELECT tok.doc_id, tok.token, tok.tf, df.df,
-         round(CAST(tok.tf * n.n_docs AS DOUBLE) / df.df, 6) AS score
+         (floor((CAST(tok.tf * n.n_docs AS DOUBLE) / df.df) * 1000000.0 + 0.5) / 1000000.0) AS score
   FROM tok JOIN df USING (token) CROSS JOIN n
   WHERE tok.doc_id < {_TFIDF_DOCS})
 SELECT doc_id, token, tf, df, score, rnk FROM (
@@ -430,7 +431,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
-            F.round(
+            pround(
                 (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"), 6
             ),
         )
@@ -463,7 +464,7 @@ split AS (
 c3 AS (SELECT ctx, w, CAST(COUNT(*) AS BIGINT) AS n3 FROM split GROUP BY 1, 2),
 c2 AS (SELECT ctx, CAST(SUM(n3) AS BIGINT) AS n2 FROM c3 GROUP BY 1)
 SELECT c3.ctx, c3.w, c3.n3, c2.n2,
-       round(CAST(c3.n3 AS DOUBLE) / c2.n2, 6) AS p
+       (floor((CAST(c3.n3 AS DOUBLE) / c2.n2) * 1000000.0 + 0.5) / 1000000.0) AS p
 FROM c3 JOIN c2 ON c3.ctx = c2.ctx
 WHERE c3.n3 >= {_LM_MIN_COUNT}""",
     doc="n-gram language-model counts: trigram multiset counts split into "
@@ -496,7 +497,7 @@ def text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w",
             "n3",
             "n2",
-            F.round(F.col("n3").cast("double") / F.col("n2"), 6).alias("p"),
+            pround(F.col("n3").cast("double") / F.col("n2"), 6).alias("p"),
         )
     )
 
@@ -597,11 +598,11 @@ per_doc AS (
   GROUP BY 1, 2),
 ratios AS (
   SELECT lang,
-         round(CAST(n_oov AS DOUBLE) / NULLIF(n_tok, 0), 6) AS oov
+         (floor((CAST(n_oov AS DOUBLE) / NULLIF(n_tok, 0)) * 1000000.0 + 0.5) / 1000000.0) AS oov
   FROM per_doc)
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       round(MIN(oov), 6) AS min_oov, round(MAX(oov), 6) AS max_oov,
-       round(CAST(SUM(CAST(oov AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+       (floor((MIN(oov)) * 1000000.0 + 0.5) / 1000000.0) AS min_oov, (floor((MAX(oov)) * 1000000.0 + 0.5) / 1000000.0) AS max_oov,
+       (floor((CAST(SUM(CAST(oov AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0)
          AS mean_oov
 FROM ratios GROUP BY 1""",
     doc=f"out-of-vocabulary rate per language against the corpus's own "
@@ -639,7 +640,7 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_oov"),
         )
     )
-    oov = F.round(
+    oov = pround(
         F.col("n_oov").cast("double") / F.nullif("n_tok", F.lit(0)), 6
     )
     return (
@@ -647,9 +648,9 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
-            F.round(F.min("oov"), 6).alias("min_oov"),
-            F.round(F.max("oov"), 6).alias("max_oov"),
-            F.round(
+            pround(F.min("oov"), 6).alias("min_oov"),
+            pround(F.max("oov"), 6).alias("max_oov"),
+            pround(
                 F.sum(F.col("oov").cast("decimal(18,6)")).cast("double")
                 / F.count("*"),
                 6,

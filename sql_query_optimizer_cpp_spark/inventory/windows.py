@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from . import register
 from ..catalog import load_tables
+from ..functions import pround, pround_sql
 
 
 @register(
@@ -201,12 +202,15 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "win_cumulative_share",
     oracle="SELECT c_custkey, c_nationkey, c_acctbal, "
-    "round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER ("
-    "PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey "
-    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
-    "/ CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER ("
-    "PARTITION BY c_nationkey) AS DOUBLE), 6) AS cum_share "
-    "FROM customer",
+    + pround_sql(
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER ("
+        "PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
+        "/ CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER ("
+        "PARTITION BY c_nationkey) AS DOUBLE)",
+        6,
+    )
+    + " AS cum_share FROM customer",
     doc="cumulative share (running decimal-exact sum / partition total, "
     "two frames over ONE partitioning): the Pareto/concentration curve — "
     "'the top accounts hold X% of balance' — per nation; both window "
@@ -227,7 +231,7 @@ def win_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_nationkey",
         "c_acctbal",
-        F.round(
+        pround(
             F.sum(dec).over(w_run).cast("double")
             / F.sum(dec).over(w_all).cast("double"),
             6,
@@ -238,8 +242,12 @@ def win_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "win_moving_avg",
     oracle="SELECT o_custkey, o_orderkey, "
-    "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)"
-    " / COUNT(*) OVER w, 6) AS moving_avg "
+    + pround_sql(
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)"
+        " / (COUNT(*) OVER w)",
+        6,
+    )
+    + " AS moving_avg "
     "FROM orders WHERE o_custkey < 50 "
     "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
     "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)",
@@ -263,7 +271,7 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             "o_orderkey",
-            F.round(
+            pround(
                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                 .over(w)
                 .cast("double")
