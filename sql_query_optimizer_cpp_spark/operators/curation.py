@@ -70,9 +70,12 @@ def stratified_sample(
     column instead (plus sample_bucket) so the sample composes into a
     longer pipeline without a join-back on the id."""
     rates = rates or {}
-    rate = F.lit(int(default_rate * SAMPLE_MOD))
+    # round(), not int(): 0.29 * 10000 is 2899.999... in FP and int()
+    # truncation would systematically exclude one bucket (0.01% of the
+    # stratum) from every non-FP-exact rate
+    rate = F.lit(round(default_rate * SAMPLE_MOD))
     for value, r in sorted(rates.items()):
-        rate = F.when(F.col(strata_col) == value, F.lit(int(r * SAMPLE_MOD))).otherwise(
+        rate = F.when(F.col(strata_col) == value, F.lit(round(r * SAMPLE_MOD))).otherwise(
             rate
         )
     bucket = sample_bucket(id_col, seed)
@@ -95,10 +98,16 @@ def stratified_sample_sql(
     """DuckDB twin of :func:`stratified_sample` (same hash, same buckets)."""
     rates = rates or {}
     branches = " ".join(
-        f"WHEN {strata_col} = '{v}' THEN {int(r * SAMPLE_MOD)}"
+        f"WHEN {strata_col} = '{v}' THEN {round(r * SAMPLE_MOD)}"
         for v, r in sorted(rates.items())
     )
-    rate = f"(CASE {branches} ELSE {int(default_rate * SAMPLE_MOD)} END)"
+    # with no per-stratum rates a bare CASE ELSE is a DuckDB parser
+    # error — emit the plain literal, like the Spark twin does
+    rate = (
+        f"(CASE {branches} ELSE {round(default_rate * SAMPLE_MOD)} END)"
+        if branches
+        else str(round(default_rate * SAMPLE_MOD))
+    )
     bucket = sample_bucket_sql(id_expr, seed)
     return (
         f"SELECT {id_expr}, {strata_col}, {bucket} AS sample_bucket "
@@ -246,8 +255,12 @@ def quality_filter(
     n = token_count(text_col)
     q = quality_score(text_col)
     lid = lang_id(text_col)
+    # NULL text first: every later condition evaluates to NULL on it and
+    # CASE would fall through to 'ok' — a corrupt document sailing
+    # through the quality gate (review finding; the SQL twin mirrors it)
     reason = (
-        F.when(n < min_tokens, F.lit("too_short"))
+        F.when(F.col(text_col).isNull(), F.lit("null_text"))
+        .when(n < min_tokens, F.lit("too_short"))
         .when(q < min_score, F.lit("low_quality"))
         .when(~lid.isin(*langs), F.lit("lang_not_allowed"))
         .otherwise(F.lit("ok"))
@@ -273,7 +286,8 @@ def quality_filter_sql(
     """DuckDB twin of :func:`quality_filter`."""
     lang_list = ", ".join(f"'{l}'" for l in langs)
     reason = (
-        f"(CASE WHEN {token_count_sql(text_expr)} < {min_tokens} THEN 'too_short' "
+        f"(CASE WHEN {text_expr} IS NULL THEN 'null_text' "
+        f"WHEN {token_count_sql(text_expr)} < {min_tokens} THEN 'too_short' "
         f"WHEN {quality_score_sql(text_expr)} < {min_score} THEN 'low_quality' "
         f"WHEN {lang_id_sql(text_expr)} NOT IN ({lang_list}) THEN 'lang_not_allowed' "
         f"ELSE 'ok' END)"
@@ -305,9 +319,12 @@ def decontaminate(
 
     Output: (doc_id, n_shared_shingles, n_probe_docs).
     """
-    from .dedup import doc_shingles
+    from .dedup import _persist_tracked, doc_shingles
 
-    ex = doc_shingles(df, id_col, text_col, n)
+    # both join sides derive from the same explode + distinct — persist
+    # it once or Catalyst recomputes the corpus-wide shuffle per consumer
+    # (the same fix the dedup pipelines already carry)
+    ex = _persist_tracked(doc_shingles(df, id_col, text_col, n))
     probes = ex.filter(F.col(id_col) % probe_mod == 0).select(
         F.col(id_col).alias("probe_id"), "s"
     )

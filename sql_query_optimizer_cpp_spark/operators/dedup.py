@@ -174,6 +174,15 @@ def minhash_lsh_pairs(
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
+    # bands must tile num_hashes exactly: bands > num_hashes would give
+    # rows_per_band = 0 — every band hash becomes hash64('') and the
+    # candidate self-join degenerates into the all-pairs cross product
+    # this module exists to avoid; a non-divisor would silently drop the
+    # trailing hash columns and change the documented capture probability
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must be a positive divisor of num_hashes={num_hashes}"
+        )
     rows_per_band = num_hashes // bands
     # The shingle explosion feeds both the signatures and the exact-Jaccard
     # verify; without a cache Catalyst recomputes the whole explode subtree
@@ -251,8 +260,16 @@ def ngram_jaccard_pairs(
         )
     else:
         block = ex
+    cand = _shared_shingle_candidates(block, id_col)
+    return _verify_jaccard(df, cand, id_col, text_col, n, threshold, shingles=ex)
+
+
+def _shared_shingle_candidates(block: DataFrame, id_col: str) -> DataFrame:
+    """Ordered candidate pairs (doc_a < doc_b) sharing >= 1 shingle in
+    ``block`` — the equi-join blocking step every exact pair pipeline
+    starts from (never an all-pairs scan)."""
     a, b = block.alias("a"), block.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
@@ -263,19 +280,24 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
-    return _verify_jaccard(df, cand, id_col, text_col, n, threshold, shingles=ex)
 
 
-def _verify_jaccard(
+def _verify_overlap(
     df: DataFrame,
     cand: DataFrame,
     id_col: str,
     text_col: str,
     n: int,
     threshold: float,
+    score_name: str,
+    score_of,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact-Jaccard verification of candidate pairs (no false positives).
+    """Exact set-overlap verification of candidate pairs (no false
+    positives), scored by ``score_of(inter, sz_a, sz_b) -> Column`` —
+    Jaccard and containment differ only in this expression, so they share
+    the whole candidate-scoped machinery (a review pass found the two
+    pipelines carrying verbatim copies that could silently diverge).
 
     Set semantics regardless of the shingle frame's duplication:
     intersections count DISTINCT shared shingles and sizes are DISTINCT
@@ -308,12 +330,35 @@ def _verify_jaccard(
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+            score_name,
+            score_of(F.col("inter"), F.col("sz_a"), F.col("sz_b")),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .filter(F.col(score_name) >= threshold)
+        .select("doc_a", "doc_b", score_name)
+    )
+
+
+def _verify_jaccard(
+    df: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Exact-Jaccard verification (see :func:`_verify_overlap`)."""
+    return _verify_overlap(
+        df,
+        cand,
+        id_col,
+        text_col,
+        n,
+        threshold,
+        "jaccard",
+        lambda inter, sz_a, sz_b: inter.cast("double")
+        / (sz_a + sz_b - inter),
+        shingles=shingles,
     )
 
 
@@ -336,41 +381,17 @@ def ngram_containment_pairs(
     Output: (doc_a, doc_b, containment) with doc_a < doc_b.
     """
     ex = _persist_tracked(doc_shingles(df, id_col, text_col, n))
-    a, b = ex.alias("a"), ex.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
-        .distinct()
-    )
-    ea = ex.select(F.col(id_col).alias("doc_a"), F.col("s"))
-    eb = ex.select(F.col(id_col).alias("_doc_b"), F.col("s").alias("s_b"))
-    inter = (
-        cand.join(ea, "doc_a")
-        .join(
-            eb,
-            (F.col("doc_b") == F.col("_doc_b")) & (F.col("s") == F.col("s_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.countDistinct("s").cast("long").alias("inter"))
-    )
-    sizes = ex.groupBy(id_col).agg(F.countDistinct("s").cast("long").alias("sz"))
-    sa = sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sz", "sz_a")
-    sb = sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sz", "sz_b")
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "containment",
-            F.col("inter").cast("double") / F.least("sz_a", "sz_b"),
-        )
-        .filter(F.col("containment") >= threshold)
-        .select("doc_a", "doc_b", "containment")
+    cand = _shared_shingle_candidates(ex, id_col)
+    return _verify_overlap(
+        df,
+        cand,
+        id_col,
+        text_col,
+        n,
+        threshold,
+        "containment",
+        lambda inter, sz_a, sz_b: inter.cast("double") / F.least(sz_a, sz_b),
+        shingles=ex,
     )
 
 
@@ -425,7 +446,16 @@ def simhash_pairs(
     so candidates come from an equi-join on (band_id, band_value) — never an
     all-pairs scan.  Output: (doc_a, doc_b, hamming).
     """
-    assert max_hamming <= bands - 1, "pigeonhole blocking needs max_hamming < bands"
+    # ValueError, not assert: python -O strips asserts and a violating
+    # config would then silently LOSE true near-duplicates (a pair with
+    # hamming spread across every band shares no bucket)
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"pigeonhole blocking needs max_hamming <= bands-1 "
+            f"(got max_hamming={max_hamming}, bands={bands})"
+        )
+    if bands <= 0 or bits % bands != 0:
+        raise ValueError(f"bands={bands} must be a positive divisor of bits={bits}")
     band_width = bits // bands
     mask = (1 << band_width) - 1
     fp = simhash(df, id_col, text_col, bits)

@@ -37,12 +37,23 @@ def full_outer_anti_join(
     either side with no match on the other — a full outer join filtered to
     tuples where one side's key is NULL.
 
-    ``left_key``/``right_key`` name the join key column on each side so the
-    null-filter can be expressed; output schema is the concatenation, with
-    the unmatched side all-NULL (standard full-outer semantics).
+    ``left_key``/``right_key`` are retained for API compatibility but the
+    match test no longer inspects key columns: presence markers are added
+    to each side BEFORE the join and the filter keeps rows where either
+    marker is NULL.  Review found two defects in the key-null approach:
+    a null-safe ``on`` (eqNullSafe) can MATCH rows whose keys are both
+    NULL — which the key-null filter then misclassified as unmatched —
+    and ``joined[key]`` raises AMBIGUOUS_REFERENCE when both sides name
+    their key identically.  Markers are immune to both.  Output schema is
+    the concatenation, unmatched side all-NULL (standard full-outer
+    semantics).
     """
-    joined = left.join(right, on, "full_outer")
-    return joined.filter(joined[left_key].isNull() | joined[right_key].isNull())
+    lm = left.withColumn("_l_present", F.lit(True))
+    rm = right.withColumn("_r_present", F.lit(True))
+    joined = lm.join(rm, on, "full_outer")
+    return joined.filter(
+        F.col("_l_present").isNull() | F.col("_r_present").isNull()
+    ).drop("_l_present", "_r_present")
 
 
 def asof_join(

@@ -71,8 +71,15 @@ def hierarchical_rollup(
         grain_partials(events, ts_col, key_col, val_col, grains[0])
     )
     levels = [(grains[0], base)]
-    for g in grains[1:]:
-        levels.append((g, reaggregate(levels[-1][1], key_col, g)))
+    for i, g in enumerate(grains[1:]):
+        nxt = reaggregate(levels[-1][1], key_col, g)
+        # every level except the coarsest feeds TWO consumers (its own
+        # finalized slice of the union AND the next level's input) —
+        # persist the intermediates too, or each middle grain is
+        # re-aggregated once per coarser grain above it
+        if i < len(grains) - 2:
+            nxt = persist_tracked(nxt)
+        levels.append((g, nxt))
     out = None
     for g, df in levels:
         finalized = df.select(

@@ -207,6 +207,15 @@ def lsh_bucketed_topk(
         F.col("nsq").alias("q_nsq"),
         F.col("bucket").alias("q_bucket"),
     )
+    # single-bit probing covers at most the home bucket + NUM_PLANES
+    # neighbors; a larger ask would silently probe fewer buckets than the
+    # caller believes and recall measurements would mislead
+    if n_probes > NUM_PLANES + 1:
+        raise ValueError(
+            f"n_probes={n_probes} exceeds the {NUM_PLANES + 1} buckets "
+            "reachable by Hamming-1 probing (home + one per plane); "
+            "extend to multi-bit probe masks for more"
+        )
     if n_probes > 1:
         masks = [0] + [1 << j for j in range(NUM_PLANES)][: n_probes - 1]
         q = q.withColumn(

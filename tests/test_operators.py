@@ -656,3 +656,77 @@ def test_corr_moments_degenerate_group_yields_null(spark, tmp_path):
     duck = {r[0]: r[2] for r in con.execute(spec.oracle).fetchall()}
     con.close()
     assert duck == got
+
+
+def test_operator_config_guards(spark):
+    """Invalid operator configurations must raise, not degrade: bands
+    that don't tile the hashes (would degenerate LSH into an all-pairs
+    cross join), pigeonhole-violating simhash bands (would silently LOSE
+    true near-dups), and over-asking multi-probe (would probe fewer
+    buckets than claimed)."""
+    import pytest as _pytest
+
+    from sql_query_optimizer_cpp_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+    from sql_query_optimizer_cpp_spark.operators.similarity import (
+        lsh_bucketed_topk,
+    )
+
+    docs = load_tables(spark, SF_DIR, ("documents",))["documents"]
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    with _pytest.raises(ValueError, match="divisor"):
+        minhash_lsh_pairs(docs, num_hashes=16, bands=32)
+    with _pytest.raises(ValueError, match="divisor"):
+        minhash_lsh_pairs(docs, num_hashes=16, bands=5)
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(docs, bands=2, max_hamming=2)
+    with _pytest.raises(ValueError, match="n_probes"):
+        lsh_bucketed_topk(emb, n_probes=8)
+
+
+def test_quality_filter_null_text_dropped(spark):
+    """NULL text must be dropped with its own reason — unguarded, every
+    CASE condition evaluates to NULL and the row fell through to 'ok'
+    (review finding), and DuckDB's identical CASE semantics meant the
+    oracle could never catch it."""
+    from sql_query_optimizer_cpp_spark.operators.curation import quality_filter
+
+    rows = [(1, None), (2, "short"), (3, "the " * 30 + "document is long enough")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: (r.keep, r.reason) for r in quality_filter(df).collect()}
+    assert got[1] == (False, "null_text")
+    assert got[2][0] is False
+
+
+def test_stratified_sample_sql_defaults_parse(duck):
+    """The SQL twin with NO per-stratum rates must still parse (a bare
+    'CASE ELSE' was a DuckDB parser error) and agree with a rate of 1.0
+    keeping everything."""
+    from sql_query_optimizer_cpp_spark.operators.curation import (
+        stratified_sample_sql,
+    )
+
+    n_all = duck.sql("SELECT COUNT(*) FROM documents").fetchall()[0][0]
+    n_kept = duck.sql(
+        f"SELECT COUNT(*) FROM ({stratified_sample_sql('documents')})"
+    ).fetchall()[0][0]
+    assert n_kept == n_all
+
+
+def test_full_outer_anti_handles_null_safe_and_same_names(spark):
+    """The marker-based full-outer-anti must treat a null-safe NULL==NULL
+    match as MATCHED (excluded) and tolerate identically-named keys."""
+    from sql_query_optimizer_cpp_spark.operators.joins import (
+        full_outer_anti_join,
+    )
+
+    left = spark.createDataFrame([(1, "a"), (None, "b")], "k int, lv string")
+    right = spark.createDataFrame([(None, "x"), (2, "y")], "k int, rv string")
+    out = full_outer_anti_join(
+        left, right, left["k"].eqNullSafe(right["k"]), "k", "k"
+    ).collect()
+    # NULL==NULL matched null-safely -> excluded; unmatched: left k=1, right k=2
+    vals = {(r.lv, r.rv) for r in out}
+    assert vals == {("a", None), (None, "y")}
