@@ -113,15 +113,25 @@ class Engine:
             plan_tree=explain_tree(df),
         )
 
+    def _plan(self, text: str):
+        """Plan ``text`` through the SAME pre-rewrite gate sql() uses —
+        explain/trace/cost must describe the query the engine would
+        actually run, not the raw text (review finding: with
+        enable_pre_rewrites=True they previously planned a different
+        query than sql() executed)."""
+        if self.enable_pre_rewrites:
+            text = pre_rewrite(text).sql
+        return self.spark.sql(text)
+
     # -- explain (entry point B, SURVEY §3.2 — ours doesn't also execute) --
     def explain(self, text: str) -> str:
-        return explain_full(self.spark.sql(text))
+        return explain_full(self._plan(text))
 
     def transform_log(self, text: str) -> TransformLog:
-        return build_transform_log(self.spark.sql(text))
+        return build_transform_log(self._plan(text))
 
     def cost(self, text: str) -> CostReport:
-        return cost_report(self.spark.sql(text))
+        return cost_report(self._plan(text))
 
     def join_order_advice(self, text: str, seed: int = 42) -> "JoinOrderAdvice":
         """Genetic join-order recommendation for a SELECT — the working

@@ -52,9 +52,15 @@ def write(
             isinstance(sort_for_skipping, tuple)
             and len(sort_for_skipping) == 2
             and isinstance(sort_for_skipping[0], int)
-            and not isinstance(sort_for_skipping[1], str)
         ):
+            # pair form (n, cols); a single-column string second element
+            # counts too — without this, (8, "ts") fell into the bare
+            # branch and sortWithinPartitions(8, ...) treated 8 as a
+            # 1-BASED COLUMN ORDINAL, silently sorting by an unrelated
+            # column and destroying the clustering this knob exists for
             n, cols = sort_for_skipping
+            if isinstance(cols, str):
+                cols = [cols]
             df = df.repartitionByRange(n, *cols)
         else:
             cols = list(sort_for_skipping)
@@ -101,7 +107,11 @@ def write_jdbc(
     the pyspark-shipped Derby embedded driver.
     """
     if num_partitions is not None:
-        df = df.coalesce(num_partitions)
+        # repartition, NOT coalesce: coalesce removes the stage boundary
+        # and collapses the parallelism of all upstream computation to
+        # num_partitions tasks — the connection throttle would serialize
+        # the whole job; one extra shuffle keeps upstream wide
+        df = df.repartition(num_partitions)
     writer = (
         df.write.format("jdbc")
         .option("url", url)

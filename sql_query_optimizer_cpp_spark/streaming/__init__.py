@@ -1,1 +1,7 @@
-"""Streaming (filled in a later milestone)."""
+"""Structured Streaming surface: event-time windows (windows.py),
+stream-stream interval join (joins.py), dedup-on-ingest (dedup.py),
+CDC latest-snapshot maintenance (latest.py), incremental rollup
+maintenance (rollup.py), and stateful running counts via
+applyInPandasWithState + the gated transformWithState twin
+(stateful.py).  Every operator has a streamed-equals-batch test in
+tests/test_streaming.py."""

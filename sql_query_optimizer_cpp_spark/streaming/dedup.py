@@ -56,14 +56,17 @@ def streaming_exact_dedup(
     doc id represents a duplicate set depends on arrival order, so
     cross-run comparisons should key on content_hash (tests do).
     """
-    keyed = docs.select(
-        F.col(id_col), content_fingerprint(text_col).alias("content_hash")
-    )
     if event_time_col is not None:
-        keyed = docs.withColumn(
-            "content_hash", content_fingerprint(text_col)
-        ).select(id_col, "content_hash", event_time_col)
-        return keyed.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
-            ["content_hash"]
-        ).select(id_col, "content_hash")
-    return keyed.dropDuplicates(["content_hash"])
+        keyed = docs.select(
+            F.col(id_col),
+            content_fingerprint(text_col).alias("content_hash"),
+            F.col(event_time_col),
+        )
+        return (
+            keyed.withWatermark(event_time_col, watermark)
+            .dropDuplicatesWithinWatermark(["content_hash"])
+            .select(id_col, "content_hash")
+        )
+    return docs.select(
+        F.col(id_col), content_fingerprint(text_col).alias("content_hash")
+    ).dropDuplicates(["content_hash"])

@@ -43,10 +43,16 @@ def incremental_rollup_to_log(
     drives it, e.g. ``processAllAvailable`` in tests)."""
 
     def _append(batch: DataFrame, epoch_id: int) -> None:
+        # foreachBatch is AT-LEAST-ONCE: a crash between the parquet
+        # write and the checkpoint commit replays the epoch, and a plain
+        # append would then double-count those partials into the log
+        # (silent corruption of the continuous aggregate).  Writing each
+        # epoch to its own overwritten partition directory makes the
+        # replay idempotent — the standard epoch_id-keyed sink pattern.
         (
             grain_partials(batch, ts_col, key_col, val_col, grain)
-            .write.mode("append")
-            .parquet(log_path)
+            .write.mode("overwrite")
+            .parquet(f"{log_path}/epoch={epoch_id}")
         )
 
     return (
@@ -62,6 +68,13 @@ def compact(
     """Current continuous aggregate at ``grain`` from the partials log:
     one re-aggregation merges every micro-batch's contribution (pass a
     coarser ``grain`` than the log's to roll up further in the same
-    step).  Output rows are still partial states — feed them back through
-    a ``write`` for periodic compaction, or finalize downstream."""
-    return reaggregate(spark.read.parquet(log_path), key_col, grain)
+    step).  Output rows are still partial states; to compact the log,
+    write them back under a single fresh ``epoch=`` directory (cast
+    ``_sum`` back to the log's decimal(18,6) first — Spark's SUM widens
+    decimal precision by 10, and mixed physical decimal widths in one
+    parquet directory fail to read) and delete the older epochs."""
+    log = spark.read.parquet(log_path)
+    # drop the epoch partition column the idempotent sink introduces
+    if "epoch" in log.columns:
+        log = log.drop("epoch")
+    return reaggregate(log, key_col, grain)

@@ -37,6 +37,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # event times and every watermark/window boundary with them.
     if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # ...and the OTHER half of that guard: events.parquet is
+    # TIMESTAMP(NANOS), which a vanilla session refuses to read at all
+    # (PARQUET_TYPE_ILLEGAL) without nanosAsLong — the schema peek below
+    # would crash before the ts conversion ever ran
+    if (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        != "true"
+    ):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = table_path(sf_dir, "events")
     schema = spark.read.parquet(path).schema
     # streaming file sources take a directory; select just the events file

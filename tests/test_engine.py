@@ -204,3 +204,23 @@ def test_hash64_tri_engine_portability(spark, duck):
     ]
     assert sp == py, "spark hash64 diverges from python md5 reference"
     assert dk == py, "duckdb hash64_sql diverges from python md5 reference"
+
+
+def test_analyze_tables_rematerializes_on_sf_dir_change(spark, tmp_path):
+    """A second analyze_tables with a DIFFERENT sf_dir must re-materialize
+    the stats_ tables — previously the name-exists check silently served
+    (and ANALYZEd) the first directory forever (review finding)."""
+    from sql_query_optimizer_cpp_spark import catalog as C
+
+    C.analyze_tables(spark, SF_DIR, names=("region",))
+    n_before = spark.table("stats_region").count()
+
+    alt = str(tmp_path)
+    spark.read.parquet(C.table_path(SF_DIR, "region")).limit(2).write.mode(
+        "overwrite"
+    ).parquet(f"{alt}/region.parquet")
+    C.analyze_tables(spark, alt, names=("region",))
+    assert spark.table("stats_region").count() == 2
+    # and switching back re-materializes again
+    C.analyze_tables(spark, SF_DIR, names=("region",))
+    assert spark.table("stats_region").count() == n_before
