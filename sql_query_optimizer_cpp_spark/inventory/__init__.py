@@ -60,6 +60,7 @@ _MODULES = (
     "tpch_extra",
     "analytics",
     "sources_rt",
+    "mutate",
 )
 
 
@@ -220,6 +221,10 @@ _PRIORITY: tuple[str, ...] = (
     "intersect",
     "except_",
     "dedup_exact",
+    # executed COW DML (S7/S8 beyond parse-only parity) — round-5 addition
+    "mutate_update_delete",
+    "mutate_merge_upsert",
+    "mutate_dml_sql",
 )
 
 

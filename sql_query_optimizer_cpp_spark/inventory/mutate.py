@@ -1,0 +1,180 @@
+"""Graded copy-on-write DML queries (operators/mutate.py).
+
+The reference parses UPDATE/DELETE and stops (engine/src/parser.cpp:232-296,
+cli skips DML execution).  These queries EXECUTE the verbs against a
+freshly-materialized parquet copy of a fixture table, then aggregate the
+mutated table; the DuckDB oracle computes the same aggregate directly from
+the ORIGINAL fixture with the mutation folded in algebraically
+(DELETE → NOT(pred) filter, UPDATE → CASE, MERGE → LEFT JOIN + anti UNION).
+Equality therefore proves the executed COW semantics end-to-end: predicate
+three-valued logic, file swap losslessness, schema stability of rewritten
+files, and upsert matched/unmatched routing.
+
+Layout note: the COW copy is written range-clustered on the mutation key
+(``repartitionByRange``), so ``affected_files`` prunes at file granularity —
+the same layout discipline that makes a point-DELETE a one-file rewrite at
+100 TB.  Each run rebuilds the copy (mode=overwrite) so the query is
+idempotent across test + driver replays in one session.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import register
+from ..catalog import load_tables
+from ..functions import dsum, dsum_sql
+from ..operators.mutate import delete_where, execute_dml, merge_into, update_where
+
+
+def _mut_dir(sf_dir: str, leaf: str) -> str:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"sqos_mut_{tag}", leaf)
+
+
+@register(
+    "mutate_update_delete",
+    oracle="SELECT o_orderstatus, "
+    "CASE WHEN o_totalprice > 300000 THEN '1-URGENT' ELSE o_orderpriority END "
+    "AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, "
+    + dsum_sql("o_totalprice")
+    + " AS total FROM orders "
+    "WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000) "
+    "GROUP BY 1, 2 ORDER BY 1, 2",
+    doc="S7/S8 executed (beyond the reference's parse-only surface): DELETE "
+    "then UPDATE run copy-on-write against a range-clustered parquet copy "
+    "of orders; the aggregate of the mutated table must equal the oracle's "
+    "algebraic fold (NOT(pred) filter + CASE) over the original fixture — "
+    "proving three-valued DELETE logic, the stage-then-swap file exchange, "
+    "and that rewritten files keep the untouched files' schema",
+    tags=("mutate", "sources"),
+)
+def mutate_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    path = _mut_dir(sf_dir, "orders_cow")
+    (
+        t["orders"]
+        .repartitionByRange(8, "o_totalprice")
+        .sortWithinPartitions("o_totalprice")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    # range-clustered on o_totalprice -> both predicates prune to a strict
+    # subset of the 8 files (footer min/max), the point of the layout
+    delete_where(spark, path, "o_orderstatus = 'F' AND o_totalprice < 50000")
+    update_where(
+        spark, path, {"o_orderpriority": "'1-URGENT'"}, "o_totalprice > 300000"
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dsum("o_totalprice").alias("total"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+@register(
+    "mutate_merge_upsert",
+    oracle="WITH spend AS (SELECT o_custkey, "
+    + dsum_sql("o_totalprice")
+    + " AS spend FROM orders GROUP BY o_custkey), "
+    "src AS (SELECT o_custkey AS c_custkey, spend FROM spend "
+    "UNION ALL SELECT o_custkey + 1000000, spend FROM spend "
+    "WHERE o_custkey < 20), "
+    "merged AS ("
+    "SELECT CASE WHEN s.c_custkey IS NOT NULL THEN s.spend ELSE c.c_acctbal "
+    "END AS c_acctbal, c.c_mktsegment "
+    "FROM customer c LEFT JOIN src s ON c.c_custkey = s.c_custkey "
+    "UNION ALL "
+    "SELECT s.spend, 'MERGED' FROM src s LEFT JOIN customer c "
+    "ON s.c_custkey = c.c_custkey WHERE c.c_custkey IS NULL) "
+    "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n, "
+    + dsum_sql("c_acctbal")
+    + " AS total FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    doc="MERGE INTO executed copy-on-write: per-customer spend (derived "
+    "from orders, unique keys by construction) upserts into a parquet "
+    "copy of customer — matched rows get c_acctbal := spend via a "
+    "key-semijoin file prune, unmatched source keys (+1000000 shifted) "
+    "append as new 'MERGED'-segment rows without touching any existing "
+    "file; oracle folds the same upsert as LEFT JOIN + anti-join UNION",
+    tags=("mutate", "sources"),
+)
+def mutate_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    path = _mut_dir(sf_dir, "customer_cow")
+    (
+        t["customer"]
+        .repartitionByRange(4, "c_custkey")
+        .sortWithinPartitions("c_custkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    spend = t["orders"].groupBy("o_custkey").agg(dsum("o_totalprice").alias("spend"))
+    source = spend.select(F.col("o_custkey").alias("c_custkey"), "spend").unionAll(
+        spend.where(F.col("o_custkey") < 20).select(
+            (F.col("o_custkey") + 1000000).alias("c_custkey"), "spend"
+        )
+    )
+    merge_into(
+        spark,
+        path,
+        source,
+        on=["c_custkey"],
+        matched_set={"c_acctbal": "src_spend"},
+        insert_values={"c_acctbal": "src_spend", "c_mktsegment": "'MERGED'"},
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dsum("c_acctbal").alias("total"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "mutate_dml_sql",
+    oracle="SELECT CASE WHEN n_chars > 2000 THEN 'xx' ELSE lang END AS lang, "
+    "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+    "FROM documents WHERE NOT (n_chars < 200) "
+    "GROUP BY 1 ORDER BY 1",
+    doc="The textual DML front-end end-to-end (parser parity with "
+    "engine/src/parser.cpp:232-296, plus execution the reference never "
+    "does): 'DELETE FROM docs WHERE ...' then 'UPDATE docs SET ... WHERE "
+    "...' parsed from SQL text and executed copy-on-write against a "
+    "documents copy; oracle folds both statements algebraically",
+    tags=("mutate",),
+)
+def mutate_dml_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    path = _mut_dir(sf_dir, "documents_cow")
+    (
+        t["documents"]
+        .repartitionByRange(4, "n_chars")
+        .sortWithinPartitions("n_chars")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    tables = {"docs": path}
+    execute_dml(spark, "DELETE FROM docs WHERE n_chars < 200", tables)
+    execute_dml(spark, "UPDATE docs SET lang = 'xx' WHERE n_chars > 2000", tables)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -1,0 +1,385 @@
+"""Copy-on-write UPDATE / DELETE / MERGE INTO over parquet table directories.
+
+Reference parity and one step beyond: the reference PARSES UPDATE/DELETE but
+never executes them (``engine/src/parser.cpp:232-296`` builds the statement
+AST; the CLI routes execution to MySQL and the standalone optimizer skips
+DML).  This module EXECUTES all three verbs Delta-style without a
+transaction log — copy-on-write at FILE granularity.
+
+How it scales (the design constraint):
+
+1. **Prune** — find the files containing at least one affected row with a
+   predicate-pushed scan grouped by ``input_file_name()``.  Parquet footer
+   min/max statistics let that scan skip non-matching row groups, so on a
+   range-clustered table (``sources.write(sort_for_skipping=...)``) the
+   prune is metadata-dominated.  The resulting file LIST is table metadata
+   (what Delta keeps in its log) — thousands of names, never rows — and is
+   the only thing that crosses to the driver.
+2. **Rewrite** — read ONLY the affected files, apply the mutation, write the
+   survivors to a sibling staging directory.  Untouched files are never
+   opened: at 100 TB a point DELETE on the cluster key rewrites one file,
+   not the table.
+3. **Swap** — move staged files into the table directory, then delete the
+   originals.  Stage-then-swap means the mutation is materialized before
+   any original byte is removed; a crash mid-swap can leave BOTH copies
+   (detectable, re-runnable), never neither.
+
+All filesystem operations go through the Hadoop FileSystem API (HDFS / S3A /
+local alike), not Python's ``os`` module.  Honest limitation, stated rather
+than hidden: without a log there is no writer isolation, snapshot reads
+during a swap, or time travel — this is single-writer copy-on-write, the
+subset of a lakehouse table the container can support without Delta/Iceberg.
+"""
+
+from __future__ import annotations
+
+import re
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class MutationStats:
+    """What a DML verb did — the executed analog of the reference's
+    parse-only acknowledgement."""
+
+    files_total: int
+    files_rewritten: int
+    rows_matched: int
+    rows_inserted: int = 0
+
+    def render(self) -> str:
+        return (
+            f"rewrote {self.files_rewritten}/{self.files_total} files, "
+            f"{self.rows_matched} rows matched, "
+            f"{self.rows_inserted} rows inserted"
+        )
+
+
+def _cond(condition: str | Column) -> Column:
+    return F.expr(condition) if isinstance(condition, str) else condition
+
+
+def _fs(spark: SparkSession, path: str):
+    """Hadoop FileSystem + Path for ``path`` — the cluster-portable file
+    API (local fs here; HDFS/S3A on a real cluster with zero code change)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    return jvm, fs, jpath
+
+
+def list_data_files(spark: SparkSession, path: str) -> list[str]:
+    """Parquet data files currently making up the table (full URIs)."""
+    jvm, fs, jpath = _fs(spark, path)
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and "=" in name:
+            # hive-partitioned layout: the partition column lives in the
+            # DIRECTORY NAME, not the files — a file-level rewrite would
+            # silently drop it.  Partitioned COW needs per-partition swap
+            # (the Delta path); refuse rather than corrupt.
+            raise NotImplementedError(
+                "copy-on-write DML over hive-partitioned directories is "
+                f"not supported (found partition dir {name!r}); mutate "
+                "each partition directory individually"
+            )
+        if st.isFile() and not name.startswith(("_", ".")):
+            out.append(st.getPath().toString())
+    return sorted(out)
+
+
+def affected_files(
+    spark: SparkSession, path: str, condition: str | Column
+) -> list[str]:
+    """Files containing ≥1 row where ``condition`` is TRUE (the prune step).
+
+    The scan pushes ``condition`` into the parquet reader, so row groups
+    whose footer min/max exclude it are skipped without decoding — on a
+    range-clustered table this reads footers, not data.
+    """
+    df = spark.read.parquet(path)
+    rows = (
+        df.where(_cond(condition))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    return sorted(r["f"] for r in rows)
+
+
+def _stage(spark: SparkSession, path: str, df: DataFrame) -> str:
+    """Materialize ``df`` to a sibling staging dir NOW (while every file its
+    plan reads still exists) and return the staging path."""
+    staging = path.rstrip("/") + f"__cow_{uuid.uuid4().hex}"
+    df.write.mode("overwrite").parquet(staging)
+    return staging
+
+
+def _move_in(spark: SparkSession, path: str, staging: str) -> int:
+    """Move staged part files into the table dir under fresh unique names;
+    returns how many files moved."""
+    jvm, fs, table_path = _fs(spark, path)
+    tag = uuid.uuid4().hex[:12]
+    i = 0
+    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(staging)):
+        name = st.getPath().getName()
+        if not st.isFile() or name.startswith(("_", ".")):
+            continue
+        dest = jvm.org.apache.hadoop.fs.Path(
+            table_path, f"part-cow-{tag}-{i:05d}.snappy.parquet"
+        )
+        if not fs.rename(st.getPath(), dest):
+            raise IOError(f"COW swap: rename {name} -> {dest} failed")
+        i += 1
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+    return i
+
+
+def _delete_files(spark: SparkSession, files: list[str]) -> None:
+    jvm, fs, _ = _fs(spark, files[0]) if files else (None, None, None)
+    for f in files:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+
+
+def _swap_in(
+    spark: SparkSession, path: str, old_files: list[str], rewritten: DataFrame
+) -> None:
+    """Materialize ``rewritten`` to a sibling staging dir, move its parts
+    into the table, delete ``old_files``.  Stage completes before any
+    original is touched (crash ⇒ duplicates, never data loss)."""
+    staging = _stage(spark, path, rewritten)
+    _move_in(spark, path, staging)
+    _delete_files(spark, old_files)
+    # rewritten files changed on disk under this session's feet
+    spark.catalog.clearCache()
+
+
+def delete_where(
+    spark: SparkSession, path: str, condition: str | Column
+) -> MutationStats:
+    """``DELETE FROM <path> WHERE condition`` — SQL three-valued logic:
+    only rows where the predicate is TRUE are deleted; NULL keeps the row
+    (exactly what ``DELETE`` does in every SQL engine)."""
+    cond = _cond(condition)
+    files = list_data_files(spark, path)
+    hit = affected_files(spark, path, cond)
+    if not hit:
+        return MutationStats(len(files), 0, 0)
+    sub = spark.read.parquet(*hit)
+    deleted = sub.where(cond).count()
+    kept = sub.where(~F.coalesce(cond, F.lit(False)))
+    _swap_in(spark, path, hit, kept)
+    return MutationStats(len(files), len(hit), deleted)
+
+
+def update_where(
+    spark: SparkSession,
+    path: str,
+    set_map: dict[str, str | Column],
+    condition: str | Column,
+) -> MutationStats:
+    """``UPDATE <path> SET col = expr, ... WHERE condition``.
+
+    Each assignment is cast back to the column's EXISTING type: a COW
+    rewrite must never drift the schema of rewritten files away from the
+    untouched ones (a widened column would poison every later scan).
+    """
+    cond = _cond(condition)
+    files = list_data_files(spark, path)
+    hit = affected_files(spark, path, cond)
+    if not hit:
+        return MutationStats(len(files), 0, 0)
+    sub = spark.read.parquet(*hit)
+    unknown = set(set_map) - set(sub.columns)
+    if unknown:
+        raise ValueError(f"UPDATE SET on unknown columns: {sorted(unknown)}")
+    matched = sub.where(cond).count()
+    projected = [
+        F.when(F.coalesce(cond, F.lit(False)), _cond(set_map[c]))
+        .otherwise(F.col(c))
+        .cast(sub.schema[c].dataType)
+        .alias(c)
+        if c in set_map
+        else F.col(c)
+        for c in sub.columns
+    ]
+    _swap_in(spark, path, hit, sub.select(*projected))
+    return MutationStats(len(files), len(hit), matched)
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: list[str],
+    matched_set: dict[str, str | Column] | None = None,
+    insert_values: dict[str, str | Column] | None = None,
+    check_unique: bool = True,
+) -> MutationStats:
+    """``MERGE INTO <path> USING source ON keys`` — upsert, copy-on-write.
+
+    - WHEN MATCHED: apply ``matched_set`` (expressions may reference source
+      columns as ``src_<name>``); only files containing a matched key are
+      rewritten (key-semijoin prune).
+    - WHEN NOT MATCHED: insert a row built from ``insert_values`` (same
+      ``src_<name>`` scope; unlisted target columns default to the source
+      column of the same name, else NULL).  Inserts APPEND new files —
+      no existing file is touched for them.
+
+    ``check_unique`` guards the classic silent-corruption mode: a source
+    with duplicate keys would multiply matched target rows.  The guard is
+    one aggregation over the (small) source; Delta raises the same error.
+    """
+    for k in on:
+        if k not in source.columns:
+            raise ValueError(f"merge key {k!r} missing from source")
+    if check_unique:
+        dup = source.groupBy(*on).count().where(F.col("count") > 1).limit(1)
+        if dup.count():
+            raise ValueError(
+                "MERGE source has duplicate join keys; each target row "
+                "must match at most one source row (pass "
+                "check_unique=False only if uniqueness is guaranteed "
+                "upstream)"
+            )
+    target = spark.read.parquet(path)
+    files = list_data_files(spark, path)
+    if matched_set:
+        unknown = set(matched_set) - set(target.columns)
+        if unknown:
+            raise ValueError(
+                f"MERGE matched_set on unknown columns: {sorted(unknown)}"
+            )
+    src = source.select(
+        *[F.col(c).alias(c if c in on else f"src_{c}") for c in source.columns]
+    )
+    # prune: files containing at least one matched key.  The semijoin runs
+    # key-vs-key — at scale AQE broadcasts the (deduplicated, small) key
+    # side and the target never shuffles.
+    hit_rows = (
+        target.select(*on, F.input_file_name().alias("f"))
+        .join(src.select(*on).distinct(), on=on, how="leftsemi")
+        .select("f")
+        .distinct()
+        .collect()
+    )
+    hit = sorted(r["f"] for r in hit_rows)
+
+    # inserts: source keys with no target partner (keys stay distributed —
+    # never collected).  STAGE the insert rows FIRST, while every target
+    # file this plan reads still exists; the matched-file swap below
+    # deletes files out from under any not-yet-evaluated plan.
+    unmatched = src.join(target.select(*on).distinct(), on=on, how="left_anti")
+    iv = insert_values or {}
+    ins_cols = []
+    for c in target.columns:
+        if c in iv:
+            e = _cond(iv[c])
+        elif c in on:
+            e = F.col(c)
+        elif f"src_{c}" in unmatched.columns:
+            e = F.col(f"src_{c}")
+        else:
+            e = F.lit(None)
+        ins_cols.append(e.cast(target.schema[c].dataType).alias(c))
+    ins_staging = _stage(spark, path, unmatched.select(*ins_cols))
+    rows_inserted = spark.read.parquet(ins_staging).count()
+
+    rows_matched = 0
+    if hit:
+        sub = spark.read.parquet(*hit)
+        marked = src.withColumn("__matched", F.lit(True))
+        joined = sub.join(marked, on=on, how="left")
+        is_match = F.coalesce(F.col("__matched"), F.lit(False))
+        rows_matched = joined.where(is_match).count()
+        projected = [
+            F.when(is_match, _cond((matched_set or {})[c]))
+            .otherwise(F.col(c))
+            .cast(sub.schema[c].dataType)
+            .alias(c)
+            if c in (matched_set or {})
+            else F.col(c)
+            for c in sub.columns
+        ]
+        _swap_in(spark, path, hit, joined.select(*projected))
+
+    if rows_inserted:
+        _move_in(spark, path, ins_staging)
+        spark.catalog.clearCache()
+    else:
+        jvm, fs, _ = _fs(spark, path)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(ins_staging), True)
+    return MutationStats(len(files), len(hit), rows_matched, rows_inserted)
+
+
+# -- textual DML front-end ---------------------------------------------------
+#
+# The reference's DML grammar (engine/src/parser.cpp:232-296) is simple
+# assignments + one WHERE; this front-end parses that same shape and then —
+# unlike the reference — EXECUTES it through the COW verbs above.
+
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)\s+WHERE\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_assignments(text: str) -> dict[str, str]:
+    """Split ``a = f(x, y), b = z`` on depth-0 commas only — a naive
+    ``split(',')`` would cut inside function-call argument lists."""
+    parts, depth, buf = [], 0, []
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    out = {}
+    for p in parts:
+        col, eq, expr = p.partition("=")
+        if not eq or not col.strip() or not expr.strip():
+            raise ValueError(f"malformed SET assignment: {p.strip()!r}")
+        out[col.strip()] = expr.strip()
+    return out
+
+
+def execute_dml(
+    spark: SparkSession, text: str, tables: dict[str, str]
+) -> MutationStats:
+    """Parse an UPDATE/DELETE statement and execute it copy-on-write.
+
+    ``tables`` maps table names to parquet directory paths (the catalog
+    the reference gets from its live MySQL connection).
+    """
+    m = _UPDATE_RE.match(text)
+    if m:
+        name, set_text, where = m.group(1), m.group(2), m.group(3)
+        if name not in tables:
+            raise ValueError(f"unknown table {name!r}")
+        return update_where(
+            spark, tables[name], _split_assignments(set_text), where
+        )
+    m = _DELETE_RE.match(text)
+    if m:
+        name, where = m.group(1), m.group(2)
+        if name not in tables:
+            raise ValueError(f"unknown table {name!r}")
+        return delete_where(spark, tables[name], where)
+    raise ValueError(
+        "not an executable DML statement (UPDATE ... SET ... WHERE ... | "
+        "DELETE FROM ... WHERE ...)"
+    )
