@@ -225,6 +225,7 @@ _PRIORITY: tuple[str, ...] = (
     "mutate_update_delete",
     "mutate_merge_upsert",
     "mutate_dml_sql",
+    "mutate_compact_stable",
 )
 
 

@@ -29,7 +29,13 @@ from pyspark.sql import functions as F
 from . import register
 from ..catalog import load_tables
 from ..functions import dsum, dsum_sql
-from ..operators.mutate import delete_where, execute_dml, merge_into, update_where
+from ..operators.mutate import (
+    compact,
+    delete_where,
+    execute_dml,
+    merge_into,
+    update_where,
+)
 
 
 def _mut_dir(sf_dir: str, leaf: str) -> str:
@@ -139,6 +145,40 @@ def mutate_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("total"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "mutate_compact_stable",
+    oracle="SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents "
+    "WHERE NOT (lang = 'en' AND n_chars < 300) "
+    "GROUP BY source ORDER BY source",
+    doc="OPTIMIZE-style compaction graded end-to-end: documents written "
+    "deliberately fragmented (16 small files), point-DELETEd copy-on-write, "
+    "then bin-packed by compact() — the aggregate must still equal the "
+    "oracle's algebraic fold of the DELETE alone, proving compaction moves "
+    "bytes without creating/dropping/duplicating a single row (the "
+    "small-file problem is THE steady-state failure mode of a COW table "
+    "under streaming appends + point DML at 100 TB)",
+    tags=("mutate", "sources"),
+)
+def mutate_compact_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    path = _mut_dir(sf_dir, "documents_frag")
+    t["documents"].repartition(16).write.mode("overwrite").parquet(path)
+    delete_where(spark, path, "lang = 'en' AND n_chars < 300")
+    st = compact(spark, path, target_bytes=32 * 1024 * 1024)
+    if st.files_rewritten and len(spark.read.parquet(path).inputFiles()) >= 16:
+        raise AssertionError("compaction did not reduce the file count")
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("source")
     )
 
 

@@ -220,16 +220,23 @@ def merge_into(
     matched_set: dict[str, str | Column] | None = None,
     insert_values: dict[str, str | Column] | None = None,
     check_unique: bool = True,
+    matched_delete: str | Column | None = None,
+    insert_condition: str | Column | None = None,
 ) -> MutationStats:
     """``MERGE INTO <path> USING source ON keys`` — upsert, copy-on-write.
 
-    - WHEN MATCHED: apply ``matched_set`` (expressions may reference source
-      columns as ``src_<name>``); only files containing a matched key are
-      rewritten (key-semijoin prune).
-    - WHEN NOT MATCHED: insert a row built from ``insert_values`` (same
-      ``src_<name>`` scope; unlisted target columns default to the source
-      column of the same name, else NULL).  Inserts APPEND new files —
-      no existing file is touched for them.
+    - WHEN MATCHED AND ``matched_delete`` (evaluated over the joined row;
+      source columns as ``src_<name>``): drop the target row — the CDC
+      tombstone path.
+    - WHEN MATCHED (otherwise): apply ``matched_set`` (same ``src_<name>``
+      scope; target columns are in scope too, so conditional updates like
+      ``CASE WHEN src_ts >= ts THEN src_v ELSE v END`` express
+      last-writer-wins); only files containing a matched key are rewritten
+      (key-semijoin prune).
+    - WHEN NOT MATCHED AND ``insert_condition`` (default: all): insert a
+      row built from ``insert_values`` (unlisted target columns default to
+      the source column of the same name, else NULL).  Inserts APPEND new
+      files — no existing file is touched for them.
 
     ``check_unique`` guards the classic silent-corruption mode: a source
     with duplicate keys would multiply matched target rows.  The guard is
@@ -275,6 +282,8 @@ def merge_into(
     # file this plan reads still exists; the matched-file swap below
     # deletes files out from under any not-yet-evaluated plan.
     unmatched = src.join(target.select(*on).distinct(), on=on, how="left_anti")
+    if insert_condition is not None:
+        unmatched = unmatched.where(_cond(insert_condition))
     iv = insert_values or {}
     ins_cols = []
     for c in target.columns:
@@ -297,6 +306,10 @@ def merge_into(
         joined = sub.join(marked, on=on, how="left")
         is_match = F.coalesce(F.col("__matched"), F.lit(False))
         rows_matched = joined.where(is_match).count()
+        if matched_delete is not None:
+            joined = joined.where(
+                ~(is_match & F.coalesce(_cond(matched_delete), F.lit(False)))
+            )
         projected = [
             F.when(is_match, _cond((matched_set or {})[c]))
             .otherwise(F.col(c))
@@ -315,6 +328,46 @@ def merge_into(
         jvm, fs, _ = _fs(spark, path)
         fs.delete(jvm.org.apache.hadoop.fs.Path(ins_staging), True)
     return MutationStats(len(files), len(hit), rows_matched, rows_inserted)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    small_ratio: float = 0.5,
+) -> MutationStats:
+    """Bin-pack small files into ~``target_bytes`` files (OPTIMIZE-style
+    compaction, the companion every COW table needs).
+
+    Repeated point DML and streaming appends accrete small files; at scale
+    the resulting per-file open/footer overhead dominates scan cost (the
+    classic small-file problem).  Compaction here touches ONLY files below
+    ``small_ratio * target_bytes`` — already-right-sized files are never
+    read or rewritten — and coalesces them WITHOUT a shuffle
+    (``coalesce``, not ``repartition``: compaction moves bytes, it has no
+    need to redistribute them).  Same stage-then-swap discipline as the
+    DML verbs.
+
+    ``rows_matched`` in the returned stats is the row count that moved.
+    """
+    if target_bytes <= 0 or not (0 < small_ratio <= 1):
+        raise ValueError("target_bytes must be > 0 and 0 < small_ratio <= 1")
+    jvm, fs, jpath = _fs(spark, path)
+    small: list[str] = []
+    small_bytes = 0
+    for f in list_data_files(spark, path):
+        sz = fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f)).getLen()
+        if sz < target_bytes * small_ratio:
+            small.append(f)
+            small_bytes += sz
+    files_total = len(list_data_files(spark, path))
+    if len(small) < 2:
+        return MutationStats(files_total, 0, 0)
+    n_out = max(1, -(-small_bytes // target_bytes))
+    df = spark.read.parquet(*small)
+    moved = df.count()
+    _swap_in(spark, path, small, df.coalesce(int(n_out)))
+    return MutationStats(files_total, len(small), moved)
 
 
 # -- textual DML front-end ---------------------------------------------------

@@ -1,0 +1,116 @@
+"""Streaming APPLY CHANGES: maintain a parquet table from a CDC changelog
+stream via per-micro-batch ``MERGE INTO`` (``operators/mutate.merge_into``).
+
+This is the lakehouse ingestion pattern the batch DML verbs exist for:
+upstream emits (key, op, payload, ts) change rows; each micro-batch is
+reduced to ONE winning change per key (latest ts — a batch may carry
+several changes for the same key) and merged copy-on-write into the
+target:
+
+- op = 'D'  → WHEN MATCHED DELETE (tombstone); an unmatched tombstone is
+  a no-op (``insert_condition`` filters it from the insert branch);
+- otherwise → WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT.
+
+Cross-batch ordering: updates are guarded by ``src_ts >= ts`` (evaluated
+over the joined row — merge_into keeps both sides in scope), so a late
+micro-batch replaying an older change can never overwrite a newer row:
+last-writer-wins by event time, not by arrival order.  At-least-once
+``foreachBatch`` redelivery is likewise idempotent for updates/deletes by
+the same guard; an insert redelivery is matched (not re-inserted) on the
+second pass.
+
+Scale posture: the merge prunes target files by key semijoin, so a
+micro-batch touching k keys rewrites O(files containing those keys), not
+the table; inserts append.  The companion ``operators/mutate.compact``
+bounds the small-file accretion this creates (run it periodically on the
+target).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.window import Window
+
+from ..operators.mutate import merge_into
+
+
+def latest_change_per_key(
+    changes: DataFrame, on: list[str], ts_col: str, op_col: str
+) -> DataFrame:
+    """One winning change row per key: max ``ts_col``, ops breaking ties
+    deterministically (a delete at the same ts wins over an update —
+    tombstones are final)."""
+    w = Window.partitionBy(*on).orderBy(
+        F.col(ts_col).desc(),
+        F.when(F.col(op_col) == "D", 1).otherwise(0).desc(),
+    )
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def apply_changes_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    table_path: str,
+    on: list[str],
+    ts_col: str = "ts",
+    op_col: str = "op",
+) -> None:
+    """Merge one (micro-)batch of CDC rows into ``table_path``.
+
+    Payload columns are every batch column except ``op_col``; the target
+    must share the key + payload schema (``ts_col`` included — it is the
+    version column the last-writer-wins guard compares).
+    """
+    winners = latest_change_per_key(batch, on, ts_col, op_col)
+    payload = [c for c in winners.columns if c != op_col]
+    src = winners.select(*payload, F.col(op_col))
+    newer = f"src_{ts_col} >= {ts_col}"
+    matched_set = {
+        c: f"CASE WHEN {newer} THEN src_{c} ELSE {c} END"
+        for c in payload
+        if c not in on
+    }
+    merge_into(
+        spark,
+        table_path,
+        src,
+        on=on,
+        matched_set=matched_set,
+        matched_delete=f"src_{op_col} = 'D' AND {newer}",
+        insert_condition=f"src_{op_col} <> 'D'",
+        # one winner per key by construction; skip the extra source agg
+        check_unique=False,
+    )
+
+
+def apply_changes_stream(
+    changes: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    on: list[str],
+    ts_col: str = "ts",
+    op_col: str = "op",
+) -> StreamingQuery:
+    """Start the foreachBatch sink maintaining ``table_path`` from a
+    streaming changelog.  The target parquet dir must exist (seed it with
+    an empty or initial snapshot write)."""
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        apply_changes_batch(
+            batch.sparkSession, batch, table_path, on, ts_col, op_col
+        )
+
+    return (
+        changes.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+        .start()
+    )

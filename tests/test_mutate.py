@@ -144,6 +144,43 @@ def test_execute_dml_update_and_delete(spark, cow_table):
         execute_dml(spark, "SELECT 1", tables)
 
 
+def test_compact_binpacks_small_files_only(spark, tmp_path):
+    from sql_query_optimizer_cpp_spark.operators.mutate import compact
+
+    path = str(tmp_path / "frag")
+    # one big file + 8 tiny ones (the post-DML / post-streaming shape)
+    spark.range(100_000).selectExpr("id AS k", "id * 1.5 AS v").coalesce(
+        1
+    ).write.parquet(path)
+    spark.range(100_000, 100_800).selectExpr("id AS k", "id * 1.5 AS v").repartition(
+        8
+    ).write.mode("append").parquet(path)
+    before = _names(spark, path)
+    assert len(before) == 9
+    # target sized so the one big (~1 MB) file is over the small threshold
+    # and the 8 tiny appended files are under it
+    st = compact(spark, path, target_bytes=400 * 1024)
+    assert st.files_rewritten == 8 and st.rows_matched == 100_800 - 100_000
+    after = _names(spark, path)
+    # the big file survived untouched; the 8 tiny files became 1
+    assert len(after) == 2
+    assert before & after  # the big original is still there by name
+    back = spark.read.parquet(path)
+    assert back.count() == 100_800
+    assert back.selectExpr("sum(k)").first()[0] == sum(range(100_800))
+
+
+def test_compact_noop_when_nothing_small(spark, tmp_path):
+    from sql_query_optimizer_cpp_spark.operators.mutate import compact
+
+    path = str(tmp_path / "tight")
+    spark.range(100).coalesce(1).write.parquet(path)
+    before = _names(spark, path)
+    st = compact(spark, path, target_bytes=10)  # everything counts as big
+    assert st.files_rewritten == 0
+    assert _names(spark, path) == before
+
+
 def test_partitioned_dir_refused(spark, tmp_path):
     path = str(tmp_path / "part")
     spark.range(10).select(
@@ -151,3 +188,31 @@ def test_partitioned_dir_refused(spark, tmp_path):
     ).write.partitionBy("p").parquet(path)
     with pytest.raises(NotImplementedError, match="hive-partitioned"):
         delete_where(spark, path, "id = 1")
+
+
+def test_merge_matched_delete_and_insert_condition(spark, cow_table):
+    source = spark.createDataFrame(
+        [
+            Row(k=10, op="D", delta=0.0),    # matched tombstone -> delete
+            Row(k=11, op="U", delta=500.0),  # matched update
+            Row(k=998, op="D", delta=0.0),   # unmatched tombstone -> no-op
+            Row(k=999, op="U", delta=900.0), # unmatched upsert -> insert
+        ]
+    )
+    st = merge_into(
+        spark,
+        cow_table,
+        source,
+        on=["k"],
+        matched_set={"v": "v + src_delta"},
+        insert_values={"v": "src_delta", "s": F.lit("ins")},
+        matched_delete="src_op = 'D'",
+        insert_condition="src_op <> 'D'",
+    )
+    assert st.rows_matched == 2 and st.rows_inserted == 1
+    back = spark.read.parquet(cow_table)
+    assert back.where("k = 10").count() == 0          # deleted
+    assert back.where("k = 998").count() == 0         # tombstone no-op
+    assert back.where("k = 11").first()["v"] == (11 % 7) + 500.0
+    assert back.where("k = 999").first()["s"] == "ins"
+    assert back.count() == 400  # -1 delete +1 insert

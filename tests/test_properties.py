@@ -210,3 +210,55 @@ def test_pround_tie_parity_vs_duckdb(spark, tmp_path):
     }
     con.close()
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),          # key
+            st.one_of(st.none(), st.integers(-50, 50)),      # nullable value
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    lo=st.integers(min_value=-10, max_value=40),
+    span=st.integers(min_value=0, max_value=30),
+    upd=st.integers(min_value=-10, max_value=60),
+)
+@settings(**_SETTINGS)
+def test_cow_dml_equals_algebraic_fold(spark, rows, lo, span, upd):
+    """Randomized COW DELETE+UPDATE vs the same mutation folded
+    algebraically over the in-memory frame: NULL predicates must keep
+    rows on DELETE and skip them on UPDATE, across arbitrary key ranges
+    (including empty matches, full-table matches, and all-NULL values)."""
+    import tempfile
+
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        delete_where,
+        update_where,
+    )
+
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], "id long, k long, v long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/t"
+        df.repartitionByRange(3, "k").write.parquet(path)
+        del_pred = f"v >= {lo} AND v < {lo + span}"
+        upd_pred = f"k >= {upd}"
+        delete_where(spark, path, del_pred)
+        update_where(spark, path, {"v": "coalesce(v, 0) + 1000"}, upd_pred)
+        got = {
+            (r.id, r.k, r.v) for r in spark.read.parquet(path).collect()
+        }
+    folded = df.where(
+        ~F.coalesce(F.expr(del_pred), F.lit(False))
+    ).withColumn(
+        "v",
+        F.when(
+            F.coalesce(F.expr(upd_pred), F.lit(False)),
+            F.coalesce(F.col("v"), F.lit(0)) + 1000,
+        ).otherwise(F.col("v")),
+    )
+    want = {(r.id, r.k, r.v) for r in folded.collect()}
+    assert got == want
