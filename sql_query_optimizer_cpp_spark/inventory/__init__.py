@@ -226,6 +226,7 @@ _PRIORITY: tuple[str, ...] = (
     "mutate_merge_upsert",
     "mutate_dml_sql",
     "mutate_compact_stable",
+    "source_roundtrip_zorder",
 )
 
 

@@ -162,3 +162,34 @@ def insert_select_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_nationkey").cast("long").alias("key_sum"),
         )
     )
+
+
+@register(
+    "source_roundtrip_zorder",
+    oracle="SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    + dsum_sql("o_totalprice")
+    + " AS total FROM orders "
+    "WHERE o_custkey BETWEEN 20 AND 80 "
+    "AND o_totalprice BETWEEN 50000 AND 250000",
+    doc="Z-order (Morton-interleaved) clustered write graded end-to-end: "
+    "orders written zorder=(8, [o_custkey, o_totalprice]) — each file "
+    "covers a narrow tile of BOTH columns, so a 2-dim range predicate "
+    "prunes files on either column (single-dim sort can only serve one); "
+    "the read-back aggregate under that 2-dim predicate must equal the "
+    "direct-on-fixture oracle, proving the synthetic-key repartition + "
+    "sort + drop is lossless; tile quality itself is footer-asserted in "
+    "tests/test_sources.py::test_zorder_write_clusters_both_dims",
+    tags=("sources",),
+)
+def source_roundtrip_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    out = _rt_dir(sf_dir, "zorder_orders")
+    write(t["orders"], path=out, fmt="parquet", zorder=(8, ["o_custkey", "o_totalprice"]))
+    back = read(spark, out, fmt="parquet")
+    return back.filter(
+        F.col("o_custkey").between(20, 80)
+        & F.col("o_totalprice").between(50000, 250000)
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        dsum("o_totalprice").alias("total"),
+    )

@@ -201,3 +201,56 @@ def test_sort_for_skipping_clusters_row_groups(tmp_path, spark):
     # ...and consecutive files don't overlap (range partitioning)
     for (_, prev_max), (next_min, _) in zip(sorted_ranges, sorted_ranges[1:]):
         assert next_min >= prev_max
+
+
+def test_zorder_write_clusters_both_dims(tmp_path, spark):
+    """zorder=(16, [x, y]) must give every file a NARROW min/max footer
+    range on BOTH columns (each point/range predicate on either column
+    then skips most files); the single-dim sort control clusters x
+    perfectly but leaves y spanning ~the full domain in every file."""
+    import pyarrow.parquet as pq
+
+    from sql_query_optimizer_cpp_spark.sources.writers import write
+
+    n = 1 << 14
+    side = 1 << 7
+    df = spark.range(n).selectExpr(
+        f"CAST(id % {side} AS DOUBLE) AS x",
+        f"CAST(id DIV {side} AS DOUBLE) AS y",
+        "id AS payload",
+    )
+
+    def file_ranges(path, col):
+        out = []
+        for f in sorted((tmp_path / path).glob("*.parquet")):
+            md = pq.ParquetFile(str(f)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            out.append((min(mins), max(maxs)))
+        return out
+
+    def avg_files_hit(path, col):
+        """Mean number of files a footer-pruning point query must open,
+        over probe points across the domain — the actual skip metric."""
+        ranges = file_ranges(path, col)
+        probes = [float(p) for p in range(0, side, 8)]
+        return sum(
+            sum(1 for lo, hi in ranges if lo <= p <= hi) for p in probes
+        ) / len(probes)
+
+    write(df, path=str(tmp_path / "z"), zorder=(16, ["x", "y"]))
+    write(df, path=str(tmp_path / "lin"), sort_for_skipping=(16, ["x"]))
+
+    assert len(file_ranges("z", "x")) == 16
+    # z-order: a point predicate on EITHER column opens well under half
+    # the files (ideal 4/16 for a 4x4 tiling; allow curve-boundary slack)
+    assert avg_files_hit("z", "x") <= 8
+    assert avg_files_hit("z", "y") <= 8
+    # control: perfect on the sort column, useless on the other — every
+    # probe on y must open every file
+    assert avg_files_hit("lin", "x") <= 2
+    assert avg_files_hit("lin", "y") >= 15
