@@ -227,6 +227,7 @@ _PRIORITY: tuple[str, ...] = (
     "mutate_dml_sql",
     "mutate_compact_stable",
     "source_roundtrip_zorder",
+    "recursive_cte_chain",
 )
 
 

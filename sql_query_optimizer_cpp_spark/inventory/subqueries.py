@@ -103,3 +103,26 @@ shared_sql(
     "exercise the IN spelling",
     tags=("subquery", "join"),
 )
+
+
+# --- recursive CTE ---------------------------------------------------------------
+shared_sql(
+    "recursive_cte_chain",
+    "WITH RECURSIVE chain(c_custkey, anc, depth) AS ("
+    "  SELECT c_custkey, CAST(c_custkey AS BIGINT), 0 FROM customer"
+    "  UNION ALL"
+    "  SELECT c_custkey, CAST(FLOOR(anc / 10) AS BIGINT), depth + 1"
+    "  FROM chain WHERE anc > 0"
+    ") "
+    "SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_nodes, "
+    "CAST(SUM(anc) AS BIGINT) AS anc_sum "
+    "FROM chain GROUP BY depth ORDER BY depth",
+    doc="WITH RECURSIVE (iterative fixpoint; Spark 4 executes the "
+    "recursion as repeated UNION ALL rounds under one plan, the same "
+    "union-fixpoint loop the dedup connected-components operator spells "
+    "manually) — every customer's ancestor chain under a decimal-shift "
+    "hierarchy, aggregated per depth; identical text runs on both "
+    "engines.  Rounds are bounded by the key width (log10(max key)), so "
+    "the recursion depth is data-independent at any scale",
+    tags=("subquery", "setop"),
+)

@@ -25,10 +25,18 @@ How it scales (the design constraint):
    (detectable, re-runnable), never neither.
 
 All filesystem operations go through the Hadoop FileSystem API (HDFS / S3A /
-local alike), not Python's ``os`` module.  Honest limitation, stated rather
-than hidden: without a log there is no writer isolation, snapshot reads
-during a swap, or time travel — this is single-writer copy-on-write, the
-subset of a lakehouse table the container can support without Delta/Iceberg.
+local alike), not Python's ``os`` module.
+
+Retention & time travel: every verb takes ``retain=True`` to move superseded
+files into an underscore-prefixed ``_retired/`` area (invisible to normal
+reads) instead of deleting them; ``create_snapshot`` pins the table's
+current file list as a named manifest, ``read_snapshot`` reads exactly that
+list back (COW never rewrites a file in place, so a pinned list IS a
+consistent version), and ``vacuum`` purges retired files no manifest
+references.  Honest limitation, stated rather than hidden: without a
+transaction log there is no writer ISOLATION — concurrent writers can race
+the swap — this is single-writer copy-on-write, the subset of a lakehouse
+table the container can support without Delta/Iceberg.
 """
 
 from __future__ import annotations
@@ -146,21 +154,55 @@ def _delete_files(spark: SparkSession, files: list[str]) -> None:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
 
 
+#: Underscore prefix ⇒ invisible to Spark's file discovery (same convention
+#: as _SUCCESS/_metadata), so retired files and manifests never leak into a
+#: normal table read.
+RETIRED_DIR = "_retired"
+SNAPSHOT_DIR = "_snapshots"
+
+
+def _retire_files(spark: SparkSession, path: str, files: list[str]) -> None:
+    """Move superseded files into ``_retired/<batch>/`` instead of deleting
+    them — the raw material time travel and snapshot reads are made of."""
+    if not files:
+        return
+    jvm, fs, table_path = _fs(spark, path)
+    batch_dir = jvm.org.apache.hadoop.fs.Path(
+        table_path, f"{RETIRED_DIR}/{uuid.uuid4().hex[:12]}"
+    )
+    fs.mkdirs(batch_dir)
+    for f in files:
+        src = jvm.org.apache.hadoop.fs.Path(f)
+        dest = jvm.org.apache.hadoop.fs.Path(batch_dir, src.getName())
+        if not fs.rename(src, dest):
+            raise IOError(f"retire: rename {f} -> {dest} failed")
+
+
 def _swap_in(
-    spark: SparkSession, path: str, old_files: list[str], rewritten: DataFrame
+    spark: SparkSession,
+    path: str,
+    old_files: list[str],
+    rewritten: DataFrame,
+    retain: bool = False,
 ) -> None:
     """Materialize ``rewritten`` to a sibling staging dir, move its parts
-    into the table, delete ``old_files``.  Stage completes before any
-    original is touched (crash ⇒ duplicates, never data loss)."""
+    into the table, delete (or retire) ``old_files``.  Stage completes
+    before any original is touched (crash ⇒ duplicates, never data loss)."""
     staging = _stage(spark, path, rewritten)
     _move_in(spark, path, staging)
-    _delete_files(spark, old_files)
+    if retain:
+        _retire_files(spark, path, old_files)
+    else:
+        _delete_files(spark, old_files)
     # rewritten files changed on disk under this session's feet
     spark.catalog.clearCache()
 
 
 def delete_where(
-    spark: SparkSession, path: str, condition: str | Column
+    spark: SparkSession,
+    path: str,
+    condition: str | Column,
+    retain: bool = False,
 ) -> MutationStats:
     """``DELETE FROM <path> WHERE condition`` — SQL three-valued logic:
     only rows where the predicate is TRUE are deleted; NULL keeps the row
@@ -173,7 +215,7 @@ def delete_where(
     sub = spark.read.parquet(*hit)
     deleted = sub.where(cond).count()
     kept = sub.where(~F.coalesce(cond, F.lit(False)))
-    _swap_in(spark, path, hit, kept)
+    _swap_in(spark, path, hit, kept, retain=retain)
     return MutationStats(len(files), len(hit), deleted)
 
 
@@ -182,6 +224,7 @@ def update_where(
     path: str,
     set_map: dict[str, str | Column],
     condition: str | Column,
+    retain: bool = False,
 ) -> MutationStats:
     """``UPDATE <path> SET col = expr, ... WHERE condition``.
 
@@ -208,7 +251,7 @@ def update_where(
         else F.col(c)
         for c in sub.columns
     ]
-    _swap_in(spark, path, hit, sub.select(*projected))
+    _swap_in(spark, path, hit, sub.select(*projected), retain=retain)
     return MutationStats(len(files), len(hit), matched)
 
 
@@ -222,6 +265,7 @@ def merge_into(
     check_unique: bool = True,
     matched_delete: str | Column | None = None,
     insert_condition: str | Column | None = None,
+    retain: bool = False,
 ) -> MutationStats:
     """``MERGE INTO <path> USING source ON keys`` — upsert, copy-on-write.
 
@@ -319,7 +363,7 @@ def merge_into(
             else F.col(c)
             for c in sub.columns
         ]
-        _swap_in(spark, path, hit, joined.select(*projected))
+        _swap_in(spark, path, hit, joined.select(*projected), retain=retain)
 
     if rows_inserted:
         _move_in(spark, path, ins_staging)
@@ -335,6 +379,7 @@ def compact(
     path: str,
     target_bytes: int = 128 * 1024 * 1024,
     small_ratio: float = 0.5,
+    retain: bool = False,
 ) -> MutationStats:
     """Bin-pack small files into ~``target_bytes`` files (OPTIMIZE-style
     compaction, the companion every COW table needs).
@@ -366,7 +411,7 @@ def compact(
     n_out = max(1, -(-small_bytes // target_bytes))
     df = spark.read.parquet(*small)
     moved = df.count()
-    _swap_in(spark, path, small, df.coalesce(int(n_out)))
+    _swap_in(spark, path, small, df.coalesce(int(n_out)), retain=retain)
     return MutationStats(files_total, len(small), moved)
 
 
@@ -435,4 +480,174 @@ def execute_dml(
     raise ValueError(
         "not an executable DML statement (UPDATE ... SET ... WHERE ... | "
         "DELETE FROM ... WHERE ...)"
+    )
+
+
+# -- snapshots, time travel, vacuum ------------------------------------------
+#
+# COW's defining property — a data file, once written, is never modified —
+# means a consistent table VERSION is nothing more than a list of file
+# names.  A snapshot manifest pins that list; DML with retain=True keeps
+# superseded files available under _retired/; vacuum reclaims whatever no
+# manifest can still reach.  This is the metadata core of Delta/Iceberg
+# (manifest = their log checkpoint) without the transaction machinery.
+
+
+def _read_small_file(spark: SparkSession, path: str) -> bytes:
+    jvm, fs, jpath = _fs(spark, path)
+    stream = fs.open(jpath)
+    try:
+        return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+
+
+def _write_small_file(spark: SparkSession, path: str, data: bytes) -> None:
+    jvm, fs, jpath = _fs(spark, path)
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray(data))
+    finally:
+        stream.close()
+
+
+def _rel_to_table(path: str, file_uri: str) -> str:
+    """Manifest entries are table-relative so the table stays movable."""
+    marker = path.rstrip("/").split("/")[-1] + "/"
+    idx = file_uri.find(marker)
+    if idx < 0:
+        raise ValueError(f"{file_uri} is not under table {path}")
+    return file_uri[idx + len(marker):]
+
+
+def create_snapshot(spark: SparkSession, path: str, name: str) -> int:
+    """Pin the table's CURRENT file list as named version ``name``.
+
+    Returns the number of files pinned.  O(file count) metadata; no data
+    is read or copied — the manifest is the version.
+    """
+    import json
+
+    if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
+        raise ValueError(f"snapshot name {name!r} must be filesystem-safe")
+    files = [_rel_to_table(path, f) for f in list_data_files(spark, path)]
+    manifest = json.dumps({"files": sorted(files)}, indent=0)
+    _write_small_file(
+        spark,
+        f"{path.rstrip('/')}/{SNAPSHOT_DIR}/{name}.json",
+        manifest.encode(),
+    )
+    return len(files)
+
+
+def list_snapshots(spark: SparkSession, path: str) -> list[str]:
+    jvm, fs, _ = _fs(spark, path)
+    snap_dir = jvm.org.apache.hadoop.fs.Path(
+        f"{path.rstrip('/')}/{SNAPSHOT_DIR}"
+    )
+    if not fs.exists(snap_dir):
+        return []
+    return sorted(
+        st.getPath().getName()[: -len(".json")]
+        for st in fs.listStatus(snap_dir)
+        if st.getPath().getName().endswith(".json")
+    )
+
+
+def _snapshot_files(spark: SparkSession, path: str, name: str) -> list[str]:
+    import json
+
+    manifest = f"{path.rstrip('/')}/{SNAPSHOT_DIR}/{name}.json"
+    jvm, fs, _ = _fs(spark, path)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(manifest)):
+        raise FileNotFoundError(
+            f"no snapshot named {name!r} (have: {list_snapshots(spark, path)})"
+        )
+    raw = _read_small_file(spark, manifest)
+    root = path.rstrip("/")
+    return [f"{root}/{rel}" for rel in json.loads(raw)["files"]]
+
+
+def read_snapshot(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """Time travel: the table exactly as it was at ``create_snapshot(name)``.
+
+    Works because a manifest's files may now live in the table root OR in
+    ``_retired/`` (explicit file paths bypass discovery's underscore
+    filtering — only the manifest decides what this version contains);
+    fails with a clear error if a referenced file was vacuumed.
+    """
+    jvm, fs, _ = _fs(spark, path)
+    files = _snapshot_files(spark, path, name)
+    missing = []
+    resolved = []
+    for f in files:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        if fs.exists(p):
+            resolved.append(f)
+            continue
+        # the file may have been retired since the manifest was written
+        base = f.rsplit("/", 1)[-1]
+        retired_root = jvm.org.apache.hadoop.fs.Path(
+            f"{path.rstrip('/')}/{RETIRED_DIR}"
+        )
+        found = None
+        if fs.exists(retired_root):
+            for batch in fs.listStatus(retired_root):
+                cand = jvm.org.apache.hadoop.fs.Path(batch.getPath(), base)
+                if fs.exists(cand):
+                    found = cand.toString()
+                    break
+        if found:
+            resolved.append(found)
+        else:
+            missing.append(f)
+    if missing:
+        raise FileNotFoundError(
+            f"snapshot {name!r} references vacuumed files: {missing[:3]}"
+            f"{'...' if len(missing) > 3 else ''} — "
+            "vacuum() had no manifest covering them when it ran"
+        )
+    if not resolved:
+        raise ValueError(f"snapshot {name!r} is empty")
+    return spark.read.parquet(*resolved)
+
+
+def vacuum(spark: SparkSession, path: str) -> int:
+    """Delete retired files that NO snapshot manifest references; returns
+    how many files were reclaimed.  Empty retire-batch dirs are removed.
+
+    The referenced set is built from every manifest's basenames — COW file
+    names are globally unique (uuid-tagged), so basename identity is safe.
+    """
+    jvm, fs, _ = _fs(spark, path)
+    referenced: set[str] = set()
+    for name in list_snapshots(spark, path):
+        for f in _snapshot_files(spark, path, name):
+            referenced.add(f.rsplit("/", 1)[-1])
+    retired_root = jvm.org.apache.hadoop.fs.Path(
+        f"{path.rstrip('/')}/{RETIRED_DIR}"
+    )
+    if not fs.exists(retired_root):
+        return 0
+    reclaimed = 0
+    for batch in fs.listStatus(retired_root):
+        survivors = 0
+        for st in fs.listStatus(batch.getPath()):
+            if st.getPath().getName() in referenced:
+                survivors += 1
+            else:
+                fs.delete(st.getPath(), False)
+                reclaimed += 1
+        if survivors == 0:
+            fs.delete(batch.getPath(), True)
+    return reclaimed
+
+
+def drop_snapshot(spark: SparkSession, path: str, name: str) -> None:
+    jvm, fs, _ = _fs(spark, path)
+    fs.delete(
+        jvm.org.apache.hadoop.fs.Path(
+            f"{path.rstrip('/')}/{SNAPSHOT_DIR}/{name}.json"
+        ),
+        False,
     )

@@ -216,3 +216,51 @@ def test_merge_matched_delete_and_insert_condition(spark, cow_table):
     assert back.where("k = 11").first()["v"] == (11 % 7) + 500.0
     assert back.where("k = 999").first()["s"] == "ins"
     assert back.count() == 400  # -1 delete +1 insert
+
+
+def test_snapshot_time_travel_and_vacuum(spark, cow_table):
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        create_snapshot,
+        drop_snapshot,
+        list_snapshots,
+        read_snapshot,
+        vacuum,
+    )
+
+    n = create_snapshot(spark, cow_table, "v1")
+    assert n == 4 and list_snapshots(spark, cow_table) == ["v1"]
+
+    # retained DML: normal reads see the mutation, v1 still sees the past
+    delete_where(spark, cow_table, "k >= 300", retain=True)
+    update_where(spark, cow_table, {"v": "v + 1"}, "k < 100", retain=True)
+    assert spark.read.parquet(cow_table).count() == 300
+    old = read_snapshot(spark, cow_table, "v1")
+    assert old.count() == 400
+    assert old.where("k = 0").first()["v"] == 0.0  # pre-update value
+    assert spark.read.parquet(cow_table).where("k = 0").first()["v"] == 1.0
+
+    # vacuum keeps everything v1 still references
+    assert vacuum(spark, cow_table) == 0
+    assert read_snapshot(spark, cow_table, "v1").count() == 400
+
+    # retire a version: second snapshot, drop v1, vacuum reclaims its files
+    create_snapshot(spark, cow_table, "v2")
+    drop_snapshot(spark, cow_table, "v1")
+    reclaimed = vacuum(spark, cow_table)
+    assert reclaimed >= 2  # the deleted k>=300 file + pre-update k<100 files
+    with pytest.raises(FileNotFoundError, match="no snapshot named 'v1'"):
+        read_snapshot(spark, cow_table, "v1").count()
+    # v2 (current files only) unaffected
+    assert read_snapshot(spark, cow_table, "v2").count() == 300
+
+
+def test_retired_files_invisible_to_normal_reads(spark, cow_table):
+    from sql_query_optimizer_cpp_spark.operators.mutate import create_snapshot
+
+    create_snapshot(spark, cow_table, "base")
+    delete_where(spark, cow_table, "k < 200", retain=True)
+    # discovery must skip _retired and _snapshots entirely
+    assert spark.read.parquet(cow_table).count() == 200
+    assert set(
+        r.k for r in spark.read.parquet(cow_table).select("k").collect()
+    ) == set(range(200, 400))
