@@ -41,6 +41,8 @@ table the container can support without Delta/Iceberg.
 
 from __future__ import annotations
 
+import contextlib
+import functools
 import re
 import uuid
 from dataclasses import dataclass
@@ -80,25 +82,43 @@ def _fs(spark: SparkSession, path: str):
     return jvm, fs, jpath
 
 
-def list_data_files(spark: SparkSession, path: str) -> list[str]:
-    """Parquet data files currently making up the table (full URIs)."""
+def list_data_files(
+    spark: SparkSession, path: str, recursive: bool = False
+) -> list[str]:
+    """Parquet data files currently making up the table (full URIs).
+
+    ``recursive=False`` refuses hive-partitioned layouts: the partition
+    column lives in the DIRECTORY NAME, not the files, so a flat
+    file-level rewrite would silently drop it.  Verbs that implement the
+    per-partition swap pass ``recursive=True`` to walk ``key=value`` dirs.
+    """
     jvm, fs, jpath = _fs(spark, path)
     out = []
     for st in fs.listStatus(jpath):
         name = st.getPath().getName()
         if st.isDirectory() and "=" in name:
-            # hive-partitioned layout: the partition column lives in the
-            # DIRECTORY NAME, not the files — a file-level rewrite would
-            # silently drop it.  Partitioned COW needs per-partition swap
-            # (the Delta path); refuse rather than corrupt.
-            raise NotImplementedError(
-                "copy-on-write DML over hive-partitioned directories is "
-                f"not supported (found partition dir {name!r}); mutate "
-                "each partition directory individually"
+            if not recursive:
+                raise NotImplementedError(
+                    "copy-on-write over a hive-partitioned directory needs "
+                    f"the per-partition path (found partition dir {name!r}); "
+                    "this verb does not implement it"
+                )
+            out.extend(
+                list_data_files(spark, st.getPath().toString(), recursive=True)
             )
         if st.isFile() and not name.startswith(("_", ".")):
             out.append(st.getPath().toString())
     return sorted(out)
+
+
+def is_partitioned(spark: SparkSession, path: str) -> bool:
+    """True when the table dir uses hive-style ``key=value`` partition
+    subdirectories."""
+    jvm, fs, jpath = _fs(spark, path)
+    return any(
+        st.isDirectory() and "=" in st.getPath().getName()
+        for st in fs.listStatus(jpath)
+    )
 
 
 def affected_files(
@@ -159,21 +179,69 @@ def _delete_files(spark: SparkSession, files: list[str]) -> None:
 #: normal table read.
 RETIRED_DIR = "_retired"
 SNAPSHOT_DIR = "_snapshots"
+LOCK_FILE = "_cow.lock"
+
+
+@contextlib.contextmanager
+def _writer_lock(spark: SparkSession, path: str):
+    """Advisory single-writer lock: atomically create ``_cow.lock`` (fails
+    if present), release on exit.
+
+    This DETECTS concurrent writers rather than isolating them — create-
+    if-absent is atomic on HDFS and local filesystems (S3 needs a real
+    catalog/log for that guarantee; stated, not papered over).  A crashed
+    writer leaves a stale lock; the error says exactly which file to
+    remove after confirming no writer is alive.
+    """
+    jvm, fs, table_path = _fs(spark, path)
+    lock = jvm.org.apache.hadoop.fs.Path(table_path, LOCK_FILE)
+    try:
+        out = fs.create(lock, False)
+        out.write(bytearray(uuid.uuid4().hex.encode()))
+        out.close()
+    except Exception as e:  # py4j wraps FileAlreadyExistsException
+        if "AlreadyExists" in str(e) or "already exists" in str(e):
+            raise RuntimeError(
+                f"another writer holds {lock}: concurrent COW DML is "
+                "refused (single-writer). If the previous writer crashed, "
+                "remove the lock file after confirming nothing is running."
+            ) from None
+        raise
+    try:
+        yield
+    finally:
+        fs.delete(lock, False)
+
+
+def _with_writer_lock(fn):
+    """Decorator: run a mutating verb under the table's writer lock."""
+
+    @functools.wraps(fn)
+    def wrapper(spark, path, *args, **kwargs):
+        with _writer_lock(spark, path):
+            return fn(spark, path, *args, **kwargs)
+
+    return wrapper
 
 
 def _retire_files(spark: SparkSession, path: str, files: list[str]) -> None:
     """Move superseded files into ``_retired/<batch>/`` instead of deleting
-    them — the raw material time travel and snapshot reads are made of."""
+    them — the raw material time travel and snapshot reads are made of.
+
+    The TABLE-RELATIVE path is preserved under the batch dir (not just the
+    basename): partitioned writes reuse part numbers across partition
+    dirs, so ``lang=en/part-00000-x.parquet`` and
+    ``lang=de/part-00000-x.parquet`` must retire to distinct locations.
+    """
     if not files:
         return
     jvm, fs, table_path = _fs(spark, path)
-    batch_dir = jvm.org.apache.hadoop.fs.Path(
-        table_path, f"{RETIRED_DIR}/{uuid.uuid4().hex[:12]}"
-    )
-    fs.mkdirs(batch_dir)
+    batch = f"{RETIRED_DIR}/{uuid.uuid4().hex[:12]}"
     for f in files:
         src = jvm.org.apache.hadoop.fs.Path(f)
-        dest = jvm.org.apache.hadoop.fs.Path(batch_dir, src.getName())
+        rel = _rel_to_table(path, f)
+        dest = jvm.org.apache.hadoop.fs.Path(table_path, f"{batch}/{rel}")
+        fs.mkdirs(dest.getParent())
         if not fs.rename(src, dest):
             raise IOError(f"retire: rename {f} -> {dest} failed")
 
@@ -198,6 +266,51 @@ def _swap_in(
     spark.catalog.clearCache()
 
 
+def _mutate_partitioned(
+    spark: SparkSession,
+    path: str,
+    cond: Column,
+    build,
+    retain: bool,
+) -> MutationStats:
+    """Per-partition copy-on-write: group affected files by their hive
+    partition directory and swap each independently.
+
+    - The prune scan runs over the PARTITIONED read, so predicates on
+      partition columns prune whole directories before any footer is
+      touched (the cheapest skip there is).
+    - Each partition's rewrite reads with ``basePath`` so partition
+      columns are in scope for the predicate, and drops them before
+      writing (they live in the directory name, not the file).
+    - Partitions rewrite independently — at scale these are parallel
+      jobs; here they run sequentially, which only costs latency.
+    """
+    files_all = list_data_files(spark, path, recursive=True)
+    hit = affected_files(spark, path, cond)
+    if not hit:
+        return MutationStats(len(files_all), 0, 0)
+    full_cols = spark.read.parquet(path).columns
+    physical_cols = spark.read.parquet(hit[0]).columns
+    part_cols = [c for c in full_cols if c not in physical_cols]
+    groups: dict[str, list[str]] = {}
+    for f in hit:
+        groups.setdefault(f.rsplit("/", 1)[0], []).append(f)
+    matched_total = 0
+    for part_dir, pfiles in sorted(groups.items()):
+        sub = spark.read.option("basePath", path).parquet(*pfiles)
+        rewritten, matched = build(sub, part_cols)
+        matched_total += matched
+        staging = _stage(spark, path, rewritten.drop(*part_cols))
+        _move_in(spark, part_dir, staging)
+        if retain:
+            _retire_files(spark, path, pfiles)
+        else:
+            _delete_files(spark, pfiles)
+    spark.catalog.clearCache()
+    return MutationStats(len(files_all), len(hit), matched_total)
+
+
+@_with_writer_lock
 def delete_where(
     spark: SparkSession,
     path: str,
@@ -206,8 +319,18 @@ def delete_where(
 ) -> MutationStats:
     """``DELETE FROM <path> WHERE condition`` — SQL three-valued logic:
     only rows where the predicate is TRUE are deleted; NULL keeps the row
-    (exactly what ``DELETE`` does in every SQL engine)."""
+    (exactly what ``DELETE`` does in every SQL engine).  Works on flat and
+    hive-partitioned tables (per-partition swap; partition-column
+    predicates prune whole directories)."""
     cond = _cond(condition)
+    if is_partitioned(spark, path):
+        def build(sub: DataFrame, part_cols: list[str]):
+            return (
+                sub.where(~F.coalesce(cond, F.lit(False))),
+                sub.where(cond).count(),
+            )
+
+        return _mutate_partitioned(spark, path, cond, build, retain)
     files = list_data_files(spark, path)
     hit = affected_files(spark, path, cond)
     if not hit:
@@ -219,6 +342,7 @@ def delete_where(
     return MutationStats(len(files), len(hit), deleted)
 
 
+@_with_writer_lock
 def update_where(
     spark: SparkSession,
     path: str,
@@ -231,8 +355,39 @@ def update_where(
     Each assignment is cast back to the column's EXISTING type: a COW
     rewrite must never drift the schema of rewritten files away from the
     untouched ones (a widened column would poison every later scan).
+
+    Works on flat and hive-partitioned tables; assigning a PARTITION
+    column is refused — changing a row's partition value means moving it
+    between directories, which is a delete+insert, not an update.
     """
     cond = _cond(condition)
+    if is_partitioned(spark, path):
+        full_cols = spark.read.parquet(path).columns
+        unknown = set(set_map) - set(full_cols)
+        if unknown:
+            raise ValueError(
+                f"UPDATE SET on unknown columns: {sorted(unknown)}"
+            )
+
+        def build(sub: DataFrame, part_cols: list[str]):
+            part_here = [c for c in set_map if c in part_cols]
+            if part_here:
+                raise ValueError(
+                    f"UPDATE SET on partition columns: {sorted(part_here)}; "
+                    "changing a row's partition is a delete + insert"
+                )
+            projected = [
+                F.when(F.coalesce(cond, F.lit(False)), _cond(set_map[c]))
+                .otherwise(F.col(c))
+                .cast(sub.schema[c].dataType)
+                .alias(c)
+                if c in set_map
+                else F.col(c)
+                for c in sub.columns
+            ]
+            return sub.select(*projected), sub.where(cond).count()
+
+        return _mutate_partitioned(spark, path, cond, build, retain)
     files = list_data_files(spark, path)
     hit = affected_files(spark, path, cond)
     if not hit:
@@ -255,6 +410,7 @@ def update_where(
     return MutationStats(len(files), len(hit), matched)
 
 
+@_with_writer_lock
 def merge_into(
     spark: SparkSession,
     path: str,
@@ -374,6 +530,7 @@ def merge_into(
     return MutationStats(len(files), len(hit), rows_matched, rows_inserted)
 
 
+@_with_writer_lock
 def compact(
     spark: SparkSession,
     path: str,
@@ -530,7 +687,10 @@ def create_snapshot(spark: SparkSession, path: str, name: str) -> int:
 
     if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
         raise ValueError(f"snapshot name {name!r} must be filesystem-safe")
-    files = [_rel_to_table(path, f) for f in list_data_files(spark, path)]
+    files = [
+        _rel_to_table(path, f)
+        for f in list_data_files(spark, path, recursive=True)
+    ]
     manifest = json.dumps({"files": sorted(files)}, indent=0)
     _write_small_file(
         spark,
@@ -578,6 +738,7 @@ def read_snapshot(spark: SparkSession, path: str, name: str) -> DataFrame:
     """
     jvm, fs, _ = _fs(spark, path)
     files = _snapshot_files(spark, path, name)
+    root = path.rstrip("/")
     missing = []
     resolved = []
     for f in files:
@@ -585,15 +746,16 @@ def read_snapshot(spark: SparkSession, path: str, name: str) -> DataFrame:
         if fs.exists(p):
             resolved.append(f)
             continue
-        # the file may have been retired since the manifest was written
-        base = f.rsplit("/", 1)[-1]
-        retired_root = jvm.org.apache.hadoop.fs.Path(
-            f"{path.rstrip('/')}/{RETIRED_DIR}"
-        )
+        # the file may have been retired since the manifest was written;
+        # retirement preserves the table-relative path under each batch
+        rel = _rel_to_table(path, f)
+        retired_root = jvm.org.apache.hadoop.fs.Path(f"{root}/{RETIRED_DIR}")
         found = None
         if fs.exists(retired_root):
             for batch in fs.listStatus(retired_root):
-                cand = jvm.org.apache.hadoop.fs.Path(batch.getPath(), base)
+                cand = jvm.org.apache.hadoop.fs.Path(
+                    batch.getPath(), rel
+                )
                 if fs.exists(cand):
                     found = cand.toString()
                     break
@@ -609,7 +771,27 @@ def read_snapshot(spark: SparkSession, path: str, name: str) -> DataFrame:
         )
     if not resolved:
         raise ValueError(f"snapshot {name!r} is empty")
-    return spark.read.parquet(*resolved)
+    # group by base dir (table root vs each _retired batch) so hive-style
+    # partition columns reconstruct from the key=value path segments under
+    # EACH base — one basePath cannot span both locations
+    by_base: dict[str, list[str]] = {}
+    for f in resolved:
+        rel = _rel_to_table(path, f)
+        base = f[: len(f) - len(rel) - 1]
+        if RETIRED_DIR in rel.split("/"):
+            # retired file: base = .../_retired/<batch>
+            parts = rel.split("/")
+            i = parts.index(RETIRED_DIR)
+            base = f"{base}/{'/'.join(parts[: i + 2])}"
+        by_base.setdefault(base, []).append(f)
+    frames = [
+        spark.read.option("basePath", base).parquet(*fl)
+        for base, fl in sorted(by_base.items())
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
 
 
 def vacuum(spark: SparkSession, path: str) -> int:
@@ -623,20 +805,32 @@ def vacuum(spark: SparkSession, path: str) -> int:
     referenced: set[str] = set()
     for name in list_snapshots(spark, path):
         for f in _snapshot_files(spark, path, name):
-            referenced.add(f.rsplit("/", 1)[-1])
+            referenced.add(_rel_to_table(path, f))
     retired_root = jvm.org.apache.hadoop.fs.Path(
         f"{path.rstrip('/')}/{RETIRED_DIR}"
     )
     if not fs.exists(retired_root):
         return 0
+
+    def _walk(d):
+        for st in fs.listStatus(d):
+            if st.isDirectory():
+                yield from _walk(st.getPath())
+            else:
+                yield st.getPath()
+
     reclaimed = 0
     for batch in fs.listStatus(retired_root):
         survivors = 0
-        for st in fs.listStatus(batch.getPath()):
-            if st.getPath().getName() in referenced:
+        batch_prefix = batch.getPath().toString()
+        for p in list(_walk(batch.getPath())):
+            # table-relative path of the retired file = its path under the
+            # batch dir (retirement preserves it)
+            rel = p.toString()[len(batch_prefix) + 1:]
+            if rel in referenced:
                 survivors += 1
             else:
-                fs.delete(st.getPath(), False)
+                fs.delete(p, False)
                 reclaimed += 1
         if survivors == 0:
             fs.delete(batch.getPath(), True)

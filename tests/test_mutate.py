@@ -181,13 +181,74 @@ def test_compact_noop_when_nothing_small(spark, tmp_path):
     assert _names(spark, path) == before
 
 
-def test_partitioned_dir_refused(spark, tmp_path):
+@pytest.fixture()
+def part_table(spark, tmp_path):
+    """Hive-partitioned table: p in {0,1,2}, 100 rows each, 2 files per
+    partition dir."""
     path = str(tmp_path / "part")
-    spark.range(10).select(
-        F.col("id"), (F.col("id") % 2).alias("p")
-    ).write.partitionBy("p").parquet(path)
-    with pytest.raises(NotImplementedError, match="hive-partitioned"):
-        delete_where(spark, path, "id = 1")
+    spark.range(300).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("double").alias("v"),
+        (F.col("id") % 3).alias("p"),
+    ).repartition(2).write.partitionBy("p").parquet(path)
+    return path
+
+
+def test_partitioned_delete_prunes_directories(spark, part_table):
+    st = delete_where(spark, part_table, "p = 1 AND k < 110")
+    # only partition p=1 is touched: 2 of 6 files rewritten
+    assert st.files_total == 6 and st.files_rewritten == 2
+    assert st.rows_matched == len([k for k in range(300) if k % 3 == 1 and k < 110])
+    back = spark.read.parquet(part_table)
+    assert back.count() == 300 - st.rows_matched
+    assert back.where("p = 1 AND k < 110").count() == 0
+    # sibling partitions untouched
+    assert back.where("p = 0").count() == 100
+    assert back.where("p = 2").count() == 100
+
+
+def test_partitioned_update_and_partition_col_refused(spark, part_table):
+    st = update_where(spark, part_table, {"v": "v + 1000"}, "p = 2 AND k >= 200")
+    assert st.files_rewritten == 2
+    back = spark.read.parquet(part_table)
+    hot = back.where("p = 2 AND k >= 200")
+    assert hot.count() == st.rows_matched
+    assert all(r["v"] == r["k"] + 1000 for r in hot.collect())
+    assert back.where("p = 2 AND k < 200 AND v <> CAST(k AS DOUBLE)").count() == 0
+    # partition values are directory names; assigning one is a move
+    with pytest.raises(ValueError, match="partition columns"):
+        update_where(spark, part_table, {"p": "0"}, "k = 1")
+
+
+def test_partitioned_snapshot_time_travel(spark, part_table):
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        create_snapshot,
+        drop_snapshot,
+        read_snapshot,
+        vacuum,
+    )
+
+    assert create_snapshot(spark, part_table, "v1") == 6
+    delete_where(spark, part_table, "p = 0", retain=True)
+    assert spark.read.parquet(part_table).count() == 200
+    old = read_snapshot(spark, part_table, "v1")
+    # time travel reconstructs the partition column from retired paths too
+    assert old.count() == 300
+    assert old.where("p = 0").count() == 100
+    drop_snapshot(spark, part_table, "v1")
+    assert vacuum(spark, part_table) == 2  # the two retired p=0 files
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, part_table, "v1")
+
+
+def test_partitioned_merge_and_compact_refused(spark, part_table):
+    from sql_query_optimizer_cpp_spark.operators.mutate import compact
+
+    src = spark.createDataFrame([Row(k=1, delta=1.0)])
+    with pytest.raises(NotImplementedError, match="partition"):
+        merge_into(spark, part_table, src, on=["k"], matched_set={"v": "src_delta"})
+    with pytest.raises(NotImplementedError, match="partition"):
+        compact(spark, part_table)
 
 
 def test_merge_matched_delete_and_insert_condition(spark, cow_table):
@@ -264,3 +325,19 @@ def test_retired_files_invisible_to_normal_reads(spark, cow_table):
     assert set(
         r.k for r in spark.read.parquet(cow_table).select("k").collect()
     ) == set(range(200, 400))
+
+
+def test_writer_lock_refuses_second_writer(spark, cow_table):
+    import os as _os
+
+    lock = _os.path.join(cow_table, "_cow.lock")
+    open(lock, "w").write("held-by-someone-else")
+    with pytest.raises(RuntimeError, match="another writer"):
+        delete_where(spark, cow_table, "k = 1")
+    # table untouched while locked
+    assert spark.read.parquet(cow_table).count() == 400
+    _os.remove(lock)
+    st = delete_where(spark, cow_table, "k = 1")
+    assert st.rows_matched == 1
+    # lock released after a successful mutation
+    assert not _os.path.exists(lock)
