@@ -186,14 +186,19 @@ def mutate_compact_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mutate_dml_sql",
     oracle="SELECT CASE WHEN n_chars > 2000 THEN 'xx' ELSE lang END AS lang, "
     "CAST(COUNT(*) AS BIGINT) AS n_docs, "
-    "CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+    "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+    "CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_patched "
     "FROM documents WHERE NOT (n_chars < 200) "
     "GROUP BY 1 ORDER BY 1",
     doc="The textual DML front-end end-to-end (parser parity with "
     "engine/src/parser.cpp:232-296, plus execution the reference never "
-    "does): 'DELETE FROM docs WHERE ...' then 'UPDATE docs SET ... WHERE "
-    "...' parsed from SQL text and executed copy-on-write against a "
-    "documents copy; oracle folds both statements algebraically",
+    "does): 'DELETE FROM docs WHERE ...', 'UPDATE docs SET ... WHERE ...' "
+    "and a three-clause 'MERGE INTO docs USING patch' (matched update to "
+    "source='patched'; no NOT-MATCHED clause, so patch rows whose doc was "
+    "deleted must be no-ops) parsed from SQL text and executed "
+    "copy-on-write against a documents copy; oracle folds all three "
+    "statements algebraically",
     tags=("mutate",),
 )
 def mutate_dml_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,15 +211,33 @@ def mutate_dml_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(path)
     )
-    tables = {"docs": path}
+    patch_path = _mut_dir(sf_dir, "documents_patch")
+    (
+        t["documents"]
+        .where(F.col("doc_id") % 97 == 0)
+        .select("doc_id", F.lit("patched").alias("new_source"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(patch_path)
+    )
+    tables = {"docs": path, "patch": patch_path}
     execute_dml(spark, "DELETE FROM docs WHERE n_chars < 200", tables)
     execute_dml(spark, "UPDATE docs SET lang = 'xx' WHERE n_chars > 2000", tables)
+    execute_dml(
+        spark,
+        "MERGE INTO docs AS d USING patch AS p ON d.doc_id = p.doc_id "
+        "WHEN MATCHED THEN UPDATE SET source = p.new_source",
+        tables,
+    )
     back = spark.read.parquet(path)
     return (
         back.groupBy("lang")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(F.when(F.col("source") == "patched", 1).otherwise(0))
+            .cast("long")
+            .alias("n_patched"),
         )
         .orderBy("lang")
     )

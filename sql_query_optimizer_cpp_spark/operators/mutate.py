@@ -588,6 +588,23 @@ _DELETE_RE = re.compile(
 )
 
 
+def _split_values(text: str):
+    """Split a VALUES list on depth-0 commas (commas inside calls stay)."""
+    depth, buf = 0, []
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            yield "".join(buf).strip()
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        yield "".join(buf).strip()
+
+
 def _split_assignments(text: str) -> dict[str, str]:
     """Split ``a = f(x, y), b = z`` on depth-0 commas only — a naive
     ``split(',')`` would cut inside function-call argument lists."""
@@ -612,14 +629,145 @@ def _split_assignments(text: str) -> dict[str, str]:
     return out
 
 
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(\w+)(?:\s+AS)?(?:\s+(\w+))?"
+    r"\s+USING\s+(\w+)(?:\s+AS)?(?:\s+(\w+))?"
+    r"\s+ON\s+(.+?)"
+    r"((?:\s+WHEN\s+(?:NOT\s+)?MATCHED\b.*?THEN\s+(?:UPDATE\s+SET\s+.+?|DELETE|INSERT\b.*?))+)"
+    r"\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WHEN_RE = re.compile(
+    r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+"
+    r"(UPDATE\s+SET\s+.+?|DELETE|INSERT\b[^;]*?)"
+    r"(?=\s+WHEN\s+(?:NOT\s+)?MATCHED|\s*;?\s*$)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _alias_rewrite(expr: str, t_alias: str | None, s_alias: str | None) -> str:
+    """Translate ``t.col`` → ``col`` and ``s.col`` → ``src_col`` so the
+    statement's alias-qualified expressions land in merge_into's joined
+    scope (target columns bare, source columns ``src_``-prefixed)."""
+    if s_alias:
+        expr = re.sub(rf"\b{re.escape(s_alias)}\.(\w+)", r"src_\1", expr)
+    if t_alias:
+        expr = re.sub(rf"\b{re.escape(t_alias)}\.(\w+)", r"\1", expr)
+    return expr
+
+
+def _parse_merge_on(on_text: str, t_alias: str | None, s_alias: str | None) -> list[str]:
+    keys = []
+    for conj in re.split(r"\bAND\b", on_text, flags=re.IGNORECASE):
+        m = re.fullmatch(
+            r"\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*", conj
+        )
+        if not m:
+            raise ValueError(
+                f"MERGE ON must be equi-conjuncts 'a.col = b.col', got {conj.strip()!r}"
+            )
+        a, acol, b, bcol = m.groups()
+        pair = {a: acol, b: bcol}
+        if t_alias not in pair or s_alias not in pair:
+            raise ValueError(f"MERGE ON references unknown alias in {conj.strip()!r}")
+        if pair[t_alias] != pair[s_alias]:
+            raise ValueError(
+                "MERGE ON key columns must share a name on both sides "
+                f"(got {pair[t_alias]!r} vs {pair[s_alias]!r}); alias the "
+                "source column first"
+            )
+        keys.append(pair[t_alias])
+    return keys
+
+
 def execute_dml(
     spark: SparkSession, text: str, tables: dict[str, str]
 ) -> MutationStats:
-    """Parse an UPDATE/DELETE statement and execute it copy-on-write.
+    """Parse an UPDATE / DELETE / MERGE statement and execute it
+    copy-on-write.
 
     ``tables`` maps table names to parquet directory paths (the catalog
-    the reference gets from its live MySQL connection).
+    the reference gets from its live MySQL connection).  The MERGE
+    dialect is the standard one::
+
+        MERGE INTO t [AS a] USING s [AS b] ON a.k = b.k [AND ...]
+        [WHEN MATCHED AND <cond> THEN DELETE]
+        [WHEN MATCHED THEN UPDATE SET col = expr, ...]
+        [WHEN NOT MATCHED THEN INSERT]
+
+    INSERT takes no column list: unlisted target columns default to the
+    same-named source column (else NULL), which is the common upsert.
     """
+    m = _MERGE_RE.match(text)
+    if m:
+        t_name, t_alias, s_name, s_alias, on_text, clauses = m.groups()
+        t_alias = t_alias or t_name
+        s_alias = s_alias or s_name
+        for n in (t_name, s_name):
+            if n not in tables:
+                raise ValueError(f"unknown table {n!r}")
+        on = _parse_merge_on(on_text, t_alias, s_alias)
+        matched_set = None
+        matched_delete = None
+        want_insert = False
+        insert_values = None
+        for neg, cond, action in _WHEN_RE.findall(clauses):
+            action_l = action.strip()
+            if neg:
+                if not action_l.upper().startswith("INSERT"):
+                    raise ValueError("WHEN NOT MATCHED supports only INSERT")
+                want_insert = True
+                mi = re.fullmatch(
+                    r"INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*",
+                    action_l,
+                    flags=re.IGNORECASE | re.DOTALL,
+                )
+                if mi:
+                    cols = [c.strip() for c in mi.group(1).split(",")]
+                    vals = list(_split_values(mi.group(2)))
+                    if len(cols) != len(vals):
+                        raise ValueError(
+                            "INSERT column/value count mismatch: "
+                            f"{len(cols)} vs {len(vals)}"
+                        )
+                    insert_values = {
+                        c: _alias_rewrite(v, t_alias, s_alias)
+                        for c, v in zip(cols, vals)
+                    }
+                elif action_l.upper() != "INSERT":
+                    raise ValueError(
+                        f"unsupported INSERT form {action_l!r}; use bare "
+                        "INSERT (same-named source columns) or "
+                        "INSERT (cols) VALUES (exprs)"
+                    )
+            elif action_l.upper().startswith("UPDATE"):
+                set_text = re.sub(
+                    r"^UPDATE\s+SET\s+", "", action_l, flags=re.IGNORECASE
+                )
+                matched_set = {
+                    _alias_rewrite(k, t_alias, s_alias): _alias_rewrite(
+                        v, t_alias, s_alias
+                    )
+                    for k, v in _split_assignments(set_text).items()
+                }
+            elif action_l.upper() == "DELETE":
+                matched_delete = (
+                    _alias_rewrite(cond, t_alias, s_alias) if cond else "true"
+                )
+            else:
+                raise ValueError(f"unsupported MERGE action {action_l!r}")
+        source = spark.read.parquet(tables[s_name])
+        return merge_into(
+            spark,
+            tables[t_name],
+            source,
+            on=on,
+            matched_set=matched_set,
+            matched_delete=matched_delete,
+            insert_values=insert_values,
+            # without a NOT MATCHED clause, unmatched source rows are no-ops
+            insert_condition=None if want_insert else "false",
+        )
     m = _UPDATE_RE.match(text)
     if m:
         name, set_text, where = m.group(1), m.group(2), m.group(3)
@@ -635,7 +783,8 @@ def execute_dml(
             raise ValueError(f"unknown table {name!r}")
         return delete_where(spark, tables[name], where)
     raise ValueError(
-        "not an executable DML statement (UPDATE ... SET ... WHERE ... | "
+        "not an executable DML statement (MERGE INTO ... USING ... | "
+        "UPDATE ... SET ... WHERE ... | "
         "DELETE FROM ... WHERE ...)"
     )
 

@@ -341,3 +341,45 @@ def test_writer_lock_refuses_second_writer(spark, cow_table):
     assert st.rows_matched == 1
     # lock released after a successful mutation
     assert not _os.path.exists(lock)
+
+
+def test_execute_dml_merge(spark, cow_table, tmp_path):
+    src_path = str(tmp_path / "src")
+    spark.createDataFrame(
+        [
+            Row(k=5, newv=500.0, tag="upd"),
+            Row(k=105, newv=0.0, tag="del"),
+            Row(k=9999, newv=9.0, tag="new"),
+        ]
+    ).coalesce(1).write.parquet(src_path)
+    tables = {"t": cow_table, "s": src_path}
+    st = execute_dml(
+        spark,
+        """MERGE INTO t USING s ON t.k = s.k
+           WHEN MATCHED AND s.tag = 'del' THEN DELETE
+           WHEN MATCHED THEN UPDATE SET v = s.newv + t.v
+           WHEN NOT MATCHED THEN INSERT (v, s) VALUES (s.newv, concat('ins-', s.tag))""",
+        tables,
+    )
+    assert st.rows_matched == 2 and st.rows_inserted == 1
+    back = spark.read.parquet(cow_table)
+    assert back.where("k = 105").count() == 0            # matched delete
+    assert back.where("k = 5").first()["v"] == 500.0 + (5 % 7)
+    assert back.where("k = 9999").first()["v"] == 9.0    # inserted
+    assert back.count() == 400  # -1 +1
+
+    # without a NOT MATCHED clause, unmatched source rows are no-ops
+    st2 = execute_dml(
+        spark,
+        "MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.newv",
+        tables,
+    )
+    assert st2.rows_inserted == 0
+    assert spark.read.parquet(cow_table).count() == 400
+
+    with pytest.raises(ValueError, match="share a name"):
+        execute_dml(
+            spark,
+            "MERGE INTO t USING s ON t.k = s.newv WHEN MATCHED THEN DELETE",
+            tables,
+        )
