@@ -143,6 +143,10 @@ def bench_spark(spark, registry, sf_dir: str) -> tuple[dict[str, float], dict[st
         "text_boilerplate_ngrams",
         "text_oov_rate",
         "dedup_cluster_size_hist",
+        # COW DML roundtrips (materialize + mutate + aggregate): times the
+        # executed UPDATE/DELETE/MERGE machinery end-to-end
+        "mutate_update_delete",
+        "mutate_merge_upsert",
     ):
         spec = registry.get(name)
         if spec is None:
