@@ -228,6 +228,7 @@ _PRIORITY: tuple[str, ...] = (
     "mutate_compact_stable",
     "source_roundtrip_zorder",
     "recursive_cte_chain",
+    "mutate_partitioned_delete",
 )
 
 

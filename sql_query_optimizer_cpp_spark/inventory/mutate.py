@@ -241,3 +241,43 @@ def mutate_dml_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "mutate_partitioned_delete",
+    oracle="SELECT CASE WHEN n_chars > 1500 THEN 'long' ELSE 'short' END "
+    "AS bucket, lang, CAST(COUNT(*) AS BIGINT) AS n_docs "
+    "FROM documents WHERE NOT (lang = 'en' AND n_chars < 500) "
+    "GROUP BY 1, 2 ORDER BY 1, 2",
+    doc="Partitioned copy-on-write DML graded end-to-end: documents "
+    "written hive-partitioned by lang, then DELETE WHERE lang = 'en' AND "
+    "n_chars < 500 — the prune runs over the partitioned read so the "
+    "partition-column predicate prunes every non-en directory before any "
+    "footer is opened, and only en's files swap (per-partition rewrite, "
+    "partition column reconstructed via basePath).  The aggregate over "
+    "the mutated table must equal the oracle's algebraic fold, proving "
+    "the partition column survives the rewrite exactly",
+    tags=("mutate", "sources"),
+)
+def mutate_partitioned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    path = _mut_dir(sf_dir, "documents_bylang")
+    (
+        t["documents"]
+        .repartition(2)
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(path)
+    )
+    delete_where(spark, path, "lang = 'en' AND n_chars < 500")
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy(
+            F.when(F.col("n_chars") > 1500, "long")
+            .otherwise("short")
+            .alias("bucket"),
+            "lang",
+        )
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("bucket", "lang")
+    )

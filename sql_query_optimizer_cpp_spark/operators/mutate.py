@@ -462,20 +462,32 @@ def merge_into(
             raise ValueError(
                 f"MERGE matched_set on unknown columns: {sorted(unknown)}"
             )
+    if insert_values:
+        unknown = set(insert_values) - set(target.columns)
+        if unknown:
+            raise ValueError(
+                f"MERGE insert_values on unknown columns: {sorted(unknown)}"
+            )
     src = source.select(
         *[F.col(c).alias(c if c in on else f"src_{c}") for c in source.columns]
     )
+    has_matched_action = matched_set is not None or matched_delete is not None
     # prune: files containing at least one matched key.  The semijoin runs
     # key-vs-key — at scale AQE broadcasts the (deduplicated, small) key
-    # side and the target never shuffles.
-    hit_rows = (
-        target.select(*on, F.input_file_name().alias("f"))
-        .join(src.select(*on).distinct(), on=on, how="leftsemi")
-        .select("f")
-        .distinct()
-        .collect()
-    )
-    hit = sorted(r["f"] for r in hit_rows)
+    # side and the target never shuffles.  An insert-only merge (no
+    # matched action) skips the prune AND the rewrite entirely — matched
+    # rows are untouched by definition, so rewriting their files would be
+    # pure write amplification.
+    hit: list[str] = []
+    if has_matched_action:
+        hit_rows = (
+            target.select(*on, F.input_file_name().alias("f"))
+            .join(src.select(*on).distinct(), on=on, how="leftsemi")
+            .select("f")
+            .distinct()
+            .collect()
+        )
+        hit = sorted(r["f"] for r in hit_rows)
 
     # inserts: source keys with no target partner (keys stay distributed —
     # never collected).  STAGE the insert rows FIRST, while every target
@@ -501,25 +513,31 @@ def merge_into(
 
     rows_matched = 0
     if hit:
-        sub = spark.read.parquet(*hit)
-        marked = src.withColumn("__matched", F.lit(True))
-        joined = sub.join(marked, on=on, how="left")
-        is_match = F.coalesce(F.col("__matched"), F.lit(False))
-        rows_matched = joined.where(is_match).count()
-        if matched_delete is not None:
-            joined = joined.where(
-                ~(is_match & F.coalesce(_cond(matched_delete), F.lit(False)))
-            )
-        projected = [
-            F.when(is_match, _cond((matched_set or {})[c]))
-            .otherwise(F.col(c))
-            .cast(sub.schema[c].dataType)
-            .alias(c)
-            if c in (matched_set or {})
-            else F.col(c)
-            for c in sub.columns
-        ]
-        _swap_in(spark, path, hit, joined.select(*projected), retain=retain)
+        try:
+            sub = spark.read.parquet(*hit)
+            marked = src.withColumn("__matched", F.lit(True))
+            joined = sub.join(marked, on=on, how="left")
+            is_match = F.coalesce(F.col("__matched"), F.lit(False))
+            rows_matched = joined.where(is_match).count()
+            if matched_delete is not None:
+                joined = joined.where(
+                    ~(is_match & F.coalesce(_cond(matched_delete), F.lit(False)))
+                )
+            projected = [
+                F.when(is_match, _cond((matched_set or {})[c]))
+                .otherwise(F.col(c))
+                .cast(sub.schema[c].dataType)
+                .alias(c)
+                if c in (matched_set or {})
+                else F.col(c)
+                for c in sub.columns
+            ]
+            _swap_in(spark, path, hit, joined.select(*projected), retain=retain)
+        except Exception:
+            # don't orphan the staged inserts when the matched swap fails
+            jvm, fs, _ = _fs(spark, path)
+            fs.delete(jvm.org.apache.hadoop.fs.Path(ins_staging), True)
+            raise
 
     if rows_inserted:
         _move_in(spark, path, ins_staging)
@@ -555,14 +573,15 @@ def compact(
     if target_bytes <= 0 or not (0 < small_ratio <= 1):
         raise ValueError("target_bytes must be > 0 and 0 < small_ratio <= 1")
     jvm, fs, jpath = _fs(spark, path)
+    all_files = list_data_files(spark, path)
     small: list[str] = []
     small_bytes = 0
-    for f in list_data_files(spark, path):
+    for f in all_files:
         sz = fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f)).getLen()
         if sz < target_bytes * small_ratio:
             small.append(f)
             small_bytes += sz
-    files_total = len(list_data_files(spark, path))
+    files_total = len(all_files)
     if len(small) < 2:
         return MutationStats(files_total, 0, 0)
     n_out = max(1, -(-small_bytes // target_bytes))
@@ -692,11 +711,18 @@ def execute_dml(
 
         MERGE INTO t [AS a] USING s [AS b] ON a.k = b.k [AND ...]
         [WHEN MATCHED AND <cond> THEN DELETE]
-        [WHEN MATCHED THEN UPDATE SET col = expr, ...]
-        [WHEN NOT MATCHED THEN INSERT]
+        [WHEN MATCHED [AND <cond>] THEN UPDATE SET col = expr, ...]
+        [WHEN NOT MATCHED [AND <cond>] THEN INSERT [(cols) VALUES (exprs)]]
 
-    INSERT takes no column list: unlisted target columns default to the
-    same-named source column (else NULL), which is the common upsert.
+    Clause semantics match SQL's first-matching-clause rule for the
+    subset this executor supports: when both MATCHED clauses are present,
+    the DELETE must come FIRST and carry a condition (the executor
+    applies the delete predicate before the update; a statement whose
+    textual order says otherwise is rejected rather than silently
+    reordered).  A NOT MATCHED condition may reference only source
+    columns — there is no target row to read.  INSERT without a column
+    list defaults unlisted target columns to the same-named source
+    column (else NULL), the common upsert.
     """
     m = _MERGE_RE.match(text)
     if m:
@@ -711,12 +737,23 @@ def execute_dml(
         matched_delete = None
         want_insert = False
         insert_values = None
+        insert_condition = None
+        saw_update = False
         for neg, cond, action in _WHEN_RE.findall(clauses):
             action_l = action.strip()
+            cond = cond.strip() if cond else None
             if neg:
                 if not action_l.upper().startswith("INSERT"):
                     raise ValueError("WHEN NOT MATCHED supports only INSERT")
                 want_insert = True
+                if cond:
+                    if re.search(rf"\b{re.escape(t_alias)}\.", cond):
+                        raise ValueError(
+                            "WHEN NOT MATCHED condition cannot reference "
+                            f"the target alias {t_alias!r}: there is no "
+                            "target row"
+                        )
+                    insert_condition = _alias_rewrite(cond, t_alias, s_alias)
                 mi = re.fullmatch(
                     r"INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*",
                     action_l,
@@ -741,6 +778,7 @@ def execute_dml(
                         "INSERT (cols) VALUES (exprs)"
                     )
             elif action_l.upper().startswith("UPDATE"):
+                saw_update = True
                 set_text = re.sub(
                     r"^UPDATE\s+SET\s+", "", action_l, flags=re.IGNORECASE
                 )
@@ -750,12 +788,34 @@ def execute_dml(
                     )
                     for k, v in _split_assignments(set_text).items()
                 }
+                if cond:
+                    # per-clause condition: rows matched but failing it
+                    # keep their old values (merge_into applies the set
+                    # to every matched row, so fold the condition in)
+                    guard = _alias_rewrite(cond, t_alias, s_alias)
+                    matched_set = {
+                        k: f"CASE WHEN ({guard}) THEN ({v}) ELSE ({k}) END"
+                        for k, v in matched_set.items()
+                    }
             elif action_l.upper() == "DELETE":
+                if saw_update:
+                    raise ValueError(
+                        "WHEN MATCHED DELETE after WHEN MATCHED UPDATE: "
+                        "SQL applies the first matching clause, but this "
+                        "executor evaluates the delete predicate first — "
+                        "put the (conditional) DELETE clause before the "
+                        "UPDATE"
+                    )
                 matched_delete = (
                     _alias_rewrite(cond, t_alias, s_alias) if cond else "true"
                 )
             else:
                 raise ValueError(f"unsupported MERGE action {action_l!r}")
+        if matched_delete == "true" and matched_set is not None:
+            raise ValueError(
+                "an unconditional WHEN MATCHED DELETE makes the UPDATE "
+                "clause unreachable; give the DELETE a condition"
+            )
         source = spark.read.parquet(tables[s_name])
         return merge_into(
             spark,
@@ -766,7 +826,9 @@ def execute_dml(
             matched_delete=matched_delete,
             insert_values=insert_values,
             # without a NOT MATCHED clause, unmatched source rows are no-ops
-            insert_condition=None if want_insert else "false",
+            insert_condition=(
+                insert_condition if want_insert else "false"
+            ),
         )
     m = _UPDATE_RE.match(text)
     if m:
@@ -818,12 +880,20 @@ def _write_small_file(spark: SparkSession, path: str, data: bytes) -> None:
 
 
 def _rel_to_table(path: str, file_uri: str) -> str:
-    """Manifest entries are table-relative so the table stays movable."""
-    marker = path.rstrip("/").split("/")[-1] + "/"
-    idx = file_uri.find(marker)
-    if idx < 0:
+    """Manifest entries are table-relative so the table stays movable.
+
+    Compare the PATH COMPONENTS of both URIs (scheme/authority stripped),
+    not a basename marker: a marker search breaks the moment the table's
+    directory name repeats earlier in the path (``/data/sales/sales``),
+    and ``file:///x`` vs ``file:/x`` vs bare ``/x`` must all agree.
+    """
+    from urllib.parse import urlparse
+
+    table_p = urlparse(path).path.rstrip("/")
+    file_p = urlparse(file_uri).path
+    if not file_p.startswith(table_p + "/"):
         raise ValueError(f"{file_uri} is not under table {path}")
-    return file_uri[idx + len(marker):]
+    return file_p[len(table_p) + 1:]
 
 
 def create_snapshot(spark: SparkSession, path: str, name: str) -> int:

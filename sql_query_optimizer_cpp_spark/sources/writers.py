@@ -101,6 +101,10 @@ def write(
         # ``(n, cols)``: file count must be pinned — the z-key's range is
         # synthetic, so "one file per range partition" IS the layout knob
         n, zcols = zorder
+        if isinstance(zcols, str):
+            # same (8, "ts") trap sort_for_skipping guards against:
+            # list("ts") would silently z-order by columns 't' and 's'
+            zcols = [zcols]
         df = (
             df.withColumn("__z", zorder_key(df, list(zcols)))
             .repartitionByRange(n, "__z")

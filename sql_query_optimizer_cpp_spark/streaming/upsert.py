@@ -12,12 +12,22 @@ target:
 - otherwise → WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT.
 
 Cross-batch ordering: updates are guarded by ``src_ts >= ts`` (evaluated
-over the joined row — merge_into keeps both sides in scope), so a late
-micro-batch replaying an older change can never overwrite a newer row:
-last-writer-wins by event time, not by arrival order.  At-least-once
-``foreachBatch`` redelivery is likewise idempotent for updates/deletes by
-the same guard; an insert redelivery is matched (not re-inserted) on the
-second pass.
+over the joined row — merge_into keeps both sides in scope; a NULL target
+ts counts as oldest so seed rows without a version are still updatable),
+so a late micro-batch replaying an older change can never OVERWRITE a
+newer row: last-writer-wins by event time, not by arrival order.
+At-least-once ``foreachBatch`` redelivery is likewise idempotent for
+updates/deletes by the same guard; an insert redelivery is matched (not
+re-inserted) on the second pass.
+
+Honest limitation: deletes leave no tombstone STATE behind, so an
+out-of-order stale update arriving AFTER the delete that superseded it
+finds no row to compare timestamps against and re-inserts it.  Guarding
+that needs retained tombstones (Delta's APPLY CHANGES keeps them
+internally); this executor instead assumes what real changelog transports
+(Kafka/Debezium, partitioned by key) provide — per-key in-order delivery
+ACROSS batches — and the ts guard handles the within-batch and
+replayed-batch cases.
 
 Scale posture: the merge prunes target files by key semijoin, so a
 micro-batch touching k keys rewrites O(files containing those keys), not
@@ -70,7 +80,10 @@ def apply_changes_batch(
     winners = latest_change_per_key(batch, on, ts_col, op_col)
     payload = [c for c in winners.columns if c != op_col]
     src = winners.select(*payload, F.col(op_col))
-    newer = f"src_{ts_col} >= {ts_col}"
+    # NULL target ts = unversioned seed row: treat as oldest, else the
+    # three-valued comparison freezes it forever (never updatable or
+    # deletable while its file still gets rewritten)
+    newer = f"(src_{ts_col} >= {ts_col} OR {ts_col} IS NULL)"
     matched_set = {
         c: f"CASE WHEN {newer} THEN src_{c} ELSE {c} END"
         for c in payload

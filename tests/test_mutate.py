@@ -383,3 +383,80 @@ def test_execute_dml_merge(spark, cow_table, tmp_path):
             "MERGE INTO t USING s ON t.k = s.newv WHEN MATCHED THEN DELETE",
             tables,
         )
+
+
+def test_merge_insert_only_rewrites_no_files(spark, cow_table):
+    before = _names(spark, cow_table)
+    src = spark.createDataFrame([Row(k=10, v=0.0), Row(k=7777, v=7.0)])
+    st = merge_into(spark, cow_table, src, on=["k"])  # no matched action
+    assert st.files_rewritten == 0 and st.rows_inserted == 1
+    # matched files untouched byte-for-byte (same names on disk)
+    assert before <= _names(spark, cow_table)
+    back = spark.read.parquet(cow_table)
+    assert back.count() == 401
+    assert back.where("k = 10").first()["v"] == 10 % 7  # unchanged
+
+
+def test_merge_insert_values_unknown_column_raises(spark, cow_table):
+    src = spark.createDataFrame([Row(k=7778, delta=1.0)])
+    with pytest.raises(ValueError, match="insert_values on unknown"):
+        merge_into(
+            spark, cow_table, src, on=["k"], insert_values={"vaule": "0"}
+        )
+
+
+def test_execute_dml_merge_clause_conditions(spark, cow_table, tmp_path):
+    src_path = str(tmp_path / "condsrc")
+    spark.createDataFrame(
+        [
+            Row(k=20, newv=1.0, score=10),   # matched, passes UPDATE cond
+            Row(k=21, newv=2.0, score=0),    # matched, fails UPDATE cond
+            Row(k=8888, newv=3.0, score=10), # unmatched, passes INSERT cond
+            Row(k=8889, newv=4.0, score=0),  # unmatched, fails INSERT cond
+        ]
+    ).coalesce(1).write.parquet(src_path)
+    tables = {"t": cow_table, "s": src_path}
+    st = execute_dml(
+        spark,
+        """MERGE INTO t USING s ON t.k = s.k
+           WHEN MATCHED AND s.score > 5 THEN UPDATE SET v = s.newv
+           WHEN NOT MATCHED AND s.score > 5 THEN INSERT (v) VALUES (s.newv)""",
+        tables,
+    )
+    assert st.rows_inserted == 1  # only the passing unmatched row
+    back = spark.read.parquet(cow_table)
+    assert back.where("k = 20").first()["v"] == 1.0       # cond passed
+    assert back.where("k = 21").first()["v"] == 21 % 7    # cond failed: kept
+    assert back.where("k = 8888").count() == 1
+    assert back.where("k = 8889").count() == 0
+
+    # NOT MATCHED condition may not read the target row
+    with pytest.raises(ValueError, match="cannot reference"):
+        execute_dml(
+            spark,
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN NOT MATCHED AND t.v > 0 THEN INSERT",
+            tables,
+        )
+
+
+def test_execute_dml_merge_clause_order_enforced(spark, cow_table, tmp_path):
+    src_path = str(tmp_path / "ordsrc")
+    spark.createDataFrame([Row(k=1, newv=0.0)]).coalesce(1).write.parquet(src_path)
+    tables = {"t": cow_table, "s": src_path}
+    with pytest.raises(ValueError, match="DELETE clause before"):
+        execute_dml(
+            spark,
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.newv "
+            "WHEN MATCHED AND s.newv = 0 THEN DELETE",
+            tables,
+        )
+    with pytest.raises(ValueError, match="unreachable"):
+        execute_dml(
+            spark,
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN MATCHED THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET v = s.newv",
+            tables,
+        )

@@ -254,3 +254,14 @@ def test_zorder_write_clusters_both_dims(tmp_path, spark):
     # probe on y must open every file
     assert avg_files_hit("lin", "x") <= 2
     assert avg_files_hit("lin", "y") >= 15
+
+
+def test_zorder_single_column_string_normalized(tmp_path, spark):
+    """zorder=(n, "col") — scalar string column — must not be iterated
+    per-character (the (8, 'ts') trap sort_for_skipping guards against)."""
+    from sql_query_optimizer_cpp_spark.sources.writers import write
+
+    df = spark.range(100).selectExpr("CAST(id AS DOUBLE) AS ts", "id AS payload")
+    write(df, path=str(tmp_path / "zs"), zorder=(2, "ts"))
+    back = spark.read.parquet(str(tmp_path / "zs"))
+    assert back.count() == 100 and set(back.columns) == {"ts", "payload"}

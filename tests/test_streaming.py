@@ -353,3 +353,22 @@ def test_stream_apply_changes_upserts_table(tmp_path, spark):
     want[5] = (55.0, 15)
     # k=20: inserted in b1, deleted in b2 -> absent
     assert got == want
+
+
+def test_apply_changes_null_ts_seed_rows_updatable(tmp_path, spark):
+    """A seed row with NULL version ts must count as oldest — updatable
+    and deletable — not frozen by three-valued `src_ts >= NULL`."""
+    from sql_query_optimizer_cpp_spark.streaming.upsert import apply_changes_batch
+
+    target = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, 10.0, None), (2, 20.0, None), (3, 30.0, 5)],
+        "k long, v double, ts long",
+    ).coalesce(1).write.parquet(target)
+    batch = spark.createDataFrame(
+        [(1, "U", 11.0, 7), (2, "D", None, 7)],
+        "k long, op string, v double, ts long",
+    )
+    apply_changes_batch(spark, batch, target, on=["k"])
+    got = {r.k: (r.v, r.ts) for r in spark.read.parquet(target).collect()}
+    assert got == {1: (11.0, 7), 3: (30.0, 5)}
