@@ -7,6 +7,8 @@ verbs with Catalyst doing the work:
 
     eng = Engine(spark, sf_dir)         # session + catalog (views)
     eng.sql(text)                       # execute -> DataFrame
+    eng.dml(text, tables)               # UPDATE/DELETE/MERGE, executed
+                                        #   copy-on-write (ref: parse-only)
     eng.explain(text)                   # reference-style plan tree + stats
     eng.optimize(text)                  # rewrite report WITHOUT executing
                                         #   (= the standalone sqlopt.cpp path)
@@ -122,6 +124,22 @@ class Engine:
         if self.enable_pre_rewrites:
             text = pre_rewrite(text).sql
         return self.spark.sql(text)
+
+    # -- DML (S7/S8 executed; the reference parses and stops) --------------
+    def dml(self, text: str, tables: dict[str, str]):
+        """Execute UPDATE / DELETE / MERGE copy-on-write against parquet
+        table directories (``tables`` maps statement table names to
+        paths).  The reference builds the AST for these and refuses to
+        run them (engine/src/parser.cpp:232-296); this executes via
+        operators.mutate with file-level pruning.  Returns MutationStats.
+
+        Deliberately takes explicit paths rather than the engine's
+        fixture views: the fixtures are read-only test inputs, and a DML
+        surface that could silently point at them would be a footgun.
+        """
+        from .operators.mutate import execute_dml
+
+        return execute_dml(self.spark, text, tables)
 
     # -- explain (entry point B, SURVEY §3.2 — ours doesn't also execute) --
     def explain(self, text: str) -> str:

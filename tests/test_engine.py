@@ -224,3 +224,17 @@ def test_analyze_tables_rematerializes_on_sf_dir_change(spark, tmp_path):
     # and switching back re-materializes again
     C.analyze_tables(spark, SF_DIR, names=("region",))
     assert spark.table("stats_region").count() == n_before
+
+
+def test_engine_dml_executes(engine, spark, tmp_path):
+    """S7/S8 through the Engine facade: the reference's parse-only verbs
+    execute here, against explicit paths (never the fixture views)."""
+    path = str(tmp_path / "t")
+    spark.range(10).selectExpr("id AS k", "id * 2.0 AS v").write.parquet(path)
+    st = engine.dml("DELETE FROM t WHERE k >= 8", {"t": path})
+    assert st.rows_matched == 2
+    st = engine.dml("UPDATE t SET v = 0.0 WHERE k = 0", {"t": path})
+    assert st.rows_matched == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 8
+    assert back.where("k = 0").first()["v"] == 0.0

@@ -49,6 +49,16 @@ from sql_query_optimizer_cpp_spark.operators.cache import release_cached
 
 from pyspark.sql.types import ArrayType, MapType, StructType
 
+# SIM_ONLY=name1,name2 restricts the replay (targeted stress runs at
+# bigger SFs, where the full 187-query sweep would take hours)
+only = os.environ.get("SIM_ONLY")
+if only:
+    wanted = {n.strip() for n in only.split(",") if n.strip()}
+    missing = wanted - set(q)
+    if missing:
+        raise SystemExit(f"SIM_ONLY names not in registry: {sorted(missing)}")
+    q = {n: fn for n, fn in q.items() if n in wanted}
+
 for name in q:
     sdf = q[name](spark, SF)
     # The real driver hash-compares through a pandas DataFrame whose
