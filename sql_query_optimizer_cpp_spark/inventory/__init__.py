@@ -229,6 +229,8 @@ _PRIORITY: tuple[str, ...] = (
     "source_roundtrip_zorder",
     "recursive_cte_chain",
     "mutate_partitioned_delete",
+    "mutate_snapshot_diff",
+    "mutate_apply_changes",
 )
 
 

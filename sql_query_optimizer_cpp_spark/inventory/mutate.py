@@ -281,3 +281,132 @@ def mutate_partitioned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_docs"))
         .orderBy("bucket", "lang")
     )
+
+
+@register(
+    "mutate_snapshot_diff",
+    oracle="SELECT 'live' AS version, lang, CAST(COUNT(*) AS BIGINT) AS n_docs "
+    "FROM documents WHERE NOT (lang = 'en' AND n_chars < 400) GROUP BY lang "
+    "UNION ALL "
+    "SELECT 'v1', lang, CAST(COUNT(*) AS BIGINT) FROM documents GROUP BY lang "
+    "ORDER BY version, lang",
+    doc="Snapshot + time travel graded end-to-end: pin v1, DELETE with "
+    "retain=True (superseded files retire instead of deleting), then "
+    "aggregate BOTH the live table and the v1 time-travel read in one "
+    "result — the oracle computes v1 from the untouched fixture and live "
+    "from the algebraic fold, so equality proves the pinned manifest "
+    "reconstructs the pre-DML table exactly while the live read sees the "
+    "mutation (a consistent version IS a file list under COW)",
+    tags=("mutate", "sources"),
+)
+def mutate_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mutate import create_snapshot, read_snapshot
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    path = _mut_dir(sf_dir, "documents_ttravel")
+    (
+        t["documents"]
+        .repartitionByRange(4, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    create_snapshot(spark, path, "v1")
+    delete_where(spark, path, "lang = 'en' AND n_chars < 400", retain=True)
+    live = (
+        spark.read.parquet(path)
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .select(F.lit("live").alias("version"), "lang", "n_docs")
+    )
+    v1 = (
+        read_snapshot(spark, path, "v1")
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .select(F.lit("v1").alias("version"), "lang", "n_docs")
+    )
+    return live.unionAll(v1).orderBy("version", "lang")
+
+
+@register(
+    "mutate_apply_changes",
+    oracle="WITH base AS ("
+    "  SELECT c_custkey, c_mktsegment, "
+    "    CASE WHEN c_custkey BETWEEN 30 AND 40 THEN c_custkey * 100.0 "
+    "         WHEN c_custkey < 30 THEN c_custkey * 10.0 "
+    "         ELSE c_acctbal END AS acctbal "
+    "  FROM customer WHERE c_custkey >= 10), "
+    "ins AS (SELECT c_custkey + 1000000 AS c_custkey, "
+    "  CAST(NULL AS VARCHAR) AS c_mktsegment, c_custkey * 10.0 AS acctbal "
+    "  FROM customer WHERE c_custkey < 5), "
+    "final AS (SELECT * FROM base UNION ALL SELECT * FROM ins) "
+    "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n, "
+    + dsum_sql("acctbal")
+    + " AS total FROM final GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    doc="CDC APPLY CHANGES graded end-to-end (batch twin of "
+    "streaming/upsert.py): two deterministic change batches — upserts at "
+    "ts=10 (updates for custkey<30, inserts at +1000000 for custkey<5), "
+    "then tombstones at ts=20 for custkey<10 plus a STALE ts=5 update "
+    "wave for 20..40 — merge into a versioned customer copy.  The stale "
+    "wave must lose against rows already updated at ts=10 (20..29) and "
+    "win against seed rows at ts=0 (30..40); the oracle folds exactly "
+    "that last-writer-wins outcome, proving event-time ordering, "
+    "tombstones, and insert routing in one result",
+    tags=("mutate", "streaming"),
+)
+def mutate_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.upsert import apply_changes_batch
+
+    t = load_tables(spark, sf_dir, ("customer",))
+    path = _mut_dir(sf_dir, "customer_cdc")
+    cust = t["customer"]
+    (
+        cust.select(
+            "c_custkey",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "c_mktsegment",
+            F.lit(0).cast("long").alias("ts"),
+        )
+        .repartitionByRange(4, "c_custkey")
+        .sortWithinPartitions("c_custkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    keys = cust.select("c_custkey")
+    b1 = keys.where("c_custkey < 30").select(
+        "c_custkey",
+        F.lit("U").alias("op"),
+        (F.col("c_custkey") * 10.0).alias("c_acctbal"),
+        F.lit(10).cast("long").alias("ts"),
+    ).unionAll(
+        keys.where("c_custkey < 5").select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            F.lit("U").alias("op"),
+            (F.col("c_custkey") * 10.0).alias("c_acctbal"),
+            F.lit(10).cast("long").alias("ts"),
+        )
+    )
+    b2 = keys.where("c_custkey < 10").select(
+        "c_custkey",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(20).cast("long").alias("ts"),
+    ).unionAll(
+        keys.where("c_custkey BETWEEN 20 AND 40").select(
+            "c_custkey",
+            F.lit("U").alias("op"),
+            (F.col("c_custkey") * 100.0).alias("c_acctbal"),
+            F.lit(5).cast("long").alias("ts"),
+        )
+    )
+    for batch in (b1, b2):
+        apply_changes_batch(spark, batch, path, on=["c_custkey"])
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dsum("c_acctbal").alias("total"),
+        )
+        .orderBy("c_mktsegment")
+    )
