@@ -94,10 +94,14 @@ class Engine:
 
     # -- execute ---------------------------------------------------------
     def sql(self, text: str) -> DataFrame:
-        """Parse/optimize/execute via Catalyst (entry point A, SURVEY §3.1)."""
-        if self.enable_pre_rewrites:
-            text = pre_rewrite(text).sql
-        return self.spark.sql(text)
+        """Parse/optimize/execute via Catalyst (entry point A, SURVEY §3.1).
+
+        Delegates to the single pre-rewrite gate (:meth:`_plan`) so the
+        executed query can never drift from what explain/trace/cost/
+        advice describe — keeping two copies of the gate is how that bug
+        happens.
+        """
+        return self._plan(text)
 
     def frame(self, name: str) -> DataFrame:
         """DataFrame-builder entry: a registered table by name (S1 scan)."""
@@ -168,10 +172,15 @@ class Engine:
             graph_from_plan,
         )
 
-        df = self.spark.sql(text)
+        # through the pre-rewrite gate: the advice must describe the query
+        # sql() would actually execute, not the raw text
+        df = self._plan(text)
         graph, as_written = graph_from_plan(df)
-        # seeding the population with the as-written order makes
-        # "advised never costs more than what you wrote" an invariant
+        # seeding the population with the as-written order guarantees the
+        # advised order never loses under the GA's OWN fitness (fewest
+        # cross joins first, then cost) — on graphs where avoiding a
+        # cartesian step is worth more than its raw-cost penalty, the
+        # reported scalar cost CAN exceed the as-written cost, by design
         order, cost = genetic_join_order(graph, seed=seed, seeds=[as_written])
         return JoinOrderAdvice(
             order=order,

@@ -5,7 +5,9 @@ cli skips DML execution).  These queries EXECUTE the verbs against a
 freshly-materialized parquet copy of a fixture table, then aggregate the
 mutated table; the DuckDB oracle computes the same aggregate directly from
 the ORIGINAL fixture with the mutation folded in algebraically
-(DELETE → NOT(pred) filter, UPDATE → CASE, MERGE → LEFT JOIN + anti UNION).
+(DELETE → NOT COALESCE(pred, FALSE) filter — NULL-faithful, matching the
+executed verb's three-valued keep rule — UPDATE → CASE, MERGE → LEFT JOIN
++ anti UNION).
 Equality therefore proves the executed COW semantics end-to-end: predicate
 three-valued logic, file swap losslessness, schema stability of rewritten
 files, and upsert matched/unmatched routing.
@@ -39,8 +41,13 @@ from ..operators.mutate import (
 
 
 def _mut_dir(sf_dir: str, leaf: str) -> str:
+    # keyed by sf AND pid: a pytest run and a sim replay racing on one
+    # shared COW dir would see overwrite-vs-read FileNotFound flakes (the
+    # writer lock guards the DML verbs, not the base-copy rebuild)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), f"sqos_mut_{tag}", leaf)
+    return os.path.join(
+        tempfile.gettempdir(), f"sqos_mut_{tag}_{os.getpid()}", leaf
+    )
 
 
 @register(
@@ -50,12 +57,13 @@ def _mut_dir(sf_dir: str, leaf: str) -> str:
     "AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, "
     + dsum_sql("o_totalprice")
     + " AS total FROM orders "
-    "WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000) "
+    "WHERE NOT COALESCE(o_orderstatus = 'F' AND o_totalprice < 50000, FALSE) "
     "GROUP BY 1, 2 ORDER BY 1, 2",
     doc="S7/S8 executed (beyond the reference's parse-only surface): DELETE "
     "then UPDATE run copy-on-write against a range-clustered parquet copy "
     "of orders; the aggregate of the mutated table must equal the oracle's "
-    "algebraic fold (NOT(pred) filter + CASE) over the original fixture — "
+    "algebraic fold (NOT COALESCE(pred, FALSE) filter + CASE) over the "
+    "original fixture — "
     "proving three-valued DELETE logic, the stage-then-swap file exchange, "
     "and that rewritten files keep the untouched files' schema",
     tags=("mutate", "sources"),
@@ -152,7 +160,7 @@ def mutate_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mutate_compact_stable",
     oracle="SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
     "CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents "
-    "WHERE NOT (lang = 'en' AND n_chars < 300) "
+    "WHERE NOT COALESCE(lang = 'en' AND n_chars < 300, FALSE) "
     "GROUP BY source ORDER BY source",
     doc="OPTIMIZE-style compaction graded end-to-end: documents written "
     "deliberately fragmented (16 small files), point-DELETEd copy-on-write, "
@@ -189,7 +197,7 @@ def mutate_compact_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
     "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
     "CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) "
     "AS n_patched "
-    "FROM documents WHERE NOT (n_chars < 200) "
+    "FROM documents WHERE NOT COALESCE(n_chars < 200, FALSE) "
     "GROUP BY 1 ORDER BY 1",
     doc="The textual DML front-end end-to-end (parser parity with "
     "engine/src/parser.cpp:232-296, plus execution the reference never "
@@ -247,7 +255,7 @@ def mutate_dml_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mutate_partitioned_delete",
     oracle="SELECT CASE WHEN n_chars > 1500 THEN 'long' ELSE 'short' END "
     "AS bucket, lang, CAST(COUNT(*) AS BIGINT) AS n_docs "
-    "FROM documents WHERE NOT (lang = 'en' AND n_chars < 500) "
+    "FROM documents WHERE NOT COALESCE(lang = 'en' AND n_chars < 500, FALSE) "
     "GROUP BY 1, 2 ORDER BY 1, 2",
     doc="Partitioned copy-on-write DML graded end-to-end: documents "
     "written hive-partitioned by lang, then DELETE WHERE lang = 'en' AND "
@@ -286,7 +294,7 @@ def mutate_partitioned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mutate_snapshot_diff",
     oracle="SELECT 'live' AS version, lang, CAST(COUNT(*) AS BIGINT) AS n_docs "
-    "FROM documents WHERE NOT (lang = 'en' AND n_chars < 400) GROUP BY lang "
+    "FROM documents WHERE NOT COALESCE(lang = 'en' AND n_chars < 400, FALSE) GROUP BY lang "
     "UNION ALL "
     "SELECT 'v1', lang, CAST(COUNT(*) AS BIGINT) FROM documents GROUP BY lang "
     "ORDER BY version, lang",

@@ -26,7 +26,9 @@ spark = (
 df = e.entry(spark)
 rows = df.collect()
 print(f"t1 entry: {len(rows)} rows, schema={df.columns}", flush=True)
-assert len(rows) >= 0
+# the real driver's t1 gate is rows > 0; a >= 0 check here once made a
+# 0-row entry() regression invisible to the sim
+assert len(rows) > 0, "entry() returned no rows — the driver's t1 gate reds"
 
 # t2 oracle comparison
 con = duckdb.connect()
@@ -80,6 +82,9 @@ for name in q:
                 "driver's pandas hasher cannot grade these; serialize the "
                 "projection (array_join / to_json)"
             )
+            # still drop tracked persists: skipping the release here would
+            # leak this query's caches into the rest of the marathon
+            release_cached()
             continue
     srows = [tuple(r) for r in sdf.collect()]
     # drop tracked persists (shingle/edge frames) now that the query is
