@@ -197,15 +197,33 @@ def _writer_lock(spark: SparkSession, path: str):
     lock = jvm.org.apache.hadoop.fs.Path(table_path, LOCK_FILE)
     try:
         out = fs.create(lock, False)
-        out.write(bytearray(uuid.uuid4().hex.encode()))
-        out.close()
-    except Exception as e:  # py4j wraps FileAlreadyExistsException
-        if "AlreadyExists" in str(e) or "already exists" in str(e):
+    except Exception as e:  # py4j wraps the Java exception
+        # match the Java exception CLASS (org.apache.hadoop.fs. /
+        # java.nio.file.FileAlreadyExistsException) — free-text matching
+        # breaks across FileSystem implementations; keep a message
+        # fallback only for wrappers that drop the class
+        cls = ""
+        je = getattr(e, "java_exception", None)
+        if je is not None:
+            with contextlib.suppress(Exception):
+                cls = je.getClass().getName()
+        if cls.endswith("FileAlreadyExistsException") or (
+            not cls and "already exists" in str(e).lower()
+        ):
             raise RuntimeError(
                 f"another writer holds {lock}: concurrent COW DML is "
                 "refused (single-writer). If the previous writer crashed, "
                 "remove the lock file after confirming nothing is running."
             ) from None
+        raise
+    try:
+        # a failure after the create must not leak the lock — a leaked
+        # lock wedges every future DML on the table until manual removal
+        out.write(bytearray(uuid.uuid4().hex.encode()))
+        out.close()
+    except Exception:
+        with contextlib.suppress(Exception):
+            fs.delete(lock, False)
         raise
     try:
         yield
@@ -222,6 +240,17 @@ def _with_writer_lock(fn):
             return fn(spark, path, *args, **kwargs)
 
     return wrapper
+
+
+def _default_retain(spark: SparkSession, path: str, retain: bool | None) -> bool:
+    """``retain=None`` (the verbs' default) auto-retains when the table has
+    snapshot manifests: deleting superseded files out from under a pinned
+    manifest would break time travel later and misdirect the blame at
+    ``vacuum``.  Explicit ``False`` still deletes — the caller owns the
+    consequences."""
+    if retain is not None:
+        return retain
+    return bool(list_snapshots(spark, path))
 
 
 def _retire_files(spark: SparkSession, path: str, files: list[str]) -> None:
@@ -315,13 +344,14 @@ def delete_where(
     spark: SparkSession,
     path: str,
     condition: str | Column,
-    retain: bool = False,
+    retain: bool | None = None,
 ) -> MutationStats:
     """``DELETE FROM <path> WHERE condition`` — SQL three-valued logic:
     only rows where the predicate is TRUE are deleted; NULL keeps the row
     (exactly what ``DELETE`` does in every SQL engine).  Works on flat and
     hive-partitioned tables (per-partition swap; partition-column
     predicates prune whole directories)."""
+    retain = _default_retain(spark, path, retain)
     cond = _cond(condition)
     if is_partitioned(spark, path):
         def build(sub: DataFrame, part_cols: list[str]):
@@ -348,7 +378,7 @@ def update_where(
     path: str,
     set_map: dict[str, str | Column],
     condition: str | Column,
-    retain: bool = False,
+    retain: bool | None = None,
 ) -> MutationStats:
     """``UPDATE <path> SET col = expr, ... WHERE condition``.
 
@@ -360,6 +390,7 @@ def update_where(
     column is refused — changing a row's partition value means moving it
     between directories, which is a delete+insert, not an update.
     """
+    retain = _default_retain(spark, path, retain)
     cond = _cond(condition)
     if is_partitioned(spark, path):
         full_cols = spark.read.parquet(path).columns
@@ -421,7 +452,8 @@ def merge_into(
     check_unique: bool = True,
     matched_delete: str | Column | None = None,
     insert_condition: str | Column | None = None,
-    retain: bool = False,
+    retain: bool | None = None,
+    max_pruned_files: int | None = 100_000,
 ) -> MutationStats:
     """``MERGE INTO <path> USING source ON keys`` — upsert, copy-on-write.
 
@@ -441,7 +473,16 @@ def merge_into(
     ``check_unique`` guards the classic silent-corruption mode: a source
     with duplicate keys would multiply matched target rows.  The guard is
     one aggregation over the (small) source; Delta raises the same error.
+
+    ``max_pruned_files`` bounds the one driver-side metadata transfer the
+    prune makes: the matched-file NAME list (what Delta keeps in its log —
+    names, never rows).  A merge whose keys touch more files than the
+    bound skips the per-file prune and rewrites the whole table instead —
+    at that match breadth the prune saves little and its list would cost
+    driver memory.  The limit+fallback means at most ``max_pruned_files+1``
+    names ever cross the driver.
     """
+    retain = _default_retain(spark, path, retain)
     for k in on:
         if k not in source.columns:
             raise ValueError(f"merge key {k!r} missing from source")
@@ -480,14 +521,21 @@ def merge_into(
     # pure write amplification.
     hit: list[str] = []
     if has_matched_action:
-        hit_rows = (
+        hit_df = (
             target.select(*on, F.input_file_name().alias("f"))
             .join(src.select(*on).distinct(), on=on, how="leftsemi")
             .select("f")
             .distinct()
-            .collect()
         )
-        hit = sorted(r["f"] for r in hit_rows)
+        if max_pruned_files is not None:
+            hit_df = hit_df.limit(max_pruned_files + 1)
+        hit_rows = hit_df.collect()
+        if max_pruned_files is not None and len(hit_rows) > max_pruned_files:
+            # prune list exceeds the metadata bound: full-table COW
+            # rewrite (same result, no unbounded driver list)
+            hit = list(files)
+        else:
+            hit = sorted(r["f"] for r in hit_rows)
 
     # inserts: source keys with no target partner (keys stay distributed —
     # never collected).  STAGE the insert rows FIRST, while every target
@@ -554,7 +602,7 @@ def compact(
     path: str,
     target_bytes: int = 128 * 1024 * 1024,
     small_ratio: float = 0.5,
-    retain: bool = False,
+    retain: bool | None = None,
 ) -> MutationStats:
     """Bin-pack small files into ~``target_bytes`` files (OPTIMIZE-style
     compaction, the companion every COW table needs).
@@ -570,6 +618,7 @@ def compact(
 
     ``rows_matched`` in the returned stats is the row count that moved.
     """
+    retain = _default_retain(spark, path, retain)
     if target_bytes <= 0 or not (0 < small_ratio <= 1):
         raise ValueError("target_bytes must be > 0 and 0 < small_ratio <= 1")
     jvm, fs, jpath = _fs(spark, path)
@@ -597,55 +646,110 @@ def compact(
 # assignments + one WHERE; this front-end parses that same shape and then —
 # unlike the reference — EXECUTES it through the COW verbs above.
 
+# WHERE is OPTIONAL, matching the reference grammar
+# (engine/src/parser.cpp parse_update/parse_delete): a full-table
+# ``DELETE FROM t`` / ``UPDATE t SET ...`` executes with condition TRUE.
+# The UPDATE regex captures everything after SET; the WHERE split happens
+# quote-aware in _find_top_where (a literal containing ' WHERE ' must not
+# split the statement).
 _UPDATE_RE = re.compile(
-    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)\s+WHERE\s+(.+?)\s*;?\s*$",
+    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DELETE_RE = re.compile(
-    r"^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*$",
+    r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
 
-def _split_values(text: str):
-    """Split a VALUES list on depth-0 commas (commas inside calls stay)."""
-    depth, buf = 0, []
-    for ch in text:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
-            yield "".join(buf).strip()
-            buf = []
+def _segments(text: str):
+    """Yield ``(piece, is_string_literal)`` pieces of a SQL expression,
+    splitting out single-quoted literals (with ``''`` as SQL's escaped
+    quote).  Every structural scan below — comma splitting, WHERE
+    detection, alias rewriting — walks these segments and leaves literal
+    pieces untouched: an expression like ``SET note = 's.tag'`` must keep
+    its literal byte-for-byte, never have the alias pattern rewritten
+    inside it (silent data corruption)."""
+    i, n, start = 0, len(text), 0
+    while i < n:
+        if text[i] == "'":
+            if i > start:
+                yield text[start:i], False
+            j = i + 1
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            if j >= n:
+                raise ValueError(f"unterminated string literal in {text!r}")
+            yield text[i : j + 1], True
+            start = i = j + 1
         else:
-            buf.append(ch)
-    if buf:
-        yield "".join(buf).strip()
+            i += 1
+    if start < n:
+        yield text[start:], False
+
+
+def _split_depth0(text: str) -> list[str]:
+    """Split on commas at paren-depth 0 outside string literals (commas
+    inside function calls and inside ``'a,b'`` stay put)."""
+    parts, depth, buf = [], 0, []
+    for seg, quoted in _segments(text):
+        if quoted:
+            buf.append(seg)
+            continue
+        for ch in seg:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+    parts.append("".join(buf))
+    return parts
+
+
+def _split_values(text: str):
+    """Split a VALUES list on depth-0 unquoted commas."""
+    for p in _split_depth0(text):
+        yield p.strip()
 
 
 def _split_assignments(text: str) -> dict[str, str]:
-    """Split ``a = f(x, y), b = z`` on depth-0 commas only — a naive
-    ``split(',')`` would cut inside function-call argument lists."""
-    parts, depth, buf = [], 0, []
-    for ch in text:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
-            parts.append("".join(buf))
-            buf = []
-        else:
-            buf.append(ch)
-    parts.append("".join(buf))
+    """Split ``a = f(x, y), b = 'lit,eral'`` into assignments — quote- and
+    depth-aware; a naive ``split(',')`` would cut inside call argument
+    lists or string literals."""
     out = {}
-    for p in parts:
+    for p in _split_depth0(text):
         col, eq, expr = p.partition("=")
         if not eq or not col.strip() or not expr.strip():
             raise ValueError(f"malformed SET assignment: {p.strip()!r}")
         out[col.strip()] = expr.strip()
     return out
+
+
+def _find_top_where(text: str) -> int:
+    """Index of the first WHERE keyword at paren-depth 0 outside string
+    literals, or -1 — so ``SET note = 'x WHERE y'`` is not split there."""
+    depth, pos = 0, 0
+    for seg, quoted in _segments(text):
+        if not quoted:
+            for m in re.finditer(r"[()]|\bWHERE\b", seg, flags=re.IGNORECASE):
+                tok = m.group()
+                if tok == "(":
+                    depth += 1
+                elif tok == ")":
+                    depth -= 1
+                elif depth == 0:
+                    return pos + m.start()
+        pos += len(seg)
+    return -1
 
 
 _MERGE_RE = re.compile(
@@ -667,12 +771,18 @@ _WHEN_RE = re.compile(
 def _alias_rewrite(expr: str, t_alias: str | None, s_alias: str | None) -> str:
     """Translate ``t.col`` → ``col`` and ``s.col`` → ``src_col`` so the
     statement's alias-qualified expressions land in merge_into's joined
-    scope (target columns bare, source columns ``src_``-prefixed)."""
-    if s_alias:
-        expr = re.sub(rf"\b{re.escape(s_alias)}\.(\w+)", r"src_\1", expr)
-    if t_alias:
-        expr = re.sub(rf"\b{re.escape(t_alias)}\.(\w+)", r"\1", expr)
-    return expr
+    scope (target columns bare, source columns ``src_``-prefixed).
+    String literals pass through untouched: ``'s.tag'`` is data, not an
+    alias reference."""
+    out = []
+    for seg, quoted in _segments(expr):
+        if not quoted:
+            if s_alias:
+                seg = re.sub(rf"\b{re.escape(s_alias)}\.(\w+)", r"src_\1", seg)
+            if t_alias:
+                seg = re.sub(rf"\b{re.escape(t_alias)}\.(\w+)", r"\1", seg)
+        out.append(seg)
+    return "".join(out)
 
 
 def _parse_merge_on(on_text: str, t_alias: str | None, s_alias: str | None) -> list[str]:
@@ -745,6 +855,13 @@ def execute_dml(
             if neg:
                 if not action_l.upper().startswith("INSERT"):
                     raise ValueError("WHEN NOT MATCHED supports only INSERT")
+                if want_insert:
+                    # silently keeping only the LAST clause would execute a
+                    # different statement than the user wrote
+                    raise ValueError(
+                        "multiple WHEN NOT MATCHED INSERT clauses: this "
+                        "executor supports one (merge the conditions)"
+                    )
                 want_insert = True
                 if cond:
                     if re.search(rf"\b{re.escape(t_alias)}\.", cond):
@@ -778,6 +895,12 @@ def execute_dml(
                         "INSERT (cols) VALUES (exprs)"
                     )
             elif action_l.upper().startswith("UPDATE"):
+                if matched_set is not None:
+                    raise ValueError(
+                        "multiple WHEN MATCHED UPDATE clauses: this "
+                        "executor supports one (fold the conditions into "
+                        "CASE expressions)"
+                    )
                 saw_update = True
                 set_text = re.sub(
                     r"^UPDATE\s+SET\s+", "", action_l, flags=re.IGNORECASE
@@ -798,6 +921,11 @@ def execute_dml(
                         for k, v in matched_set.items()
                     }
             elif action_l.upper() == "DELETE":
+                if matched_delete is not None:
+                    raise ValueError(
+                        "multiple WHEN MATCHED DELETE clauses: this "
+                        "executor supports one (OR the conditions)"
+                    )
                 if saw_update:
                     raise ValueError(
                         "WHEN MATCHED DELETE after WHEN MATCHED UPDATE: "
@@ -832,9 +960,16 @@ def execute_dml(
         )
     m = _UPDATE_RE.match(text)
     if m:
-        name, set_text, where = m.group(1), m.group(2), m.group(3)
+        name, rest = m.group(1), m.group(2)
         if name not in tables:
             raise ValueError(f"unknown table {name!r}")
+        idx = _find_top_where(rest)
+        if idx >= 0:
+            set_text, where = rest[:idx], rest[idx + len("WHERE"):]
+        else:
+            set_text, where = rest, "true"
+        if not where.strip():
+            raise ValueError("UPDATE has WHERE with no condition")
         return update_where(
             spark, tables[name], _split_assignments(set_text), where
         )
@@ -843,7 +978,7 @@ def execute_dml(
         name, where = m.group(1), m.group(2)
         if name not in tables:
             raise ValueError(f"unknown table {name!r}")
-        return delete_where(spark, tables[name], where)
+        return delete_where(spark, tables[name], where if where is not None else "true")
     raise ValueError(
         "not an executable DML statement (MERGE INTO ... USING ... | "
         "UPDATE ... SET ... WHERE ... | "
@@ -984,9 +1119,11 @@ def read_snapshot(spark: SparkSession, path: str, name: str) -> DataFrame:
             missing.append(f)
     if missing:
         raise FileNotFoundError(
-            f"snapshot {name!r} references vacuumed files: {missing[:3]}"
-            f"{'...' if len(missing) > 3 else ''} — "
-            "vacuum() had no manifest covering them when it ran"
+            f"snapshot {name!r} references files that no longer exist: "
+            f"{missing[:3]}{'...' if len(missing) > 3 else ''} — removed "
+            "either by DML/compact called with explicit retain=False while "
+            "this snapshot existed, or by vacuum() before the manifest "
+            "covered them (DML defaults to retain when snapshots exist)"
         )
     if not resolved:
         raise ValueError(f"snapshot {name!r} is empty")

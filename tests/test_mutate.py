@@ -460,3 +460,120 @@ def test_execute_dml_merge_clause_order_enforced(spark, cow_table, tmp_path):
             "WHEN MATCHED THEN UPDATE SET v = s.newv",
             tables,
         )
+
+
+# -- round-6 hardening: duplicate clauses, quoted literals, optional WHERE,
+#    snapshot-aware retain default, bounded merge prune ------------------------
+
+
+def test_execute_dml_merge_duplicate_clauses_rejected(spark, cow_table, tmp_path):
+    """Two clauses of the same kind must be an error, not last-one-wins:
+    silently executing only the second clause is a different statement
+    than the user wrote."""
+    src_path = str(tmp_path / "dupsrc")
+    spark.createDataFrame([Row(k=1, newv=0.0)]).coalesce(1).write.parquet(src_path)
+    tables = {"t": cow_table, "s": src_path}
+    with pytest.raises(ValueError, match="multiple WHEN MATCHED UPDATE"):
+        execute_dml(
+            spark,
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN MATCHED AND s.newv > 0 THEN UPDATE SET v = 1 "
+            "WHEN MATCHED AND s.newv <= 0 THEN UPDATE SET v = 2",
+            tables,
+        )
+    with pytest.raises(ValueError, match="multiple WHEN NOT MATCHED"):
+        execute_dml(
+            spark,
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN NOT MATCHED AND s.newv > 0 THEN INSERT "
+            "WHEN NOT MATCHED THEN INSERT",
+            tables,
+        )
+    with pytest.raises(ValueError, match="multiple WHEN MATCHED DELETE"):
+        execute_dml(
+            spark,
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN MATCHED AND s.newv > 0 THEN DELETE "
+            "WHEN MATCHED AND s.newv < 0 THEN DELETE",
+            tables,
+        )
+
+
+def test_dml_string_literals_survive_parsing(spark, cow_table, tmp_path):
+    """Literals are data: the alias pattern must not be rewritten inside
+    's.tag', a comma inside a literal must not split the SET list, and a
+    ' WHERE ' inside a literal must not split the statement."""
+    tables = {"t": cow_table}
+    st = execute_dml(
+        spark, "UPDATE t SET s = 'a, WHERE (b' WHERE k = 1", tables
+    )
+    assert st.rows_matched == 1
+    assert (
+        spark.read.parquet(cow_table).where("k = 1").first()["s"]
+        == "a, WHERE (b"
+    )
+
+    src_path = str(tmp_path / "litsrc")
+    spark.createDataFrame([Row(k=2, tag="xyz")]).coalesce(1).write.parquet(src_path)
+    tables = {"t": cow_table, "s": src_path}
+    st = execute_dml(
+        spark,
+        "MERGE INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET s = 's.tag, it''s literal'",
+        tables,
+    )
+    assert st.rows_matched == 1
+    assert (
+        spark.read.parquet(cow_table).where("k = 2").first()["s"]
+        == "s.tag, it's literal"
+    )
+
+
+def test_dml_where_optional_full_table(spark, cow_table):
+    """The reference grammar makes WHERE optional
+    (engine/src/parser.cpp parse_update/parse_delete): a bare UPDATE/DELETE
+    is the full-table statement, not a parse error."""
+    tables = {"t": cow_table}
+    st = execute_dml(spark, "UPDATE t SET v = 0.5", tables)
+    assert st.rows_matched == 400
+    back = spark.read.parquet(cow_table)
+    assert back.where("v <> 0.5").count() == 0
+    st = execute_dml(spark, "DELETE FROM t", tables)
+    assert st.rows_matched == 400
+
+
+def test_retain_defaults_on_when_snapshots_exist(spark, cow_table):
+    """DML with the default retain must not delete files a snapshot
+    manifest still pins — time travel keeps working without the caller
+    remembering retain=True."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        create_snapshot,
+        read_snapshot,
+    )
+
+    create_snapshot(spark, cow_table, "pinned")
+    delete_where(spark, cow_table, "k < 100")  # default retain -> auto True
+    assert spark.read.parquet(cow_table).count() == 300
+    assert read_snapshot(spark, cow_table, "pinned").count() == 400
+
+
+def test_merge_prune_bound_falls_back_to_full_rewrite(spark, cow_table):
+    """max_pruned_files caps the driver-side file-name list: a merge whose
+    keys touch more files than the bound rewrites the whole table instead
+    of collecting an unbounded list — same result, bounded metadata."""
+    source = spark.createDataFrame(
+        [Row(k=10, delta=1000.0), Row(k=110, delta=2000.0)]
+    )
+    st = merge_into(
+        spark,
+        cow_table,
+        source,
+        on=["k"],
+        matched_set={"v": "v + src_delta"},
+        max_pruned_files=1,  # 2 files match -> over the bound
+    )
+    assert st.files_rewritten == 4  # full-table fallback
+    back = spark.read.parquet(cow_table)
+    assert back.where("k = 10").first()["v"] == (10 % 7) + 1000.0
+    assert back.where("k = 110").first()["v"] == (110 % 7) + 2000.0
+    assert back.count() == 400
