@@ -3,17 +3,22 @@
 JSON line:
 
     {"metric": ..., "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...},          # Spark, median of 3 warm runs
+     "queries": {name: sec, ...},          # Spark, median of 5 warm runs
      "baseline": {name: sec, ...},         # DuckDB on the SAME parquet,
                                            # same medians, same oracles
+     "spread": {"spark"|"baseline"|"extras": {name: [min, max]}},
+                                           # per-query min/max across the
+                                           # timed runs: separates real
+                                           # regressions from machine noise
      "extras": {...},                      # non-headline measurements
      "floor_note": "...", "sf": <scale factor>}
 
 Scale dir from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1); cores
 from $SPARK_GRAFT_CPUS (default all).  Each query gets one untimed cold
-run (plan compile / codegen / cache warm) and then n=3 timed warm runs —
-the median is reported, so single-run scheduler noise doesn't masquerade
-as a round-over-round regression.
+run (plan compile / codegen / cache warm) and then n=5 timed warm runs —
+the median is reported alongside the [min, max] spread, so single-run
+scheduler noise doesn't masquerade as a round-over-round regression and
+the spread makes residual drift quantifiable per query per engine.
 """
 
 from __future__ import annotations
@@ -60,26 +65,29 @@ HEADLINE = [
     "events_funnel",
 ]
 
-RUNS = 3
+RUNS = 5
 
 FLOOR_NOTE = (
     "Spark local mode pays a ~0.2-0.5s per-query job-scheduling/codegen "
     "floor that DuckDB (in-process, ~4ms floor) does not; sub-second "
     "per-query ratios are dominated by that floor and vanish on a real "
     "cluster, where the floor amortizes over 1000x the data. Totals are "
-    "the comparable number at this sf. Medians of 3 warm runs after an "
-    "untimed cold run."
+    "the comparable number at this sf. Medians of 5 warm runs after an "
+    "untimed cold run; spread = [min, max] of the timed runs per query."
 )
 
 
-def timed_median(fn, runs: int = RUNS) -> float:
-    """Median wall time of ``runs`` invocations of ``fn`` (seconds)."""
+def timed_median(fn, runs: int = RUNS) -> tuple[float, list[float]]:
+    """(median, [min, max]) wall time of ``runs`` invocations (seconds)."""
     samples = []
     for _ in range(runs):
         t0 = time.perf_counter()
         fn()
         samples.append(time.perf_counter() - t0)
-    return round(statistics.median(samples), 4)
+    return round(statistics.median(samples), 4), [
+        round(min(samples), 4),
+        round(max(samples), 4),
+    ]
 
 
 def _production_fns(spark, sf_dir: str):
@@ -102,9 +110,11 @@ def _production_fns(spark, sf_dir: str):
     }
 
 
-def bench_spark(spark, registry, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+def bench_spark(spark, registry, sf_dir: str):
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    extras_spread: dict[str, list[float]] = {}
     overrides = _production_fns(spark, sf_dir)
     for name in HEADLINE:
         spec = registry.get(name)
@@ -114,7 +124,7 @@ def bench_spark(spark, registry, sf_dir: str) -> tuple[dict[str, float], dict[st
         # cold run amortizes codegen/plan compile; timed runs are the
         # steady-state number a long-lived engine delivers
         run()
-        timings[name] = timed_median(run)
+        timings[name], spread[name] = timed_median(run)
         tag = " (production path; exact path in extras)" if name in overrides else ""
         print(f"# {name}: {timings[name]:.3f}s (spark, median of {RUNS}){tag}", file=sys.stderr)
         # bound cache growth across the loop (dedup pipelines persist
@@ -127,8 +137,8 @@ def bench_spark(spark, registry, sf_dir: str) -> tuple[dict[str, float], dict[st
     # stays visible round-over-round.
     spec = registry["sim_topk_bruteforce"]
     spec.fn(spark, sf_dir).count()
-    extras["sim_topk_bruteforce_exact"] = timed_median(
-        lambda: spec.fn(spark, sf_dir).count()
+    extras["sim_topk_bruteforce_exact"], extras_spread["sim_topk_bruteforce_exact"] = (
+        timed_median(lambda: spec.fn(spark, sf_dir).count())
     )
     print(
         f"# sim_topk_bruteforce_exact: {extras['sim_topk_bruteforce_exact']:.3f}s "
@@ -152,13 +162,15 @@ def bench_spark(spark, registry, sf_dir: str) -> tuple[dict[str, float], dict[st
         if spec is None:
             continue
         spec.fn(spark, sf_dir).count()
-        extras[name] = timed_median(lambda: spec.fn(spark, sf_dir).count())
+        extras[name], extras_spread[name] = timed_median(
+            lambda: spec.fn(spark, sf_dir).count()
+        )
         print(f"# {name}: {extras[name]:.3f}s (extra)", file=sys.stderr)
         dedup_ops.release_cached()
-    return timings, extras
+    return timings, extras, spread, extras_spread
 
 
-def bench_duckdb(registry, sf_dir: str) -> dict[str, float]:
+def bench_duckdb(registry, sf_dir: str):
     """Time the SAME oracle SQL DuckDB-side on the same parquet files —
     the judge-facing baseline column (BASELINE.md's MySQL numbers are not
     reproducible; DuckDB on identical inputs is the operative bar).
@@ -187,15 +199,16 @@ def bench_duckdb(registry, sf_dir: str) -> dict[str, float]:
             f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
         )
     baseline: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         spec = registry.get(name)
         if spec is None or spec.oracle is None:
             continue
         sql = baseline_overrides.get(name, spec.oracle)
         con.sql(sql).fetchall()  # cold run, like the Spark side
-        baseline[name] = timed_median(lambda: con.sql(sql).fetchall())
+        baseline[name], spread[name] = timed_median(lambda: con.sql(sql).fetchall())
         print(f"# {name}: {baseline[name]:.3f}s (duckdb baseline)", file=sys.stderr)
-    return baseline
+    return baseline, spread
 
 
 def main() -> None:
@@ -209,8 +222,8 @@ def main() -> None:
     # Warm up: JVM classloading + parquet footer caches, not billed below.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
-    timings, extras = bench_spark(spark, registry, sf_dir)
-    baseline = bench_duckdb(registry, sf_dir)
+    timings, extras, spark_spread, extras_spread = bench_spark(spark, registry, sf_dir)
+    baseline, baseline_spread = bench_duckdb(registry, sf_dir)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -223,6 +236,11 @@ def main() -> None:
                 "baseline": baseline,
                 "baseline_total": round(sum(baseline.values()), 4),
                 "extras": extras,
+                "spread": {
+                    "spark": spark_spread,
+                    "baseline": baseline_spread,
+                    "extras": extras_spread,
+                },
                 "floor_note": FLOOR_NOTE,
                 "sf": sf,
             }

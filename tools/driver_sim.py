@@ -16,11 +16,13 @@ SF = os.environ.get("SIM_SF_DIR", "/root/testdata/sf0.01")
 # through get_session() would hide any conf the engine forgot to set at
 # runtime (this exact bug cost 19 rows in round 1 — nanosAsLong lived only
 # in the builder).  Do not "fix" this back to get_session().
-spark = (
-    SparkSession.builder.master("local[32]")
-    .appName("driver-sim")
-    .getOrCreate()
-)
+# SIM_CONF="k=v,k=v" overlays extra session confs for cluster-shape smokes
+# (e.g. spark.sql.shuffle.partitions=200) — default stays vanilla.
+_builder = SparkSession.builder.master("local[32]").appName("driver-sim")
+for _kv in filter(None, os.environ.get("SIM_CONF", "").split(",")):
+    _k, _, _v = _kv.partition("=")
+    _builder = _builder.config(_k.strip(), _v.strip())
+spark = _builder.getOrCreate()
 
 # t1 smoke
 df = e.entry(spark)
