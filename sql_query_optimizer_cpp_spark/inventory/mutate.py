@@ -418,3 +418,79 @@ def mutate_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "mutate_partitioned_merge",
+    oracle="WITH src AS ("
+    "SELECT o_orderkey AS k, o_totalprice AS boost FROM orders "
+    "WHERE o_orderkey % 97 = 0 AND o_orderkey < 30000 "
+    "UNION ALL "
+    "SELECT o_orderkey + 100000000, o_totalprice FROM orders "
+    "WHERE o_orderkey % 97 = 0 AND o_orderkey < 5000), "
+    "merged AS ("
+    "SELECT o.o_orderstatus, "
+    "CASE WHEN s.k IS NOT NULL THEN o.o_totalprice + s.boost "
+    "ELSE o.o_totalprice END AS o_totalprice "
+    "FROM orders o LEFT JOIN src s ON o.o_orderkey = s.k "
+    "UNION ALL "
+    "SELECT 'X', s.boost FROM src s LEFT JOIN orders o "
+    "ON s.k = o.o_orderkey WHERE o.o_orderkey IS NULL) "
+    "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, "
+    + dsum_sql("o_totalprice")
+    + " AS total FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    doc="MERGE INTO over a HIVE-PARTITIONED copy-on-write table (new r6 — "
+    "previously refused): orders materialized partitioned by "
+    "o_orderstatus and range-clustered on o_orderkey within each "
+    "directory; matched keys (every 97th under 30000) boost "
+    "o_totalprice via per-partition file swaps, unmatched shifted keys "
+    "insert into a brand-new 'X' partition directory.  The aggregate of "
+    "the mutated table must equal the oracle's algebraic fold (LEFT "
+    "JOIN + anti-join UNION) over the original fixture — proving the "
+    "per-partition swap keeps directory-encoded partition values "
+    "intact, the key-semijoin prune composes with partition layout, and "
+    "partitionBy insert staging routes new rows (including a new "
+    "partition value) to the right key=value dirs",
+    tags=("mutate", "sources"),
+)
+def mutate_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    path = _mut_dir(sf_dir, "orders_part_cow")
+    (
+        t["orders"]
+        .repartitionByRange(4, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(path)
+    )
+    orders = t["orders"]
+    matched_src = orders.where(
+        "o_orderkey % 97 = 0 AND o_orderkey < 30000"
+    ).select("o_orderkey", F.col("o_totalprice").alias("boost"))
+    ins_src = orders.where(
+        "o_orderkey % 97 = 0 AND o_orderkey < 5000"
+    ).select(
+        (F.col("o_orderkey") + F.lit(100000000)).alias("o_orderkey"),
+        F.col("o_totalprice").alias("boost"),
+    )
+    merge_into(
+        spark,
+        path,
+        matched_src.unionByName(ins_src),
+        on=["o_orderkey"],
+        matched_set={"o_totalprice": "o_totalprice + src_boost"},
+        insert_values={
+            "o_totalprice": "src_boost",
+            "o_orderstatus": "'X'",
+        },
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dsum("o_totalprice").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

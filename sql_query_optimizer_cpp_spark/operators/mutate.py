@@ -168,6 +168,47 @@ def _move_in(spark: SparkSession, path: str, staging: str) -> int:
     return i
 
 
+def _move_in_partitioned(
+    spark: SparkSession, path: str, staging: str, part_cols: list[str]
+) -> int:
+    """Move a hive-partitioned staging dir's part files into the matching
+    ``key=value`` directories under the table (created as needed); returns
+    how many files moved.  The partition value lives in the directory
+    name, so preserving each staged file's partition-relative path IS the
+    data move."""
+    jvm, fs, table_path = _fs(spark, path)
+    tag = uuid.uuid4().hex[:12]
+    moved = 0
+
+    def walk(d, rel: str) -> None:
+        nonlocal moved
+        for st in fs.listStatus(d):
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            if st.isDirectory():
+                walk(st.getPath(), f"{rel}/{name}" if rel else name)
+            elif st.isFile():
+                dest_dir = (
+                    jvm.org.apache.hadoop.fs.Path(table_path, rel)
+                    if rel
+                    else table_path
+                )
+                fs.mkdirs(dest_dir)
+                dest = jvm.org.apache.hadoop.fs.Path(
+                    dest_dir, f"part-cow-{tag}-{moved:05d}.snappy.parquet"
+                )
+                if not fs.rename(st.getPath(), dest):
+                    raise IOError(
+                        f"COW swap: rename {st.getPath()} -> {dest} failed"
+                    )
+                moved += 1
+
+    walk(jvm.org.apache.hadoop.fs.Path(staging), "")
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+    return moved
+
+
 def _delete_files(spark: SparkSession, files: list[str]) -> None:
     jvm, fs, _ = _fs(spark, files[0]) if files else (None, None, None)
     for f in files:
@@ -470,6 +511,12 @@ def merge_into(
       the source column of the same name, else NULL).  Inserts APPEND new
       files — no existing file is touched for them.
 
+    Works on flat AND hive-partitioned tables: matched files swap
+    per-partition directory, inserts stage ``partitionBy`` the partition
+    columns and land in their ``key=value`` dirs (created as needed);
+    assigning a partition column in ``matched_set`` is refused — that is
+    a cross-directory move (delete + insert), not an update.
+
     ``check_unique`` guards the classic silent-corruption mode: a source
     with duplicate keys would multiply matched target rows.  The guard is
     one aggregation over the (small) source; Delta raises the same error.
@@ -496,12 +543,23 @@ def merge_into(
                 "upstream)"
             )
     target = spark.read.parquet(path)
-    files = list_data_files(spark, path)
+    partitioned = is_partitioned(spark, path)
+    files = list_data_files(spark, path, recursive=partitioned)
+    part_cols: list[str] = []
+    if partitioned:
+        physical = spark.read.parquet(files[0]).columns
+        part_cols = [c for c in target.columns if c not in physical]
     if matched_set:
         unknown = set(matched_set) - set(target.columns)
         if unknown:
             raise ValueError(
                 f"MERGE matched_set on unknown columns: {sorted(unknown)}"
+            )
+        part_hit = [c for c in matched_set if c in part_cols]
+        if part_hit:
+            raise ValueError(
+                f"MERGE matched_set on partition columns: {sorted(part_hit)}; "
+                "changing a row's partition is a delete + insert"
             )
     if insert_values:
         unknown = set(insert_values) - set(target.columns)
@@ -556,31 +614,72 @@ def merge_into(
         else:
             e = F.lit(None)
         ins_cols.append(e.cast(target.schema[c].dataType).alias(c))
-    ins_staging = _stage(spark, path, unmatched.select(*ins_cols))
+    ins_df = unmatched.select(*ins_cols)
+    ins_staging = path.rstrip("/") + f"__cow_{uuid.uuid4().hex}"
+    if partitioned:
+        # inserted rows must land in their key=value directories; a NULL
+        # partition value routes to Hive's default partition dir
+        ins_df.write.mode("overwrite").partitionBy(*part_cols).parquet(
+            ins_staging
+        )
+    else:
+        ins_df.write.mode("overwrite").parquet(ins_staging)
     rows_inserted = spark.read.parquet(ins_staging).count()
 
     rows_matched = 0
     if hit:
         try:
-            sub = spark.read.parquet(*hit)
-            marked = src.withColumn("__matched", F.lit(True))
-            joined = sub.join(marked, on=on, how="left")
-            is_match = F.coalesce(F.col("__matched"), F.lit(False))
-            rows_matched = joined.where(is_match).count()
-            if matched_delete is not None:
-                joined = joined.where(
-                    ~(is_match & F.coalesce(_cond(matched_delete), F.lit(False)))
-                )
-            projected = [
-                F.when(is_match, _cond((matched_set or {})[c]))
-                .otherwise(F.col(c))
-                .cast(sub.schema[c].dataType)
-                .alias(c)
-                if c in (matched_set or {})
-                else F.col(c)
-                for c in sub.columns
-            ]
-            _swap_in(spark, path, hit, joined.select(*projected), retain=retain)
+            def rewrite_files(pfiles: list[str], dest_dir: str) -> None:
+                nonlocal rows_matched
+                if partitioned:
+                    # basePath keeps partition columns in scope (a merge
+                    # key may BE one); they drop before writing — the
+                    # directory name carries them
+                    sub = spark.read.option("basePath", path).parquet(*pfiles)
+                else:
+                    sub = spark.read.parquet(*pfiles)
+                marked = src.withColumn("__matched", F.lit(True))
+                joined = sub.join(marked, on=on, how="left")
+                is_match = F.coalesce(F.col("__matched"), F.lit(False))
+                rows_matched += joined.where(is_match).count()
+                if matched_delete is not None:
+                    joined = joined.where(
+                        ~(
+                            is_match
+                            & F.coalesce(_cond(matched_delete), F.lit(False))
+                        )
+                    )
+                projected = [
+                    F.when(is_match, _cond((matched_set or {})[c]))
+                    .otherwise(F.col(c))
+                    .cast(sub.schema[c].dataType)
+                    .alias(c)
+                    if c in (matched_set or {})
+                    else F.col(c)
+                    for c in sub.columns
+                ]
+                rewritten = joined.select(*projected)
+                if part_cols:
+                    rewritten = rewritten.drop(*part_cols)
+                staging = _stage(spark, path, rewritten)
+                _move_in(spark, dest_dir, staging)
+                if retain:
+                    _retire_files(spark, path, pfiles)
+                else:
+                    _delete_files(spark, pfiles)
+
+            if partitioned:
+                # per-partition swap: each key=value dir rewrites
+                # independently (parallel jobs at scale; sequential here
+                # only costs latency)
+                groups: dict[str, list[str]] = {}
+                for f in hit:
+                    groups.setdefault(f.rsplit("/", 1)[0], []).append(f)
+                for part_dir, pfiles in sorted(groups.items()):
+                    rewrite_files(pfiles, part_dir)
+            else:
+                rewrite_files(hit, path)
+            spark.catalog.clearCache()
         except Exception:
             # don't orphan the staged inserts when the matched swap fails
             jvm, fs, _ = _fs(spark, path)
@@ -588,7 +687,10 @@ def merge_into(
             raise
 
     if rows_inserted:
-        _move_in(spark, path, ins_staging)
+        if partitioned:
+            _move_in_partitioned(spark, path, ins_staging, part_cols)
+        else:
+            _move_in(spark, path, ins_staging)
         spark.catalog.clearCache()
     else:
         jvm, fs, _ = _fs(spark, path)
@@ -614,7 +716,8 @@ def compact(
     read or rewritten — and coalesces them WITHOUT a shuffle
     (``coalesce``, not ``repartition``: compaction moves bytes, it has no
     need to redistribute them).  Same stage-then-swap discipline as the
-    DML verbs.
+    DML verbs.  Hive-partitioned tables compact per ``key=value``
+    directory (compaction is file-local; partition values never move).
 
     ``rows_matched`` in the returned stats is the row count that moved.
     """
@@ -622,6 +725,38 @@ def compact(
     if target_bytes <= 0 or not (0 < small_ratio <= 1):
         raise ValueError("target_bytes must be > 0 and 0 < small_ratio <= 1")
     jvm, fs, jpath = _fs(spark, path)
+    if is_partitioned(spark, path):
+        # per-partition bin-pack: compaction is file-local, so each
+        # key=value directory compacts independently (the partition value
+        # lives in the directory name and never moves); at scale these are
+        # parallel jobs per partition
+        all_files = list_data_files(spark, path, recursive=True)
+        groups: dict[str, list[str]] = {}
+        for f in all_files:
+            groups.setdefault(f.rsplit("/", 1)[0], []).append(f)
+        rewritten = moved = 0
+        for part_dir, pfiles in sorted(groups.items()):
+            small_p: list[str] = []
+            small_p_bytes = 0
+            for f in pfiles:
+                sz = fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f)).getLen()
+                if sz < target_bytes * small_ratio:
+                    small_p.append(f)
+                    small_p_bytes += sz
+            if len(small_p) < 2:
+                continue
+            n_out = max(1, -(-small_p_bytes // target_bytes))
+            df = spark.read.parquet(*small_p)
+            moved += df.count()
+            staging = _stage(spark, path, df.coalesce(int(n_out)))
+            _move_in(spark, part_dir, staging)
+            if retain:
+                _retire_files(spark, path, small_p)
+            else:
+                _delete_files(spark, small_p)
+            rewritten += len(small_p)
+        spark.catalog.clearCache()
+        return MutationStats(len(all_files), rewritten, moved)
     all_files = list_data_files(spark, path)
     small: list[str] = []
     small_bytes = 0

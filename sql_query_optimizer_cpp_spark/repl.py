@@ -1,0 +1,168 @@
+"""Interactive REPL — the twin of the reference's CLI entry points.
+
+Reference parity: the reference ships two interactive loops — the engine
+CLI (``engine/src/cli.cpp:63-201``: read line → lex/parse → semantic check
+→ optimize → print plan summary + optimized SQL → execute via MySQL) and
+the standalone optimizer REPL (``sqlopt.cpp:727``: same front half, prints
+the plan, never executes).  This REPL covers both through the
+:class:`~.engine.Engine` facade, so every verb goes through the SAME
+pre-rewrite gate the programmatic API uses:
+
+=================  ==========================================================
+input              behavior
+=================  ==========================================================
+``SELECT ...``     execute via Catalyst, print up to ``max_rows`` rows
+``EXPLAIN q``      print the plan tree (deliberate difference from the
+                   reference, which strips the prefix and STILL executes —
+                   cli.cpp:196-201; SURVEY §3.2 calls this out)
+``OPTIMIZE q``     entry point C analog: rewrites + transform log + plan
+                   tree, nothing executes (``sqlopt.cpp`` behavior)
+``TRACE q``        rule-by-rule transform log
+``COST q``         cost report over the optimized plan
+``ADVISE q``       genetic join-order recommendation (R6 / GA)
+``ANALYZE``        harvest table statistics (S4)
+``ATTACH n path``  map table name → parquet dir for DML (the reference's
+                   catalog is its live MySQL connection; fixtures here are
+                   read-only, so DML targets are attached explicitly)
+``UPDATE/DELETE/   execute copy-on-write against attached tables
+MERGE ...``        (the reference parses these and stops)
+``TABLES``         list queryable views + attached DML tables
+``HELP``           this summary; ``EXIT`` / ``QUIT`` / ``\\q`` leaves
+=================  ==========================================================
+
+Every handler returns the text it would print (``handle()``), which is
+what the tests assert on; ``main()`` is the thin stdin loop around it.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import SparkSession
+
+from .engine import Engine
+
+_HELP = """commands:
+  SELECT/WITH ...       execute and print rows
+  EXPLAIN <query>       plan tree (does not execute)
+  OPTIMIZE <query>      rewrites + transform log + plan (does not execute)
+  TRACE <query>         rule-by-rule transform log
+  COST <query>          cost report
+  ADVISE <query>        genetic join-order recommendation
+  ANALYZE               harvest table statistics
+  ATTACH <name> <path>  map a table name to a parquet dir for DML
+  UPDATE/DELETE/MERGE   execute copy-on-write DML on attached tables
+  TABLES                list tables
+  HELP                  this help;  EXIT | QUIT | \\q  to leave"""
+
+
+def _fmt_rows(df, max_rows: int) -> str:
+    """Rows as an aligned text table (collect bounded by ``max_rows`` —
+    a REPL must never pull an unbounded result to the driver)."""
+    rows = df.limit(max_rows + 1).collect()
+    truncated = len(rows) > max_rows
+    rows = rows[:max_rows]
+    cols = df.columns
+    cells = [[str(c) for c in cols]] + [
+        ["NULL" if v is None else str(v) for v in r] for r in rows
+    ]
+    widths = [max(len(line[i]) for line in cells) for i in range(len(cols))]
+    out = [
+        " | ".join(c.ljust(w) for c, w in zip(line, widths)) for line in cells
+    ]
+    out.insert(1, "-+-".join("-" * w for w in widths))
+    out.append(
+        f"({len(rows)} row{'s' if len(rows) != 1 else ''}"
+        + (f", first {max_rows} shown" if truncated else "")
+        + ")"
+    )
+    return "\n".join(out)
+
+
+def handle(
+    engine: Engine,
+    line: str,
+    dml_tables: dict[str, str],
+    max_rows: int = 20,
+) -> str | None:
+    """Dispatch one REPL line; returns the output text, or ``None`` for
+    EXIT.  Mirrors the reference CLI's first-keyword dispatch
+    (``engine/src/parser.cpp:10-33``)."""
+    text = line.strip().rstrip(";").strip()
+    if not text:
+        return ""
+    head, _, rest = text.partition(" ")
+    verb = head.upper()
+    if verb in ("EXIT", "QUIT", "\\Q"):
+        return None
+    if verb == "HELP":
+        return _HELP
+    if verb == "TABLES":
+        views = sorted(
+            t.name for t in engine.spark.catalog.listTables() if t.isTemporary
+        )
+        lines = [f"  {v}" for v in views] or ["  (none)"]
+        if dml_tables:
+            lines.append("attached for DML:")
+            lines.extend(f"  {n} -> {p}" for n, p in sorted(dml_tables.items()))
+        return "\n".join(["views:"] + lines)
+    if verb == "ATTACH":
+        parts = rest.split()
+        if len(parts) != 2:
+            return "usage: ATTACH <name> <parquet-dir>"
+        name, path = parts
+        dml_tables[name] = path
+        engine.spark.read.parquet(path).createOrReplaceTempView(name)
+        return f"attached {name} -> {path}"
+    if verb == "ANALYZE":
+        engine.analyze()
+        return "statistics harvested"
+    try:
+        if verb == "EXPLAIN":
+            return engine.explain(rest)
+        if verb == "OPTIMIZE":
+            return engine.optimize(rest).render()
+        if verb == "TRACE":
+            return engine.transform_log(rest).render()
+        if verb == "COST":
+            return engine.cost(rest).render()
+        if verb == "ADVISE":
+            return engine.join_order_advice(rest).render()
+        if verb in ("UPDATE", "DELETE", "MERGE"):
+            stats = engine.dml(text, dml_tables)
+            return stats.render()
+        # bare query (SELECT / WITH / VALUES ...)
+        return _fmt_rows(engine.sql(text), max_rows)
+    except Exception as e:  # REPL survives bad input; the reference's
+        # loop does the same (cli.cpp prints the error and re-prompts)
+        return f"error: {e}"
+
+
+def main(argv: list[str] | None = None) -> None:
+    """``python -m sql_query_optimizer_cpp_spark [sf_dir]`` — stdin loop."""
+    args = argv if argv is not None else sys.argv[1:]
+    sf_dir = args[0] if args else None
+    from .session import get_session
+
+    spark = get_session(app_name="repl")
+    engine = Engine(spark, sf_dir=sf_dir)
+    dml_tables: dict[str, str] = {}
+    interactive = sys.stdin.isatty()
+    if interactive:
+        print("sql_query_optimizer_cpp_spark REPL — HELP for commands")
+    while True:
+        if interactive:
+            print("sql> ", end="", flush=True)
+        line = sys.stdin.readline()
+        if not line:
+            break
+        out = handle(engine, line, dml_tables)
+        if out is None:
+            break
+        if out:
+            print(out, flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

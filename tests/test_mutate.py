@@ -29,6 +29,10 @@ def _names(spark, path):
     return {os.path.basename(f) for f in list_data_files(spark, path)}
 
 
+def _names_rec(spark, path):
+    return set(list_data_files(spark, path, recursive=True))
+
+
 @pytest.fixture()
 def cow_table(spark, tmp_path):
     """Range-clustered 4-file table over k=0..399 (k DIV 100 per file)."""
@@ -241,14 +245,62 @@ def test_partitioned_snapshot_time_travel(spark, part_table):
         read_snapshot(spark, part_table, "v1")
 
 
-def test_partitioned_merge_and_compact_refused(spark, part_table):
+def test_partitioned_merge_upsert(spark, part_table):
+    """MERGE over a hive-partitioned table: matched files swap inside
+    their key=value dir, inserts land in the right dirs (including a NEW
+    partition value), untouched partitions keep their files by name."""
+    before = _names_rec(spark, part_table)
+    src = spark.createDataFrame(
+        [
+            Row(k=3, delta=1000.0, p=0),    # matched (p=0 dir)
+            Row(k=4, delta=2000.0, p=1),    # matched (p=1 dir)
+            Row(k=900, delta=1.0, p=1),     # unmatched -> insert into p=1
+            Row(k=901, delta=2.0, p=7),     # unmatched -> NEW partition p=7
+        ]
+    )
+    st = merge_into(
+        spark,
+        part_table,
+        src,
+        on=["k"],
+        matched_set={"v": "v + src_delta"},
+    )
+    assert st.rows_matched == 2 and st.rows_inserted == 2
+    # one file rewritten in each of p=0 and p=1 (2 of 6), others untouched
+    assert st.files_rewritten == 2
+    back = spark.read.parquet(part_table)
+    assert back.count() == 302
+    assert back.where("k = 3").first()["v"] == 3 + 1000.0
+    assert back.where("k = 4").first()["v"] == 4 + 2000.0
+    assert back.where("k = 900").first()["p"] == 1
+    assert back.where("k = 901").first()["p"] == 7
+    # p=2 files untouched byte-for-byte (same names)
+    after = _names_rec(spark, part_table)
+    assert {f for f in before if "/p=2/" in f} <= after
+    # partition-column assignment is a move, refused
+    with pytest.raises(ValueError, match="partition columns"):
+        merge_into(spark, part_table, src, on=["k"], matched_set={"p": "0"})
+
+
+def test_partitioned_compact(spark, tmp_path):
     from sql_query_optimizer_cpp_spark.operators.mutate import compact
 
-    src = spark.createDataFrame([Row(k=1, delta=1.0)])
-    with pytest.raises(NotImplementedError, match="partition"):
-        merge_into(spark, part_table, src, on=["k"], matched_set={"v": "src_delta"})
-    with pytest.raises(NotImplementedError, match="partition"):
-        compact(spark, part_table)
+    path = str(tmp_path / "pfrag")
+    # 3 partitions, 5 tiny files each (post-streaming-append shape)
+    spark.range(300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("p"),
+    ).repartition(5).write.partitionBy("p").parquet(path)
+    before = _names_rec(spark, part_table := path)
+    assert len(before) == 15
+    st = compact(spark, path, target_bytes=10 * 1024 * 1024)
+    assert st.files_rewritten == 15 and st.rows_matched == 300
+    after = _names_rec(spark, path)
+    assert len(after) == 3  # one packed file per partition dir
+    back = spark.read.parquet(path)
+    assert back.count() == 300
+    # partition values survived the per-directory pack
+    assert back.where("p = (k % 3)").count() == 300
 
 
 def test_merge_matched_delete_and_insert_condition(spark, cow_table):

@@ -1,0 +1,91 @@
+"""REPL (repl.py): the interactive twin of the reference CLI loop
+(engine/src/cli.cpp:63-201 / sqlopt.cpp:727).
+
+handle() returns the printed text, so these tests drive the full dispatch
+— execute, explain-without-execute, optimize/trace/cost/advice render,
+ATTACH + executed DML, error recovery — without subprocess plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_query_optimizer_cpp_spark.engine import Engine
+from sql_query_optimizer_cpp_spark.repl import handle
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return Engine(spark, sf_dir=SF_DIR)
+
+
+def test_select_prints_rows(engine):
+    out = handle(engine, "SELECT r_name FROM region ORDER BY r_name;", {})
+    assert "AFRICA" in out and "(5 rows)" in out
+    assert out.splitlines()[0].strip().startswith("r_name")
+
+
+def test_row_limit_and_null_rendering(engine):
+    out = handle(
+        engine,
+        "SELECT CAST(NULL AS INT) AS x FROM nation",
+        {},
+        max_rows=3,
+    )
+    assert "first 3 shown" in out and "NULL" in out
+
+
+def test_explain_does_not_execute(engine):
+    out = handle(engine, "EXPLAIN SELECT * FROM nation WHERE n_nationkey = 1", {})
+    # plan text, not rows
+    assert "Physical Plan" in out or "Scan" in out
+    assert "ALGERIA" not in out
+
+
+def test_optimize_trace_cost_advise(engine):
+    q = (
+        "SELECT n_name, COUNT(*) AS n FROM nation, region "
+        "WHERE n_regionkey = r_regionkey GROUP BY n_name"
+    )
+    assert "Rewritten" in handle(engine, f"OPTIMIZE {q}", {}) or handle(
+        engine, f"OPTIMIZE {q}", {}
+    )
+    assert handle(engine, f"TRACE {q}", {})
+    assert "TOTAL" in handle(engine, f"COST {q}", {})
+    adv = handle(engine, f"ADVISE {q}", {})
+    assert "advised:" in adv and "JOIN" in adv
+
+
+def test_attach_and_dml_roundtrip(engine, spark, tmp_path):
+    path = str(tmp_path / "repl_cow")
+    spark.range(100).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    ).coalesce(2).write.parquet(path)
+    tables: dict[str, str] = {}
+    out = handle(engine, f"ATTACH t {path}", tables)
+    assert out.startswith("attached t")
+    out = handle(engine, "UPDATE t SET v = 0.0 WHERE k < 10", tables)
+    assert "10 rows matched" in out
+    out = handle(engine, "DELETE FROM t WHERE k >= 90", tables)
+    assert "10 rows matched" in out
+    # the attached view reads the post-DML table
+    spark.catalog.clearCache()
+    out = handle(engine, f"ATTACH t {path}", tables)  # refresh view
+    out = handle(engine, "SELECT COUNT(*) AS n FROM t WHERE v = 0.0", tables)
+    assert "10" in out
+
+
+def test_error_recovery_and_exit(engine):
+    out = handle(engine, "SELECT definitely_not_a_column FROM region", {})
+    assert out.startswith("error:")
+    assert handle(engine, "HELP", {}).startswith("commands:")
+    assert handle(engine, "", {}) == ""
+    assert handle(engine, "exit", {}) is None
+    assert handle(engine, "\\q", {}) is None
+
+
+def test_tables_lists_views_and_attached(engine):
+    out = handle(engine, "TABLES", {"cow": "/tmp/x"})
+    assert "region" in out and "cow -> /tmp/x" in out
