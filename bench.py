@@ -157,6 +157,10 @@ def bench_spark(spark, registry, sf_dir: str):
         # executed UPDATE/DELETE/MERGE machinery end-to-end
         "mutate_update_delete",
         "mutate_merge_upsert",
+        # round 6: hive-partitioned MERGE (per-partition swap + partitioned
+        # insert staging) and the GA advice query (stats + 120-order search)
+        "mutate_partitioned_merge",
+        "join_order_advice_ga",
     ):
         spec = registry.get(name)
         if spec is None:

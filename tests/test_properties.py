@@ -262,3 +262,73 @@ def test_cow_dml_equals_algebraic_fold(spark, rows, lo, span, upd):
     )
     want = {(r.id, r.k, r.v) for r in folded.collect()}
     assert got == want
+
+
+# -- DML text front-end tokenizer (operators/mutate.py, r6 quote-awareness) --
+#
+# Pure-Python properties, so examples are cheap: the splitter/rewriter must
+# treat single-quoted literals as opaque bytes no matter what SQL-looking
+# junk (commas, parens, WHERE, alias patterns, '' escapes) they contain.
+
+_LIT_BODY = st.text(
+    alphabet=list("abc,() WHERE s.tx=+"), max_size=12
+).map(lambda s: s.replace("'", ""))
+_LITERAL = st.builds(
+    lambda s, esc: "'" + s + ("''" if esc else "") + "'",
+    _LIT_BODY,
+    st.booleans(),
+)
+# code atoms carry no depth-0 comma themselves (commas only inside calls)
+_CODE = st.sampled_from(
+    ["a", "b1", "s.tag", "t.v", "1 + 2", "f(x, y)", "(a + b)", "g('q', 2)"]
+)
+_FRAG = st.lists(st.one_of(_LITERAL, _CODE), min_size=1, max_size=4).map(
+    " ".join
+)
+
+
+@given(frags=st.lists(_FRAG, min_size=1, max_size=5))
+@settings(max_examples=100, deadline=None)
+def test_split_depth0_recovers_fragments(frags):
+    from sql_query_optimizer_cpp_spark.operators.mutate import _split_depth0
+
+    text = ",".join(frags)
+    assert _split_depth0(text) == frags
+
+
+@given(expr=_FRAG)
+@settings(max_examples=100, deadline=None)
+def test_segments_roundtrip_and_literal_opacity(expr):
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        _alias_rewrite,
+        _segments,
+    )
+
+    # lossless segmentation
+    assert "".join(seg for seg, _ in _segments(expr)) == expr
+    # literals pass through the alias rewrite byte-for-byte
+    rewritten = _alias_rewrite(expr, "t", "s")
+    lits_in = [seg for seg, q in _segments(expr) if q]
+    lits_out = [seg for seg, q in _segments(rewritten) if q]
+    assert lits_in == lits_out
+    # outside literals, every s.col became src_col and t.col went bare
+    for seg, q in _segments(rewritten):
+        if not q:
+            assert "s.tag" not in seg and "t.v" not in seg
+
+
+@given(frags=st.lists(_FRAG, min_size=1, max_size=3), where=_FRAG)
+@settings(max_examples=100, deadline=None)
+def test_find_top_where_ignores_literal_where(frags, where):
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        _find_top_where,
+    )
+
+    body = ",".join(frags)
+    with_where = f"{body} WHERE {where}"
+    idx = _find_top_where(with_where)
+    # the first depth-0 unquoted WHERE is the one we appended — unless the
+    # body itself contains an unquoted depth-0 WHERE token (the code atoms
+    # never do; literals may, but those don't count)
+    assert idx == len(body) + 1
+    assert with_where[idx : idx + 5].upper() == "WHERE"
