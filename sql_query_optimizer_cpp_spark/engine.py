@@ -145,6 +145,27 @@ class Engine:
 
         return execute_dml(self.spark, text, tables)
 
+    # -- version log (MVCC for readers over COW tables) --------------------
+    def enable_versioning(self, path: str) -> int:
+        """Start the auto-version log on a COW table dir: every later DML
+        through :meth:`dml` commits the next numbered version inside the
+        writer lock (see operators.mutate)."""
+        from .operators.mutate import enable_versioning
+
+        return enable_versioning(self.spark, path)
+
+    def table_versions(self, path: str) -> list[int]:
+        from .operators.mutate import table_versions
+
+        return table_versions(self.spark, path)
+
+    def read_version(self, path: str, version: int | None = None) -> DataFrame:
+        """The table exactly as of ``version`` (default latest) — readers
+        pinned here are isolated from concurrent writers."""
+        from .operators.mutate import read_version
+
+        return read_version(self.spark, path, version)
+
     # -- explain (entry point B, SURVEY §3.2 — ours doesn't also execute) --
     def explain(self, text: str) -> str:
         return explain_full(self._plan(text))

@@ -494,3 +494,62 @@ def mutate_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "mutate_versioned_history",
+    oracle="SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n, "
+    + dsum_sql("c_acctbal")
+    + " AS total FROM customer "
+    "UNION ALL "
+    "SELECT 2, CAST(COUNT(*) AS BIGINT), " + dsum_sql("c_acctbal") + " "
+    "FROM customer WHERE NOT COALESCE(c_acctbal < 0, FALSE) "
+    "UNION ALL "
+    "SELECT 3, CAST(COUNT(*) AS BIGINT), "
+    + dsum_sql(
+        "CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal * 2 "
+        "ELSE c_acctbal END"
+    )
+    + " FROM customer WHERE NOT COALESCE(c_acctbal < 0, FALSE) "
+    "ORDER BY version",
+    doc="Version log / MVCC-for-readers graded end-to-end (new r6): "
+    "enable_versioning pins v1 of a customer copy, a DELETE commits v2 "
+    "and an UPDATE commits v3 (each inside the writer lock), then ALL "
+    "THREE versions are read back via read_version and aggregated in one "
+    "result.  The oracle folds each version's state algebraically from "
+    "the original fixture, so equality proves the auto-committed "
+    "manifests pin exact bytes: v1 still shows pre-DML data after two "
+    "later mutations (snapshot isolation for readers), v2 shows the "
+    "three-valued DELETE only, v3 both",
+    tags=("mutate",),
+)
+def mutate_versioned_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mutate import enable_versioning, read_version
+
+    t = load_tables(spark, sf_dir, ("customer",))
+    path = _mut_dir(sf_dir, "cust_ver")
+    (
+        t["customer"]
+        .repartitionByRange(4, "c_custkey")
+        .sortWithinPartitions("c_custkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    enable_versioning(spark, path)
+    delete_where(spark, path, "c_acctbal < 0")                      # v2
+    update_where(
+        spark, path, {"c_acctbal": "c_acctbal * 2"}, "c_mktsegment = 'BUILDING'"
+    )                                                               # v3
+    frames = [
+        read_version(spark, path, v)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dsum("c_acctbal").alias("total"),
+        )
+        .select(F.lit(v).cast("int").alias("version"), "n", "total")
+        for v in (1, 2, 3)
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("version")

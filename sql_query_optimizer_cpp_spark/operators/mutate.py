@@ -33,10 +33,14 @@ reads) instead of deleting them; ``create_snapshot`` pins the table's
 current file list as a named manifest, ``read_snapshot`` reads exactly that
 list back (COW never rewrites a file in place, so a pinned list IS a
 consistent version), and ``vacuum`` purges retired files no manifest
-references.  Honest limitation, stated rather than hidden: without a
-transaction log there is no writer ISOLATION — concurrent writers can race
-the swap — this is single-writer copy-on-write, the subset of a lakehouse
-table the container can support without Delta/Iceberg.
+references.  ``enable_versioning`` builds a linear VERSION LOG on top:
+every mutating verb auto-commits the next numbered manifest inside the
+writer lock, giving readers snapshot isolation (``read_version`` pins a
+version's exact bytes across later DML).  Honest limitation, stated
+rather than hidden: writers remain SINGLE-WRITER (the advisory lock
+detects, not schedules, contention) — this is MVCC-for-readers plus
+serialized writers, the subset of a lakehouse table the container can
+support without Delta/Iceberg's multi-writer commit protocol.
 """
 
 from __future__ import annotations
@@ -273,12 +277,21 @@ def _writer_lock(spark: SparkSession, path: str):
 
 
 def _with_writer_lock(fn):
-    """Decorator: run a mutating verb under the table's writer lock."""
+    """Decorator: run a mutating verb under the table's writer lock; on a
+    version-enabled table (see :func:`enable_versioning`) every mutation
+    that changed anything commits the next numbered version manifest
+    before the lock releases — the single choke point that makes the
+    version log linear."""
 
     @functools.wraps(fn)
     def wrapper(spark, path, *args, **kwargs):
         with _writer_lock(spark, path):
-            return fn(spark, path, *args, **kwargs)
+            out = fn(spark, path, *args, **kwargs)
+            if isinstance(out, MutationStats) and (
+                out.files_rewritten or out.rows_inserted
+            ):
+                _autoversion(spark, path)
+            return out
 
     return wrapper
 
@@ -1336,3 +1349,93 @@ def drop_snapshot(spark: SparkSession, path: str, name: str) -> None:
         ),
         False,
     )
+
+
+# -- version log: MVCC for readers on top of snapshots ------------------------
+#
+# What the r5 review named as the lakehouse user's first question — "what
+# happens to a reader while I mutate?" — answered with the machinery COW
+# already provides.  Versions ARE snapshots with reserved names
+# (v00000001, ...): once enable_versioning pins v1, every DML/compact that
+# changes the table auto-commits the next manifest INSIDE the writer lock
+# (linear history), retain auto-engages (snapshots exist, so superseded
+# files retire instead of deleting), and vacuum refuses to reclaim
+# anything a version still references.  A reader pinned to
+# read_version(path, N) therefore sees version N's exact bytes no matter
+# how many writers commit after it — snapshot isolation for readers.
+# Writers stay single-writer (the advisory lock); what this is NOT is a
+# multi-writer transaction log, and the module docstring says so.
+
+_VERSION_RE = re.compile(r"^v(\d{8})$")
+
+
+def table_versions(spark: SparkSession, path: str) -> list[int]:
+    """Committed version numbers, ascending (empty = versioning off)."""
+    out = []
+    for n in list_snapshots(spark, path):
+        m = _VERSION_RE.match(n)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def enable_versioning(spark: SparkSession, path: str) -> int:
+    """Turn on the auto-version log by pinning the current file list as
+    version 1 (idempotent: returns the latest version if already on).
+    From here every mutating verb commits the next version before its
+    writer lock releases."""
+    vs = table_versions(spark, path)
+    if vs:
+        return vs[-1]
+    create_snapshot(spark, path, "v00000001")
+    return 1
+
+
+def _autoversion(spark: SparkSession, path: str) -> None:
+    vs = table_versions(spark, path)
+    if vs:
+        create_snapshot(spark, path, f"v{vs[-1] + 1:08d}")
+
+
+def current_version(spark: SparkSession, path: str) -> int | None:
+    vs = table_versions(spark, path)
+    return vs[-1] if vs else None
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The table exactly as of ``version`` (default: latest committed).
+
+    Old versions stay readable across later DML because retain
+    auto-engages on versioned tables; they stop being readable only after
+    an explicit :func:`drop_versions_before` + :func:`vacuum`.
+    """
+    vs = table_versions(spark, path)
+    if not vs:
+        raise ValueError(
+            f"versioning not enabled on {path}; call enable_versioning first"
+        )
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise FileNotFoundError(
+            f"no version {v} for {path} (have {vs[0]}..{vs[-1]}, "
+            f"{len(vs)} committed)"
+        )
+    return read_snapshot(spark, path, f"v{v:08d}")
+
+
+def drop_versions_before(
+    spark: SparkSession, path: str, keep_last: int = 1
+) -> int:
+    """Retention: drop all but the newest ``keep_last`` version manifests;
+    returns how many were dropped.  Run :func:`vacuum` afterwards to
+    reclaim the retired files only those versions referenced."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the latest version stays)")
+    vs = table_versions(spark, path)
+    dropped = 0
+    for v in vs[:-keep_last] if keep_last < len(vs) else []:
+        drop_snapshot(spark, path, f"v{v:08d}")
+        dropped += 1
+    return dropped

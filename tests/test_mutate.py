@@ -629,3 +629,70 @@ def test_merge_prune_bound_falls_back_to_full_rewrite(spark, cow_table):
     assert back.where("k = 10").first()["v"] == (10 % 7) + 1000.0
     assert back.where("k = 110").first()["v"] == (110 % 7) + 2000.0
     assert back.count() == 400
+
+
+def test_version_log_mvcc_for_readers(spark, cow_table):
+    """enable_versioning → every mutation commits the next version inside
+    the writer lock; readers pinned to any version see its exact bytes
+    across later DML (snapshot isolation for readers)."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        current_version,
+        drop_versions_before,
+        enable_versioning,
+        read_version,
+        table_versions,
+        vacuum,
+    )
+
+    assert current_version(spark, cow_table) is None
+    assert enable_versioning(spark, cow_table) == 1
+    assert enable_versioning(spark, cow_table) == 1  # idempotent
+    delete_where(spark, cow_table, "k >= 300")          # -> v2
+    update_where(spark, cow_table, {"v": "v + 1"}, "k < 100")  # -> v3
+    # a no-op mutation commits no version
+    delete_where(spark, cow_table, "k < 0")
+    assert table_versions(spark, cow_table) == [1, 2, 3]
+
+    v1, v2, v3 = (read_version(spark, cow_table, n) for n in (1, 2, 3))
+    assert v1.count() == 400 and v2.count() == 300 and v3.count() == 300
+    assert v1.where("k = 0").first()["v"] == 0.0   # pre-update
+    assert v3.where("k = 0").first()["v"] == 1.0   # post-update
+    # default = latest; matches the live table
+    assert read_version(spark, cow_table).count() == 300
+    assert spark.read.parquet(cow_table).count() == 300
+
+    # vacuum reclaims nothing while versions reference the retired files
+    assert vacuum(spark, cow_table) == 0
+    assert read_version(spark, cow_table, 1).count() == 400
+
+    # retention: drop old versions, vacuum reclaims, latest still reads
+    assert drop_versions_before(spark, cow_table, keep_last=1) == 2
+    assert vacuum(spark, cow_table) >= 1
+    assert read_version(spark, cow_table).count() == 300
+    with pytest.raises(FileNotFoundError, match="no version 1"):
+        read_version(spark, cow_table, 1)
+
+
+def test_version_log_merge_and_partitioned(spark, part_table):
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        enable_versioning,
+        read_version,
+        table_versions,
+    )
+
+    enable_versioning(spark, part_table)
+    src = spark.createDataFrame(
+        [Row(k=3, delta=1000.0), Row(k=990, delta=5.0)]
+    )
+    merge_into(
+        spark, part_table, src, on=["k"], matched_set={"v": "v + src_delta"}
+    )
+    assert table_versions(spark, part_table) == [1, 2]
+    assert read_version(spark, part_table, 1).count() == 300
+    assert read_version(spark, part_table, 2).count() == 301
+    assert (
+        read_version(spark, part_table, 2).where("k = 3").first()["v"]
+        == 3 + 1000.0
+    )
+    # version 1 still shows the pre-merge value
+    assert read_version(spark, part_table, 1).where("k = 3").first()["v"] == 3.0

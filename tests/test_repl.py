@@ -89,3 +89,15 @@ def test_error_recovery_and_exit(engine):
 def test_tables_lists_views_and_attached(engine):
     out = handle(engine, "TABLES", {"cow": "/tmp/x"})
     assert "region" in out and "cow -> /tmp/x" in out
+
+
+def test_engine_version_facade(engine, spark, tmp_path):
+    path = str(tmp_path / "eng_ver")
+    spark.range(50).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v").coalesce(
+        1
+    ).write.parquet(path)
+    assert engine.enable_versioning(path) == 1
+    engine.dml("DELETE FROM t WHERE k >= 40", {"t": path})
+    assert engine.table_versions(path) == [1, 2]
+    assert engine.read_version(path, 1).count() == 50
+    assert engine.read_version(path).count() == 40
