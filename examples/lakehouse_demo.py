@@ -11,7 +11,9 @@ Walks a parquet table through the lakehouse lifecycle:
 4. MERGE an upsert batch (matched update + fresh inserts),
 5. time-travel back to v1 while the live table shows the mutations,
 6. compact the small files the DML created,
-7. vacuum after dropping the snapshot.
+7. vacuum after dropping the snapshot,
+8. enable the auto-version log: later DML commits numbered versions
+   (MVCC for readers), retention via drop_versions_before + vacuum.
 
 Usage: python examples/lakehouse_demo.py [sf_dir]   (default sf0.001)
 """
@@ -94,6 +96,29 @@ def main() -> None:
 
     drop_snapshot(spark, path, "v1")
     print(f"vacuum after dropping v1:         {vacuum(spark, path)} files reclaimed")
+
+    # 8. version log: every further mutation auto-commits a numbered
+    #    version inside the writer lock — MVCC for readers
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        drop_versions_before,
+        enable_versioning,
+        read_version,
+        table_versions,
+    )
+
+    enable_versioning(spark, path)
+    delete_where(spark, path, "o_totalprice > 400000")
+    update_where(
+        spark, path, {"o_orderpriority": "'2-HIGH'"}, "o_orderpriority = '5-LOW'"
+    )
+    print(
+        f"\nversion log: {table_versions(spark, path)} "
+        f"(v1 rows {read_version(spark, path, 1).count()}, "
+        f"latest rows {read_version(spark, path).count()})"
+    )
+    dropped = drop_versions_before(spark, path, keep_last=1)
+    print(f"retention: dropped {dropped} old versions, "
+          f"vacuum reclaimed {vacuum(spark, path)} files")
 
     spark.stop()
 

@@ -200,12 +200,17 @@ _PRIORITY: tuple[str, ...] = (
     "join_inner",
     "multimodal_resize",
     # ==== end of the 50-entry r06 window; r07 queue below ================
-    # r07 rotation plan: confirm the r06 window went green, then re-grade
-    # the remaining r03-latest greens (scan_project, filter_like/between,
-    # the join outer/anti family, the tpch_q4/5/6/7/10/14/18 set,
-    # agg rollup/cube/pivot/percentiles, union_distinct, multimodal
-    # features/frame_sample, sampling + curation pipeline queries) —
-    # they become the stalest once this window lands.
+    # r07 rotation plan: confirm the r06 window went green, then lead with
+    # the four round-6 additions staged past the window —
+    # mutate_partitioned_merge (hive-partitioned MERGE swap),
+    # mutate_versioned_history (version-log MVCC), join_hint_strategies
+    # (J7-J9 strategy-invariance), and any further r6 stragglers — then
+    # re-grade the remaining r03-latest greens (scan_project,
+    # filter_like/between, the join outer/anti family, the
+    # tpch_q4/5/6/7/10/14/18 set, agg rollup/cube/pivot/percentiles,
+    # union_distinct, multimodal features/frame_sample, sampling +
+    # curation pipeline queries) — they become the stalest once this
+    # window lands.
 )
 
 

@@ -448,3 +448,46 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6
         ).alias("revenue"),
     )
+
+
+@register(
+    "join_hint_strategies",
+    oracle="WITH j AS (SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_sup "
+    "FROM nation JOIN supplier ON n_nationkey = s_nationkey "
+    "GROUP BY n_name) "
+    "SELECT 'broadcast' AS strategy, n_name, n_sup FROM j "
+    "UNION ALL SELECT 'merge', n_name, n_sup FROM j "
+    "UNION ALL SELECT 'shuffle_hash', n_name, n_sup FROM j "
+    "ORDER BY strategy, n_name",
+    doc="J7/J8/J9 graded end-to-end (new r6): the SAME equi-join executes "
+    "under all three physical strategy hints — BROADCAST, SHUFFLE_MERGE "
+    "(sort-merge), SHUFFLE_HASH — and the three tagged results must be "
+    "identical to the hint-free oracle.  The reference cost-models all "
+    "three algorithms but always instantiates nested-loop (SURVEY §4.3); "
+    "here each hint genuinely changes the physical plan "
+    "(tests/test_plans.py::test_join_strategy_hints asserts the operator "
+    "per hint) and this query proves strategy choice never changes "
+    "results — the property that makes per-stats algorithm selection "
+    "safe at any scale",
+    tags=("joins", "plans"),
+)
+def join_hint_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("nation", "supplier"))
+    out = None
+    for tag, hint in (
+        ("broadcast", "BROADCAST"),
+        ("merge", "SHUFFLE_MERGE"),
+        ("shuffle_hash", "SHUFFLE_HASH"),
+    ):
+        j = (
+            t["nation"].hint(hint)
+            .join(
+                t["supplier"],
+                t["nation"]["n_nationkey"] == t["supplier"]["s_nationkey"],
+            )
+            .groupBy("n_name")
+            .agg(F.count("*").cast("long").alias("n_sup"))
+            .select(F.lit(tag).alias("strategy"), "n_name", "n_sup")
+        )
+        out = j if out is None else out.unionByName(j)
+    return out.orderBy("strategy", "n_name")
