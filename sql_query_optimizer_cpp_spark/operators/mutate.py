@@ -637,7 +637,13 @@ def merge_into(
         )
     else:
         ins_df.write.mode("overwrite").parquet(ins_staging)
-    rows_inserted = spark.read.parquet(ins_staging).count()
+    # an all-matched partitioned merge stages ZERO part files (partitionBy
+    # writes nothing for an empty frame), which a bare read cannot infer a
+    # schema from — count through the file list instead
+    staged_files = list_data_files(spark, ins_staging, recursive=True)
+    rows_inserted = (
+        spark.read.parquet(ins_staging).count() if staged_files else 0
+    )
 
     rows_matched = 0
     if hit:
@@ -1439,3 +1445,60 @@ def drop_versions_before(
         drop_snapshot(spark, path, f"v{v:08d}")
         dropped += 1
     return dropped
+
+
+# -- crash recovery -----------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class RepairReport:
+    """What :func:`repair_table` found (and, with ``remove=True``, cleaned)."""
+
+    staging_dirs: tuple[str, ...]
+    stale_lock: str | None
+    removed: bool
+
+    def render(self) -> str:
+        lines = []
+        if self.staging_dirs:
+            lines.append(
+                f"{len(self.staging_dirs)} orphaned staging dir(s): "
+                + ", ".join(self.staging_dirs)
+            )
+        if self.stale_lock:
+            lines.append(f"writer lock present: {self.stale_lock}")
+        if not lines:
+            return "clean: no staging dirs, no lock"
+        lines.append("removed" if self.removed else "report only (remove=False)")
+        return "\n".join(lines)
+
+
+def repair_table(
+    spark: SparkSession, path: str, remove: bool = False
+) -> RepairReport:
+    """Post-crash inventory of COW debris: sibling ``<table>__cow_*``
+    staging directories (a writer died between stage and swap — the data
+    in them was never swapped in, so the table itself is consistent) and
+    the advisory ``_cow.lock``.
+
+    ``remove=True`` deletes both.  ONLY run removal after confirming no
+    writer is alive — a healthy in-flight mutation legitimately owns a
+    staging dir and the lock; this tool cannot tell a crash from a slow
+    writer, which is exactly why removal is not automatic.
+    """
+    jvm, fs, jpath = _fs(spark, path)
+    parent = jpath.getParent()
+    base = jpath.getName()
+    staging = []
+    for st in fs.listStatus(parent):
+        n = st.getPath().getName()
+        if st.isDirectory() and n.startswith(base + "__cow_"):
+            staging.append(st.getPath().toString())
+    lock = jvm.org.apache.hadoop.fs.Path(jpath, LOCK_FILE)
+    stale = lock.toString() if fs.exists(lock) else None
+    if remove:
+        for s in staging:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(s), True)
+        if stale:
+            fs.delete(lock, False)
+    return RepairReport(tuple(sorted(staging)), stale, remove)

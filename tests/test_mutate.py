@@ -696,3 +696,31 @@ def test_version_log_merge_and_partitioned(spark, part_table):
     )
     # version 1 still shows the pre-merge value
     assert read_version(spark, part_table, 1).where("k = 3").first()["v"] == 3.0
+
+
+def test_repair_table_reports_and_cleans_crash_debris(spark, cow_table):
+    """A writer that died between stage and swap leaves a sibling staging
+    dir and the lock; repair_table inventories them (report-only by
+    default) and remove=True restores DML-ability."""
+    import os as _os
+
+    from sql_query_optimizer_cpp_spark.operators.mutate import repair_table
+
+    assert repair_table(spark, cow_table).render().startswith("clean")
+    # simulate the crash debris
+    staging = cow_table + "__cow_deadbeef"
+    _os.makedirs(staging)
+    open(_os.path.join(staging, "part-00000.snappy.parquet"), "w").write("x")
+    open(_os.path.join(cow_table, "_cow.lock"), "w").write("dead-writer")
+    rep = repair_table(spark, cow_table)
+    assert rep.staging_dirs and rep.stale_lock and not rep.removed
+    # debris intact after report-only; DML still refused by the lock
+    assert _os.path.isdir(staging)
+    with pytest.raises(RuntimeError, match="another writer"):
+        delete_where(spark, cow_table, "k = 1")
+    rep = repair_table(spark, cow_table, remove=True)
+    assert rep.removed
+    assert not _os.path.isdir(staging)
+    # table consistent and writable again
+    assert delete_where(spark, cow_table, "k = 1").rows_matched == 1
+    assert spark.read.parquet(cow_table).count() == 399

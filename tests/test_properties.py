@@ -332,3 +332,60 @@ def test_find_top_where_ignores_literal_where(frags, where):
     # never do; literals may, but those don't count)
     assert idx == len(body) + 1
     assert with_where[idx : idx + 5].upper() == "WHERE"
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),        # key
+            st.floats(min_value=-5, max_value=5, allow_nan=False),
+            st.integers(min_value=0, max_value=2),         # partition
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    src=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=90),        # overlaps + new keys
+            st.floats(min_value=-5, max_value=5, allow_nan=False),
+            st.integers(min_value=0, max_value=3),         # incl. NEW partition 3
+        ),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    ),
+)
+@settings(**_SETTINGS)
+def test_partitioned_merge_equals_flat_merge(spark, tmp_path_factory, rows, src):
+    """MERGE over a hive-partitioned layout must produce exactly the rows
+    the flat layout produces for the same data and statement — partition
+    routing (per-directory swap, partitionBy insert staging, new
+    partition dirs) is storage layout, never semantics."""
+    import uuid as _uuid
+
+    from sql_query_optimizer_cpp_spark.operators.mutate import merge_into
+
+    base = tmp_path_factory.mktemp("pmerge") / _uuid.uuid4().hex
+    flat, part = str(base / "flat"), str(base / "part")
+    df = spark.createDataFrame(rows, "k int, v double, p int")
+    df.coalesce(2).write.parquet(flat)
+    df.write.partitionBy("p").parquet(part)
+    source = spark.createDataFrame(src, "k int, delta double, p int")
+
+    results = []
+    for path in (flat, part):
+        st_ = merge_into(
+            spark,
+            path,
+            source,
+            on=["k"],
+            matched_set={"v": "v + src_delta"},
+            insert_values={"v": "src_delta"},
+        )
+        got = {
+            (r["k"], round(r["v"], 9), r["p"])
+            for r in spark.read.parquet(path).collect()
+        }
+        results.append((st_.rows_matched, st_.rows_inserted, got))
+    assert results[0] == results[1]
