@@ -26,6 +26,9 @@ input              behavior
                    read-only, so DML targets are attached explicitly)
 ``UPDATE/DELETE/   execute copy-on-write against attached tables
 MERGE ...``        (the reference parses these and stops)
+``VERSIONS n``     enable/inspect the attached table's version log
+``REPAIR n         inventory (and with REMOVE, clean) post-crash COW
+[REMOVE]``         staging debris + stale writer lock
 ``TABLES``         list queryable views + attached DML tables
 ``HELP``           this summary; ``EXIT`` / ``QUIT`` / ``\\q`` leaves
 =================  ==========================================================
@@ -52,6 +55,8 @@ _HELP = """commands:
   ANALYZE               harvest table statistics
   ATTACH <name> <path>  map a table name to a parquet dir for DML
   UPDATE/DELETE/MERGE   execute copy-on-write DML on attached tables
+  VERSIONS <name>       enable/inspect the version log (MVCC for readers)
+  REPAIR <name> [REMOVE]  inventory / clean post-crash COW debris
   TABLES                list tables
   HELP                  this help;  EXIT | QUIT | \\q  to leave"""
 
@@ -117,6 +122,26 @@ def handle(
     if verb == "ANALYZE":
         engine.analyze()
         return "statistics harvested"
+    if verb == "VERSIONS":
+        name = rest.strip()
+        if name not in dml_tables:
+            return f"usage: VERSIONS <attached table>  (ATTACH {name or '<name>'} first)"
+        path = dml_tables[name]
+        vs = engine.table_versions(path)
+        if not vs:
+            v = engine.enable_versioning(path)
+            return f"versioning enabled on {name}: at v{v}"
+        return f"{name}: versions {vs[0]}..{vs[-1]} ({len(vs)} committed)"
+    if verb == "REPAIR":
+        from .operators.mutate import repair_table
+
+        parts = rest.split()
+        if not parts or parts[0] not in dml_tables:
+            return "usage: REPAIR <attached table> [REMOVE]"
+        remove = len(parts) > 1 and parts[1].upper() == "REMOVE"
+        return repair_table(
+            engine.spark, dml_tables[parts[0]], remove=remove
+        ).render()
     try:
         if verb == "EXPLAIN":
             return engine.explain(rest)

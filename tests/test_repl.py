@@ -101,3 +101,20 @@ def test_engine_version_facade(engine, spark, tmp_path):
     assert engine.table_versions(path) == [1, 2]
     assert engine.read_version(path, 1).count() == 50
     assert engine.read_version(path).count() == 40
+
+
+def test_repl_versions_and_repair(engine, spark, tmp_path):
+    path = str(tmp_path / "repl_ver")
+    spark.range(30).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v").coalesce(
+        1
+    ).write.parquet(path)
+    tables: dict[str, str] = {}
+    assert "ATTACH" in handle(engine, "VERSIONS t", tables)  # not attached yet
+    handle(engine, f"ATTACH t {path}", tables)
+    assert handle(engine, "VERSIONS t", tables).startswith(
+        "versioning enabled on t"
+    )
+    handle(engine, "DELETE FROM t WHERE k < 5", tables)
+    assert "versions 1..2" in handle(engine, "VERSIONS t", tables)
+    assert handle(engine, "REPAIR t", tables).startswith("clean")
+    assert handle(engine, "REPAIR", tables).startswith("usage:")
