@@ -39,10 +39,20 @@ public class GraftExtensions
         }
     }
 
+    /** Builder for the coalesce-literal-equality → bare equality rule. */
+    public static class CoalesceBuilder
+            extends AbstractFunction1<SparkSession, Rule<LogicalPlan>> {
+        @Override
+        public Rule<LogicalPlan> apply(SparkSession session) {
+            return new CoalesceLiteralEqualityRule();
+        }
+    }
+
     @Override
     public BoxedUnit apply(SparkSessionExtensions extensions) {
         extensions.injectOptimizerRule(new Builder());
         extensions.injectOptimizerRule(new PrefixBuilder());
+        extensions.injectOptimizerRule(new CoalesceBuilder());
         return BoxedUnit.UNIT;
     }
 }

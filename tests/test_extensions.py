@@ -53,6 +53,15 @@ PROBE = textwrap.dedent(
     assert "= l_orderkey" not in opt, "self-equality survived: " + opt
     assert "isnotnull(l_orderkey" in opt
     assert "PushedFilters: [IsNotNull(l_orderkey)]" in phys
+    # r6 regression: the NULL->FALSE rewrite is only sound on the And/Or
+    # spine — under NOT, `NOT (x = x)` is never TRUE (FALSE or NULL), so
+    # the correct answer is 0 rows; the pre-fix rule returned null-x rows
+    neg = spark.createDataFrame([(1, "a"), (2, None)], "id int, x string")
+    neg.createOrReplaceTempView("neg")
+    assert spark.sql("SELECT * FROM neg WHERE NOT (x = x)").count() == 0
+    # ...while the spine position still rewrites: x=x keeps non-null rows
+    assert spark.sql("SELECT * FROM neg WHERE x = x").count() == 1
+
     rewritten = jvm.rewritten()
     spark.stop()
     print("APPLIED", applied)
@@ -153,6 +162,71 @@ def test_jvm_prefix_rule_rewrites_and_pushes():
                 part=os.path.join(SF_DIR, "part.parquet"),
             ),
         ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    rewritten = [l for l in proc.stdout.splitlines() if l.startswith("REWRITTEN")]
+    assert rewritten and int(rewritten[0].split()[1]) > 0
+
+
+COALESCE_PROBE = textwrap.dedent(
+    """
+    import sys, tempfile
+    sys.path.insert(0, {repo!r})
+    from jvmext.build import build
+    from pyspark.sql import SparkSession
+
+    jar = build()
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName("ext-probe-coalesce")
+        .config("spark.driver.extraClassPath", jar)
+        .config("spark.sql.extensions", "sqloptspark.GraftExtensions")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    d = tempfile.mkdtemp() + "/t"
+    spark.createDataFrame(
+        [(1, "ab"), (2, None), (3, "cd")], "id int, x string"
+    ).write.parquet(d)
+    spark.read.parquet(d).createOrReplaceTempView("t")
+
+    # the rewrite: coalesce(x, L1) = L2 with L1 != L2 -> x = L2, which the
+    # parquet scan pushes (Catalyst alone evaluates the coalesce per row
+    # and pushes nothing)
+    df = spark.sql("SELECT * FROM t WHERE coalesce(x, 'zz') = 'ab'")
+    assert df.count() == 1
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "coalesce" not in opt.lower(), opt
+    assert "EqualTo(x,ab)" in phys, phys
+
+    # guard 1: same default literal means `x = L OR x IS NULL` — left alone
+    df2 = spark.sql("SELECT * FROM t WHERE coalesce(x, 'ab') = 'ab'")
+    assert df2.count() == 2  # the null row qualifies via the default
+    assert "coalesce" in df2._jdf.queryExecution().optimizedPlan().toString().lower()
+
+    # guard 2: not offered under NOT (NULL and FALSE diverge there) — the
+    # null row must be KEPT: NOT(coalesce(NULL,'zz')='ab') = NOT FALSE
+    df3 = spark.sql("SELECT * FROM t WHERE NOT (coalesce(x, 'zz') = 'ab')")
+    assert df3.count() == 2, df3.count()
+
+    jvm = spark.sparkContext._jvm.sqloptspark.CoalesceLiteralEqualityRule
+    rewritten = jvm.rewritten()
+    spark.stop()
+    print("REWRITTEN", rewritten)
+    assert rewritten > 0, "coalesce rewrite never fired"
+    """
+)
+
+
+@pytest.mark.skipif(shutil.which("javac") is None, reason="no JDK compiler")
+def test_jvm_coalesce_rule_rewrites_guards_and_pushes():
+    proc = subprocess.run(
+        [sys.executable, "-c", COALESCE_PROBE.format(repo=REPO)],
         capture_output=True,
         text=True,
         timeout=300,
