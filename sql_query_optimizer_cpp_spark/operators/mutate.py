@@ -152,6 +152,16 @@ def _stage(spark: SparkSession, path: str, df: DataFrame) -> str:
     return staging
 
 
+def _rename_part(jvm, fs, src, dest_dir, tag: str, i: int) -> None:
+    """Rename one staged part file into ``dest_dir`` under a fresh unique
+    COW name — the single swap primitive both movers share."""
+    dest = jvm.org.apache.hadoop.fs.Path(
+        dest_dir, f"part-cow-{tag}-{i:05d}.snappy.parquet"
+    )
+    if not fs.rename(src, dest):
+        raise IOError(f"COW swap: rename {src} -> {dest} failed")
+
+
 def _move_in(spark: SparkSession, path: str, staging: str) -> int:
     """Move staged part files into the table dir under fresh unique names;
     returns how many files moved."""
@@ -162,11 +172,7 @@ def _move_in(spark: SparkSession, path: str, staging: str) -> int:
         name = st.getPath().getName()
         if not st.isFile() or name.startswith(("_", ".")):
             continue
-        dest = jvm.org.apache.hadoop.fs.Path(
-            table_path, f"part-cow-{tag}-{i:05d}.snappy.parquet"
-        )
-        if not fs.rename(st.getPath(), dest):
-            raise IOError(f"COW swap: rename {name} -> {dest} failed")
+        _rename_part(jvm, fs, st.getPath(), table_path, tag, i)
         i += 1
     fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
     return i
@@ -199,18 +205,30 @@ def _move_in_partitioned(
                     else table_path
                 )
                 fs.mkdirs(dest_dir)
-                dest = jvm.org.apache.hadoop.fs.Path(
-                    dest_dir, f"part-cow-{tag}-{moved:05d}.snappy.parquet"
-                )
-                if not fs.rename(st.getPath(), dest):
-                    raise IOError(
-                        f"COW swap: rename {st.getPath()} -> {dest} failed"
-                    )
+                _rename_part(jvm, fs, st.getPath(), dest_dir, tag, moved)
                 moved += 1
 
     walk(jvm.org.apache.hadoop.fs.Path(staging), "")
     fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
     return moved
+
+
+def _group_by_dir(files: list[str]) -> dict[str, list[str]]:
+    """Group file URIs by their containing directory — the per-partition
+    unit every partitioned verb swaps on.  One shared implementation so a
+    future normalization fix (e.g. URI scheme forms) reaches all of them."""
+    groups: dict[str, list[str]] = {}
+    for f in files:
+        groups.setdefault(f.rsplit("/", 1)[0], []).append(f)
+    return groups
+
+
+def _partition_cols(spark: SparkSession, path: str, sample_file: str) -> list[str]:
+    """Partition columns of a hive-layout table = columns present in the
+    partitioned read but absent from the physical files."""
+    full_cols = spark.read.parquet(path).columns
+    physical = spark.read.parquet(sample_file).columns
+    return [c for c in full_cols if c not in physical]
 
 
 def _delete_files(spark: SparkSession, files: list[str]) -> None:
@@ -372,12 +390,8 @@ def _mutate_partitioned(
     hit = affected_files(spark, path, cond)
     if not hit:
         return MutationStats(len(files_all), 0, 0)
-    full_cols = spark.read.parquet(path).columns
-    physical_cols = spark.read.parquet(hit[0]).columns
-    part_cols = [c for c in full_cols if c not in physical_cols]
-    groups: dict[str, list[str]] = {}
-    for f in hit:
-        groups.setdefault(f.rsplit("/", 1)[0], []).append(f)
+    part_cols = _partition_cols(spark, path, hit[0])
+    groups = _group_by_dir(hit)
     matched_total = 0
     for part_dir, pfiles in sorted(groups.items()):
         sub = spark.read.option("basePath", path).parquet(*pfiles)
@@ -560,8 +574,7 @@ def merge_into(
     files = list_data_files(spark, path, recursive=partitioned)
     part_cols: list[str] = []
     if partitioned:
-        physical = spark.read.parquet(files[0]).columns
-        part_cols = [c for c in target.columns if c not in physical]
+        part_cols = _partition_cols(spark, path, files[0])
     if matched_set:
         unknown = set(matched_set) - set(target.columns)
         if unknown:
@@ -691,10 +704,7 @@ def merge_into(
                 # per-partition swap: each key=value dir rewrites
                 # independently (parallel jobs at scale; sequential here
                 # only costs latency)
-                groups: dict[str, list[str]] = {}
-                for f in hit:
-                    groups.setdefault(f.rsplit("/", 1)[0], []).append(f)
-                for part_dir, pfiles in sorted(groups.items()):
+                for part_dir, pfiles in sorted(_group_by_dir(hit).items()):
                     rewrite_files(pfiles, part_dir)
             else:
                 rewrite_files(hit, path)
@@ -750,11 +760,8 @@ def compact(
         # lives in the directory name and never moves); at scale these are
         # parallel jobs per partition
         all_files = list_data_files(spark, path, recursive=True)
-        groups: dict[str, list[str]] = {}
-        for f in all_files:
-            groups.setdefault(f.rsplit("/", 1)[0], []).append(f)
         rewritten = moved = 0
-        for part_dir, pfiles in sorted(groups.items()):
+        for part_dir, pfiles in sorted(_group_by_dir(all_files).items()):
             small_p: list[str] = []
             small_p_bytes = 0
             for f in pfiles:
@@ -914,12 +921,97 @@ _MERGE_RE = re.compile(
     r"\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
-_WHEN_RE = re.compile(
-    r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+"
-    r"(UPDATE\s+SET\s+.+?|DELETE|INSERT\b[^;]*?)"
-    r"(?=\s+WHEN\s+(?:NOT\s+)?MATCHED|\s*;?\s*$)",
-    re.IGNORECASE | re.DOTALL,
-)
+def _find_top_keyword(text: str, kw: str) -> int:
+    """Index of the first ``kw`` keyword outside string literals, parens,
+    AND ``CASE ... END`` blocks, or -1.  The CASE tracking is what lets a
+    clause condition like ``AND CASE WHEN x THEN true ELSE false END``
+    keep its own THEN while the clause's THEN is still found."""
+    depth = case_depth = pos = 0
+    pat = re.compile(rf"[()]|\bCASE\b|\bEND\b|\b{kw}\b", re.IGNORECASE)
+    for seg, quoted in _segments(text):
+        if not quoted:
+            for m in pat.finditer(seg):
+                tok = m.group().upper()
+                if tok == "(":
+                    depth += 1
+                elif tok == ")":
+                    depth -= 1
+                elif tok == "CASE":
+                    case_depth += 1
+                elif tok == "END":
+                    case_depth = max(0, case_depth - 1)
+                elif depth == 0 and case_depth == 0:
+                    return pos + m.start()
+        pos += len(seg)
+    return -1
+
+
+_WHEN_HEAD_RE = re.compile(r"\bWHEN\s+(NOT\s+)?MATCHED\b", re.IGNORECASE)
+
+
+def _split_when_clauses(text: str) -> list[tuple[bool, str | None, str]]:
+    """Quote- and CASE-aware split of a MERGE tail into
+    ``(is_not_matched, condition, action)`` clauses.
+
+    The old regex split was neither: a ``;`` inside an INSERT literal made
+    it silently DROP the clause (the merge then executed matched-only —
+    a different statement than written), and a literal containing
+    ``WHEN MATCHED`` split mid-literal.  Here clause heads are found only
+    outside literals and outside CASE blocks, the whole tail must be
+    consumed (anything before the first head is an error, every head
+    starts a clause), and each clause's THEN is located with the same
+    literal/paren/CASE discipline.
+    """
+    # clause-head offsets: WHEN [NOT] MATCHED outside literals and CASE
+    heads = []
+    depth = case_depth = pos = 0
+    tok_pat = re.compile(
+        r"[()]|\bCASE\b|\bEND\b|\bWHEN\s+(?:NOT\s+)?MATCHED\b", re.IGNORECASE
+    )
+    for seg, quoted in _segments(text):
+        if not quoted:
+            for m in tok_pat.finditer(seg):
+                tok = m.group().upper()
+                if tok == "(":
+                    depth += 1
+                elif tok == ")":
+                    depth -= 1
+                elif tok == "CASE":
+                    case_depth += 1
+                elif tok == "END":
+                    case_depth = max(0, case_depth - 1)
+                elif depth == 0 and case_depth == 0:
+                    heads.append(pos + m.start())
+        pos += len(seg)
+    if not heads:
+        raise ValueError("MERGE has no WHEN clause")
+    if text[: heads[0]].strip():
+        raise ValueError(
+            f"unparseable text before first WHEN clause: {text[: heads[0]].strip()!r}"
+        )
+    out = []
+    for a, b in zip(heads, heads[1:] + [len(text)]):
+        chunk = text[a:b].strip().rstrip(";").strip()
+        hm = _WHEN_HEAD_RE.match(chunk)
+        neg = bool(hm.group(1))
+        rest = chunk[hm.end():].strip()
+        then_at = _find_top_keyword(rest, "THEN")
+        if then_at < 0:
+            raise ValueError(f"WHEN clause missing THEN: {chunk!r}")
+        cond_text = rest[:then_at].strip()
+        action = rest[then_at + len("THEN"):].strip()
+        cond: str | None = None
+        if cond_text:
+            am = re.match(r"AND\b", cond_text, re.IGNORECASE)
+            if not am:
+                raise ValueError(
+                    f"expected AND <condition> before THEN, got {cond_text!r}"
+                )
+            cond = cond_text[am.end():].strip()
+        if not action:
+            raise ValueError(f"WHEN clause has empty action: {chunk!r}")
+        out.append((neg, cond, action))
+    return out
 
 
 def _alias_rewrite(expr: str, t_alias: str | None, s_alias: str | None) -> str:
@@ -1003,9 +1095,8 @@ def execute_dml(
         insert_values = None
         insert_condition = None
         saw_update = False
-        for neg, cond, action in _WHEN_RE.findall(clauses):
-            action_l = action.strip()
-            cond = cond.strip() if cond else None
+        for neg, cond, action in _split_when_clauses(clauses):
+            action_l = action
             if neg:
                 if not action_l.upper().startswith("INSERT"):
                     raise ValueError("WHEN NOT MATCHED supports only INSERT")
@@ -1477,14 +1568,26 @@ def repair_table(
     spark: SparkSession, path: str, remove: bool = False
 ) -> RepairReport:
     """Post-crash inventory of COW debris: sibling ``<table>__cow_*``
-    staging directories (a writer died between stage and swap — the data
-    in them was never swapped in, so the table itself is consistent) and
-    the advisory ``_cow.lock``.
+    staging directories and the advisory ``_cow.lock``.
 
-    ``remove=True`` deletes both.  ONLY run removal after confirming no
-    writer is alive — a healthy in-flight mutation legitimately owns a
-    staging dir and the lock; this tool cannot tell a crash from a slow
-    writer, which is exactly why removal is not automatic.
+    What the debris means depends on WHERE the writer died, and this tool
+    cannot tell: a death before the swap began leaves a staging dir whose
+    data was never moved (the table is consistent; removing the dir just
+    reclaims space), but a death MID-swap — after some renames of
+    ``_move_in``/``_move_in_partitioned``, before the originals were
+    deleted — can leave duplicate rows (old + new files coexisting) or a
+    partially-applied insert, and removing the staging remnant then
+    makes the partial state permanent.  Before ``remove=True``, verify
+    the table (row counts vs expectation, or ``read_version`` against
+    the last committed manifest on a version-enabled table, which pins
+    the pre-crash file list exactly) and re-run or repair the mutation
+    first.
+
+    ``remove=True`` deletes both kinds of debris.  ONLY run removal after
+    confirming no writer is alive — a healthy in-flight mutation
+    legitimately owns a staging dir and the lock; this tool cannot tell a
+    crash from a slow writer, which is exactly why removal is not
+    automatic.
     """
     jvm, fs, jpath = _fs(spark, path)
     parent = jpath.getParent()

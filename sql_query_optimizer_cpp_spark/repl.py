@@ -111,38 +111,43 @@ def handle(
             lines.append("attached for DML:")
             lines.extend(f"  {n} -> {p}" for n, p in sorted(dml_tables.items()))
         return "\n".join(["views:"] + lines)
-    if verb == "ATTACH":
-        parts = rest.split()
-        if len(parts) != 2:
-            return "usage: ATTACH <name> <parquet-dir>"
-        name, path = parts
-        dml_tables[name] = path
-        engine.spark.read.parquet(path).createOrReplaceTempView(name)
-        return f"attached {name} -> {path}"
-    if verb == "ANALYZE":
-        engine.analyze()
-        return "statistics harvested"
-    if verb == "VERSIONS":
-        name = rest.strip()
-        if name not in dml_tables:
-            return f"usage: VERSIONS <attached table>  (ATTACH {name or '<name>'} first)"
-        path = dml_tables[name]
-        vs = engine.table_versions(path)
-        if not vs:
-            v = engine.enable_versioning(path)
-            return f"versioning enabled on {name}: at v{v}"
-        return f"{name}: versions {vs[0]}..{vs[-1]} ({len(vs)} committed)"
-    if verb == "REPAIR":
-        from .operators.mutate import repair_table
-
-        parts = rest.split()
-        if not parts or parts[0] not in dml_tables:
-            return "usage: REPAIR <attached table> [REMOVE]"
-        remove = len(parts) > 1 and parts[1].upper() == "REMOVE"
-        return repair_table(
-            engine.spark, dml_tables[parts[0]], remove=remove
-        ).render()
     try:
+        if verb == "ATTACH":
+            parts = rest.split()
+            if len(parts) != 2:
+                return "usage: ATTACH <name> <parquet-dir>"
+            name, path = parts
+            # validate the path BEFORE recording the mapping: a failed
+            # attach must not leave a bogus DML target behind
+            engine.spark.read.parquet(path).createOrReplaceTempView(name)
+            dml_tables[name] = path
+            return f"attached {name} -> {path}"
+        if verb == "ANALYZE":
+            engine.analyze()
+            return "statistics harvested"
+        if verb == "VERSIONS":
+            name = rest.strip()
+            if name not in dml_tables:
+                return (
+                    f"usage: VERSIONS <attached table>  "
+                    f"(ATTACH {name or '<name>'} first)"
+                )
+            path = dml_tables[name]
+            vs = engine.table_versions(path)
+            if not vs:
+                v = engine.enable_versioning(path)
+                return f"versioning enabled on {name}: at v{v}"
+            return f"{name}: versions {vs[0]}..{vs[-1]} ({len(vs)} committed)"
+        if verb == "REPAIR":
+            from .operators.mutate import repair_table
+
+            parts = rest.split()
+            if not parts or parts[0] not in dml_tables:
+                return "usage: REPAIR <attached table> [REMOVE]"
+            remove = len(parts) > 1 and parts[1].upper() == "REMOVE"
+            return repair_table(
+                engine.spark, dml_tables[parts[0]], remove=remove
+            ).render()
         if verb == "EXPLAIN":
             return engine.explain(rest)
         if verb == "OPTIMIZE":

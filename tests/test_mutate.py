@@ -724,3 +724,58 @@ def test_repair_table_reports_and_cleans_crash_debris(spark, cow_table):
     # table consistent and writable again
     assert delete_where(spark, cow_table, "k = 1").rows_matched == 1
     assert spark.read.parquet(cow_table).count() == 399
+
+
+def test_execute_dml_merge_literals_and_case_survive_clause_split(
+    spark, cow_table, tmp_path
+):
+    """r6 review regressions: a ';' inside an INSERT literal must not drop
+    the WHEN NOT MATCHED clause (the old regex split silently executed a
+    matched-only merge); 'WHEN MATCHED' inside a literal must not split
+    the statement; CASE WHEN ... THEN ... END inside SET expressions and
+    clause conditions must keep its own THEN."""
+    src_path = str(tmp_path / "litclause")
+    spark.createDataFrame(
+        [Row(k=30, newv=7.0), Row(k=7001, newv=8.0)]
+    ).coalesce(1).write.parquet(src_path)
+    tables = {"t": cow_table, "s": src_path}
+
+    # 1: semicolon inside the INSERT VALUES literal
+    st = execute_dml(
+        spark,
+        "MERGE INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.newv "
+        "WHEN NOT MATCHED THEN INSERT (v, s) VALUES (s.newv, 'a;b')",
+        tables,
+    )
+    assert st.rows_matched == 1 and st.rows_inserted == 1  # insert NOT dropped
+    back = spark.read.parquet(cow_table)
+    assert back.where("k = 7001").first()["s"] == "a;b"
+    assert back.where("k = 30").first()["v"] == 7.0
+
+    # 2: 'WHEN MATCHED' inside a string literal
+    st = execute_dml(
+        spark,
+        "MERGE INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET s = 'WHEN MATCHED THEN trap'",
+        tables,
+    )
+    assert st.rows_matched == 2
+    assert (
+        spark.read.parquet(cow_table).where("k = 30").first()["s"]
+        == "WHEN MATCHED THEN trap"
+    )
+
+    # 3: CASE WHEN in both a SET expression and a clause condition
+    st = execute_dml(
+        spark,
+        "MERGE INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED AND CASE WHEN s.newv > 0 THEN true ELSE false END "
+        "THEN UPDATE SET v = CASE WHEN s.newv > 7 THEN 100 ELSE 200 END "
+        "WHEN NOT MATCHED THEN INSERT",
+        tables,
+    )
+    assert st.rows_matched == 2
+    back = spark.read.parquet(cow_table)
+    assert back.where("k = 30").first()["v"] == 200.0   # newv 7 -> ELSE
+    assert back.where("k = 7001").first()["v"] == 100.0  # newv 8 -> THEN

@@ -118,3 +118,13 @@ def test_repl_versions_and_repair(engine, spark, tmp_path):
     assert "versions 1..2" in handle(engine, "VERSIONS t", tables)
     assert handle(engine, "REPAIR t", tables).startswith("clean")
     assert handle(engine, "REPAIR", tables).startswith("usage:")
+
+
+def test_repl_attach_and_verbs_survive_errors(engine):
+    """r6 review regression: ATTACH/ANALYZE/VERSIONS/REPAIR errors must
+    print 'error:' and re-prompt, not crash the loop; a failed ATTACH
+    must not record the mapping."""
+    tables: dict[str, str] = {}
+    out = handle(engine, "ATTACH t /no/such/dir", tables)
+    assert out.startswith("error:")
+    assert "t" not in tables  # bogus mapping not recorded
