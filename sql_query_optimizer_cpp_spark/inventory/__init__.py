@@ -124,93 +124,97 @@ def shared_sql(
 
 
 #: Evaluation-priority order.  The driver grades registry entries in
-#: iteration order and stops after a fixed 50-query window (r01-r05 each
-#: sampled a different 50; after r05 every query then registered EXCEPT
-#: the 21-entry r06 queue had a green driver row, with zero
-#: graded-never-green).  Round-6 rotation: the 21 never-graded round-5
-#: additions lead — the executed COW DML family first (it converts the
-#: §2.1 S6/S7/S8 components from sim-verified to driver-graded), then the
-#: source/sink roundtrips (same for S2/S3/S5), the recursive CTE, and the
-#: nine QA/analytics queries — followed by the flagship guard, the new
-#: round-6 GA-advice query, and re-grades of the stalest greens (all 24
-#: queries whose latest driver row is r02, plus three r03 picks covering
-#: the TPC-H agg, inner-join, and multimodal families).  After this round
-#: every registered-as-of-r06 query has a green driver row in some round.
-#: Everything past _PRIORITY keeps registration order; every registered
-#: query stays covered every round by tests/test_inventory.py +
-#: tools/driver_sim.py regardless of window position.
+#: iteration order and stops after a fixed 50-query window (r01-r06 each
+#: sampled a different 50; after r06 every registered query EXCEPT the
+#: 3-entry r07 queue has a green driver row, with zero
+#: graded-never-green).  Round-7 rotation: the three never-graded round-6
+#: additions lead (hive-partitioned MERGE swap, version-log MVCC history,
+#: J7-J9 join-strategy invariance — they convert the last two
+#: sim-verified components to driver-graded), then the flagship guard,
+#: then re-grades of every green whose latest driver row is r03 (all 44
+#: of them: the agg rollup/cube/pivot/percentile family, the outer/anti
+#: join family, tpch_q3/4/5/6/7/10/14/18, filters/scan/null-semantics,
+#: text/dedup/sampling QA, multimodal features + frame-sample,
+#: union_distinct, win_distribution), and two r04 picks: stats_mcv_topk
+#: (the S4 stats-harvester component's only evidence row) and
+#: curation_pipeline_e2e (the headline e2e pipeline).  After this round
+#: every registered query's latest green is r04+ and nothing registered
+#: before r07 has never been graded.  Everything past _PRIORITY keeps
+#: registration order; every registered query stays covered every round
+#: by tests/test_inventory.py + tools/driver_sim.py regardless of window
+#: position.
 _PRIORITY: tuple[str, ...] = (
-    # -- never driver-graded: executed COW DML (S7/S8 beyond the
-    #    reference's parse-only surface) ---------------------------------
-    "mutate_update_delete",
-    "mutate_merge_upsert",
-    "mutate_dml_sql",
-    "mutate_snapshot_diff",
-    "mutate_apply_changes",
-    "mutate_compact_stable",
-    "mutate_partitioned_delete",
-    # -- never driver-graded: §2.1 source/sink roundtrips (S2/S3/S5/S6) --
-    "source_roundtrip_partitioned",
-    "source_roundtrip_formats",
-    "source_roundtrip_zorder",
-    "insert_select_roundtrip",
-    # -- never driver-graded: recursive CTE + the nine QA queries ---------
-    "recursive_cte_chain",
-    "ingest_incremental_e2e",
-    "text_boilerplate_ngrams",
-    "dedup_cluster_size_hist",
-    "text_oov_rate",
-    "split_leakage_report",
-    "embeddings_norm_stats",
-    "events_dau_stickiness",
-    "orders_yoy_growth",
-    "events_hourly_topk_types",
+    # -- never driver-graded: the r07 queue (round-6 additions) -----------
+    "mutate_partitioned_merge",
+    "mutate_versioned_history",
+    "join_hint_strategies",
     # -- regression-guard slot: the headline query ------------------------
     "flagship_demo",
-    # -- new in round 6 (first grading): GA join-order advice vs an
-    #    exhaustive-enumeration oracle ------------------------------------
-    "join_order_advice_ga",
-    # -- re-grades: every green whose latest driver row is r02 ------------
-    "multimodal_meta",
-    "union_all",
-    "intersect",
-    "except_",
-    "dedup_exact",
-    "scan_star",
-    "filter_point",
-    "filter_compare",
-    "pred_compound",
-    "pred_in_list",
-    "arith_filter",
-    "case_when",
-    "orderby_multi",
-    "scalar_functions",
-    "date_functions",
-    "join_natural",
-    "join_comma",
-    "join_cross",
-    "join_theta",
-    "join_asof",
-    "agg_grouping_sets",
-    "complex_q2",
-    "complex_q5",
-    "agg_filter_clause",
-    # -- re-grades: r03-stale family representatives ----------------------
-    "tpch_q1",
-    "join_inner",
-    "multimodal_resize",
-    # ==== end of the 50-entry r06 window; r07 queue below ================
-    # r07 rotation plan: confirm the r06 window went green, then lead with
-    # the four round-6 additions staged past the window —
-    # mutate_partitioned_merge (hive-partitioned MERGE swap),
-    # mutate_versioned_history (version-log MVCC), join_hint_strategies
-    # (J7-J9 strategy-invariance), and any further r6 stragglers — then
-    # re-grade the remaining r03-latest greens (scan_project,
-    # filter_like/between, the join outer/anti family, the
-    # tpch_q4/5/6/7/10/14/18 set, agg rollup/cube/pivot/percentiles,
-    # union_distinct, multimodal features/frame_sample, sampling +
-    # curation pipeline queries) — they become the stalest once this
-    # window lands.
+    # -- re-grades: every green whose latest driver row is r03 ------------
+    # aggregates
+    "agg_global",
+    "agg_groupby",
+    "agg_having",
+    "agg_distinct",
+    "agg_count_distinct",
+    "agg_approx_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_pivot",
+    "agg_percentiles",
+    # scans / filters / expressions
+    "scan_project",
+    "arith_project",
+    "filter_like",
+    "filter_between",
+    "filter_regex",
+    "null_semantics",
+    "topk",
+    # join family
+    "join_left",
+    "join_right",
+    "join_full",
+    "join_semi",
+    "join_left_anti",
+    "join_right_anti",
+    "join_full_outer_anti",
+    "join_three_way",
+    # TPC-H
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
+    # set ops / windows
+    "union_distinct",
+    "win_distribution",
+    # text / dedup / curation QA
+    "text_filter_pipeline",
+    "text_tokens_pandas_udf",
+    "text_vocab_topk",
+    "dedup_clusters",
+    "dedup_simhash_pairs",
+    "decontaminate",
+    "sample_stratified",
+    # multimodal
+    "multimodal_features",
+    "multimodal_frame_sample",
+    # -- re-grades: r04 family representatives ----------------------------
+    "stats_mcv_topk",
+    "curation_pipeline_e2e",
+    # ==== end of the 50-entry r07 window; r08 queue below ================
+    # r08 rotation plan: lead with any round-7 additions staged past the
+    # window (the multi-writer/versioning stress query once optimistic
+    # concurrency lands), keep the flagship guard, then re-grade the
+    # remaining r04-latest greens (tpch_q2/8/9/11/12/13/15/16/17/19/20/
+    # 21/22, the events family, intersect_all/except_all, join_lateral/
+    # join_range, the win_* trio, sim_ivf/blockmax, text r04 QA,
+    # agg_listagg/hll/udaf/weighted_avg, sample_fixed_k, pack_sequences,
+    # corpus_mix_report, curation_pipeline_neardup, dedup_embedding_cosine,
+    # doc_span_extract) — they become the stalest once this window lands.
 )
 
 

@@ -43,7 +43,12 @@ from pyspark.sql import functions as F
 
 from . import register
 from ..catalog import load_tables
-from ..plans.genetic import JoinEdge, JoinGraph, genetic_join_order
+from ..plans.genetic import (
+    JoinEdge,
+    JoinGraph,
+    chain_cost_detail,
+    genetic_join_order,
+)
 
 #: (table_a, key_a, table_b, key_b) — the query's equi-join edges.
 _EDGES = (
@@ -126,6 +131,57 @@ ORDER BY pos
 """
 
 
+#: Minimum cost separation required between the optimal tie class and the
+#: next-best class.  The module doc's determinism argument rests on two
+#: fixture properties; _assert_tie_gap re-proves them at RUN time so a
+#: future fixture/stat change fails LOUDLY here instead of flaking the
+#: driver's hash compare (the r6 review flagged exactly this fragility).
+_MIN_TIE_GAP = 1.0
+
+
+def _assert_tie_gap(graph: JoinGraph) -> None:
+    """Exhaustively re-verify (120 permutations, driver-side metadata
+    arithmetic — no Spark job) that
+
+    1. every order tied with the optimum (same cartesian count, cost
+       within float noise) is the symmetric FIRST-PAIR swap of one
+       canonical order — the only tie class both engines canonicalize; and
+    2. the next-best cost class sits ≥ ``_MIN_TIE_GAP`` away, so
+       cross-engine float noise cannot flip the argmin.
+    """
+    from itertools import permutations
+
+    tables = sorted(graph.rows)
+    scored = [
+        (list(p), *chain_cost_detail(list(p), graph))
+        for p in permutations(tables)
+    ]
+    best_ncross = min(nc for _, nc, _ in scored)
+    in_class = [(o, c) for o, nc, c in scored if nc == best_ncross]
+    best_cost = min(c for _, c in in_class)
+    tol = 1e-9 * max(1.0, abs(best_cost))
+    tied = [o for o, c in in_class if c - best_cost <= tol]
+    canon = {tuple(sorted(o[:2]) + o[2:]) for o in tied}
+    if len(canon) != 1:
+        raise ValueError(
+            "join_order_advice_ga determinism invariant broken: the "
+            f"optimal cost class contains {len(canon)} distinct orders "
+            f"beyond the symmetric first-pair tie ({sorted(canon)}); "
+            "cross-engine canonicalization only covers the first-pair "
+            "swap — fixture statistics changed in a way the oracle "
+            "cannot disambiguate"
+        )
+    above = [c for _, c in in_class if c - best_cost > tol]
+    if above and min(above) - best_cost < _MIN_TIE_GAP:
+        raise ValueError(
+            "join_order_advice_ga determinism invariant broken: "
+            f"next-best cost class is only {min(above) - best_cost:.3g} "
+            f"units above the optimum (< {_MIN_TIE_GAP}); float noise "
+            "between engines could flip the argmin — fixture statistics "
+            "no longer give the documented gap"
+        )
+
+
 @register(
     "join_order_advice_ga",
     oracle=_ORACLE,
@@ -157,6 +213,7 @@ def join_order_advice_ga(spark: SparkSession, sf_dir: str) -> DataFrame:
             for a, ca, b, cb in _EDGES
         ],
     )
+    _assert_tie_gap(graph)
     order, _cost = genetic_join_order(graph, seed=42)
     # canonicalize the symmetric first-pair tie (cost provably unchanged —
     # every cost term is symmetric in (l, r); see module doc)

@@ -367,6 +367,53 @@ def _swap_in(
     spark.catalog.clearCache()
 
 
+#: Driver-side fs metadata concurrency for the per-partition swap phase.
+#: Renames/deletes are independent per partition dir; a serial loop is
+#: O(partitions) round-trips of driver latency — minutes at 10⁴ partitions.
+SWAP_THREADS = 16
+
+
+def _swap_staged(
+    spark: SparkSession,
+    path: str,
+    staged: list[tuple[str, list[str], str]],
+    retain: bool,
+) -> None:
+    """Phase 2 of every partitioned COW verb: move each ``(part_dir,
+    old_files, staging)`` entry's staged parts in and delete/retire the
+    originals, thread-pooled (independent per partition — pure driver-side
+    fs metadata calls, no Spark jobs).
+
+    MUST only run after ALL partitions are staged: phase 1 may re-evaluate
+    a plan that reads the table itself (a MERGE source derived from the
+    target), so no original file may disappear while any staging write is
+    still pending.  Crash semantics: death in phase 1 leaves only orphan
+    staging dirs (table untouched, ``repair_table`` reclaims); death in
+    phase 2 can leave some partitions swapped and others not — the same
+    window the flat-table verbs already have, now minimized.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(entry: tuple[str, list[str], str]) -> None:
+        part_dir, pfiles, staging = entry
+        _move_in(spark, part_dir, staging)
+        if retain:
+            _retire_files(spark, path, pfiles)
+        else:
+            _delete_files(spark, pfiles)
+
+    if not staged:
+        return
+    if len(staged) == 1:
+        one(staged[0])
+        return
+    # py4j is thread-safe (one gateway connection per thread); each task
+    # touches a disjoint partition dir, retire batches are uuid-unique
+    with ThreadPoolExecutor(max_workers=min(SWAP_THREADS, len(staged))) as ex:
+        for _ in ex.map(one, staged):
+            pass
+
+
 def _mutate_partitioned(
     spark: SparkSession,
     path: str,
@@ -375,7 +422,8 @@ def _mutate_partitioned(
     retain: bool,
 ) -> MutationStats:
     """Per-partition copy-on-write: group affected files by their hive
-    partition directory and swap each independently.
+    partition directory, stage EVERY partition's rewrite first, then swap
+    them all in (thread-pooled fs metadata phase).
 
     - The prune scan runs over the PARTITIONED read, so predicates on
       partition columns prune whole directories before any footer is
@@ -383,8 +431,11 @@ def _mutate_partitioned(
     - Each partition's rewrite reads with ``basePath`` so partition
       columns are in scope for the predicate, and drops them before
       writing (they live in the directory name, not the file).
-    - Partitions rewrite independently — at scale these are parallel
-      jobs; here they run sequentially, which only costs latency.
+    - Stage-all-THEN-swap (same discipline as the flat-table verbs):
+      every original file still exists while any rewrite plan is being
+      evaluated, so a predicate or source reading the table itself can
+      never hit a mid-swap hole; a crash before phase 2 leaves the table
+      untouched.
     """
     files_all = list_data_files(spark, path, recursive=True)
     hit = affected_files(spark, path, cond)
@@ -393,16 +444,23 @@ def _mutate_partitioned(
     part_cols = _partition_cols(spark, path, hit[0])
     groups = _group_by_dir(hit)
     matched_total = 0
-    for part_dir, pfiles in sorted(groups.items()):
-        sub = spark.read.option("basePath", path).parquet(*pfiles)
-        rewritten, matched = build(sub, part_cols)
-        matched_total += matched
-        staging = _stage(spark, path, rewritten.drop(*part_cols))
-        _move_in(spark, part_dir, staging)
-        if retain:
-            _retire_files(spark, path, pfiles)
-        else:
-            _delete_files(spark, pfiles)
+    staged: list[tuple[str, list[str], str]] = []
+    try:
+        for part_dir, pfiles in sorted(groups.items()):
+            sub = spark.read.option("basePath", path).parquet(*pfiles)
+            rewritten, matched = build(sub, part_cols)
+            matched_total += matched
+            staged.append(
+                (part_dir, pfiles, _stage(spark, path, rewritten.drop(*part_cols)))
+            )
+    except Exception:
+        # phase-1 failure: no original was touched; reclaim the stagings
+        jvm, fs, _ = _fs(spark, path)
+        for _, _, staging in staged:
+            with contextlib.suppress(Exception):
+                fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+        raise
+    _swap_staged(spark, path, staged, retain)
     spark.catalog.clearCache()
     return MutationStats(len(files_all), len(hit), matched_total)
 
@@ -660,8 +718,9 @@ def merge_into(
 
     rows_matched = 0
     if hit:
+        staged: list[tuple[str, list[str], str]] = []
         try:
-            def rewrite_files(pfiles: list[str], dest_dir: str) -> None:
+            def stage_rewrite(pfiles: list[str], dest_dir: str) -> None:
                 nonlocal rows_matched
                 if partitioned:
                     # basePath keeps partition columns in scope (a merge
@@ -693,26 +752,31 @@ def merge_into(
                 rewritten = joined.select(*projected)
                 if part_cols:
                     rewritten = rewritten.drop(*part_cols)
-                staging = _stage(spark, path, rewritten)
-                _move_in(spark, dest_dir, staging)
-                if retain:
-                    _retire_files(spark, path, pfiles)
-                else:
-                    _delete_files(spark, pfiles)
+                staged.append((dest_dir, pfiles, _stage(spark, path, rewritten)))
 
+            # STAGE every partition's rewrite before touching any original:
+            # ``src`` is caller-supplied and may read from this very table
+            # (self-referential merge), and Spark re-evaluates its plan per
+            # staging job — deleting partition A's files before staging
+            # partition B would hand that plan a mid-swap hole
+            # (FileNotFoundException at best, silent reads of swapped-in
+            # data at worst).  Only after all stagings exist does the
+            # thread-pooled swap phase delete/retire originals.
             if partitioned:
-                # per-partition swap: each key=value dir rewrites
-                # independently (parallel jobs at scale; sequential here
-                # only costs latency)
                 for part_dir, pfiles in sorted(_group_by_dir(hit).items()):
-                    rewrite_files(pfiles, part_dir)
+                    stage_rewrite(pfiles, part_dir)
             else:
-                rewrite_files(hit, path)
+                stage_rewrite(hit, path)
+            _swap_staged(spark, path, staged, retain)
             spark.catalog.clearCache()
         except Exception:
-            # don't orphan the staged inserts when the matched swap fails
+            # don't orphan the staged inserts (or any staged rewrite)
+            # when staging fails — no original has been touched yet
             jvm, fs, _ = _fs(spark, path)
             fs.delete(jvm.org.apache.hadoop.fs.Path(ins_staging), True)
+            for _, _, st_dir in staged:
+                with contextlib.suppress(Exception):
+                    fs.delete(jvm.org.apache.hadoop.fs.Path(st_dir), True)
             raise
 
     if rows_inserted:
@@ -761,6 +825,7 @@ def compact(
         # parallel jobs per partition
         all_files = list_data_files(spark, path, recursive=True)
         rewritten = moved = 0
+        staged: list[tuple[str, list[str], str]] = []
         for part_dir, pfiles in sorted(_group_by_dir(all_files).items()):
             small_p: list[str] = []
             small_p_bytes = 0
@@ -774,13 +839,11 @@ def compact(
             n_out = max(1, -(-small_p_bytes // target_bytes))
             df = spark.read.parquet(*small_p)
             moved += df.count()
-            staging = _stage(spark, path, df.coalesce(int(n_out)))
-            _move_in(spark, part_dir, staging)
-            if retain:
-                _retire_files(spark, path, small_p)
-            else:
-                _delete_files(spark, small_p)
+            staged.append((part_dir, small_p, _stage(spark, path, df.coalesce(int(n_out)))))
             rewritten += len(small_p)
+        # same stage-all-then-swap discipline as the DML verbs (and the
+        # same thread-pooled fs metadata phase)
+        _swap_staged(spark, path, staged, retain)
         spark.catalog.clearCache()
         return MutationStats(len(all_files), rewritten, moved)
     all_files = list_data_files(spark, path)
@@ -826,11 +889,15 @@ _DELETE_RE = re.compile(
 def _segments(text: str):
     """Yield ``(piece, is_string_literal)`` pieces of a SQL expression,
     splitting out single-quoted literals (with ``''`` as SQL's escaped
-    quote).  Every structural scan below — comma splitting, WHERE
-    detection, alias rewriting — walks these segments and leaves literal
-    pieces untouched: an expression like ``SET note = 's.tag'`` must keep
-    its literal byte-for-byte, never have the alias pattern rewritten
-    inside it (silent data corruption)."""
+    quote AND ``\\'`` as Spark's backslash escape — Spark's default lexer
+    un-escapes backslash sequences, so ``'it\\'s'`` is ONE literal to the
+    engine that will evaluate these expressions and must be one literal
+    here, or the boundary mis-lexes and comma/WHERE splitting operates on
+    literal content).  Every structural scan below — comma splitting,
+    WHERE detection, alias rewriting — walks these segments and leaves
+    literal pieces untouched: an expression like ``SET note = 's.tag'``
+    must keep its literal byte-for-byte, never have the alias pattern
+    rewritten inside it (silent data corruption)."""
     i, n, start = 0, len(text), 0
     while i < n:
         if text[i] == "'":
@@ -838,6 +905,11 @@ def _segments(text: str):
                 yield text[start:i], False
             j = i + 1
             while j < n:
+                if text[j] == "\\" and j + 1 < n:
+                    # backslash escapes the next char (incl. \' and \\),
+                    # matching Spark's default string-literal lexing
+                    j += 2
+                    continue
                 if text[j] == "'":
                     if j + 1 < n and text[j + 1] == "'":
                         j += 2
@@ -1281,7 +1353,20 @@ def create_snapshot(spark: SparkSession, path: str, name: str) -> int:
 
     Returns the number of files pinned.  O(file count) metadata; no data
     is read or copied — the manifest is the version.
+
+    Takes the table's writer lock: a manifest written concurrently with an
+    in-flight DML could capture a mid-swap file list (old+new duplicates,
+    or originals already retired) as a PERMANENT version — a manifest may
+    only ever pin a committed state.
     """
+    with _writer_lock(spark, path):
+        return _create_snapshot_unlocked(spark, path, name)
+
+
+def _create_snapshot_unlocked(spark: SparkSession, path: str, name: str) -> int:
+    """Manifest write for callers that already hold the writer lock
+    (``_autoversion`` runs inside ``_with_writer_lock``; the lock is not
+    reentrant)."""
     import json
 
     if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
@@ -1480,18 +1565,24 @@ def enable_versioning(spark: SparkSession, path: str) -> int:
     """Turn on the auto-version log by pinning the current file list as
     version 1 (idempotent: returns the latest version if already on).
     From here every mutating verb commits the next version before its
-    writer lock releases."""
-    vs = table_versions(spark, path)
-    if vs:
-        return vs[-1]
-    create_snapshot(spark, path, "v00000001")
-    return 1
+    writer lock releases.
+
+    Runs under the writer lock (v1 must pin a committed state, never a
+    mid-swap file list; the idempotence check re-runs inside the lock so
+    two concurrent enables cannot both write v1)."""
+    with _writer_lock(spark, path):
+        vs = table_versions(spark, path)
+        if vs:
+            return vs[-1]
+        _create_snapshot_unlocked(spark, path, "v00000001")
+        return 1
 
 
 def _autoversion(spark: SparkSession, path: str) -> None:
+    # caller (_with_writer_lock) already holds the lock
     vs = table_versions(spark, path)
     if vs:
-        create_snapshot(spark, path, f"v{vs[-1] + 1:08d}")
+        _create_snapshot_unlocked(spark, path, f"v{vs[-1] + 1:08d}")
 
 
 def current_version(spark: SparkSession, path: str) -> int | None:

@@ -262,3 +262,39 @@ def test_ga_never_cartesian_on_connected_graph():
     order, _cost = genetic_join_order(g, seed=3)
     n_cross, _ = chain_cost_detail(order, g)
     assert n_cross == 0
+
+
+def test_advice_tie_gap_invariant_guard():
+    """The graded GA query's cross-engine determinism rests on two fixture
+    properties (only the symmetric first-pair tie at the optimum; >=1-unit
+    gap to the next cost class).  _assert_tie_gap must re-prove them at
+    run time and fail LOUDLY on stats that break either one."""
+    import pytest
+
+    from sql_query_optimizer_cpp_spark.inventory.advice import _assert_tie_gap
+
+    # healthy chain (TPC-H-like cardinalities): passes
+    g = JoinGraph(
+        rows={"a": 5, "b": 25, "c": 1500, "d": 15000, "e": 60000},
+        edges=[
+            JoinEdge("a", "b", 5, 5),
+            JoinEdge("b", "c", 25, 25),
+            JoinEdge("c", "d", 1500, 1000),
+            JoinEdge("d", "e", 15000, 15000),
+        ],
+    )
+    _assert_tie_gap(g)
+
+    # four identical disconnected-ish tables: every permutation costs the
+    # same -> the optimal tie class is far bigger than one first-pair swap
+    flat = JoinGraph(
+        rows={"a": 10, "b": 10, "c": 10, "d": 10},
+        edges=[
+            JoinEdge("a", "b", 10, 10),
+            JoinEdge("b", "c", 10, 10),
+            JoinEdge("c", "d", 10, 10),
+            JoinEdge("d", "a", 10, 10),
+        ],
+    )
+    with pytest.raises(ValueError, match="determinism invariant"):
+        _assert_tie_gap(flat)

@@ -779,3 +779,99 @@ def test_execute_dml_merge_literals_and_case_survive_clause_split(
     back = spark.read.parquet(cow_table)
     assert back.where("k = 30").first()["v"] == 200.0   # newv 7 -> ELSE
     assert back.where("k = 7001").first()["v"] == 100.0  # newv 8 -> THEN
+
+
+def test_partitioned_merge_self_referential_source(spark, part_table):
+    """A MERGE source derived from the TARGET table itself must survive the
+    per-partition swap: Spark re-evaluates the source plan for every
+    partition's staging job, so originals may only disappear after ALL
+    partitions are staged (stage-all-then-swap).  Before that discipline,
+    partition 2's staging read files partition 1's swap had already
+    deleted (FileNotFoundException, or worse: silent reads of swapped-in
+    data)."""
+    src = (
+        spark.read.parquet(part_table)
+        .where("k < 9")  # keys in every partition dir p=0,1,2
+        .select("k", (F.col("v") + 10000.0).alias("newv"))
+    )
+    st = merge_into(
+        spark,
+        part_table,
+        src,
+        on=["k"],
+        matched_set={"v": "src_newv"},
+    )
+    assert st.rows_matched == 9 and st.rows_inserted == 0
+    assert st.files_rewritten == 6  # every partition dir had k<9 rows
+    back = spark.read.parquet(part_table)
+    assert back.count() == 300
+    assert back.where("k < 9 AND v <> CAST(k AS DOUBLE) + 10000.0").count() == 0
+    assert back.where("k >= 9 AND v <> CAST(k AS DOUBLE)").count() == 0
+
+
+def test_partitioned_delete_self_referential_condition(spark, part_table):
+    """Same stage-all-then-swap guarantee for the plain verbs: a scalar
+    subquery over the table itself inside the WHERE re-reads the table per
+    partition staging job."""
+    cond = F.col("k") < F.lit(
+        spark.read.parquet(part_table).agg(F.expr("percentile(k, 0.02)")).first()[0]
+    )
+    # the literal pin keeps this deterministic; the multi-partition swap is
+    # what is under test (k<~6 rows land in all three p dirs)
+    st = delete_where(spark, part_table, cond)
+    assert st.rows_matched == 6
+    assert len({f.rsplit("/", 2)[1] for f in _names_rec(spark, part_table)}) == 3
+    back = spark.read.parquet(part_table)
+    assert back.count() == 294
+    assert back.agg(F.min("k")).first()[0] == 6
+
+
+def test_segments_backslash_escaped_literals(spark, cow_table):
+    """Spark's default lexer treats backslash as an escape inside string
+    literals; the DML text scanner must lex the same boundary or splitting
+    operates on literal content."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import _segments
+
+    pieces = list(_segments(r"s = 'it\'s, x' , v = 1"))
+    assert (r"'it\'s, x'", True) in pieces
+    # escaped backslash immediately before the closing quote
+    pieces = list(_segments(r"s = 'a\\'"))
+    assert (r"'a\\'", True) in pieces
+    with pytest.raises(ValueError, match="unterminated"):
+        list(_segments(r"s = 'dangling\'"))
+
+    tables = {"t": cow_table}
+    st = execute_dml(
+        spark, r"UPDATE t SET s = 'it\'s, fine WHERE x' WHERE k = 5", tables
+    )
+    assert st.rows_matched == 1
+    assert (
+        spark.read.parquet(cow_table).where("k = 5").first()["s"]
+        == "it's, fine WHERE x"
+    )
+
+
+def test_snapshot_and_versioning_take_writer_lock(spark, cow_table):
+    """A manifest may only pin a COMMITTED state: create_snapshot and
+    enable_versioning must refuse while a writer holds the lock (a
+    mid-swap file list pinned as a permanent version is corruption)."""
+    import os as _os
+
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        create_snapshot,
+        enable_versioning,
+        list_snapshots,
+    )
+
+    lock = _os.path.join(cow_table, "_cow.lock")
+    open(lock, "w").write("held")
+    with pytest.raises(RuntimeError, match="another writer"):
+        create_snapshot(spark, cow_table, "mid")
+    with pytest.raises(RuntimeError, match="another writer"):
+        enable_versioning(spark, cow_table)
+    assert list_snapshots(spark, cow_table) == []
+    _os.remove(lock)
+    assert create_snapshot(spark, cow_table, "ok") == 4
+    assert enable_versioning(spark, cow_table) == 1
+    # both released the lock on the way out
+    assert not _os.path.exists(lock)

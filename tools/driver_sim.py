@@ -17,8 +17,17 @@ SF = os.environ.get("SIM_SF_DIR", "/root/testdata/sf0.01")
 # runtime (this exact bug cost 19 rows in round 1 — nanosAsLong lived only
 # in the builder).  Do not "fix" this back to get_session().
 # SIM_CONF="k=v,k=v" overlays extra session confs for cluster-shape smokes
-# (e.g. spark.sql.shuffle.partitions=200) — default stays vanilla.
-_builder = SparkSession.builder.master("local[32]").appName("driver-sim")
+# (e.g. spark.sql.shuffle.partitions=200) — default stays vanilla EXCEPT
+# driver memory: a 1g-heap sim session OOMs ~query 127 of a full-registry
+# sf0.1 replay (r6 evidence needed manual chunking); the engine's own
+# sessions already default to 8g (session.py), and driver memory is a
+# harness knob, not a correctness conf the engine could forget to set.
+# SIM_CONF can still override it.
+_builder = (
+    SparkSession.builder.master("local[32]")
+    .appName("driver-sim")
+    .config("spark.driver.memory", "8g")
+)
 for _kv in filter(None, os.environ.get("SIM_CONF", "").split(",")):
     _k, _, _v = _kv.partition("=")
     _builder = _builder.config(_k.strip(), _v.strip())
