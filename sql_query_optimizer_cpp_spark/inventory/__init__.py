@@ -206,9 +206,9 @@ _PRIORITY: tuple[str, ...] = (
     "stats_mcv_topk",
     "curation_pipeline_e2e",
     # ==== end of the 50-entry r07 window; r08 queue below ================
-    # r08 rotation plan: lead with any round-7 additions staged past the
-    # window (the multi-writer/versioning stress query once optimistic
-    # concurrency lands), keep the flagship guard, then re-grade the
+    # r08 rotation plan: lead with mutate_concurrent_writers (the round-7
+    # optimistic multi-writer protocol, staged past this window), keep the
+    # flagship guard, then re-grade the
     # remaining r04-latest greens (tpch_q2/8/9/11/12/13/15/16/17/19/20/
     # 21/22, the events family, intersect_all/except_all, join_lateral/
     # join_range, the win_* trio, sim_ivf/blockmax, text r04 QA,

@@ -553,3 +553,130 @@ def mutate_versioned_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out.orderBy("version")
+
+
+# -- staged for the r08 grading window (registered past the 50-query
+# -- r07 _PRIORITY window; sim-covered every round regardless) ---------------
+
+_OCC_ORACLE = (
+    "WITH f AS (SELECT c_custkey, c_acctbal AS b1, "
+    "  CASE WHEN c_custkey > (SELECT MAX(c_custkey) - 3 FROM customer) "
+    "  THEN c_acctbal + 1000 ELSE c_acctbal END AS b2 FROM customer), "
+    "g AS (SELECT c_custkey, b1, b2, "
+    "  CASE WHEN c_custkey < (SELECT MIN(c_custkey) + 3 FROM customer) "
+    "  THEN b2 + 100 ELSE b2 END AS b3 FROM f), "
+    "h AS (SELECT c_custkey, b1, b2, b3, "
+    "  CASE WHEN c_custkey % 2 = 1 THEN b3 + 7 ELSE b3 END AS b4 FROM g), "
+    "i AS (SELECT c_custkey, b1, b2, b3, b4, "
+    "  CASE WHEN c_custkey % 2 = 0 THEN b4 * 2 ELSE b4 END AS b5 FROM h) "
+    "SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n, "
+    + dsum_sql("b1") + " AS total FROM i "
+    "UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT), " + dsum_sql("b2") + " FROM i "
+    "UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT), " + dsum_sql("b3") + " FROM i "
+    "UNION ALL SELECT 4, CAST(COUNT(*) AS BIGINT), " + dsum_sql("b4") + " FROM i "
+    "UNION ALL SELECT 5, CAST(COUNT(*) AS BIGINT), " + dsum_sql("b5") + " FROM i "
+    "UNION ALL SELECT 91, 1, 0.0 "
+    "UNION ALL SELECT 92, 2, 0.0 "
+    "ORDER BY version"
+)
+
+
+@register(
+    "mutate_concurrent_writers",
+    oracle=_OCC_ORACLE,
+    doc="Optimistic multi-writer commits graded end-to-end (r7; no "
+    "reference analog — parser.cpp never executes DML at all): four "
+    "interleaved occ_update_where writers mutate a version-enabled "
+    "customer copy.  Writers 1+2 hit DISJOINT files (lowest vs highest "
+    "c_custkey range in the range-clustered layout) — the interleaved "
+    "writer commits between the outer writer's stage and commit, and the "
+    "outer writer must still commit FIRST-attempt (validation passes, "
+    "attempts row 91 = 1).  Writers 3+4 hit the SAME files (odd vs even "
+    "keys live in every file) — the outer writer must lose validation, "
+    "retry against the committed state, and commit on attempt 2 "
+    "(attempts row 92 = 2) with the serial outcome.  Every committed "
+    "version 1-5 is then read back and aggregated; the oracle folds each "
+    "version's state algebraically, so equality proves no lost update, "
+    "exact manifest pinning across concurrent commits, and the retry "
+    "protocol's attempt counts",
+    tags=("mutate",),
+)
+def mutate_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mutate import (
+        enable_versioning,
+        occ_update_where,
+        read_version,
+    )
+
+    t = load_tables(spark, sf_dir, ("customer",))
+    path = _mut_dir(sf_dir, "cust_occ")
+    (
+        t["customer"]
+        .repartitionByRange(4, "c_custkey")
+        .sortWithinPartitions("c_custkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    lo, hi = spark.read.parquet(path).agg(
+        F.min("c_custkey"), F.max("c_custkey")
+    ).first()
+    enable_versioning(spark, path)                                  # v1
+
+    # phase 1 — disjoint files: writer B (+1000, highest keys) commits
+    # v2 while writer A (+100, lowest keys) sits between stage and
+    # commit; A's validation passes and it commits v3 with NO retry
+    a_attempts: list[int] = []
+
+    def interleave_b(attempt: int) -> None:
+        a_attempts.append(attempt)
+        if attempt == 1:
+            occ_update_where(
+                spark, path,
+                {"c_acctbal": "c_acctbal + 1000"},
+                f"c_custkey > {hi} - 3",
+            )                                                       # v2
+    occ_update_where(
+        spark, path,
+        {"c_acctbal": "c_acctbal + 100"},
+        f"c_custkey < {lo} + 3",
+        _after_stage=interleave_b,
+    )                                                               # v3
+
+    # phase 2 — overlapping files: writer D (+7, odd keys — every file)
+    # commits v4 mid-flight; writer C (*2, even keys — the same files)
+    # must lose validation, retry over D's committed rows, commit v5
+    c_attempts: list[int] = []
+
+    def interleave_d(attempt: int) -> None:
+        c_attempts.append(attempt)
+        if attempt == 1:
+            occ_update_where(
+                spark, path,
+                {"c_acctbal": "c_acctbal + 7"},
+                "c_custkey % 2 = 1",
+            )                                                       # v4
+    occ_update_where(
+        spark, path,
+        {"c_acctbal": "c_acctbal * 2"},
+        "c_custkey % 2 = 0",
+        _after_stage=interleave_d,
+    )                                                               # v5
+
+    frames = [
+        read_version(spark, path, v)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dsum("c_acctbal").alias("total"),
+        )
+        .select(F.lit(v).cast("int").alias("version"), "n", "total")
+        for v in (1, 2, 3, 4, 5)
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    # the attempt counts ARE part of the graded protocol evidence
+    attempts = spark.createDataFrame(
+        [(91, len(a_attempts), 0.0), (92, len(c_attempts), 0.0)],
+        schema="version int, n bigint, total double",
+    )
+    return out.unionByName(attempts).orderBy("version")

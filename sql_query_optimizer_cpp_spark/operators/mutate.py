@@ -36,11 +36,19 @@ consistent version), and ``vacuum`` purges retired files no manifest
 references.  ``enable_versioning`` builds a linear VERSION LOG on top:
 every mutating verb auto-commits the next numbered manifest inside the
 writer lock, giving readers snapshot isolation (``read_version`` pins a
-version's exact bytes across later DML).  Honest limitation, stated
-rather than hidden: writers remain SINGLE-WRITER (the advisory lock
-detects, not schedules, contention) — this is MVCC-for-readers plus
-serialized writers, the subset of a lakehouse table the container can
-support without Delta/Iceberg's multi-writer commit protocol.
+version's exact bytes across later DML).
+
+Concurrency: the classic verbs are SINGLE-WRITER (the advisory lock
+detects a second writer and refuses).  ``occ_update_where`` /
+``occ_delete_where`` add OPTIMISTIC multi-writer commits on flat tables —
+stage without the lock, then validate-and-swap under a short bounded-wait
+lock, retrying against the newly committed state on conflict (the
+Delta/Iceberg commit-loop shape; see the protocol comment above
+``_occ_mutate_flat``).  Two writers on disjoint keys both commit; writers
+on overlapping files serialize via retry with no lost update.  Isolation
+is snapshot-level (Delta's WriteSerializable analog): a retry re-reads
+everything, but a FIRST-attempt commit does not re-evaluate its predicate
+over rows a concurrent writer inserted after its read.
 """
 
 from __future__ import annotations
@@ -48,6 +56,7 @@ from __future__ import annotations
 import contextlib
 import functools
 import re
+import time
 import uuid
 from dataclasses import dataclass
 
@@ -245,40 +254,54 @@ SNAPSHOT_DIR = "_snapshots"
 LOCK_FILE = "_cow.lock"
 
 
+def _is_already_exists(e: Exception) -> bool:
+    """Did a py4j-wrapped Hadoop create(overwrite=False) fail because the
+    file exists?  Match the Java exception CLASS — free-text matching
+    breaks across FileSystem implementations; keep a message fallback only
+    for wrappers that drop the class."""
+    cls = ""
+    je = getattr(e, "java_exception", None)
+    if je is not None:
+        with contextlib.suppress(Exception):
+            cls = je.getClass().getName()
+    return cls.endswith("FileAlreadyExistsException") or (
+        not cls and "already exists" in str(e).lower()
+    )
+
+
 @contextlib.contextmanager
-def _writer_lock(spark: SparkSession, path: str):
+def _writer_lock(
+    spark: SparkSession, path: str, wait_seconds: float = 0.0
+):
     """Advisory single-writer lock: atomically create ``_cow.lock`` (fails
     if present), release on exit.
 
-    This DETECTS concurrent writers rather than isolating them — create-
-    if-absent is atomic on HDFS and local filesystems (S3 needs a real
-    catalog/log for that guarantee; stated, not papered over).  A crashed
-    writer leaves a stale lock; the error says exactly which file to
-    remove after confirming no writer is alive.
+    ``wait_seconds=0`` (the classic verbs) DETECTS a concurrent writer and
+    refuses immediately; the optimistic verbs pass a short bound and poll —
+    their lock hold time is the metadata swap only, so waiting beats
+    refusing.  Create-if-absent is atomic on HDFS and local filesystems
+    (S3 needs a real catalog/log for that guarantee; stated, not papered
+    over).  A crashed writer leaves a stale lock; the error says exactly
+    which file to remove after confirming no writer is alive.
     """
     jvm, fs, table_path = _fs(spark, path)
     lock = jvm.org.apache.hadoop.fs.Path(table_path, LOCK_FILE)
-    try:
-        out = fs.create(lock, False)
-    except Exception as e:  # py4j wraps the Java exception
-        # match the Java exception CLASS (org.apache.hadoop.fs. /
-        # java.nio.file.FileAlreadyExistsException) — free-text matching
-        # breaks across FileSystem implementations; keep a message
-        # fallback only for wrappers that drop the class
-        cls = ""
-        je = getattr(e, "java_exception", None)
-        if je is not None:
-            with contextlib.suppress(Exception):
-                cls = je.getClass().getName()
-        if cls.endswith("FileAlreadyExistsException") or (
-            not cls and "already exists" in str(e).lower()
-        ):
+    deadline = time.monotonic() + wait_seconds
+    while True:
+        try:
+            out = fs.create(lock, False)
+            break
+        except Exception as e:  # py4j wraps the Java exception
+            if not _is_already_exists(e):
+                raise
+            if time.monotonic() < deadline:
+                time.sleep(0.1)
+                continue
             raise RuntimeError(
                 f"another writer holds {lock}: concurrent COW DML is "
                 "refused (single-writer). If the previous writer crashed, "
                 "remove the lock file after confirming nothing is running."
             ) from None
-        raise
     try:
         # a failure after the create must not leak the lock — a leaked
         # lock wedges every future DML on the table until manual removal
@@ -862,6 +885,194 @@ def compact(
     moved = df.count()
     _swap_in(spark, path, small, df.coalesce(int(n_out)), retain=retain)
     return MutationStats(files_total, len(small), moved)
+
+
+# -- optimistic concurrency: stage without the lock, commit under it ----------
+#
+# The single-writer lock DETECTS a second writer and refuses.  These verbs
+# replace refuse with commit-or-retry, the lakehouse-standard optimistic
+# protocol (the Delta/Iceberg commit-loop shape):
+#
+#   1. READ   the table state and prune affected files    (no lock)
+#   2. STAGE  the COW rewrite — the expensive Spark jobs  (no lock)
+#   3. COMMIT under a short bounded-wait lock: re-validate that every file
+#      this attempt read-and-will-replace still exists; if yes, swap and
+#      commit the next version manifest; if a concurrent commit replaced
+#      any, discard the staging and RETRY from step 1 against the new
+#      committed state.
+#
+# Two writers on DISJOINT keys therefore both commit (their hit sets are
+# different files, so the second writer's validation passes even though
+# the table changed around it), and the expensive work overlaps — only the
+# metadata swap serializes.  Writers on OVERLAPPING files serialize by
+# retry: the loser discards its staging and re-evaluates its predicate
+# over the winner's committed rows — the serial-equivalent outcome, never
+# a lost update.  ``max_attempts`` exhausted raises
+# :class:`ConcurrentWriteConflict`; the table is then unchanged by this
+# caller.
+#
+# Validation is by exact file-name set: COW part names are uuid-unique, so
+# name identity == content identity.  Scope: FLAT tables — the partitioned
+# verbs keep the serialized lock (their multi-directory swap would need a
+# manifest-level atomic commit to be safely optimistic, which the version
+# log's single manifest file doesn't give per-directory).
+
+
+class ConcurrentWriteConflict(RuntimeError):
+    """All optimistic attempts lost their validation race; the table is
+    unchanged by this caller."""
+
+
+def _occ_mutate_flat(
+    spark: SparkSession,
+    path: str,
+    condition: str | Column,
+    build,
+    retain: bool | None,
+    max_attempts: int,
+    _after_stage=None,
+) -> MutationStats:
+    """Shared optimistic loop for the flat-table point verbs.
+
+    ``build(sub) -> (rewritten_df, rows_matched)`` over the pruned files;
+    ``_after_stage(attempt)`` is a test seam invoked between stage and
+    commit (deterministic interleaving of a concurrent writer).
+    """
+    if max_attempts < 1:
+        raise ValueError("max_attempts must be >= 1")
+    if is_partitioned(spark, path):
+        raise ValueError(
+            "optimistic concurrency covers flat tables; partitioned "
+            "tables use the serialized verbs (delete_where/update_where)"
+        )
+    cond = _cond(condition)
+    jvm, fs, _ = _fs(spark, path)
+    last_conflict: list[str] = []
+    for attempt in range(1, max_attempts + 1):
+        ret = _default_retain(spark, path, retain)
+        files = list_data_files(spark, path)
+        hit = affected_files(spark, path, cond)
+        if not hit:
+            return MutationStats(len(files), 0, 0)
+        sub = spark.read.parquet(*hit)
+        rewritten, matched = build(sub)
+        staging = _stage(spark, path, rewritten)
+        if _after_stage is not None:
+            _after_stage(attempt)
+        # commit phase: bounded wait (competitors hold the lock only for
+        # their own metadata swap), validate, swap
+        try:
+            lock = _writer_lock(spark, path, wait_seconds=30.0)
+            lock.__enter__()
+        except Exception:
+            # never acquired: staging is pure debris, reclaim it
+            with contextlib.suppress(Exception):
+                fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+            raise
+        conflict: list[str] | None = None
+        try:
+            # compare PATH COMPONENTS, not raw URIs: input_file_name()
+            # (hit) emits file:///x while Hadoop Path.toString (the
+            # re-list) emits file:/x — raw-set difference would report a
+            # permanent phantom conflict
+            from urllib.parse import urlparse
+
+            current = {
+                urlparse(f).path for f in list_data_files(spark, path)
+            }
+            gone = sorted(
+                f for f in hit if urlparse(f).path not in current
+            )
+            if gone:
+                conflict = gone
+            else:
+                # a swap failure propagates and LEAVES the staging dir
+                # (same repair_table story as the serialized verbs — some
+                # parts may already have moved in)
+                _move_in(spark, path, staging)
+                if ret:
+                    _retire_files(spark, path, hit)
+                else:
+                    _delete_files(spark, hit)
+                _autoversion(spark, path)
+        finally:
+            lock.__exit__(None, None, None)
+        spark.catalog.clearCache()
+        if conflict is None:
+            return MutationStats(len(files), len(hit), matched)
+        # validation lost: a concurrent commit replaced files this attempt
+        # read — its staged rewrite is stale.  Discard and re-read.
+        last_conflict = conflict
+        with contextlib.suppress(Exception):
+            fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+    raise ConcurrentWriteConflict(
+        f"{max_attempts} optimistic attempt(s) on {path} each lost "
+        f"validation (latest conflicting files: {last_conflict[:3]}"
+        f"{'...' if len(last_conflict) > 3 else ''}); a concurrent writer "
+        "kept replacing files this mutation read — raise max_attempts or "
+        "serialize these writers"
+    )
+
+
+def occ_update_where(
+    spark: SparkSession,
+    path: str,
+    set_map: dict[str, str | Column],
+    condition: str | Column,
+    retain: bool | None = None,
+    max_attempts: int = 5,
+    _after_stage=None,
+) -> MutationStats:
+    """Optimistic ``UPDATE``: same semantics as :func:`update_where`, but
+    concurrent writers on disjoint keys BOTH commit (stage-outside-lock +
+    validate-and-swap; see the protocol comment above)."""
+    cond = _cond(condition)
+
+    def build(sub: DataFrame):
+        unknown = set(set_map) - set(sub.columns)
+        if unknown:
+            raise ValueError(
+                f"UPDATE SET on unknown columns: {sorted(unknown)}"
+            )
+        matched = sub.where(cond).count()
+        projected = [
+            F.when(F.coalesce(cond, F.lit(False)), _cond(set_map[c]))
+            .otherwise(F.col(c))
+            .cast(sub.schema[c].dataType)
+            .alias(c)
+            if c in set_map
+            else F.col(c)
+            for c in sub.columns
+        ]
+        return sub.select(*projected), matched
+
+    return _occ_mutate_flat(
+        spark, path, condition, build, retain, max_attempts, _after_stage
+    )
+
+
+def occ_delete_where(
+    spark: SparkSession,
+    path: str,
+    condition: str | Column,
+    retain: bool | None = None,
+    max_attempts: int = 5,
+    _after_stage=None,
+) -> MutationStats:
+    """Optimistic ``DELETE``: same three-valued-WHERE semantics as
+    :func:`delete_where`, with the commit-or-retry protocol of
+    :func:`occ_update_where`."""
+    cond = _cond(condition)
+
+    def build(sub: DataFrame):
+        return (
+            sub.where(~F.coalesce(cond, F.lit(False))),
+            sub.where(cond).count(),
+        )
+
+    return _occ_mutate_flat(
+        spark, path, condition, build, retain, max_attempts, _after_stage
+    )
 
 
 # -- textual DML front-end ---------------------------------------------------

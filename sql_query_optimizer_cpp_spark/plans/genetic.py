@@ -262,6 +262,81 @@ def graph_from_stats(
     return JoinGraph(rows=rows, edges=edges)
 
 
+def graph_from_catalog(
+    spark,
+    keys: list[tuple[str, str, str, str]],
+) -> JoinGraph | None:
+    """Build a JoinGraph purely from catalog statistics (``ANALYZE TABLE
+    ... FOR COLUMNS`` readback) — ZERO scan jobs, the 100 TB advice path.
+
+    ``keys``: (table_a, col_a, table_b, col_b) per equi-join edge, table
+    names referring to catalog tables (e.g. :func:`..catalog.analyze_tables`'s
+    ``stats_<name>``).  Returns None when any required stat (a row count
+    or a join-key distinct_count) is missing, so the caller can fall back
+    to the live-scan :func:`graph_from_stats` — stats-when-present, scans
+    only when absent.
+    """
+    from ..catalog import column_stats, table_row_count
+
+    tables = sorted({t for a, _, b, _ in keys for t in (a, b)})
+    rows: dict[str, int] = {}
+    for t in tables:
+        rc = table_row_count(spark, t)
+        if rc is None:
+            return None
+        rows[t] = rc
+    ndv_cache: dict[tuple[str, str], int | None] = {}
+
+    def ndv(table: str, col: str) -> int | None:
+        key = (table, col)
+        if key not in ndv_cache:
+            v = column_stats(spark, table, col).get("distinct_count")
+            ndv_cache[key] = int(v) if v and v != "NULL" else None
+        return ndv_cache[key]
+
+    edges = []
+    for a, ca, b, cb in keys:
+        na, nb = ndv(a, ca), ndv(b, cb)
+        if na is None or nb is None:
+            return None
+        edges.append(JoinEdge(a=a, b=b, ndv_a=na, ndv_b=nb))
+    return JoinGraph(rows=rows, edges=edges)
+
+
+def graph_for_advice(
+    spark,
+    tables: dict[str, "object"],
+    keys: list[tuple[str, str, str, str]],
+    catalog_names: dict[str, str] | None = None,
+) -> JoinGraph:
+    """The advice-path statistics policy: catalog stats when ANALYZE ran
+    (zero scan jobs), live scans only as the fallback.
+
+    ``catalog_names`` maps graph table name -> catalog table name (e.g.
+    ``{'orders': 'stats_orders'}``); when given and every stat resolves
+    from the catalog, no Spark job runs at all — at 100 TB recomputing
+    COUNT/COUNT(DISTINCT) for ADVISORY metadata is the wrong trade, the
+    harvest already happened at ANALYZE time.
+    """
+    if catalog_names is not None:
+        mapped = [
+            (catalog_names[a], ca, catalog_names[b], cb)
+            for a, ca, b, cb in keys
+        ]
+        g = graph_from_catalog(spark, mapped)
+        if g is not None:
+            # map catalog names back to the caller's graph names
+            back = {v: k for k, v in catalog_names.items()}
+            return JoinGraph(
+                rows={back[t]: n for t, n in g.rows.items()},
+                edges=[
+                    JoinEdge(back[e.a], back[e.b], e.ndv_a, e.ndv_b)
+                    for e in g.edges
+                ],
+            )
+    return graph_from_stats(tables, keys)
+
+
 def compose_join(
     tables: dict[str, "object"],
     order: list[str],

@@ -298,3 +298,41 @@ def test_advice_tie_gap_invariant_guard():
     )
     with pytest.raises(ValueError, match="determinism invariant"):
         _assert_tie_gap(flat)
+
+
+def test_advice_reads_catalog_stats_zero_jobs(spark):
+    """The 100 TB advice path: once ANALYZE harvested stats, building the
+    join graph must issue ZERO Spark scan jobs (pure catalog readback),
+    and the advised order must match the live-scan path's."""
+    SF_DIR = "/root/testdata/sf0.001"
+    from sql_query_optimizer_cpp_spark.catalog import analyze_tables, load_tables
+    from sql_query_optimizer_cpp_spark.plans.genetic import (
+        graph_for_advice,
+        graph_from_stats,
+    )
+
+    names = ("region", "nation", "customer", "orders")
+    keys = [
+        ("region", "r_regionkey", "nation", "n_regionkey"),
+        ("nation", "n_nationkey", "customer", "c_nationkey"),
+        ("customer", "c_custkey", "orders", "o_custkey"),
+    ]
+    analyze_tables(spark, SF_DIR, names)   # the harvest (jobs allowed here)
+    catalog_names = {t: f"stats_{t}" for t in names}
+
+    sc = spark.sparkContext
+    sc.setJobGroup("advice-catalog-stats", "must run no jobs")
+    try:
+        g = graph_for_advice(spark, {}, keys, catalog_names=catalog_names)
+        jobs = sc.statusTracker().getJobIdsForGroup("advice-catalog-stats")
+    finally:
+        sc.setJobGroup(None, None)
+    assert list(jobs) == [], f"catalog-stats advice ran Spark jobs: {jobs}"
+
+    # exact catalog NDVs vs the live path's approx NDVs: same advised order
+    t = load_tables(spark, SF_DIR, names)
+    g_live = graph_from_stats(t, keys)
+    assert g.rows == g_live.rows
+    o_cat, _ = genetic_join_order(g, seed=42)
+    o_live, _ = genetic_join_order(g_live, seed=42)
+    assert o_cat == o_live

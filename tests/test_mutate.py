@@ -875,3 +875,128 @@ def test_snapshot_and_versioning_take_writer_lock(spark, cow_table):
     assert enable_versioning(spark, cow_table) == 1
     # both released the lock on the way out
     assert not _os.path.exists(lock)
+# -- optimistic concurrency (appended to tests/test_mutate.py) ---------------
+
+
+def test_occ_disjoint_writers_both_commit(spark, cow_table):
+    """Two writers on DISJOINT key ranges (different files in the
+    range-clustered layout): the interleaved writer commits mid-flight and
+    the outer writer's validation still passes — BOTH commit, no retry, no
+    lost update."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        enable_versioning,
+        occ_update_where,
+        read_version,
+        table_versions,
+    )
+
+    enable_versioning(spark, cow_table)
+    attempts = []
+
+    def interleave(attempt):
+        attempts.append(attempt)
+        if attempt == 1:
+            # writer B commits while A sits between stage and commit;
+            # k>=300 lives in file 3, A's k<100 in file 0 — disjoint
+            occ_update_where(spark, cow_table, {"v": "v + 2000"}, "k >= 300")
+
+    st = occ_update_where(
+        spark, cow_table, {"v": "v + 1000"}, "k < 100",
+        _after_stage=interleave,
+    )
+    assert attempts == [1]          # A committed on its FIRST attempt
+    assert st.rows_matched == 100
+    assert table_versions(spark, cow_table) == [1, 2, 3]
+    back = spark.read.parquet(cow_table)
+    # no lost update: both writers' effects present
+    assert back.where("k < 100 AND v <> (k % 7) + 1000").count() == 0
+    assert back.where("k >= 300 AND v <> (k % 7) + 2000").count() == 0
+    assert back.where("k >= 100 AND k < 300 AND v <> CAST(k % 7 AS DOUBLE)").count() == 0
+    # v1 still shows the pre-DML state (MVCC for readers held throughout)
+    assert read_version(spark, cow_table, 1).where("v >= 1000").count() == 0
+
+
+def test_occ_conflicting_writers_retry_then_commit(spark, cow_table):
+    """Overlapping-file writers: the outer writer loses validation, retries
+    against the winner's committed state, and the final state is the
+    serial A-after-B outcome — never a lost update."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        occ_update_where,
+    )
+
+    attempts = []
+
+    def interleave(attempt):
+        attempts.append(attempt)
+        if attempt == 1:
+            # same file (k<100 is file 0): forces a validation conflict
+            occ_update_where(spark, cow_table, {"v": "v + 50"}, "k < 50")
+
+    st = occ_update_where(
+        spark, cow_table, {"v": "v * 10"}, "k < 100",
+        _after_stage=interleave,
+    )
+    assert attempts == [1, 2]       # lost once, committed on retry
+    assert st.rows_matched == 100
+    back = spark.read.parquet(cow_table)
+    # serial B-then-A: (v+50)*10 for k<50, v*10 for 50<=k<100
+    assert back.where("k < 50 AND v <> ((k % 7) + 50) * 10").count() == 0
+    assert back.where("k >= 50 AND k < 100 AND v <> (k % 7) * 10").count() == 0
+
+
+def test_occ_conflict_exhausts_attempts(spark, cow_table):
+    """max_attempts=1 turns the retry into an abort: the caller's mutation
+    is NOT applied, the winner's is, and the staging is cleaned up."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        ConcurrentWriteConflict,
+        occ_delete_where,
+        occ_update_where,
+        repair_table,
+    )
+
+    def interleave(attempt):
+        occ_update_where(spark, cow_table, {"v": "v + 50"}, "k < 50")
+
+    with pytest.raises(ConcurrentWriteConflict, match="optimistic attempt"):
+        occ_delete_where(
+            spark, cow_table, "k < 100", max_attempts=1,
+            _after_stage=interleave,
+        )
+    back = spark.read.parquet(cow_table)
+    assert back.count() == 400                      # delete never applied
+    assert back.where("k < 50 AND v <> (k % 7) + 50").count() == 0
+    # the loser's staging dir was reclaimed
+    assert repair_table(spark, cow_table).staging_dirs == ()
+
+
+def test_occ_two_threads_disjoint_keys(spark, cow_table):
+    """Non-deterministic smoke: two real threads mutate disjoint ranges
+    concurrently; with commit-or-retry both must land (the serialized
+    verbs would refuse one)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        occ_update_where,
+    )
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f1 = ex.submit(
+            occ_update_where, spark, cow_table, {"v": "v + 1000"}, "k < 100"
+        )
+        f2 = ex.submit(
+            occ_update_where, spark, cow_table, {"v": "v + 2000"}, "k >= 300"
+        )
+        s1, s2 = f1.result(timeout=120), f2.result(timeout=120)
+    assert s1.rows_matched == 100 and s2.rows_matched == 100
+    back = spark.read.parquet(cow_table)
+    assert back.where("k < 100 AND v <> (k % 7) + 1000").count() == 0
+    assert back.where("k >= 300 AND v <> (k % 7) + 2000").count() == 0
+
+
+def test_occ_refuses_partitioned(spark, part_table):
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        occ_update_where,
+    )
+
+    with pytest.raises(ValueError, match="flat tables"):
+        occ_update_where(spark, part_table, {"v": "v + 1"}, "p = 0")
