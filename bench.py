@@ -161,6 +161,9 @@ def bench_spark(spark, registry, sf_dir: str):
         # insert staging) and the GA advice query (stats + 120-order search)
         "mutate_partitioned_merge",
         "join_order_advice_ga",
+        # round 7: four interleaved optimistic writers (stage-outside-lock,
+        # validate-and-swap, one forced retry) + 5 version readbacks
+        "mutate_concurrent_writers",
     ):
         spec = registry.get(name)
         if spec is None:

@@ -130,12 +130,16 @@ class Engine:
         return self.spark.sql(text)
 
     # -- DML (S7/S8 executed; the reference parses and stops) --------------
-    def dml(self, text: str, tables: dict[str, str]):
+    def dml(self, text: str, tables: dict[str, str], optimistic: bool = False):
         """Execute UPDATE / DELETE / MERGE copy-on-write against parquet
         table directories (``tables`` maps statement table names to
         paths).  The reference builds the AST for these and refuses to
         run them (engine/src/parser.cpp:232-296); this executes via
         operators.mutate with file-level pruning.  Returns MutationStats.
+
+        ``optimistic=True`` runs UPDATE/DELETE through the multi-writer
+        commit-or-retry verbs (flat tables; see operators.mutate's
+        optimistic-concurrency protocol); MERGE stays serialized.
 
         Deliberately takes explicit paths rather than the engine's
         fixture views: the fixtures are read-only test inputs, and a DML
@@ -143,7 +147,7 @@ class Engine:
         """
         from .operators.mutate import execute_dml
 
-        return execute_dml(self.spark, text, tables)
+        return execute_dml(self.spark, text, tables, optimistic=optimistic)
 
     # -- version log (MVCC for readers over COW tables) --------------------
     def enable_versioning(self, path: str) -> int:

@@ -437,6 +437,46 @@ def _swap_staged(
             pass
 
 
+#: Concurrent Spark jobs for the per-partition STAGING phase.  Partition
+#: rewrites are independent jobs; a serial loop leaves the cluster idle
+#: between job tails.  Kept below SWAP_THREADS — each staging job already
+#: fans out across executor cores, so a few in flight saturate.
+STAGE_JOBS = 8
+
+
+def _run_partition_stages(spark: SparkSession, path: str, items, stage_one):
+    """Phase 1 of every partitioned COW verb: run ``stage_one(item)`` for
+    every partition, a few CONCURRENT Spark jobs at a time (partition
+    rewrites are independent; Spark schedules concurrent jobs from
+    threads fairly).  Returns results in the input order.  On any
+    failure, every already-created staging dir (4th tuple field None-safe:
+    entries are ``(part_dir, pfiles, staging, ...)``) is reclaimed — no
+    original has been touched in phase 1."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    items = list(items)
+    try:
+        if len(items) == 1:
+            return [stage_one(items[0])]
+        with ThreadPoolExecutor(
+            max_workers=min(STAGE_JOBS, max(len(items), 1))
+        ) as ex:
+            return list(ex.map(stage_one, items))
+    except Exception:
+        # phase-1 failure: reclaim every staging this call created (they
+        # share this mutation's table prefix; repair_table would also
+        # find them, but don't leave debris for a plain error path)
+        jvm, fs, _ = _fs(spark, path)
+        parent = jvm.org.apache.hadoop.fs.Path(path.rstrip("/")).getParent()
+        base = jvm.org.apache.hadoop.fs.Path(path.rstrip("/")).getName()
+        with contextlib.suppress(Exception):
+            for st in fs.listStatus(parent):
+                n = st.getPath().getName()
+                if st.isDirectory() and n.startswith(base + "__cow_"):
+                    fs.delete(st.getPath(), True)
+        raise
+
+
 def _mutate_partitioned(
     spark: SparkSession,
     path: str,
@@ -466,23 +506,23 @@ def _mutate_partitioned(
         return MutationStats(len(files_all), 0, 0)
     part_cols = _partition_cols(spark, path, hit[0])
     groups = _group_by_dir(hit)
-    matched_total = 0
-    staged: list[tuple[str, list[str], str]] = []
-    try:
-        for part_dir, pfiles in sorted(groups.items()):
-            sub = spark.read.option("basePath", path).parquet(*pfiles)
-            rewritten, matched = build(sub, part_cols)
-            matched_total += matched
-            staged.append(
-                (part_dir, pfiles, _stage(spark, path, rewritten.drop(*part_cols)))
-            )
-    except Exception:
-        # phase-1 failure: no original was touched; reclaim the stagings
-        jvm, fs, _ = _fs(spark, path)
-        for _, _, staging in staged:
-            with contextlib.suppress(Exception):
-                fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
-        raise
+
+    def stage_one(item: tuple[str, list[str]]):
+        part_dir, pfiles = item
+        sub = spark.read.option("basePath", path).parquet(*pfiles)
+        rewritten, matched = build(sub, part_cols)
+        return (
+            part_dir,
+            pfiles,
+            _stage(spark, path, rewritten.drop(*part_cols)),
+            matched,
+        )
+
+    results = _run_partition_stages(
+        spark, path, sorted(groups.items()), stage_one
+    )
+    staged = [(d, p, s) for d, p, s, _ in results]
+    matched_total = sum(m for _, _, _, m in results)
     _swap_staged(spark, path, staged, retain)
     spark.catalog.clearCache()
     return MutationStats(len(files_all), len(hit), matched_total)
@@ -741,66 +781,68 @@ def merge_into(
 
     rows_matched = 0
     if hit:
-        staged: list[tuple[str, list[str], str]] = []
-        try:
-            def stage_rewrite(pfiles: list[str], dest_dir: str) -> None:
-                nonlocal rows_matched
-                if partitioned:
-                    # basePath keeps partition columns in scope (a merge
-                    # key may BE one); they drop before writing — the
-                    # directory name carries them
-                    sub = spark.read.option("basePath", path).parquet(*pfiles)
-                else:
-                    sub = spark.read.parquet(*pfiles)
-                marked = src.withColumn("__matched", F.lit(True))
-                joined = sub.join(marked, on=on, how="left")
-                is_match = F.coalesce(F.col("__matched"), F.lit(False))
-                rows_matched += joined.where(is_match).count()
-                if matched_delete is not None:
-                    joined = joined.where(
-                        ~(
-                            is_match
-                            & F.coalesce(_cond(matched_delete), F.lit(False))
-                        )
-                    )
-                projected = [
-                    F.when(is_match, _cond((matched_set or {})[c]))
-                    .otherwise(F.col(c))
-                    .cast(sub.schema[c].dataType)
-                    .alias(c)
-                    if c in (matched_set or {})
-                    else F.col(c)
-                    for c in sub.columns
-                ]
-                rewritten = joined.select(*projected)
-                if part_cols:
-                    rewritten = rewritten.drop(*part_cols)
-                staged.append((dest_dir, pfiles, _stage(spark, path, rewritten)))
-
-            # STAGE every partition's rewrite before touching any original:
-            # ``src`` is caller-supplied and may read from this very table
-            # (self-referential merge), and Spark re-evaluates its plan per
-            # staging job — deleting partition A's files before staging
-            # partition B would hand that plan a mid-swap hole
-            # (FileNotFoundException at best, silent reads of swapped-in
-            # data at worst).  Only after all stagings exist does the
-            # thread-pooled swap phase delete/retire originals.
+        def stage_rewrite(item: tuple[str, list[str]]):
+            dest_dir, pfiles = item
             if partitioned:
-                for part_dir, pfiles in sorted(_group_by_dir(hit).items()):
-                    stage_rewrite(pfiles, part_dir)
+                # basePath keeps partition columns in scope (a merge
+                # key may BE one); they drop before writing — the
+                # directory name carries them
+                sub = spark.read.option("basePath", path).parquet(*pfiles)
             else:
-                stage_rewrite(hit, path)
-            _swap_staged(spark, path, staged, retain)
-            spark.catalog.clearCache()
+                sub = spark.read.parquet(*pfiles)
+            marked = src.withColumn("__matched", F.lit(True))
+            joined = sub.join(marked, on=on, how="left")
+            is_match = F.coalesce(F.col("__matched"), F.lit(False))
+            matched = joined.where(is_match).count()
+            if matched_delete is not None:
+                joined = joined.where(
+                    ~(
+                        is_match
+                        & F.coalesce(_cond(matched_delete), F.lit(False))
+                    )
+                )
+            projected = [
+                F.when(is_match, _cond((matched_set or {})[c]))
+                .otherwise(F.col(c))
+                .cast(sub.schema[c].dataType)
+                .alias(c)
+                if c in (matched_set or {})
+                else F.col(c)
+                for c in sub.columns
+            ]
+            rewritten = joined.select(*projected)
+            if part_cols:
+                rewritten = rewritten.drop(*part_cols)
+            return dest_dir, pfiles, _stage(spark, path, rewritten), matched
+
+        # STAGE every partition's rewrite before touching any original:
+        # ``src`` is caller-supplied and may read from this very table
+        # (self-referential merge), and Spark re-evaluates its plan per
+        # staging job — deleting partition A's files before staging
+        # partition B would hand that plan a mid-swap hole
+        # (FileNotFoundException at best, silent reads of swapped-in
+        # data at worst).  Only after all stagings exist does the
+        # thread-pooled swap phase delete/retire originals.
+        items = (
+            sorted(_group_by_dir(hit).items())
+            if partitioned
+            else [(path, hit)]
+        )
+        try:
+            results = _run_partition_stages(spark, path, items, stage_rewrite)
         except Exception:
-            # don't orphan the staged inserts (or any staged rewrite)
-            # when staging fails — no original has been touched yet
+            # don't orphan the staged inserts when staging fails — no
+            # original has been touched yet (the helper already reclaimed
+            # every rewrite staging)
             jvm, fs, _ = _fs(spark, path)
-            fs.delete(jvm.org.apache.hadoop.fs.Path(ins_staging), True)
-            for _, _, st_dir in staged:
-                with contextlib.suppress(Exception):
-                    fs.delete(jvm.org.apache.hadoop.fs.Path(st_dir), True)
+            with contextlib.suppress(Exception):
+                fs.delete(jvm.org.apache.hadoop.fs.Path(ins_staging), True)
             raise
+        rows_matched = sum(m for _, _, _, m in results)
+        _swap_staged(
+            spark, path, [(d, p, s) for d, p, s, _ in results], retain
+        )
+        spark.catalog.clearCache()
 
     if rows_inserted:
         if partitioned:
@@ -847,8 +889,9 @@ def compact(
         # lives in the directory name and never moves); at scale these are
         # parallel jobs per partition
         all_files = list_data_files(spark, path, recursive=True)
-        rewritten = moved = 0
-        staged: list[tuple[str, list[str], str]] = []
+        # size filter first (pure metadata): only partitions with >= 2
+        # small files reach the staging pool
+        todo: list[tuple[str, tuple[list[str], int]]] = []
         for part_dir, pfiles in sorted(_group_by_dir(all_files).items()):
             small_p: list[str] = []
             small_p_bytes = 0
@@ -857,18 +900,35 @@ def compact(
                 if sz < target_bytes * small_ratio:
                     small_p.append(f)
                     small_p_bytes += sz
-            if len(small_p) < 2:
-                continue
+            if len(small_p) >= 2:
+                todo.append((part_dir, (small_p, small_p_bytes)))
+        if not todo:
+            return MutationStats(len(all_files), 0, 0)
+
+        def stage_one(item):
+            part_dir, (small_p, small_p_bytes) = item
             n_out = max(1, -(-small_p_bytes // target_bytes))
             df = spark.read.parquet(*small_p)
-            moved += df.count()
-            staged.append((part_dir, small_p, _stage(spark, path, df.coalesce(int(n_out)))))
-            rewritten += len(small_p)
+            moved = df.count()
+            return (
+                part_dir,
+                small_p,
+                _stage(spark, path, df.coalesce(int(n_out))),
+                moved,
+            )
+
         # same stage-all-then-swap discipline as the DML verbs (and the
-        # same thread-pooled fs metadata phase)
-        _swap_staged(spark, path, staged, retain)
+        # same pooled staging-jobs + fs-metadata phases)
+        results = _run_partition_stages(spark, path, todo, stage_one)
+        _swap_staged(
+            spark, path, [(d, p, s) for d, p, s, _ in results], retain
+        )
         spark.catalog.clearCache()
-        return MutationStats(len(all_files), rewritten, moved)
+        return MutationStats(
+            len(all_files),
+            sum(len(p) for _, p, _, _ in results),
+            sum(m for _, _, _, m in results),
+        )
     all_files = list_data_files(spark, path)
     small: list[str] = []
     small_bytes = 0
@@ -1339,10 +1399,19 @@ def _parse_merge_on(on_text: str, t_alias: str | None, s_alias: str | None) -> l
 
 
 def execute_dml(
-    spark: SparkSession, text: str, tables: dict[str, str]
+    spark: SparkSession,
+    text: str,
+    tables: dict[str, str],
+    optimistic: bool = False,
 ) -> MutationStats:
     """Parse an UPDATE / DELETE / MERGE statement and execute it
     copy-on-write.
+
+    ``optimistic=True`` routes UPDATE/DELETE through the multi-writer
+    commit-or-retry verbs (:func:`occ_update_where` /
+    :func:`occ_delete_where`; flat tables only — their restriction
+    propagates).  MERGE keeps the serialized lock either way and is
+    refused under ``optimistic`` rather than silently downgraded.
 
     ``tables`` maps table names to parquet directory paths (the catalog
     the reference gets from its live MySQL connection).  The MERGE
@@ -1365,6 +1434,12 @@ def execute_dml(
     """
     m = _MERGE_RE.match(text)
     if m:
+        if optimistic:
+            raise ValueError(
+                "optimistic MERGE is not supported (its matched-file "
+                "prune + insert staging need the serialized lock); run "
+                "this MERGE with optimistic=False"
+            )
         t_name, t_alias, s_name, s_alias, on_text, clauses = m.groups()
         t_alias = t_alias or t_name
         s_alias = s_alias or s_name
@@ -1498,7 +1573,8 @@ def execute_dml(
             set_text, where = rest, "true"
         if not where.strip():
             raise ValueError("UPDATE has WHERE with no condition")
-        return update_where(
+        verb = occ_update_where if optimistic else update_where
+        return verb(
             spark, tables[name], _split_assignments(set_text), where
         )
     m = _DELETE_RE.match(text)
@@ -1506,7 +1582,10 @@ def execute_dml(
         name, where = m.group(1), m.group(2)
         if name not in tables:
             raise ValueError(f"unknown table {name!r}")
-        return delete_where(spark, tables[name], where if where is not None else "true")
+        verb = occ_delete_where if optimistic else delete_where
+        return verb(
+            spark, tables[name], where if where is not None else "true"
+        )
     raise ValueError(
         "not an executable DML statement (MERGE INTO ... USING ... | "
         "UPDATE ... SET ... WHERE ... | "

@@ -1000,3 +1000,27 @@ def test_occ_refuses_partitioned(spark, part_table):
 
     with pytest.raises(ValueError, match="flat tables"):
         occ_update_where(spark, part_table, {"v": "v + 1"}, "p = 0")
+
+
+def test_execute_dml_optimistic_flag(spark, cow_table):
+    """optimistic=True routes textual UPDATE/DELETE through the occ verbs
+    (same results); MERGE is refused rather than silently downgraded."""
+    tables = {"t": cow_table}
+    st = execute_dml(
+        spark, "UPDATE t SET v = v + 5 WHERE k < 10", tables, optimistic=True
+    )
+    assert st.rows_matched == 10
+    st = execute_dml(
+        spark, "DELETE FROM t WHERE k >= 390", tables, optimistic=True
+    )
+    assert st.rows_matched == 10
+    back = spark.read.parquet(cow_table)
+    assert back.count() == 390
+    assert back.where("k < 10 AND v <> (k % 7) + 5").count() == 0
+    with pytest.raises(ValueError, match="optimistic MERGE"):
+        execute_dml(
+            spark,
+            "MERGE INTO t USING t ON t.k = t.k WHEN MATCHED THEN UPDATE SET v = 1",
+            tables,
+            optimistic=True,
+        )
