@@ -153,10 +153,19 @@ def affected_files(
     return sorted(r["f"] for r in rows)
 
 
-def _stage(spark: SparkSession, path: str, df: DataFrame) -> str:
+def _stage(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    created: list[str] | None = None,
+) -> str:
     """Materialize ``df`` to a sibling staging dir NOW (while every file its
-    plan reads still exists) and return the staging path."""
+    plan reads still exists) and return the staging path.  ``created``
+    (when given) records the path BEFORE the write starts, so a failure
+    mid-write still leaves the caller knowing exactly what to reclaim."""
     staging = path.rstrip("/") + f"__cow_{uuid.uuid4().hex}"
+    if created is not None:
+        created.append(staging)
     df.write.mode("overwrite").parquet(staging)
     return staging
 
@@ -254,6 +263,12 @@ SNAPSHOT_DIR = "_snapshots"
 LOCK_FILE = "_cow.lock"
 
 
+class _WriterLockHeld(RuntimeError):
+    """The advisory writer lock is held by someone else (subclass of the
+    historical RuntimeError so existing callers' handling keeps working).
+    The optimistic verbs catch this to convert refuse into retry."""
+
+
 def _is_already_exists(e: Exception) -> bool:
     """Did a py4j-wrapped Hadoop create(overwrite=False) fail because the
     file exists?  Match the Java exception CLASS — free-text matching
@@ -297,7 +312,7 @@ def _writer_lock(
             if time.monotonic() < deadline:
                 time.sleep(0.1)
                 continue
-            raise RuntimeError(
+            raise _WriterLockHeld(
                 f"another writer holds {lock}: concurrent COW DML is "
                 "refused (single-writer). If the previous writer crashed, "
                 "remove the lock file after confirming nothing is running."
@@ -445,35 +460,45 @@ STAGE_JOBS = 8
 
 
 def _run_partition_stages(spark: SparkSession, path: str, items, stage_one):
-    """Phase 1 of every partitioned COW verb: run ``stage_one(item)`` for
-    every partition, a few CONCURRENT Spark jobs at a time (partition
-    rewrites are independent; Spark schedules concurrent jobs from
-    threads fairly).  Returns results in the input order.  On any
-    failure, every already-created staging dir (4th tuple field None-safe:
-    entries are ``(part_dir, pfiles, staging, ...)``) is reclaimed — no
-    original has been touched in phase 1."""
+    """Phase 1 of every partitioned COW verb: run ``stage_one(item,
+    created)`` for every partition, a few CONCURRENT Spark jobs at a time
+    (partition rewrites are independent; Spark schedules concurrent jobs
+    from threads fairly).  ``created`` is a list the callee must hand to
+    :func:`_stage`, which registers each staging path BEFORE writing to
+    it.  Returns results in the input order.
+
+    On any failure: pending stages are CANCELLED (a failed mutation must
+    not burn the cluster finishing rewrites whose output is about to be
+    deleted), in-flight ones are awaited, and exactly the staging dirs
+    THIS call registered are reclaimed — never a sibling's.  A pattern
+    sweep (``<table>__cow_*``) would also delete a concurrent optimistic
+    writer's staging, which stages lock-free by design.  No original has
+    been touched in phase 1.
+    """
     from concurrent.futures import ThreadPoolExecutor
 
     items = list(items)
+    created: list[str] = []  # list.append is atomic under the GIL
     try:
         if len(items) == 1:
-            return [stage_one(items[0])]
+            return [stage_one(items[0], created)]
         with ThreadPoolExecutor(
             max_workers=min(STAGE_JOBS, max(len(items), 1))
         ) as ex:
-            return list(ex.map(stage_one, items))
+            futures = [ex.submit(stage_one, it, created) for it in items]
+            try:
+                return [f.result() for f in futures]
+            except Exception:
+                for f in futures:
+                    f.cancel()
+                raise
     except Exception:
-        # phase-1 failure: reclaim every staging this call created (they
-        # share this mutation's table prefix; repair_table would also
-        # find them, but don't leave debris for a plain error path)
+        # phase-1 failure: executor shutdown awaited the in-flight tasks,
+        # so `created` is final — reclaim exactly what this call made
         jvm, fs, _ = _fs(spark, path)
-        parent = jvm.org.apache.hadoop.fs.Path(path.rstrip("/")).getParent()
-        base = jvm.org.apache.hadoop.fs.Path(path.rstrip("/")).getName()
-        with contextlib.suppress(Exception):
-            for st in fs.listStatus(parent):
-                n = st.getPath().getName()
-                if st.isDirectory() and n.startswith(base + "__cow_"):
-                    fs.delete(st.getPath(), True)
+        for staging in created:
+            with contextlib.suppress(Exception):
+                fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
         raise
 
 
@@ -507,14 +532,14 @@ def _mutate_partitioned(
     part_cols = _partition_cols(spark, path, hit[0])
     groups = _group_by_dir(hit)
 
-    def stage_one(item: tuple[str, list[str]]):
+    def stage_one(item: tuple[str, list[str]], created: list[str]):
         part_dir, pfiles = item
         sub = spark.read.option("basePath", path).parquet(*pfiles)
         rewritten, matched = build(sub, part_cols)
         return (
             part_dir,
             pfiles,
-            _stage(spark, path, rewritten.drop(*part_cols)),
+            _stage(spark, path, rewritten.drop(*part_cols), created),
             matched,
         )
 
@@ -781,7 +806,7 @@ def merge_into(
 
     rows_matched = 0
     if hit:
-        def stage_rewrite(item: tuple[str, list[str]]):
+        def stage_rewrite(item: tuple[str, list[str]], created: list[str]):
             dest_dir, pfiles = item
             if partitioned:
                 # basePath keeps partition columns in scope (a merge
@@ -813,7 +838,12 @@ def merge_into(
             rewritten = joined.select(*projected)
             if part_cols:
                 rewritten = rewritten.drop(*part_cols)
-            return dest_dir, pfiles, _stage(spark, path, rewritten), matched
+            return (
+                dest_dir,
+                pfiles,
+                _stage(spark, path, rewritten, created),
+                matched,
+            )
 
         # STAGE every partition's rewrite before touching any original:
         # ``src`` is caller-supplied and may read from this very table
@@ -830,18 +860,19 @@ def merge_into(
         )
         try:
             results = _run_partition_stages(spark, path, items, stage_rewrite)
+            rows_matched = sum(m for _, _, _, m in results)
+            _swap_staged(
+                spark, path, [(d, p, s) for d, p, s, _ in results], retain
+            )
         except Exception:
-            # don't orphan the staged inserts when staging fails — no
-            # original has been touched yet (the helper already reclaimed
-            # every rewrite staging)
+            # don't orphan the staged inserts, whether staging failed (no
+            # original touched; the helper reclaimed every rewrite
+            # staging) or the swap failed partway (the inserts were never
+            # moved in, so they are pure debris either way)
             jvm, fs, _ = _fs(spark, path)
             with contextlib.suppress(Exception):
                 fs.delete(jvm.org.apache.hadoop.fs.Path(ins_staging), True)
             raise
-        rows_matched = sum(m for _, _, _, m in results)
-        _swap_staged(
-            spark, path, [(d, p, s) for d, p, s, _ in results], retain
-        )
         spark.catalog.clearCache()
 
     if rows_inserted:
@@ -905,7 +936,7 @@ def compact(
         if not todo:
             return MutationStats(len(all_files), 0, 0)
 
-        def stage_one(item):
+        def stage_one(item, created: list[str]):
             part_dir, (small_p, small_p_bytes) = item
             n_out = max(1, -(-small_p_bytes // target_bytes))
             df = spark.read.parquet(*small_p)
@@ -913,7 +944,7 @@ def compact(
             return (
                 part_dir,
                 small_p,
-                _stage(spark, path, df.coalesce(int(n_out))),
+                _stage(spark, path, df.coalesce(int(n_out)), created),
                 moved,
             )
 
@@ -983,6 +1014,32 @@ class ConcurrentWriteConflict(RuntimeError):
     unchanged by this caller."""
 
 
+def _uri_path(uri: str) -> str:
+    """Decoded path component of a file URI — the normalization both
+    sides of the OCC validation pass through.  ``input_file_name()``
+    percent-encodes (``file:///a/my%20dir/f``) while Hadoop's
+    ``Path.toString`` does not (``file:/a/my dir/f``); comparing raw
+    strings would see every file as 'gone'."""
+    from urllib.parse import unquote, urlparse
+
+    return unquote(urlparse(uri).path)
+
+
+def _is_missing_file_error(e: Exception) -> bool:
+    """Did a Spark read/collect fail because an input file vanished?
+    Under the optimistic protocol a concurrent commit deleting files
+    during the lock-free read/stage phase is a CONFLICT (retry), not an
+    error.  Matched on the Java cause chain's class names as rendered
+    into the message — FileNotFoundException (task-time),
+    PATH_NOT_FOUND / 'Path does not exist' (planning-time)."""
+    s = str(e)
+    return (
+        "FileNotFoundException" in s
+        or "PATH_NOT_FOUND" in s
+        or "Path does not exist" in s
+    )
+
+
 def _occ_mutate_flat(
     spark: SparkSession,
     path: str,
@@ -990,6 +1047,7 @@ def _occ_mutate_flat(
     build,
     retain: bool | None,
     max_attempts: int,
+    lock_wait_seconds: float = 30.0,
     _after_stage=None,
 ) -> MutationStats:
     """Shared optimistic loop for the flat-table point verbs.
@@ -1009,21 +1067,45 @@ def _occ_mutate_flat(
     jvm, fs, _ = _fs(spark, path)
     last_conflict: list[str] = []
     for attempt in range(1, max_attempts + 1):
-        ret = _default_retain(spark, path, retain)
-        files = list_data_files(spark, path)
-        hit = affected_files(spark, path, cond)
-        if not hit:
-            return MutationStats(len(files), 0, 0)
-        sub = spark.read.parquet(*hit)
-        rewritten, matched = build(sub)
-        staging = _stage(spark, path, rewritten)
+        # READ + STAGE run lock-free, so a concurrent commit can delete a
+        # file out from under the prune scan or the staging job — Spark
+        # surfaces that as FileNotFound/path-missing, which is a CONFLICT
+        # (retry against the new state), not an error
+        created: list[str] = []
+        try:
+            files = list_data_files(spark, path)
+            hit = affected_files(spark, path, cond)
+            if not hit:
+                return MutationStats(len(files), 0, 0)
+            sub = spark.read.parquet(*hit)
+            rewritten, matched = build(sub)
+            staging = _stage(spark, path, rewritten, created)
+        except Exception as e:
+            if not _is_missing_file_error(e):
+                raise
+            for s in created:
+                with contextlib.suppress(Exception):
+                    fs.delete(jvm.org.apache.hadoop.fs.Path(s), True)
+            last_conflict = ["<file vanished during read/stage>"]
+            spark.catalog.clearCache()
+            continue
         if _after_stage is not None:
             _after_stage(attempt)
-        # commit phase: bounded wait (competitors hold the lock only for
-        # their own metadata swap), validate, swap
+        # COMMIT phase: bounded wait (optimistic competitors hold the
+        # lock only for their metadata swap; a long-running SERIALIZED
+        # verb can legitimately hold it far longer — that counts as a
+        # lost attempt, never as the 'stale lock, delete it' error),
+        # validate, swap
         try:
-            lock = _writer_lock(spark, path, wait_seconds=30.0)
+            lock = _writer_lock(
+                spark, path, wait_seconds=lock_wait_seconds
+            )
             lock.__enter__()
+        except _WriterLockHeld:
+            with contextlib.suppress(Exception):
+                fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+            last_conflict = ["<writer lock held past the 30s wait>"]
+            continue
         except Exception:
             # never acquired: staging is pure debris, reclaim it
             with contextlib.suppress(Exception):
@@ -1031,21 +1113,23 @@ def _occ_mutate_flat(
             raise
         conflict: list[str] | None = None
         try:
-            # compare PATH COMPONENTS, not raw URIs: input_file_name()
-            # (hit) emits file:///x while Hadoop Path.toString (the
-            # re-list) emits file:/x — raw-set difference would report a
-            # permanent phantom conflict
-            from urllib.parse import urlparse
-
+            # compare DECODED PATH COMPONENTS, not raw URIs:
+            # input_file_name() (hit) emits percent-encoded file:///x
+            # while Hadoop Path.toString (the re-list) emits unencoded
+            # file:/x — raw-set difference would report a permanent
+            # phantom conflict
             current = {
-                urlparse(f).path for f in list_data_files(spark, path)
+                _uri_path(f) for f in list_data_files(spark, path)
             }
-            gone = sorted(
-                f for f in hit if urlparse(f).path not in current
-            )
+            gone = sorted(f for f in hit if _uri_path(f) not in current)
             if gone:
                 conflict = gone
             else:
+                # retain decided INSIDE the lock: a snapshot/version
+                # created while this attempt staged (create_snapshot is
+                # serialized on this same lock) must flip the commit to
+                # retire, or the new manifest would pin deleted files
+                ret = _default_retain(spark, path, retain)
                 # a swap failure propagates and LEAVES the staging dir
                 # (same repair_table story as the serialized verbs — some
                 # parts may already have moved in)
@@ -1067,10 +1151,10 @@ def _occ_mutate_flat(
             fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
     raise ConcurrentWriteConflict(
         f"{max_attempts} optimistic attempt(s) on {path} each lost "
-        f"validation (latest conflicting files: {last_conflict[:3]}"
+        f"validation (latest conflict: {last_conflict[:3]}"
         f"{'...' if len(last_conflict) > 3 else ''}); a concurrent writer "
-        "kept replacing files this mutation read — raise max_attempts or "
-        "serialize these writers"
+        "kept replacing files this mutation read (or held the lock) — "
+        "raise max_attempts or serialize these writers"
     )
 
 
@@ -1081,6 +1165,7 @@ def occ_update_where(
     condition: str | Column,
     retain: bool | None = None,
     max_attempts: int = 5,
+    lock_wait_seconds: float = 30.0,
     _after_stage=None,
 ) -> MutationStats:
     """Optimistic ``UPDATE``: same semantics as :func:`update_where`, but
@@ -1107,7 +1192,8 @@ def occ_update_where(
         return sub.select(*projected), matched
 
     return _occ_mutate_flat(
-        spark, path, condition, build, retain, max_attempts, _after_stage
+        spark, path, condition, build, retain, max_attempts,
+        lock_wait_seconds, _after_stage,
     )
 
 
@@ -1117,6 +1203,7 @@ def occ_delete_where(
     condition: str | Column,
     retain: bool | None = None,
     max_attempts: int = 5,
+    lock_wait_seconds: float = 30.0,
     _after_stage=None,
 ) -> MutationStats:
     """Optimistic ``DELETE``: same three-valued-WHERE semantics as
@@ -1131,7 +1218,8 @@ def occ_delete_where(
         )
 
     return _occ_mutate_flat(
-        spark, path, condition, build, retain, max_attempts, _after_stage
+        spark, path, condition, build, retain, max_attempts,
+        lock_wait_seconds, _after_stage,
     )
 
 

@@ -811,13 +811,14 @@ def test_partitioned_merge_self_referential_source(spark, part_table):
 
 def test_partitioned_delete_self_referential_condition(spark, part_table):
     """Same stage-all-then-swap guarantee for the plain verbs: a scalar
-    subquery over the table itself inside the WHERE re-reads the table per
-    partition staging job."""
-    cond = F.col("k") < F.lit(
-        spark.read.parquet(part_table).agg(F.expr("percentile(k, 0.02)")).first()[0]
-    )
-    # the literal pin keeps this deterministic; the multi-partition swap is
-    # what is under test (k<~6 rows land in all three p dirs)
+    subquery over the table itself inside the WHERE re-reads the table on
+    EVERY partition's prune/count/staging job — if any partition's
+    originals were deleted before all stagings completed, a later job
+    would hit the hole."""
+    spark.read.parquet(part_table).createOrReplaceTempView("selfref_v")
+    cond = F.expr("k < (SELECT percentile(k, 0.02) FROM selfref_v)")
+    # percentile(k,0.02) over 0..299 ≈ 5.98 → k in 0..5, rows in all
+    # three p dirs (the multi-partition swap is what is under test)
     st = delete_where(spark, part_table, cond)
     assert st.rows_matched == 6
     assert len({f.rsplit("/", 2)[1] for f in _names_rec(spark, part_table)}) == 3
@@ -1024,3 +1025,43 @@ def test_execute_dml_optimistic_flag(spark, cow_table):
             tables,
             optimistic=True,
         )
+
+
+def test_occ_lock_held_counts_as_conflict_not_stale_lock(spark, cow_table):
+    """A serialized verb legitimately holding the lock past the occ
+    writer's bounded wait must surface as ConcurrentWriteConflict (a lost
+    attempt), NEVER as the 'stale lock, remove the file' RuntimeError —
+    that message invites deleting a live writer's lock."""
+    import os as _os
+
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        ConcurrentWriteConflict,
+        occ_update_where,
+        repair_table,
+    )
+
+    lock = _os.path.join(cow_table, "_cow.lock")
+    open(lock, "w").write("long-running-serialized-writer")
+    try:
+        with pytest.raises(ConcurrentWriteConflict, match="lock"):
+            occ_update_where(
+                spark, cow_table, {"v": "v + 1"}, "k < 10",
+                max_attempts=2, lock_wait_seconds=0.2,
+            )
+        # table untouched, staging reclaimed
+        assert spark.read.parquet(cow_table).where("v >= 100").count() == 0
+        assert repair_table(spark, cow_table).staging_dirs == ()
+    finally:
+        _os.remove(lock)
+
+
+def test_occ_missing_file_error_classifier():
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        _is_missing_file_error,
+    )
+
+    assert _is_missing_file_error(
+        Exception("Job aborted ... java.io.FileNotFoundException: part-x")
+    )
+    assert _is_missing_file_error(Exception("[PATH_NOT_FOUND] Path does not exist"))
+    assert not _is_missing_file_error(ValueError("UPDATE SET on unknown columns"))
