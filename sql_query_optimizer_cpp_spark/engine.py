@@ -137,9 +137,9 @@ class Engine:
         run them (engine/src/parser.cpp:232-296); this executes via
         operators.mutate with file-level pruning.  Returns MutationStats.
 
-        ``optimistic=True`` runs UPDATE/DELETE through the multi-writer
-        commit-or-retry verbs (flat tables; see operators.mutate's
-        optimistic-concurrency protocol); MERGE stays serialized.
+        ``optimistic=True`` runs UPDATE/DELETE/MERGE through the
+        multi-writer commit-or-retry verbs (flat and hive-partitioned;
+        see operators.mutate's optimistic-concurrency protocol).
 
         Deliberately takes explicit paths rather than the engine's
         fixture views: the fixtures are read-only test inputs, and a DML

@@ -124,97 +124,99 @@ def shared_sql(
 
 
 #: Evaluation-priority order.  The driver grades registry entries in
-#: iteration order and stops after a fixed 50-query window (r01-r06 each
-#: sampled a different 50; after r06 every registered query EXCEPT the
-#: 3-entry r07 queue has a green driver row, with zero
-#: graded-never-green).  Round-7 rotation: the three never-graded round-6
-#: additions lead (hive-partitioned MERGE swap, version-log MVCC history,
-#: J7-J9 join-strategy invariance — they convert the last two
-#: sim-verified components to driver-graded), then the flagship guard,
-#: then re-grades of every green whose latest driver row is r03 (all 44
-#: of them: the agg rollup/cube/pivot/percentile family, the outer/anti
-#: join family, tpch_q3/4/5/6/7/10/14/18, filters/scan/null-semantics,
-#: text/dedup/sampling QA, multimodal features + frame-sample,
-#: union_distinct, win_distribution), and two r04 picks: stats_mcv_topk
-#: (the S4 stats-harvester component's only evidence row) and
-#: curation_pipeline_e2e (the headline e2e pipeline).  After this round
-#: every registered query's latest green is r04+ and nothing registered
-#: before r07 has never been graded.  Everything past _PRIORITY keeps
+#: iteration order and stops after a fixed 50-query window (r01-r07 each
+#: sampled a different 50; after r07: 194 registered, 193 green-ever,
+#: zero graded-never-green, and exactly ONE never-graded query — the
+#: round-7 OCC stress query staged past the r07 window).  Round-8
+#: rotation: mutate_concurrent_writers leads (the optimistic
+#: multi-writer commit protocol's only driver-evidence row), then the
+#: flagship guard, then re-grades of every green whose latest driver row
+#: is r04 (all 45: tpch_q2/8/9/11/12/13/15/16/17/19/20/21/22, the events
+#: family, the win_* trio, sim_ivf/blockmax, intersect_all/except_all,
+#: join_lateral/join_range, the r04 text QA block, agg listagg/hll/
+#: udaf/weighted_avg/approx_quantile, sample_fixed_k, pack_sequences,
+#: corpus_mix_report, curation_pipeline_neardup, dedup_embedding_cosine,
+#: doc_span_extract), and three r05 family representatives
+#: (dedup_minhash_pairs — the headline LSH perf query, sim_ann_lsh_topk,
+#: events_session).  After this round nothing registered is never-graded
+#: and the stalest green is r05.  Everything past _PRIORITY keeps
 #: registration order; every registered query stays covered every round
 #: by tests/test_inventory.py + tools/driver_sim.py regardless of window
 #: position.
 _PRIORITY: tuple[str, ...] = (
-    # -- never driver-graded: the r07 queue (round-6 additions) -----------
-    "mutate_partitioned_merge",
-    "mutate_versioned_history",
-    "join_hint_strategies",
+    # -- never driver-graded: the r08 queue head (round-7 addition) -------
+    "mutate_concurrent_writers",
     # -- regression-guard slot: the headline query ------------------------
     "flagship_demo",
-    # -- re-grades: every green whose latest driver row is r03 ------------
+    # -- re-grades: every green whose latest driver row is r04 ------------
+    # TPC-H remainder
+    "tpch_q2",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    # events family
+    "events_funnel",
+    "events_gap_stats",
+    "events_latest_by_user",
+    "events_props_json",
+    "events_retention",
+    "events_rollup_hypertable",
+    "events_sessionize_attrib",
+    # windows
+    "win_cumulative_share",
+    "win_first_last",
+    "win_range_frame",
+    # set ops
+    "intersect_all",
+    "except_all",
+    # joins
+    "join_lateral",
+    "join_range",
+    # similarity
+    "sim_ivf_topk",
+    "sim_topk_blockmax",
     # aggregates
-    "agg_global",
-    "agg_groupby",
-    "agg_having",
-    "agg_distinct",
-    "agg_count_distinct",
-    "agg_approx_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_pivot",
-    "agg_percentiles",
-    # scans / filters / expressions
-    "scan_project",
-    "arith_project",
-    "filter_like",
-    "filter_between",
-    "filter_regex",
-    "null_semantics",
-    "topk",
-    # join family
-    "join_left",
-    "join_right",
-    "join_full",
-    "join_semi",
-    "join_left_anti",
-    "join_right_anti",
-    "join_full_outer_anti",
-    "join_three_way",
-    # TPC-H
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q10",
-    "tpch_q14",
-    "tpch_q18",
-    # set ops / windows
-    "union_distinct",
-    "win_distribution",
-    # text / dedup / curation QA
-    "text_filter_pipeline",
-    "text_tokens_pandas_udf",
-    "text_vocab_topk",
-    "dedup_clusters",
-    "dedup_simhash_pairs",
-    "decontaminate",
-    "sample_stratified",
-    # multimodal
-    "multimodal_features",
-    "multimodal_frame_sample",
-    # -- re-grades: r04 family representatives ----------------------------
-    "stats_mcv_topk",
-    "curation_pipeline_e2e",
-    # ==== end of the 50-entry r07 window; r08 queue below ================
-    # r08 rotation plan: lead with mutate_concurrent_writers (the round-7
-    # optimistic multi-writer protocol, staged past this window), keep the
-    # flagship guard, then re-grade the
-    # remaining r04-latest greens (tpch_q2/8/9/11/12/13/15/16/17/19/20/
-    # 21/22, the events family, intersect_all/except_all, join_lateral/
-    # join_range, the win_* trio, sim_ivf/blockmax, text r04 QA,
-    # agg_listagg/hll/udaf/weighted_avg, sample_fixed_k, pack_sequences,
-    # corpus_mix_report, curation_pipeline_neardup, dedup_embedding_cosine,
-    # doc_span_extract) — they become the stalest once this window lands.
+    "agg_approx_quantile",
+    "agg_hll_union",
+    "agg_listagg",
+    "agg_udaf_pandas",
+    "agg_weighted_avg",
+    # text QA
+    "text_bigrams_udtf",
+    "text_lang_confidence",
+    "text_redact_pii",
+    "text_repetition",
+    "text_tokens_bpeish",
+    # curation / dedup / sampling
+    "corpus_mix_report",
+    "curation_pipeline_neardup",
+    "dedup_embedding_cosine",
+    "doc_span_extract",
+    "pack_sequences",
+    "sample_fixed_k",
+    # -- re-grades: r05 family representatives ----------------------------
+    "dedup_minhash_pairs",
+    "sim_ann_lsh_topk",
+    "events_session",
+    # ==== end of the 50-entry r08 window; r09 queue below ================
+    # r09 rotation plan: lead with any round-8 additions staged below this
+    # line (optimistic MERGE / partitioned OCC / schema-evolution queries
+    # land here as they are built), keep the flagship guard, then re-grade
+    # the remaining r05-latest greens (the dedup_* block, the sim_* block,
+    # scalar/exists/in subqueries, events tumbling/sliding/session state,
+    # win_moving_avg/rank_lag/running_sum/topk_per_group, text r05 QA,
+    # agg corr/grouping_id/skew_salted/array_collect, orders_rfm/
+    # market_basket, sample_train_val_test, date_series_gapfill,
+    # unpivot_metrics, group_by_all_report) — stalest once this lands.
 )
 
 

@@ -60,7 +60,7 @@ import time
 import uuid
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -655,54 +655,43 @@ def update_where(
     return MutationStats(len(files), len(hit), matched)
 
 
-@_with_writer_lock
-def merge_into(
+@dataclass
+class _StagedMerge:
+    """Everything a MERGE's lock-free phase produced, ready to commit:
+    the file list it read (the OCC validation read-set), the matched-file
+    prune, each staged rewrite, and the staged insert directory."""
+
+    files: list[str]
+    hit: list[str]
+    staged: list[tuple[str, list[str], str]]
+    rows_matched: int
+    ins_staging: str
+    rows_inserted: int
+    part_cols: list[str]
+    partitioned: bool
+
+    def staging_dirs(self) -> list[str]:
+        return [s for _, _, s in self.staged] + [self.ins_staging]
+
+
+def _merge_prepare(
     spark: SparkSession,
     path: str,
     source: DataFrame,
     on: list[str],
-    matched_set: dict[str, str | Column] | None = None,
-    insert_values: dict[str, str | Column] | None = None,
-    check_unique: bool = True,
-    matched_delete: str | Column | None = None,
-    insert_condition: str | Column | None = None,
-    retain: bool | None = None,
-    max_pruned_files: int | None = 100_000,
-) -> MutationStats:
-    """``MERGE INTO <path> USING source ON keys`` — upsert, copy-on-write.
-
-    - WHEN MATCHED AND ``matched_delete`` (evaluated over the joined row;
-      source columns as ``src_<name>``): drop the target row — the CDC
-      tombstone path.
-    - WHEN MATCHED (otherwise): apply ``matched_set`` (same ``src_<name>``
-      scope; target columns are in scope too, so conditional updates like
-      ``CASE WHEN src_ts >= ts THEN src_v ELSE v END`` express
-      last-writer-wins); only files containing a matched key are rewritten
-      (key-semijoin prune).
-    - WHEN NOT MATCHED AND ``insert_condition`` (default: all): insert a
-      row built from ``insert_values`` (unlisted target columns default to
-      the source column of the same name, else NULL).  Inserts APPEND new
-      files — no existing file is touched for them.
-
-    Works on flat AND hive-partitioned tables: matched files swap
-    per-partition directory, inserts stage ``partitionBy`` the partition
-    columns and land in their ``key=value`` dirs (created as needed);
-    assigning a partition column in ``matched_set`` is refused — that is
-    a cross-directory move (delete + insert), not an update.
-
-    ``check_unique`` guards the classic silent-corruption mode: a source
-    with duplicate keys would multiply matched target rows.  The guard is
-    one aggregation over the (small) source; Delta raises the same error.
-
-    ``max_pruned_files`` bounds the one driver-side metadata transfer the
-    prune makes: the matched-file NAME list (what Delta keeps in its log —
-    names, never rows).  A merge whose keys touch more files than the
-    bound skips the per-file prune and rewrites the whole table instead —
-    at that match breadth the prune saves little and its list would cost
-    driver memory.  The limit+fallback means at most ``max_pruned_files+1``
-    names ever cross the driver.
-    """
-    retain = _default_retain(spark, path, retain)
+    matched_set: dict[str, str | Column] | None,
+    insert_values: dict[str, str | Column] | None,
+    check_unique: bool,
+    matched_delete: str | Column | None,
+    insert_condition: str | Column | None,
+    max_pruned_files: int | None,
+) -> _StagedMerge:
+    """Phase 1 of MERGE: validate, prune, and STAGE everything — matched
+    rewrites and insert files — without touching a single original file.
+    The serialized verb runs this under the writer lock; the optimistic
+    verb runs it lock-free and validates before commit.  On any failure
+    every staging dir this call made is reclaimed before the exception
+    propagates."""
     for k in on:
         if k not in source.columns:
             raise ValueError(f"merge key {k!r} missing from source")
@@ -769,8 +758,8 @@ def merge_into(
 
     # inserts: source keys with no target partner (keys stay distributed —
     # never collected).  STAGE the insert rows FIRST, while every target
-    # file this plan reads still exists; the matched-file swap below
-    # deletes files out from under any not-yet-evaluated plan.
+    # file this plan reads still exists; the commit phase's matched-file
+    # swap deletes files out from under any not-yet-evaluated plan.
     unmatched = src.join(target.select(*on).distinct(), on=on, how="left_anti")
     if insert_condition is not None:
         unmatched = unmatched.where(_cond(insert_condition))
@@ -788,103 +777,189 @@ def merge_into(
         ins_cols.append(e.cast(target.schema[c].dataType).alias(c))
     ins_df = unmatched.select(*ins_cols)
     ins_staging = path.rstrip("/") + f"__cow_{uuid.uuid4().hex}"
-    if partitioned:
-        # inserted rows must land in their key=value directories; a NULL
-        # partition value routes to Hive's default partition dir
-        ins_df.write.mode("overwrite").partitionBy(*part_cols).parquet(
-            ins_staging
+    jvm, fs, _ = _fs(spark, path)
+    try:
+        if partitioned:
+            # inserted rows must land in their key=value directories; a
+            # NULL partition value routes to Hive's default partition dir
+            ins_df.write.mode("overwrite").partitionBy(*part_cols).parquet(
+                ins_staging
+            )
+        else:
+            ins_df.write.mode("overwrite").parquet(ins_staging)
+        # an all-matched partitioned merge stages ZERO part files
+        # (partitionBy writes nothing for an empty frame), which a bare
+        # read cannot infer a schema from — count through the file list
+        staged_files = list_data_files(spark, ins_staging, recursive=True)
+        rows_inserted = (
+            spark.read.parquet(ins_staging).count() if staged_files else 0
         )
-    else:
-        ins_df.write.mode("overwrite").parquet(ins_staging)
-    # an all-matched partitioned merge stages ZERO part files (partitionBy
-    # writes nothing for an empty frame), which a bare read cannot infer a
-    # schema from — count through the file list instead
-    staged_files = list_data_files(spark, ins_staging, recursive=True)
-    rows_inserted = (
-        spark.read.parquet(ins_staging).count() if staged_files else 0
+
+        rows_matched = 0
+        staged: list[tuple[str, list[str], str]] = []
+        if hit:
+            def stage_rewrite(item: tuple[str, list[str]], created: list[str]):
+                dest_dir, pfiles = item
+                if partitioned:
+                    # basePath keeps partition columns in scope (a merge
+                    # key may BE one); they drop before writing — the
+                    # directory name carries them
+                    sub = spark.read.option("basePath", path).parquet(*pfiles)
+                else:
+                    sub = spark.read.parquet(*pfiles)
+                marked = src.withColumn("__matched", F.lit(True))
+                joined = sub.join(marked, on=on, how="left")
+                is_match = F.coalesce(F.col("__matched"), F.lit(False))
+                # matched-count rides the staging write as an observed
+                # metric (one job per file group, not count + write)
+                obs = Observation()
+                joined = joined.observe(
+                    obs, F.count(F.when(is_match, F.lit(1))).alias("m")
+                )
+                if matched_delete is not None:
+                    joined = joined.where(
+                        ~(
+                            is_match
+                            & F.coalesce(_cond(matched_delete), F.lit(False))
+                        )
+                    )
+                projected = [
+                    F.when(is_match, _cond((matched_set or {})[c]))
+                    .otherwise(F.col(c))
+                    .cast(sub.schema[c].dataType)
+                    .alias(c)
+                    if c in (matched_set or {})
+                    else F.col(c)
+                    for c in sub.columns
+                ]
+                rewritten = joined.select(*projected)
+                if part_cols:
+                    rewritten = rewritten.drop(*part_cols)
+                return (
+                    dest_dir,
+                    pfiles,
+                    _stage(spark, path, rewritten, created),
+                    lambda: obs.get["m"],
+                )
+
+            # STAGE every partition's rewrite before touching any
+            # original: ``src`` is caller-supplied and may read from this
+            # very table (self-referential merge), and Spark re-evaluates
+            # its plan per staging job — deleting partition A's files
+            # before staging partition B would hand that plan a mid-swap
+            # hole (FileNotFoundException at best, silent reads of
+            # swapped-in data at worst).
+            items = (
+                sorted(_group_by_dir(hit).items())
+                if partitioned
+                else [(path, hit)]
+            )
+            results = _run_partition_stages(spark, path, items, stage_rewrite)
+            rows_matched = sum(m() for _, _, _, m in results)
+            staged = [(d, p, s) for d, p, s, _ in results]
+    except Exception:
+        # don't orphan the staged inserts (or, if the failure was in the
+        # rewrite staging, anything the stage helper didn't already
+        # reclaim) — no original has been touched, so it is all debris
+        with contextlib.suppress(Exception):
+            fs.delete(jvm.org.apache.hadoop.fs.Path(ins_staging), True)
+        raise
+    return _StagedMerge(
+        files=files,
+        hit=hit,
+        staged=staged,
+        rows_matched=rows_matched,
+        ins_staging=ins_staging,
+        rows_inserted=rows_inserted,
+        part_cols=part_cols,
+        partitioned=partitioned,
     )
 
-    rows_matched = 0
-    if hit:
-        def stage_rewrite(item: tuple[str, list[str]], created: list[str]):
-            dest_dir, pfiles = item
-            if partitioned:
-                # basePath keeps partition columns in scope (a merge
-                # key may BE one); they drop before writing — the
-                # directory name carries them
-                sub = spark.read.option("basePath", path).parquet(*pfiles)
-            else:
-                sub = spark.read.parquet(*pfiles)
-            marked = src.withColumn("__matched", F.lit(True))
-            joined = sub.join(marked, on=on, how="left")
-            is_match = F.coalesce(F.col("__matched"), F.lit(False))
-            matched = joined.where(is_match).count()
-            if matched_delete is not None:
-                joined = joined.where(
-                    ~(
-                        is_match
-                        & F.coalesce(_cond(matched_delete), F.lit(False))
-                    )
-                )
-            projected = [
-                F.when(is_match, _cond((matched_set or {})[c]))
-                .otherwise(F.col(c))
-                .cast(sub.schema[c].dataType)
-                .alias(c)
-                if c in (matched_set or {})
-                else F.col(c)
-                for c in sub.columns
-            ]
-            rewritten = joined.select(*projected)
-            if part_cols:
-                rewritten = rewritten.drop(*part_cols)
-            return (
-                dest_dir,
-                pfiles,
-                _stage(spark, path, rewritten, created),
-                matched,
-            )
 
-        # STAGE every partition's rewrite before touching any original:
-        # ``src`` is caller-supplied and may read from this very table
-        # (self-referential merge), and Spark re-evaluates its plan per
-        # staging job — deleting partition A's files before staging
-        # partition B would hand that plan a mid-swap hole
-        # (FileNotFoundException at best, silent reads of swapped-in
-        # data at worst).  Only after all stagings exist does the
-        # thread-pooled swap phase delete/retire originals.
-        items = (
-            sorted(_group_by_dir(hit).items())
-            if partitioned
-            else [(path, hit)]
-        )
+def _merge_commit(
+    spark: SparkSession, path: str, st: _StagedMerge, retain: bool
+) -> None:
+    """Phase 2 of MERGE: swap the staged rewrites in (thread-pooled) and
+    move the staged inserts into the table.  Caller holds the writer lock.
+    A swap failure leaves the rewrite staging dirs for ``repair_table``
+    but reclaims the never-moved insert staging (pure debris)."""
+    jvm, fs, _ = _fs(spark, path)
+    if st.staged:
         try:
-            results = _run_partition_stages(spark, path, items, stage_rewrite)
-            rows_matched = sum(m for _, _, _, m in results)
-            _swap_staged(
-                spark, path, [(d, p, s) for d, p, s, _ in results], retain
-            )
+            _swap_staged(spark, path, st.staged, retain)
         except Exception:
-            # don't orphan the staged inserts, whether staging failed (no
-            # original touched; the helper reclaimed every rewrite
-            # staging) or the swap failed partway (the inserts were never
-            # moved in, so they are pure debris either way)
-            jvm, fs, _ = _fs(spark, path)
             with contextlib.suppress(Exception):
-                fs.delete(jvm.org.apache.hadoop.fs.Path(ins_staging), True)
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(st.ins_staging), True
+                )
             raise
         spark.catalog.clearCache()
-
-    if rows_inserted:
-        if partitioned:
-            _move_in_partitioned(spark, path, ins_staging, part_cols)
+    if st.rows_inserted:
+        if st.partitioned:
+            _move_in_partitioned(spark, path, st.ins_staging, st.part_cols)
         else:
-            _move_in(spark, path, ins_staging)
+            _move_in(spark, path, st.ins_staging)
         spark.catalog.clearCache()
     else:
-        jvm, fs, _ = _fs(spark, path)
-        fs.delete(jvm.org.apache.hadoop.fs.Path(ins_staging), True)
-    return MutationStats(len(files), len(hit), rows_matched, rows_inserted)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(st.ins_staging), True)
+
+
+@_with_writer_lock
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: list[str],
+    matched_set: dict[str, str | Column] | None = None,
+    insert_values: dict[str, str | Column] | None = None,
+    check_unique: bool = True,
+    matched_delete: str | Column | None = None,
+    insert_condition: str | Column | None = None,
+    retain: bool | None = None,
+    max_pruned_files: int | None = 100_000,
+) -> MutationStats:
+    """``MERGE INTO <path> USING source ON keys`` — upsert, copy-on-write.
+
+    - WHEN MATCHED AND ``matched_delete`` (evaluated over the joined row;
+      source columns as ``src_<name>``): drop the target row — the CDC
+      tombstone path.
+    - WHEN MATCHED (otherwise): apply ``matched_set`` (same ``src_<name>``
+      scope; target columns are in scope too, so conditional updates like
+      ``CASE WHEN src_ts >= ts THEN src_v ELSE v END`` express
+      last-writer-wins); only files containing a matched key are rewritten
+      (key-semijoin prune).
+    - WHEN NOT MATCHED AND ``insert_condition`` (default: all): insert a
+      row built from ``insert_values`` (unlisted target columns default to
+      the source column of the same name, else NULL).  Inserts APPEND new
+      files — no existing file is touched for them.
+
+    Works on flat AND hive-partitioned tables: matched files swap
+    per-partition directory, inserts stage ``partitionBy`` the partition
+    columns and land in their ``key=value`` dirs (created as needed);
+    assigning a partition column in ``matched_set`` is refused — that is
+    a cross-directory move (delete + insert), not an update.
+
+    ``check_unique`` guards the classic silent-corruption mode: a source
+    with duplicate keys would multiply matched target rows.  The guard is
+    one aggregation over the (small) source; Delta raises the same error.
+
+    ``max_pruned_files`` bounds the one driver-side metadata transfer the
+    prune makes: the matched-file NAME list (what Delta keeps in its log —
+    names, never rows).  A merge whose keys touch more files than the
+    bound skips the per-file prune and rewrites the whole table instead —
+    at that match breadth the prune saves little and its list would cost
+    driver memory.  The limit+fallback means at most ``max_pruned_files+1``
+    names ever cross the driver.
+    """
+    retain = _default_retain(spark, path, retain)
+    st = _merge_prepare(
+        spark, path, source, on, matched_set, insert_values, check_unique,
+        matched_delete, insert_condition, max_pruned_files,
+    )
+    _merge_commit(spark, path, st, retain)
+    return MutationStats(
+        len(st.files), len(st.hit), st.rows_matched, st.rows_inserted
+    )
 
 
 @_with_writer_lock
@@ -1040,7 +1115,7 @@ def _is_missing_file_error(e: Exception) -> bool:
     )
 
 
-def _occ_mutate_flat(
+def _occ_mutate(
     spark: SparkSession,
     path: str,
     condition: str | Column,
@@ -1050,22 +1125,37 @@ def _occ_mutate_flat(
     lock_wait_seconds: float = 30.0,
     _after_stage=None,
 ) -> MutationStats:
-    """Shared optimistic loop for the flat-table point verbs.
+    """Shared optimistic loop for the point verbs, flat AND
+    hive-partitioned.
 
-    ``build(sub) -> (rewritten_df, rows_matched)`` over the pruned files;
-    ``_after_stage(attempt)`` is a test seam invoked between stage and
-    commit (deterministic interleaving of a concurrent writer).
+    ``build(sub, part_cols) -> (rewritten_df, rows_matched)`` over the
+    pruned files — ``rows_matched`` may be an int or a zero-arg callable
+    resolved AFTER the staging write (the verbs fold their matched-count
+    into the staged write via ``DataFrame.observe``, so each attempt costs
+    ONE Spark job, not a count plus a write); ``_after_stage(attempt)`` is
+    a test seam invoked between stage and commit (deterministic
+    interleaving of a concurrent writer).
+
+    Partitioned tables get PER-PARTITION conflict scope for free: the
+    validation unit is the file, and writers on disjoint partitions touch
+    disjoint files — both commit on their first attempt.  The in-lock
+    re-list is scoped to the TOUCHED partition directories only, so
+    validation costs O(files in touched partitions), never O(table) — on
+    a 10⁴-partition table a 2-partition update validates 2 dirs.
     """
     if max_attempts < 1:
         raise ValueError("max_attempts must be >= 1")
-    if is_partitioned(spark, path):
-        raise ValueError(
-            "optimistic concurrency covers flat tables; partitioned "
-            "tables use the serialized verbs (delete_where/update_where)"
-        )
     cond = _cond(condition)
-    jvm, fs, _ = _fs(spark, path)
+    jvm, fs, jpath = _fs(spark, path)
+    partitioned = is_partitioned(spark, path)
     last_conflict: list[str] = []
+    last_exc: Exception | None = None
+
+    def _reclaim(dirs):
+        for s in dirs:
+            with contextlib.suppress(Exception):
+                fs.delete(jvm.org.apache.hadoop.fs.Path(s), True)
+
     for attempt in range(1, max_attempts + 1):
         # READ + STAGE run lock-free, so a concurrent commit can delete a
         # file out from under the prune scan or the staging job — Spark
@@ -1073,24 +1163,63 @@ def _occ_mutate_flat(
         # (retry against the new state), not an error
         created: list[str] = []
         try:
-            files = list_data_files(spark, path)
+            files = list_data_files(spark, path, recursive=partitioned)
             hit = affected_files(spark, path, cond)
             if not hit:
                 return MutationStats(len(files), 0, 0)
-            sub = spark.read.parquet(*hit)
-            rewritten, matched = build(sub)
-            staging = _stage(spark, path, rewritten, created)
+            if partitioned:
+                part_cols = _partition_cols(spark, path, hit[0])
+
+                def stage_one(item: tuple[str, list[str]], cr: list[str]):
+                    part_dir, pfiles = item
+                    sub = spark.read.option("basePath", path).parquet(
+                        *pfiles
+                    )
+                    rewritten, m = build(sub, part_cols)
+                    return (
+                        part_dir,
+                        pfiles,
+                        _stage(spark, path, rewritten.drop(*part_cols), cr),
+                        m() if callable(m) else m,
+                    )
+
+                results = _run_partition_stages(
+                    spark, path, sorted(_group_by_dir(hit).items()),
+                    stage_one,
+                )
+                # _run_partition_stages reclaimed `created` itself on
+                # failure; on success adopt its staging dirs for the
+                # cleanup paths below
+                staged = [(d, p, s) for d, p, s, _ in results]
+                matched = sum(m for *_, m in results)
+            else:
+                sub = spark.read.parquet(*hit)
+                rewritten, matched = build(sub, [])
+                staged = [(path, hit, _stage(spark, path, rewritten, created))]
+                if callable(matched):
+                    matched = matched()
         except Exception as e:
-            if not _is_missing_file_error(e):
+            # a missing-file error is only a conflict if the TABLE still
+            # exists — a wrong/deleted table path matches the same Java
+            # classes and must surface as the real error, not as a
+            # misleading ConcurrentWriteConflict after max_attempts
+            # pointless retries
+            if not _is_missing_file_error(e) or not fs.exists(jpath):
                 raise
-            for s in created:
-                with contextlib.suppress(Exception):
-                    fs.delete(jvm.org.apache.hadoop.fs.Path(s), True)
+            _reclaim(created)
             last_conflict = ["<file vanished during read/stage>"]
+            last_exc = e
             spark.catalog.clearCache()
             continue
+        staging_dirs = [s for _, _, s in staged]
         if _after_stage is not None:
-            _after_stage(attempt)
+            try:
+                _after_stage(attempt)
+            except BaseException:
+                # the seam is a public kwarg: a raising callback must not
+                # leak the just-written staging dirs
+                _reclaim(staging_dirs)
+                raise
         # COMMIT phase: bounded wait (optimistic competitors hold the
         # lock only for their metadata swap; a long-running SERIALIZED
         # verb can legitimately hold it far longer — that counts as a
@@ -1101,15 +1230,16 @@ def _occ_mutate_flat(
                 spark, path, wait_seconds=lock_wait_seconds
             )
             lock.__enter__()
-        except _WriterLockHeld:
-            with contextlib.suppress(Exception):
-                fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
-            last_conflict = ["<writer lock held past the 30s wait>"]
+        except _WriterLockHeld as e:
+            _reclaim(staging_dirs)
+            last_conflict = [
+                f"<writer lock held past the {lock_wait_seconds:g}s wait>"
+            ]
+            last_exc = e
             continue
         except Exception:
             # never acquired: staging is pure debris, reclaim it
-            with contextlib.suppress(Exception):
-                fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+            _reclaim(staging_dirs)
             raise
         conflict: list[str] | None = None
         try:
@@ -1117,27 +1247,33 @@ def _occ_mutate_flat(
             # input_file_name() (hit) emits percent-encoded file:///x
             # while Hadoop Path.toString (the re-list) emits unencoded
             # file:/x — raw-set difference would report a permanent
-            # phantom conflict
-            current = {
-                _uri_path(f) for f in list_data_files(spark, path)
-            }
+            # phantom conflict.  Scope: only the directories this attempt
+            # read (the touched partitions; the table root when flat) — a
+            # concurrent writer elsewhere in the table is irrelevant.
+            current: set[str] = set()
+            dirs_gone = False
+            for part_dir in {d for d, _, _ in staged}:
+                if not fs.exists(jvm.org.apache.hadoop.fs.Path(part_dir)):
+                    # a concurrent DELETE emptied the whole partition dir
+                    dirs_gone = True
+                    continue
+                current |= {
+                    _uri_path(f)
+                    for f in list_data_files(spark, part_dir)
+                }
             gone = sorted(f for f in hit if _uri_path(f) not in current)
-            if gone:
-                conflict = gone
+            if gone or dirs_gone:
+                conflict = gone or ["<partition dir removed>"]
             else:
                 # retain decided INSIDE the lock: a snapshot/version
                 # created while this attempt staged (create_snapshot is
                 # serialized on this same lock) must flip the commit to
                 # retire, or the new manifest would pin deleted files
                 ret = _default_retain(spark, path, retain)
-                # a swap failure propagates and LEAVES the staging dir
+                # a swap failure propagates and LEAVES the staging dirs
                 # (same repair_table story as the serialized verbs — some
                 # parts may already have moved in)
-                _move_in(spark, path, staging)
-                if ret:
-                    _retire_files(spark, path, hit)
-                else:
-                    _delete_files(spark, hit)
+                _swap_staged(spark, path, staged, ret)
                 _autoversion(spark, path)
         finally:
             lock.__exit__(None, None, None)
@@ -1147,15 +1283,18 @@ def _occ_mutate_flat(
         # validation lost: a concurrent commit replaced files this attempt
         # read — its staged rewrite is stale.  Discard and re-read.
         last_conflict = conflict
-        with contextlib.suppress(Exception):
-            fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+        _reclaim(staging_dirs)
     raise ConcurrentWriteConflict(
         f"{max_attempts} optimistic attempt(s) on {path} each lost "
         f"validation (latest conflict: {last_conflict[:3]}"
         f"{'...' if len(last_conflict) > 3 else ''}); a concurrent writer "
         "kept replacing files this mutation read (or held the lock) — "
         "raise max_attempts or serialize these writers"
-    )
+    ) from last_exc
+
+
+#: Backwards-compatible alias (pre-r8 name, flat-only then).
+_occ_mutate_flat = _occ_mutate
 
 
 def occ_update_where(
@@ -1170,16 +1309,31 @@ def occ_update_where(
 ) -> MutationStats:
     """Optimistic ``UPDATE``: same semantics as :func:`update_where`, but
     concurrent writers on disjoint keys BOTH commit (stage-outside-lock +
-    validate-and-swap; see the protocol comment above)."""
+    validate-and-swap; see the protocol comment above).  On a
+    hive-partitioned table the conflict scope is the touched partitions —
+    writers on disjoint partitions never conflict."""
     cond = _cond(condition)
 
-    def build(sub: DataFrame):
+    def build(sub: DataFrame, part_cols: list[str]):
+        part_here = [c for c in set_map if c in part_cols]
+        if part_here:
+            raise ValueError(
+                f"UPDATE SET on partition columns: {sorted(part_here)}; "
+                "changing a row's partition is a delete + insert"
+            )
         unknown = set(set_map) - set(sub.columns)
         if unknown:
             raise ValueError(
                 f"UPDATE SET on unknown columns: {sorted(unknown)}"
             )
-        matched = sub.where(cond).count()
+        # matched-count rides the staging write as an observed metric —
+        # one job per attempt instead of count + write.  count(when(cond,
+        # 1)) matches where(cond).count() under three-valued logic: NULL
+        # and FALSE both fall to the (absent) otherwise → not counted.
+        obs = Observation()
+        observed = sub.observe(
+            obs, F.count(F.when(cond, F.lit(1))).alias("matched")
+        )
         projected = [
             F.when(F.coalesce(cond, F.lit(False)), _cond(set_map[c]))
             .otherwise(F.col(c))
@@ -1189,9 +1343,9 @@ def occ_update_where(
             else F.col(c)
             for c in sub.columns
         ]
-        return sub.select(*projected), matched
+        return observed.select(*projected), lambda: obs.get["matched"]
 
-    return _occ_mutate_flat(
+    return _occ_mutate(
         spark, path, condition, build, retain, max_attempts,
         lock_wait_seconds, _after_stage,
     )
@@ -1211,16 +1365,150 @@ def occ_delete_where(
     :func:`occ_update_where`."""
     cond = _cond(condition)
 
-    def build(sub: DataFrame):
+    def build(sub: DataFrame, part_cols: list[str]):
+        # observe BEFORE the keep-filter so the metric sees every row;
+        # one job per attempt (see occ_update_where)
+        obs = Observation()
+        observed = sub.observe(
+            obs, F.count(F.when(cond, F.lit(1))).alias("matched")
+        )
         return (
-            sub.where(~F.coalesce(cond, F.lit(False))),
-            sub.where(cond).count(),
+            observed.where(~F.coalesce(cond, F.lit(False))),
+            lambda: obs.get["matched"],
         )
 
-    return _occ_mutate_flat(
+    return _occ_mutate(
         spark, path, condition, build, retain, max_attempts,
         lock_wait_seconds, _after_stage,
     )
+
+
+def occ_merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: list[str],
+    matched_set: dict[str, str | Column] | None = None,
+    insert_values: dict[str, str | Column] | None = None,
+    check_unique: bool = True,
+    matched_delete: str | Column | None = None,
+    insert_condition: str | Column | None = None,
+    retain: bool | None = None,
+    max_attempts: int = 5,
+    lock_wait_seconds: float = 30.0,
+    max_pruned_files: int | None = 100_000,
+    _after_stage=None,
+) -> MutationStats:
+    """Optimistic ``MERGE INTO``: same semantics as :func:`merge_into`,
+    staged outside the writer lock with validate-and-swap inside it — the
+    workload the CDC upsert writer (streaming/upsert.py) generates when
+    several micro-batch writers land on one table.
+
+    Validation is SERIALIZABLE and therefore stricter than the point
+    verbs': a MERGE's read set is the WHOLE table (the NOT-MATCHED
+    anti-join reads every file's keys to decide what to insert), so the
+    commit requires the table's file list to be byte-identical to what the
+    read saw.  ANY concurrent commit — even on disjoint keys — loses the
+    race and re-derives its matched/unmatched split against the new
+    committed state; disjoint-key concurrent upserts both commit, the
+    loser after one retry.  (The point verbs can validate just their hit
+    files because their rewrite never depends on rows they didn't read; a
+    merge's insert decision does.)
+
+    Per-attempt cost is the same stage-everything-then-swap as
+    :func:`merge_into`; only the metadata validate-and-swap serializes.
+    """
+    if max_attempts < 1:
+        raise ValueError("max_attempts must be >= 1")
+    jvm, fs, jpath = _fs(spark, path)
+    # the duplicate-source-key guard is attempt-invariant (it reads only
+    # the source): run it once, not once per retry
+    if check_unique:
+        for k in on:
+            if k not in source.columns:
+                raise ValueError(f"merge key {k!r} missing from source")
+        dup = source.groupBy(*on).count().where(F.col("count") > 1).limit(1)
+        if dup.count():
+            raise ValueError(
+                "MERGE source has duplicate join keys; each target row "
+                "must match at most one source row (pass "
+                "check_unique=False only if uniqueness is guaranteed "
+                "upstream)"
+            )
+    last_conflict: list[str] = []
+    last_exc: Exception | None = None
+
+    def _reclaim(dirs):
+        for s in dirs:
+            with contextlib.suppress(Exception):
+                fs.delete(jvm.org.apache.hadoop.fs.Path(s), True)
+
+    for attempt in range(1, max_attempts + 1):
+        try:
+            st = _merge_prepare(
+                spark, path, source, on, matched_set, insert_values,
+                False, matched_delete, insert_condition, max_pruned_files,
+            )
+        except Exception as e:
+            # same conflict-vs-error split as _occ_mutate: vanished files
+            # under a still-existing table are a concurrent commit
+            if not _is_missing_file_error(e) or not fs.exists(jpath):
+                raise
+            last_conflict = ["<file vanished during read/stage>"]
+            last_exc = e
+            spark.catalog.clearCache()
+            continue
+        if _after_stage is not None:
+            try:
+                _after_stage(attempt)
+            except BaseException:
+                _reclaim(st.staging_dirs())
+                raise
+        try:
+            lock = _writer_lock(spark, path, wait_seconds=lock_wait_seconds)
+            lock.__enter__()
+        except _WriterLockHeld as e:
+            _reclaim(st.staging_dirs())
+            last_conflict = [
+                f"<writer lock held past the {lock_wait_seconds:g}s wait>"
+            ]
+            last_exc = e
+            continue
+        except Exception:
+            _reclaim(st.staging_dirs())
+            raise
+        conflict: list[str] | None = None
+        try:
+            current = {
+                _uri_path(f)
+                for f in list_data_files(
+                    spark, path, recursive=st.partitioned
+                )
+            }
+            before = {_uri_path(f) for f in st.files}
+            if current != before:
+                conflict = sorted(current.symmetric_difference(before))[:10]
+            else:
+                ret = _default_retain(spark, path, retain)
+                _merge_commit(spark, path, st, ret)
+                _autoversion(spark, path)
+        finally:
+            lock.__exit__(None, None, None)
+        spark.catalog.clearCache()
+        if conflict is None:
+            return MutationStats(
+                len(st.files), len(st.hit), st.rows_matched,
+                st.rows_inserted,
+            )
+        last_conflict = conflict
+        _reclaim(st.staging_dirs())
+    raise ConcurrentWriteConflict(
+        f"{max_attempts} optimistic MERGE attempt(s) on {path} each lost "
+        f"validation (latest conflict: {last_conflict[:3]}"
+        f"{'...' if len(last_conflict) > 3 else ''}); a concurrent writer "
+        "kept changing the table's file list (or held the lock) — raise "
+        "max_attempts or serialize these writers"
+    ) from last_exc
 
 
 # -- textual DML front-end ---------------------------------------------------
@@ -1495,11 +1783,10 @@ def execute_dml(
     """Parse an UPDATE / DELETE / MERGE statement and execute it
     copy-on-write.
 
-    ``optimistic=True`` routes UPDATE/DELETE through the multi-writer
-    commit-or-retry verbs (:func:`occ_update_where` /
-    :func:`occ_delete_where`; flat tables only — their restriction
-    propagates).  MERGE keeps the serialized lock either way and is
-    refused under ``optimistic`` rather than silently downgraded.
+    ``optimistic=True`` routes every verb through the multi-writer
+    commit-or-retry protocol (:func:`occ_update_where` /
+    :func:`occ_delete_where` / :func:`occ_merge_into`; flat and
+    hive-partitioned tables).
 
     ``tables`` maps table names to parquet directory paths (the catalog
     the reference gets from its live MySQL connection).  The MERGE
@@ -1522,12 +1809,6 @@ def execute_dml(
     """
     m = _MERGE_RE.match(text)
     if m:
-        if optimistic:
-            raise ValueError(
-                "optimistic MERGE is not supported (its matched-file "
-                "prune + insert staging need the serialized lock); run "
-                "this MERGE with optimistic=False"
-            )
         t_name, t_alias, s_name, s_alias, on_text, clauses = m.groups()
         t_alias = t_alias or t_name
         s_alias = s_alias or s_name
@@ -1636,7 +1917,8 @@ def execute_dml(
                 "clause unreachable; give the DELETE a condition"
             )
         source = spark.read.parquet(tables[s_name])
-        return merge_into(
+        merge_verb = occ_merge_into if optimistic else merge_into
+        return merge_verb(
             spark,
             tables[t_name],
             source,
@@ -2044,7 +2326,10 @@ class RepairReport:
 
 
 def repair_table(
-    spark: SparkSession, path: str, remove: bool = False
+    spark: SparkSession,
+    path: str,
+    remove: bool = False,
+    min_age_seconds: float = 0.0,
 ) -> RepairReport:
     """Post-crash inventory of COW debris: sibling ``<table>__cow_*``
     staging directories and the advisory ``_cow.lock``.
@@ -2066,15 +2351,26 @@ def repair_table(
     confirming no writer is alive — a healthy in-flight mutation
     legitimately owns a staging dir and the lock; this tool cannot tell a
     crash from a slow writer, which is exactly why removal is not
-    automatic.
+    automatic.  "No writer is alive" is NOT implied by the lock being
+    absent: OPTIMISTIC writers (``occ_update_where`` / ``occ_delete_where``)
+    stage their ``__cow_*`` dirs while holding NO lock by design, so an
+    unlocked table can still have a live writer mid-stage.  Pass
+    ``min_age_seconds`` (e.g. a few hours) to treat only staging dirs whose
+    modification time is older than the threshold as crash debris — a live
+    optimistic writer's staging is always younger than its attempt.
     """
     jvm, fs, jpath = _fs(spark, path)
     parent = jpath.getParent()
     base = jpath.getName()
+    cutoff_ms = (time.time() - min_age_seconds) * 1000.0
     staging = []
     for st in fs.listStatus(parent):
         n = st.getPath().getName()
-        if st.isDirectory() and n.startswith(base + "__cow_"):
+        if (
+            st.isDirectory()
+            and n.startswith(base + "__cow_")
+            and st.getModificationTime() <= cutoff_ms
+        ):
             staging.append(st.getPath().toString())
     lock = jvm.org.apache.hadoop.fs.Path(jpath, LOCK_FILE)
     stale = lock.toString() if fs.exists(lock) else None

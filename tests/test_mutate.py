@@ -10,6 +10,7 @@ on disk, byte-for-byte the same file names).
 from __future__ import annotations
 
 import os
+import time
 
 import pytest
 from pyspark.sql import Row
@@ -994,18 +995,86 @@ def test_occ_two_threads_disjoint_keys(spark, cow_table):
     assert back.where("k >= 300 AND v <> (k % 7) + 2000").count() == 0
 
 
-def test_occ_refuses_partitioned(spark, part_table):
+def test_occ_partitioned_disjoint_partitions_first_attempt(spark, part_table):
+    """Partition-scope OCC (r8): writers on DISJOINT partitions never
+    conflict — the interleaved writer commits p=1 while the outer writer
+    sits between stage and commit on p=0, and the outer validation (scoped
+    to p=0's directory) still passes first-attempt."""
     from sql_query_optimizer_cpp_spark.operators.mutate import (
         occ_update_where,
     )
 
-    with pytest.raises(ValueError, match="flat tables"):
-        occ_update_where(spark, part_table, {"v": "v + 1"}, "p = 0")
+    attempts = []
+
+    def interleave(attempt):
+        attempts.append(attempt)
+        if attempt == 1:
+            occ_update_where(spark, part_table, {"v": "v + 2000"}, "p = 1")
+
+    st = occ_update_where(
+        spark, part_table, {"v": "v + 1000"}, "p = 0",
+        _after_stage=interleave,
+    )
+    assert attempts == [1]          # first-attempt commit, no retry
+    assert st.rows_matched == 100
+    back = spark.read.parquet(part_table)
+    assert back.count() == 300
+    assert back.where("p = 0 AND v <> k + 1000").count() == 0
+    assert back.where("p = 1 AND v <> k + 2000").count() == 0
+    assert back.where("p = 2 AND v <> CAST(k AS DOUBLE)").count() == 0
 
 
-def test_execute_dml_optimistic_flag(spark, cow_table):
-    """optimistic=True routes textual UPDATE/DELETE through the occ verbs
-    (same results); MERGE is refused rather than silently downgraded."""
+def test_occ_partitioned_same_partition_retries(spark, part_table):
+    """Same-partition writers serialize by retry: the outer writer loses
+    validation on p=0 once, re-reads, and the final state is the serial
+    B-then-A outcome."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        occ_update_where,
+    )
+
+    attempts = []
+
+    def interleave(attempt):
+        attempts.append(attempt)
+        if attempt == 1:
+            occ_update_where(spark, part_table, {"v": "v + 50"}, "p = 0 AND k < 30")
+
+    st = occ_update_where(
+        spark, part_table, {"v": "v * 10"}, "p = 0",
+        _after_stage=interleave,
+    )
+    assert attempts == [1, 2]
+    assert st.rows_matched == 100
+    back = spark.read.parquet(part_table)
+    assert back.where("p = 0 AND k < 30 AND v <> (k + 50) * 10").count() == 0
+    assert back.where("p = 0 AND k >= 30 AND v <> k * 10").count() == 0
+    assert back.where("p <> 0 AND v <> CAST(k AS DOUBLE)").count() == 0
+
+
+def test_occ_partitioned_delete_and_guards(spark, part_table):
+    """Partitioned occ_delete_where removes rows in place; partition-column
+    assignment is refused exactly like the serialized verb."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        occ_delete_where,
+        occ_update_where,
+        repair_table,
+    )
+
+    st = occ_delete_where(spark, part_table, "p = 2 AND k < 60")
+    assert st.rows_matched == len(
+        [k for k in range(300) if k % 3 == 2 and k < 60]
+    )
+    back = spark.read.parquet(part_table)
+    assert back.where("p = 2 AND k < 60").count() == 0
+    assert back.where("p <> 2").count() == 200
+    with pytest.raises(ValueError, match="partition columns"):
+        occ_update_where(spark, part_table, {"p": "1"}, "k < 10")
+    assert repair_table(spark, part_table).staging_dirs == ()
+
+
+def test_execute_dml_optimistic_flag(spark, cow_table, tmp_path):
+    """optimistic=True routes textual UPDATE/DELETE/MERGE through the occ
+    verbs (same results as the serialized ones)."""
     tables = {"t": cow_table}
     st = execute_dml(
         spark, "UPDATE t SET v = v + 5 WHERE k < 10", tables, optimistic=True
@@ -1018,13 +1087,24 @@ def test_execute_dml_optimistic_flag(spark, cow_table):
     back = spark.read.parquet(cow_table)
     assert back.count() == 390
     assert back.where("k < 10 AND v <> (k % 7) + 5").count() == 0
-    with pytest.raises(ValueError, match="optimistic MERGE"):
-        execute_dml(
-            spark,
-            "MERGE INTO t USING t ON t.k = t.k WHEN MATCHED THEN UPDATE SET v = 1",
-            tables,
-            optimistic=True,
-        )
+    # textual MERGE through the optimistic path
+    src = str(tmp_path / "src")
+    spark.range(5).selectExpr(
+        "id + 388 AS k", "CAST(99 AS double) AS v", "'merged' AS s"
+    ).write.parquet(src)
+    tables["s"] = src
+    st = execute_dml(
+        spark,
+        "MERGE INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT",
+        tables,
+        optimistic=True,
+    )
+    assert st.rows_matched == 2 and st.rows_inserted == 3
+    back = spark.read.parquet(cow_table)
+    assert back.count() == 393
+    assert back.where("k >= 388 AND v <> 99").count() == 0
 
 
 def test_occ_lock_held_counts_as_conflict_not_stale_lock(spark, cow_table):
@@ -1065,3 +1145,245 @@ def test_occ_missing_file_error_classifier():
     )
     assert _is_missing_file_error(Exception("[PATH_NOT_FOUND] Path does not exist"))
     assert not _is_missing_file_error(ValueError("UPDATE SET on unknown columns"))
+
+
+# -- round-8: OCC hardening (ADVICE items) + observe-folded counts -----------
+
+
+def test_occ_no_separate_count_job_per_attempt(spark, cow_table):
+    """The matched-count rides the staging write as an observed metric —
+    the pre-r8 shape ran a dedicated count() job per attempt.  Pin the
+    fold directly: no job in the attempt's group may contain a 'count at'
+    stage (the remaining jobs are the prune-scan collect, parquet schema
+    inference, and the staged write carrying the observation)."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        occ_update_where,
+    )
+
+    sc = spark.sparkContext
+    sc.setJobGroup("occ-attempt", "count jobs for one occ attempt")
+    try:
+        st = occ_update_where(spark, cow_table, {"v": "v + 1"}, "k < 100")
+    finally:
+        sc.setJobGroup(None, None)
+    assert st.rows_matched == 100
+    tracker = sc.statusTracker()
+    stage_names = []
+    for j in tracker.getJobIdsForGroup("occ-attempt"):
+        info = tracker.getJobInfo(j)
+        for s in info.stageIds if info else []:
+            si = tracker.getStageInfo(s)
+            if si:
+                stage_names.append(si.name)
+    assert stage_names, "expected the attempt's jobs in the group"
+    counts = [n for n in stage_names if n.startswith("count at")]
+    assert not counts, f"occ attempt still runs a count job: {counts}"
+
+
+def test_occ_after_stage_raise_reclaims_staging(spark, cow_table):
+    """_after_stage is a public kwarg: if the callback raises, the staged
+    dir must be deleted before the exception propagates (ADVICE r7)."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        occ_update_where,
+        repair_table,
+    )
+
+    with pytest.raises(RuntimeError, match="seam boom"):
+        occ_update_where(
+            spark, cow_table, {"v": "v + 1"}, "k < 10",
+            _after_stage=lambda a: (_ for _ in ()).throw(
+                RuntimeError("seam boom")
+            ),
+        )
+    assert repair_table(spark, cow_table).staging_dirs == ()
+    # table untouched
+    assert spark.read.parquet(cow_table).where("v >= 100").count() == 0
+
+
+def test_occ_missing_table_is_error_not_conflict(spark, tmp_path):
+    """A genuinely wrong table path matches the same FileNotFound text the
+    conflict classifier looks for — it must surface as the real error, not
+    be retried max_attempts times and re-branded ConcurrentWriteConflict
+    (ADVICE r7)."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        ConcurrentWriteConflict,
+        occ_delete_where,
+    )
+
+    missing = str(tmp_path / "never_created")
+    with pytest.raises(Exception) as ei:
+        occ_delete_where(spark, missing, "k < 10", max_attempts=3)
+    assert not isinstance(ei.value, ConcurrentWriteConflict)
+
+
+def test_occ_lock_wait_message_uses_actual_wait(spark, cow_table):
+    """The lock-held conflict marker must state the wait the caller
+    configured, not a hardcoded 30s (ADVICE r7)."""
+    import os as _os
+
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        ConcurrentWriteConflict,
+        occ_update_where,
+    )
+
+    lock = _os.path.join(cow_table, "_cow.lock")
+    open(lock, "w").write("held")
+    try:
+        with pytest.raises(ConcurrentWriteConflict, match=r"0\.2s wait"):
+            occ_update_where(
+                spark, cow_table, {"v": "v + 1"}, "k < 10",
+                max_attempts=1, lock_wait_seconds=0.2,
+            )
+    finally:
+        _os.remove(lock)
+
+
+def test_repair_table_min_age_spares_young_staging(spark, cow_table):
+    """OCC writers stage lock-free, so repair must be able to spare young
+    staging dirs (a live writer's) and only sweep old debris (ADVICE r7)."""
+    import os as _os
+
+    from sql_query_optimizer_cpp_spark.operators.mutate import repair_table
+
+    staging = cow_table + "__cow_deadbeef"
+    _os.makedirs(staging)
+    # young dir: invisible under a min-age threshold, visible without one
+    assert repair_table(spark, cow_table, min_age_seconds=3600).staging_dirs == ()
+    assert repair_table(spark, cow_table).staging_dirs == (
+        "file:" + staging,
+    ) or repair_table(spark, cow_table).staging_dirs == (staging,)
+    # age it artificially and the threshold sweep picks it up
+    old = time.time() - 7200
+    _os.utime(staging, (old, old))
+    rep = repair_table(spark, cow_table, remove=True, min_age_seconds=3600)
+    assert len(rep.staging_dirs) == 1
+    assert not _os.path.exists(staging)
+
+
+# -- round-8: optimistic MERGE ------------------------------------------------
+
+
+def test_occ_merge_disjoint_key_upserts_both_commit(spark, cow_table):
+    """Two concurrent upserts on disjoint keys: the interleaved one
+    commits mid-flight; the outer one loses SERIALIZABLE validation (a
+    merge's read set is the whole table), retries, and both land."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        occ_merge_into,
+    )
+
+    src_a = spark.range(5).selectExpr(
+        "id AS k", "CAST(500 AS double) AS v", "'a' AS s"
+    )
+    src_b = spark.range(5).selectExpr(
+        "id + 500 AS k", "CAST(600 AS double) AS v", "'b' AS s"
+    )
+    attempts = []
+
+    def interleave(attempt):
+        attempts.append(attempt)
+        if attempt == 1:
+            occ_merge_into(
+                spark, cow_table, src_b, on=["k"],
+                matched_set={"v": "src_v"},
+            )
+
+    st = occ_merge_into(
+        spark, cow_table, src_a, on=["k"],
+        matched_set={"v": "src_v"},
+        _after_stage=interleave,
+    )
+    # writer B's commit changed the file list → A retried exactly once
+    assert attempts == [1, 2]
+    assert st.rows_matched == 5 and st.rows_inserted == 0
+    back = spark.read.parquet(cow_table)
+    assert back.count() == 405            # B inserted its 5 unmatched keys
+    assert back.where("k < 5 AND v <> 500").count() == 0
+    assert back.where("k >= 500 AND v <> 600").count() == 0
+
+
+def test_occ_merge_insert_race_stays_serializable(spark, cow_table):
+    """The race that file-scoped validation would get WRONG: both writers
+    try to insert the SAME new key.  Serializable validation forces the
+    loser to re-derive its unmatched set against the winner's commit, so
+    the second merge becomes an UPDATE, never a duplicate insert."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        occ_merge_into,
+    )
+
+    src = spark.createDataFrame(
+        [(999, 1.0, "first")], "k long, v double, s string"
+    )
+    src2 = spark.createDataFrame(
+        [(999, 2.0, "second")], "k long, v double, s string"
+    )
+
+    def interleave(attempt):
+        if attempt == 1:
+            occ_merge_into(
+                spark, cow_table, src, on=["k"], matched_set={"v": "src_v"}
+            )
+
+    st = occ_merge_into(
+        spark, cow_table, src2, on=["k"],
+        matched_set={"v": "src_v"},
+        _after_stage=interleave,
+    )
+    # loser re-derived: its insert became a matched update
+    assert st.rows_matched == 1 and st.rows_inserted == 0
+    back = spark.read.parquet(cow_table)
+    assert back.where("k = 999").count() == 1      # ONE row, not two
+    assert back.where("k = 999 AND v = 2.0").count() == 1
+
+
+def test_occ_merge_guards_and_conflict_exhaustion(spark, cow_table):
+    """Duplicate-source guard fires once (before the retry loop); at
+    max_attempts=1 a concurrent commit aborts the merge cleanly."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        ConcurrentWriteConflict,
+        occ_merge_into,
+        occ_update_where,
+        repair_table,
+    )
+
+    dup = spark.createDataFrame(
+        [(1, 1.0, "x"), (1, 2.0, "y")], "k long, v double, s string"
+    )
+    with pytest.raises(ValueError, match="duplicate join keys"):
+        occ_merge_into(spark, cow_table, dup, on=["k"], matched_set={"v": "src_v"})
+
+    src = spark.createDataFrame([(1, 9.0, "z")], "k long, v double, s string")
+
+    def interleave(attempt):
+        occ_update_where(spark, cow_table, {"v": "v + 50"}, "k >= 390")
+
+    with pytest.raises(ConcurrentWriteConflict, match="optimistic MERGE"):
+        occ_merge_into(
+            spark, cow_table, src, on=["k"], matched_set={"v": "src_v"},
+            max_attempts=1, _after_stage=interleave,
+        )
+    back = spark.read.parquet(cow_table)
+    assert back.where("k = 1 AND v = 9.0").count() == 0   # merge not applied
+    assert back.where("k >= 390 AND v <> (k % 7) + 50").count() == 0
+    assert repair_table(spark, cow_table).staging_dirs == ()
+
+
+def test_occ_merge_partitioned(spark, part_table):
+    """Optimistic MERGE on a hive-partitioned table: matched rewrite per
+    partition dir, inserts land partitionBy'd, validation covers the
+    recursive file list."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        occ_merge_into,
+    )
+
+    src = spark.createDataFrame(
+        [(0, 100.0, 0), (1, 200.0, 1), (900, 9.0, 2)],
+        "k long, v double, p long",
+    )
+    st = occ_merge_into(
+        spark, part_table, src, on=["k"], matched_set={"v": "src_v"},
+    )
+    assert st.rows_matched == 2 and st.rows_inserted == 1
+    back = spark.read.parquet(part_table)
+    assert back.count() == 301
+    assert back.where("k = 0 AND v = 100.0").count() == 1
+    assert back.where("k = 900 AND p = 2").count() == 1
