@@ -164,6 +164,15 @@ def bench_spark(spark, registry, sf_dir: str):
         # round 7: four interleaved optimistic writers (stage-outside-lock,
         # validate-and-swap, one forced retry) + 5 version readbacks
         "mutate_concurrent_writers",
+        # round 8: optimistic MERGE (serializable validation + retry),
+        # disjoint-partition OCC, evolving MERGE, CDC version-range diff,
+        # staged-write CHECK constraints, CDF source signed replay
+        "mutate_occ_merge",
+        "mutate_occ_partitioned",
+        "mutate_schema_evolution",
+        "mutate_read_changes",
+        "mutate_constraints",
+        "mutate_cdf_replay",
     ):
         spec = registry.get(name)
         if spec is None:

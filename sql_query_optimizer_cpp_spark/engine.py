@@ -170,6 +170,135 @@ class Engine:
 
         return read_version(self.spark, path, version)
 
+    def read_as_of(self, path: str, timestamp: str) -> DataFrame:
+        """Wall-clock time travel: the newest version committed at or
+        before ``timestamp`` (operators.mutate.read_as_of)."""
+        from .operators.mutate import read_as_of
+
+        return read_as_of(self.spark, path, timestamp)
+
+    def version_history(self, path: str) -> list[tuple[int, str]]:
+        from .operators.mutate import version_history
+
+        return version_history(self.spark, path)
+
+    def read_changes(
+        self, path: str, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """CDC: net row changes between two committed versions, tagged
+        ``_change_type`` ('insert'/'delete'); reads only the files the
+        range touched (operators.mutate.read_changes)."""
+        from .operators.mutate import read_changes
+
+        return read_changes(self.spark, path, from_version, to_version)
+
+    # -- CHECK constraints (enforced by the mutate verbs at stage time) ----
+    def add_constraint(
+        self, path: str, name: str, expr: str, validate: bool = True
+    ) -> None:
+        from .operators.mutate import add_constraint
+
+        add_constraint(self.spark, path, name, expr, validate)
+
+    def drop_constraint(self, path: str, name: str) -> None:
+        from .operators.mutate import drop_constraint
+
+        drop_constraint(self.spark, path, name)
+
+    def table_constraints(self, path: str) -> dict[str, str]:
+        from .operators.mutate import table_constraints
+
+        return table_constraints(self.spark, path)
+
+    def sql_at(self, text: str, tables: dict[str, str]) -> DataFrame:
+        """SELECT with time travel: every ``<name> VERSION AS OF <n>``
+        and ``<name> TIMESTAMP AS OF '<iso>'`` occurrence (outside string
+        literals) where ``name`` is in ``tables`` is rebound to that
+        version of the COW table dir via the version log (by number, or
+        by wall clock through the manifests' commit stamps).  Names
+        WITHOUT a clause resolve through the session catalog as usual —
+        so one statement can join a pinned version against any registered
+        view, and the rewrite can never shadow (or drop) a same-named
+        fixture view.  Mirrors :meth:`dml`'s explicit name→path mapping —
+        version-logged tables are directories, not the engine's read-only
+        fixture views.  The rewritten text runs through the ordinary
+        :meth:`sql` gate, so explain/trace apply.
+        """
+        import re
+
+        from .operators.mutate import _segments, read_as_of, read_version
+
+        pat = re.compile(
+            r"\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)", re.IGNORECASE
+        )
+        # the timestamp literal is a QUOTED segment, so this tail pattern
+        # matches the non-quoted piece ending right before it
+        ts_tail = re.compile(
+            r"\b(\w+)\s+TIMESTAMP\s+AS\s+OF\s*$", re.IGNORECASE
+        )
+        views: list[str] = []
+
+        def _check_mapped(name: str, clause: str) -> str:
+            if name not in tables:
+                raise ValueError(
+                    f"{clause} on {name!r}, which is not in the "
+                    f"tables mapping (have: {sorted(tables)})"
+                )
+            return tables[name]
+
+        def _rebind(m: "re.Match[str]") -> str:
+            name, ver = m.group(1), int(m.group(2))
+            path = _check_mapped(name, "VERSION AS OF")
+            view = f"__tt_{name}_v{ver}"
+            read_version(self.spark, path, ver).createOrReplaceTempView(view)
+            views.append(view)
+            return view
+
+        # the whole rewrite runs inside the cleanup scope: a second
+        # clause that fails (bad version, unmapped name) must not leave
+        # the FIRST clause's __tt_* view behind in the session catalog
+        try:
+            segs = list(_segments(text))
+            pieces: list[str] = []
+            i = 0
+            while i < len(segs):
+                seg, quoted = segs[i]
+                if quoted:
+                    pieces.append(seg)
+                    i += 1
+                    continue
+                seg = pat.sub(_rebind, seg)
+                m = ts_tail.search(seg)
+                if m and i + 1 < len(segs) and segs[i + 1][1]:
+                    name = m.group(1)
+                    path = _check_mapped(name, "TIMESTAMP AS OF")
+                    stamp = segs[i + 1][0][1:-1]  # shed the quotes
+                    view = f"__tt_{name}_ts{len(views)}"
+                    read_as_of(
+                        self.spark, path, stamp
+                    ).createOrReplaceTempView(view)
+                    views.append(view)
+                    pieces.append(seg[: m.start()] + view)
+                    i += 2
+                    continue
+                pieces.append(seg)
+                i += 1
+            rewritten = "".join(pieces)
+            if not views:
+                raise ValueError(
+                    "sql_at found no '<table> VERSION AS OF <n>' or "
+                    "'<table> TIMESTAMP AS OF <ts>' clause — use sql() "
+                    "for ordinary reads"
+                )
+            # spark.sql analyzes eagerly, so the returned frame keeps its
+            # resolved plan after the views drop
+            return self.sql(rewritten)
+        finally:
+            # the __tt_* views are statement-scoped plumbing, not catalog
+            # surface — never leave them behind, success or failure
+            for v in views:
+                self.spark.catalog.dropTempView(v)
+
     # -- explain (entry point B, SURVEY §3.2 — ours doesn't also execute) --
     def explain(self, text: str) -> str:
         return explain_full(self._plan(text))

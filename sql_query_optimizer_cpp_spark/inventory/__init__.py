@@ -208,9 +208,12 @@ _PRIORITY: tuple[str, ...] = (
     "sim_ann_lsh_topk",
     "events_session",
     # ==== end of the 50-entry r08 window; r09 queue below ================
-    # r09 rotation plan: lead with any round-8 additions staged below this
-    # line (optimistic MERGE / partitioned OCC / schema-evolution queries
-    # land here as they are built), keep the flagship guard, then re-grade
+    # r09 rotation plan: lead with the six round-8 additions, registered
+    # past this line in module order and all sim-green on arrival —
+    # mutate_occ_merge, mutate_occ_partitioned, mutate_schema_evolution,
+    # mutate_read_changes (CDC version-range diff), mutate_constraints
+    # (CHECK enforcement + rollback), mutate_cdf_replay (cow_changes
+    # DataSource signed replay) — keep the flagship guard, then re-grade
     # the remaining r05-latest greens (the dedup_* block, the sim_* block,
     # scalar/exists/in subqueries, events tumbling/sliding/session state,
     # win_moving_avg/rank_lag/running_sum/topk_per_group, text r05 QA,

@@ -680,3 +680,535 @@ def mutate_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="version int, n bigint, total double",
     )
     return out.unionByName(attempts).orderBy("version")
+
+
+# -- staged for the r09 grading window (registered past the 50-query
+# -- r08 _PRIORITY window; sim-covered every round regardless) ---------------
+
+_OCC_MERGE_ORACLE = (
+    "WITH lim AS (SELECT MIN(c_custkey) AS lo, MAX(c_custkey) AS hi "
+    "FROM customer), "
+    "base AS (SELECT c_custkey, c_acctbal FROM customer), "
+    "v2 AS ("
+    "  SELECT c_custkey, CASE WHEN c_custkey < (SELECT lo + 3 FROM lim) "
+    "  THEN c_acctbal + 500 ELSE c_acctbal END AS b FROM base "
+    "  UNION ALL SELECT c_custkey + 2000000, 500.0 FROM base "
+    "  WHERE c_custkey < (SELECT lo + 3 FROM lim)), "
+    "v3 AS ("
+    "  SELECT c_custkey, CASE WHEN c_custkey > (SELECT hi - 3 FROM lim) "
+    "  AND c_custkey <= (SELECT hi FROM lim) "
+    "  THEN b + 900 ELSE b END AS b FROM v2 "
+    "  UNION ALL SELECT c_custkey + 3000000, 900.0 FROM base "
+    "  WHERE c_custkey > (SELECT hi - 3 FROM lim)) "
+    "SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n, "
+    + dsum_sql("c_acctbal") + " AS total FROM base "
+    "UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT), " + dsum_sql("b")
+    + " FROM v2 "
+    "UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT), " + dsum_sql("b")
+    + " FROM v3 "
+    "UNION ALL SELECT 91, 2, 0.0 "
+    "ORDER BY version"
+)
+
+
+@register(
+    "mutate_occ_merge",
+    oracle=_OCC_MERGE_ORACLE,
+    doc="Optimistic MERGE graded end-to-end (r8; no reference analog — "
+    "parser.cpp never executes DML): two interleaved occ_merge_into "
+    "upserts on a version-enabled customer copy.  Writer B (low keys, "
+    "delta 500 + inserts shifted +2e6) commits v2 between writer A's "
+    "stage and commit; A's SERIALIZABLE validation (a merge's read set "
+    "is the whole table — its NOT-MATCHED anti-join read every file) "
+    "must fail, re-derive matched/unmatched against B's committed "
+    "state, and commit v3 on attempt 2 (attempts row 91 = 2).  All "
+    "three versions read back and aggregated; the oracle folds both "
+    "upserts algebraically, so equality proves no lost update, no "
+    "duplicate insert, and exact manifest pinning across the retry",
+    tags=("mutate",),
+)
+def mutate_occ_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mutate import (
+        enable_versioning,
+        occ_merge_into,
+        read_version,
+    )
+
+    t = load_tables(spark, sf_dir, ("customer",))
+    path = _mut_dir(sf_dir, "cust_occ_merge")
+    (
+        t["customer"]
+        .repartitionByRange(4, "c_custkey")
+        .sortWithinPartitions("c_custkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    lo, hi = spark.read.parquet(path).agg(
+        F.min("c_custkey"), F.max("c_custkey")
+    ).first()
+    enable_versioning(spark, path)                                  # v1
+
+    # the merge SOURCES must be self-contained (literal rows), never a
+    # plan over the target's files: an optimistic retry re-evaluates the
+    # source after the competing commit retired those files
+    def src_for(pred: str, shift: int, delta: float) -> DataFrame:
+        keys = [
+            r[0]
+            for r in spark.read.parquet(path)
+            .where(pred)
+            .select("c_custkey")
+            .collect()
+        ]
+        rows = [(k, delta) for k in keys] + [(k + shift, delta) for k in keys]
+        return spark.createDataFrame(
+            rows, schema="c_custkey long, delta double"
+        )
+
+    src_b = src_for(f"c_custkey < {lo} + 3", 2_000_000, 500.0)
+    src_a = src_for(f"c_custkey > {hi} - 3", 3_000_000, 900.0)
+    a_attempts: list[int] = []
+
+    def interleave_b(attempt: int) -> None:
+        a_attempts.append(attempt)
+        if attempt == 1:
+            occ_merge_into(
+                spark, path, src_b, on=["c_custkey"],
+                matched_set={"c_acctbal": "c_acctbal + src_delta"},
+                insert_values={"c_acctbal": "src_delta"},
+            )                                                       # v2
+
+    occ_merge_into(
+        spark, path, src_a, on=["c_custkey"],
+        matched_set={"c_acctbal": "c_acctbal + src_delta"},
+        insert_values={"c_acctbal": "src_delta"},
+        _after_stage=interleave_b,
+    )                                                               # v3
+
+    frames = [
+        read_version(spark, path, v)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dsum("c_acctbal").alias("total"),
+        )
+        .select(F.lit(v).cast("int").alias("version"), "n", "total")
+        for v in (1, 2, 3)
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    attempts = spark.createDataFrame(
+        [(91, len(a_attempts), 0.0)],
+        schema="version int, n bigint, total double",
+    )
+    return out.unionByName(attempts).orderBy("version")
+
+
+_OCC_PART_ORACLE = (
+    "WITH m AS (SELECT o_orderstatus, "
+    "  CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 1000 "
+    "       WHEN o_orderstatus = 'O' THEN o_totalprice + 500 "
+    "       ELSE o_totalprice END AS p FROM orders) "
+    "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, "
+    + dsum_sql("p") + " AS total FROM m GROUP BY o_orderstatus "
+    "UNION ALL SELECT '_attempts', 1, 0.0 "
+    "ORDER BY o_orderstatus"
+)
+
+
+@register(
+    "mutate_occ_partitioned",
+    oracle=_OCC_PART_ORACLE,
+    doc="Partition-scoped optimistic concurrency graded end-to-end (r8): "
+    "orders copied hive-partitioned by o_orderstatus; writer B (status "
+    "'F', +1000) commits between writer A's (status 'O', +500) stage "
+    "and commit.  A's validation re-lists ONLY its touched partition "
+    "directory, so disjoint-partition writers never conflict — A must "
+    "commit FIRST-attempt (the '_attempts' row grades exactly that, "
+    "n = 1).  The final table aggregates per status against the "
+    "oracle's algebraic fold of both updates",
+    tags=("mutate",),
+)
+def mutate_occ_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mutate import occ_update_where
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    path = _mut_dir(sf_dir, "orders_occ_part")
+    (
+        t["orders"]
+        .repartition(2)
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(path)
+    )
+    a_attempts: list[int] = []
+
+    def interleave_b(attempt: int) -> None:
+        a_attempts.append(attempt)
+        if attempt == 1:
+            occ_update_where(
+                spark, path,
+                {"o_totalprice": "o_totalprice + 1000"},
+                "o_orderstatus = 'F'",
+            )
+
+    occ_update_where(
+        spark, path,
+        {"o_totalprice": "o_totalprice + 500"},
+        "o_orderstatus = 'O'",
+        _after_stage=interleave_b,
+    )
+    back = spark.read.parquet(path)
+    out = (
+        back.groupBy(F.col("o_orderstatus").cast("string").alias("o_orderstatus"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dsum("o_totalprice").alias("total"),
+        )
+    )
+    attempts = spark.createDataFrame(
+        [("_attempts", len(a_attempts), 0.0)],
+        schema="o_orderstatus string, n bigint, total double",
+    )
+    return out.unionByName(attempts).orderBy("o_orderstatus")
+
+
+_EVOLVE_ORACLE = (
+    "WITH src AS (SELECT p_partkey, p_retailprice / 10 AS score "
+    "  FROM part WHERE p_partkey % 10 = 0), "
+    "ins AS (SELECT p_partkey + 1000000 AS p_partkey, 'NEW' AS p_brand, "
+    "  score FROM src), "
+    "evolved AS ("
+    "  SELECT p.p_brand, s.score FROM part p "
+    "  LEFT JOIN src s ON p.p_partkey = s.p_partkey "
+    "  UNION ALL SELECT p_brand, score FROM ins) "
+    "SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(COUNT(score) AS BIGINT) AS n_scored, "
+    + dsum_sql("COALESCE(score, 0)") + " AS total_score "
+    "FROM evolved GROUP BY p_brand ORDER BY p_brand"
+)
+
+
+@register(
+    "mutate_schema_evolution",
+    oracle=_EVOLVE_ORACLE,
+    doc="MERGE schema evolution graded end-to-end (r8): a source carrying "
+    "a NEW column (score) upserts into a parquet copy of part with "
+    "evolve_schema=True — matched rows (p_partkey % 10 = 0) take the "
+    "source value, inserted rows (+1e6, brand NEW) carry it, and every "
+    "untouched file NULL-backfills through the schema-merging read "
+    "(read_table).  The per-brand aggregate counts scored vs unscored "
+    "rows against the oracle's LEFT-JOIN fold — equality proves the "
+    "evolved column reaches exactly the matched+inserted rows and "
+    "nothing else, with old files never rewritten",
+    tags=("mutate", "sources"),
+)
+def mutate_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mutate import merge_into, read_table
+
+    t = load_tables(spark, sf_dir, ("part",))
+    path = _mut_dir(sf_dir, "part_evolve")
+    (
+        t["part"]
+        .repartitionByRange(4, "p_partkey")
+        .sortWithinPartitions("p_partkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    base = spark.read.parquet(path)
+    keys = base.where("p_partkey % 10 = 0").selectExpr(
+        "p_partkey", "p_retailprice / 10 AS score"
+    )
+    src = keys.unionByName(
+        keys.selectExpr("p_partkey + 1000000 AS p_partkey", "score")
+    )
+    merge_into(
+        spark, path, src, on=["p_partkey"],
+        matched_set={"score": "src_score"},
+        insert_values={"p_brand": "'NEW'", "score": "src_score"},
+        evolve_schema=True,
+    )
+    back = read_table(spark, path)
+    return (
+        back.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.count("score").cast("long").alias("n_scored"),
+            dsum(F.coalesce(F.col("score"), F.lit(0.0))).alias("total_score"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_READ_CHANGES_ORACLE = (
+    "WITH v1 AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal, "
+    "c_mktsegment FROM customer), "
+    "v2 AS (SELECT c_custkey, c_name, c_nationkey, "
+    "CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal + 100 "
+    "ELSE c_acctbal END AS c_acctbal, c_mktsegment FROM customer), "
+    "v3 AS (SELECT * FROM v2 WHERE NOT COALESCE(c_acctbal < 0, FALSE)), "
+    "i12 AS (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1), "
+    "d12 AS (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2), "
+    "i23 AS (SELECT * FROM v3 EXCEPT ALL SELECT * FROM v2), "
+    "d23 AS (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v3), "
+    "i13 AS (SELECT * FROM v3 EXCEPT ALL SELECT * FROM v1), "
+    "d13 AS (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v3) "
+    "SELECT 12 AS step, "
+    "(SELECT CAST(COUNT(*) AS BIGINT) FROM i12) AS ins_n, "
+    "COALESCE((SELECT " + dsum_sql("c_acctbal") + " FROM i12), 0.0) "
+    "AS ins_total, "
+    "(SELECT CAST(COUNT(*) AS BIGINT) FROM d12) AS del_n, "
+    "COALESCE((SELECT " + dsum_sql("c_acctbal") + " FROM d12), 0.0) "
+    "AS del_total "
+    "UNION ALL SELECT 23, "
+    "(SELECT CAST(COUNT(*) AS BIGINT) FROM i23), "
+    "COALESCE((SELECT " + dsum_sql("c_acctbal") + " FROM i23), 0.0), "
+    "(SELECT CAST(COUNT(*) AS BIGINT) FROM d23), "
+    "COALESCE((SELECT " + dsum_sql("c_acctbal") + " FROM d23), 0.0) "
+    "UNION ALL SELECT 13, "
+    "(SELECT CAST(COUNT(*) AS BIGINT) FROM i13), "
+    "COALESCE((SELECT " + dsum_sql("c_acctbal") + " FROM i13), 0.0), "
+    "(SELECT CAST(COUNT(*) AS BIGINT) FROM d13), "
+    "COALESCE((SELECT " + dsum_sql("c_acctbal") + " FROM d13), 0.0) "
+    "ORDER BY step"
+)
+
+
+@register(
+    "mutate_read_changes",
+    oracle=_READ_CHANGES_ORACLE,
+    doc="CDC over the version log graded end-to-end (new r8; no reference "
+    "analog — parser.cpp:232-296 parses DML and stops): a customer copy "
+    "commits v1 (enable_versioning), an UPDATE commits v2 and a DELETE "
+    "commits v3; read_changes then diffs 1→2, 2→3, and 1→3, reading "
+    "ONLY the files each range's manifests disagree on.  The oracle "
+    "computes the same multisets with EXCEPT ALL over algebraically-"
+    "folded version CTEs, so equality proves the central CDC claim: "
+    "rows a COW rewrite merely copied into a new file cancel out of the "
+    "diff (a whole-file rewrite for a 3%-selectivity update reports "
+    "only the 3%), updates surface as delete+insert image pairs, and "
+    "the 1→3 net equals the composition of the two commits",
+    tags=("mutate",),
+)
+def mutate_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mutate import enable_versioning, read_changes
+
+    t = load_tables(spark, sf_dir, ("customer",))
+    path = _mut_dir(sf_dir, "cust_cdc")
+    (
+        t["customer"]
+        .repartitionByRange(4, "c_custkey")
+        .sortWithinPartitions("c_custkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    enable_versioning(spark, path)                                  # v1
+    update_where(
+        spark, path, {"c_acctbal": "c_acctbal + 100"},
+        "c_mktsegment = 'MACHINERY'",
+    )                                                               # v2
+    delete_where(spark, path, "c_acctbal < 0")                      # v3
+
+    ins = F.col("_change_type") == "insert"
+    dele = F.col("_change_type") == "delete"
+
+    def _agg(step: int, lo: int, hi: int) -> DataFrame:
+        ch = read_changes(spark, path, lo, hi)
+        return ch.agg(
+            F.count(F.when(ins, 1)).cast("long").alias("ins_n"),
+            F.coalesce(
+                dsum(F.when(ins, F.col("c_acctbal"))), F.lit(0.0)
+            ).alias("ins_total"),
+            F.count(F.when(dele, 1)).cast("long").alias("del_n"),
+            F.coalesce(
+                dsum(F.when(dele, F.col("c_acctbal"))), F.lit(0.0)
+            ).alias("del_total"),
+        ).select(F.lit(step).cast("int").alias("step"), "*")
+
+    out = _agg(12, 1, 2)
+    for fr in (_agg(23, 2, 3), _agg(13, 1, 3)):
+        out = out.unionByName(fr)
+    return out.orderBy("step")
+
+
+_CONSTRAINTS_ORACLE = (
+    "WITH v AS (SELECT c_custkey, c_mktsegment, "
+    "CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 50 "
+    "ELSE c_acctbal END AS b FROM customer), "
+    "m AS (SELECT c_custkey, c_mktsegment, "
+    "CASE WHEN c_custkey % 13 = 0 THEN b + 10 ELSE b END AS b FROM v "
+    "UNION ALL SELECT c_custkey + 5000000, 'NEW', 500.0 FROM customer "
+    "WHERE c_custkey % 13 = 0) "
+    "SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n, "
+    + dsum_sql("b") + " AS total FROM m GROUP BY c_mktsegment "
+    "UNION ALL SELECT '__violations_blocked', 2, 0.0 "
+    "ORDER BY seg"
+)
+
+
+@register(
+    "mutate_constraints",
+    oracle=_CONSTRAINTS_ORACLE,
+    doc="CHECK constraints enforced at DML stage time, graded end-to-end "
+    "(new r8; no reference analog — the reference parses DML and stops "
+    "and has no constraint surface): a customer copy registers "
+    "c_acctbal >= -50000; a violating UPDATE (−100000 on every 11th "
+    "key) and a violating MERGE insert (−99999 rows) must BOTH abort "
+    "with the table byte-identical (no staging swapped), while a "
+    "conforming UPDATE and a conforming MERGE upsert land normally.  "
+    "The oracle folds ONLY the conforming mutations algebraically and "
+    "pins the blocked count, so equality proves enforcement blocks "
+    "exactly the violating commits and rollback leaves no trace",
+    tags=("mutate",),
+)
+def mutate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mutate import ConstraintViolation, add_constraint
+
+    t = load_tables(spark, sf_dir, ("customer",))
+    path = _mut_dir(sf_dir, "cust_cons")
+    (
+        t["customer"]
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .repartitionByRange(4, "c_custkey")
+        .sortWithinPartitions("c_custkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    add_constraint(spark, path, "acctbal_floor", "c_acctbal >= -50000")
+    blocked = 0
+    try:
+        update_where(
+            spark, path, {"c_acctbal": "c_acctbal - 100000"},
+            "c_custkey % 11 = 0",
+        )
+    except ConstraintViolation:
+        blocked += 1
+    update_where(
+        spark, path, {"c_acctbal": "c_acctbal + 50"},
+        "c_mktsegment = 'BUILDING'",
+    )
+    bad_src = (
+        t["customer"]
+        .where("c_custkey % 13 = 0")
+        .select(
+            (F.col("c_custkey") + F.lit(7000000)).alias("c_custkey"),
+            F.lit("BAD").alias("c_mktsegment"),
+            F.lit(-99999.0).alias("c_acctbal"),
+        )
+    )
+    try:
+        merge_into(spark, path, bad_src, on=["c_custkey"])
+    except ConstraintViolation:
+        blocked += 1
+    good_src = (
+        t["customer"]
+        .where("c_custkey % 13 = 0")
+        .select("c_custkey", F.lit(10.0).alias("boost"))
+        .unionByName(
+            t["customer"]
+            .where("c_custkey % 13 = 0")
+            .select(
+                (F.col("c_custkey") + F.lit(5000000)).alias("c_custkey"),
+                F.lit(500.0).alias("boost"),
+            )
+        )
+    )
+    merge_into(
+        spark, path, good_src, on=["c_custkey"],
+        matched_set={"c_acctbal": "c_acctbal + src_boost"},
+        insert_values={
+            "c_mktsegment": "'NEW'",
+            "c_acctbal": "src_boost",
+        },
+    )
+    back = spark.read.parquet(path)
+    out = (
+        back.groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dsum("c_acctbal").alias("total"),
+        )
+    )
+    guard = spark.createDataFrame(
+        [("__violations_blocked", blocked, 0.0)],
+        schema="seg string, n bigint, total double",
+    )
+    return out.unionByName(guard).orderBy("seg")
+
+
+_CDF_REPLAY_ORACLE = (
+    "WITH v2 AS (SELECT c_custkey, c_mktsegment, "
+    "CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal + 100 "
+    "ELSE c_acctbal END AS c_acctbal FROM customer), "
+    "v3 AS (SELECT * FROM v2 WHERE NOT COALESCE(c_acctbal < 0, FALSE)), "
+    "final AS (SELECT * FROM v3 "
+    "UNION ALL SELECT c_custkey + 5000000, 'NEW', 250.0 FROM customer "
+    "WHERE c_custkey % 17 = 0) "
+    "SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n, "
+    + dsum_sql("c_acctbal") + " AS total FROM final "
+    "GROUP BY c_mktsegment ORDER BY seg"
+)
+
+
+@register(
+    "mutate_cdf_replay",
+    oracle=_CDF_REPLAY_ORACLE,
+    doc="Change-data-feed SOURCE graded end-to-end (new r8; no reference "
+    "analog): a customer copy commits v1..v4 (enable_versioning, "
+    "UPDATE, three-valued DELETE, MERGE insert into a new segment), "
+    "then the whole history is read back through the cow_changes "
+    "PySpark Python DataSource (streaming/cdf.py — one InputPartition "
+    "per changed file, Arrow batches into the JVM) and SIGNED-replayed: "
+    "sum(+1 insert / −1 delete) and the signed decimal-exact acctbal "
+    "sum per segment.  The oracle folds the three mutations "
+    "algebraically into the FINAL state — equality proves the raw "
+    "file-granular feed is complete and consistent (copied-row "
+    "delete+insert pairs cancel, v1 surfaces the initial snapshot, "
+    "every commit's adds/removes balance to exactly the net mutation)",
+    tags=("mutate", "streaming"),
+)
+def mutate_cdf_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mutate import enable_versioning
+    from ..streaming.cdf import register as register_cdf
+
+    t = load_tables(spark, sf_dir, ("customer",))
+    path = _mut_dir(sf_dir, "cust_cdf")
+    (
+        t["customer"]
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .repartitionByRange(4, "c_custkey")
+        .sortWithinPartitions("c_custkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    enable_versioning(spark, path)                                  # v1
+    update_where(
+        spark, path, {"c_acctbal": "c_acctbal + 100"},
+        "c_mktsegment = 'MACHINERY'",
+    )                                                               # v2
+    delete_where(spark, path, "c_acctbal < 0")                      # v3
+    ins_src = (
+        t["customer"]
+        .where("c_custkey % 17 = 0")
+        .select(
+            (F.col("c_custkey") + F.lit(5000000)).alias("c_custkey"),
+            F.lit("NEW").alias("c_mktsegment"),
+            F.lit(250.0).alias("c_acctbal"),
+        )
+    )
+    merge_into(spark, path, ins_src, on=["c_custkey"])              # v4
+
+    register_cdf(spark)
+    changes = spark.read.format("cow_changes").option("path", path).load()
+    ins = F.col("_change_type") == "insert"
+    return (
+        changes.groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.sum(F.when(ins, 1).otherwise(-1)).cast("long").alias("n"),
+            dsum(
+                F.when(ins, F.col("c_acctbal")).otherwise(
+                    -F.col("c_acctbal")
+                )
+            ).alias("total"),
+        )
+        .orderBy("seg")
+    )

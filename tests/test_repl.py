@@ -128,3 +128,148 @@ def test_repl_attach_and_verbs_survive_errors(engine):
     out = handle(engine, "ATTACH t /no/such/dir", tables)
     assert out.startswith("error:")
     assert "t" not in tables  # bogus mapping not recorded
+
+
+def test_engine_sql_at_time_travel(engine, spark, tmp_path):
+    """`<name> VERSION AS OF <n>` rebinds to the version log; plain names
+    still resolve to fixture views; literals are never rewritten; the
+    statement-scoped __tt_* views do not leak into the catalog."""
+    path = str(tmp_path / "eng_tt")
+    spark.range(20).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v").coalesce(
+        1
+    ).write.parquet(path)
+    engine.enable_versioning(path)
+    engine.dml("DELETE FROM t WHERE k >= 10", {"t": path})
+
+    old = engine.sql_at(
+        "SELECT COUNT(*) AS n FROM t VERSION AS OF 1", {"t": path}
+    ).first()["n"]
+    new = engine.sql_at(
+        "SELECT COUNT(*) AS n FROM t VERSION AS OF 2", {"t": path}
+    ).first()["n"]
+    assert (old, new) == (20, 10)
+
+    # join a pinned version against a live fixture view in one statement
+    joined = engine.sql_at(
+        "SELECT COUNT(*) AS n FROM t VERSION AS OF 1 CROSS JOIN region",
+        {"t": path},
+    ).first()["n"]
+    assert joined == 20 * 5
+
+    # a literal containing the clause text survives byte-for-byte
+    lit = engine.sql_at(
+        "SELECT 't VERSION AS OF 1' AS s FROM t VERSION AS OF 2 LIMIT 1",
+        {"t": path},
+    ).first()["s"]
+    assert lit == "t VERSION AS OF 1"
+
+    # plumbing views are statement-scoped
+    leftover = [
+        t.name for t in spark.catalog.listTables() if t.name.startswith("__tt_")
+    ]
+    assert leftover == []
+
+    with pytest.raises(ValueError, match="not in the tables mapping"):
+        engine.sql_at("SELECT * FROM ghost VERSION AS OF 1", {"t": path})
+    with pytest.raises(ValueError, match="no '<table> VERSION AS OF"):
+        engine.sql_at("SELECT 1 AS one", {"t": path})
+
+
+def test_engine_read_changes_facade(engine, spark, tmp_path):
+    path = str(tmp_path / "eng_cdc")
+    spark.range(10).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v").coalesce(
+        1
+    ).write.parquet(path)
+    engine.enable_versioning(path)
+    engine.dml("UPDATE t SET v = v + 1 WHERE k = 0", {"t": path})
+    ch = engine.read_changes(path, 1, 2)
+    got = {(r["_change_type"], r["v"]) for r in ch.collect()}
+    assert got == {("insert", 1.0), ("delete", 0.0)}
+
+
+def test_repl_changes_and_time_travel(engine, spark, tmp_path):
+    path = str(tmp_path / "repl_cdc")
+    spark.range(8).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v").coalesce(
+        1
+    ).write.parquet(path)
+    tables: dict[str, str] = {}
+    handle(engine, f"ATTACH t {path}", tables)
+    handle(engine, "VERSIONS t", tables)
+    handle(engine, "UPDATE t SET v = v * 10 WHERE k = 2", tables)
+
+    out = handle(engine, "CHANGES t 1 2", tables)
+    assert "insert" in out and "delete" in out and "(2 rows)" in out
+    assert handle(engine, "CHANGES t", tables).startswith("usage:")
+    assert handle(engine, "CHANGES ghost 1", tables).startswith("usage:")
+
+    tt = handle(
+        engine, "SELECT COUNT(*) AS n FROM t VERSION AS OF 1 WHERE v = 2", tables
+    )
+    assert tt.splitlines()[2].strip() == "1"
+    # a literal mention is NOT a time-travel clause; the plain path runs
+    lit = handle(engine, "SELECT 'x VERSION AS OF 1' AS s", tables)
+    assert "x VERSION AS OF 1" in lit
+
+
+def test_repl_constraint_verbs(engine, spark, tmp_path):
+    path = str(tmp_path / "repl_cons")
+    spark.range(9).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v").coalesce(
+        1
+    ).write.parquet(path)
+    tables: dict[str, str] = {}
+    handle(engine, f"ATTACH t {path}", tables)
+    assert handle(engine, "CONSTRAINT t LIST", tables) == "(no constraints)"
+    assert "added" in handle(engine, "CONSTRAINT t ADD v_nonneg v >= 0", tables)
+    assert "v_nonneg CHECK (v >= 0)" in handle(
+        engine, "CONSTRAINT t LIST", tables
+    )
+    out = handle(engine, "UPDATE t SET v = v - 100 WHERE k < 3", tables)
+    assert out.startswith("error:") and "v_nonneg" in out
+    assert "dropped" in handle(engine, "CONSTRAINT t DROP v_nonneg", tables)
+    assert "usage:" in handle(engine, "CONSTRAINT t ADD onlyname", tables)
+    assert "usage:" in handle(engine, "CONSTRAINT ghost LIST", tables)
+
+
+def test_engine_timestamp_as_of_sql(engine, spark, tmp_path):
+    path = str(tmp_path / "eng_ts")
+    spark.range(12).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v").coalesce(
+        1
+    ).write.parquet(path)
+    engine.enable_versioning(path)
+    engine.dml("DELETE FROM t WHERE k >= 6", {"t": path})
+    hist = engine.version_history(path)
+    t1 = hist[0][1]
+    old = engine.sql_at(
+        f"SELECT COUNT(*) AS n FROM t TIMESTAMP AS OF '{t1}'", {"t": path}
+    ).first()["n"]
+    now = engine.sql_at(
+        "SELECT COUNT(*) AS n FROM t TIMESTAMP AS OF '9999-01-01'",
+        {"t": path},
+    ).first()["n"]
+    assert (old, now) == (12, 6)
+    # REPL routes the clause through the same gate
+    tables = {"t": path}
+    out = handle(
+        engine,
+        "SELECT COUNT(*) AS n FROM t TIMESTAMP AS OF '9999-01-01'",
+        tables,
+    )
+    assert out.splitlines()[2].strip() == "6"
+
+
+def test_sql_at_no_view_leak_on_error(engine, spark, tmp_path):
+    """Review regression (r8): a failing second clause must not leave the
+    first clause's __tt_* view in the session catalog."""
+    path = str(tmp_path / "eng_leak")
+    spark.range(5).selectExpr("id AS k").coalesce(1).write.parquet(path)
+    engine.enable_versioning(path)
+    with pytest.raises(FileNotFoundError):
+        engine.sql_at(
+            "SELECT * FROM t VERSION AS OF 1 "
+            "JOIN t VERSION AS OF 99 USING (k)",
+            {"t": path},
+        )
+    leftover = [
+        t.name for t in spark.catalog.listTables() if t.name.startswith("__tt_")
+    ]
+    assert leftover == []
