@@ -173,6 +173,7 @@ def bench_spark(spark, registry, sf_dir: str):
         "mutate_read_changes",
         "mutate_constraints",
         "mutate_cdf_replay",
+        "mutate_compact_zorder",
     ):
         spec = registry.get(name)
         if spec is None:

@@ -213,7 +213,8 @@ _PRIORITY: tuple[str, ...] = (
     # mutate_occ_merge, mutate_occ_partitioned, mutate_schema_evolution,
     # mutate_read_changes (CDC version-range diff), mutate_constraints
     # (CHECK enforcement + rollback), mutate_cdf_replay (cow_changes
-    # DataSource signed replay) — keep the flagship guard, then re-grade
+    # DataSource signed replay), mutate_compact_zorder (OPTIMIZE ZORDER
+    # content-exactness) — keep the flagship guard, then re-grade
     # the remaining r05-latest greens (the dedup_* block, the sim_* block,
     # scalar/exists/in subqueries, events tumbling/sliding/session state,
     # win_moving_avg/rank_lag/running_sum/topk_per_group, text r05 QA,

@@ -1212,3 +1212,54 @@ def mutate_cdf_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+@register(
+    "mutate_compact_zorder",
+    oracle="SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n, "
+    + dsum_sql(
+        "CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 25 ELSE c_acctbal END"
+    )
+    + " AS total FROM customer GROUP BY c_mktsegment ORDER BY seg",
+    doc="OPTIMIZE ZORDER graded end-to-end (new r8; the reference's index "
+    "selection is cost-model-only — engine/src/cost_estimator.cpp): a "
+    "customer copy scattered across 8 row-number-layout files takes an "
+    "UPDATE (every 5th key), then compact(zorder=[c_custkey, "
+    "c_acctbal]) rewrites the whole layout through the Morton "
+    "repartitionByRange+sort path.  The aggregate of the reclustered "
+    "table must equal the oracle's algebraic fold of just the UPDATE — "
+    "proving the recluster is content-exact (no row lost, duplicated, "
+    "or altered by the shuffle+sort rewrite).  The footer-level pruning "
+    "effect itself is plan/footer-asserted in tests/test_mutate.py::"
+    "test_compact_zorder_reclusters_both_dims (file counts are "
+    "compression-dependent, so the graded row keeps to content)",
+    tags=("mutate", "sources"),
+)
+def mutate_compact_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mutate import compact
+
+    t = load_tables(spark, sf_dir, ("customer",))
+    path = _mut_dir(sf_dir, "cust_zorder")
+    (
+        t["customer"]
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    update_where(
+        spark, path, {"c_acctbal": "c_acctbal + 25"}, "c_custkey % 5 = 0"
+    )
+    compact(
+        spark, path, target_bytes=1 << 20,
+        zorder=["c_custkey", "c_acctbal"],
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dsum("c_acctbal").alias("total"),
+        )
+        .orderBy("seg")
+    )

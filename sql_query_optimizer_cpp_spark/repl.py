@@ -59,6 +59,8 @@ _HELP = """commands:
   CHANGES <name> <from> [<to>]  CDC: net row changes between two versions
   CONSTRAINT <name> ADD <cname> <expr> | DROP <cname> | LIST
                         CHECK constraints enforced by UPDATE/MERGE staging
+  COMPACT <name> [ZORDER c1,c2 | SORT c1,c2]
+                        bin-pack small files; recluster with ZORDER/SORT
   ... <name> VERSION AS OF <n> | TIMESTAMP AS OF '<iso>' ...
                         time-travel any attached table inside a SELECT
   REPAIR <name> [REMOVE]  inventory / clean post-crash COW debris
@@ -157,6 +159,22 @@ def handle(
             to_v = int(parts[2]) if len(parts) == 3 else None
             ch = engine.read_changes(dml_tables[parts[0]], int(parts[1]), to_v)
             return _fmt_rows(ch.orderBy("_change_type", *ch.columns[1:2]), max_rows)
+        if verb == "COMPACT":
+            from .operators.mutate import compact
+
+            usage = "usage: COMPACT <attached table> [ZORDER c1,c2 | SORT c1,c2]"
+            parts = rest.split(None, 2)
+            if not parts or parts[0] not in dml_tables:
+                return usage
+            kw = {}
+            if len(parts) == 3 and parts[1].upper() in ("ZORDER", "SORT"):
+                cols = [c.strip() for c in parts[2].split(",") if c.strip()]
+                if not cols:
+                    return usage
+                kw["zorder" if parts[1].upper() == "ZORDER" else "sort_by"] = cols
+            elif len(parts) != 1:
+                return usage
+            return compact(engine.spark, dml_tables[parts[0]], **kw).render()
         if verb == "CONSTRAINT":
             usage = (
                 "usage: CONSTRAINT <attached table> "

@@ -70,12 +70,22 @@ def apply_changes_batch(
     on: list[str],
     ts_col: str = "ts",
     op_col: str = "op",
+    optimistic: bool = False,
 ) -> None:
     """Merge one (micro-)batch of CDC rows into ``table_path``.
 
     Payload columns are every batch column except ``op_col``; the target
     must share the key + payload schema (``ts_col`` included — it is the
     version column the last-writer-wins guard compares).
+
+    ``optimistic=True`` routes through ``occ_merge_into`` — the
+    multi-writer commit-or-retry protocol — so SEVERAL CDC appliers (one
+    per upstream shard/topic) can maintain one table concurrently: the
+    expensive merge staging overlaps across writers and only the
+    metadata validate-and-swap serializes; a loser re-derives its
+    matched/unmatched split against the winner's committed state, and
+    the ts guard keeps the outcome last-writer-wins BY EVENT TIME no
+    matter which applier commits first.
     """
     winners = latest_change_per_key(batch, on, ts_col, op_col)
     payload = [c for c in winners.columns if c != op_col]
@@ -89,7 +99,12 @@ def apply_changes_batch(
         for c in payload
         if c not in on
     }
-    merge_into(
+    verb = merge_into
+    if optimistic:
+        from ..operators.mutate import occ_merge_into
+
+        verb = occ_merge_into
+    verb(
         spark,
         table_path,
         src,
@@ -109,6 +124,7 @@ def apply_changes_stream(
     on: list[str],
     ts_col: str = "ts",
     op_col: str = "op",
+    optimistic: bool = False,
 ) -> StreamingQuery:
     """Start the foreachBatch sink maintaining ``table_path`` from a
     streaming changelog.  The target parquet dir must exist (seed it with
@@ -118,7 +134,8 @@ def apply_changes_stream(
         if batch.isEmpty():
             return
         apply_changes_batch(
-            batch.sparkSession, batch, table_path, on, ts_col, op_col
+            batch.sparkSession, batch, table_path, on, ts_col, op_col,
+            optimistic=optimistic,
         )
 
     return (

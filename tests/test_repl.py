@@ -273,3 +273,19 @@ def test_sql_at_no_view_leak_on_error(engine, spark, tmp_path):
         t.name for t in spark.catalog.listTables() if t.name.startswith("__tt_")
     ]
     assert leftover == []
+
+
+def test_repl_compact_verb(engine, spark, tmp_path):
+    path = str(tmp_path / "repl_compact")
+    spark.range(1000).selectExpr(
+        "CAST(id % 10 AS DOUBLE) AS x", "CAST(id DIV 10 AS DOUBLE) AS y"
+    ).repartition(6).write.parquet(path)
+    tables: dict[str, str] = {}
+    handle(engine, f"ATTACH t {path}", tables)
+    out = handle(engine, "COMPACT t", tables)
+    assert "files" in out or "rows" in out  # MutationStats render
+    out = handle(engine, "COMPACT t ZORDER x,y", tables)
+    assert not out.startswith("error:")
+    assert spark.read.parquet(path).count() == 1000
+    assert handle(engine, "COMPACT ghost", tables).startswith("usage:")
+    assert handle(engine, "COMPACT t ZORDER", tables).startswith("usage:")

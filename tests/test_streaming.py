@@ -372,3 +372,47 @@ def test_apply_changes_null_ts_seed_rows_updatable(tmp_path, spark):
     apply_changes_batch(spark, batch, target, on=["k"])
     got = {r.k: (r.v, r.ts) for r in spark.read.parquet(target).collect()}
     assert got == {1: (11.0, 7), 3: (30.0, 5)}
+
+
+def test_apply_changes_optimistic_concurrent_appliers(tmp_path, spark):
+    """Two CDC appliers (one per upstream shard) maintain ONE table
+    CONCURRENTLY via apply_changes_batch(optimistic=True): disjoint-key
+    batches racing through occ_merge_into must both commit — the loser
+    retries against the winner's committed state — and the final table
+    equals applying both batches in any order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from sql_query_optimizer_cpp_spark.streaming.upsert import (
+        apply_changes_batch,
+    )
+
+    target = str(tmp_path / "occ_target")
+    spark.createDataFrame(
+        [(k, float(k), 0) for k in range(20)], "k long, v double, ts long"
+    ).repartitionByRange(2, "k").write.parquet(target)
+
+    shard_a = spark.createDataFrame(
+        [(1, "U", 100.0, 10), (30, "U", 300.0, 10), (2, "D", None, 10)],
+        "k long, op string, v double, ts long",
+    )
+    shard_b = spark.createDataFrame(
+        [(11, "U", 110.0, 10), (40, "U", 400.0, 10), (12, "D", None, 10)],
+        "k long, op string, v double, ts long",
+    )
+
+    def apply(batch):
+        apply_changes_batch(
+            spark, batch, target, on=["k"], optimistic=True
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        for f in [ex.submit(apply, shard_a), ex.submit(apply, shard_b)]:
+            f.result()
+
+    got = {
+        r["k"]: r["v"] for r in spark.read.parquet(target).collect()
+    }
+    want = {k: float(k) for k in range(20)}
+    del want[2], want[12]
+    want.update({1: 100.0, 30: 300.0, 11: 110.0, 40: 400.0})
+    assert got == want
