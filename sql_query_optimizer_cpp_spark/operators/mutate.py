@@ -1815,6 +1815,11 @@ _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_ALTER_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+(ADD|DROP)\s+CONSTRAINT\s+(\w+)"
+    r"(?:\s+CHECK\s*\((.+)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def _segments(text: str):
@@ -2240,10 +2245,32 @@ def execute_dml(
         return verb(
             spark, tables[name], where if where is not None else "true"
         )
+    m = _ALTER_RE.match(text)
+    if m:
+        name, action, cname, expr = m.groups()
+        if name not in tables:
+            raise ValueError(f"unknown table {name!r}")
+        if action.upper() == "ADD":
+            if expr is None:
+                raise ValueError(
+                    "ALTER TABLE ... ADD CONSTRAINT needs CHECK (<expr>)"
+                )
+            add_constraint(spark, tables[name], cname, expr.strip())
+        else:
+            if expr is not None:
+                raise ValueError(
+                    "ALTER TABLE ... DROP CONSTRAINT takes no CHECK clause"
+                )
+            drop_constraint(spark, tables[name], cname)
+        # constraint DDL moves no rows; the zero stats make the textual
+        # front-end's return type uniform
+        return MutationStats(0, 0, 0)
     raise ValueError(
         "not an executable DML statement (MERGE INTO ... USING ... | "
         "UPDATE ... SET ... WHERE ... | "
-        "DELETE FROM ... WHERE ...)"
+        "DELETE FROM ... WHERE ... | "
+        "ALTER TABLE ... ADD CONSTRAINT <name> CHECK (<expr>) | "
+        "ALTER TABLE ... DROP CONSTRAINT <name>)"
     )
 
 
@@ -2762,15 +2789,19 @@ def read_changes(
 
     Cost is O(files the range touched), never O(table): the two
     manifests' file lists diff to ``added`` / ``removed`` name sets, and
-    only those files are read.  COW rewrites copy untouched rows into new
-    files alongside the changed ones, so the MULTISET diff
-    (``exceptAll`` both ways) cancels every copied-but-identical row —
-    what survives is exactly ``multiset(v_to) − multiset(v_from)`` (the
-    inserts) and the reverse (the deletes), proven by the algebraic
-    EXCEPT ALL oracle on the graded query.  At 100 TB a single-partition
-    commit diffs two manifest file lists and scans one partition's worth
-    of parquet; the shuffle is the one hash-aggregate ``exceptAll``
-    plans, keyed on all columns of only the touched rows.
+    only those files are read — ONCE.  COW rewrites copy untouched rows
+    into new files alongside the changed ones, so the MULTISET diff
+    cancels every copied-but-identical row — what survives is exactly
+    ``multiset(v_to) − multiset(v_from)`` (the inserts) and the reverse
+    (the deletes), proven by the algebraic EXCEPT ALL oracle on the
+    graded query.  The diff is computed as ONE signed aggregate (+1 per
+    added-file row, −1 per removed-file row, group on all columns, keep
+    net ≠ 0, re-expand multiplicity) rather than two ``exceptAll`` calls
+    — identical multiset semantics (exceptAll itself plans this same
+    sum-of-signs aggregate, NULL- and NaN-safe grouping included) but a
+    single scan of the touched files and a single shuffle instead of two
+    of each.  At 100 TB a single-partition commit diffs two manifest
+    file lists and scans one partition's worth of parquet once.
 
     Limitations: columns must be exceptAll-comparable (no map type);
     versions must still be reconstructable (not dropped + vacuumed).
@@ -2826,24 +2857,32 @@ def read_changes(
                 seen.add(fld.name)
                 ordered.append((fld.name, fld.dataType))
 
-    def _aligned(df: DataFrame) -> DataFrame:
+    def _aligned(df: DataFrame, sign: int) -> DataFrame:
         return df.select(
             *[
                 (F.col(n) if n in df.columns else F.lit(None))
                 .cast(t)
                 .alias(n)
                 for n, t in ordered
-            ]
+            ],
+            F.lit(sign).alias("__sign"),
         )
 
-    a, r = _aligned(added), _aligned(removed)
-    inserted = a.exceptAll(r).select(
-        F.lit("insert").alias("_change_type"), "*"
+    cols = [n for n, _ in ordered]
+    both = _aligned(added, 1).unionByName(_aligned(removed, -1))
+    net = (
+        both.groupBy(*cols)
+        .agg(F.sum("__sign").alias("__n"))
+        .where("__n <> 0")
     )
-    deleted = r.exceptAll(a).select(
-        F.lit("delete").alias("_change_type"), "*"
+    return net.withColumn(
+        "__x", F.explode(F.expr("array_repeat(1, CAST(ABS(__n) AS INT))"))
+    ).select(
+        F.when(F.col("__n") > 0, F.lit("insert"))
+        .otherwise(F.lit("delete"))
+        .alias("_change_type"),
+        *cols,
     )
-    return inserted.unionByName(deleted)
 
 
 def drop_versions_before(

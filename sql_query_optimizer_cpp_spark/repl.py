@@ -55,6 +55,7 @@ _HELP = """commands:
   ANALYZE               harvest table statistics
   ATTACH <name> <path>  map a table name to a parquet dir for DML
   UPDATE/DELETE/MERGE   execute copy-on-write DML on attached tables
+  ALTER TABLE <t> ADD CONSTRAINT <c> CHECK (<expr>) | DROP CONSTRAINT <c>
   VERSIONS <name>       enable/inspect the version log (MVCC for readers)
   CHANGES <name> <from> [<to>]  CDC: net row changes between two versions
   CONSTRAINT <name> ADD <cname> <expr> | DROP <cname> | LIST
@@ -221,7 +222,7 @@ def handle(
             return engine.cost(rest).render()
         if verb == "ADVISE":
             return engine.join_order_advice(rest).render()
-        if verb in ("UPDATE", "DELETE", "MERGE"):
+        if verb in ("UPDATE", "DELETE", "MERGE", "ALTER"):
             stats = engine.dml(text, dml_tables)
             return stats.render()
         # bare query (SELECT / WITH / VALUES ...); `t VERSION AS OF n`

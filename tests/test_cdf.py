@@ -250,3 +250,24 @@ def test_cdf_stream_replicates_table(spark, versioned_table, tmp_path):
     )
     want = sorted((r["k"], r["v"]) for r in src_now.collect())
     assert got == want
+
+
+def test_cdf_net_changes_matches_read_changes(spark, versioned_table):
+    """net_changes over the raw feed == read_changes over the same range
+    (the copied-row pairs cancel identically)."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import read_changes
+    from sql_query_optimizer_cpp_spark.streaming.cdf import net_changes
+
+    raw = _load(spark, versioned_table, fromVersion="2")  # v2..v3
+    got = sorted(
+        map(tuple, net_changes(raw).select("_change_type", "k", "v").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            read_changes(spark, versioned_table, 1)
+            .select("_change_type", "k", "v")
+            .collect(),
+        )
+    )
+    assert got == want

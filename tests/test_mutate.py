@@ -2037,3 +2037,77 @@ def test_compact_zorder_refuses_strings_and_keeps_stats_fresh(
     assert mutation_epoch(spark, cow_table) == before
     update_where(spark, cow_table, {"v": "v + 1"}, "k = 1")
     assert mutation_epoch(spark, cow_table) == before + 1
+
+
+def test_read_changes_scan_scope_and_multiplicity(spark, tmp_path):
+    """Scale + semantics pins for the signed-aggregate CDC diff: (a) the
+    plan reads ONLY the files the range touched (1 rewritten + its
+    retired original out of 8), each exactly once; (b) duplicate rows
+    carry exact multiset multiplicity through the diff."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        enable_versioning,
+        read_changes,
+    )
+
+    path = str(tmp_path / "cdc_scope")
+    spark.range(800).selectExpr(
+        "CAST(id % 100 AS LONG) AS k", "CAST(id % 7 AS DOUBLE) AS v"
+    ).repartitionByRange(8, "k").write.parquet(path)
+    enable_versioning(spark, path)
+    update_where(spark, path, {"v": "v + 50"}, "k = 5")  # one file's range
+    ch = read_changes(spark, path, 1, 2)
+    files = ch.inputFiles()
+    assert len(files) == 2  # the rewritten file + its retired original
+    assert len(set(files)) == 2
+
+    # duplicate-row multiplicity: k=5 appears 8 times (800/100), all
+    # with identical images per (k, v) pair — the diff must carry the
+    # exact multiset counts, not a distinct
+    assert ch.where("_change_type = 'insert'").count() == 8
+    assert ch.where("_change_type = 'delete'").count() == 8
+    ins = ch.where("_change_type = 'insert'").groupBy("v").count().collect()
+    assert sum(r["count"] for r in ins) == 8
+
+
+def test_execute_dml_alter_constraint(spark, cow_table):
+    """Textual constraint DDL: ALTER TABLE ADD CONSTRAINT ... CHECK (...)
+    gates later textual DML; DROP CONSTRAINT lifts it; malformed forms
+    and unknown tables are refused with the dialect in the message."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        ConstraintViolation,
+        table_constraints,
+    )
+
+    tables = {"t": cow_table}
+    st = execute_dml(
+        spark, "ALTER TABLE t ADD CONSTRAINT v_nonneg CHECK (v >= 0)",
+        tables,
+    )
+    assert (st.files_rewritten, st.rows_matched) == (0, 0)
+    assert table_constraints(spark, cow_table) == {"v_nonneg": "v >= 0"}
+    with pytest.raises(ConstraintViolation, match="v_nonneg"):
+        execute_dml(spark, "UPDATE t SET v = v - 100 WHERE k < 5", tables)
+    execute_dml(spark, "ALTER TABLE t DROP CONSTRAINT v_nonneg", tables)
+    st = execute_dml(spark, "UPDATE t SET v = v - 100 WHERE k < 5", tables)
+    assert st.rows_matched == 5
+
+    with pytest.raises(ValueError, match="needs CHECK"):
+        execute_dml(spark, "ALTER TABLE t ADD CONSTRAINT x", tables)
+    with pytest.raises(ValueError, match="takes no CHECK"):
+        execute_dml(
+            spark, "ALTER TABLE t DROP CONSTRAINT x CHECK (v > 0)", tables
+        )
+    with pytest.raises(ValueError, match="unknown table"):
+        execute_dml(
+            spark, "ALTER TABLE ghost ADD CONSTRAINT x CHECK (v > 0)",
+            tables,
+        )
+    # a CHECK whose expression itself contains parens parses intact
+    execute_dml(
+        spark,
+        "ALTER TABLE t ADD CONSTRAINT vc CHECK (COALESCE(v, (0)) > -1e9)",
+        tables,
+    )
+    assert table_constraints(spark, cow_table) == {
+        "vc": "COALESCE(v, (0)) > -1e9"
+    }
