@@ -279,9 +279,19 @@ class _Common:
         # converted HERE, on the driver, where a session exists; shipped
         # to executors inside each InputPartition (pa.Schema pickles)
         self.arrow_schema = to_arrow_schema(struct_type)
-        self.from_version = int(options.get("fromversion", 1))
-        if self.from_version < 1:
-            raise ValueError("fromVersion must be >= 1")
+        raw = str(options.get("fromversion", "1"))
+        if raw.lower() == "latest":
+            # tail-from-now: a stream starts AFTER the current history (a
+            # production pipeline rarely wants the initial snapshot
+            # replayed); a batch read resolves to just the newest commit
+            self.from_version = -1
+        else:
+            self.from_version = int(raw)
+            if self.from_version < 1:
+                raise ValueError("fromVersion must be >= 1 or 'latest'")
+
+    def resolved_from(self, vs: list[int]) -> int:
+        return vs[-1] if self.from_version == -1 else self.from_version
 
     def versions(self) -> list[int]:
         vs = _versions(self.root)
@@ -301,9 +311,10 @@ class _CowChangesBatchReader(DataSourceReader, _Common):
     def partitions(self):
         vs = self.versions()
         hi = int(self.to_version) if self.to_version is not None else vs[-1]
+        lo = self.resolved_from(vs)
         out = []
         for v in vs:
-            if self.from_version <= v <= hi:
+            if lo <= v <= hi:
                 out += _plan_version(self.root, v, vs, self.arrow_schema)
         # an empty change set still needs ≥1 partition for a valid scan
         return out or [_ChangeFile("", "", "insert", 0, self.arrow_schema)]
@@ -322,6 +333,10 @@ class _CowChangesStreamReader(DataSourceStreamReader, _Common):
     immutable once written."""
 
     def initialOffset(self) -> dict:
+        vs = self.versions()
+        if self.from_version == -1:
+            # 'latest': consume nothing that already happened
+            return {"version": vs[-1]}
         return {"version": self.from_version - 1}
 
     def latestOffset(self) -> dict:

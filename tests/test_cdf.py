@@ -271,3 +271,45 @@ def test_cdf_net_changes_matches_read_changes(spark, versioned_table):
         )
     )
     assert got == want
+
+
+def test_cdf_from_latest_tails_new_commits(spark, versioned_table, tmp_path):
+    """fromVersion='latest': a stream starts AFTER the existing history
+    (nothing replayed) and picks up only commits made while it runs; a
+    batch read resolves to just the newest commit."""
+    ckpt, sink = str(tmp_path / "lc"), str(tmp_path / "ls")
+
+    def drain():
+        q = (
+            spark.readStream.format("cow_changes")
+            .option("path", versioned_table)
+            .option("fromVersion", "latest")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    import glob
+
+    first = (
+        spark.read.parquet(sink).count()
+        if glob.glob(sink + "/*.parquet")
+        else 0
+    )
+    assert first == 0  # history not replayed
+    update_where(spark, versioned_table, {"v": "v + 7"}, "k = 1")  # v4
+    drain()
+    after = spark.read.parquet(sink)
+    assert after.select("_commit_version").distinct().collect() == [
+        Row(_commit_version=4)
+    ]
+    # batch 'latest' = just the newest commit
+    b = _load(spark, versioned_table, fromVersion="latest")
+    assert b.select("_commit_version").distinct().collect() == [
+        Row(_commit_version=4)
+    ]
