@@ -1236,8 +1236,6 @@ def mutate_cdf_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("mutate", "sources"),
 )
 def mutate_compact_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.mutate import compact
-
     t = load_tables(spark, sf_dir, ("customer",))
     path = _mut_dir(sf_dir, "cust_zorder")
     (

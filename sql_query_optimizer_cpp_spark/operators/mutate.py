@@ -2774,6 +2774,62 @@ def read_as_of(spark: SparkSession, path: str, timestamp: str) -> DataFrame:
     return read_version(spark, path, best)
 
 
+#: working-column names for the signed multiset diff — namespaced so a
+#: data column can't collide; guarded in signed_net_expand regardless
+_SIGN_COL = "__sqlopt_cdc_sign"
+_NET_COL = "__sqlopt_cdc_net"
+#: per-explode array bound for multiplicity re-expansion: each nested
+#: sequence stays ≤ 64k elements (≈0.5 MB), supporting net multiplicities
+#: to CHUNK² ≈ 4.3e9 identical row images without a single giant array
+_EXPAND_CHUNK = 1 << 16
+
+
+def signed_net_expand(both: DataFrame, cols: list[str]) -> DataFrame:
+    """The shared multiset-diff collapse: ``both`` carries the data
+    ``cols`` plus a ±1 ``_SIGN_COL``; group on the columns, keep net ≠ 0,
+    re-expand |net| copies tagged insert/delete.  This is ``exceptAll``'s
+    own sum-of-signs lowering run once for BOTH directions (one scan, one
+    shuffle).  Re-expansion explodes two NESTED bounded sequences instead
+    of one ``array_repeat(|net|)`` — a degenerate table where one commit
+    nets 10⁸ identical images must not materialize a 10⁸-element array on
+    one executor (the scale regression a single-level explode has vs
+    exceptAll's streaming ReplicateRows)."""
+    bad = [c for c in cols if c in (_SIGN_COL, _NET_COL)]
+    if bad:
+        raise ValueError(
+            f"column name {bad} collides with the CDC diff's working "
+            "columns — rename it"
+        )
+    net = (
+        both.groupBy(*cols)
+        .agg(F.sum(_SIGN_COL).alias(_NET_COL))
+        .where(F.col(_NET_COL) != 0)
+    )
+    n_abs = F.abs(F.col(_NET_COL))
+    chunk = F.lit(_EXPAND_CHUNK).cast("long")
+    outer = F.explode(
+        F.sequence(F.lit(0).cast("long"), F.floor((n_abs - 1) / chunk))
+    )
+    expanded = net.withColumn("__sqlopt_cdc_chunk", outer)
+    inner = F.explode(
+        F.sequence(
+            F.lit(1).cast("long"),
+            F.least(
+                chunk, n_abs - F.col("__sqlopt_cdc_chunk") * chunk
+            ),
+        )
+    )
+    return (
+        expanded.withColumn("__sqlopt_cdc_i", inner)
+        .select(
+            F.when(F.col(_NET_COL) > 0, F.lit("insert"))
+            .otherwise(F.lit("delete"))
+            .alias("_change_type"),
+            *cols,
+        )
+    )
+
+
 def read_changes(
     spark: SparkSession,
     path: str,
@@ -2857,6 +2913,8 @@ def read_changes(
                 seen.add(fld.name)
                 ordered.append((fld.name, fld.dataType))
 
+    cols = [n for n, _ in ordered]
+
     def _aligned(df: DataFrame, sign: int) -> DataFrame:
         return df.select(
             *[
@@ -2865,24 +2923,11 @@ def read_changes(
                 .alias(n)
                 for n, t in ordered
             ],
-            F.lit(sign).alias("__sign"),
+            F.lit(sign).alias(_SIGN_COL),
         )
 
-    cols = [n for n, _ in ordered]
     both = _aligned(added, 1).unionByName(_aligned(removed, -1))
-    net = (
-        both.groupBy(*cols)
-        .agg(F.sum("__sign").alias("__n"))
-        .where("__n <> 0")
-    )
-    return net.withColumn(
-        "__x", F.explode(F.expr("array_repeat(1, CAST(ABS(__n) AS INT))"))
-    ).select(
-        F.when(F.col("__n") > 0, F.lit("insert"))
-        .otherwise(F.lit("delete"))
-        .alias("_change_type"),
-        *cols,
-    )
+    return signed_net_expand(both, cols)
 
 
 def drop_versions_before(

@@ -437,30 +437,23 @@ def net_changes(changes):
     NET row diff: +1 per insert image, −1 per delete image, group on the
     data columns, keep net ≠ 0, re-expand multiplicity — the copied-row
     delete+insert pairs a COW rewrite emits cancel, leaving exactly what
-    ``operators.mutate.read_changes`` returns for the same range (same
-    signed-aggregate plan: one shuffle over the feed).  Drops
+    ``operators.mutate.read_changes`` returns for the same range (the
+    SAME shared collapse, so the plans cannot drift: one shuffle over
+    the feed, bounded nested-sequence re-expansion).  Drops
     ``_commit_version`` (a net diff spans commits)."""
     from pyspark.sql import functions as F
+
+    from ..operators.mutate import _SIGN_COL, signed_net_expand
 
     cols = [
         c
         for c in changes.columns
         if c not in ("_change_type", "_commit_version")
     ]
-    net = (
-        changes.groupBy(*cols)
-        .agg(
-            F.sum(
-                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
-            ).alias("__n")
-        )
-        .where("__n <> 0")
-    )
-    return net.withColumn(
-        "__x", F.explode(F.expr("array_repeat(1, CAST(ABS(__n) AS INT))"))
-    ).select(
-        F.when(F.col("__n") > 0, F.lit("insert"))
-        .otherwise(F.lit("delete"))
-        .alias("_change_type"),
+    both = changes.select(
         *cols,
+        F.when(F.col("_change_type") == "insert", 1)
+        .otherwise(-1)
+        .alias(_SIGN_COL),
     )
+    return signed_net_expand(both, cols)

@@ -71,6 +71,8 @@ def apply_changes_batch(
     ts_col: str = "ts",
     op_col: str = "op",
     optimistic: bool = False,
+    max_attempts: int = 5,
+    lock_wait_seconds: float = 30.0,
 ) -> None:
     """Merge one (micro-)batch of CDC rows into ``table_path``.
 
@@ -85,7 +87,11 @@ def apply_changes_batch(
     metadata validate-and-swap serializes; a loser re-derives its
     matched/unmatched split against the winner's committed state, and
     the ts guard keeps the outcome last-writer-wins BY EVENT TIME no
-    matter which applier commits first.
+    matter which applier commits first.  ``max_attempts`` /
+    ``lock_wait_seconds`` pass through to the commit loop — merge
+    validation is serializable (ANY concurrent commit loses a round), so
+    size max_attempts to at least the applier count or a busy loser can
+    exhaust its retries and kill its streaming query.
     """
     winners = latest_change_per_key(batch, on, ts_col, op_col)
     payload = [c for c in winners.columns if c != op_col]
@@ -100,10 +106,15 @@ def apply_changes_batch(
         if c not in on
     }
     verb = merge_into
+    kw = {}
     if optimistic:
         from ..operators.mutate import occ_merge_into
 
         verb = occ_merge_into
+        kw = {
+            "max_attempts": max_attempts,
+            "lock_wait_seconds": lock_wait_seconds,
+        }
     verb(
         spark,
         table_path,
@@ -114,6 +125,7 @@ def apply_changes_batch(
         insert_condition=f"src_{op_col} <> 'D'",
         # one winner per key by construction; skip the extra source agg
         check_unique=False,
+        **kw,
     )
 
 
@@ -125,6 +137,8 @@ def apply_changes_stream(
     ts_col: str = "ts",
     op_col: str = "op",
     optimistic: bool = False,
+    max_attempts: int = 5,
+    lock_wait_seconds: float = 30.0,
 ) -> StreamingQuery:
     """Start the foreachBatch sink maintaining ``table_path`` from a
     streaming changelog.  The target parquet dir must exist (seed it with
@@ -135,7 +149,8 @@ def apply_changes_stream(
             return
         apply_changes_batch(
             batch.sparkSession, batch, table_path, on, ts_col, op_col,
-            optimistic=optimistic,
+            optimistic=optimistic, max_attempts=max_attempts,
+            lock_wait_seconds=lock_wait_seconds,
         )
 
     return (

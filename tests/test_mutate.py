@@ -2111,3 +2111,32 @@ def test_execute_dml_alter_constraint(spark, cow_table):
     assert table_constraints(spark, cow_table) == {
         "vc": "COALESCE(v, (0)) > -1e9"
     }
+
+
+def test_read_changes_extreme_multiplicity_streams(spark, tmp_path):
+    """Review regression (r8): one distinct image with net multiplicity
+    far above the 64k expansion chunk must re-expand through the nested
+    bounded sequences (never one giant array) with an exact count."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        enable_versioning,
+        read_changes,
+        signed_net_expand,
+    )
+
+    n = 150_000  # > 2 × _EXPAND_CHUNK
+    path = str(tmp_path / "dup")
+    spark.range(n).selectExpr(
+        "CAST(1 AS LONG) AS k", "CAST(1.0 AS DOUBLE) AS v"
+    ).coalesce(1).write.parquet(path)
+    enable_versioning(spark, path)
+    delete_where(spark, path, "k = 1")
+    ch = read_changes(spark, path, 1, 2)
+    assert ch.count() == n
+    assert ch.select("_change_type").distinct().collect()[0][0] == "delete"
+
+    # working-column collision is refused loudly, not silently wrong
+    df = spark.range(1).selectExpr(
+        "id AS __sqlopt_cdc_net", "1 AS __sqlopt_cdc_sign"
+    )
+    with pytest.raises(ValueError, match="collides"):
+        signed_net_expand(df, ["__sqlopt_cdc_net"])
