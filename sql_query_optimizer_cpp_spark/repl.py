@@ -27,6 +27,19 @@ input              behavior
 ``UPDATE/DELETE/   execute copy-on-write against attached tables
 MERGE ...``        (the reference parses these and stops)
 ``VERSIONS n``     enable/inspect the attached table's version log
+                   (commit timestamps of the newest 10 shown)
+``VACUUM n         retention: drop all but the newest KEEP version
+[KEEP k]``         manifests, then reclaim unreferenced retired files
+``RESTORE n v``    roll the table back to version v as a NEW commit
+                   (metadata-only renames; history preserved)
+``CHANGES n a b``  CDC: net row changes between two committed versions
+``CONSTRAINT n     CHECK constraints (ADD/DROP/LIST) enforced over every
+ADD|DROP|LIST``    value-changing mutation's staged output
+``COMPACT n        bin-pack small files; with ZORDER/SORT, recluster the
+[ZORDER cols]``    layout (OPTIMIZE ZORDER BY)
+``ALTER TABLE``    textual constraint DDL through the DML front-end
+``.. VERSION AS    time travel inside a SELECT on attached tables, by
+OF n ..``          version number or ``TIMESTAMP AS OF '<iso>'``
 ``REPAIR n         inventory (and with REMOVE, clean) post-crash COW
 [REMOVE]``         staging debris + stale writer lock
 ``TABLES``         list queryable views + attached DML tables
@@ -57,6 +70,8 @@ _HELP = """commands:
   UPDATE/DELETE/MERGE   execute copy-on-write DML on attached tables
   ALTER TABLE <t> ADD CONSTRAINT <c> CHECK (<expr>) | DROP CONSTRAINT <c>
   VERSIONS <name>       enable/inspect the version log (MVCC for readers)
+  VACUUM <name> [KEEP <n>]  drop old version manifests, reclaim retired files
+  RESTORE <name> <version>  roll the table back to a version (new commit)
   CHANGES <name> <from> [<to>]  CDC: net row changes between two versions
   CONSTRAINT <name> ADD <cname> <expr> | DROP <cname> | LIST
                         CHECK constraints enforced by UPDATE/MERGE staging
@@ -145,7 +160,15 @@ def handle(
             if not vs:
                 v = engine.enable_versioning(path)
                 return f"versioning enabled on {name}: at v{v}"
-            return f"{name}: versions {vs[0]}..{vs[-1]} ({len(vs)} committed)"
+            hist = engine.version_history(path)
+            tail = "\n".join(
+                f"  v{v} committed {ts or '<unstamped>'}"
+                for v, ts in hist[-10:]
+            )
+            return (
+                f"{name}: versions {vs[0]}..{vs[-1]} "
+                f"({len(vs)} committed; newest 10 below)\n{tail}"
+            )
         if verb == "CHANGES":
             parts = rest.split()
             if (
@@ -160,6 +183,48 @@ def handle(
             to_v = int(parts[2]) if len(parts) == 3 else None
             ch = engine.read_changes(dml_tables[parts[0]], int(parts[1]), to_v)
             return _fmt_rows(ch.orderBy("_change_type", *ch.columns[1:2]), max_rows)
+        if verb == "RESTORE":
+            parts = rest.split()
+            usage = "usage: RESTORE <attached table> <version>"
+            if (
+                len(parts) != 2
+                or parts[0] not in dml_tables
+                or not parts[1].isdigit()
+            ):
+                return usage
+            st = engine.restore_version(dml_tables[parts[0]], int(parts[1]))
+            vs = engine.table_versions(dml_tables[parts[0]])
+            if not st.files_rewritten:
+                return f"{parts[0]} already at version {parts[1]}; no-op"
+            return (
+                f"restored {parts[0]} to v{parts[1]} as new v{vs[-1]} "
+                f"({st.files_rewritten} files changed liveness)"
+            )
+        if verb == "VACUUM":
+            from .operators.mutate import drop_versions_before, vacuum
+
+            parts = rest.split()
+            usage = "usage: VACUUM <attached table> [KEEP <n versions>]"
+            if (
+                not parts
+                or parts[0] not in dml_tables
+                or (len(parts) == 3 and parts[1].upper() != "KEEP")
+                or len(parts) not in (1, 3)
+            ):
+                return usage
+            path = dml_tables[parts[0]]
+            dropped = 0
+            if len(parts) == 3:
+                if not parts[2].isdigit() or int(parts[2]) < 1:
+                    return usage
+                dropped = drop_versions_before(
+                    engine.spark, path, keep_last=int(parts[2])
+                )
+            n = vacuum(engine.spark, path)
+            return (
+                f"dropped {dropped} old version manifest(s); "
+                f"reclaimed {n} unreferenced retired file(s)"
+            )
         if verb == "COMPACT":
             from .operators.mutate import compact
 

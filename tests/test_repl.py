@@ -289,3 +289,39 @@ def test_repl_compact_verb(engine, spark, tmp_path):
     assert spark.read.parquet(path).count() == 1000
     assert handle(engine, "COMPACT ghost", tables).startswith("usage:")
     assert handle(engine, "COMPACT t ZORDER", tables).startswith("usage:")
+
+
+def test_repl_vacuum_and_version_history(engine, spark, tmp_path):
+    path = str(tmp_path / "repl_vac")
+    spark.range(40).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v").coalesce(
+        1
+    ).write.parquet(path)
+    tables: dict[str, str] = {}
+    handle(engine, f"ATTACH t {path}", tables)
+    handle(engine, "VERSIONS t", tables)
+    handle(engine, "DELETE FROM t WHERE k >= 30", tables)
+    handle(engine, "UPDATE t SET v = v + 1 WHERE k < 3", tables)
+    out = handle(engine, "VERSIONS t", tables)
+    assert "versions 1..3" in out and "v3 committed 2" in out  # ISO year
+    out = handle(engine, "VACUUM t KEEP 1", tables)
+    assert "dropped 2 old version manifest(s)" in out
+    assert "reclaimed" in out
+    assert handle(engine, "VACUUM t KEEP 0", tables).startswith("usage:")
+    assert handle(engine, "VACUUM ghost", tables).startswith("usage:")
+
+
+def test_repl_restore_verb(engine, spark, tmp_path):
+    path = str(tmp_path / "repl_restore")
+    spark.range(50).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v").coalesce(
+        1
+    ).write.parquet(path)
+    tables: dict[str, str] = {}
+    handle(engine, f"ATTACH t {path}", tables)
+    handle(engine, "VERSIONS t", tables)                  # v1
+    handle(engine, "DELETE FROM t WHERE k >= 40", tables)  # v2
+    out = handle(engine, "RESTORE t 1", tables)
+    assert "restored t to v1 as new v3" in out
+    assert spark.read.parquet(path).count() == 50
+    assert handle(engine, "RESTORE t 3", tables).endswith("no-op")
+    assert handle(engine, "RESTORE t x", tables).startswith("usage:")
+    assert handle(engine, "RESTORE ghost 1", tables).startswith("usage:")
