@@ -174,6 +174,10 @@ def bench_spark(spark, registry, sf_dir: str):
         "mutate_constraints",
         "mutate_cdf_replay",
         "mutate_compact_zorder",
+        # round 8 (late): merge-on-read deletion vectors (tombstone +
+        # append-copies + materialize) and metadata-only RESTORE
+        "mutate_mor_pipeline",
+        "mutate_restore_version",
     ):
         spec = registry.get(name)
         if spec is None:

@@ -130,7 +130,13 @@ class Engine:
         return self.spark.sql(text)
 
     # -- DML (S7/S8 executed; the reference parses and stops) --------------
-    def dml(self, text: str, tables: dict[str, str], optimistic: bool = False):
+    def dml(
+        self,
+        text: str,
+        tables: dict[str, str],
+        optimistic: bool = False,
+        mor: bool = False,
+    ):
         """Execute UPDATE / DELETE / MERGE copy-on-write against parquet
         table directories (``tables`` maps statement table names to
         paths).  The reference builds the AST for these and refuses to
@@ -140,6 +146,9 @@ class Engine:
         ``optimistic=True`` runs UPDATE/DELETE/MERGE through the
         multi-writer commit-or-retry verbs (flat and hive-partitioned;
         see operators.mutate's optimistic-concurrency protocol).
+        ``mor=True`` runs UPDATE/DELETE merge-on-read (deletion vectors,
+        operators/mor.py) — O(changed rows), no file rewrites; read the
+        table back via read_mor until materialize_deletes.
 
         Deliberately takes explicit paths rather than the engine's
         fixture views: the fixtures are read-only test inputs, and a DML
@@ -147,7 +156,9 @@ class Engine:
         """
         from .operators.mutate import execute_dml
 
-        return execute_dml(self.spark, text, tables, optimistic=optimistic)
+        return execute_dml(
+            self.spark, text, tables, optimistic=optimistic, mor=mor
+        )
 
     # -- version log (MVCC for readers over COW tables) --------------------
     def enable_versioning(self, path: str) -> int:
@@ -181,6 +192,14 @@ class Engine:
         from .operators.mutate import version_history
 
         return version_history(self.spark, path)
+
+    def restore_version(self, path: str, version: int):
+        """``RESTORE TABLE ... TO VERSION AS OF n``: roll the live file
+        set back to version ``n`` as a new commit — metadata-only renames,
+        full history preserved (operators.mutate.restore_version)."""
+        from .operators.mutate import restore_version
+
+        return restore_version(self.spark, path, version)
 
     def read_changes(
         self, path: str, from_version: int, to_version: int | None = None

