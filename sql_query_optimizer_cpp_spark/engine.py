@@ -188,10 +188,12 @@ class Engine:
 
         return read_as_of(self.spark, path, timestamp)
 
-    def version_history(self, path: str) -> list[tuple[int, str]]:
+    def version_history(
+        self, path: str, last: int | None = None
+    ) -> list[tuple[int, str]]:
         from .operators.mutate import version_history
 
-        return version_history(self.spark, path)
+        return version_history(self.spark, path, last)
 
     def restore_version(self, path: str, version: int):
         """``RESTORE TABLE ... TO VERSION AS OF n``: roll the live file

@@ -1356,8 +1356,10 @@ def mutate_mor_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "The aggregate of the restored LIVE table must equal the oracle's "
     "fold of ONLY the delete — the update is provably undone — while "
     "v3 time travel inside the query guards that rolled-past history "
-    "is still intact (its grand total is folded in as a checksum "
-    "column, algebraically reproduced by the oracle's CASE)",
+    "still READS (its per-status row counts must equal the live "
+    "table's — restore undoes values, not cardinality — enforced by an "
+    "inner join on the intersected counts; a restore that broke v3 "
+    "readability or dropped rows grades red by emptying the join)",
     tags=("mutate", "sources"),
 )
 def mutate_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -65,7 +65,6 @@ from .mutate import (
     list_data_files,
     list_snapshots,
     table_constraints,
-    table_versions,
 )
 
 #: sidecar dir holding the vector parquet; underscore ⇒ invisible to
@@ -124,6 +123,13 @@ def _with_identity(
     if base_path is not None:
         reader = reader.option("basePath", base_path)
     df = reader.parquet(*files)
+    clash = {"__fp", "__row_idx", "__src_file"} & set(df.columns)
+    if clash:
+        # same guarded-working-column discipline as the CDC signed diff
+        raise ValueError(
+            f"table columns {sorted(clash)} collide with the merge-on-read "
+            "working columns; rename them before using the MOR verbs"
+        )
     return df.select(
         "*",
         F.col("_metadata.file_path").alias("__fp"),
@@ -165,8 +171,19 @@ def _append_dv(spark: SparkSession, path: str, entries: DataFrame) -> int:
     return after - before
 
 
+def _no_match(spark: SparkSession, path: str, cond: Column) -> bool:
+    """No-op short-circuit: one footer-pruned existence probe (pushdown +
+    LIMIT 1) so a statement matching nothing skips the stage/append
+    machinery entirely — the MOR analog of the COW verbs' hit-list check."""
+    return (
+        spark.read.parquet(path).where(cond).limit(1).count() == 0
+    )
+
+
 def _ensure_dv_allowed(spark: SparkSession, path: str, verb: str) -> None:
-    if table_versions(spark, path) or list_snapshots(spark, path):
+    # version manifests ARE snapshot manifests (table_versions filters
+    # list_snapshots), so one listing covers both refusal reasons
+    if list_snapshots(spark, path):
         raise ValueError(
             f"{verb}: {path} has a version log / snapshots; deletion "
             "vectors live outside the manifests, so time travel over a "
@@ -188,7 +205,7 @@ def dv_delete_where(
     with _writer_lock(spark, path):
         _ensure_dv_allowed(spark, path, "dv_delete_where")
         files = list_data_files(spark, path, recursive=True)
-        if not files:
+        if not files or _no_match(spark, path, cond):
             return 0
         base_path = path if is_partitioned(spark, path) else None
         sub = _with_identity(spark, path, files, base_path)
@@ -227,7 +244,7 @@ def dv_update_where(
                 "the copy-on-write update_where for partitioned tables"
             )
         files = list_data_files(spark, path)
-        if not files:
+        if not files or _no_match(spark, path, cond):
             return 0
         sub = _with_identity(spark, path, files, None)
         data_cols = [
@@ -312,10 +329,19 @@ def materialize_deletes(
     read path.  Vectors of rewritten files are pruned from the store so
     it shrinks as files graduate.
 
-    Crash-safe without a journal: tombstones are keyed by file NAME, so
-    once a file is replaced its stale vectors match nothing — any prefix
-    of the per-directory swaps leaves a table that :func:`read_mor` still
-    reads correctly, and a rerun finishes the rest."""
+    Crash discipline, stated honestly (the COW-wide "duplicates, never
+    loss" contract, not more): every rewrite stages FIRST (all
+    directories complete before any original file moves), so no crash
+    point loses rows.  A crash before a directory's swap leaves its old
+    files + vectors intact — :func:`read_mor` stays exact and a rerun
+    converges (stale staging dirs are crash debris for repair_table).  A
+    crash inside a directory's move-in→delete window leaves that
+    directory's live rows duplicated until repair — the same window every
+    COW swap has.  The vector STORE itself is never unprotected: a
+    partial materialize moves the pruned store in beside the old batch
+    files before deleting them, so tombstones for still-live files exist
+    on disk at every instant (worst case duplicated, which the anti join
+    doesn't care about)."""
     with _writer_lock(spark, path):
         dv = _read_dv(spark, path)
         jvm, fs, _ = _fs(spark, path)
@@ -355,15 +381,26 @@ def materialize_deletes(
             if not hit:
                 # nothing reached the threshold: keep every vector
                 return MutationStats(len(files), 0, 0)
+        # stage EVERY directory's rewrite before any original file moves
+        # (the COW stage-all-then-swap discipline: a crash in the staging
+        # phase leaves the table byte-identical).  Groups: flat tables
+        # have one, partitioned tables one per touched partition dir — no
+        # partition-column reconstruction needed, the identity join keys
+        # on file name + position.
+        staged: list[tuple[str, list[str], str]] = []
+        created: list[str] = []
+        try:
+            for dir_, fl in sorted(_group_by_dir(hit).items()):
+                sub = _with_identity(spark, path, fl, None)
+                kept = _live(sub, dv).drop("__src_file", "__row_idx")
+                staged.append((dir_, fl, _stage(spark, path, kept, created)))
+        except BaseException:
+            for s in created:
+                with contextlib.suppress(Exception):
+                    fs.delete(jvm.org.apache.hadoop.fs.Path(s), True)
+            raise
         removed = 0
-        # group by directory: flat tables have one group, partitioned
-        # tables one per touched partition dir — each group is an
-        # independent stage-then-swap (no partition-column reconstruction
-        # needed: the identity join keys on file name + position)
-        for dir_, fl in sorted(_group_by_dir(hit).items()):
-            sub = _with_identity(spark, path, fl, None)
-            kept = _live(sub, dv).drop("__src_file", "__row_idx")
-            staging = _stage(spark, path, kept)
+        for dir_, fl, staging in staged:
             _move_in(spark, dir_, staging)
             _delete_files(spark, fl)
             removed += len(fl)
@@ -371,17 +408,23 @@ def materialize_deletes(
         # already replaced (stale store from a crashed run): fall through
         # to the delete branch and converge
         survivors = dv.where(~F.col("src_file").isin(list(dead_rel)))
+        dv_root = jvm.org.apache.hadoop.fs.Path(_dv_path(path))
+        old_dv_files = [
+            st.getPath().toString()
+            for st in fs.listStatus(dv_root)
+            if st.isFile()
+        ]
         if removed and survivors.limit(1).count():
-            # partial materialize: prune the graduated files' vectors so
-            # the store shrinks (stage-then-swap, same crash discipline —
-            # replaced-file vectors are harmless if this never runs)
+            # partial materialize: shrink the store by the graduated
+            # files' vectors WITHOUT ever leaving it empty or missing —
+            # stage the pruned copy (reads the old batch files), move it
+            # in beside them, only then delete the old batches.  Any
+            # crash point leaves at-least-once tombstones, which the
+            # anti join reads identically.
             pruned = _stage(spark, path, survivors)
-            fs.delete(jvm.org.apache.hadoop.fs.Path(_dv_path(path)), True)
-            fs.rename(
-                jvm.org.apache.hadoop.fs.Path(pruned),
-                jvm.org.apache.hadoop.fs.Path(_dv_path(path)),
-            )
+            _move_in(spark, _dv_path(path), pruned)
+            _delete_files(spark, old_dv_files)
         else:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(_dv_path(path)), True)
+            fs.delete(dv_root, True)
         spark.catalog.clearCache()
         return MutationStats(len(files), removed, 0)

@@ -2809,13 +2809,20 @@ def read_version(
     return read_snapshot(spark, path, f"v{v:08d}")
 
 
-def version_history(spark: SparkSession, path: str) -> list[tuple[int, str]]:
+def version_history(
+    spark: SparkSession, path: str, last: int | None = None
+) -> list[tuple[int, str]]:
     """``(version, committed_at)`` per committed version, ascending —
     ISO-8601 UTC stamps from the manifests (full AND delta manifests both
-    carry one).  Metadata-only: reads the small JSONs, no data I/O."""
+    carry one).  Metadata-only: reads the small JSONs, no data I/O.
+    ``last`` bounds the crawl to the newest N manifests — displays over a
+    long-lived table must not pay O(total versions) of store latency."""
+    vs = table_versions(spark, path)
+    if last is not None:
+        vs = vs[-last:]
     return [
         (v, _manifest(spark, path, f"v{v:08d}").get("committed_at") or "")
-        for v in table_versions(spark, path)
+        for v in vs
     ]
 
 
@@ -2899,6 +2906,19 @@ def restore_version(
             f for f in current if _rel_to_table(path, f) not in target_rel
         ]
         if not missing_abs and not extras:
+            # already at the target BYTES — but only a true no-op if the
+            # latest committed manifest agrees with the live set.  After a
+            # crash between a previous restore's renames and its commit,
+            # the live table equals the target while the log still says
+            # otherwise; the documented recovery is "rerun the restore",
+            # so the rerun must finish the job by committing the version.
+            latest_rel = set(
+                _manifest_rel_files(spark, path, f"v{vs[-1]:08d}")
+            )
+            if latest_rel != current_rel:
+                _autoversion(spark, path)
+                _mark_mutated(spark, path)
+                spark.catalog.clearCache()
             return MutationStats(len(current), 0, 0)
         # 1) bring back retired files FIRST (crash ⇒ superset, never loss)
         resolved = _resolve_pinned_files(

@@ -160,10 +160,10 @@ def handle(
             if not vs:
                 v = engine.enable_versioning(path)
                 return f"versioning enabled on {name}: at v{v}"
-            hist = engine.version_history(path)
+            hist = engine.version_history(path, last=10)
             tail = "\n".join(
                 f"  v{v} committed {ts or '<unstamped>'}"
-                for v, ts in hist[-10:]
+                for v, ts in hist
             )
             return (
                 f"{name}: versions {vs[0]}..{vs[-1]} "

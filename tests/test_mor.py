@@ -286,3 +286,37 @@ def test_materialize_min_dead_ratio_incremental(spark, tmp_path):
     assert st.files_rewritten == 1
     assert not has_deletion_vectors(spark, path)
     assert spark.read.parquet(path).count() == 78
+
+
+def test_dv_working_column_collision_guard(spark, tmp_path):
+    path = str(tmp_path / "mor_clash")
+    spark.range(10).selectExpr("id AS k", "'x' AS __src_file").write.parquet(
+        path
+    )
+    with pytest.raises(ValueError, match="collide with the merge-on-read"):
+        dv_delete_where(spark, path, "k < 5")
+
+
+def test_dv_no_match_is_a_cheap_noop(spark, tmp_path):
+    path = _flat(spark, tmp_path)
+    assert dv_delete_where(spark, path, "k < 0") == 0
+    assert not has_deletion_vectors(spark, path)
+    assert dv_update_where(spark, path, {"v": "0.0"}, "k < 0") == 0
+    assert not has_deletion_vectors(spark, path)
+    # no-op left no appended files either
+    assert len(m.list_data_files(spark, path)) == 4
+
+
+def test_partial_materialize_never_leaves_store_unprotected(spark, tmp_path):
+    """The pruned store is moved in BESIDE the old batch files before they
+    are deleted — at no point is _dv absent while live tombstones exist.
+    Verified by the end state (pruned entries correct) plus the ordering
+    contract: the staged prune lands under _dv via _move_in, so the store
+    dir itself is never deleted on the partial path."""
+    path = _flat(spark, tmp_path, n=100, files=4)
+    dv_delete_where(spark, path, "k < 25 OR k = 99")  # file0 fully dead
+    st = materialize_deletes(spark, path, min_dead_ratio=0.9)
+    assert st.files_rewritten == 1
+    assert has_deletion_vectors(spark, path)
+    assert dv_count(spark, path) == 1  # only the k=99 tombstone survives
+    assert read_mor(spark, path).count() == 74
