@@ -175,9 +175,11 @@ def bench_spark(spark, registry, sf_dir: str):
         "mutate_cdf_replay",
         "mutate_compact_zorder",
         # round 8 (late): merge-on-read deletion vectors (tombstone +
-        # append-copies + materialize) and metadata-only RESTORE
+        # append-copies + materialize), metadata-only RESTORE, and the
+        # bloom file-skipping index (build + 8 probed point lookups)
         "mutate_mor_pipeline",
         "mutate_restore_version",
+        "point_lookup_bloom",
     ):
         spec = registry.get(name)
         if spec is None:

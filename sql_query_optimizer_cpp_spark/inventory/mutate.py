@@ -1407,3 +1407,53 @@ def mutate_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderstatus", "n", "total")
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "point_lookup_bloom",
+    oracle="SELECT o_orderkey, o_custkey, "
+    + dsum_sql("o_totalprice")
+    + " AS total FROM orders "
+    "WHERE o_orderkey IN (1, 2, 3, 4, 5, 6, 7, 999999937) "
+    "GROUP BY o_orderkey, o_custkey ORDER BY o_orderkey",
+    doc="File-level bloom index graded end-to-end (new r8, "
+    "operators/fileindex.py — the executable analog of the reference's "
+    "cost-model-only index selection, engine/src/cost_estimator.cpp, "
+    "and the Delta bloom-index shape): an orders copy range-clustered "
+    "on o_totalprice (so o_orderkey is SCATTERED and footer min/max "
+    "cannot prune it) gets a per-file bloom sidecar on o_orderkey "
+    "(xxhash64 positions JVM-side, Arrow-packed bitsets); eight point "
+    "lookups (seven present keys + one absent) then read ONLY the "
+    "files each probe admits.  Equality with the oracle's plain IN "
+    "filter proves no-false-negative membership, type-faithful literal "
+    "hashing, and residual-predicate exactness; the skipping itself "
+    "(candidates < files, absent key ≈ zero files) is pinned in "
+    "tests/test_fileindex.py",
+    tags=("mutate", "sources"),
+)
+def point_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from ..operators.fileindex import build_bloom_index, read_point_lookup
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    path = _mut_dir(sf_dir, "orders_bloom")
+    (
+        t["orders"]
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartitionByRange(8, "o_totalprice")
+        .sortWithinPartitions("o_totalprice")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    build_bloom_index(spark, path, "o_orderkey", num_bits=1 << 17)
+    keys = [1, 2, 3, 4, 5, 6, 7, 999999937]
+    lookups = [
+        read_point_lookup(spark, path, "o_orderkey", k) for k in keys
+    ]
+    hits = reduce(lambda a, b: a.unionByName(b), lookups)
+    return (
+        hits.groupBy("o_orderkey", "o_custkey")
+        .agg(dsum("o_totalprice").alias("total"))
+        .orderBy("o_orderkey")
+    )

@@ -1,0 +1,255 @@
+"""File-level bloom-filter index: data skipping for point lookups on
+columns the table is NOT clustered by.
+
+Footer min/max skipping (sources/writers.py range-clustered and z-order
+layouts) only prunes on the sort dimensions.  A point lookup on any other
+high-cardinality column — ``WHERE order_id = X`` on a date-partitioned
+table — reads every file at 100 TB.  The classic lakehouse answer (the
+reference's index-selection analog is cost-model-only,
+engine/src/cost_estimator.cpp; Delta ships this as its bloom filter
+index) is a per-file bloom filter sidecar: O(bits) per file, probed
+BEFORE the scan, so a point lookup reads only the files whose filter
+admits the value.
+
+Design — everything heavy stays JVM-side and distributed:
+
+- **Build** (:func:`build_bloom_index`): one linear pass.  Each row's
+  value hashes to ``num_hashes`` bit positions via ``xxhash64(col, seed)
+  % num_bits`` (JVM whole-stage codegen, no Python in the row path);
+  positions aggregate per file with ``collect_set`` (bounded by
+  ``num_bits``, not rows); one Arrow-batched pandas UDF packs each
+  file's position set into a ``num_bits/8``-byte bitset.  The sidecar
+  lands under ``<table>/_index/<col>/`` (underscore ⇒ invisible to base
+  scans) with a JSON meta recording the hash parameters.
+- **Probe** (:func:`probe_files`): the literal's positions are computed
+  by the SAME JVM expression (one metadata-row job — never a Python
+  reimplementation of the hash, which could silently diverge), then one
+  tiny scan of the index rows tests those bits and returns candidate
+  file names.  Cost is O(files) index rows, not O(data).
+- **Read** (:func:`read_point_lookup`): scan ONLY candidate files plus
+  the residual predicate.  **Correct under COW DML without
+  invalidation**: rewrites produce fresh file names, so any live file
+  the index doesn't know is treated as always-candidate, and index rows
+  for replaced names match nothing.  A bloom has no false negatives, so
+  the result equals the full-scan filter exactly.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .mutate import (
+    _fs,
+    _read_small_file,
+    _rel_to_table,
+    _write_small_file,
+    list_data_files,
+)
+
+INDEX_DIR = "_index"
+
+
+def _index_root(path: str, col: str) -> str:
+    return f"{path.rstrip('/')}/{INDEX_DIR}/{col}"
+
+
+def _positions(col_expr, num_hashes: int, num_bits: int):
+    """The k bit positions of a value — one JVM expression shared verbatim
+    by build and probe (seeded by hashing the value with the seed
+    literal; ``pmod`` keeps positions non-negative)."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(col_expr, F.lit(i)), F.lit(num_bits)).cast(
+                "long"
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def build_bloom_index(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> int:
+    """Build (or rebuild) the bloom sidecar for ``col``; returns how many
+    files were indexed.  ``num_bits`` is the per-file filter size (2^20
+    bits = 128 KB packed; size for bits ≈ 10× the distinct values per
+    file for ~1% false-positive rate).  NULLs are not indexed — SQL
+    equality never matches NULL, and the probe path keeps that contract
+    by refusing null probe values."""
+    if num_bits <= 0 or num_bits % 64:
+        raise ValueError("num_bits must be a positive multiple of 64")
+    files = list_data_files(spark, path, recursive=True)
+    if not files:
+        return 0
+    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    if col not in df.columns:
+        raise ValueError(f"no column {col!r} in {path}")
+    root_len = len(
+        _fs(spark, path)[1]
+        .makeQualified(_fs(spark, path)[2])
+        .toString()
+    )
+    per_file = (
+        df.select(
+            F.expr(f"substring(_metadata.file_path, {root_len + 2})").alias(
+                "src_file"
+            ),
+            F.explode(_positions(F.col(col), num_hashes, num_bits)).alias(
+                "pos"
+            ),
+        )
+        .where(F.col(col).isNotNull())
+        .groupBy("src_file")
+        .agg(F.collect_set("pos").alias("positions"))
+    )
+
+    nbytes = num_bits // 8
+
+    @pandas_udf("binary")
+    def pack(positions: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for pos in positions:
+            bits = np.zeros(nbytes, dtype=np.uint8)
+            p = np.asarray(pos, dtype=np.int64)
+            np.bitwise_or.at(bits, p >> 3, np.uint8(1) << (p & 7).astype(np.uint8))
+            out.append(bits.tobytes())
+        return pd.Series(out)
+
+    index_df = per_file.select(
+        "src_file", pack(F.col("positions")).alias("bloom")
+    )
+    root = _index_root(path, col)
+    index_df.write.mode("overwrite").parquet(root)
+    meta = json.dumps(
+        {
+            "col": col,
+            "num_bits": num_bits,
+            "num_hashes": num_hashes,
+            # xxhash64 is TYPE-sensitive (an int literal and a bigint
+            # column hash differently); the probe must cast its literal
+            # to exactly the type that was hashed at build time
+            "col_type": df.schema[col].dataType.simpleString(),
+        }
+    )
+    _write_small_file(spark, f"{root}/_meta.json", meta.encode())
+    return spark.read.parquet(root).count()
+
+
+def has_bloom_index(spark: SparkSession, path: str, col: str) -> bool:
+    jvm, fs, _ = _fs(spark, path)
+    return fs.exists(
+        jvm.org.apache.hadoop.fs.Path(f"{_index_root(path, col)}/_meta.json")
+    )
+
+
+def _index_meta(spark: SparkSession, path: str, col: str) -> dict:
+    return json.loads(
+        _read_small_file(
+            spark, f"{_index_root(path, col)}/_meta.json"
+        ).decode()
+    )
+
+
+def probe_files(
+    spark: SparkSession, path: str, col: str, value
+) -> list[str]:
+    """Candidate files (absolute paths) that may contain ``col = value``:
+    indexed files whose bloom admits the value, plus every live file the
+    index has no row for (always-candidate keeps rewrites correct with
+    no invalidation hook).  No false negatives by construction."""
+    if value is None:
+        # SQL equality with NULL matches nothing; no file qualifies
+        return []
+    meta = _index_meta(spark, path, col)
+    files = list_data_files(spark, path, recursive=True)
+    by_rel = {_rel_to_table(path, f): f for f in files}
+    # the literal's positions via the SAME JVM hash expression as build
+    pos = (
+        spark.range(1)
+        .select(
+            _positions(
+                F.lit(value).cast(meta["col_type"]),
+                meta["num_hashes"],
+                meta["num_bits"],
+            ).alias("p")
+        )
+        .first()["p"]
+    )
+
+    @pandas_udf("boolean")
+    def admits(bloom: pd.Series) -> pd.Series:
+        import numpy as np
+
+        def test(b: bytes) -> bool:
+            a = np.frombuffer(b, dtype=np.uint8)
+            return all(a[p >> 3] & (1 << (p & 7)) for p in pos)
+
+        return bloom.map(test)
+
+    idx = spark.read.parquet(_index_root(path, col))
+    admitted = {
+        r["src_file"]
+        for r in idx.where(admits(F.col("bloom")))
+        .select("src_file")
+        .collect()
+    }
+    indexed = {
+        r["src_file"] for r in idx.select("src_file").collect()
+    }
+    return sorted(
+        f
+        for rel, f in by_rel.items()
+        if rel in admitted or rel not in indexed
+    )
+
+
+def read_point_lookup(
+    spark: SparkSession, path: str, col: str, value
+) -> DataFrame:
+    """``SELECT * FROM <path> WHERE col = value`` reading only the files
+    the bloom index admits (plus unindexed ones).  Exactly equal to the
+    full-scan filter: blooms have no false negatives, the residual
+    predicate removes false positives, and NULL probes return empty."""
+    candidates = probe_files(spark, path, col, value)
+    if not candidates:
+        df = spark.read.option("mergeSchema", "true").parquet(path)
+        return df.where(F.lit(False))
+    from .mutate import is_partitioned
+
+    reader = spark.read.option("mergeSchema", "true")
+    if is_partitioned(spark, path):
+        reader = reader.option("basePath", path)
+    return reader.parquet(*candidates).where(F.col(col) == F.lit(value))
+
+
+def index_stats(spark: SparkSession, path: str, col: str) -> dict:
+    """Sidecar shape: files indexed, bytes, and the build parameters."""
+    meta = _index_meta(spark, path, col)
+    jvm, fs, _ = _fs(spark, path)
+    root = jvm.org.apache.hadoop.fs.Path(_index_root(path, col))
+    size = sum(
+        st.getLen()
+        for st in fs.listStatus(root)
+        if st.isFile() and not st.getPath().getName().startswith(("_", "."))
+    )
+    n = spark.read.parquet(_index_root(path, col)).count()
+    return {**meta, "indexed_files": n, "sidecar_bytes": int(size)}
+
+
+def estimate_bits(distinct_per_file: int, fpp: float = 0.01) -> int:
+    """Classic bloom sizing: m = -n·ln(p)/ln(2)² rounded up to a multiple
+    of 64 — a helper so callers size ``num_bits`` from ANALYZE stats."""
+    m = -distinct_per_file * math.log(fpp) / (math.log(2) ** 2)
+    return max(64, int(math.ceil(m / 64)) * 64)

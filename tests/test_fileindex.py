@@ -1,0 +1,140 @@
+"""File-level bloom index (operators/fileindex.py): skipping power,
+no-false-negative exactness, COW-rename correctness without
+invalidation, and type-faithful probe hashing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_query_optimizer_cpp_spark.operators.fileindex import (
+    build_bloom_index,
+    estimate_bits,
+    has_bloom_index,
+    index_stats,
+    probe_files,
+    read_point_lookup,
+)
+from sql_query_optimizer_cpp_spark.operators.mutate import (
+    delete_where,
+    list_data_files,
+)
+
+
+@pytest.fixture()
+def keyed_table(spark, tmp_path):
+    """8 files, k range-clustered; lookup column 'ref' is scattered
+    (hash-distributed) so footer min/max CANNOT prune it — exactly the
+    workload the bloom index exists for."""
+    path = str(tmp_path / "bloomtab")
+    (
+        spark.range(4000)
+        .selectExpr(
+            "id AS k",
+            "CAST(hash(id) AS BIGINT) AS ref",
+            "CAST(id % 13 AS DOUBLE) AS v",
+        )
+        .repartitionByRange(8, "k")
+        .sortWithinPartitions("k")
+        .write.parquet(path)
+    )
+    return path
+
+
+def test_bloom_build_probe_and_skip(spark, keyed_table):
+    n = build_bloom_index(
+        spark, keyed_table, "ref", num_bits=1 << 16, num_hashes=5
+    )
+    assert n == 8
+    assert has_bloom_index(spark, keyed_table, "ref")
+    # a present value: its file must be admitted and the result exact
+    row = spark.read.parquet(keyed_table).where("k = 1234").first()
+    cand = probe_files(spark, keyed_table, "ref", row["ref"])
+    assert 1 <= len(cand) < 8  # skipped most files, kept the right one
+    got = read_point_lookup(spark, keyed_table, "ref", row["ref"]).collect()
+    assert [r["k"] for r in got] == [1234]
+    # an absent value: no false negatives required, near-total skip likely
+    miss = read_point_lookup(spark, keyed_table, "ref", -99999999)
+    assert miss.count() == 0
+    # NULL probe: SQL equality matches nothing
+    assert probe_files(spark, keyed_table, "ref", None) == []
+    assert read_point_lookup(spark, keyed_table, "ref", None).count() == 0
+
+
+def test_bloom_exactness_over_many_keys(spark, keyed_table):
+    """Index path == full-scan filter for every probed key (present and
+    absent): blooms may admit extra files, never miss one."""
+    build_bloom_index(
+        spark, keyed_table, "ref", num_bits=1 << 14, num_hashes=4
+    )
+    base = spark.read.parquet(keyed_table)
+    refs = [r["ref"] for r in base.where("k % 500 = 0").collect()]
+    refs += [7, -7, 2**40]  # absent values
+    for ref in refs:
+        expect = sorted(
+            r["k"] for r in base.where(F.col("ref") == ref).collect()
+        )
+        got = sorted(
+            r["k"]
+            for r in read_point_lookup(
+                spark, keyed_table, "ref", ref
+            ).collect()
+        )
+        assert got == expect, f"ref={ref}"
+
+
+def test_bloom_correct_after_cow_rewrite(spark, keyed_table):
+    """COW rewrites produce fresh file names: the index treats unknown
+    live files as always-candidates, so results stay exact with NO
+    invalidation hook; rebuilding restores full skipping."""
+    build_bloom_index(
+        spark, keyed_table, "ref", num_bits=1 << 16, num_hashes=5
+    )
+    row = spark.read.parquet(keyed_table).where("k = 77").first()
+    delete_where(spark, keyed_table, "k = 3999")  # rewrites the last file
+    got = read_point_lookup(spark, keyed_table, "ref", row["ref"]).collect()
+    assert [r["k"] for r in got] == [77]
+    # the rewritten (unindexed) file is a candidate for ANY value
+    cand = probe_files(spark, keyed_table, "ref", -123456789)
+    rewritten = [f for f in cand if "part-cow-" in f]
+    assert len(rewritten) == 1
+    # rebuild covers the new file again
+    assert build_bloom_index(spark, keyed_table, "ref") == 8
+    assert len(probe_files(spark, keyed_table, "ref", -123456789)) < 8
+
+
+def test_bloom_probe_type_faithful(spark, tmp_path):
+    """String and small-int columns probe correctly: the literal is cast
+    to the BUILD-time column type before hashing (xxhash64 is
+    type-sensitive)."""
+    path = str(tmp_path / "bloomstr")
+    (
+        spark.range(300)
+        .selectExpr(
+            "CONCAT('u-', id) AS uid", "CAST(id AS INT) AS small", "id"
+        )
+        .repartition(4)
+        .write.parquet(path)
+    )
+    build_bloom_index(spark, path, "uid", num_bits=1 << 14)
+    assert read_point_lookup(spark, path, "uid", "u-123").count() == 1
+    assert read_point_lookup(spark, path, "uid", "nope").count() == 0
+    build_bloom_index(spark, path, "small", num_bits=1 << 14)
+    # Python int probes an INT column: cast makes the hash match
+    assert read_point_lookup(spark, path, "small", 42).count() == 1
+
+
+def test_bloom_stats_and_sizing(spark, keyed_table):
+    build_bloom_index(
+        spark, keyed_table, "ref", num_bits=1 << 16, num_hashes=5
+    )
+    st = index_stats(spark, keyed_table, "ref")
+    assert st["indexed_files"] == 8
+    assert st["num_bits"] == 1 << 16 and st["col_type"] == "bigint"
+    assert 0 < st["sidecar_bytes"] < 8 * (1 << 16)  # compressed bitsets
+    assert estimate_bits(1000, 0.01) % 64 == 0
+    assert estimate_bits(1000, 0.01) >= 9000
+    with pytest.raises(ValueError, match="multiple of 64"):
+        build_bloom_index(spark, keyed_table, "ref", num_bits=100)
+    with pytest.raises(ValueError, match="no column"):
+        build_bloom_index(spark, keyed_table, "nope")
