@@ -77,23 +77,37 @@ def build_bloom_index(
     spark: SparkSession,
     path: str,
     col: str,
-    num_bits: int = 1 << 20,
+    num_bits: int | None = 1 << 20,
     num_hashes: int = 5,
+    fpp: float = 0.01,
 ) -> int:
     """Build (or rebuild) the bloom sidecar for ``col``; returns how many
     files were indexed.  ``num_bits`` is the per-file filter size (2^20
     bits = 128 KB packed; size for bits ≈ 10× the distinct values per
-    file for ~1% false-positive rate).  NULLs are not indexed — SQL
-    equality never matches NULL, and the probe path keeps that contract
-    by refusing null probe values."""
-    if num_bits <= 0 or num_bits % 64:
-        raise ValueError("num_bits must be a positive multiple of 64")
+    file for ~1% false-positive rate).  ``num_bits=None`` sizes it from
+    the data: one approx-distinct-per-file probe (HLL, footer-pruned to
+    ``col``) feeds :func:`estimate_bits` at ``fpp``, sized to the LARGEST
+    file so skipping quality holds across skew.  NULLs are not indexed —
+    SQL equality never matches NULL, and the probe path keeps that
+    contract by refusing null probe values."""
     files = list_data_files(spark, path, recursive=True)
     if not files:
         return 0
     df = spark.read.option("mergeSchema", "true").parquet(*files)
     if col not in df.columns:
         raise ValueError(f"no column {col!r} in {path}")
+    if num_bits is None:
+        worst = (
+            df.where(F.col(col).isNotNull())
+            .groupBy(F.col("_metadata.file_path"))
+            .agg(F.approx_count_distinct(col).alias("nd"))
+            .agg(F.max("nd").alias("mx"))
+            .first()["mx"]
+        )
+        # HLL underestimates up to ~5%; pad before sizing
+        num_bits = estimate_bits(int((worst or 1) * 1.1), fpp)
+    if num_bits <= 0 or num_bits % 64:
+        raise ValueError("num_bits must be a positive multiple of 64")
     root_len = len(
         _fs(spark, path)[1]
         .makeQualified(_fs(spark, path)[2])

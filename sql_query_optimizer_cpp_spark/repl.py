@@ -32,6 +32,10 @@ MERGE ...``        (the reference parses these and stops)
 [KEEP k]``         manifests, then reclaim unreferenced retired files
 ``RESTORE n v``    roll the table back to version v as a NEW commit
                    (metadata-only renames; history preserved)
+``INDEX n          per-file bloom index: BUILD <col> (auto-sized from an
+BUILD|LOOKUP|      approx-distinct probe), LOOKUP <col> <v> (reads only
+STATS``            admitted files), STATS <col>
+
 ``CHANGES n a b``  CDC: net row changes between two committed versions
 ``CONSTRAINT n     CHECK constraints (ADD/DROP/LIST) enforced over every
 ADD|DROP|LIST``    value-changing mutation's staged output
@@ -72,6 +76,9 @@ _HELP = """commands:
   VERSIONS <name>       enable/inspect the version log (MVCC for readers)
   VACUUM <name> [KEEP <n>]  drop old version manifests, reclaim retired files
   RESTORE <name> <version>  roll the table back to a version (new commit)
+  INDEX <name> BUILD <col> | LOOKUP <col> <v> | STATS <col>
+                        per-file bloom index: build (auto-sized), probe-
+                        and-read a point lookup, or show sidecar stats
   CHANGES <name> <from> [<to>]  CDC: net row changes between two versions
   CONSTRAINT <name> ADD <cname> <expr> | DROP <cname> | LIST
                         CHECK constraints enforced by UPDATE/MERGE staging
@@ -224,6 +231,49 @@ def handle(
             return (
                 f"dropped {dropped} old version manifest(s); "
                 f"reclaimed {n} unreferenced retired file(s)"
+            )
+        if verb == "INDEX":
+            from .operators.fileindex import (
+                build_bloom_index,
+                has_bloom_index,
+                index_stats,
+                read_point_lookup,
+            )
+
+            parts = rest.split()
+            usage = (
+                "usage: INDEX <attached table> BUILD <col> | "
+                "LOOKUP <col> <value> | STATS <col>"
+            )
+            if (
+                len(parts) < 3
+                or parts[0] not in dml_tables
+                or parts[1].upper() not in ("BUILD", "LOOKUP", "STATS")
+            ):
+                return usage
+            path, action, col = dml_tables[parts[0]], parts[1].upper(), parts[2]
+            if action == "BUILD":
+                n = build_bloom_index(engine.spark, path, col, num_bits=None)
+                st = index_stats(engine.spark, path, col)
+                return (
+                    f"bloom index on {parts[0]}.{col}: {n} files, "
+                    f"{st['num_bits']} bits/file, "
+                    f"{st['sidecar_bytes']} sidecar bytes"
+                )
+            if not has_bloom_index(engine.spark, path, col):
+                return f"no bloom index on {parts[0]}.{col}; INDEX {parts[0]} BUILD {col} first"
+            if action == "STATS":
+                return "\n".join(
+                    f"  {k} = {v}"
+                    for k, v in sorted(
+                        index_stats(engine.spark, path, col).items()
+                    )
+                )
+            if len(parts) != 4:
+                return usage
+            return _fmt_rows(
+                read_point_lookup(engine.spark, path, col, parts[3]),
+                max_rows,
             )
         if verb == "COMPACT":
             from .operators.mutate import compact

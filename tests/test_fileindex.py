@@ -138,3 +138,17 @@ def test_bloom_stats_and_sizing(spark, keyed_table):
         build_bloom_index(spark, keyed_table, "ref", num_bits=100)
     with pytest.raises(ValueError, match="no column"):
         build_bloom_index(spark, keyed_table, "nope")
+
+
+def test_bloom_auto_sizing_from_distinct_probe(spark, tmp_path):
+    path = str(tmp_path / "bloomauto")
+    spark.range(5000).selectExpr("CAST(hash(id) AS BIGINT) AS ref").repartition(
+        4
+    ).write.parquet(path)
+    build_bloom_index(spark, path, "ref", num_bits=None, fpp=0.01)
+    st = index_stats(spark, path, "ref")
+    # ~1250 distinct/file * 1.1 pad -> m = -n ln p / ln2^2 ~ 13.2k bits
+    assert 8_000 < st["num_bits"] < 32_000
+    assert st["num_bits"] % 64 == 0
+    row = spark.read.parquet(path).limit(1).first()
+    assert read_point_lookup(spark, path, "ref", row["ref"]).count() >= 1

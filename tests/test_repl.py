@@ -325,3 +325,22 @@ def test_repl_restore_verb(engine, spark, tmp_path):
     assert handle(engine, "RESTORE t 3", tables).endswith("no-op")
     assert handle(engine, "RESTORE t x", tables).startswith("usage:")
     assert handle(engine, "RESTORE ghost 1", tables).startswith("usage:")
+
+
+def test_repl_index_verbs(engine, spark, tmp_path):
+    path = str(tmp_path / "repl_idx")
+    spark.range(2000).selectExpr(
+        "id AS k", "CAST(hash(id) AS BIGINT) AS ref"
+    ).repartition(4).write.parquet(path)
+    tables: dict[str, str] = {}
+    handle(engine, f"ATTACH t {path}", tables)
+    out = handle(engine, "INDEX t BUILD ref", tables)
+    assert "bloom index on t.ref: 4 files" in out
+    ref = spark.read.parquet(path).where("k = 7").first()["ref"]
+    out = handle(engine, f"INDEX t LOOKUP ref {ref}", tables)
+    assert "(1 row)" in out
+    out = handle(engine, "INDEX t STATS ref", tables)
+    assert "indexed_files = 4" in out and "col_type = bigint" in out
+    assert handle(engine, "INDEX t LOOKUP nope 1", tables).startswith("no bloom")
+    assert handle(engine, "INDEX ghost BUILD ref", tables).startswith("usage:")
+    assert handle(engine, "INDEX t LOOKUP ref", tables).startswith("usage:")
