@@ -108,6 +108,36 @@ def build_bloom_index(
         num_bits = estimate_bits(int((worst or 1) * 1.1), fpp)
     if num_bits <= 0 or num_bits % 64:
         raise ValueError("num_bits must be a positive multiple of 64")
+    index_df = _index_rows(spark, path, files, col, num_bits, num_hashes)
+    root = _index_root(path, col)
+    index_df.write.mode("overwrite").parquet(root)
+    meta = json.dumps(
+        {
+            "col": col,
+            "num_bits": num_bits,
+            "num_hashes": num_hashes,
+            # xxhash64 is TYPE-sensitive (an int literal and a bigint
+            # column hash differently); the probe must cast its literal
+            # to exactly the type that was hashed at build time
+            "col_type": df.schema[col].dataType.simpleString(),
+        }
+    )
+    _write_small_file(spark, f"{root}/_meta.json", meta.encode())
+    return spark.read.parquet(root).count()
+
+
+def _index_rows(
+    spark: SparkSession,
+    path: str,
+    files: list[str],
+    col: str,
+    num_bits: int,
+    num_hashes: int,
+) -> DataFrame:
+    """One (src_file, bloom) row per file in ``files`` — the shared build
+    pipeline: JVM-side position hashing, collect_set bounded by
+    ``num_bits``, Arrow-batched bitset packing."""
+    df = spark.read.option("mergeSchema", "true").parquet(*files)
     root_len = len(
         _fs(spark, path)[1]
         .makeQualified(_fs(spark, path)[2])
@@ -126,7 +156,6 @@ def build_bloom_index(
         .groupBy("src_file")
         .agg(F.collect_set("pos").alias("positions"))
     )
-
     nbytes = num_bits // 8
 
     @pandas_udf("binary")
@@ -137,28 +166,42 @@ def build_bloom_index(
         for pos in positions:
             bits = np.zeros(nbytes, dtype=np.uint8)
             p = np.asarray(pos, dtype=np.int64)
-            np.bitwise_or.at(bits, p >> 3, np.uint8(1) << (p & 7).astype(np.uint8))
+            np.bitwise_or.at(
+                bits, p >> 3, np.uint8(1) << (p & 7).astype(np.uint8)
+            )
             out.append(bits.tobytes())
         return pd.Series(out)
 
-    index_df = per_file.select(
+    return per_file.select(
         "src_file", pack(F.col("positions")).alias("bloom")
     )
-    root = _index_root(path, col)
-    index_df.write.mode("overwrite").parquet(root)
-    meta = json.dumps(
-        {
-            "col": col,
-            "num_bits": num_bits,
-            "num_hashes": num_hashes,
-            # xxhash64 is TYPE-sensitive (an int literal and a bigint
-            # column hash differently); the probe must cast its literal
-            # to exactly the type that was hashed at build time
-            "col_type": df.schema[col].dataType.simpleString(),
-        }
-    )
-    _write_small_file(spark, f"{root}/_meta.json", meta.encode())
-    return spark.read.parquet(root).count()
+
+
+def refresh_bloom_index(spark: SparkSession, path: str, col: str) -> int:
+    """Incrementally index the live files the sidecar has no row for —
+    the cheap maintenance pass after COW DML/compaction rewrote part of
+    the table (those files were correct-but-unskippable as
+    always-candidates).  Appends with the ORIGINAL build parameters;
+    rows for replaced file names stay behind but are inert (they match
+    no live file) and disappear on the next full rebuild.  Returns how
+    many files were newly indexed — O(new files) data read, never
+    O(table)."""
+    meta = _index_meta(spark, path, col)
+    files = list_data_files(spark, path, recursive=True)
+    idx_root = _index_root(path, col)
+    indexed = {
+        r["src_file"]
+        for r in spark.read.parquet(idx_root).select("src_file").collect()
+    }
+    missing = [
+        f for f in files if _rel_to_table(path, f) not in indexed
+    ]
+    if not missing:
+        return 0
+    _index_rows(
+        spark, path, missing, col, meta["num_bits"], meta["num_hashes"]
+    ).write.mode("append").parquet(idx_root)
+    return len(missing)
 
 
 def has_bloom_index(spark: SparkSession, path: str, col: str) -> bool:

@@ -238,17 +238,19 @@ def handle(
                 has_bloom_index,
                 index_stats,
                 read_point_lookup,
+                refresh_bloom_index,
             )
 
             parts = rest.split()
             usage = (
                 "usage: INDEX <attached table> BUILD <col> | "
-                "LOOKUP <col> <value> | STATS <col>"
+                "REFRESH <col> | LOOKUP <col> <value> | STATS <col>"
             )
             if (
                 len(parts) < 3
                 or parts[0] not in dml_tables
-                or parts[1].upper() not in ("BUILD", "LOOKUP", "STATS")
+                or parts[1].upper()
+                not in ("BUILD", "REFRESH", "LOOKUP", "STATS")
             ):
                 return usage
             path, action, col = dml_tables[parts[0]], parts[1].upper(), parts[2]
@@ -262,6 +264,13 @@ def handle(
                 )
             if not has_bloom_index(engine.spark, path, col):
                 return f"no bloom index on {parts[0]}.{col}; INDEX {parts[0]} BUILD {col} first"
+            if action == "REFRESH":
+                n = refresh_bloom_index(engine.spark, path, col)
+                return (
+                    f"indexed {n} new file(s) on {parts[0]}.{col}"
+                    if n
+                    else f"index on {parts[0]}.{col} already covers every live file"
+                )
             if action == "STATS":
                 return "\n".join(
                     f"  {k} = {v}"

@@ -152,3 +152,27 @@ def test_bloom_auto_sizing_from_distinct_probe(spark, tmp_path):
     assert st["num_bits"] % 64 == 0
     row = spark.read.parquet(path).limit(1).first()
     assert read_point_lookup(spark, path, "ref", row["ref"]).count() >= 1
+
+
+def test_bloom_refresh_incremental(spark, keyed_table):
+    """After a COW rewrite, refresh indexes ONLY the new file (O(new
+    files) read) and restores full skipping without a rebuild."""
+    from sql_query_optimizer_cpp_spark.operators.fileindex import (
+        refresh_bloom_index,
+    )
+
+    build_bloom_index(
+        spark, keyed_table, "ref", num_bits=1 << 16, num_hashes=5
+    )
+    delete_where(spark, keyed_table, "k = 100")   # rewrites one file
+    delete_where(spark, keyed_table, "k = 3500")  # and another
+    # degraded-but-correct: the 2 rewritten files are always-candidates
+    assert len(probe_files(spark, keyed_table, "ref", -987654321)) == 2
+    assert refresh_bloom_index(spark, keyed_table, "ref") == 2
+    assert refresh_bloom_index(spark, keyed_table, "ref") == 0  # idempotent
+    # full skipping again: the absent value admits ~no files
+    assert len(probe_files(spark, keyed_table, "ref", -987654321)) <= 1
+    # and present keys still find their rows through the refreshed rows
+    row = spark.read.parquet(keyed_table).where("k = 3500 + 1").first()
+    got = read_point_lookup(spark, keyed_table, "ref", row["ref"]).collect()
+    assert [r["k"] for r in got] == [3501]

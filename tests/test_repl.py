@@ -344,3 +344,17 @@ def test_repl_index_verbs(engine, spark, tmp_path):
     assert handle(engine, "INDEX t LOOKUP nope 1", tables).startswith("no bloom")
     assert handle(engine, "INDEX ghost BUILD ref", tables).startswith("usage:")
     assert handle(engine, "INDEX t LOOKUP ref", tables).startswith("usage:")
+
+
+def test_repl_index_refresh(engine, spark, tmp_path):
+    path = str(tmp_path / "repl_idx2")
+    spark.range(800).selectExpr(
+        "id AS k", "CAST(hash(id) AS BIGINT) AS ref", "CAST(1 AS DOUBLE) AS v"
+    ).repartition(4).write.parquet(path)
+    tables: dict[str, str] = {}
+    handle(engine, f"ATTACH t {path}", tables)
+    handle(engine, "INDEX t BUILD ref", tables)
+    handle(engine, "DELETE FROM t WHERE k = 5", tables)
+    out = handle(engine, "INDEX t REFRESH ref", tables)
+    assert "indexed 1 new file(s)" in out
+    assert "already covers" in handle(engine, "INDEX t REFRESH ref", tables)
