@@ -1422,19 +1422,18 @@ def mutate_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and the Delta bloom-index shape): an orders copy range-clustered "
     "on o_totalprice (so o_orderkey is SCATTERED and footer min/max "
     "cannot prune it) gets a per-file bloom sidecar on o_orderkey "
-    "(xxhash64 positions JVM-side, Arrow-packed bitsets); eight point "
-    "lookups (seven present keys + one absent) then read ONLY the "
-    "files each probe admits.  Equality with the oracle's plain IN "
-    "filter proves no-false-negative membership, type-faithful literal "
-    "hashing, and residual-predicate exactness; the skipping itself "
-    "(candidates < files, absent key ≈ zero files) is pinned in "
+    "(xxhash64 positions JVM-side, Arrow-packed bitsets); an 8-key IN "
+    "lookup (seven present keys + one absent) runs as ONE probe pass — "
+    "a single index scan admits a file if any key's bits are set — and "
+    "one read of only the admitted files.  Equality with the oracle's "
+    "plain IN filter proves no-false-negative membership, type-faithful "
+    "literal hashing, and residual-predicate exactness; the skipping "
+    "itself (candidates < files, absent key ≈ zero files) is pinned in "
     "tests/test_fileindex.py",
     tags=("mutate", "sources"),
 )
 def point_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from functools import reduce
-
-    from ..operators.fileindex import build_bloom_index, read_point_lookup
+    from ..operators.fileindex import build_bloom_index, read_point_lookups
 
     t = load_tables(spark, sf_dir, ("orders",))
     path = _mut_dir(sf_dir, "orders_bloom")
@@ -1448,10 +1447,7 @@ def point_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     build_bloom_index(spark, path, "o_orderkey", num_bits=1 << 17)
     keys = [1, 2, 3, 4, 5, 6, 7, 999999937]
-    lookups = [
-        read_point_lookup(spark, path, "o_orderkey", k) for k in keys
-    ]
-    hits = reduce(lambda a, b: a.unionByName(b), lookups)
+    hits = read_point_lookups(spark, path, "o_orderkey", keys)
     return (
         hits.groupBy("o_orderkey", "o_custkey")
         .agg(dsum("o_totalprice").alias("total"))

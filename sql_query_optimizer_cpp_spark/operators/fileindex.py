@@ -291,6 +291,71 @@ def read_point_lookup(
     return reader.parquet(*candidates).where(F.col(col) == F.lit(value))
 
 
+def read_point_lookups(
+    spark: SparkSession, path: str, col: str, values: list
+) -> DataFrame:
+    """``WHERE col IN (<values>)`` through the index with ONE probe pass:
+    every literal's positions come from a single JVM job, one scan of the
+    index rows admits a file if ANY value's bits are all set, and one
+    read covers the union of candidates.  NULLs in ``values`` are dropped
+    (SQL IN never matches NULL)."""
+    vals = [v for v in values if v is not None]
+    if not vals:
+        df = spark.read.option("mergeSchema", "true").parquet(path)
+        return df.where(F.lit(False))
+    meta = _index_meta(spark, path, col)
+    pos_rows = (
+        spark.createDataFrame([(v,) for v in vals], f"v {meta['col_type']}")
+        .select(
+            _positions(
+                F.col("v"), meta["num_hashes"], meta["num_bits"]
+            ).alias("p")
+        )
+        .collect()
+    )
+    pos_lists = [r["p"] for r in pos_rows]
+
+    @pandas_udf("boolean")
+    def admits_any(bloom: pd.Series) -> pd.Series:
+        import numpy as np
+
+        def test(b: bytes) -> bool:
+            a = np.frombuffer(b, dtype=np.uint8)
+            return any(
+                all(a[p >> 3] & (1 << (p & 7)) for p in pos)
+                for pos in pos_lists
+            )
+
+        return bloom.map(test)
+
+    idx = spark.read.parquet(_index_root(path, col))
+    admitted = {
+        r["src_file"]
+        for r in idx.where(admits_any(F.col("bloom")))
+        .select("src_file")
+        .collect()
+    }
+    indexed = {r["src_file"] for r in idx.select("src_file").collect()}
+    files = list_data_files(spark, path, recursive=True)
+    candidates = sorted(
+        f
+        for f in files
+        if _rel_to_table(path, f) in admitted
+        or _rel_to_table(path, f) not in indexed
+    )
+    if not candidates:
+        df = spark.read.option("mergeSchema", "true").parquet(path)
+        return df.where(F.lit(False))
+    from .mutate import is_partitioned
+
+    reader = spark.read.option("mergeSchema", "true")
+    if is_partitioned(spark, path):
+        reader = reader.option("basePath", path)
+    # plain literals keep the In filter parquet-pushable (a Column-typed
+    # isin would block pushdown); Spark coerces them to the column type
+    return reader.parquet(*candidates).where(F.col(col).isin(vals))
+
+
 def index_stats(spark: SparkSession, path: str, col: str) -> dict:
     """Sidecar shape: files indexed, bytes, and the build parameters."""
     meta = _index_meta(spark, path, col)

@@ -176,3 +176,28 @@ def test_bloom_refresh_incremental(spark, keyed_table):
     row = spark.read.parquet(keyed_table).where("k = 3500 + 1").first()
     got = read_point_lookup(spark, keyed_table, "ref", row["ref"]).collect()
     assert [r["k"] for r in got] == [3501]
+
+
+def test_bloom_multi_key_in_lookup(spark, keyed_table):
+    """IN-list lookups run one probe pass and equal the full-scan IN
+    filter exactly (present + absent + NULL members)."""
+    from sql_query_optimizer_cpp_spark.operators.fileindex import (
+        read_point_lookups,
+    )
+
+    build_bloom_index(
+        spark, keyed_table, "ref", num_bits=1 << 16, num_hashes=5
+    )
+    base = spark.read.parquet(keyed_table)
+    present = [r["ref"] for r in base.where("k IN (3, 1999, 3777)").collect()]
+    vals = present + [-424242, None]
+    got = sorted(
+        r["k"]
+        for r in read_point_lookups(
+            spark, keyed_table, "ref", vals
+        ).collect()
+    )
+    assert got == [3, 1999, 3777]
+    # all-NULL / empty lists match nothing
+    assert read_point_lookups(spark, keyed_table, "ref", [None]).count() == 0
+    assert read_point_lookups(spark, keyed_table, "ref", []).count() == 0
