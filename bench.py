@@ -180,6 +180,7 @@ def bench_spark(spark, registry, sf_dir: str):
         "mutate_mor_pipeline",
         "mutate_restore_version",
         "point_lookup_bloom",
+        "agg_heavy_hitters",
     ):
         spec = registry.get(name)
         if spec is None:

@@ -820,3 +820,37 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  FROM orders GROUP BY o_orderstatus"
         ") UNPIVOT (value FOR metric IN (n_orders, total_price))"
     )
+
+
+# --- beyond-ref: exact heavy hitters without shuffling the key space (r8) --------
+@register(
+    "agg_heavy_hitters",
+    oracle="SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 36 "
+    "ORDER BY l_partkey",
+    doc="Exact heavy hitters (new r8, operators/heavyhitters.py — the "
+    "frequent-items pass every training-data pipeline runs over n-grams/"
+    "URLs/fingerprints): phase 1 counts keys WITHIN each partition via "
+    "one mapInPandas pass (zero shuffle; the per-partition Arrow batch "
+    "iterator accumulates one local count per key) and emits only keys "
+    "with local count >= ceil(T/P) — pigeonhole guarantees a key with "
+    "global count >= T is locally frequent somewhere, so the candidate "
+    "set has no false negatives; phase 2 recounts ONLY candidate rows "
+    "(null-safe broadcast semi join) and applies the threshold exactly. "
+    "Equality with the oracle's plain GROUP BY/HAVING proves the "
+    "pigeonhole bound and the exact recount; at 100 TB the win is that "
+    "the only full shuffle carries candidate keys' rows, never the "
+    "billions-of-distinct-keys aggregation state.  Plan shape (no "
+    "Exchange below MapInPandas, LeftSemi broadcast) pinned in "
+    "tests/test_heavyhitters.py",
+    tags=("agg",),
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.heavyhitters import heavy_hitters
+
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    # lineitem averages ~30 rows per partkey at every sf (TPC-H keeps the
+    # ratio constant), so T=36 cuts mid-distribution: a real tail of
+    # heavy keys exists at sf0.001/0.01/0.1 alike
+    li = t["lineitem"].select("l_partkey").repartition(8)
+    return heavy_hitters(li, ["l_partkey"], 36).orderBy("l_partkey")
