@@ -45,6 +45,7 @@ MOR writer and a COW writer can never interleave.
 from __future__ import annotations
 
 import contextlib
+import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -228,25 +229,23 @@ def dv_update_where(
     """Merge-on-read ``UPDATE`` = insert the updated copies, tombstone the
     originals.  Cost is O(matched rows), not O(files containing them).
 
-    Flat tables only: appending copies into a hive-partitioned layout
-    means routing rows to partition directories, which is exactly the COW
-    :func:`~.mutate.update_where` per-partition machinery — use that
-    there.  Assignments cast back to the column's existing type (schema
-    stability, same rule as COW).  CHECK constraints are enforced over
-    the staged copies BEFORE anything becomes visible."""
+    Works on flat AND hive-partitioned tables: copies route to their
+    ``key=value`` directories through a partitioned staging write (the
+    same mover the COW verbs use), and — because an updated copy keeps
+    its partition values — assigning a PARTITION column is refused, the
+    COW rule.  Assignments cast back to the column's existing type
+    (schema stability).  CHECK constraints are enforced over the staged
+    copies BEFORE anything becomes visible."""
     cond = _cond(condition)
     with _writer_lock(spark, path):
         _ensure_dv_allowed(spark, path, "dv_update_where")
-        if is_partitioned(spark, path):
-            raise NotImplementedError(
-                "dv_update_where on a hive-partitioned table: updated "
-                "copies would need per-partition-directory routing; use "
-                "the copy-on-write update_where for partitioned tables"
-            )
-        files = list_data_files(spark, path)
+        partitioned = is_partitioned(spark, path)
+        files = list_data_files(spark, path, recursive=True)
         if not files or _no_match(spark, path, cond):
             return 0
-        sub = _with_identity(spark, path, files, None)
+        sub = _with_identity(
+            spark, path, files, path if partitioned else None
+        )
         data_cols = [
             c for c in sub.columns if c not in ("__src_file", "__row_idx")
         ]
@@ -255,6 +254,17 @@ def dv_update_where(
             raise ValueError(
                 f"UPDATE SET on unknown columns: {sorted(unknown)}"
             )
+        part_cols: list[str] = []
+        if partitioned:
+            from .mutate import _partition_cols
+
+            part_cols = _partition_cols(spark, path, files[0])
+            part_here = [c for c in set_map if c in part_cols]
+            if part_here:
+                raise ValueError(
+                    f"UPDATE SET on partition columns: {sorted(part_here)}; "
+                    "changing a row's partition is a delete + insert"
+                )
         matched = _live(sub.where(cond), _read_dv(spark, path))
         updated = matched.select(
             *[
@@ -267,11 +277,23 @@ def dv_update_where(
         # stage the copies while the base files are untouched; constraints
         # verified on staged output (same gate as the COW verbs)
         created: list[str] = []
-        staging = _stage(spark, path, updated, created)
         try:
+            if partitioned:
+                staging = path.rstrip("/") + f"__cow_{uuid.uuid4().hex}"
+                created.append(staging)
+                updated.write.partitionBy(*part_cols).mode(
+                    "overwrite"
+                ).parquet(staging)
+            else:
+                staging = _stage(spark, path, updated, created)
             if table_constraints(spark, path):
                 _enforce_constraints(spark, path, [staging])
-            n_new = _move_in(spark, path, staging)
+            if partitioned:
+                from .mutate import _move_in_partitioned
+
+                n_new = _move_in_partitioned(spark, path, staging, part_cols)
+            else:
+                n_new = _move_in(spark, path, staging)
         except BaseException:
             jvm, fs, _ = _fs(spark, path)
             for s in created:

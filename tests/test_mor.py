@@ -100,7 +100,7 @@ def test_dv_update_skips_deleted_rows(spark, tmp_path):
     assert out.where("k >= 20 AND k < 40 AND v = 0.0").count() == 20
 
 
-def test_dv_update_unknown_column_and_partitioned_refusal(spark, tmp_path):
+def test_dv_update_unknown_column_and_partitioned(spark, tmp_path):
     path = _flat(spark, tmp_path)
     with pytest.raises(ValueError, match="unknown columns"):
         dv_update_where(spark, path, {"nope": "1"}, "k < 5")
@@ -112,8 +112,21 @@ def test_dv_update_unknown_column_and_partitioned_refusal(spark, tmp_path):
         .mode("overwrite")
         .parquet(ppath)
     )
-    with pytest.raises(NotImplementedError, match="partitioned"):
-        dv_update_where(spark, ppath, {"v": "0.0"}, "k < 5")
+    # partitioned MOR update: copies route to their key=value dirs; a
+    # predicate may reference the partition column
+    n = dv_update_where(spark, ppath, {"v": "v + 100"}, "side = 1 AND k < 9")
+    assert n == 4  # k in {1,3,5,7}
+    out = read_mor(spark, ppath)
+    assert out.count() == 40
+    assert out.where("v >= 100").count() == 4
+    assert out.where("side = 0 AND v >= 100").count() == 0
+    # assigning the partition column is refused, same rule as COW
+    with pytest.raises(ValueError, match="partition columns"):
+        dv_update_where(spark, ppath, {"side": "0"}, "k < 5")
+    # materialize folds everything back into a plain partitioned table
+    materialize_deletes(spark, ppath)
+    back = spark.read.parquet(ppath)
+    assert back.count() == 40 and back.where("v >= 100").count() == 4
 
 
 def test_dv_partitioned_delete_and_materialize(spark, tmp_path):
