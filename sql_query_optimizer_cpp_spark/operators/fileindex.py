@@ -123,7 +123,9 @@ def build_bloom_index(
         }
     )
     _write_small_file(spark, f"{root}/_meta.json", meta.encode())
-    return spark.read.parquet(root).count()
+    # _index_rows emits exactly one row per file (all-NULL files get a
+    # zero bitset), so no read-back count job is needed
+    return len(files)
 
 
 def _index_rows(
@@ -172,8 +174,18 @@ def _index_rows(
             out.append(bits.tobytes())
         return pd.Series(out)
 
-    return per_file.select(
+    packed = per_file.select(
         "src_file", pack(F.col("positions")).alias("bloom")
+    )
+    # a file whose column is entirely NULL produces no position group;
+    # it still needs an (all-zero) index row, else refresh counts it as
+    # "new" forever and the probe treats it as an always-candidate
+    all_rels = spark.createDataFrame(
+        [(_rel_to_table(path, f),) for f in files], "src_file string"
+    )
+    return all_rels.join(packed, "src_file", "left").select(
+        "src_file",
+        F.coalesce(F.col("bloom"), F.lit(bytes(nbytes))).alias("bloom"),
     )
 
 
@@ -219,101 +231,36 @@ def _index_meta(spark: SparkSession, path: str, col: str) -> dict:
     )
 
 
-def probe_files(
-    spark: SparkSession, path: str, col: str, value
+def _probe(
+    spark: SparkSession, path: str, col: str, values: list
 ) -> list[str]:
-    """Candidate files (absolute paths) that may contain ``col = value``:
-    indexed files whose bloom admits the value, plus every live file the
-    index has no row for (always-candidate keeps rewrites correct with
-    no invalidation hook).  No false negatives by construction."""
-    if value is None:
-        # SQL equality with NULL matches nothing; no file qualifies
+    """Candidate files (absolute paths) that may contain ``col IN
+    (values)``: indexed files whose bloom admits ANY of the values, plus
+    every live file the index has no row for (always-candidate keeps
+    rewrites correct with no invalidation hook).  No false negatives by
+    construction.  One JVM job computes every literal's positions, and
+    ONE pass over the index rows yields both the admitted and the
+    indexed sets."""
+    vals = [v for v in values if v is not None]
+    if not vals:
+        # SQL equality/IN with NULL matches nothing; no file qualifies
         return []
     meta = _index_meta(spark, path, col)
     files = list_data_files(spark, path, recursive=True)
     by_rel = {_rel_to_table(path, f): f for f in files}
-    # the literal's positions via the SAME JVM hash expression as build
-    pos = (
-        spark.range(1)
-        .select(
-            _positions(
-                F.lit(value).cast(meta["col_type"]),
-                meta["num_hashes"],
-                meta["num_bits"],
-            ).alias("p")
+    # the literals' positions via the SAME JVM hash expression as build
+    pos_lists = [
+        r["p"]
+        for r in spark.createDataFrame(
+            [(v,) for v in vals], f"v {meta['col_type']}"
         )
-        .first()["p"]
-    )
-
-    @pandas_udf("boolean")
-    def admits(bloom: pd.Series) -> pd.Series:
-        import numpy as np
-
-        def test(b: bytes) -> bool:
-            a = np.frombuffer(b, dtype=np.uint8)
-            return all(a[p >> 3] & (1 << (p & 7)) for p in pos)
-
-        return bloom.map(test)
-
-    idx = spark.read.parquet(_index_root(path, col))
-    admitted = {
-        r["src_file"]
-        for r in idx.where(admits(F.col("bloom")))
-        .select("src_file")
-        .collect()
-    }
-    indexed = {
-        r["src_file"] for r in idx.select("src_file").collect()
-    }
-    return sorted(
-        f
-        for rel, f in by_rel.items()
-        if rel in admitted or rel not in indexed
-    )
-
-
-def read_point_lookup(
-    spark: SparkSession, path: str, col: str, value
-) -> DataFrame:
-    """``SELECT * FROM <path> WHERE col = value`` reading only the files
-    the bloom index admits (plus unindexed ones).  Exactly equal to the
-    full-scan filter: blooms have no false negatives, the residual
-    predicate removes false positives, and NULL probes return empty."""
-    candidates = probe_files(spark, path, col, value)
-    if not candidates:
-        df = spark.read.option("mergeSchema", "true").parquet(path)
-        return df.where(F.lit(False))
-    from .mutate import is_partitioned
-
-    reader = spark.read.option("mergeSchema", "true")
-    if is_partitioned(spark, path):
-        reader = reader.option("basePath", path)
-    return reader.parquet(*candidates).where(F.col(col) == F.lit(value))
-
-
-def read_point_lookups(
-    spark: SparkSession, path: str, col: str, values: list
-) -> DataFrame:
-    """``WHERE col IN (<values>)`` through the index with ONE probe pass:
-    every literal's positions come from a single JVM job, one scan of the
-    index rows admits a file if ANY value's bits are all set, and one
-    read covers the union of candidates.  NULLs in ``values`` are dropped
-    (SQL IN never matches NULL)."""
-    vals = [v for v in values if v is not None]
-    if not vals:
-        df = spark.read.option("mergeSchema", "true").parquet(path)
-        return df.where(F.lit(False))
-    meta = _index_meta(spark, path, col)
-    pos_rows = (
-        spark.createDataFrame([(v,) for v in vals], f"v {meta['col_type']}")
         .select(
             _positions(
                 F.col("v"), meta["num_hashes"], meta["num_bits"]
             ).alias("p")
         )
         .collect()
-    )
-    pos_lists = [r["p"] for r in pos_rows]
+    ]
 
     @pandas_udf("boolean")
     def admits_any(bloom: pd.Series) -> pd.Series:
@@ -328,32 +275,84 @@ def read_point_lookups(
 
         return bloom.map(test)
 
-    idx = spark.read.parquet(_index_root(path, col))
-    admitted = {
-        r["src_file"]
-        for r in idx.where(admits_any(F.col("bloom")))
-        .select("src_file")
+    rows = (
+        spark.read.parquet(_index_root(path, col))
+        .select("src_file", admits_any(F.col("bloom")).alias("ok"))
         .collect()
-    }
-    indexed = {r["src_file"] for r in idx.select("src_file").collect()}
-    files = list_data_files(spark, path, recursive=True)
-    candidates = sorted(
-        f
-        for f in files
-        if _rel_to_table(path, f) in admitted
-        or _rel_to_table(path, f) not in indexed
     )
+    indexed = {r["src_file"] for r in rows}
+    admitted = {r["src_file"] for r in rows if r["ok"]}
+    return sorted(
+        f
+        for rel, f in by_rel.items()
+        if rel in admitted or rel not in indexed
+    )
+
+
+def probe_files(
+    spark: SparkSession, path: str, col: str, value
+) -> list[str]:
+    """Single-value :func:`_probe` (see there for the guarantees)."""
+    return _probe(spark, path, col, [value])
+
+
+def _read_candidates(
+    spark: SparkSession, path: str, candidates: list[str], residual
+) -> DataFrame:
+    """Read only ``candidates`` with the residual predicate — and apply
+    live deletion vectors when the table carries them, so the index read
+    path composes with merge-on-read DML instead of resurrecting
+    MOR-deleted rows (same contract as read_mor)."""
+    from .mor import _live, _read_dv, _with_identity
+    from .mutate import is_partitioned
+
     if not candidates:
         df = spark.read.option("mergeSchema", "true").parquet(path)
         return df.where(F.lit(False))
-    from .mutate import is_partitioned
+    base_path = path if is_partitioned(spark, path) else None
+    dv = _read_dv(spark, path)
+    if dv is None:
+        reader = spark.read.option("mergeSchema", "true")
+        if base_path is not None:
+            reader = reader.option("basePath", base_path)
+        return reader.parquet(*candidates).where(residual)
+    df = _with_identity(spark, path, candidates, base_path)
+    return (
+        _live(df.where(residual), dv).drop("__src_file", "__row_idx")
+    )
 
-    reader = spark.read.option("mergeSchema", "true")
-    if is_partitioned(spark, path):
-        reader = reader.option("basePath", path)
+
+def read_point_lookup(
+    spark: SparkSession, path: str, col: str, value
+) -> DataFrame:
+    """``SELECT * FROM <path> WHERE col = value`` reading only the files
+    the bloom index admits (plus unindexed ones).  Exactly equal to the
+    full-scan filter: blooms have no false negatives, the residual
+    predicate removes false positives, NULL probes return empty, and
+    deletion vectors (if any) are applied."""
+    return _read_candidates(
+        spark,
+        path,
+        _probe(spark, path, col, [value]),
+        F.col(col) == F.lit(value) if value is not None else F.lit(False),
+    )
+
+
+def read_point_lookups(
+    spark: SparkSession, path: str, col: str, values: list
+) -> DataFrame:
+    """``WHERE col IN (<values>)`` through the index with ONE probe pass
+    and one read of the candidate union.  NULLs in ``values`` are
+    dropped (SQL IN never matches NULL); deletion vectors are applied."""
+    vals = [v for v in values if v is not None]
     # plain literals keep the In filter parquet-pushable (a Column-typed
     # isin would block pushdown); Spark coerces them to the column type
-    return reader.parquet(*candidates).where(F.col(col).isin(vals))
+    return _read_candidates(
+        spark,
+        path,
+        _probe(spark, path, col, vals),
+        F.col(col).isin(vals) if vals else F.lit(False),
+    )
 
 
 def index_stats(spark: SparkSession, path: str, col: str) -> dict:

@@ -33,8 +33,9 @@ MERGE ...``        (the reference parses these and stops)
 ``RESTORE n v``    roll the table back to version v as a NEW commit
                    (metadata-only renames; history preserved)
 ``INDEX n          per-file bloom index: BUILD <col> (auto-sized from an
-BUILD|LOOKUP|      approx-distinct probe), LOOKUP <col> <v> (reads only
-STATS``            admitted files), STATS <col>
+BUILD|REFRESH|     approx-distinct probe), REFRESH <col> (index only the
+LOOKUP|STATS``     files DML rewrote), LOOKUP <col> <v> (reads only
+                   admitted files), STATS <col>
 
 ``CHANGES n a b``  CDC: net row changes between two committed versions
 ``CONSTRAINT n     CHECK constraints (ADD/DROP/LIST) enforced over every
@@ -76,9 +77,10 @@ _HELP = """commands:
   VERSIONS <name>       enable/inspect the version log (MVCC for readers)
   VACUUM <name> [KEEP <n>]  drop old version manifests, reclaim retired files
   RESTORE <name> <version>  roll the table back to a version (new commit)
-  INDEX <name> BUILD <col> | LOOKUP <col> <v> | STATS <col>
-                        per-file bloom index: build (auto-sized), probe-
-                        and-read a point lookup, or show sidecar stats
+  INDEX <name> BUILD <col> | REFRESH <col> | LOOKUP <col> <v> | STATS <col>
+                        per-file bloom index: build (auto-sized), index
+                        just the files DML rewrote, probe-and-read a
+                        point lookup, or show sidecar stats
   CHANGES <name> <from> [<to>]  CDC: net row changes between two versions
   CONSTRAINT <name> ADD <cname> <expr> | DROP <cname> | LIST
                         CHECK constraints enforced by UPDATE/MERGE staging
@@ -256,6 +258,8 @@ def handle(
             path, action, col = dml_tables[parts[0]], parts[1].upper(), parts[2]
             if action == "BUILD":
                 n = build_bloom_index(engine.spark, path, col, num_bits=None)
+                if not n:
+                    return f"{parts[0]} has no data files to index"
                 st = index_stats(engine.spark, path, col)
                 return (
                     f"bloom index on {parts[0]}.{col}: {n} files, "
@@ -280,8 +284,21 @@ def handle(
                 )
             if len(parts) != 4:
                 return usage
+            # validate the literal BEFORE probing: under ANSI mode a
+            # non-parsing value raises a raw CAST_INVALID_INPUT blob;
+            # try_cast turns it into a friendly usage message
+            ctype = index_stats(engine.spark, path, col)["col_type"]
+            parsed = engine.spark.sql(
+                "SELECT try_cast(? AS " + ctype + ") AS v",
+                args=[parts[3]],
+            ).first()["v"]
+            if parsed is None:
+                return (
+                    f"value {parts[3]!r} does not parse as the indexed "
+                    f"column's type ({ctype})"
+                )
             return _fmt_rows(
-                read_point_lookup(engine.spark, path, col, parts[3]),
+                read_point_lookup(engine.spark, path, col, parsed),
                 max_rows,
             )
         if verb == "COMPACT":

@@ -201,3 +201,56 @@ def test_bloom_multi_key_in_lookup(spark, keyed_table):
     # all-NULL / empty lists match nothing
     assert read_point_lookups(spark, keyed_table, "ref", [None]).count() == 0
     assert read_point_lookups(spark, keyed_table, "ref", []).count() == 0
+
+
+def test_bloom_lookup_applies_deletion_vectors(spark, tmp_path):
+    """The index read path composes with merge-on-read DML: a bloom
+    lookup must never resurrect a tombstoned row (same contract as
+    read_mor)."""
+    from sql_query_optimizer_cpp_spark.operators.mor import (
+        dv_delete_where,
+        dv_update_where,
+        read_mor,
+    )
+    from sql_query_optimizer_cpp_spark.operators.fileindex import (
+        read_point_lookups,
+    )
+
+    path = str(tmp_path / "bloomdv")
+    spark.range(1000).selectExpr(
+        "id AS k", "CAST(hash(id) AS BIGINT) AS ref", "CAST(1 AS DOUBLE) AS v"
+    ).repartition(4).write.parquet(path)
+    build_bloom_index(spark, path, "ref", num_bits=1 << 16)
+    base = spark.read.parquet(path)
+    dead = base.where("k = 7").first()["ref"]
+    alive = base.where("k = 8").first()["ref"]
+    dv_delete_where(spark, path, "k = 7")
+    dv_update_where(spark, path, {"v": "2.0"}, "k = 8")
+    assert read_point_lookup(spark, path, "ref", dead).count() == 0
+    got = read_point_lookup(spark, path, "ref", alive).collect()
+    assert [(r["k"], r["v"]) for r in got] == [(8, 2.0)]
+    multi = read_point_lookups(spark, path, "ref", [dead, alive])
+    assert sorted(r["k"] for r in multi.collect()) == [8]
+    assert read_mor(spark, path).count() == 999
+
+
+def test_bloom_all_null_file_refresh_converges(spark, tmp_path):
+    """A file whose indexed column is entirely NULL gets a zero-bitset
+    row: refresh is idempotent, the file is never a candidate, and NULL
+    rows are invisible to equality lookups anyway."""
+    from sql_query_optimizer_cpp_spark.operators.fileindex import (
+        refresh_bloom_index,
+    )
+
+    path = str(tmp_path / "bloomnull")
+    spark.range(100).selectExpr("id AS k", "CAST(hash(id) AS BIGINT) AS ref").write.parquet(path)
+    spark.range(50).selectExpr(
+        "id + 100 AS k", "CAST(NULL AS BIGINT) AS ref"
+    ).coalesce(1).write.mode("append").parquet(path)
+    files = len(list_data_files(spark, path))
+    assert build_bloom_index(spark, path, "ref", num_bits=1 << 14) == files
+    assert refresh_bloom_index(spark, path, "ref") == 0  # converged
+    # the all-NULL file is fully skippable: an absent probe admits nothing
+    assert probe_files(spark, path, "ref", -1) == []
+    row = spark.read.parquet(path).where("k = 5").first()
+    assert read_point_lookup(spark, path, "ref", row["ref"]).count() == 1

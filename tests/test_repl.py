@@ -358,3 +358,15 @@ def test_repl_index_refresh(engine, spark, tmp_path):
     out = handle(engine, "INDEX t REFRESH ref", tables)
     assert "indexed 1 new file(s)" in out
     assert "already covers" in handle(engine, "INDEX t REFRESH ref", tables)
+
+
+def test_repl_index_lookup_bad_literal(engine, spark, tmp_path):
+    path = str(tmp_path / "repl_idx3")
+    spark.range(100).selectExpr(
+        "id AS k", "CAST(hash(id) AS BIGINT) AS ref"
+    ).coalesce(2).write.parquet(path)
+    tables: dict[str, str] = {}
+    handle(engine, f"ATTACH t {path}", tables)
+    handle(engine, "INDEX t BUILD ref", tables)
+    out = handle(engine, "INDEX t LOOKUP ref abc", tables)
+    assert "does not parse" in out and "bigint" in out
