@@ -24,8 +24,11 @@ input              behavior
 ``ATTACH n path``  map table name → parquet dir for DML (the reference's
                    catalog is its live MySQL connection; fixtures here are
                    read-only, so DML targets are attached explicitly)
-``UPDATE/DELETE/   execute copy-on-write against attached tables
-MERGE ...``        (the reference parses these and stops)
+``UPDATE/DELETE/   execute against attached tables (the reference parses
+MERGE ...``        these and stops); ``SET MODE cow|occ|mor`` picks the
+                   execution protocol — copy-on-write (default),
+                   optimistic multi-writer, or merge-on-read deletion
+                   vectors
 ``VERSIONS n``     enable/inspect the attached table's version log
                    (commit timestamps of the newest 10 shown)
 ``VACUUM n         retention: drop all but the newest KEEP version
@@ -72,7 +75,9 @@ _HELP = """commands:
   ADVISE <query>        genetic join-order recommendation
   ANALYZE               harvest table statistics
   ATTACH <name> <path>  map a table name to a parquet dir for DML
-  UPDATE/DELETE/MERGE   execute copy-on-write DML on attached tables
+  UPDATE/DELETE/MERGE   execute DML on attached tables (mode below)
+  SET MODE cow|occ|mor  DML mode: copy-on-write (default) / optimistic
+                        multi-writer / merge-on-read deletion vectors
   ALTER TABLE <t> ADD CONSTRAINT <c> CHECK (<expr>) | DROP CONSTRAINT <c>
   VERSIONS <name>       enable/inspect the version log (MVCC for readers)
   VACUUM <name> [KEEP <n>]  drop old version manifests, reclaim retired files
@@ -121,10 +126,13 @@ def handle(
     line: str,
     dml_tables: dict[str, str],
     max_rows: int = 20,
+    settings: dict | None = None,
 ) -> str | None:
     """Dispatch one REPL line; returns the output text, or ``None`` for
     EXIT.  Mirrors the reference CLI's first-keyword dispatch
-    (``engine/src/parser.cpp:10-33``)."""
+    (``engine/src/parser.cpp:10-33``).  ``settings`` carries session
+    state the loop owns (currently the DML mode: cow | occ | mor)."""
+    settings = settings if settings is not None else {}
     text = line.strip().rstrip(";").strip()
     if not text:
         return ""
@@ -363,8 +371,36 @@ def handle(
             return engine.cost(rest).render()
         if verb == "ADVISE":
             return engine.join_order_advice(rest).render()
+        if verb == "SET":
+            parts = rest.split()
+            usage = "usage: SET MODE cow | occ | mor  (SET shows current)"
+            if not parts:
+                return f"mode = {settings.get('mode', 'cow')}"
+            if (
+                len(parts) != 2
+                or parts[0].upper() != "MODE"
+                or parts[1].lower() not in ("cow", "occ", "mor")
+            ):
+                return usage
+            settings["mode"] = parts[1].lower()
+            return (
+                f"mode = {settings['mode']} "
+                "(UPDATE/DELETE/MERGE now run "
+                + {
+                    "cow": "copy-on-write, single-writer",
+                    "occ": "optimistically — concurrent writers retry on conflict",
+                    "mor": "merge-on-read — deletion vectors, no rewrites",
+                }[settings["mode"]]
+                + ")"
+            )
         if verb in ("UPDATE", "DELETE", "MERGE", "ALTER"):
-            stats = engine.dml(text, dml_tables)
+            mode = settings.get("mode", "cow")
+            stats = engine.dml(
+                text,
+                dml_tables,
+                optimistic=(mode == "occ"),
+                mor=(mode == "mor"),
+            )
             return stats.render()
         # bare query (SELECT / WITH / VALUES ...); `t VERSION AS OF n`
         # clauses on attached tables route through the time-travel gate
@@ -394,6 +430,7 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_session(app_name="repl")
     engine = Engine(spark, sf_dir=sf_dir)
     dml_tables: dict[str, str] = {}
+    settings: dict = {}
     interactive = sys.stdin.isatty()
     if interactive:
         print("sql_query_optimizer_cpp_spark REPL — HELP for commands")
@@ -403,7 +440,7 @@ def main(argv: list[str] | None = None) -> None:
         line = sys.stdin.readline()
         if not line:
             break
-        out = handle(engine, line, dml_tables)
+        out = handle(engine, line, dml_tables, settings=settings)
         if out is None:
             break
         if out:

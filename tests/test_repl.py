@@ -370,3 +370,32 @@ def test_repl_index_lookup_bad_literal(engine, spark, tmp_path):
     handle(engine, "INDEX t BUILD ref", tables)
     out = handle(engine, "INDEX t LOOKUP ref abc", tables)
     assert "does not parse" in out and "bigint" in out
+
+
+def test_repl_set_mode_routes_dml(engine, spark, tmp_path):
+    from sql_query_optimizer_cpp_spark.operators.mor import (
+        has_deletion_vectors,
+        read_mor,
+    )
+
+    path = str(tmp_path / "repl_mode")
+    spark.range(60).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v").coalesce(
+        2
+    ).write.parquet(path)
+    tables: dict[str, str] = {}
+    settings: dict = {}
+    handle(engine, f"ATTACH t {path}", tables, settings=settings)
+    assert handle(engine, "SET", tables, settings=settings) == "mode = cow"
+    assert "usage:" in handle(engine, "SET MODE nope", tables, settings=settings)
+    out = handle(engine, "SET MODE mor", tables, settings=settings)
+    assert "merge-on-read" in out
+    handle(engine, "DELETE FROM t WHERE k >= 50", tables, settings=settings)
+    # merge-on-read: nothing rewritten, vectors carry the delete
+    assert has_deletion_vectors(engine.spark, path)
+    assert spark.read.parquet(path).count() == 60
+    assert read_mor(engine.spark, path).count() == 50
+    out = handle(engine, "SET MODE occ", tables, settings=settings)
+    assert "optimistically" in out
+    # occ DML on a DV table is refused through the shared guard
+    out = handle(engine, "DELETE FROM t WHERE k = 1", tables, settings=settings)
+    assert "deletion vectors" in out
