@@ -47,6 +47,13 @@ def heavy_hitters(
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
     keyed = df.select(*key_cols)
+    # Soundness of reading P up front: the pigeonhole bound needs
+    # local_t = ceil(T / P_actual).  The execution can only ever see
+    # FEWER partitions than this static count — AQE coalesces shuffle
+    # reads (merging concentrates a key's rows, raising its local count)
+    # and never splits them outside skewed JOINs, which cannot sit
+    # directly under mapInPandas.  P_assumed >= P_actual makes local_t
+    # conservative (extra candidates), never lossy.
     num_parts = keyed.rdd.getNumPartitions() or 1
     local_t = math.ceil(min_count / num_parts)
     schema = T.StructType(
