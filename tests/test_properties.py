@@ -389,3 +389,59 @@ def test_partitioned_merge_equals_flat_merge(spark, tmp_path_factory, rows, src)
         }
         results.append((st_.rows_matched, st_.rows_inserted, got))
     assert results[0] == results[1]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),          # key
+            st.one_of(st.none(), st.integers(-50, 50)),      # nullable value
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    lo=st.integers(min_value=-10, max_value=40),
+    span=st.integers(min_value=0, max_value=30),
+    upd=st.integers(min_value=-10, max_value=60),
+    ratio=st.sampled_from([0.0, 0.5]),
+)
+@settings(**_SETTINGS)
+def test_mor_dml_equals_algebraic_fold(spark, rows, lo, span, upd, ratio):
+    """Randomized merge-on-read DELETE+UPDATE (+ a materialize, full or
+    ratio-gated) vs the same mutations folded algebraically: the MOR
+    verbs must agree with COW semantics exactly — three-valued DELETE,
+    NULL-skipping UPDATE, copies never re-tombstoned — across empty
+    matches, full-table matches, all-NULL values, and overlapping
+    predicates, regardless of how much the materialize folded."""
+    import tempfile
+
+    from sql_query_optimizer_cpp_spark.operators.mor import (
+        dv_delete_where,
+        dv_update_where,
+        materialize_deletes,
+        read_mor,
+    )
+
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], "id long, k long, v long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/t"
+        df.repartitionByRange(3, "k").write.parquet(path)
+        del_pred = f"v >= {lo} AND v < {lo + span}"
+        upd_pred = f"k >= {upd}"
+        dv_delete_where(spark, path, del_pred)
+        dv_update_where(spark, path, {"v": "coalesce(v, 0) + 1000"}, upd_pred)
+        materialize_deletes(spark, path, min_dead_ratio=ratio)
+        got = {(r.id, r.k, r.v) for r in read_mor(spark, path).collect()}
+    folded = df.where(
+        ~F.coalesce(F.expr(del_pred), F.lit(False))
+    ).withColumn(
+        "v",
+        F.when(
+            F.coalesce(F.expr(upd_pred), F.lit(False)),
+            F.coalesce(F.col("v"), F.lit(0)) + 1000,
+        ).otherwise(F.col("v")),
+    )
+    want = {(r.id, r.k, r.v) for r in folded.collect()}
+    assert got == want
