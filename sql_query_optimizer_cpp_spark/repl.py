@@ -158,8 +158,13 @@ def handle(
                 return "usage: ATTACH <name> <parquet-dir>"
             name, path = parts
             # validate the path BEFORE recording the mapping: a failed
-            # attach must not leave a bogus DML target behind
-            engine.spark.read.parquet(path).createOrReplaceTempView(name)
+            # attach must not leave a bogus DML target behind.  read_mor
+            # is the universally correct view: it applies deletion
+            # vectors when the table carries them and is a plain
+            # schema-merging read otherwise.
+            from .operators.mor import read_mor
+
+            read_mor(engine.spark, path).createOrReplaceTempView(name)
             dml_tables[name] = path
             return f"attached {name} -> {path}"
         if verb == "ANALYZE":
@@ -401,6 +406,14 @@ def handle(
                 optimistic=(mode == "occ"),
                 mor=(mode == "mor"),
             )
+            # re-register every attached view: a view pins the file list
+            # and DV batches it saw at creation, so after a rewrite or a
+            # new tombstone batch a bare SELECT would read a stale (or,
+            # on a MOR table, WRONG — deleted rows visible) snapshot
+            from .operators.mor import read_mor
+
+            for n, p in dml_tables.items():
+                read_mor(engine.spark, p).createOrReplaceTempView(n)
             return stats.render()
         # bare query (SELECT / WITH / VALUES ...); `t VERSION AS OF n`
         # clauses on attached tables route through the time-travel gate

@@ -399,3 +399,29 @@ def test_repl_set_mode_routes_dml(engine, spark, tmp_path):
     # occ DML on a DV table is refused through the shared guard
     out = handle(engine, "DELETE FROM t WHERE k = 1", tables, settings=settings)
     assert "deletion vectors" in out
+
+
+def test_repl_select_fresh_after_mor_dml(engine, spark, tmp_path):
+    """A bare SELECT on an attached table must see merge-on-read DML:
+    the view re-registers after every DML, applying deletion vectors."""
+    path = str(tmp_path / "repl_morview")
+    spark.range(50).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v").coalesce(
+        2
+    ).write.parquet(path)
+    tables: dict[str, str] = {}
+    settings: dict = {}
+    handle(engine, f"ATTACH tmv {path}", tables, settings=settings)
+    handle(engine, "SET MODE mor", tables, settings=settings)
+    handle(engine, "DELETE FROM tmv WHERE k >= 40", tables, settings=settings)
+    out = handle(engine, "SELECT COUNT(*) AS n FROM tmv", tables, settings=settings)
+    assert "40" in out and "50" not in out
+    handle(engine, "UPDATE tmv SET v = 0 WHERE k < 3", tables, settings=settings)
+    out = handle(
+        engine, "SELECT COUNT(*) AS n FROM tmv WHERE v = 0", tables,
+        settings=settings,
+    )
+    assert "(1 row)" in out and "3" in out
+    # re-ATTACH of a DV-carrying table registers the MOR view directly
+    handle(engine, f"ATTACH tmv2 {path}", tables, settings=settings)
+    out = handle(engine, "SELECT COUNT(*) AS n FROM tmv2", tables, settings=settings)
+    assert "40" in out
