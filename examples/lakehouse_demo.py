@@ -120,6 +120,67 @@ def main() -> None:
     print(f"retention: dropped {dropped} old versions, "
           f"vacuum reclaimed {vacuum(spark, path)} files")
 
+    # 9. RESTORE: roll the table back to the pre-mutation version as a
+    #    NEW commit — metadata-only renames, history preserved
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        restore_version,
+    )
+
+    delete_where(spark, path, "o_orderstatus = 'F'")
+    target = table_versions(spark, path)[-2]
+    st = restore_version(spark, path, target)
+    print(
+        f"\nRESTORE to v{target}: {st.files_rewritten} files changed "
+        f"liveness (no data read/copied); rows back to "
+        f"{spark.read.parquet(path).count()}"
+    )
+
+    # 10. merge-on-read on a separate table: tombstones instead of
+    #     rewrites, then a ratio-gated materialize
+    from sql_query_optimizer_cpp_spark.operators.mor import (
+        dv_count,
+        dv_delete_where,
+        materialize_deletes,
+        read_mor,
+    )
+
+    with tempfile.TemporaryDirectory() as d2:
+        mor_path = f"{d2}/orders_mor"
+        spark.read.parquet(path).repartition(6).write.parquet(mor_path)
+        n = dv_delete_where(spark, mor_path, "o_totalprice < 50000")
+        print(
+            f"\nmerge-on-read DELETE: {n} rows tombstoned "
+            f"({dv_count(spark, mor_path)} vector entries, 0 files "
+            f"rewritten); read_mor rows: {read_mor(spark, mor_path).count()}"
+        )
+
+        # 11. bloom file index on the same 6-file table: point lookups
+        #     on a column the layout does not cluster read only the
+        #     files whose filter admits the value — and the index read
+        #     composes with the live deletion vectors
+        from sql_query_optimizer_cpp_spark.operators.fileindex import (
+            build_bloom_index,
+            probe_files,
+            read_point_lookup,
+        )
+        from sql_query_optimizer_cpp_spark.operators.mutate import (
+            list_data_files,
+        )
+
+        build_bloom_index(spark, mor_path, "o_orderkey", num_bits=None)
+        key = read_mor(spark, mor_path).first()["o_orderkey"]
+        cand = probe_files(spark, mor_path, "o_orderkey", key)
+        total = len(list_data_files(spark, mor_path))
+        print(
+            f"bloom index on o_orderkey: lookup key {key} reads "
+            f"{len(cand)}/{total} files -> "
+            f"{read_point_lookup(spark, mor_path, 'o_orderkey', key).count()}"
+            " row(s), tombstones applied"
+        )
+
+        st = materialize_deletes(spark, mor_path)
+        print(f"materialize: rewrote {st.files_rewritten} tombstoned files")
+
     spark.stop()
 
 

@@ -195,6 +195,15 @@ class Engine:
 
         return version_history(self.spark, path, last)
 
+    def table(self, path: str) -> DataFrame:
+        """The current, CORRECT contents of a DML table dir regardless of
+        execution mode: applies live deletion vectors when the table
+        carries them (merge-on-read), otherwise a plain schema-merging
+        read.  The one reader a user can always call."""
+        from .operators.mor import read_mor
+
+        return read_mor(self.spark, path)
+
     def restore_version(self, path: str, version: int):
         """``RESTORE TABLE ... TO VERSION AS OF n``: roll the live file
         set back to version ``n`` as a new commit — metadata-only renames,

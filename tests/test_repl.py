@@ -101,6 +101,9 @@ def test_engine_version_facade(engine, spark, tmp_path):
     assert engine.table_versions(path) == [1, 2]
     assert engine.read_version(path, 1).count() == 50
     assert engine.read_version(path).count() == 40
+    # Engine.table is the always-correct reader (plain here; MOR-aware
+    # on deletion-vector tables, covered in test_mor/test_repl MOR tests)
+    assert engine.table(path).count() == 40
 
 
 def test_repl_versions_and_repair(engine, spark, tmp_path):
