@@ -48,11 +48,21 @@ public class GraftExtensions
         }
     }
 
+    /** Builder for the length-vs-zero → empty-string equality rule. */
+    public static class EmptyLengthBuilder
+            extends AbstractFunction1<SparkSession, Rule<LogicalPlan>> {
+        @Override
+        public Rule<LogicalPlan> apply(SparkSession session) {
+            return new EmptyStringLengthRule();
+        }
+    }
+
     @Override
     public BoxedUnit apply(SparkSessionExtensions extensions) {
         extensions.injectOptimizerRule(new Builder());
         extensions.injectOptimizerRule(new PrefixBuilder());
         extensions.injectOptimizerRule(new CoalesceBuilder());
+        extensions.injectOptimizerRule(new EmptyLengthBuilder());
         return BoxedUnit.UNIT;
     }
 }

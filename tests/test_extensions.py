@@ -235,3 +235,80 @@ def test_jvm_coalesce_rule_rewrites_guards_and_pushes():
     assert proc.returncode == 0, proc.stdout + proc.stderr
     rewritten = [l for l in proc.stdout.splitlines() if l.startswith("REWRITTEN")]
     assert rewritten and int(rewritten[0].split()[1]) > 0
+
+
+EMPTYLEN_PROBE = textwrap.dedent(
+    """
+    import sys
+    sys.path.insert(0, {repo!r})
+    from jvmext.build import build
+    from pyspark.sql import SparkSession
+
+    jar = build()
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName("emptylen-probe")
+        .config("spark.driver.extraClassPath", jar)
+        .config("spark.sql.extensions", "sqloptspark.GraftExtensions")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    df = spark.createDataFrame(
+        [(1, "a"), (2, ""), (3, None), (4, "bb")], "id int, x string"
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "t")
+    df.write.parquet(p)
+    t = spark.read.parquet(p)
+
+    # length(x) = 0 -> x = '' : rows exact, length gone, EqualTo pushed
+    eq = t.where("length(x) = 0")
+    assert sorted(r.id for r in eq.collect()) == [2]
+    opt = eq._jdf.queryExecution().optimizedPlan().toString()
+    phys = eq._jdf.queryExecution().executedPlan().toString()
+    assert "length" not in opt, opt
+    assert "EqualTo(x,)" in phys, phys  # pushed empty-string equality
+
+    # flipped and inequality spellings all rewrite, NULL-faithfully
+    for pred, want in (
+        ("0 = length(x)", [2]),
+        ("length(x) > 0", [1, 4]),
+        ("0 < length(x)", [1, 4]),
+        ("length(x) >= 1", [1, 4]),
+        ("NOT (length(x) = 0)", [1, 4]),  # sound under NOT: NULL stays out
+    ):
+        q = t.where(pred)
+        assert sorted(r.id for r in q.collect()) == want, pred
+        assert "length" not in q._jdf.queryExecution().optimizedPlan().toString(), pred
+
+    # guarded: BINARY length is a byte count, never rewritten to a
+    # string comparison
+    b = spark.createDataFrame([(1, bytearray(b""))], "id int, bx binary")
+    bq = b.where("length(bx) = 0")
+    assert [r.id for r in bq.collect()] == [1]
+    assert "length" in bq._jdf.queryExecution().optimizedPlan().toString()
+    # guarded: a non-zero comparison is not an emptiness test
+    nz = t.where("length(x) = 2")
+    assert sorted(r.id for r in nz.collect()) == [4]
+    assert "length" in nz._jdf.queryExecution().optimizedPlan().toString()
+
+    jvm = spark.sparkContext._jvm.sqloptspark.EmptyStringLengthRule
+    assert jvm.applied() > 0
+    print("REWRITTEN", jvm.rewritten())
+    spark.stop()
+    """
+)
+
+
+def test_jvm_empty_length_rule_rewrites_guards_and_pushes():
+    proc = subprocess.run(
+        [sys.executable, "-c", EMPTYLEN_PROBE.format(repo=REPO)],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    rewritten = [l for l in proc.stdout.splitlines() if l.startswith("REWRITTEN")]
+    assert rewritten and int(rewritten[0].split()[1]) > 0
