@@ -181,6 +181,7 @@ def bench_spark(spark, registry, sf_dir: str):
         "mutate_restore_version",
         "point_lookup_bloom",
         "agg_heavy_hitters",
+        "text_chunk_windows",
     ):
         spec = registry.get(name)
         if spec is None:

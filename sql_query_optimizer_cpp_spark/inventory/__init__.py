@@ -208,13 +208,14 @@ _PRIORITY: tuple[str, ...] = (
     "sim_ann_lsh_topk",
     "events_session",
     # ==== end of the 50-entry r08 window; r09 queue below ================
-    # r09 rotation plan: lead with the TEN round-8 additions, registered
+    # r09 rotation plan: lead with the ELEVEN round-8 additions, registered
     # past this line in module order: the six lakehouse queries below plus
     # mutate_mor_pipeline (deletion-vector merge-on-read, operators/mor.py),
     # mutate_restore_version (RESTORE TO VERSION over the version log),
     # point_lookup_bloom (per-file bloom index, operators/fileindex.py),
-    # and agg_heavy_hitters (zero-shuffle frequent items,
-    # operators/heavyhitters.py).
+    # agg_heavy_hitters (zero-shuffle frequent items,
+    # operators/heavyhitters.py), and text_chunk_windows (RAG window
+    # chunking, operators/text.py chunk_documents).
     # past this line in module order and all sim-green on arrival —
     # mutate_occ_merge, mutate_occ_partitioned, mutate_schema_evolution,
     # mutate_read_changes (CDC version-range diff), mutate_constraints

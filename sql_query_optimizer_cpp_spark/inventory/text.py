@@ -657,3 +657,29 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_oov"),
         )
     )
+
+
+@register(
+    "text_chunk_windows",
+    oracle="SELECT doc_id, chunk_id, chunk, n_tokens FROM "
+    + T.chunk_documents_sql(
+        "documents", "text", ("doc_id",), chunk_tokens=16, overlap=4
+    )
+    + " ORDER BY doc_id, chunk_id",
+    doc="Document chunking for RAG/training-sample windows (new r8, "
+    "operators/text.py chunk_documents): every document splits into "
+    "16-token windows starting every 12 tokens (4-token overlap, only "
+    "the final window short), built ENTIRELY from JVM built-ins "
+    "(split + sequence + explode + slice + array_join — zero shuffle, "
+    "zero Python, whole-stage codegen); the oracle reproduces the "
+    "windows with regexp_split_to_array + generate_series + array "
+    "slicing, so equality pins tokenization, window arithmetic, overlap "
+    "placement, and tail-window truncation bit-for-bit.  At 100 TB this "
+    "is a map-only pass feeding the embed/pack stages",
+    tags=("text",),
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return T.chunk_documents(
+        t["documents"], "text", ("doc_id",), chunk_tokens=16, overlap=4
+    ).orderBy("doc_id", "chunk_id")

@@ -347,3 +347,82 @@ def bpeish_token_count_sql(expr: str = "text") -> str:
     return (
         f"CAST(len(regexp_extract_all({expr}, '{BPEISH_PATTERN}')) AS BIGINT)"
     )
+
+
+def chunk_documents(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> "DataFrame":
+    """Split each document into overlapping token windows — the RAG /
+    training-sample chunking pass — entirely with JVM built-ins (split +
+    sequence + explode + slice + array_join): zero shuffle, zero Python,
+    whole-stage codegen end to end.
+
+    One output row per window: the ``id_cols``, ``chunk_id`` (0-based),
+    ``chunk`` (the window's text re-joined with single spaces), and
+    ``n_tokens`` (window size; only the final window may be short).
+    Windows start every ``chunk_tokens - overlap`` tokens, so consecutive
+    chunks share ``overlap`` tokens; documents with no tokens yield no
+    rows.  At 100 TB this is a map-only pass: output partitioning and
+    row order follow the input, ready for a downstream embed/pack stage.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), " +")
+    out = (
+        # split('') is [''] (size 1) in Spark AND DuckDB, so emptiness is
+        # tested on the trimmed text, not the token array
+        df.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(*id_cols, toks.alias("__toks"))
+        .select(
+            *id_cols,
+            F.col("__toks"),
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.size("__toks"), F.lit(step)
+                )
+            ).alias("__start"),
+        )
+        .select(
+            *id_cols,
+            ((F.col("__start") - 1) / step).cast("long").alias("chunk_id"),
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("__start"), chunk_tokens),
+                " ",
+            ).alias("chunk"),
+            F.least(
+                F.lit(chunk_tokens),
+                F.size("__toks") - F.col("__start") + 1,
+            )
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    return out
+
+
+def chunk_documents_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> str:
+    """DuckDB twin of :func:`chunk_documents` (FROM-clause fragment)."""
+    step = chunk_tokens - overlap
+    ids = ", ".join(id_cols)
+    toks = tokens_sql(text_expr)
+    return (
+        f"(WITH __toks AS (SELECT {ids}, {toks} AS t FROM {table} "
+        f"WHERE length(trim({text_expr})) > 0), "
+        f"__starts AS (SELECT {ids}, t, "
+        f"unnest(generate_series(1, len(t), {step})) AS s FROM __toks) "
+        f"SELECT {ids}, CAST((s - 1) / {step} AS BIGINT) AS chunk_id, "
+        f"array_to_string(t[s : s + {chunk_tokens} - 1], ' ') AS chunk, "
+        f"CAST(least({chunk_tokens}, len(t) - s + 1) AS BIGINT) AS n_tokens "
+        f"FROM __starts)"
+    )

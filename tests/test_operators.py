@@ -730,3 +730,41 @@ def test_full_outer_anti_handles_null_safe_and_same_names(spark):
     # NULL==NULL matched null-safely -> excluded; unmatched: left k=1, right k=2
     vals = {(r.lv, r.rv) for r in out}
     assert vals == {("a", None), (None, "y")}
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    """Window arithmetic: overlap placement, short tail, empty docs
+    dropped, validation."""
+    import pytest as _pytest
+
+    from sql_query_optimizer_cpp_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),          # 7 tokens
+            (2, "x"),                       # 1 token
+            (3, "   "),                     # no tokens -> no rows
+            (4, None),                      # NULL text -> no rows
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(
+        df, "text", ("doc_id",), chunk_tokens=4, overlap=2
+    ).collect()
+    got = {(r.doc_id, r.chunk_id): (r.chunk, r.n_tokens) for r in out}
+    assert got == {
+        (1, 0): ("a b c d", 4),
+        (1, 1): ("c d e f", 4),
+        (1, 2): ("e f g", 3),
+        (1, 3): ("g", 1),
+        (2, 0): ("x", 1),
+    }
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+    # zero overlap: disjoint windows
+    out0 = chunk_documents(
+        df.where("doc_id = 1"), chunk_tokens=3, overlap=0
+    ).collect()
+    assert [(r.chunk_id, r.chunk) for r in sorted(out0, key=lambda r: r.chunk_id)] == [
+        (0, "a b c"), (1, "d e f"), (2, "g"),
+    ]
