@@ -127,7 +127,8 @@ def main() -> None:
     )
 
     delete_where(spark, path, "o_orderstatus = 'F'")
-    target = table_versions(spark, path)[-2]
+    vs = table_versions(spark, path)
+    target = vs[-2] if len(vs) > 1 else vs[-1]
     st = restore_version(spark, path, target)
     print(
         f"\nRESTORE to v{target}: {st.files_rewritten} files changed "

@@ -372,7 +372,8 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     step = chunk_tokens - overlap
-    toks = F.split(F.trim(F.col(text_col)), " +")
+    toks = tokens(text_col)  # the module's canonical tokenizer, whose
+    # SQL twin the oracle side (chunk_documents_sql) already uses
     out = (
         # split('') is [''] (size 1) in Spark AND DuckDB, so emptiness is
         # tested on the trimmed text, not the token array

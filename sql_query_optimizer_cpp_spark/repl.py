@@ -121,6 +121,22 @@ def _fmt_rows(df, max_rows: int) -> str:
     return "\n".join(out)
 
 
+def _refresh_views(engine: Engine, dml_tables: dict[str, str]) -> None:
+    """Re-register every attached view: a view pins the file list and DV
+    batches it saw at creation, so after a rewrite, a restore, a vacuum,
+    or a new tombstone batch a bare SELECT would read a stale (or, on a
+    MOR table, WRONG — deleted rows visible) snapshot.  Per-table
+    best-effort: one unreadable table must not mask a committed mutation
+    or leave the OTHER tables' views stale."""
+    import contextlib
+
+    from .operators.mor import read_mor
+
+    for n, p in dml_tables.items():
+        with contextlib.suppress(Exception):
+            read_mor(engine.spark, p).createOrReplaceTempView(n)
+
+
 def handle(
     engine: Engine,
     line: str,
@@ -218,6 +234,7 @@ def handle(
             vs = engine.table_versions(dml_tables[parts[0]])
             if not st.files_rewritten:
                 return f"{parts[0]} already at version {parts[1]}; no-op"
+            _refresh_views(engine, dml_tables)
             return (
                 f"restored {parts[0]} to v{parts[1]} as new v{vs[-1]} "
                 f"({st.files_rewritten} files changed liveness)"
@@ -243,6 +260,7 @@ def handle(
                     engine.spark, path, keep_last=int(parts[2])
                 )
             n = vacuum(engine.spark, path)
+            _refresh_views(engine, dml_tables)
             return (
                 f"dropped {dropped} old version manifest(s); "
                 f"reclaimed {n} unreferenced retired file(s)"
@@ -329,7 +347,10 @@ def handle(
                 kw["zorder" if parts[1].upper() == "ZORDER" else "sort_by"] = cols
             elif len(parts) != 1:
                 return usage
-            return compact(engine.spark, dml_tables[parts[0]], **kw).render()
+            st = compact(engine.spark, dml_tables[parts[0]], **kw)
+            if st.files_rewritten:
+                _refresh_views(engine, dml_tables)
+            return st.render()
         if verb == "CONSTRAINT":
             usage = (
                 "usage: CONSTRAINT <attached table> "
@@ -376,16 +397,12 @@ def handle(
             return engine.cost(rest).render()
         if verb == "ADVISE":
             return engine.join_order_advice(rest).render()
-        if verb == "SET":
+        if verb == "SET" and rest.split()[:1] and rest.split()[0].upper() == "MODE":
             parts = rest.split()
-            usage = "usage: SET MODE cow | occ | mor  (SET shows current)"
-            if not parts:
+            usage = "usage: SET MODE cow | occ | mor  (SET MODE shows current)"
+            if len(parts) == 1:
                 return f"mode = {settings.get('mode', 'cow')}"
-            if (
-                len(parts) != 2
-                or parts[0].upper() != "MODE"
-                or parts[1].lower() not in ("cow", "occ", "mor")
-            ):
+            if len(parts) != 2 or parts[1].lower() not in ("cow", "occ", "mor"):
                 return usage
             settings["mode"] = parts[1].lower()
             return (
@@ -398,6 +415,9 @@ def handle(
                 }[settings["mode"]]
                 + ")"
             )
+        # any other SET line (e.g. SET spark.sql.shuffle.partitions=4)
+        # falls through to the bare-statement branch and executes as
+        # Spark SQL — the pre-r8 passthrough behavior
         if verb in ("UPDATE", "DELETE", "MERGE", "ALTER"):
             mode = settings.get("mode", "cow")
             stats = engine.dml(
@@ -406,14 +426,8 @@ def handle(
                 optimistic=(mode == "occ"),
                 mor=(mode == "mor"),
             )
-            # re-register every attached view: a view pins the file list
-            # and DV batches it saw at creation, so after a rewrite or a
-            # new tombstone batch a bare SELECT would read a stale (or,
-            # on a MOR table, WRONG — deleted rows visible) snapshot
-            from .operators.mor import read_mor
-
-            for n, p in dml_tables.items():
-                read_mor(engine.spark, p).createOrReplaceTempView(n)
+            if stats.files_rewritten or stats.rows_matched or stats.rows_inserted:
+                _refresh_views(engine, dml_tables)
             return stats.render()
         # bare query (SELECT / WITH / VALUES ...); `t VERSION AS OF n`
         # clauses on attached tables route through the time-travel gate

@@ -388,8 +388,11 @@ def test_repl_set_mode_routes_dml(engine, spark, tmp_path):
     tables: dict[str, str] = {}
     settings: dict = {}
     handle(engine, f"ATTACH t {path}", tables, settings=settings)
-    assert handle(engine, "SET", tables, settings=settings) == "mode = cow"
+    assert handle(engine, "SET MODE", tables, settings=settings) == "mode = cow"
     assert "usage:" in handle(engine, "SET MODE nope", tables, settings=settings)
+    # non-MODE SET lines keep the Spark SQL passthrough
+    out = handle(engine, "SET spark.sql.shuffle.partitions=7", tables, settings=settings)
+    assert "usage:" not in out and "7" in out
     out = handle(engine, "SET MODE mor", tables, settings=settings)
     assert "merge-on-read" in out
     handle(engine, "DELETE FROM t WHERE k >= 50", tables, settings=settings)
@@ -428,3 +431,23 @@ def test_repl_select_fresh_after_mor_dml(engine, spark, tmp_path):
     handle(engine, f"ATTACH tmv2 {path}", tables, settings=settings)
     out = handle(engine, "SELECT COUNT(*) AS n FROM tmv2", tables, settings=settings)
     assert "40" in out
+
+
+def test_repl_select_fresh_after_restore_and_compact(engine, spark, tmp_path):
+    """RESTORE and COMPACT change the live file list too: a bare SELECT
+    right after them must read the post-verb table, not a pinned
+    pre-verb file list."""
+    path = str(tmp_path / "repl_fresh2")
+    spark.range(100).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v").repartition(
+        4
+    ).write.parquet(path)
+    tables: dict[str, str] = {}
+    handle(engine, f"ATTACH tf {path}", tables)
+    handle(engine, "VERSIONS tf", tables)                    # v1
+    handle(engine, "DELETE FROM tf WHERE k >= 50", tables)   # v2
+    handle(engine, "RESTORE tf 1", tables)                   # v3 == v1
+    out = handle(engine, "SELECT COUNT(*) AS n FROM tf", tables)
+    assert "100" in out
+    handle(engine, "COMPACT tf", tables)
+    out = handle(engine, "SELECT COUNT(*) AS n FROM tf", tables)
+    assert "100" in out
