@@ -216,6 +216,33 @@ def refresh_bloom_index(spark: SparkSession, path: str, col: str) -> int:
     return len(missing)
 
 
+def drop_bloom_index(spark: SparkSession, path: str, col: str) -> bool:
+    """Remove ``col``'s bloom sidecar; returns whether one existed.  Pure
+    metadata — the index is derived state, always rebuildable."""
+    jvm, fs, _ = _fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(_index_root(path, col))
+    if not fs.exists(p):
+        return False
+    fs.delete(p, True)
+    return True
+
+
+def list_bloom_indexes(spark: SparkSession, path: str) -> list[str]:
+    """Columns with a bloom sidecar under ``<table>/_index/``."""
+    jvm, fs, _ = _fs(spark, path)
+    root = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{INDEX_DIR}")
+    if not fs.exists(root):
+        return []
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(root)
+        if st.isDirectory()
+        and fs.exists(
+            jvm.org.apache.hadoop.fs.Path(st.getPath(), "_meta.json")
+        )
+    )
+
+
 def has_bloom_index(spark: SparkSession, path: str, col: str) -> bool:
     jvm, fs, _ = _fs(spark, path)
     return fs.exists(

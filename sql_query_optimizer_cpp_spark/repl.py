@@ -82,10 +82,11 @@ _HELP = """commands:
   VERSIONS <name>       enable/inspect the version log (MVCC for readers)
   VACUUM <name> [KEEP <n>]  drop old version manifests, reclaim retired files
   RESTORE <name> <version>  roll the table back to a version (new commit)
-  INDEX <name> BUILD <col> | REFRESH <col> | LOOKUP <col> <v> | STATS <col>
+  INDEX <name> BUILD <col> | REFRESH <col> | LOOKUP <col> <v>
+              | STATS <col> | DROP <col> | LIST
                         per-file bloom index: build (auto-sized), index
                         just the files DML rewrote, probe-and-read a
-                        point lookup, or show sidecar stats
+                        point lookup, show sidecar stats, drop, or list
   CHANGES <name> <from> [<to>]  CDC: net row changes between two versions
   CONSTRAINT <name> ADD <cname> <expr> | DROP <cname> | LIST
                         CHECK constraints enforced by UPDATE/MERGE staging
@@ -268,8 +269,10 @@ def handle(
         if verb == "INDEX":
             from .operators.fileindex import (
                 build_bloom_index,
+                drop_bloom_index,
                 has_bloom_index,
                 index_stats,
+                list_bloom_indexes,
                 read_point_lookup,
                 refresh_bloom_index,
             )
@@ -277,13 +280,24 @@ def handle(
             parts = rest.split()
             usage = (
                 "usage: INDEX <attached table> BUILD <col> | "
-                "REFRESH <col> | LOOKUP <col> <value> | STATS <col>"
+                "REFRESH <col> | LOOKUP <col> <value> | STATS <col> | "
+                "DROP <col> | LIST"
             )
+            if (
+                len(parts) == 2
+                and parts[0] in dml_tables
+                and parts[1].upper() == "LIST"
+            ):
+                cols = list_bloom_indexes(engine.spark, dml_tables[parts[0]])
+                return (
+                    "bloom indexes: " + ", ".join(cols) if cols
+                    else "(no bloom indexes)"
+                )
             if (
                 len(parts) < 3
                 or parts[0] not in dml_tables
                 or parts[1].upper()
-                not in ("BUILD", "REFRESH", "LOOKUP", "STATS")
+                not in ("BUILD", "REFRESH", "LOOKUP", "STATS", "DROP")
             ):
                 return usage
             path, action, col = dml_tables[parts[0]], parts[1].upper(), parts[2]
@@ -296,6 +310,12 @@ def handle(
                     f"bloom index on {parts[0]}.{col}: {n} files, "
                     f"{st['num_bits']} bits/file, "
                     f"{st['sidecar_bytes']} sidecar bytes"
+                )
+            if action == "DROP":
+                return (
+                    f"dropped bloom index on {parts[0]}.{col}"
+                    if drop_bloom_index(engine.spark, path, col)
+                    else f"no bloom index on {parts[0]}.{col}"
                 )
             if not has_bloom_index(engine.spark, path, col):
                 return f"no bloom index on {parts[0]}.{col}; INDEX {parts[0]} BUILD {col} first"

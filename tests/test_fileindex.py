@@ -254,3 +254,19 @@ def test_bloom_all_null_file_refresh_converges(spark, tmp_path):
     assert probe_files(spark, path, "ref", -1) == []
     row = spark.read.parquet(path).where("k = 5").first()
     assert read_point_lookup(spark, path, "ref", row["ref"]).count() == 1
+
+
+def test_bloom_drop_and_list(spark, keyed_table):
+    from sql_query_optimizer_cpp_spark.operators.fileindex import (
+        drop_bloom_index,
+        list_bloom_indexes,
+    )
+
+    assert list_bloom_indexes(spark, keyed_table) == []
+    build_bloom_index(spark, keyed_table, "ref", num_bits=1 << 14)
+    build_bloom_index(spark, keyed_table, "v", num_bits=1 << 14)
+    assert list_bloom_indexes(spark, keyed_table) == ["ref", "v"]
+    assert drop_bloom_index(spark, keyed_table, "v")
+    assert not drop_bloom_index(spark, keyed_table, "v")  # already gone
+    assert list_bloom_indexes(spark, keyed_table) == ["ref"]
+    assert not has_bloom_index(spark, keyed_table, "v")

@@ -451,3 +451,18 @@ def test_repl_select_fresh_after_restore_and_compact(engine, spark, tmp_path):
     handle(engine, "COMPACT tf", tables)
     out = handle(engine, "SELECT COUNT(*) AS n FROM tf", tables)
     assert "100" in out
+
+
+def test_repl_index_drop_and_list(engine, spark, tmp_path):
+    path = str(tmp_path / "repl_idx4")
+    spark.range(100).selectExpr(
+        "id AS k", "CAST(hash(id) AS BIGINT) AS ref"
+    ).coalesce(2).write.parquet(path)
+    tables: dict[str, str] = {}
+    handle(engine, f"ATTACH t {path}", tables)
+    assert "(no bloom indexes)" in handle(engine, "INDEX t LIST", tables)
+    handle(engine, "INDEX t BUILD ref", tables)
+    assert "bloom indexes: ref" in handle(engine, "INDEX t LIST", tables)
+    assert "dropped" in handle(engine, "INDEX t DROP ref", tables)
+    assert "no bloom index" in handle(engine, "INDEX t DROP ref", tables)
+    assert "(no bloom indexes)" in handle(engine, "INDEX t LIST", tables)
