@@ -17,6 +17,7 @@ single-token docs, duplicate texts, hot keys).
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -444,4 +445,51 @@ def test_mor_dml_equals_algebraic_fold(spark, rows, lo, span, upd, ratio):
         ).otherwise(F.col("v")),
     )
     want = {(r.id, r.k, r.v) for r in folded.collect()}
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def bloom_table(spark, tmp_path_factory):
+    from sql_query_optimizer_cpp_spark.operators.fileindex import (
+        build_bloom_index,
+    )
+
+    path = str(tmp_path_factory.mktemp("prop") / "bloomprop")
+    (
+        spark.range(3000)
+        .selectExpr("id AS k", "CAST(hash(id) % 500 AS BIGINT) AS ref")
+        .repartitionByRange(6, "k")
+        .write.parquet(path)
+    )
+    build_bloom_index(spark, path, "ref", num_bits=1 << 14)
+    return path
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.integers(-600, 600), st.none()),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_bloom_lookup_equals_filter_property(spark, bloom_table, vals):
+    """Random IN-lists (hits, misses, NULLs) through the index must equal
+    the plain full-scan IN filter — the no-false-negative guarantee under
+    arbitrary probes (the index is built once; examples only probe)."""
+    from sql_query_optimizer_cpp_spark.operators.fileindex import (
+        read_point_lookups,
+    )
+
+    base = spark.read.parquet(bloom_table)
+    nn = [v for v in vals if v is not None]
+    want = (
+        sorted(r.k for r in base.where(F.col("ref").isin(nn)).collect())
+        if nn
+        else []
+    )
+    got = sorted(
+        r.k
+        for r in read_point_lookups(spark, bloom_table, "ref", vals).collect()
+    )
     assert got == want
