@@ -124,110 +124,86 @@ def shared_sql(
 
 
 #: Evaluation-priority order.  The driver grades registry entries in
-#: iteration order and stops after a fixed 50-query window (r01-r07 each
-#: sampled a different 50; after r07: 194 registered, 193 green-ever,
-#: zero graded-never-green, and exactly ONE never-graded query — the
-#: round-7 OCC stress query staged past the r07 window).  Round-8
-#: rotation: mutate_concurrent_writers leads (the optimistic
-#: multi-writer commit protocol's only driver-evidence row), then the
-#: flagship guard, then re-grades of every green whose latest driver row
-#: is r04 (all 45: tpch_q2/8/9/11/12/13/15/16/17/19/20/21/22, the events
-#: family, the win_* trio, sim_ivf/blockmax, intersect_all/except_all,
-#: join_lateral/join_range, the r04 text QA block, agg listagg/hll/
-#: udaf/weighted_avg/approx_quantile, sample_fixed_k, pack_sequences,
-#: corpus_mix_report, curation_pipeline_neardup, dedup_embedding_cosine,
-#: doc_span_extract), and three r05 family representatives
-#: (dedup_minhash_pairs — the headline LSH perf query, sim_ann_lsh_topk,
-#: events_session).  After this round nothing registered is never-graded
-#: and the stalest green is r05.  Everything past _PRIORITY keeps
-#: registration order; every registered query stays covered every round
-#: by tests/test_inventory.py + tools/driver_sim.py regardless of window
-#: position.
+#: iteration order and stops after a fixed 50-query window (r01-r08 each
+#: sampled a different 50; after r08: 206 registered, 194 green-ever,
+#: zero graded-never-green, and exactly TWELVE never-graded queries —
+#: the whole round-8 wave, staged past the r08 window and sim-verified
+#: at sf0.01 and sf0.1).  Round-9 rotation: lead with those twelve in
+#: registration order so nine new components (OCC MERGE, partitioned
+#: OCC, MERGE schema evolution, CDC read_changes, CHECK constraints,
+#: cow_changes DataSource, z-order compaction, merge-on-read deletion
+#: vectors, RESTORE TO VERSION, bloom file index, heavy hitters, RAG
+#: chunking) earn their first driver CORRECTNESS rows; then the
+#: flagship guard; then 37 re-grades of the stalest greens (latest
+#: driver row r05), taken in registration order.  The nine r05 greens
+#: that do not fit (events_sliding, events_props_extract,
+#: join_event_attribution, events_path_bigrams, sample_train_val_test,
+#: orders_rfm, orders_market_basket, events_anomaly_zscore,
+#: date_series_gapfill) lead the r10 re-grade block.  Everything past
+#: _PRIORITY keeps registration order; every registered query stays
+#: covered every round by tests/test_inventory.py +
+#: tools/driver_sim.py regardless of window position.
 _PRIORITY: tuple[str, ...] = (
-    # -- never driver-graded: the r08 queue head (round-7 addition) -------
-    "mutate_concurrent_writers",
+    # -- never driver-graded: the full round-8 wave, registration order --
+    "agg_heavy_hitters",
+    "text_chunk_windows",
+    "mutate_occ_merge",
+    "mutate_occ_partitioned",
+    "mutate_schema_evolution",
+    "mutate_read_changes",
+    "mutate_constraints",
+    "mutate_cdf_replay",
+    "mutate_compact_zorder",
+    "mutate_mor_pipeline",
+    "mutate_restore_version",
+    "point_lookup_bloom",
     # -- regression-guard slot: the headline query ------------------------
     "flagship_demo",
-    # -- re-grades: every green whose latest driver row is r04 ------------
-    # TPC-H remainder
-    "tpch_q2",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    # events family
-    "events_funnel",
-    "events_gap_stats",
-    "events_latest_by_user",
-    "events_props_json",
-    "events_retention",
-    "events_rollup_hypertable",
-    "events_sessionize_attrib",
-    # windows
-    "win_cumulative_share",
-    "win_first_last",
-    "win_range_frame",
-    # set ops
-    "intersect_all",
-    "except_all",
-    # joins
-    "join_lateral",
-    "join_range",
-    # similarity
-    "sim_ivf_topk",
-    "sim_topk_blockmax",
-    # aggregates
-    "agg_approx_quantile",
-    "agg_hll_union",
-    "agg_listagg",
-    "agg_udaf_pandas",
-    "agg_weighted_avg",
-    # text QA
-    "text_bigrams_udtf",
-    "text_lang_confidence",
-    "text_redact_pii",
-    "text_repetition",
-    "text_tokens_bpeish",
-    # curation / dedup / sampling
-    "corpus_mix_report",
-    "curation_pipeline_neardup",
-    "dedup_embedding_cosine",
-    "doc_span_extract",
-    "pack_sequences",
-    "sample_fixed_k",
-    # -- re-grades: r05 family representatives ----------------------------
-    "dedup_minhash_pairs",
-    "sim_ann_lsh_topk",
-    "events_session",
-    # ==== end of the 50-entry r08 window; r09 queue below ================
-    # r09 rotation plan: lead with the ELEVEN round-8 additions, registered
-    # past this line in module order: the six lakehouse queries below plus
-    # mutate_mor_pipeline (deletion-vector merge-on-read, operators/mor.py),
-    # mutate_restore_version (RESTORE TO VERSION over the version log),
-    # point_lookup_bloom (per-file bloom index, operators/fileindex.py),
-    # agg_heavy_hitters (zero-shuffle frequent items,
-    # operators/heavyhitters.py), and text_chunk_windows (RAG window
-    # chunking, operators/text.py chunk_documents).
-    # past this line in module order and all sim-green on arrival —
-    # mutate_occ_merge, mutate_occ_partitioned, mutate_schema_evolution,
-    # mutate_read_changes (CDC version-range diff), mutate_constraints
-    # (CHECK enforcement + rollback), mutate_cdf_replay (cow_changes
-    # DataSource signed replay), mutate_compact_zorder (OPTIMIZE ZORDER
-    # content-exactness) — keep the flagship guard, then re-grade
-    # the remaining r05-latest greens (the dedup_* block, the sim_* block,
-    # scalar/exists/in subqueries, events tumbling/sliding/session state,
-    # win_moving_avg/rank_lag/running_sum/topk_per_group, text r05 QA,
-    # agg corr/grouping_id/skew_salted/array_collect, orders_rfm/
-    # market_basket, sample_train_val_test, date_series_gapfill,
-    # unpivot_metrics, group_by_all_report) — stalest once this lands.
+    # -- re-grades: stalest greens (latest driver row r05), registry order
+    "group_by_all_report",
+    "join_skew_salted",
+    "agg_array_collect",
+    "agg_skew_salted",
+    "agg_grouping_id",
+    "agg_corr_moments",
+    "unpivot_metrics",
+    "scalar_subquery",
+    "scalar_subquery_agg",
+    "in_subquery",
+    "not_in_subquery",
+    "scalar_subquery_where",
+    "exists_subquery",
+    "win_topk_per_group",
+    "win_rank_lag",
+    "win_running_sum",
+    "win_moving_avg",
+    "text_tokens",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "text_fuzzy_match",
+    "text_tfidf_topk",
+    "text_ngram_lm",
+    "doc_quality_histogram",
+    "dedup_ngram_pairs",
+    "dedup_simhash",
+    "text_minhash_signature",
+    "dedup_clusters_star",
+    "dedup_incremental",
+    "dedup_ngram_containment",
+    "corpus_dedup_report",
+    "sim_topk_bruteforce",
+    "sim_neardup_pairs",
+    "sim_nearest_centroid",
+    "sim_recall_report",
+    "events_tumbling",
+    # ==== end of the 50-entry r09 window; r10 queue below ================
+    # r10 rotation plan: lead with the TWO queries staged during round 9
+    # (mutate_mor_versioned — the MOR/version-log unification: DV commits
+    # are versions, time travel/CDC/RESTORE over deletion vectors — and
+    # mutate_mor_merge — dv_merge_into, zero-rewrite MERGE), keep the
+    # flagship guard, then the nine r05 leftovers named above, then the
+    # stalest r06 greens in registry order.
 )
 
 
