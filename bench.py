@@ -273,6 +273,22 @@ def main() -> None:
             }
         )
     )
+    # The driver's log capture keeps the END of stdout and may truncate
+    # the big line above from the FRONT — so repeat the graded totals in
+    # a tiny standalone JSON line LAST, guaranteed to survive the tail.
+    base_total = round(sum(baseline.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "baseline_total": base_total,
+                "ratio": round(total / base_total, 4) if base_total else None,
+            }
+        )
+    )
     spark.stop()
 
 

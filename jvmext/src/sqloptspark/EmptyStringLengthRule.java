@@ -48,8 +48,16 @@ public class EmptyStringLengthRule extends Rule<LogicalPlan> {
     public static final AtomicLong REWRITTEN = new AtomicLong();
 
     private static boolean isStringLength(Expression e) {
-        return e instanceof Length
-                && ((Length) e).child().dataType() instanceof StringType;
+        if (!(e instanceof Length)) {
+            return false;
+        }
+        Object dt = ((Length) e).child().dataType();
+        // Spark 4 collated strings are StringType instances too; under a
+        // trailing-space-insensitive collation (e.g. UTF8_BINARY_RTRIM)
+        // x = '' is TRUE for x = '  ' while length(x) = 0 is FALSE, so
+        // the rewrite is only sound for the default binary collation.
+        return dt instanceof StringType
+                && ((StringType) dt).isUTF8BinaryCollation();
     }
 
     private static boolean isIntLit(Expression e, int want) {

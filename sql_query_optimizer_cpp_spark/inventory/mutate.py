@@ -1453,3 +1453,184 @@ def point_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum("o_totalprice").alias("total"))
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "mutate_mor_versioned",
+    oracle="WITH v2 AS (SELECT c_custkey, c_mktsegment, c_acctbal "
+    "FROM customer WHERE NOT COALESCE(c_acctbal < 0, FALSE)), "
+    "v3 AS (SELECT c_custkey, CASE WHEN c_acctbal > 9000 THEN 'VIP' "
+    "ELSE c_mktsegment END AS c_mktsegment, c_acctbal FROM v2) "
+    "SELECT 'live_v2' AS src, c_mktsegment AS seg, "
+    "CAST(COUNT(*) AS BIGINT) AS n, "
+    + dsum_sql("c_acctbal")
+    + " AS total FROM v2 GROUP BY c_mktsegment "
+    "UNION ALL "
+    "SELECT 'travel_v3' AS src, c_mktsegment AS seg, "
+    "CAST(COUNT(*) AS BIGINT) AS n, "
+    + dsum_sql("c_acctbal")
+    + " AS total FROM v3 GROUP BY c_mktsegment "
+    "UNION ALL "
+    "SELECT 'cdc_delete' AS src, c_mktsegment AS seg, "
+    "CAST(COUNT(*) AS BIGINT) AS n, "
+    + dsum_sql("c_acctbal")
+    + " AS total FROM v2 WHERE c_acctbal > 9000 GROUP BY c_mktsegment "
+    "UNION ALL "
+    "SELECT 'cdc_insert' AS src, 'VIP' AS seg, "
+    "CAST(COUNT(*) AS BIGINT) AS n, "
+    + dsum_sql("c_acctbal")
+    + " AS total FROM v2 WHERE c_acctbal > 9000 "
+    "ORDER BY src, seg",
+    doc="Merge-on-read UNIFIED with the version log, graded end-to-end "
+    "(new r9; the Delta-3.x shape — manifests pin deletion-vector batch "
+    "files beside data files, operators/mutate._manifest_state).  On a "
+    "versioned customer copy: dv_delete commits v2 (tombstones only, no "
+    "data file touched), dv_update commits v3, materialize_deletes "
+    "commits v4 (retiring the vector batches), RESTORE TO v2 commits v5 "
+    "(metadata renames bring the PRE-materialize files AND the v2 "
+    "vector batches back).  Graded in one frame: the restored live "
+    "state ('live_v2', update provably undone), TIME TRAVEL to v3 "
+    "through retired files + retired vectors ('travel_v3'), and the "
+    "CDC diff across the DV commit v2->v3 ('cdc_delete'/'cdc_insert' — "
+    "the update's old images and its VIP copies).  Equality with the "
+    "oracle's algebraic fold proves DV state is versioned, time travel "
+    "applies tombstones as-of, CDC emits tombstoned rows, and restore "
+    "round-trips vector batches — all at O(changed rows) write cost",
+    tags=("mutate", "sources"),
+)
+def mutate_mor_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mor import (
+        dv_delete_where,
+        dv_update_where,
+        materialize_deletes,
+        read_mor,
+    )
+    from ..operators.mutate import (
+        enable_versioning,
+        read_changes,
+        read_version,
+        restore_version,
+    )
+
+    t = load_tables(spark, sf_dir, ("customer",))
+    path = _mut_dir(sf_dir, "cust_mor_versioned")
+    (
+        t["customer"]
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .repartitionByRange(6, "c_acctbal")
+        .sortWithinPartitions("c_acctbal")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    enable_versioning(spark, path)                                    # v1
+    dv_delete_where(spark, path, "c_acctbal < 0")                     # v2
+    dv_update_where(
+        spark, path, {"c_mktsegment": "'VIP'"}, "c_acctbal > 9000"
+    )                                                                 # v3
+    materialize_deletes(spark, path)                                  # v4
+    restore_version(spark, path, 2)                                   # v5
+
+    def agg(df: DataFrame, src: str) -> DataFrame:
+        return df.groupBy(
+            F.lit(src).alias("src"), F.col("c_mktsegment").alias("seg")
+        ).agg(
+            F.count("*").cast("long").alias("n"),
+            dsum("c_acctbal").alias("total"),
+        )
+
+    live = agg(read_mor(spark, path), "live_v2")
+    travel = agg(read_version(spark, path, 3), "travel_v3")
+    cdc = (
+        read_changes(spark, path, 2, 3)
+        .groupBy(
+            F.concat(F.lit("cdc_"), F.col("_change_type")).alias("src"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dsum("c_acctbal").alias("total"),
+        )
+    )
+    return live.unionByName(travel).unionByName(cdc).orderBy("src", "seg")
+
+
+@register(
+    "mutate_mor_merge",
+    oracle="WITH merged AS ("
+    "SELECT o_orderkey, o_orderstatus, "
+    "CASE WHEN o_orderkey % 7 = 0 AND o_orderstatus <> 'F' "
+    "THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice "
+    "FROM orders "
+    "WHERE NOT COALESCE(o_orderkey % 7 = 0 AND o_orderstatus = 'F', FALSE) "
+    "UNION ALL "
+    "SELECT o_orderkey + 100000000, 'NEW', 1.0 FROM orders "
+    "WHERE o_orderkey % 1000 = 0) "
+    "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, "
+    + dsum_sql("o_totalprice")
+    + " AS total FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    doc="Merge-on-read MERGE INTO graded end-to-end (new r9, "
+    "operators/mor.dv_merge_into — the verb the streaming CDC applier "
+    "runs per micro-batch): one statement carries a conditional "
+    "WHEN MATCHED DELETE (op='D' -> tombstone), a WHEN MATCHED UPDATE "
+    "(tombstone + appended copy), and a WHEN NOT MATCHED INSERT, at "
+    "O(matched + inserted rows) cost with ZERO file rewrites "
+    "(files_rewritten == 0 asserted in-query; the COW merge rewrites "
+    "every file a matched key lives in).  The final read_mor aggregate "
+    "must equal the oracle's algebraic fold (delete -> NOT COALESCE "
+    "filter, update -> CASE, insert -> UNION ALL), proving clause "
+    "routing, three-valued delete-before-update order, self-re-match "
+    "immunity of the appended copies, and tombstone identity on a "
+    "range-clustered layout",
+    tags=("mutate", "sources"),
+)
+def mutate_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mor import dv_merge_into, read_mor
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    path = _mut_dir(sf_dir, "orders_mor_merge")
+    base = t["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    (
+        base.repartitionByRange(6, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    # CDC-shaped source derived deterministically from the fixture:
+    # every 7th key mutates (delete if status F, else +1000), and a
+    # disjoint key range inserts
+    changes = base.where("o_orderkey % 7 = 0").selectExpr(
+        "o_orderkey",
+        "CAST(NULL AS DOUBLE) AS o_totalprice",
+        "CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op",
+    )
+    inserts = base.where("o_orderkey % 1000 = 0").selectExpr(
+        "o_orderkey + 100000000 AS o_orderkey",
+        "CAST(1.0 AS DOUBLE) AS o_totalprice",
+        "'I' AS op",
+    )
+    src = changes.unionByName(inserts)
+    st = dv_merge_into(
+        spark,
+        path,
+        src,
+        on=["o_orderkey"],
+        matched_set={"o_totalprice": "o_totalprice + 1000"},
+        matched_delete="src_op = 'D'",
+        insert_values={
+            "o_orderstatus": "'NEW'",
+            "o_totalprice": "src_o_totalprice",
+        },
+        insert_condition="src_op = 'I'",
+    )
+    assert st.files_rewritten == 0, "MOR merge must not rewrite files"
+    return (
+        read_mor(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dsum("o_totalprice").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -210,10 +210,45 @@ def refresh_bloom_index(spark: SparkSession, path: str, col: str) -> int:
     ]
     if not missing:
         return 0
+    # xxhash64 is TYPE-sensitive: if a schema evolution widened the
+    # column (e.g. int → bigint via an evolve_schema MERGE, which
+    # rewrites every touched file), hashing the new files under the
+    # widened type while _probe still casts its literal to the stored
+    # col_type would silently FALSE-NEGATIVE — breaking the bloom
+    # contract.  A widening rewrites the files it touches, so the
+    # mismatch surfaces exactly here; recover with a full rebuild under
+    # the merged (widened) type, which also refreshes the stored meta.
+    new_type = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*missing)
+        .schema[col]
+        .dataType.simpleString()
+    )
+    if new_type != meta["col_type"]:
+        return build_bloom_index(
+            spark,
+            path,
+            col,
+            num_bits=meta["num_bits"],
+            num_hashes=meta["num_hashes"],
+        )
     _index_rows(
         spark, path, missing, col, meta["num_bits"], meta["num_hashes"]
     ).write.mode("append").parquet(idx_root)
     return len(missing)
+
+
+def refresh_all_bloom_indexes(spark: SparkSession, path: str) -> dict[str, int]:
+    """Refresh every bloom sidecar under ``<table>/_index/`` — the
+    post-DML maintenance hook (operators/mutate._refresh_indexes calls
+    this after each committed mutation unless
+    ``spark.sqlopt.autoRefreshIndexes`` is false).  Returns
+    ``{column: files newly indexed}``; O(new files) per index, a single
+    cheap directory listing when the table has no indexes at all."""
+    return {
+        col: refresh_bloom_index(spark, path, col)
+        for col in list_bloom_indexes(spark, path)
+    }
 
 
 def drop_bloom_index(spark: SparkSession, path: str, col: str) -> bool:

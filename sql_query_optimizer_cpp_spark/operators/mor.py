@@ -34,12 +34,19 @@ Design (all distributed, nothing per-row on the driver):
   vectors keyed to replaced file names match nothing, so a crash mid-way
   leaves a readable table and a rerun converges.
 
-Mutual exclusion: DV state lives outside the snapshot/version manifests,
-so mixing the two would make time travel silently resurrect deleted rows.
-Both layers refuse each other loudly (here: :func:`_ensure_dv_allowed`;
-in mutate.py: ``enable_versioning`` / ``create_snapshot`` / the COW verbs
-check ``has_deletion_vectors``).  Same advisory writer lock as COW, so a
-MOR writer and a COW writer can never interleave.
+Version-log unification (Delta-3.x shape): manifests pin the
+deletion-vector batch files alongside the data files
+(``mutate._manifest_state``), so on a versioned table every DV verb
+commits a first-class version — ``read_version`` applies the DV state
+as-of, ``read_changes`` emits tombstoned rows as deletes (and RESTORE's
+un-tombstones as inserts), ``restore_version`` renames DV batches through
+the same metadata-only plan, and ``vacuum`` honors manifest references to
+retired batches.  The one remaining guard is COW-side: the file-REWRITING
+verbs still refuse a table with live vectors (``mutate._default_retain``)
+— a base-scan rewrite would resurrect MOR-deleted rows — so the path from
+MOR back to COW is :func:`materialize_deletes` (itself a commit).  Same
+advisory writer lock as COW, so a MOR writer and a COW writer can never
+interleave.
 """
 
 from __future__ import annotations
@@ -60,6 +67,7 @@ from .mutate import (
     _mark_mutated,
     _move_in,
     _rel_to_table,
+    _retire_files,
     _stage,
     _writer_lock,
     is_partitioned,
@@ -87,6 +95,22 @@ def has_deletion_vectors(spark: SparkSession, path: str) -> bool:
     return any(
         st.isFile() and not st.getPath().getName().startswith(("_", "."))
         for st in fs.listStatus(p)
+    )
+
+
+def list_dv_files(spark: SparkSession, path: str) -> list[str]:
+    """Absolute URIs of the live deletion-vector batch parquet files —
+    the unit the version manifests pin (batches are immutable once
+    written: appends create new files, a prune writes a new batch and
+    retires the old ones)."""
+    jvm, fs, _ = _fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(_dv_path(path))
+    if not fs.exists(p):
+        return []
+    return sorted(
+        st.getPath().toString()
+        for st in fs.listStatus(p)
+        if st.isFile() and not st.getPath().getName().startswith(("_", "."))
     )
 
 
@@ -157,18 +181,26 @@ def _append_dv(spark: SparkSession, path: str, entries: DataFrame) -> int:
     from footers of the just-written batch, one metadata job, so the
     entries plan — which reads the base files — runs exactly once)."""
     dv_root = _dv_path(path)
+    existed = bool(list_dv_files(spark, path))
     before = dv_count(spark, path)
+    pre = set(list_dv_files(spark, path))
     entries.select(
         F.col("__src_file").cast("string").alias("src_file"),
         F.col("__row_idx").cast("long").alias("row_idx"),
     ).write.mode("append").parquet(dv_root)
     after = dv_count(spark, path)
-    if after == 0:
-        # a no-match first batch wrote only empty part files; remove the
-        # dir so has_deletion_vectors stays false and COW verbs stay usable
+    if after == before:
+        # a no-match batch wrote only empty part files; remove JUST the
+        # files this append created (they are uncommitted, so no version
+        # manifest can pin them) so has_deletion_vectors stays accurate
+        # and COW verbs stay usable on a vector-less table
         jvm, fs, _ = _fs(spark, path)
-        with contextlib.suppress(Exception):
-            fs.delete(jvm.org.apache.hadoop.fs.Path(dv_root), True)
+        for f in set(list_dv_files(spark, path)) - pre:
+            with contextlib.suppress(Exception):
+                fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+        if not existed:
+            with contextlib.suppress(Exception):
+                fs.delete(jvm.org.apache.hadoop.fs.Path(dv_root), True)
     return after - before
 
 
@@ -181,17 +213,19 @@ def _no_match(spark: SparkSession, path: str, cond: Column) -> bool:
     )
 
 
-def _ensure_dv_allowed(spark: SparkSession, path: str, verb: str) -> None:
-    # version manifests ARE snapshot manifests (table_versions filters
-    # list_snapshots), so one listing covers both refusal reasons
-    if list_snapshots(spark, path):
-        raise ValueError(
-            f"{verb}: {path} has a version log / snapshots; deletion "
-            "vectors live outside the manifests, so time travel over a "
-            "DV table would silently resurrect deleted rows. Use the "
-            "copy-on-write verbs on versioned tables, or drop the "
-            "snapshots first."
-        )
+def _commit(spark: SparkSession, path: str) -> None:
+    """Version-log commit hook for the DV verbs (caller holds the writer
+    lock).  Manifests pin data files AND deletion-vector batch files
+    (mutate._manifest_state), so a dv_delete on a versioned table is a
+    first-class commit: time travel reads the DV state as-of, CDC emits
+    the tombstoned rows, RESTORE undoes them — the Delta-3.x shape.
+    Bloom sidecars refresh here too (dv_update/dv_merge append copy
+    files; a pure dv_delete adds none, so its refresh is a no-op
+    listing)."""
+    from .mutate import _autoversion, _refresh_indexes
+
+    _autoversion(spark, path)
+    _refresh_indexes(spark, path)
 
 
 def dv_delete_where(
@@ -204,7 +238,6 @@ def dv_delete_where(
     tombstoned rows never double-count).  Read back via :func:`read_mor`."""
     cond = _cond(condition)
     with _writer_lock(spark, path):
-        _ensure_dv_allowed(spark, path, "dv_delete_where")
         files = list_data_files(spark, path, recursive=True)
         if not files or _no_match(spark, path, cond):
             return 0
@@ -215,6 +248,7 @@ def dv_delete_where(
             spark, path, matched.select("__src_file", "__row_idx")
         )
         if n:
+            _commit(spark, path)
             _mark_mutated(spark, path)
             spark.catalog.clearCache()
         return n
@@ -238,7 +272,6 @@ def dv_update_where(
     copies BEFORE anything becomes visible."""
     cond = _cond(condition)
     with _writer_lock(spark, path):
-        _ensure_dv_allowed(spark, path, "dv_update_where")
         partitioned = is_partitioned(spark, path)
         files = list_data_files(spark, path, recursive=True)
         if not files or _no_match(spark, path, cond):
@@ -306,9 +339,211 @@ def dv_update_where(
             spark, path, matched.select("__src_file", "__row_idx")
         )
         if n or n_new:
+            _commit(spark, path)
             _mark_mutated(spark, path)
             spark.catalog.clearCache()
         return n
+
+
+def dv_merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: list[str],
+    matched_set: dict[str, str | Column] | None = None,
+    insert_values: dict[str, str | Column] | None = None,
+    check_unique: bool = True,
+    matched_delete: str | Column | None = None,
+    insert_condition: str | Column | None = None,
+) -> MutationStats:
+    """Merge-on-read ``MERGE INTO``: the matched legs are exactly
+    :func:`dv_update_where`'s machinery — tombstone the old row images,
+    append the updated copies — and the insert leg appends new files, so
+    the whole statement costs O(matched + inserted rows) with ZERO file
+    rewrites (the COW merge rewrites every file containing a matched
+    key, ``mutate.merge_into``).  This is the verb the streaming CDC
+    upsert writer wants per micro-batch: a k-key batch writes O(k) rows.
+
+    Clause semantics mirror ``mutate.merge_into`` (same ``src_<name>``
+    scope, delete-before-update evaluation, insert defaults); schema
+    evolution is refused here — evolve on the COW path, then switch.
+    CHECK constraints are enforced over the staged copies + inserts
+    before anything becomes visible; on a versioned table the statement
+    commits one version.  Crash ordering is the COW-wide contract:
+    new data lands before the tombstones that hide the old (duplicates,
+    never loss), and matched rows are read from the verb's STARTING file
+    list so its own appends can never re-match."""
+    for k in on:
+        if k not in source.columns:
+            raise ValueError(f"merge key {k!r} missing from source")
+    if check_unique:
+        dup = (
+            source.groupBy(*on).count().where(F.col("count") > 1).limit(1)
+        )
+        if dup.count():
+            raise ValueError(
+                "MERGE source has duplicate join keys; each target row "
+                "must match at most one source row (pass "
+                "check_unique=False only if uniqueness is guaranteed "
+                "upstream)"
+            )
+    with _writer_lock(spark, path):
+        partitioned = is_partitioned(spark, path)
+        files = list_data_files(spark, path, recursive=True)
+        if not files:
+            raise ValueError(f"no parquet files under {path}")
+        sub = _with_identity(
+            spark, path, files, path if partitioned else None
+        )
+        data_cols = [
+            c for c in sub.columns if c not in ("__src_file", "__row_idx")
+        ]
+        # source-only columns are expression scope (src_<name> in the
+        # clause conditions/assignments, e.g. a CDC op column), same as
+        # the COW merge; they are never WRITTEN — schema evolution stays
+        # a COW-path feature (merge_into(..., evolve_schema=True))
+        part_cols: list[str] = []
+        if partitioned:
+            from .mutate import _partition_cols
+
+            part_cols = _partition_cols(spark, path, files[0])
+        if matched_set:
+            unknown = set(matched_set) - set(data_cols)
+            if unknown:
+                raise ValueError(
+                    f"MERGE matched_set on unknown columns: {sorted(unknown)}"
+                )
+            part_hit = [c for c in matched_set if c in part_cols]
+            if part_hit:
+                raise ValueError(
+                    f"MERGE matched_set on partition columns: "
+                    f"{sorted(part_hit)}; changing a row's partition is a "
+                    "delete + insert"
+                )
+        if insert_values:
+            unknown = set(insert_values) - set(data_cols)
+            if unknown:
+                raise ValueError(
+                    f"MERGE insert_values on unknown columns: "
+                    f"{sorted(unknown)}"
+                )
+        live = _live(sub, _read_dv(spark, path))
+        src = source.select(
+            *[
+                F.col(c).alias(c if c in on else f"src_{c}")
+                for c in source.columns
+            ]
+        )
+        joined = live.join(src, on=on, how="inner")
+        # delete-before-update, the COW merge's documented clause order;
+        # three-valued WHERE: NULL keeps the row on the update path
+        if matched_delete is not None:
+            dcond = _cond(matched_delete)
+            dead_j = joined.where(dcond)
+            upd_j = joined.where(
+                ~F.coalesce(dcond.cast("boolean"), F.lit(False))
+            )
+        else:
+            dead_j = joined.limit(0)
+            upd_j = joined
+        if matched_set is None:
+            upd_j = joined.limit(0)
+        updated = upd_j.select(
+            *[
+                _cond(matched_set[c]).cast(sub.schema[c].dataType).alias(c)
+                if matched_set and c in matched_set
+                else F.col(c)
+                for c in data_cols
+            ]
+        )
+        # inserts: source keys with no live target partner
+        unmatched = src.join(
+            live.select(*on).distinct(), on=on, how="left_anti"
+        )
+        if insert_condition is not None:
+            unmatched = unmatched.where(_cond(insert_condition))
+        iv = insert_values or {}
+        ins_cols = []
+        for c in data_cols:
+            dt = sub.schema[c].dataType
+            if c in iv:
+                e = _cond(iv[c])
+            elif c in on:
+                e = F.col(c)
+            elif f"src_{c}" in unmatched.columns:
+                e = F.col(f"src_{c}")
+            else:
+                e = F.lit(None)
+            ins_cols.append(e.cast(dt).alias(c))
+        ins_df = unmatched.select(*ins_cols)
+
+        def _stage_rows(df: DataFrame, created: list[str]) -> str:
+            if partitioned:
+                staging = path.rstrip("/") + f"__cow_{uuid.uuid4().hex}"
+                created.append(staging)
+                df.write.partitionBy(*part_cols).mode("overwrite").parquet(
+                    staging
+                )
+                return staging
+            return _stage(spark, path, df, created)
+
+        created: list[str] = []
+        jvm, fs, _ = _fs(spark, path)
+        try:
+            upd_staging = _stage_rows(updated, created)
+            ins_staging = _stage_rows(ins_df, created)
+            if table_constraints(spark, path):
+                _enforce_constraints(
+                    spark, path, [upd_staging, ins_staging]
+                )
+            # footer-count the legs BEFORE move-in (one metadata job per
+            # staging dir, no plan re-execution)
+            n_upd = _staged_rows(spark, upd_staging)
+            n_ins = _staged_rows(spark, ins_staging)
+            mover = _move_in
+            if partitioned:
+                from .mutate import _move_in_partitioned
+
+                mover = lambda s, p, st: _move_in_partitioned(  # noqa: E731
+                    s, p, st, part_cols
+                )
+            if n_upd:
+                mover(spark, path, upd_staging)
+            else:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(upd_staging), True)
+            if n_ins:
+                mover(spark, path, ins_staging)
+            else:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(ins_staging), True)
+        except BaseException:
+            for s in created:
+                with contextlib.suppress(Exception):
+                    fs.delete(jvm.org.apache.hadoop.fs.Path(s), True)
+            raise
+        # copies + inserts are live; now hide the matched originals
+        n_dead = _append_dv(
+            spark,
+            path,
+            dead_j.select("__src_file", "__row_idx").unionByName(
+                upd_j.select("__src_file", "__row_idx")
+            ),
+        )
+        if n_dead or n_ins:
+            _commit(spark, path)
+            _mark_mutated(spark, path)
+            spark.catalog.clearCache()
+        # files_rewritten = 0 is the point: matched rows tombstone +
+        # re-append, nothing rewrites
+        return MutationStats(len(files), 0, n_dead, n_ins)
+
+
+def _staged_rows(spark: SparkSession, staging: str) -> int:
+    """Row count of a staged write from parquet footers (no data I/O);
+    0 for an empty partitioned staging (which writes no part files)."""
+    files = list_data_files(spark, staging, recursive=True)
+    if not files:
+        return 0
+    return spark.read.parquet(*files).count()
 
 
 def read_mor(spark: SparkSession, path: str) -> DataFrame:
@@ -371,6 +606,10 @@ def materialize_deletes(
             return MutationStats(
                 len(list_data_files(spark, path, recursive=True)), 0, 0
             )
+        # versioned / snapshotted tables retire superseded files (data
+        # AND deletion-vector batches) instead of deleting — older
+        # manifests pin them, the same auto-retain rule as the COW verbs
+        retain = bool(list_snapshots(spark, path))
         dead_rel = {
             r["src_file"]
             for r in dv.select("src_file").distinct().collect()
@@ -424,7 +663,10 @@ def materialize_deletes(
         removed = 0
         for dir_, fl, staging in staged:
             _move_in(spark, dir_, staging)
-            _delete_files(spark, fl)
+            if retain:
+                _retire_files(spark, path, fl)
+            else:
+                _delete_files(spark, fl)
             removed += len(fl)
         # reached with removed==0 only when every tombstoned file was
         # already replaced (stale store from a crashed run): fall through
@@ -436,17 +678,36 @@ def materialize_deletes(
             for st in fs.listStatus(dv_root)
             if st.isFile()
         ]
+        old_dv_parquet = list_dv_files(spark, path)
         if removed and survivors.limit(1).count():
             # partial materialize: shrink the store by the graduated
             # files' vectors WITHOUT ever leaving it empty or missing —
             # stage the pruned copy (reads the old batch files), move it
-            # in beside them, only then delete the old batches.  Any
-            # crash point leaves at-least-once tombstones, which the
+            # in beside them, only then retire/delete the old batches.
+            # Any crash point leaves at-least-once tombstones, which the
             # anti join reads identically.
             pruned = _stage(spark, path, survivors)
             _move_in(spark, _dv_path(path), pruned)
-            _delete_files(spark, old_dv_files)
+            if retain:
+                _retire_files(spark, path, old_dv_parquet)
+                _delete_files(
+                    spark,
+                    [f for f in old_dv_files if f not in old_dv_parquet],
+                )
+            else:
+                _delete_files(spark, old_dv_files)
+        elif retain:
+            # full materialize on a versioned table: the old batches stay
+            # reachable for time travel; only marker files die with the dir
+            _retire_files(spark, path, old_dv_parquet)
+            fs.delete(dv_root, True)
         else:
             fs.delete(dv_root, True)
+        if retain:
+            _commit(spark, path)
+        else:
+            from .mutate import _refresh_indexes
+
+            _refresh_indexes(spark, path)
         spark.catalog.clearCache()
         return MutationStats(len(files), removed, 0)

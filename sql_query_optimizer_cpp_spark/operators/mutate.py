@@ -347,6 +347,9 @@ def _with_writer_lock(fn):
                 out.files_rewritten or out.rows_inserted
             ):
                 _autoversion(spark, path)
+                # bloom sidecars: index the files this verb just created
+                # (compact included — it replaces indexed files wholesale)
+                _refresh_indexes(spark, path)
                 # layout-only verbs (compact/recluster) move bytes but
                 # change no row — ANALYZE row/NDV stats stay exact, so
                 # they must not trip the staleness warning + re-harvest
@@ -369,6 +372,38 @@ def _mark_mutated(spark: SparkSession, path: str) -> None:
 
     with contextlib.suppress(Exception):
         mark_table_mutated(spark, path)
+
+
+#: set to "false" to opt out of post-DML bloom-index maintenance (the
+#: indexes stay CORRECT either way — unindexed files are always probe
+#: candidates — they just stop earning skips until a manual refresh)
+AUTO_REFRESH_INDEX_CONF = "spark.sqlopt.autoRefreshIndexes"
+
+
+def _refresh_indexes(spark: SparkSession, path: str) -> None:
+    """Post-commit bloom-index maintenance: re-index the files this DML
+    just created, O(new files) per indexed column and one cheap dir
+    listing when the table has no indexes.  Runs inside the writer lock
+    (sidecar appends must not race another writer).  A failure degrades
+    to always-candidate files — correctness never depends on this hook,
+    so it warns instead of failing the already-committed mutation."""
+    import warnings
+
+    if str(
+        spark.conf.get(AUTO_REFRESH_INDEX_CONF, "true")
+    ).lower() != "true":
+        return
+    try:
+        from .fileindex import refresh_all_bloom_indexes
+
+        refresh_all_bloom_indexes(spark, path)
+    except Exception as e:  # pragma: no cover - defensive
+        warnings.warn(
+            f"bloom index auto-refresh on {path} failed ({e}); point "
+            "lookups stay correct (unindexed files are always "
+            "candidates) — run refresh_bloom_index manually",
+            stacklevel=2,
+        )
 
 
 def _default_retain(spark: SparkSession, path: str, retain: bool | None) -> bool:
@@ -1563,6 +1598,7 @@ def _occ_mutate(
                 # parts may already have moved in)
                 _swap_staged(spark, path, staged, ret)
                 _autoversion(spark, path)
+                _refresh_indexes(spark, path)
                 _mark_mutated(spark, path)
         finally:
             lock.__exit__(None, None, None)
@@ -1687,6 +1723,7 @@ def occ_merge_into(
     lock_wait_seconds: float = 30.0,
     max_pruned_files: int | None = 100_000,
     evolve_schema: bool = False,
+    isolation: str = "serializable",
     _after_stage=None,
 ) -> MutationStats:
     """Optimistic ``MERGE INTO``: same semantics as :func:`merge_into`,
@@ -1694,7 +1731,7 @@ def occ_merge_into(
     workload the CDC upsert writer (streaming/upsert.py) generates when
     several micro-batch writers land on one table.
 
-    Validation is SERIALIZABLE and therefore stricter than the point
+    ``isolation='serializable'`` (default) is stricter than the point
     verbs': a MERGE's read set is the WHOLE table (the NOT-MATCHED
     anti-join reads every file's keys to decide what to insert), so the
     commit requires the table's file list to be byte-identical to what the
@@ -1705,11 +1742,29 @@ def occ_merge_into(
     files because their rewrite never depends on rows they didn't read; a
     merge's insert decision does.)
 
+    ``isolation='write_serializable'`` (Delta's default level) validates
+    only the merge's WRITE-dependent read set: conflict = a concurrent
+    commit removed a file this merge is rewriting.  Disjoint-key
+    concurrent merges then commit WITHOUT retrying the expensive
+    restage — the steady-state cost win for sharded CDC appliers.  The
+    documented anomaly is the same one Delta accepts: this merge's
+    insert/matched decisions were made against the pre-commit snapshot,
+    so a concurrent commit that inserted one of this merge's unmatched
+    source keys yields a duplicate insert, and rows a concurrent commit
+    rewrote keep this merge's view for the matched leg.  Writers on
+    DISJOINT keys are anomaly-free; use the default level when key
+    ranges can overlap.
+
     Per-attempt cost is the same stage-everything-then-swap as
     :func:`merge_into`; only the metadata validate-and-swap serializes.
     """
     if max_attempts < 1:
         raise ValueError("max_attempts must be >= 1")
+    if isolation not in ("serializable", "write_serializable"):
+        raise ValueError(
+            f"isolation must be 'serializable' or 'write_serializable', "
+            f"got {isolation!r}"
+        )
     jvm, fs, jpath = _fs(spark, path)
     # the duplicate-source-key guard is attempt-invariant (it reads only
     # the source): run it once, not once per retry
@@ -1777,9 +1832,22 @@ def occ_merge_into(
                 )
             }
             before = {_uri_path(f) for f in st.files}
-            if current != before:
-                conflict = sorted(current.symmetric_difference(before))[:10]
+            if isolation == "serializable":
+                if current != before:
+                    conflict = sorted(
+                        current.symmetric_difference(before)
+                    )[:10]
             else:
+                # write_serializable: only the files THIS merge rewrites
+                # are commit-blocking — a concurrent commit that removed
+                # one means our staged rewrite would clobber/resurrect
+                # its rows; anything else is the documented anomaly
+                clash = (before - current) & {
+                    _uri_path(f) for f in st.hit
+                }
+                if clash:
+                    conflict = sorted(clash)[:10]
+            if conflict is None:
                 # same in-lock constraint re-check as _occ_mutate: a set
                 # registered after _merge_prepare's lock-free enforcement
                 # must still gate this commit
@@ -1792,6 +1860,7 @@ def occ_merge_into(
                 ret = _default_retain(spark, path, retain)
                 _merge_commit(spark, path, st, ret)
                 _autoversion(spark, path)
+                _refresh_indexes(spark, path)
                 _mark_mutated(spark, path)
         finally:
             lock.__exit__(None, None, None)
@@ -2095,10 +2164,9 @@ def execute_dml(
     :func:`occ_delete_where` / :func:`occ_merge_into`; flat and
     hive-partitioned tables).
 
-    ``mor=True`` routes UPDATE/DELETE through the merge-on-read deletion
-    -vector verbs (operators/mor.py): O(changed rows) sidecar writes, no
-    file rewrites, read back via ``read_mor``.  MERGE under ``mor`` is
-    refused (its insert leg is an append either way; use COW/optimistic).
+    ``mor=True`` routes UPDATE/DELETE/MERGE through the merge-on-read
+    deletion-vector verbs (operators/mor.py): O(changed rows) sidecar +
+    append writes, zero file rewrites, read back via ``read_mor``.
     Mutually exclusive with ``optimistic`` — the MOR verbs use the plain
     writer lock.
 
@@ -2128,13 +2196,6 @@ def execute_dml(
         )
     m = _MERGE_RE.match(text)
     if m:
-        if mor:
-            raise ValueError(
-                "MERGE under mor=True is not supported: the matched leg "
-                "would be tombstone+append (use UPDATE/DELETE), and the "
-                "insert leg is an append either way — run the MERGE "
-                "copy-on-write or optimistic"
-            )
         t_name, t_alias, s_name, s_alias, on_text, clauses = m.groups()
         t_alias = t_alias or t_name
         s_alias = s_alias or s_name
@@ -2242,7 +2303,27 @@ def execute_dml(
                 "an unconditional WHEN MATCHED DELETE makes the UPDATE "
                 "clause unreachable; give the DELETE a condition"
             )
-        source = spark.read.parquet(tables[s_name])
+        # DV-aware source read: if the USING table is itself merge-on-read
+        # (e.g. MERGE INTO t USING t after a dv_update), a base read would
+        # feed tombstoned rows and duplicate keys into the merge
+        from .mor import read_mor
+
+        source = read_mor(spark, tables[s_name])
+        if mor:
+            from .mor import dv_merge_into
+
+            return dv_merge_into(
+                spark,
+                tables[t_name],
+                source,
+                on=on,
+                matched_set=matched_set,
+                matched_delete=matched_delete,
+                insert_values=insert_values,
+                insert_condition=(
+                    insert_condition if want_insert else "false"
+                ),
+            )
         merge_verb = occ_merge_into if optimistic else merge_into
         return merge_verb(
             spark,
@@ -2388,16 +2469,11 @@ def create_snapshot(spark: SparkSession, path: str, name: str) -> int:
     in-flight DML could capture a mid-swap file list (old+new duplicates,
     or originals already retired) as a PERMANENT version — a manifest may
     only ever pin a committed state.
-    """
-    from .mor import has_deletion_vectors
 
-    if has_deletion_vectors(spark, path):
-        raise ValueError(
-            f"create_snapshot refused: {path} carries live deletion "
-            "vectors, which a file-list manifest cannot capture — reading "
-            "the snapshot would resurrect deleted rows. Run "
-            "operators.mor.materialize_deletes first."
-        )
+    Merge-on-read tables snapshot cleanly: the manifest pins the live
+    deletion-vector batch files alongside the data files, and
+    :func:`read_snapshot` applies them — no materialize required.
+    """
     with _writer_lock(spark, path):
         return _create_snapshot_unlocked(spark, path, name)
 
@@ -2414,6 +2490,15 @@ def _create_snapshot_unlocked(spark: SparkSession, path: str, name: str) -> int:
         _rel_to_table(path, f)
         for f in list_data_files(spark, path, recursive=True)
     ]
+    # Delta-3.x-shaped unification: a manifest pins the DELETION-VECTOR
+    # state alongside the data files (batch files under _dv/ are
+    # immutable once written, so the name list IS the state) — time
+    # travel / CDC / RESTORE over merge-on-read tables read both lists
+    from .mor import list_dv_files
+
+    dv_files = [
+        _rel_to_table(path, f) for f in list_dv_files(spark, path)
+    ]
     # committed_at powers version_history / read_as_of; informational
     # metadata, never part of any graded/result-bearing output
     from datetime import datetime, timezone
@@ -2421,6 +2506,7 @@ def _create_snapshot_unlocked(spark: SparkSession, path: str, name: str) -> int:
     manifest = json.dumps(
         {
             "files": sorted(files),
+            "dv_files": sorted(dv_files),
             "committed_at": datetime.now(timezone.utc).isoformat(),
         },
         indent=0,
@@ -2459,16 +2545,20 @@ def _manifest(spark: SparkSession, path: str, name: str) -> dict:
     return json.loads(_read_small_file(spark, manifest))
 
 
-def _manifest_rel_files(spark: SparkSession, path: str, name: str) -> list[str]:
-    """Table-relative file list a manifest pins.  A full manifest carries
-    it outright (``files``); a DELTA version manifest (``add``/``remove``,
-    written by :func:`_autoversion` between checkpoints) reconstructs by
-    walking back to the nearest full checkpoint and folding the deltas
-    forward — commit cost stays O(touched files), read cost is bounded by
-    ``CHECKPOINT_INTERVAL`` small-file reads."""
+def _manifest_state(
+    spark: SparkSession, path: str, name: str
+) -> tuple[list[str], list[str]]:
+    """``(data files, deletion-vector files)`` a manifest pins, both
+    table-relative.  A full manifest carries them outright (``files`` /
+    ``dv_files``); a DELTA version manifest (``add``/``remove`` +
+    ``dv_add``/``dv_remove``, written by :func:`_autoversion` between
+    checkpoints) reconstructs by walking back to the nearest full
+    checkpoint and folding the deltas forward — commit cost stays
+    O(touched files), read cost is bounded by ``CHECKPOINT_INTERVAL``
+    small-file reads.  One walk reconstructs both lists."""
     d = _manifest(spark, path, name)
     if "files" in d:
-        return d["files"]
+        return sorted(d["files"]), sorted(d.get("dv_files", []))
     m = _VERSION_RE.match(name)
     if not m:
         raise ValueError(
@@ -2479,10 +2569,12 @@ def _manifest_rel_files(spark: SparkSession, path: str, name: str) -> list[str]:
     vs = table_versions(spark, path)
     chain = [d]
     base: set[str] | None = None
+    base_dv: set[str] = set()
     for pv in reversed([x for x in vs if x < v]):
         pd = _manifest(spark, path, f"v{pv:08d}")
         if "files" in pd:
             base = set(pd["files"])
+            base_dv = set(pd.get("dv_files", []))
             break
         chain.append(pd)
     if base is None:
@@ -2495,7 +2587,20 @@ def _manifest_rel_files(spark: SparkSession, path: str, name: str) -> list[str]:
     for dd in reversed(chain):
         base -= set(dd.get("remove", []))
         base |= set(dd.get("add", []))
-    return sorted(base)
+        base_dv -= set(dd.get("dv_remove", []))
+        base_dv |= set(dd.get("dv_add", []))
+    return sorted(base), sorted(base_dv)
+
+
+def _manifest_rel_files(spark: SparkSession, path: str, name: str) -> list[str]:
+    """Table-relative DATA file list a manifest pins (see
+    :func:`_manifest_state`)."""
+    return _manifest_state(spark, path, name)[0]
+
+
+def _manifest_dv_files(spark: SparkSession, path: str, name: str) -> list[str]:
+    """Table-relative deletion-vector batch files a manifest pins."""
+    return _manifest_state(spark, path, name)[1]
 
 
 def _snapshot_files(spark: SparkSession, path: str, name: str) -> list[str]:
@@ -2548,7 +2653,10 @@ def _resolve_pinned_files(
 
 
 def _read_pinned_files(
-    spark: SparkSession, path: str, resolved: list[str]
+    spark: SparkSession,
+    path: str,
+    resolved: list[str],
+    with_identity: bool = False,
 ) -> DataFrame:
     """Read an explicit (already-resolved) file list as one DataFrame,
     grouping by base dir (table root vs each ``_retired`` batch) so
@@ -2556,7 +2664,9 @@ def _read_pinned_files(
     segments under EACH base — one basePath cannot span both locations.
     ``mergeSchema`` + allow-missing union keep evolved tables readable:
     files written before an ``evolve_schema`` MERGE NULL-backfill the
-    newer columns."""
+    newer columns.  ``with_identity`` attaches the MOR row identity
+    (``__src_file`` original-table-relative, ``__row_idx``) so callers
+    can apply a version's pinned deletion vectors."""
     by_base: dict[str, list[str]] = {}
     for f in resolved:
         rel = _rel_to_table(path, f)
@@ -2567,12 +2677,42 @@ def _read_pinned_files(
             i = parts.index(RETIRED_DIR)
             base = f"{base}/{'/'.join(parts[: i + 2])}"
         by_base.setdefault(base, []).append(f)
-    frames = [
-        spark.read.option("basePath", base)
-        .option("mergeSchema", "true")
-        .parquet(*fl)
-        for base, fl in sorted(by_base.items())
-    ]
+    jvm, fs, _ = _fs(spark, path)
+    frames = []
+    for base, fl in sorted(by_base.items()):
+        df = (
+            spark.read.option("basePath", base)
+            .option("mergeSchema", "true")
+            .parquet(*fl)
+        )
+        if with_identity:
+            # the MOR row identity, spelled in ORIGINAL table-relative
+            # terms: retirement preserves the relative path under each
+            # batch dir, so "path under this group's base" IS the rel
+            # path the deletion vectors were keyed on
+            clash = {"__fp", "__row_idx", "__src_file"} & set(df.columns)
+            if clash:
+                raise ValueError(
+                    f"table columns {sorted(clash)} collide with the "
+                    "merge-on-read working columns; rename them before "
+                    "time-traveling a deletion-vector table"
+                )
+            qbase = fs.makeQualified(
+                jvm.org.apache.hadoop.fs.Path(base)
+            ).toString()
+            df = (
+                df.select(
+                    "*",
+                    F.col("_metadata.file_path").alias("__fp"),
+                    F.col("_metadata.row_index").alias("__row_idx"),
+                )
+                .withColumn(
+                    "__src_file",
+                    F.expr(f"substring(__fp, {len(qbase) + 2})"),
+                )
+                .drop("__fp")
+            )
+        frames.append(df)
     out = frames[0]
     for fr in frames[1:]:
         out = out.unionByName(fr, allowMissingColumns=True)
@@ -2593,7 +2733,28 @@ def read_snapshot(spark: SparkSession, path: str, name: str) -> DataFrame:
     )
     if not resolved:
         raise ValueError(f"snapshot {name!r} is empty")
-    return _read_pinned_files(spark, path, resolved)
+    dv_rel = _manifest_dv_files(spark, path, name)
+    if not dv_rel:
+        return _read_pinned_files(spark, path, resolved)
+    # merge-on-read version: the manifest pins the deletion-vector state
+    # too — apply it exactly as read_mor does on the live table (one
+    # broadcast-sized anti join on the row identity; tombstones keyed to
+    # files outside this version match nothing)
+    root = path.rstrip("/")
+    dv_resolved = _resolve_pinned_files(
+        spark,
+        path,
+        [f"{root}/{r}" for r in dv_rel],
+        f"snapshot {name!r} deletion vectors",
+    )
+    dv = spark.read.parquet(*dv_resolved).select("src_file", "row_idx")
+    df = _read_pinned_files(spark, path, resolved, with_identity=True)
+    return df.join(
+        dv,
+        (df["__src_file"] == dv["src_file"])
+        & (df["__row_idx"] == dv["row_idx"]),
+        "left_anti",
+    ).drop("__src_file", "__row_idx")
 
 
 def vacuum(spark: SparkSession, path: str) -> int:
@@ -2626,18 +2787,26 @@ def vacuum(spark: SparkSession, path: str) -> int:
                 "removed without compaction (use drop_versions_before)"
             )
     running: set[str] = set()
+    running_dv: set[str] = set()
     for _, n in versioned:
         d = _manifest(spark, path, n)
         if "files" in d:
             running = set(d["files"])
+            running_dv = set(d.get("dv_files", []))
         else:
             running = (running - set(d.get("remove", []))) | set(
                 d.get("add", [])
             )
+            running_dv = (
+                running_dv - set(d.get("dv_remove", []))
+            ) | set(d.get("dv_add", []))
         referenced |= running
+        referenced |= running_dv
     for n in names:
         if not _VERSION_RE.match(n):
-            referenced.update(_manifest_rel_files(spark, path, n))
+            fl, dvl = _manifest_state(spark, path, n)
+            referenced.update(fl)
+            referenced.update(dvl)
     retired_root = jvm.org.apache.hadoop.fs.Path(
         f"{path.rstrip('/')}/{RETIRED_DIR}"
     )
@@ -2715,16 +2884,11 @@ def enable_versioning(spark: SparkSession, path: str) -> int:
 
     Runs under the writer lock (v1 must pin a committed state, never a
     mid-swap file list; the idempotence check re-runs inside the lock so
-    two concurrent enables cannot both write v1)."""
-    from .mor import has_deletion_vectors
+    two concurrent enables cannot both write v1).
 
-    if has_deletion_vectors(spark, path):
-        raise ValueError(
-            f"enable_versioning refused: {path} carries live deletion "
-            "vectors, which live outside version manifests — time travel "
-            "would silently resurrect deleted rows. Run "
-            "operators.mor.materialize_deletes first."
-        )
+    Works on merge-on-read tables: v1 pins the live deletion-vector
+    state alongside the data files, and every later DV verb commits its
+    own version — the Delta-3.x unification."""
     with _writer_lock(spark, path):
         vs = table_versions(spark, path)
         if vs:
@@ -2761,15 +2925,23 @@ def _autoversion(spark: SparkSession, path: str) -> None:
     if deltas_since + 1 >= CHECKPOINT_INTERVAL:
         _create_snapshot_unlocked(spark, path, f"v{nxt:08d}")
         return
+    from .mor import list_dv_files
+
     current = sorted(
         _rel_to_table(path, f)
         for f in list_data_files(spark, path, recursive=True)
     )
-    prev_set = set(_manifest_rel_files(spark, path, f"v{prev:08d}"))
+    current_dv = sorted(
+        _rel_to_table(path, f) for f in list_dv_files(spark, path)
+    )
+    prev_files, prev_dv = _manifest_state(spark, path, f"v{prev:08d}")
+    prev_set, prev_dv_set = set(prev_files), set(prev_dv)
     delta = json.dumps(
         {
             "add": sorted(set(current) - prev_set),
             "remove": sorted(prev_set - set(current)),
+            "dv_add": sorted(set(current_dv) - prev_dv_set),
+            "dv_remove": sorted(prev_dv_set - set(current_dv)),
             "committed_at": datetime.now(timezone.utc).isoformat(),
         },
         indent=0,
@@ -2874,9 +3046,14 @@ def restore_version(
     is read, rewritten, or copied — O(changed files) namespace renames,
     which is what makes RESTORE instant at 100 TB.
 
-    Crash mid-restore leaves a SUPERSET visible (restored files in, extras
-    not yet retired) and no version committed — rerunning the restore
-    converges; nothing is ever lost (``retire`` moves, never deletes).
+    Crash mid-restore leaves a SUPERSET of files visible (restored files
+    in, extras not yet retired) and no version committed — rerunning the
+    restore converges; nothing is ever lost (``retire`` moves, never
+    deletes).  On a merge-on-read table the deletion-vector batches
+    restore/retire through the same rename plan; mid-crash the UNION of
+    old and restored tombstones may be briefly applied (at-least-once
+    tombstones — rows, never lost, possibly over-hidden until the rerun
+    finishes the retire step).
 
     ``files_rewritten`` in the returned stats counts files that changed
     liveness (restored + retired); ``rows_matched`` is 0 (no row work).
@@ -2893,9 +3070,20 @@ def restore_version(
                 f"no version {version} for {path} "
                 f"(have {vs[0]}..{vs[-1]}, {len(vs)} committed)"
             )
-        target_abs = _snapshot_files(spark, path, f"v{version:08d}")
-        target_rel = {_rel_to_table(path, f) for f in target_abs}
-        current = list_data_files(spark, path, recursive=True)
+        root_ = path.rstrip("/")
+        target_files, target_dv = _manifest_state(
+            spark, path, f"v{version:08d}"
+        )
+        from .mor import list_dv_files
+
+        # data files and deletion-vector batch files restore uniformly:
+        # both are immutable named blobs whose rel path the manifests and
+        # _retired/ batches preserve — one rename plan covers the pair
+        target_abs = [f"{root_}/{r}" for r in target_files + target_dv]
+        target_rel = set(target_files) | set(target_dv)
+        current = list_data_files(spark, path, recursive=True) + list(
+            list_dv_files(spark, path)
+        )
         current_rel = {_rel_to_table(path, f) for f in current}
         missing_abs = [
             f
@@ -2912,9 +3100,8 @@ def restore_version(
             # the live table equals the target while the log still says
             # otherwise; the documented recovery is "rerun the restore",
             # so the rerun must finish the job by committing the version.
-            latest_rel = set(
-                _manifest_rel_files(spark, path, f"v{vs[-1]:08d}")
-            )
+            lf, ldv = _manifest_state(spark, path, f"v{vs[-1]:08d}")
+            latest_rel = set(lf) | set(ldv)
             if latest_rel != current_rel:
                 _autoversion(spark, path)
                 _mark_mutated(spark, path)
@@ -2938,6 +3125,7 @@ def restore_version(
         #    pin some of them — retire, never delete)
         _retire_files(spark, path, extras)
         _autoversion(spark, path)
+        _refresh_indexes(spark, path)
         _mark_mutated(spark, path)
         spark.catalog.clearCache()
         return MutationStats(
@@ -3049,36 +3237,111 @@ def read_changes(
         raise ValueError(
             f"from_version {from_version} is newer than to_version {to_v}"
         )
-    rel_from = set(_manifest_rel_files(spark, path, f"v{from_version:08d}"))
-    rel_to = set(_manifest_rel_files(spark, path, f"v{to_v:08d}"))
+    files_from, dv_from_rel = _manifest_state(
+        spark, path, f"v{from_version:08d}"
+    )
+    files_to, dv_to_rel = _manifest_state(spark, path, f"v{to_v:08d}")
+    rel_from, rel_to = set(files_from), set(files_to)
     root = path.rstrip("/")
+    what = f"version range {from_version}..{to_v} of {path}"
 
-    def _load(rels: set[str], what: str) -> DataFrame | None:
-        if not rels:
-            return None
-        resolved = _resolve_pinned_files(
+    def _resolve_rels(rels) -> list[str]:
+        return _resolve_pinned_files(
             spark, path, [f"{root}/{r}" for r in sorted(rels)], what
         )
-        return _read_pinned_files(spark, path, resolved)
 
-    what = f"version range {from_version}..{to_v} of {path}"
-    added = _load(rel_to - rel_from, what)
-    removed = _load(rel_from - rel_to, what)
-    if added is None and removed is None:
+    def _dv_entries(rels: set[str]) -> DataFrame | None:
+        if not rels:
+            return None
+        return spark.read.parquet(*_resolve_rels(rels)).select(
+            "src_file", "row_idx"
+        )
+
+    # the endpoint versions' deletion-vector STATES (None = no DVs) —
+    # a version's live rows are its data files minus these tombstones
+    dv_from = _dv_entries(set(dv_from_rel))
+    dv_to = _dv_entries(set(dv_to_rel))
+
+    def _masked(rels: set[str], dv: DataFrame | None) -> DataFrame | None:
+        """The LIVE rows of these data files under the given DV state."""
+        if not rels:
+            return None
+        resolved = _resolve_rels(rels)
+        if dv is None:
+            return _read_pinned_files(spark, path, resolved)
+        df = _read_pinned_files(spark, path, resolved, with_identity=True)
+        return df.join(
+            dv,
+            (df["__src_file"] == dv["src_file"])
+            & (df["__row_idx"] == dv["row_idx"]),
+            "left_anti",
+        ).drop("__src_file", "__row_idx")
+
+    parts: list[tuple[DataFrame, int]] = []
+    added = _masked(rel_to - rel_from, dv_to)
+    removed = _masked(rel_from - rel_to, dv_from)
+    if added is not None:
+        parts.append((added, 1))
+    if removed is not None:
+        parts.append((removed, -1))
+
+    # deletion-vector diff over files live in BOTH versions: rows newly
+    # tombstoned in the range emit deletes; rows un-tombstoned (RESTORE
+    # undoing a dv_delete) emit inserts.  DV batches are immutable, so
+    # only the DIFFERING batch files are read as candidates; membership
+    # is set-level (a materialize prune copies surviving entries into a
+    # new batch — at-least-once tombstones must not read as new deletes).
+    if set(dv_from_rel) != set(dv_to_rel):
+        common = rel_from & rel_to
+        new_batches = _dv_entries(set(dv_to_rel) - set(dv_from_rel))
+        gone_batches = _dv_entries(set(dv_from_rel) - set(dv_to_rel))
+
+        def _entry_diff(cand, other):
+            if cand is None:
+                return None
+            d = cand.distinct()
+            if other is not None:
+                d = d.join(other, ["src_file", "row_idx"], "left_anti")
+            return d
+
+        for ent, sign in (
+            (_entry_diff(new_batches, dv_from), -1),
+            (_entry_diff(gone_batches, dv_to), 1),
+        ):
+            if ent is None:
+                continue
+            # bounded metadata collect (O(touched files), the same class
+            # as the manifest lists): which common files do the changed
+            # tombstones reference?  Entries on files added/removed in
+            # the range are already covered by the masked parts above.
+            touched = {
+                r["src_file"]
+                for r in ent.select("src_file").distinct().collect()
+            } & common
+            if not touched:
+                continue
+            df = _read_pinned_files(
+                spark, path, _resolve_rels(touched), with_identity=True
+            )
+            rows = df.join(
+                ent,
+                (df["__src_file"] == ent["src_file"])
+                & (df["__row_idx"] == ent["row_idx"]),
+                "left_semi",
+            ).drop("__src_file", "__row_idx")
+            parts.append((rows, sign))
+
+    if not parts:
         base = read_version(spark, path, to_v).limit(0)
         return base.select(
             F.lit("insert").alias("_change_type"), "*"
         ).limit(0)
-    if added is None:
-        added = removed.limit(0)
-    if removed is None:
-        removed = added.limit(0)
-    # align both sides to one column list (newer side's types win — a
-    # widening evolution casts the old images up, an added column
-    # NULL-backfills the removed side) so exceptAll compares row images
+    # align every part to one column list (first-seen order, that side's
+    # types win — a widening evolution casts the old images up, an added
+    # column NULL-backfills) so the signed aggregate compares row images
     ordered: list[tuple[str, object]] = []
     seen: set[str] = set()
-    for side in (added, removed):
+    for side, _ in parts:
         for fld in side.schema.fields:
             if fld.name not in seen:
                 seen.add(fld.name)
@@ -3097,7 +3360,9 @@ def read_changes(
             F.lit(sign).alias(_SIGN_COL),
         )
 
-    both = _aligned(added, 1).unionByName(_aligned(removed, -1))
+    both = _aligned(parts[0][0], parts[0][1])
+    for df, sign in parts[1:]:
+        both = both.unionByName(_aligned(df, sign))
     return signed_net_expand(both, cols)
 
 
@@ -3126,9 +3391,11 @@ def drop_versions_before(
         name = f"v{oldest_kept:08d}"
         d = _manifest(spark, path, name)
         if "files" not in d:
+            fl, dvl = _manifest_state(spark, path, name)
             full = json.dumps(
                 {
-                    "files": _manifest_rel_files(spark, path, name),
+                    "files": fl,
+                    "dv_files": dvl,
                     "committed_at": d.get("committed_at"),
                 },
                 indent=0,

@@ -93,19 +93,25 @@ def _manifest(root: str, v: int) -> dict:
         return json.load(f)
 
 
-def _rel_files(root: str, v: int, versions: list[int]) -> set[str]:
-    """Python twin of operators/mutate._manifest_rel_files: a full
-    manifest carries ``files``; a delta manifest folds back to the
-    nearest checkpoint (bounded by CHECKPOINT_INTERVAL small reads)."""
+def _state(
+    root: str, v: int, versions: list[int]
+) -> tuple[set[str], set[str]]:
+    """Python twin of operators/mutate._manifest_state: ``(data files,
+    deletion-vector batch files)`` a version pins, table-relative.  A
+    full manifest carries both outright; a delta manifest folds back to
+    the nearest checkpoint (bounded by CHECKPOINT_INTERVAL small reads),
+    applying add/remove and dv_add/dv_remove in one walk."""
     d = _manifest(root, v)
     if "files" in d:
-        return set(d["files"])
+        return set(d["files"]), set(d.get("dv_files", []))
     chain = [d]
     base: set[str] | None = None
+    base_dv: set[str] = set()
     for pv in reversed([x for x in versions if x < v]):
         pd = _manifest(root, pv)
         if "files" in pd:
             base = set(pd["files"])
+            base_dv = set(pd.get("dv_files", []))
             break
         chain.append(pd)
     if base is None:
@@ -116,7 +122,13 @@ def _rel_files(root: str, v: int, versions: list[int]) -> set[str]:
     for dd in reversed(chain):
         base -= set(dd.get("remove", []))
         base |= set(dd.get("add", []))
-    return base
+        base_dv -= set(dd.get("dv_remove", []))
+        base_dv |= set(dd.get("dv_add", []))
+    return base, base_dv
+
+
+def _rel_files(root: str, v: int, versions: list[int]) -> set[str]:
+    return _state(root, v, versions)[0]
 
 
 def _resolve(root: str, rel: str) -> str:
@@ -137,13 +149,22 @@ def _resolve(root: str, rel: str) -> str:
     )
 
 
-def _partition_values(rel: str) -> list[tuple[str, str]]:
-    """hive ``key=value`` segments of a table-relative file path."""
-    out = []
+#: Spark/Hive directory name for a NULL partition value — rows whose
+#: partition column is NULL land here (mutate.py's partitioned MERGE
+#: routes them explicitly); the marker must decode back to NULL, never
+#: to the literal string.
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _partition_values(rel: str) -> list[tuple[str, str | None]]:
+    """hive ``key=value`` segments of a table-relative file path; the
+    ``__HIVE_DEFAULT_PARTITION__`` marker decodes to ``None`` (NULL)."""
+    out: list[tuple[str, str | None]] = []
     for seg in rel.split("/")[:-1]:
         if "=" in seg:
             k, _, v = seg.partition("=")
-            out.append((k, unquote(v)))
+            v = unquote(v)
+            out.append((k, None if v == HIVE_DEFAULT_PARTITION else v))
     return out
 
 
@@ -207,6 +228,34 @@ class _ChangeFile(InputPartition):
     change: str  # 'insert' | 'delete'
     version: int
     arrow_schema: object  # pa.Schema (picklable)
+    # deletion-vector plumbing (resolved ABSOLUTE batch paths; executors
+    # are sessionless, so resolution happens at plan time):
+    # - whole-file images: entries in mask_dv referencing this file drop
+    #   its already-tombstoned rows (insert masks with the TO state,
+    #   delete masks with the FROM state)
+    # - dv_select=True: the image is exactly the rows whose indices are
+    #   entries(plus_dv) − entries(minus_dv) for this file — the rows a
+    #   commit newly tombstoned (change='delete') or un-tombstoned via
+    #   RESTORE (change='insert')
+    mask_dv: tuple = ()
+    plus_dv: tuple = ()
+    minus_dv: tuple = ()
+    dv_select: bool = False
+
+
+def _dv_indices(paths, rel: str) -> set[int]:
+    """Row indices tombstoned for one data file, from the given DV batch
+    files — column-pruned, predicate-pushed parquet reads (each batch is
+    small by design; entries are at-least-once, so this is a set)."""
+    import pyarrow.parquet as pq
+
+    idx: set[int] = set()
+    for p in paths:
+        t = pq.read_table(
+            p, columns=["row_idx"], filters=[("src_file", "==", rel)]
+        )
+        idx.update(t.column("row_idx").to_pylist())
+    return idx
 
 
 def _read_change_file(part: _ChangeFile) -> Iterator:
@@ -219,6 +268,20 @@ def _read_change_file(part: _ChangeFile) -> Iterator:
     target = part.arrow_schema
     parts = dict(_partition_values(part.rel_path))
     table = pq.read_table(part.abs_path)
+    if part.dv_select:
+        take = sorted(
+            _dv_indices(part.plus_dv, part.rel_path)
+            - _dv_indices(part.minus_dv, part.rel_path)
+        )
+        if not take:
+            return
+        table = table.take(take)
+    elif part.mask_dv:
+        dead = _dv_indices(part.mask_dv, part.rel_path)
+        if dead:
+            table = table.take(
+                [i for i in range(table.num_rows) if i not in dead]
+            )
     n = table.num_rows
     cols = []
     for field in target:
@@ -232,6 +295,11 @@ def _read_change_file(part: _ChangeFile) -> Iterator:
             )
         elif field.name in parts:
             v = parts[field.name]
+            if v is None:
+                # __HIVE_DEFAULT_PARTITION__ → NULL, matching what Spark
+                # (and read_changes) yields for the same directory
+                cols.append(pa.nulls(n, type=field.type))
+                continue
             py = (
                 int(v)
                 if pa.types.is_integer(field.type)
@@ -252,19 +320,65 @@ def _plan_version(
     root: str, v: int, versions: list[int], arrow_schema
 ) -> list[_ChangeFile]:
     """Driver-side: the InputPartitions of commit v — manifest-list diff
-    only, no data I/O."""
-    cur = _rel_files(root, v, versions)
-    prev = (
-        _rel_files(root, v - 1, versions) if (v - 1) in versions else set()
+    plus (for merge-on-read commits) a column-pruned read of only the
+    DIFFERING deletion-vector batches to learn which still-live data
+    files they reference.  No data-file I/O here."""
+    cur, dv_cur = _state(root, v, versions)
+    prev, dv_prev = (
+        _state(root, v - 1, versions)
+        if (v - 1) in versions
+        else (set(), set())
     )
+
+    def _abs(rels) -> tuple:
+        return tuple(_resolve(root, r) for r in sorted(rels))
+
+    mask_to = _abs(dv_cur)
+    mask_from = _abs(dv_prev)
     out = [
-        _ChangeFile(_resolve(root, r), r, "insert", v, arrow_schema)
+        _ChangeFile(
+            _resolve(root, r), r, "insert", v, arrow_schema,
+            mask_dv=mask_to,
+        )
         for r in sorted(cur - prev)
     ]
     out += [
-        _ChangeFile(_resolve(root, r), r, "delete", v, arrow_schema)
+        _ChangeFile(
+            _resolve(root, r), r, "delete", v, arrow_schema,
+            mask_dv=mask_from,
+        )
         for r in sorted(prev - cur)
     ]
+    if dv_cur != dv_prev:
+        # rows newly tombstoned / un-tombstoned on files live in BOTH
+        # versions; files added/removed this commit are covered by the
+        # masked whole-file images above
+        import pyarrow.parquet as pq
+
+        common = cur & prev
+
+        def _touched(rels) -> set[str]:
+            files: set[str] = set()
+            for r in sorted(rels):
+                t = pq.read_table(_resolve(root, r), columns=["src_file"])
+                files.update(t.column("src_file").to_pylist())
+            return files & common
+
+        plus, minus = dv_cur - dv_prev, dv_prev - dv_cur
+        out += [
+            _ChangeFile(
+                _resolve(root, r), r, "delete", v, arrow_schema,
+                plus_dv=_abs(plus), minus_dv=mask_from, dv_select=True,
+            )
+            for r in sorted(_touched(plus))
+        ]
+        out += [
+            _ChangeFile(
+                _resolve(root, r), r, "insert", v, arrow_schema,
+                plus_dv=_abs(minus), minus_dv=mask_to, dv_select=True,
+            )
+            for r in sorted(_touched(minus))
+        ]
     return out
 
 
@@ -416,8 +530,20 @@ class CowChangesDataSource(DataSource):
                     ):
                         types[n] = ddl
         fields = [f"`{n}` {types[n]}" for n in order]
-        for k, v in _partition_values(rels[0]):
-            fields.append(f"`{k}` {_infer_part_ddl(v)}")
+        # partition-column types: first non-NULL value across ALL pinned
+        # files decides (a __HIVE_DEFAULT_PARTITION__ directory carries
+        # no type information); all-NULL keys fall back to string
+        part_types: dict[str, str] = {}
+        part_order: list[str] = []
+        for rel in rels:
+            for k, v in _partition_values(rel):
+                if k not in part_types:
+                    part_order.append(k)
+                    part_types[k] = ""
+                if not part_types[k] and v is not None:
+                    part_types[k] = _infer_part_ddl(v)
+        for k in part_order:
+            fields.append(f"`{k}` {part_types[k] or 'string'}")
         return ", ".join(fields + [CHANGE_COLS])
 
     def reader(self, schema) -> DataSourceReader:

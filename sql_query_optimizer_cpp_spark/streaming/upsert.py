@@ -73,6 +73,8 @@ def apply_changes_batch(
     optimistic: bool = False,
     max_attempts: int = 5,
     lock_wait_seconds: float = 30.0,
+    mor: bool = False,
+    isolation: str = "serializable",
 ) -> None:
     """Merge one (micro-)batch of CDC rows into ``table_path``.
 
@@ -105,15 +107,32 @@ def apply_changes_batch(
         for c in payload
         if c not in on
     }
+    if mor and optimistic:
+        raise ValueError(
+            "mor and optimistic are mutually exclusive: the merge-on-read "
+            "verbs commit under the plain writer lock"
+        )
     verb = merge_into
     kw = {}
-    if optimistic:
+    if mor:
+        # merge-on-read applier: a k-key micro-batch writes O(k) rows
+        # (tombstones + copies + inserts) instead of rewriting every file
+        # a matched key lives in — the steady-state CDC cost model;
+        # materialize_deletes is the periodic compaction
+        from ..operators.mor import dv_merge_into
+
+        verb = dv_merge_into
+    elif optimistic:
         from ..operators.mutate import occ_merge_into
 
         verb = occ_merge_into
         kw = {
             "max_attempts": max_attempts,
             "lock_wait_seconds": lock_wait_seconds,
+            # appliers sharded on disjoint key ranges (the Kafka/Debezium
+            # layout) commit first-attempt under write_serializable; keep
+            # the serializable default when key ranges can overlap
+            "isolation": isolation,
         }
     verb(
         spark,
@@ -139,6 +158,8 @@ def apply_changes_stream(
     optimistic: bool = False,
     max_attempts: int = 5,
     lock_wait_seconds: float = 30.0,
+    mor: bool = False,
+    isolation: str = "serializable",
 ) -> StreamingQuery:
     """Start the foreachBatch sink maintaining ``table_path`` from a
     streaming changelog.  The target parquet dir must exist (seed it with
@@ -150,7 +171,8 @@ def apply_changes_stream(
         apply_changes_batch(
             batch.sparkSession, batch, table_path, on, ts_col, op_col,
             optimistic=optimistic, max_attempts=max_attempts,
-            lock_wait_seconds=lock_wait_seconds,
+            lock_wait_seconds=lock_wait_seconds, mor=mor,
+            isolation=isolation,
         )
 
     return (

@@ -313,3 +313,73 @@ def test_cdf_from_latest_tails_new_commits(spark, versioned_table, tmp_path):
     assert b.select("_commit_version").distinct().collect() == [
         Row(_commit_version=4)
     ]
+
+
+def test_cdf_null_partition_value_decodes_to_null(spark, tmp_path):
+    """A NULL partition value lands in __HIVE_DEFAULT_PARTITION__ on
+    disk; cow_changes must emit NULL for it (matching read_changes /
+    plain Spark reads), not the literal marker string — and must not
+    crash casting the marker to the numeric partition type."""
+    path = str(tmp_path / "cdf_nullpart")
+    spark.createDataFrame(
+        [(1, 1.0, 10), (2, 2.0, None), (3, 3.0, 10)],
+        "k long, v double, p long",
+    ).repartition(1).write.partitionBy("p").parquet(path)
+    enable_versioning(spark, path)                        # v1
+    register(spark)
+    df = _load(spark, path)
+    # the partition type still infers from the non-null directory
+    assert dict(df.dtypes)["p"] == "bigint"
+    rows = {r["k"]: r["p"] for r in df.collect()}
+    assert rows == {1: 10, 2: None, 3: 10}
+    # and a MERGE that inserts another NULL-partition row stays readable
+    src = spark.createDataFrame(
+        [(9, 9.0, None)], "k long, v double, p long"
+    )
+    merge_into(spark, path, src, on=["k"])                # v2
+    v2 = _load(spark, path).where("_commit_version = 2").collect()
+    assert [(r["k"], r["p"]) for r in v2] == [(9, None)]
+
+
+def test_cdf_merge_on_read_commits(spark, tmp_path):
+    """Unification (r9): cow_changes reads DV commits — a dv_delete
+    emits exactly the tombstoned rows as deletes, a dv_update its
+    delete+insert pair, a materialize nets to zero, and the whole feed
+    matches operators.mutate.read_changes pair by pair."""
+    from sql_query_optimizer_cpp_spark.operators.mor import (
+        dv_delete_where,
+        dv_update_where,
+        materialize_deletes,
+    )
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        read_changes,
+        restore_version,
+    )
+    from sql_query_optimizer_cpp_spark.streaming.cdf import net_changes
+
+    path = str(tmp_path / "cdf_mor")
+    spark.range(40).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v"
+    ).repartition(2).write.parquet(path)
+    enable_versioning(spark, path)                          # v1
+    dv_delete_where(spark, path, "k < 4")                   # v2
+    dv_update_where(spark, path, {"v": "v + 100"}, "k = 20")  # v3
+    materialize_deletes(spark, path)                        # v4
+    restore_version(spark, path, 2)                         # v5
+    register(spark)
+    df = _load(spark, path)
+    v2 = df.where("_commit_version = 2")
+    assert {
+        (r["_change_type"], r["k"]) for r in v2.collect()
+    } == {("delete", i) for i in range(4)}
+    v3 = df.where("_commit_version = 3")
+    assert {
+        (r["_change_type"], r["v"]) for r in v3.collect()
+    } == {("delete", 20.0), ("insert", 120.0)}
+    assert net_changes(df.where("_commit_version = 4")).count() == 0
+    # every adjacent pair of the feed equals the Spark-side CDC read
+    for a in (1, 2, 3, 4):
+        rc = read_changes(spark, path, a, a + 1)
+        nc = net_changes(df.where(f"_commit_version = {a + 1}"))
+        assert rc.exceptAll(nc).count() == 0
+        assert nc.exceptAll(rc).count() == 0

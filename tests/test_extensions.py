@@ -293,6 +293,16 @@ EMPTYLEN_PROBE = textwrap.dedent(
     assert sorted(r.id for r in nz.collect()) == [4]
     assert "length" in nz._jdf.queryExecution().optimizedPlan().toString()
 
+    # guarded: collated strings are StringType too, but under a
+    # trailing-space-insensitive collation x = '' is TRUE for '  '
+    # while length(x) = 0 is FALSE — the rule must not fire there
+    c = spark.createDataFrame(
+        [(1, "  "), (2, ""), (3, "a")], "id int, raw string"
+    ).selectExpr("id", "raw COLLATE UTF8_BINARY_RTRIM AS xc")
+    cq = c.where("length(xc) = 0")
+    assert sorted(r.id for r in cq.collect()) == [2], "collated semantics"
+    assert "length" in cq._jdf.queryExecution().optimizedPlan().toString()
+
     jvm = spark.sparkContext._jvm.sqloptspark.EmptyStringLengthRule
     assert jvm.applied() > 0
     print("REWRITTEN", jvm.rewritten())

@@ -41,6 +41,19 @@ def keyed_table(spark, tmp_path):
     return path
 
 
+@pytest.fixture()
+def no_auto_refresh(spark):
+    """These tests exercise the MANUAL refresh machinery; the post-DML
+    auto-refresh hook (r9) would do the work first and hide it."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        AUTO_REFRESH_INDEX_CONF,
+    )
+
+    spark.conf.set(AUTO_REFRESH_INDEX_CONF, "false")
+    yield
+    spark.conf.set(AUTO_REFRESH_INDEX_CONF, "true")
+
+
 def test_bloom_build_probe_and_skip(spark, keyed_table):
     n = build_bloom_index(
         spark, keyed_table, "ref", num_bits=1 << 16, num_hashes=5
@@ -83,7 +96,7 @@ def test_bloom_exactness_over_many_keys(spark, keyed_table):
         assert got == expect, f"ref={ref}"
 
 
-def test_bloom_correct_after_cow_rewrite(spark, keyed_table):
+def test_bloom_correct_after_cow_rewrite(spark, keyed_table, no_auto_refresh):
     """COW rewrites produce fresh file names: the index treats unknown
     live files as always-candidates, so results stay exact with NO
     invalidation hook; rebuilding restores full skipping."""
@@ -154,7 +167,7 @@ def test_bloom_auto_sizing_from_distinct_probe(spark, tmp_path):
     assert read_point_lookup(spark, path, "ref", row["ref"]).count() >= 1
 
 
-def test_bloom_refresh_incremental(spark, keyed_table):
+def test_bloom_refresh_incremental(spark, keyed_table, no_auto_refresh):
     """After a COW rewrite, refresh indexes ONLY the new file (O(new
     files) read) and restores full skipping without a rebuild."""
     from sql_query_optimizer_cpp_spark.operators.fileindex import (
@@ -270,3 +283,67 @@ def test_bloom_drop_and_list(spark, keyed_table):
     assert not drop_bloom_index(spark, keyed_table, "v")  # already gone
     assert list_bloom_indexes(spark, keyed_table) == ["ref"]
     assert not has_bloom_index(spark, keyed_table, "v")
+
+
+def test_bloom_refresh_after_type_widening_rebuilds(spark, tmp_path, no_auto_refresh):
+    """xxhash64 is type-sensitive: after an evolve_schema widening of the
+    indexed column (int → bigint), an append-only refresh would hash new
+    files under the widened type while the probe still casts its literal
+    to the stored narrow type — silent false negatives.  refresh must
+    detect the mismatch and fall back to a full rebuild that also
+    updates the stored col_type."""
+    from sql_query_optimizer_cpp_spark.operators.fileindex import (
+        _index_meta,
+        refresh_bloom_index,
+    )
+    from sql_query_optimizer_cpp_spark.operators.mutate import merge_into
+
+    path = str(tmp_path / "bloom_widen")
+    (
+        spark.range(400)
+        .selectExpr("id AS k", "CAST(hash(id) AS INT) AS ref")
+        .repartitionByRange(4, "k")
+        .write.parquet(path)
+    )
+    build_bloom_index(spark, path, "ref", num_bits=1 << 14, num_hashes=5)
+    assert _index_meta(spark, path, "ref")["col_type"] == "int"
+    # widen ref to bigint through the engine's own evolution path, with a
+    # value only a bigint can hold
+    big = 1 << 40
+    src = spark.createDataFrame([(7, big)], "k long, ref long")
+    merge_into(
+        spark, path, src, on=["k"], matched_set={"ref": "src_ref"},
+        evolve_schema=True,
+    )
+    n_files = len(list_data_files(spark, path, recursive=True))
+    assert refresh_bloom_index(spark, path, "ref") == n_files  # full rebuild
+    assert _index_meta(spark, path, "ref")["col_type"] == "bigint"
+    # no false negatives under the widened type: the new big value...
+    got = read_point_lookup(spark, path, "ref", big).collect()
+    assert [r["k"] for r in got] == [7]
+    # ...and an old int-era value both resolve
+    row = spark.read.parquet(path).where("k = 200").first()
+    got = read_point_lookup(spark, path, "ref", int(row["ref"])).collect()
+    assert 200 in [r["k"] for r in got]
+
+
+def test_bloom_auto_refresh_after_dml(spark, keyed_table):
+    """r9: committed DML auto-refreshes every bloom sidecar (conf
+    spark.sqlopt.autoRefreshIndexes, default on), so skipping is earned
+    back immediately — no manual refresh step."""
+    from sql_query_optimizer_cpp_spark.operators.fileindex import (
+        refresh_bloom_index,
+    )
+
+    build_bloom_index(
+        spark, keyed_table, "ref", num_bits=1 << 16, num_hashes=5
+    )
+    delete_where(spark, keyed_table, "k = 100")  # rewrites one file
+    # the rewritten file was re-indexed inside the DML commit: an absent
+    # value admits ~no files and a manual refresh has nothing to do
+    assert len(probe_files(spark, keyed_table, "ref", -987654321)) <= 1
+    assert refresh_bloom_index(spark, keyed_table, "ref") == 0
+    # present keys keep resolving through the auto-refreshed rows
+    row = spark.read.parquet(keyed_table).where("k = 101").first()
+    got = read_point_lookup(spark, keyed_table, "ref", row["ref"]).collect()
+    assert [r["k"] for r in got] == [101]

@@ -386,3 +386,30 @@ def test_advice_stats_staleness_after_dml(spark, tmp_path):
     finally:
         sc.setJobGroup(None, None)
     assert list(jobs) == []
+
+
+def test_mutation_epoch_path_spelling_invariant(spark, tmp_path, monkeypatch):
+    """The staleness epoch keys on the CANONICAL table dir: a DML issued
+    via a symlinked or relative spelling and an ANALYZE via the absolute
+    one must share one epoch — otherwise stale stats are silently served,
+    the exact failure the feature exists to surface (r9 ADVICE)."""
+    import os
+
+    from sql_query_optimizer_cpp_spark.catalog import (
+        mark_table_mutated,
+        mutation_epoch,
+    )
+
+    real = tmp_path / "epoch_tbl.parquet"
+    real.mkdir()
+    link = tmp_path / "epoch_link.parquet"
+    os.symlink(real, link)
+    abs_path = str(real)
+    before = mutation_epoch(spark, abs_path)
+    mark_table_mutated(spark, str(link))            # symlinked spelling
+    assert mutation_epoch(spark, abs_path) == before + 1
+    monkeypatch.chdir(tmp_path)
+    mark_table_mutated(spark, "epoch_tbl.parquet")  # relative spelling
+    assert mutation_epoch(spark, abs_path) == before + 2
+    mark_table_mutated(spark, abs_path + "/")       # trailing slash
+    assert mutation_epoch(spark, abs_path) == before + 3

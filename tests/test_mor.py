@@ -171,7 +171,10 @@ def test_materialize_then_cow_usable_again(spark, tmp_path):
     assert st2.files_rewritten == 0
 
 
-def test_cow_and_versioning_refuse_dv_tables(spark, tmp_path):
+def test_cow_rewrites_refuse_live_dv_tables(spark, tmp_path):
+    """The file-REWRITING verbs still refuse a table with live vectors
+    (a base-scan rewrite would resurrect MOR-deleted rows); versioning
+    and snapshots now ACCEPT them — manifests pin the DV state."""
     path = _flat(spark, tmp_path)
     dv_delete_where(spark, path, "k = 1")
     with pytest.raises(ValueError, match="deletion vectors"):
@@ -182,19 +185,71 @@ def test_cow_and_versioning_refuse_dv_tables(spark, tmp_path):
         m.compact(spark, path)
     with pytest.raises(ValueError, match="deletion vectors"):
         m.occ_delete_where(spark, path, "k = 2")
-    with pytest.raises(ValueError, match="deletion vectors"):
-        m.enable_versioning(spark, path)
-    with pytest.raises(ValueError, match="deletion vectors"):
-        m.create_snapshot(spark, path, "s1")
+    # snapshotting a live-DV table is now first-class: the manifest pins
+    # the DV batch files and read_snapshot applies them
+    m.create_snapshot(spark, path, "s1")
+    assert m.read_snapshot(spark, path, "s1").count() == 99
+    assert m.enable_versioning(spark, path) == 1
+    assert m.read_version(spark, path, 1).count() == 99
 
 
-def test_dv_refuses_versioned_tables(spark, tmp_path):
+def test_dv_commits_versions_and_time_travel(spark, tmp_path):
+    """Unification (r9): on a versioned table every DV verb commits a
+    version; read_version applies the DV state as-of; read_changes emits
+    the tombstoned rows; materialize is a net-zero commit that keeps old
+    versions readable."""
     path = _flat(spark, tmp_path)
-    m.enable_versioning(spark, path)
-    with pytest.raises(ValueError, match="version log / snapshots"):
-        dv_delete_where(spark, path, "k = 1")
-    with pytest.raises(ValueError, match="version log / snapshots"):
-        dv_update_where(spark, path, {"v": "0.0"}, "k = 1")
+    assert m.enable_versioning(spark, path) == 1
+    assert dv_delete_where(spark, path, "k < 10") == 10        # v2
+    assert dv_update_where(spark, path, {"v": "99.0"}, "k = 50") == 1  # v3
+    assert m.table_versions(spark, path) == [1, 2, 3]
+    assert m.read_version(spark, path, 1).count() == 100
+    assert m.read_version(spark, path, 2).count() == 90
+    assert m.read_version(spark, path, 2).where("k = 50").first()["v"] != 99.0
+    assert m.read_version(spark, path, 3).where("k = 50").first()["v"] == 99.0
+    ch = m.read_changes(spark, path, 1, 2)
+    assert ch.where("_change_type = 'delete'").count() == 10
+    assert ch.count() == 10
+    pair = m.read_changes(spark, path, 2, 3)
+    assert {
+        (r["_change_type"], r["v"]) for r in pair.where("k = 50").collect()
+    } == {("delete", 50 % 7 * 1.0), ("insert", 99.0)}
+    # materialize commits v4, rewrites the tombstoned files, and is CDC
+    # net-zero; v2 stays readable afterwards (batches retire, not die)
+    st = materialize_deletes(spark, path)
+    assert st.files_rewritten > 0
+    assert m.table_versions(spark, path) == [1, 2, 3, 4]
+    assert m.read_changes(spark, path, 3, 4).count() == 0
+    assert not has_deletion_vectors(spark, path)
+    assert m.read_version(spark, path, 2).count() == 90
+    # COW verbs work again after the materialize, on the same version log
+    assert m.delete_where(spark, path, "k = 60").rows_matched == 1  # v5
+    assert m.table_versions(spark, path)[-1] == 5
+
+
+def test_dv_restore_version_round_trip(spark, tmp_path):
+    """RESTORE over DV commits: restoring to a pre-delete version
+    resurrects rows via the SAME metadata-only rename plan (DV batches
+    restore/retire like data files), and CDC shows the undo."""
+    path = _flat(spark, tmp_path)
+    m.enable_versioning(spark, path)                            # v1
+    dv_delete_where(spark, path, "k < 10")                      # v2
+    materialize_deletes(spark, path)                            # v3
+    # restore to v1: the 10 rows come back as CDC inserts
+    m.restore_version(spark, path, 1)                           # v4
+    assert read_mor(spark, path).count() == 100
+    ch = m.read_changes(spark, path, 3, 4)
+    assert ch.where("_change_type = 'insert'").count() == 10
+    assert ch.where("_change_type = 'delete'").count() == 0
+    # restore to v2: a LIVE-DV state — the batches rename back in
+    m.restore_version(spark, path, 2)                           # v5
+    assert has_deletion_vectors(spark, path)
+    assert read_mor(spark, path).count() == 90
+    assert m.read_changes(spark, path, 4, 5).where(
+        "_change_type = 'delete'"
+    ).count() == 10
+    # vacuum honors DV references: v2's batches survive retention
+    assert m.read_version(spark, path, 2).count() == 90
 
 
 def test_dv_update_constraint_rollback(spark, tmp_path):
@@ -266,14 +321,18 @@ def test_execute_dml_mor_routing(spark, tmp_path):
             spark, "DELETE FROM t WHERE k = 1", tables,
             mor=True, optimistic=True,
         )
-    with pytest.raises(ValueError, match="MERGE under mor"):
-        execute_dml(
-            spark,
-            "MERGE INTO t USING t ON t.k = t.k "
-            "WHEN MATCHED THEN UPDATE SET v = 0",
-            tables,
-            mor=True,
-        )
+    # MERGE routes to dv_merge_into under mor=True (r9); a self-merge
+    # zeroing v touches every live row without rewriting any file
+    st = execute_dml(
+        spark,
+        "MERGE INTO t USING t ON t.k = t.k "
+        "WHEN MATCHED THEN UPDATE SET v = 0",
+        tables,
+        mor=True,
+    )
+    assert st.files_rewritten == 0 and st.rows_matched == 90
+    out = read_mor(spark, path)
+    assert out.count() == 90 and out.where("v != 0").count() == 0
 
 
 def test_materialize_min_dead_ratio_incremental(spark, tmp_path):
@@ -333,3 +392,171 @@ def test_partial_materialize_never_leaves_store_unprotected(spark, tmp_path):
     assert has_deletion_vectors(spark, path)
     assert dv_count(spark, path) == 1  # only the k=99 tombstone survives
     assert read_mor(spark, path).count() == 74
+
+
+def test_dv_vacuum_honors_manifest_references(spark, tmp_path):
+    """Retired DV batches survive vacuum while a manifest pins them and
+    die once retention drops those versions — same rule as data files."""
+    path = _flat(spark, tmp_path)
+    m.enable_versioning(spark, path)                    # v1
+    dv_delete_where(spark, path, "k < 10")              # v2
+    materialize_deletes(spark, path)                    # v3 (batches retire)
+    assert m.vacuum(spark, path) == 0                   # v2 pins them
+    assert m.read_version(spark, path, 2).count() == 90
+    # drop v1..v2, checkpoint v3, then vacuum reclaims the orphans
+    assert m.drop_versions_before(spark, path, keep_last=1) == 2
+    assert m.vacuum(spark, path) > 0
+    assert m.read_version(spark, path).count() == 90    # latest unaffected
+    with pytest.raises(FileNotFoundError):
+        m.read_version(spark, path, 2)
+
+
+def test_dv_merge_into_full_matrix(spark, tmp_path):
+    """MOR MERGE (r9): matched-update = tombstone + append copy,
+    matched-delete = tombstone, unmatched = append — zero file rewrites,
+    clause semantics identical to the COW merge_into."""
+    from sql_query_optimizer_cpp_spark.operators.mor import dv_merge_into
+
+    path = _flat(spark, tmp_path)
+    files0 = set(m.list_data_files(spark, path))
+    src = spark.createDataFrame(
+        [(1, "U"), (2, "D"), (200, "I")], "k long, op string"
+    )
+    st = dv_merge_into(
+        spark, path, src, on=["k"],
+        matched_set={"v": "CASE WHEN src_op = 'U' THEN v + 1000 ELSE v END"},
+        matched_delete="src_op = 'D'",
+        insert_values={"v": "-1.0"},
+        insert_condition="src_op = 'I'",
+    )
+    assert st.files_rewritten == 0
+    assert st.rows_matched == 2 and st.rows_inserted == 1
+    # originals untouched on disk — the tombstones are the mutation
+    assert files0 <= set(m.list_data_files(spark, path))
+    out = read_mor(spark, path)
+    assert out.count() == 100  # -1 delete +1 insert
+    assert out.where("k = 1").first()["v"] == 1 % 7 + 1000.0
+    assert out.where("k = 2").count() == 0
+    assert out.where("k = 200").first()["v"] == -1.0
+    # self-re-match guard: the appended copy still matches k=1 but is
+    # not tombstoned by its own statement
+    assert dv_count(spark, path) == 2
+
+
+def test_dv_merge_into_guards(spark, tmp_path):
+    from sql_query_optimizer_cpp_spark.operators.mor import dv_merge_into
+
+    path = _flat(spark, tmp_path)
+    dup = spark.createDataFrame([(1, 0.0), (1, 1.0)], "k long, v double")
+    with pytest.raises(ValueError, match="duplicate join keys"):
+        dv_merge_into(spark, path, dup, on=["k"], matched_set={"v": "src_v"})
+    bad = spark.createDataFrame([(1, 0.0)], "k long, v double")
+    with pytest.raises(ValueError, match="unknown columns"):
+        dv_merge_into(
+            spark, path, bad, on=["k"], matched_set={"nope": "1"}
+        )
+    # constraints gate the staged output before visibility
+    m.add_constraint(spark, path, "v_nonneg", "v >= 0")
+    neg = spark.createDataFrame([(1, -5.0)], "k long, v double")
+    files0 = set(m.list_data_files(spark, path))
+    with pytest.raises(m.ConstraintViolation, match="v_nonneg"):
+        dv_merge_into(
+            spark, path, neg, on=["k"], matched_set={"v": "src_v"}
+        )
+    assert set(m.list_data_files(spark, path)) == files0
+    assert not has_deletion_vectors(spark, path)
+    # a source-only column is EXPRESSION scope, never written (the COW
+    # rule); the target schema is unchanged by the merge
+    evo = spark.createDataFrame([(1, "x")], "k long, extra string")
+    dv_merge_into(
+        spark, path, evo, on=["k"],
+        matched_set={"grp": "CASE WHEN src_extra = 'x' THEN 9 ELSE grp END"},
+    )
+    out = read_mor(spark, path)
+    assert "extra" not in out.columns
+    assert out.where("k = 1").first()["grp"] == 9
+
+
+def test_dv_merge_into_partitioned(spark, tmp_path):
+    from sql_query_optimizer_cpp_spark.operators.mor import dv_merge_into
+
+    path = str(tmp_path / "mor_merge_part")
+    (
+        spark.range(40)
+        .selectExpr("id AS k", "id % 2 AS side", "CAST(id AS DOUBLE) AS v")
+        .write.partitionBy("side")
+        .parquet(path)
+    )
+    src = spark.createDataFrame(
+        [(3, 1, 333.0), (100, 1, 100.0)], "k long, side long, v double"
+    )
+    st = dv_merge_into(
+        spark, path, src, on=["k"], matched_set={"v": "src_v"}
+    )
+    assert st.files_rewritten == 0
+    out = read_mor(spark, path)
+    assert out.count() == 41
+    assert out.where("k = 3").first()["v"] == 333.0
+    ins = out.where("k = 100").first()
+    assert ins["v"] == 100.0 and ins["side"] == 1  # routed to side=1 dir
+    with pytest.raises(ValueError, match="partition columns"):
+        dv_merge_into(spark, path, src, on=["k"], matched_set={"side": "0"})
+    # materialize folds the whole thing back to a plain table
+    materialize_deletes(spark, path)
+    back = spark.read.parquet(path)
+    assert back.count() == 41 and back.where("k = 3").first()["v"] == 333.0
+
+
+def test_dv_merge_execute_dml_and_streaming_upsert(spark, tmp_path):
+    """The textual MERGE routes through dv_merge_into under mor=True, and
+    the streaming CDC applier maintains a table merge-on-read — the
+    workload the verb exists for (per-micro-batch O(k) writes)."""
+    from sql_query_optimizer_cpp_spark.streaming.upsert import (
+        apply_changes_batch,
+    )
+
+    path = _flat(spark, tmp_path)
+    src_path = str(tmp_path / "merge_src")
+    spark.createDataFrame(
+        [(5, 555.0), (300, 3.0)], "k long, v double"
+    ).write.parquet(src_path)
+    st = m.execute_dml(
+        spark,
+        "MERGE INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT",
+        {"t": path, "s": src_path},
+        mor=True,
+    )
+    assert st.files_rewritten == 0
+    assert st.rows_matched == 1 and st.rows_inserted == 1
+    out = read_mor(spark, path)
+    assert out.where("k = 5").first()["v"] == 555.0
+    assert out.where("k = 300").count() == 1
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        m.execute_dml(
+            spark, "DELETE FROM t WHERE k = 1", {"t": path},
+            mor=True, optimistic=True,
+        )
+    # CDC applier: one micro-batch with update, delete, insert, and a
+    # stale change that the ts guard must ignore
+    tgt = str(tmp_path / "cdc_tgt")
+    spark.createDataFrame(
+        [(1, 10.0, 100), (2, 20.0, 100), (3, 30.0, 100)],
+        "k long, v double, ts long",
+    ).write.parquet(tgt)
+    batch = spark.createDataFrame(
+        [
+            (1, 11.0, 200, "U"),   # newer update applies
+            (2, 0.0, 50, "U"),     # STALE update ignored
+            (3, 0.0, 200, "D"),    # delete
+            (4, 40.0, 200, "I"),   # insert
+        ],
+        "k long, v double, ts long, op string",
+    )
+    apply_changes_batch(spark, batch, tgt, on=["k"], mor=True)
+    got = {
+        r["k"]: (r["v"], r["ts"]) for r in read_mor(spark, tgt).collect()
+    }
+    assert got == {1: (11.0, 200), 2: (20.0, 100), 4: (40.0, 200)}
+    assert has_deletion_vectors(spark, tgt)  # no rewrite happened

@@ -2245,3 +2245,76 @@ def test_restore_version_rerun_commits_after_crash(spark, cow_table, monkeypatch
     assert st.files_rewritten == 0  # nothing to move — but it commits
     assert mm.table_versions(spark, cow_table) == [1, 2, 3, 4]
     assert mm.read_version(spark, cow_table, 4).where("k = 0").first()["v"] == 0.0
+
+
+def test_occ_merge_write_serializable_disjoint_no_retry(spark, cow_table):
+    """isolation='write_serializable' (r9): a concurrent commit on
+    DISJOINT files does not invalidate this merge — it commits on its
+    FIRST attempt without re-staging (the serializable level retries,
+    test_occ_merge_disjoint_key_upserts_both_commit).  A concurrent
+    commit that removes one of THIS merge's hit files still conflicts."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        occ_merge_into,
+    )
+
+    # cow_table is range-clustered on k: keys <5 and >=350 live in
+    # disjoint files, so the interleaved writer touches none of ours
+    src_a = spark.range(5).selectExpr(
+        "id AS k", "CAST(500 AS double) AS v", "'a' AS s"
+    )
+    src_b = spark.createDataFrame(
+        [(350, 600.0, "b")], "k long, v double, s string"
+    )
+    attempts = []
+
+    def interleave(attempt):
+        attempts.append(attempt)
+        if attempt == 1:
+            occ_merge_into(
+                spark, cow_table, src_b, on=["k"],
+                matched_set={"v": "src_v"},
+            )
+
+    st = occ_merge_into(
+        spark, cow_table, src_a, on=["k"],
+        matched_set={"v": "src_v"},
+        isolation="write_serializable",
+        _after_stage=interleave,
+    )
+    assert attempts == [1]  # no retry: the concurrent commit was disjoint
+    assert st.rows_matched == 5
+    back = spark.read.parquet(cow_table)
+    assert back.where("k < 5 AND v <> 500").count() == 0
+    assert back.where("k = 350").first()["v"] == 600.0
+    # overlapping writers still conflict: B2 rewrites the same low-key
+    # file A2 staged against → A2 must retry once and still land
+    attempts.clear()
+
+    def interleave_overlap(attempt):
+        attempts.append(attempt)
+        if attempt == 1:
+            occ_merge_into(
+                spark, cow_table,
+                spark.createDataFrame(
+                    [(1, -1.0, "b2")], "k long, v double, s string"
+                ),
+                on=["k"], matched_set={"v": "src_v"},
+            )
+
+    st2 = occ_merge_into(
+        spark, cow_table,
+        spark.createDataFrame(
+            [(2, 777.0, "a2")], "k long, v double, s string"
+        ),
+        on=["k"], matched_set={"v": "src_v"},
+        isolation="write_serializable",
+        _after_stage=interleave_overlap,
+    )
+    assert attempts == [1, 2]
+    back = spark.read.parquet(cow_table)
+    assert back.where("k = 2").first()["v"] == 777.0
+    assert back.where("k = 1").first()["v"] == -1.0
+    with pytest.raises(ValueError, match="isolation"):
+        occ_merge_into(
+            spark, cow_table, src_a, on=["k"], isolation="nope"
+        )
