@@ -135,6 +135,37 @@ def _qualified_root(spark: SparkSession, path: str) -> str:
     return fs.makeQualified(jpath).toString()
 
 
+def attach_identity(df: DataFrame, qualified_base: str) -> DataFrame:
+    """Attach the MOR row identity to a parquet scan: ``__src_file`` =
+    the file's path RELATIVE to ``qualified_base`` (spell the base via
+    ``fs.makeQualified(...).toString()`` — it must match how
+    ``_metadata.file_path`` spells its prefix, or tombstones silently
+    stop matching and deleted rows resurrect) and ``__row_idx`` =
+    ``_metadata.row_index``.  The ONE place this recipe lives; both the
+    live MOR verbs and the time-travel pinned reads
+    (mutate._read_pinned_files) go through it."""
+    clash = {"__fp", "__row_idx", "__src_file"} & set(df.columns)
+    if clash:
+        # same guarded-working-column discipline as the CDC signed diff
+        raise ValueError(
+            f"table columns {sorted(clash)} collide with the merge-on-read "
+            "working columns; rename them before using the MOR verbs or "
+            "time-traveling a deletion-vector table"
+        )
+    return (
+        df.select(
+            "*",
+            F.col("_metadata.file_path").alias("__fp"),
+            F.col("_metadata.row_index").alias("__row_idx"),
+        )
+        .withColumn(
+            "__src_file",
+            F.expr(f"substring(__fp, {len(qualified_base) + 2})"),
+        )
+        .drop("__fp")
+    )
+
+
 def _with_identity(
     spark: SparkSession, path: str, files: list[str], base_path: str | None
 ) -> DataFrame:
@@ -147,21 +178,7 @@ def _with_identity(
     reader = spark.read.option("mergeSchema", "true")
     if base_path is not None:
         reader = reader.option("basePath", base_path)
-    df = reader.parquet(*files)
-    clash = {"__fp", "__row_idx", "__src_file"} & set(df.columns)
-    if clash:
-        # same guarded-working-column discipline as the CDC signed diff
-        raise ValueError(
-            f"table columns {sorted(clash)} collide with the merge-on-read "
-            "working columns; rename them before using the MOR verbs"
-        )
-    return df.select(
-        "*",
-        F.col("_metadata.file_path").alias("__fp"),
-        F.col("_metadata.row_index").alias("__row_idx"),
-    ).withColumn(
-        "__src_file", F.expr(f"substring(__fp, {len(root) + 2})")
-    ).drop("__fp")
+    return attach_identity(reader.parquet(*files), root)
 
 
 def _live(df: DataFrame, dv: DataFrame | None) -> DataFrame:
@@ -181,24 +198,27 @@ def _append_dv(spark: SparkSession, path: str, entries: DataFrame) -> int:
     from footers of the just-written batch, one metadata job, so the
     entries plan — which reads the base files — runs exactly once)."""
     dv_root = _dv_path(path)
-    existed = bool(list_dv_files(spark, path))
-    before = dv_count(spark, path)
+    # one listing before, one after — everything else derives from them
     pre = set(list_dv_files(spark, path))
+    before = (
+        spark.read.parquet(*sorted(pre)).count() if pre else 0
+    )
     entries.select(
         F.col("__src_file").cast("string").alias("src_file"),
         F.col("__row_idx").cast("long").alias("row_idx"),
     ).write.mode("append").parquet(dv_root)
-    after = dv_count(spark, path)
+    post = set(list_dv_files(spark, path))
+    after = spark.read.parquet(*sorted(post)).count() if post else 0
     if after == before:
         # a no-match batch wrote only empty part files; remove JUST the
         # files this append created (they are uncommitted, so no version
         # manifest can pin them) so has_deletion_vectors stays accurate
         # and COW verbs stay usable on a vector-less table
         jvm, fs, _ = _fs(spark, path)
-        for f in set(list_dv_files(spark, path)) - pre:
+        for f in post - pre:
             with contextlib.suppress(Exception):
                 fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
-        if not existed:
+        if not pre:
             with contextlib.suppress(Exception):
                 fs.delete(jvm.org.apache.hadoop.fs.Path(dv_root), True)
     return after - before

@@ -2689,29 +2689,14 @@ def _read_pinned_files(
             # the MOR row identity, spelled in ORIGINAL table-relative
             # terms: retirement preserves the relative path under each
             # batch dir, so "path under this group's base" IS the rel
-            # path the deletion vectors were keyed on
-            clash = {"__fp", "__row_idx", "__src_file"} & set(df.columns)
-            if clash:
-                raise ValueError(
-                    f"table columns {sorted(clash)} collide with the "
-                    "merge-on-read working columns; rename them before "
-                    "time-traveling a deletion-vector table"
-                )
+            # path the deletion vectors were keyed on (shared recipe:
+            # operators.mor.attach_identity)
+            from .mor import attach_identity
+
             qbase = fs.makeQualified(
                 jvm.org.apache.hadoop.fs.Path(base)
             ).toString()
-            df = (
-                df.select(
-                    "*",
-                    F.col("_metadata.file_path").alias("__fp"),
-                    F.col("_metadata.row_index").alias("__row_idx"),
-                )
-                .withColumn(
-                    "__src_file",
-                    F.expr(f"substring(__fp, {len(qbase) + 2})"),
-                )
-                .drop("__fp")
-            )
+            df = attach_identity(df, qbase)
         frames.append(df)
     out = frames[0]
     for fr in frames[1:]:
@@ -2727,13 +2712,16 @@ def read_snapshot(spark: SparkSession, path: str, name: str) -> DataFrame:
     filtering — only the manifest decides what this version contains);
     fails with a clear error if a referenced file was vacuumed.
     """
-    files = _snapshot_files(spark, path, name)
+    root0 = path.rstrip("/")
+    # ONE delta-chain walk yields both lists (a second _manifest_dv_files
+    # call would re-read up to CHECKPOINT_INTERVAL manifest JSONs)
+    rel_files, dv_rel = _manifest_state(spark, path, name)
+    files = [f"{root0}/{r}" for r in rel_files]
     resolved = _resolve_pinned_files(
         spark, path, files, f"snapshot {name!r}"
     )
     if not resolved:
         raise ValueError(f"snapshot {name!r} is empty")
-    dv_rel = _manifest_dv_files(spark, path, name)
     if not dv_rel:
         return _read_pinned_files(spark, path, resolved)
     # merge-on-read version: the manifest pins the deletion-vector state

@@ -267,21 +267,25 @@ def _read_change_file(part: _ChangeFile) -> Iterator:
 
     target = part.arrow_schema
     parts = dict(_partition_values(part.rel_path))
-    table = pq.read_table(part.abs_path)
     if part.dv_select:
+        # entry diff FIRST: a prune commit (materialize) moves surviving
+        # tombstones between batches without changing membership, so the
+        # diff is often empty — skip the data-file read entirely then
         take = sorted(
             _dv_indices(part.plus_dv, part.rel_path)
             - _dv_indices(part.minus_dv, part.rel_path)
         )
         if not take:
             return
-        table = table.take(take)
-    elif part.mask_dv:
-        dead = _dv_indices(part.mask_dv, part.rel_path)
-        if dead:
-            table = table.take(
-                [i for i in range(table.num_rows) if i not in dead]
-            )
+        table = pq.read_table(part.abs_path).take(take)
+    else:
+        table = pq.read_table(part.abs_path)
+        if part.mask_dv:
+            dead = _dv_indices(part.mask_dv, part.rel_path)
+            if dead:
+                table = table.take(
+                    [i for i in range(table.num_rows) if i not in dead]
+                )
     n = table.num_rows
     cols = []
     for field in target:

@@ -112,6 +112,14 @@ def apply_changes_batch(
             "mor and optimistic are mutually exclusive: the merge-on-read "
             "verbs commit under the plain writer lock"
         )
+    if isolation != "serializable" and not optimistic:
+        # silently ignoring a requested isolation level would let a
+        # caller believe they relaxed validation they never opted into
+        raise ValueError(
+            f"isolation={isolation!r} only applies to optimistic=True "
+            "(occ_merge_into); the plain and merge-on-read verbs are "
+            "single-writer"
+        )
     verb = merge_into
     kw = {}
     if mor:

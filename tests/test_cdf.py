@@ -383,3 +383,42 @@ def test_cdf_merge_on_read_commits(spark, tmp_path):
         nc = net_changes(df.where(f"_commit_version = {a + 1}"))
         assert rc.exceptAll(nc).count() == 0
         assert nc.exceptAll(rc).count() == 0
+
+
+def test_cdf_streaming_across_dv_commits(spark, tmp_path):
+    """The cow_changes STREAM replays DV commits exactly-once across a
+    checkpoint restart: a dv_delete landing while the stream is down
+    arrives as just its tombstoned rows."""
+    from sql_query_optimizer_cpp_spark.operators.mor import dv_delete_where
+
+    path = str(tmp_path / "cdf_mor_stream")
+    spark.range(30).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v"
+    ).coalesce(2).write.parquet(path)
+    enable_versioning(spark, path)                     # v1
+    register(spark)
+    ckpt, sink = str(tmp_path / "ck"), str(tmp_path / "sink")
+
+    def drain():
+        q = (
+            spark.readStream.format("cow_changes")
+            .option("path", path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(sink).count() == 30      # v1 snapshot
+    dv_delete_where(spark, path, "k < 3")              # v2 while down
+    drain()
+    after = spark.read.parquet(sink)
+    v2 = after.where("_commit_version = 2")
+    assert {(r["_change_type"], r["k"]) for r in v2.collect()} == {
+        ("delete", 0), ("delete", 1), ("delete", 2)
+    }
+    assert after.count() == 33                         # nothing replayed

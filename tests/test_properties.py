@@ -493,3 +493,121 @@ def test_bloom_lookup_equals_filter_property(spark, bloom_table, vals):
         for r in read_point_lookups(spark, bloom_table, "ref", vals).collect()
     )
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),          # key
+            st.one_of(st.none(), st.integers(-30, 30)),      # nullable value
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("delete"), st.integers(-10, 30)),
+            st.tuples(st.just("update"), st.integers(-10, 40)),
+            st.tuples(st.just("materialize"), st.just(0)),
+            st.tuples(st.just("restore"), st.integers(1, 4)),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@settings(**_SETTINGS)
+def test_mor_versioned_history_matches_model(spark, rows, ops):
+    """Randomized DV history on a VERSIONED table vs a pure-Python model
+    (r9 unification): after any interleaving of dv_delete / dv_update /
+    materialize / restore, every committed version time-travels to the
+    model's state for that version, and read_changes between any two
+    versions equals the model's set diff — deletion vectors, retired
+    batches, net-zero materializes, and restore round-trips included."""
+    import tempfile
+
+    from sql_query_optimizer_cpp_spark.operators.mor import (
+        dv_delete_where,
+        dv_update_where,
+        materialize_deletes,
+    )
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        enable_versioning,
+        read_changes,
+        read_version,
+        restore_version,
+        table_versions,
+    )
+
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)],
+        "id long, k long, v long",
+    )
+    base = {(r.id, r.k, r.v) for r in df.collect()}
+
+    def model_delete(state, lo):
+        # three-valued: v >= lo deletes; NULL v keeps the row
+        return {r for r in state if not (r[2] is not None and r[2] >= lo)}
+
+    def model_update(state, klo):
+        out = set()
+        for rid, k, v in state:
+            if k >= klo:
+                out.add((rid, k, (v if v is not None else 0) + 1000))
+            else:
+                out.add((rid, k, v))
+        return out
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/t"
+        df.repartitionByRange(3, "k").write.parquet(path)
+        enable_versioning(spark, path)
+        states = [base]  # states[i] = expected rows of version i+1
+        for op, arg in ops:
+            cur = states[-1]
+            if op == "delete":
+                n = dv_delete_where(spark, path, f"v >= {arg}")
+                nxt = model_delete(cur, arg)
+                assert n == len(cur) - len(nxt)
+                if n:
+                    states.append(nxt)
+            elif op == "update":
+                n = dv_update_where(
+                    spark, path, {"v": "coalesce(v, 0) + 1000"},
+                    f"k >= {arg}",
+                )
+                if n:
+                    states.append(model_update(cur, arg))
+            elif op == "materialize":
+                materialize_deletes(spark, path)
+                # a version commits only when batches/files changed
+                if len(table_versions(spark, path)) > len(states):
+                    states.append(cur)
+            else:  # restore
+                target = min(arg, len(states))
+                before_n = len(table_versions(spark, path))
+                restore_version(spark, path, target)
+                # a restore commits iff the FILE set changed — which can
+                # happen even when the row state is identical (restoring
+                # across a net-zero materialize), so observe the log
+                if len(table_versions(spark, path)) > before_n:
+                    states.append(states[target - 1])
+        vs = table_versions(spark, path)
+        assert len(vs) == len(states)
+        for v, want in zip(vs, states):
+            got = {
+                (r.id, r.k, r.v)
+                for r in read_version(spark, path, v).collect()
+            }
+            assert got == want, f"version {v} diverged from the model"
+        # CDC between first and last: exactly the model's set diff
+        ch = read_changes(spark, path, vs[0], vs[-1])
+        ins = {
+            (r.id, r.k, r.v)
+            for r in ch.where("_change_type = 'insert'").collect()
+        }
+        dels = {
+            (r.id, r.k, r.v)
+            for r in ch.where("_change_type = 'delete'").collect()
+        }
+        assert ins == states[-1] - states[0]
+        assert dels == states[0] - states[-1]

@@ -357,10 +357,23 @@ def test_repl_index_refresh(engine, spark, tmp_path):
     tables: dict[str, str] = {}
     handle(engine, f"ATTACH t {path}", tables)
     handle(engine, "INDEX t BUILD ref", tables)
+    # r9: committed DML auto-refreshes the sidecar, so the manual verb
+    # finds nothing left to do...
     handle(engine, "DELETE FROM t WHERE k = 5", tables)
-    out = handle(engine, "INDEX t REFRESH ref", tables)
-    assert "indexed 1 new file(s)" in out
     assert "already covers" in handle(engine, "INDEX t REFRESH ref", tables)
+    # ...and still does the work itself when the hook is opted out
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        AUTO_REFRESH_INDEX_CONF,
+    )
+
+    spark.conf.set(AUTO_REFRESH_INDEX_CONF, "false")
+    try:
+        handle(engine, "DELETE FROM t WHERE k = 6", tables)
+        out = handle(engine, "INDEX t REFRESH ref", tables)
+        assert "indexed 1 new file(s)" in out
+        assert "already covers" in handle(engine, "INDEX t REFRESH ref", tables)
+    finally:
+        spark.conf.set(AUTO_REFRESH_INDEX_CONF, "true")
 
 
 def test_repl_index_lookup_bad_literal(engine, spark, tmp_path):
@@ -466,3 +479,35 @@ def test_repl_index_drop_and_list(engine, spark, tmp_path):
     assert "dropped" in handle(engine, "INDEX t DROP ref", tables)
     assert "no bloom index" in handle(engine, "INDEX t DROP ref", tables)
     assert "(no bloom indexes)" in handle(engine, "INDEX t LIST", tables)
+
+
+def test_engine_sql_at_reads_deletion_vector_versions(engine, spark, tmp_path):
+    """`VERSION AS OF` in SQL text over a merge-on-read history (r9
+    unification): a version committed by dv_delete time-travels with the
+    tombstones applied — no resurrection through the textual path."""
+    from sql_query_optimizer_cpp_spark.operators.mor import dv_delete_where
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        enable_versioning,
+    )
+
+    path = str(tmp_path / "sqlat_dv")
+    spark.range(50).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v"
+    ).coalesce(2).write.parquet(path)
+    enable_versioning(spark, path)                     # v1
+    dv_delete_where(spark, path, "k >= 40")            # v2
+    tables = {"t": path}
+    n1 = engine.sql_at(
+        "SELECT COUNT(*) AS n FROM t VERSION AS OF 1", tables
+    ).first()["n"]
+    n2 = engine.sql_at(
+        "SELECT COUNT(*) AS n FROM t VERSION AS OF 2", tables
+    ).first()["n"]
+    assert (n1, n2) == (50, 40)
+    # and a join of the two pinned versions isolates the tombstoned keys
+    gone = engine.sql_at(
+        "SELECT a.k FROM t VERSION AS OF 1 a "
+        "LEFT ANTI JOIN t VERSION AS OF 2 b ON a.k = b.k",
+        tables,
+    )
+    assert sorted(r["k"] for r in gone.collect()) == list(range(40, 50))
