@@ -450,17 +450,59 @@ class _CowChangesStreamReader(DataSourceStreamReader, _Common):
     checkpointed offset — exactly-once because version manifests are
     immutable once written."""
 
+    def __init__(self, options: dict, struct_type):
+        _Common.__init__(self, options, struct_type)
+        # rate limiting: cap how many COMMITS one micro-batch covers (the
+        # version is the natural admission unit — partial versions would
+        # break the offsets-are-versions exactly-once story).  A backlog
+        # (restart after downtime, or fromVersion=1 on a long history)
+        # then drains as ceil(backlog / N) ordered batches instead of one
+        # giant batch that over-sizes state and sinks.
+        raw = options.get("maxversionspertrigger")
+        self.max_versions = int(raw) if raw is not None else None
+        if self.max_versions is not None and self.max_versions < 1:
+            raise ValueError("maxVersionsPerTrigger must be >= 1")
+
     def initialOffset(self) -> dict:
         vs = self.versions()
         if self.from_version == -1:
             # 'latest': consume nothing that already happened
-            return {"version": vs[-1]}
-        return {"version": self.from_version - 1}
+            off = {"version": vs[-1]}
+        else:
+            off = {"version": self.from_version - 1}
+        self._last_end = off["version"]
+        return off
 
     def latestOffset(self) -> dict:
-        return {"version": self.versions()[-1]}
+        vs = self.versions()
+        last = getattr(self, "_last_end", None)
+        if self.max_versions is None:
+            return {"version": vs[-1]}
+        if last is None:
+            # first call of this runner's lifetime (the API passes no
+            # start offset): assume the FRESH-start position.  After a
+            # restart this may lag the checkpoint — verified safe: the
+            # engine clamps a stale available offset to its committed
+            # one (no regression, no replay; test_cdf restart cases),
+            # and partitions() re-syncs the cursor on the next batch.
+            last = (vs[-1] if self.from_version == -1
+                    else self.from_version - 1)
+        pending = [v for v in vs if v > last]
+        if len(pending) > self.max_versions:
+            end = pending[self.max_versions - 1]
+        else:
+            end = max(vs[-1], last)
+        self._last_end = end
+        return {"version": end}
 
     def partitions(self, start: dict, end: dict):
+        # the one place the engine hands us its authoritative offsets —
+        # keep the rate-limit cursor monotone against them (restart
+        # replays a checkpointed batch through here before any new
+        # latestOffset is trusted)
+        self._last_end = max(
+            getattr(self, "_last_end", None) or 0, end["version"]
+        )
         vs = self.versions()
         out = []
         for v in vs:
@@ -485,7 +527,14 @@ class CowChangesDataSource(DataSource):
 
     Options: ``path`` (table dir, required), ``fromVersion`` (default 1 =
     full history, v1 as initial-snapshot inserts), ``toVersion`` (batch
-    only, default latest).
+    only, default latest), ``maxVersionsPerTrigger`` (stream only: cap
+    how many commits one micro-batch covers, so a backlog — a restart
+    after downtime, or fromVersion=1 on a long history — drains as
+    bounded ordered batches instead of one giant batch; the version is
+    the admission unit because exactly-once needs whole commits.  One
+    honest edge: ``availableNow`` falls back to a single batch for
+    Python sources, so the cap applies to processing-time/continuous
+    triggers).
     """
 
     @classmethod

@@ -422,3 +422,80 @@ def test_cdf_streaming_across_dv_commits(spark, tmp_path):
         ("delete", 0), ("delete", 1), ("delete", 2)
     }
     assert after.count() == 33                         # nothing replayed
+
+
+def test_cdf_max_versions_per_trigger(spark, tmp_path):
+    """maxVersionsPerTrigger bounds how many commits one micro-batch
+    covers: a 5-version backlog drains as ordered <=2-version batches,
+    every row exactly once."""
+    path = str(tmp_path / "cdf_rate")
+    spark.range(10).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v"
+    ).coalesce(1).write.parquet(path)
+    enable_versioning(spark, path)                       # v1
+    for i in range(4):                                   # v2..v5
+        update_where(spark, path, {"v": "v + 1"}, f"k = {i}")
+    register(spark)
+    batches: list[list[int]] = []
+
+    def sink(df, epoch):
+        vs = sorted(
+            r["_commit_version"]
+            for r in df.select("_commit_version").distinct().collect()
+        )
+        if vs:
+            batches.append(vs)
+
+    q = (
+        spark.readStream.format("cow_changes")
+        .option("path", path)
+        .option("maxVersionsPerTrigger", "2")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if batches and batches[-1] and batches[-1][-1] == 5:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    covered = [v for b in batches for v in b]
+    assert covered == sorted(covered)                    # ordered
+    assert covered == list(range(1, 6))                  # exactly once
+    assert all(len(b) <= 2 for b in batches), batches    # capped
+    # RESTART from the checkpoint with a fresh backlog: the reader's
+    # assumed-fresh first offset lags the checkpoint, which the engine
+    # clamps (no regression, no replay) — new commits drain capped
+    for i in range(4, 8):                                # v6..v9
+        update_where(spark, path, {"v": "v + 1"}, f"k = {i}")
+    batches.clear()
+    q = (
+        spark.readStream.format("cow_changes")
+        .option("path", path)
+        .option("maxVersionsPerTrigger", "2")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if batches and batches[-1] and batches[-1][-1] == 9:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    covered = [v for b in batches for v in b]
+    assert covered == list(range(6, 10)), batches        # only the new ones
+    assert all(len(b) <= 2 for b in batches), batches    # still capped

@@ -413,3 +413,21 @@ def test_mutation_epoch_path_spelling_invariant(spark, tmp_path, monkeypatch):
     assert mutation_epoch(spark, abs_path) == before + 2
     mark_table_mutated(spark, abs_path + "/")       # trailing slash
     assert mutation_epoch(spark, abs_path) == before + 3
+
+
+def test_analyze_tables_applies_deletion_vectors(spark, tmp_path):
+    """Stats harvested from a merge-on-read table must count LIVE rows:
+    a base-parquet harvest would hand the CBO tombstoned rows (r9)."""
+    from sql_query_optimizer_cpp_spark.catalog import (
+        analyze_tables,
+        table_row_count,
+    )
+    from sql_query_optimizer_cpp_spark.operators.mor import dv_delete_where
+
+    sf = str(tmp_path)
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet").coalesce(
+        1
+    ).write.parquet(f"{sf}/nation.parquet")
+    dv_delete_where(spark, f"{sf}/nation.parquet", "n_regionkey = 0")
+    analyze_tables(spark, sf, ("nation",))
+    assert table_row_count(spark, "stats_nation") == 20  # 25 - 5, live only

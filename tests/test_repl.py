@@ -413,6 +413,26 @@ def test_repl_set_mode_routes_dml(engine, spark, tmp_path):
     assert has_deletion_vectors(engine.spark, path)
     assert spark.read.parquet(path).count() == 60
     assert read_mor(engine.spark, path).count() == 50
+    # textual MERGE routes to dv_merge_into in mor mode (r9)
+    src = str(tmp_path / "repl_mode_src")
+    spark.createDataFrame(
+        [(1, 111.0), (200, 2.0)], "k long, v double"
+    ).write.parquet(src)
+    handle(engine, f"ATTACH s {src}", tables, settings=settings)
+    files_before = set(spark.read.parquet(path).inputFiles())
+    out = handle(
+        engine,
+        "MERGE INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT",
+        tables,
+        settings=settings,
+    )
+    assert "0/" in out  # zero files rewritten
+    assert files_before <= set(spark.read.parquet(path).inputFiles())
+    got = read_mor(engine.spark, path)
+    assert got.where("k = 1").first()["v"] == 111.0
+    assert got.where("k = 200").count() == 1
     out = handle(engine, "SET MODE occ", tables, settings=settings)
     assert "optimistically" in out
     # occ DML on a DV table is refused through the shared guard
