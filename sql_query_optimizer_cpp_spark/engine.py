@@ -204,6 +204,17 @@ class Engine:
 
         return read_mor(self.spark, path)
 
+    def materialize_deletes(self, path: str, min_dead_ratio: float = 0.0):
+        """Fold merge-on-read deletion vectors into real file rewrites —
+        the MOR compaction (operators.mor.materialize_deletes); with
+        ``min_dead_ratio`` only files past the dead-fraction threshold
+        graduate.  On a versioned table this commits a version."""
+        from .operators.mor import materialize_deletes
+
+        return materialize_deletes(
+            self.spark, path, min_dead_ratio=min_dead_ratio
+        )
+
     def restore_version(self, path: str, version: int):
         """``RESTORE TABLE ... TO VERSION AS OF n``: roll the live file
         set back to version ``n`` as a new commit — metadata-only renames,

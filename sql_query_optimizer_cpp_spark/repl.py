@@ -92,6 +92,9 @@ _HELP = """commands:
                         CHECK constraints enforced by UPDATE/MERGE staging
   COMPACT <name> [ZORDER c1,c2 | SORT c1,c2]
                         bin-pack small files; recluster with ZORDER/SORT
+  MATERIALIZE <name> [ratio]
+                        fold deletion vectors into file rewrites (MOR
+                        compaction; ratio = min dead fraction per file)
   ... <name> VERSION AS OF <n> | TIMESTAMP AS OF '<iso>' ...
                         time-travel any attached table inside a SELECT
   REPAIR <name> [REMOVE]  inventory / clean post-crash COW debris
@@ -368,6 +371,25 @@ def handle(
             elif len(parts) != 1:
                 return usage
             st = compact(engine.spark, dml_tables[parts[0]], **kw)
+            if st.files_rewritten:
+                _refresh_views(engine, dml_tables)
+            return st.render()
+        if verb == "MATERIALIZE":
+            usage = "usage: MATERIALIZE <attached table> [min_dead_ratio]"
+            parts = rest.split()
+            if not parts or parts[0] not in dml_tables:
+                return usage
+            ratio = 0.0
+            if len(parts) == 2:
+                try:
+                    ratio = float(parts[1])
+                except ValueError:
+                    return usage
+            elif len(parts) != 1:
+                return usage
+            st = engine.materialize_deletes(
+                dml_tables[parts[0]], min_dead_ratio=ratio
+            )
             if st.files_rewritten:
                 _refresh_views(engine, dml_tables)
             return st.render()

@@ -531,3 +531,30 @@ def test_engine_sql_at_reads_deletion_vector_versions(engine, spark, tmp_path):
         tables,
     )
     assert sorted(r["k"] for r in gone.collect()) == list(range(40, 50))
+
+
+def test_repl_materialize_verb(engine, spark, tmp_path):
+    from sql_query_optimizer_cpp_spark.operators.mor import (
+        has_deletion_vectors,
+    )
+
+    path = str(tmp_path / "repl_matz")
+    spark.range(40).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v").coalesce(
+        2
+    ).write.parquet(path)
+    tables: dict[str, str] = {}
+    settings: dict = {}
+    handle(engine, f"ATTACH t {path}", tables, settings=settings)
+    handle(engine, "SET MODE mor", tables, settings=settings)
+    handle(engine, "DELETE FROM t WHERE k >= 30", tables, settings=settings)
+    assert has_deletion_vectors(engine.spark, path)
+    out = handle(engine, "MATERIALIZE t", tables, settings=settings)
+    assert "rewrote" in out
+    assert not has_deletion_vectors(engine.spark, path)
+    # the refreshed view serves the folded table
+    out = handle(engine, "SELECT COUNT(*) AS n FROM t", tables, settings=settings)
+    assert "30" in out
+    assert "usage:" in handle(engine, "MATERIALIZE", tables, settings=settings)
+    assert "usage:" in handle(
+        engine, "MATERIALIZE t nope", tables, settings=settings
+    )
