@@ -2598,16 +2598,6 @@ def _manifest_rel_files(spark: SparkSession, path: str, name: str) -> list[str]:
     return _manifest_state(spark, path, name)[0]
 
 
-def _manifest_dv_files(spark: SparkSession, path: str, name: str) -> list[str]:
-    """Table-relative deletion-vector batch files a manifest pins."""
-    return _manifest_state(spark, path, name)[1]
-
-
-def _snapshot_files(spark: SparkSession, path: str, name: str) -> list[str]:
-    root = path.rstrip("/")
-    return [f"{root}/{rel}" for rel in _manifest_rel_files(spark, path, name)]
-
-
 def _resolve_pinned_files(
     spark: SparkSession, path: str, files: list[str], what: str
 ) -> list[str]:
@@ -2728,11 +2718,10 @@ def read_snapshot(spark: SparkSession, path: str, name: str) -> DataFrame:
     # too — apply it exactly as read_mor does on the live table (one
     # broadcast-sized anti join on the row identity; tombstones keyed to
     # files outside this version match nothing)
-    root = path.rstrip("/")
     dv_resolved = _resolve_pinned_files(
         spark,
         path,
-        [f"{root}/{r}" for r in dv_rel],
+        [f"{root0}/{r}" for r in dv_rel],
         f"snapshot {name!r} deletion vectors",
     )
     dv = spark.read.parquet(*dv_resolved).select("src_file", "row_idx")
@@ -3205,6 +3194,13 @@ def read_changes(
     single scan of the touched files and a single shuffle instead of two
     of each.  At 100 TB a single-partition commit diffs two manifest
     file lists and scans one partition's worth of parquet once.
+
+    Merge-on-read commits diff too (r9): a version's live rows are its
+    data files MINUS its pinned deletion vectors, so added/removed files
+    read under their endpoint's DV mask, and tombstone-only commits emit
+    via a set-level entry diff that reads ONLY the differing DV batches
+    plus the common files they reference — a dv_delete's CDC cost is
+    O(tombstones + files they touch), and a materialize nets to zero.
 
     Limitations: columns must be exceptAll-comparable (no map type);
     versions must still be reconstructable (not dropped + vacuumed).

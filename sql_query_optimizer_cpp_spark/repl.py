@@ -45,6 +45,8 @@ LOOKUP|STATS``     files DML rewrote), LOOKUP <col> <v> (reads only
 ADD|DROP|LIST``    value-changing mutation's staged output
 ``COMPACT n        bin-pack small files; with ZORDER/SORT, recluster the
 [ZORDER cols]``    layout (OPTIMIZE ZORDER BY)
+``MATERIALIZE n    fold merge-on-read deletion vectors into file rewrites
+[ratio]``          (MOR compaction; ratio = min dead fraction per file)
 ``ALTER TABLE``    textual constraint DDL through the DML front-end
 ``.. VERSION AS    time travel inside a SELECT on attached tables, by
 OF n ..``          version number or ``TIMESTAMP AS OF '<iso>'``
@@ -385,13 +387,17 @@ def handle(
                     ratio = float(parts[1])
                 except ValueError:
                     return usage
+                if not (0.0 <= ratio <= 1.0):  # also rejects nan
+                    return usage
             elif len(parts) != 1:
                 return usage
             st = engine.materialize_deletes(
                 dml_tables[parts[0]], min_dead_ratio=ratio
             )
-            if st.files_rewritten:
-                _refresh_views(engine, dml_tables)
+            # refresh unconditionally: even a zero-rewrite run can drop a
+            # stale _dv store (crash-rerun convergence), and views pin
+            # the DV file list in their plans
+            _refresh_views(engine, dml_tables)
             return st.render()
         if verb == "CONSTRAINT":
             usage = (

@@ -480,11 +480,15 @@ class _CowChangesStreamReader(DataSourceStreamReader, _Common):
             return {"version": vs[-1]}
         if last is None:
             # first call of this runner's lifetime (the API passes no
-            # start offset): assume the FRESH-start position.  After a
-            # restart this may lag the checkpoint — verified safe: the
-            # engine clamps a stale available offset to its committed
-            # one (no regression, no replay; test_cdf restart cases),
-            # and partitions() re-syncs the cursor on the next batch.
+            # start offset): assume the FRESH-start position.  A restart
+            # never reaches here stale: PythonMicroBatchStream implements
+            # AcceptsLatestSeenOffset, so the engine replays the
+            # checkpointed offset through partitions(ckpt, ckpt) BEFORE
+            # the first latestOffset, and partitions() below re-syncs
+            # the cursor (verified against the Spark 4.1.2 jar; pinned
+            # by test_cdf_max_versions_per_trigger's restart leg — do
+            # NOT remove the partitions() sync, it is the restart
+            # correctness mechanism, not redundancy).
             last = (vs[-1] if self.from_version == -1
                     else self.from_version - 1)
         pending = [v for v in vs if v > last]
