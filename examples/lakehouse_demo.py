@@ -182,6 +182,48 @@ def main() -> None:
         st = materialize_deletes(spark, mor_path)
         print(f"materialize: rewrote {st.files_rewritten} tombstoned files")
 
+    # 12. r9 unification: deletion vectors are first-class COMMITS — a
+    #     versioned table time-travels, CDCs, and restores across them,
+    #     and MERGE itself runs merge-on-read (zero file rewrites)
+    from sql_query_optimizer_cpp_spark.operators.mor import dv_merge_into
+    from sql_query_optimizer_cpp_spark.operators.mutate import read_changes
+
+    with tempfile.TemporaryDirectory() as d3:
+        uni = f"{d3}/orders_uni"
+        spark.read.parquet(path).repartition(4).write.parquet(uni)
+        enable_versioning(spark, uni)                               # v1
+        n = dv_delete_where(spark, uni, "o_orderstatus = 'F'")      # v2
+        src = (
+            spark.read.parquet(uni)
+            .where("o_orderkey % 97 = 0")
+            .selectExpr("o_orderkey", "o_totalprice * 0 AS o_totalprice")
+        )
+        st = dv_merge_into(
+            spark, uni, src, on=["o_orderkey"],
+            matched_set={"o_totalprice": "src_o_totalprice"},
+        )                                                           # v3
+        print(
+            f"\nunified MOR: dv_delete committed v2 ({n} tombstones), "
+            f"MOR MERGE committed v3 ({st.rows_matched} matched, "
+            f"{st.files_rewritten} files rewritten — zero by design)"
+        )
+        v1_n = read_version(spark, uni, 1).count()
+        v2_n = read_version(spark, uni, 2).count()
+        deletes = (
+            read_changes(spark, uni, 1, 2)
+            .where("_change_type = 'delete'")
+            .count()
+        )
+        print(
+            f"time travel: v1={v1_n} rows, v2={v2_n} rows; CDC v1->v2 "
+            f"emits {deletes} deletes (the tombstoned rows)"
+        )
+        restore_version(spark, uni, 1)                              # v4
+        print(
+            f"RESTORE to v1 un-deletes through the SAME metadata plan: "
+            f"{read_mor(spark, uni).count()} rows live again"
+        )
+
     spark.stop()
 
 

@@ -510,6 +510,7 @@ def test_bloom_lookup_equals_filter_property(spark, bloom_table, vals):
             st.tuples(st.just("update"), st.integers(-10, 40)),
             st.tuples(st.just("materialize"), st.just(0)),
             st.tuples(st.just("restore"), st.integers(1, 4)),
+            st.tuples(st.just("merge"), st.integers(0, 40)),
         ),
         min_size=1,
         max_size=4,
@@ -519,7 +520,7 @@ def test_bloom_lookup_equals_filter_property(spark, bloom_table, vals):
 def test_mor_versioned_history_matches_model(spark, rows, ops):
     """Randomized DV history on a VERSIONED table vs a pure-Python model
     (r9 unification): after any interleaving of dv_delete / dv_update /
-    materialize / restore, every committed version time-travels to the
+    dv_merge_into / materialize / restore, every committed version time-travels to the
     model's state for that version, and read_changes between any two
     versions equals the model's set diff — deletion vectors, retired
     batches, net-zero materializes, and restore round-trips included."""
@@ -527,6 +528,7 @@ def test_mor_versioned_history_matches_model(spark, rows, ops):
 
     from sql_query_optimizer_cpp_spark.operators.mor import (
         dv_delete_where,
+        dv_merge_into,
         dv_update_where,
         materialize_deletes,
     )
@@ -577,6 +579,31 @@ def test_mor_versioned_history_matches_model(spark, rows, ops):
                 )
                 if n:
                     states.append(model_update(cur, arg))
+            elif op == "merge":
+                # source keys {arg, arg+1}: matched rows bump v by 5000
+                # (tombstone + copy, id preserved); an unmatched key
+                # inserts one row with a synthetic id
+                src = spark.createDataFrame(
+                    [(9000 + kk, kk, 0) for kk in (arg, arg + 1)],
+                    "id long, k long, v long",
+                )
+                stx = dv_merge_into(
+                    spark, path, src, on=["k"],
+                    matched_set={"v": "coalesce(v, 0) + 5000"},
+                    insert_values={"id": "src_id", "v": "src_v"},
+                )
+                if stx.rows_matched or stx.rows_inserted:
+                    nxt = set()
+                    matched_keys = {r[1] for r in cur}
+                    for rid, k, v in cur:
+                        if k in (arg, arg + 1):
+                            nxt.add((rid, k, (v if v is not None else 0) + 5000))
+                        else:
+                            nxt.add((rid, k, v))
+                    for kk in (arg, arg + 1):
+                        if kk not in matched_keys:
+                            nxt.add((9000 + kk, kk, 0))
+                    states.append(nxt)
             elif op == "materialize":
                 materialize_deletes(spark, path)
                 # a version commits only when batches/files changed
