@@ -182,6 +182,11 @@ def bench_spark(spark, registry, sf_dir: str):
         "point_lookup_bloom",
         "agg_heavy_hitters",
         "text_chunk_windows",
+        # round 9's mutate_mor_versioned / mutate_mor_merge are NOT
+        # extras: the full bench already runs ~8.5 min against a ~10 min
+        # capture budget, and their multi-version pipelines (~6 s
+        # combined x 6 runs) would spend the remaining margin — they are
+        # correctness-graded by the driver and sim instead
     ):
         spec = registry.get(name)
         if spec is None:

@@ -341,6 +341,13 @@ def dv_update_where(
                 staging = _stage(spark, path, updated, created)
             if table_constraints(spark, path):
                 _enforce_constraints(spark, path, [staging])
+            # a predicate whose only base matches are already-tombstoned
+            # rows stages ZERO copies — moving the empty staging in would
+            # add a junk empty file AND commit a no-op version
+            if _staged_rows(spark, staging) == 0:
+                jvm0, fs0, _ = _fs(spark, path)
+                fs0.delete(jvm0.org.apache.hadoop.fs.Path(staging), True)
+                return 0
             if partitioned:
                 from .mutate import _move_in_partitioned
 

@@ -560,3 +560,19 @@ def test_dv_merge_execute_dml_and_streaming_upsert(spark, tmp_path):
     }
     assert got == {1: (11.0, 200), 2: (20.0, 100), 4: (40.0, 200)}
     assert has_deletion_vectors(spark, tgt)  # no rewrite happened
+
+
+def test_dv_update_only_tombstoned_matches_is_noop(spark, tmp_path):
+    """An UPDATE whose only BASE matches are already-tombstoned rows must
+    be a complete no-op: no empty copy file, no tombstones, and on a
+    versioned table NO version committed (found by the r9 randomized
+    sweep: the empty staging used to move in and commit a junk version)."""
+    path = _flat(spark, tmp_path)
+    m.enable_versioning(spark, path)                    # v1
+    assert dv_delete_where(spark, path, "k >= 90") == 10  # v2
+    files = set(m.list_data_files(spark, path))
+    # k >= 95 rows exist in the base files but are all tombstoned
+    assert dv_update_where(spark, path, {"v": "0.0"}, "k >= 95") == 0
+    assert set(m.list_data_files(spark, path)) == files  # no empty file
+    assert dv_count(spark, path) == 10                   # no new tombstones
+    assert m.table_versions(spark, path) == [1, 2]       # no junk commit
