@@ -193,8 +193,11 @@ def main() -> None:
         spark.read.parquet(path).repartition(4).write.parquet(uni)
         enable_versioning(spark, uni)                               # v1
         n = dv_delete_where(spark, uni, "o_orderstatus = 'F'")      # v2
+        # derive the source from the LIVE state (read_mor): a base read
+        # would still see the rows v2 tombstoned, and the merge's insert
+        # leg would resurrect them as NULL-padded junk
         src = (
-            spark.read.parquet(uni)
+            read_mor(spark, uni)
             .where("o_orderkey % 97 = 0")
             .selectExpr("o_orderkey", "o_totalprice * 0 AS o_totalprice")
         )
