@@ -576,3 +576,46 @@ def test_dv_update_only_tombstoned_matches_is_noop(spark, tmp_path):
     assert set(m.list_data_files(spark, path)) == files  # no empty file
     assert dv_count(spark, path) == 10                   # no new tombstones
     assert m.table_versions(spark, path) == [1, 2]       # no junk commit
+
+
+def test_dv_commits_across_schema_evolution(spark, tmp_path):
+    """One versioned history interleaving an evolve_schema COW merge and
+    DV commits: time travel reads pre-evolution versions without the new
+    column, post-evolution DV versions NULL-backfill it, and CDC across
+    the dv commit aligns the evolved schema."""
+    path = str(tmp_path / "mor_evo")
+    spark.range(30).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v"
+    ).repartitionByRange(2, "k").write.parquet(path)
+    m.enable_versioning(spark, path)                             # v1
+    src = spark.createDataFrame([(3, "hot")], "k long, tag string")
+    m.merge_into(
+        spark, path, src, on=["k"], matched_set={"tag": "src_tag"},
+        evolve_schema=True,
+    )                                                            # v2
+    assert dv_delete_where(spark, path, "k >= 20") == 10         # v3
+    assert dv_update_where(
+        spark, path, {"tag": "'cold'"}, "k = 4"
+    ) == 1                                                       # v4
+    assert m.table_versions(spark, path) == [1, 2, 3, 4]
+    assert "tag" not in m.read_version(spark, path, 1).columns
+    v2 = m.read_version(spark, path, 2)
+    assert v2.where("tag = 'hot'").count() == 1
+    assert v2.where("tag IS NULL").count() == 29                 # backfilled
+    v4 = m.read_version(spark, path, 4)
+    assert v4.count() == 20
+    assert v4.where("k = 4").first()["tag"] == "cold"
+    # CDC across the dv-delete commit: the tombstoned rows live only in
+    # files that PREDATE the evolution, and read_changes' documented
+    # O(touched) contract derives its output schema from the touched
+    # files (never an all-footer crawl) — so the delete images carry the
+    # pre-evolution columns; their tag was NULL-backfilled anyway
+    ch = m.read_changes(spark, path, 2, 3)
+    assert set(ch.columns) == {"_change_type", "k", "v"}
+    assert ch.count() == 10
+    assert ch.where("_change_type = 'delete'").count() == 10
+    # a range whose touched files span the evolution DOES align + backfill
+    wide = m.read_changes(spark, path, 1, 4)
+    assert set(wide.columns) == {"_change_type", "k", "v", "tag"}
+    # and read_mor time-handles the mixed files (evolved + original)
+    assert read_mor(spark, path).count() == 20
