@@ -224,14 +224,22 @@ class Engine:
         return restore_version(self.spark, path, version)
 
     def read_changes(
-        self, path: str, from_version: int, to_version: int | None = None
+        self,
+        path: str,
+        from_version: int,
+        to_version: int | None = None,
+        align_schema: bool = False,
     ) -> DataFrame:
         """CDC: net row changes between two committed versions, tagged
         ``_change_type`` ('insert'/'delete'); reads only the files the
-        range touched (operators.mutate.read_changes)."""
+        range touched (operators.mutate.read_changes).  ``align_schema``
+        pins the output to the ``to`` version's full schema."""
         from .operators.mutate import read_changes
 
-        return read_changes(self.spark, path, from_version, to_version)
+        return read_changes(
+            self.spark, path, from_version, to_version,
+            align_schema=align_schema,
+        )
 
     # -- CHECK constraints (enforced by the mutate verbs at stage time) ----
     def add_constraint(

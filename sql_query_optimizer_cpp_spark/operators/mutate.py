@@ -3171,6 +3171,7 @@ def read_changes(
     path: str,
     from_version: int,
     to_version: int | None = None,
+    align_schema: bool = False,
 ) -> DataFrame:
     """CDC read: the NET row-level changes between two committed versions,
     as a DataFrame with a ``_change_type`` column (``'insert'`` /
@@ -3201,6 +3202,14 @@ def read_changes(
     via a set-level entry diff that reads ONLY the differing DV batches
     plus the common files they reference — a dv_delete's CDC cost is
     O(tombstones + files they touch), and a materialize nets to zero.
+
+    Output columns default to the union of the TOUCHED files' schemas —
+    the O(touched) contract: a commit whose files all predate a schema
+    evolution emits pre-evolution images (the evolved column was NULL
+    there anyway).  ``align_schema=True`` instead aligns the output to
+    the ``to`` version's full schema (NULL-backfilling missing columns)
+    at the cost of one footer-union job over that version's pinned
+    files — opt in when a downstream applier needs a stable shape.
 
     Limitations: columns must be exceptAll-comparable (no map type);
     versions must still be reconstructable (not dropped + vacuumed).
@@ -3322,9 +3331,14 @@ def read_changes(
         ).limit(0)
     # align every part to one column list (first-seen order, that side's
     # types win — a widening evolution casts the old images up, an added
-    # column NULL-backfills) so the signed aggregate compares row images
+    # column NULL-backfills) so the signed aggregate compares row images;
+    # align_schema seeds the list with the to-version's full schema
     ordered: list[tuple[str, object]] = []
     seen: set[str] = set()
+    if align_schema:
+        for fld in read_version(spark, path, to_v).schema.fields:
+            seen.add(fld.name)
+            ordered.append((fld.name, fld.dataType))
     for side, _ in parts:
         for fld in side.schema.fields:
             if fld.name not in seen:

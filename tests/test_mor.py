@@ -619,3 +619,28 @@ def test_dv_commits_across_schema_evolution(spark, tmp_path):
     assert set(wide.columns) == {"_change_type", "k", "v", "tag"}
     # and read_mor time-handles the mixed files (evolved + original)
     assert read_mor(spark, path).count() == 20
+
+
+def test_read_changes_align_schema_opt_in(spark, tmp_path):
+    """align_schema=True pins the CDC output to the to-version's full
+    schema (NULL-backfilling columns the touched files predate) — the
+    stable shape a downstream applier wants, at the documented cost of
+    one footer-union job."""
+    path = str(tmp_path / "mor_align")
+    spark.range(30).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v"
+    ).repartitionByRange(2, "k").write.parquet(path)
+    m.enable_versioning(spark, path)                             # v1
+    src = spark.createDataFrame([(3, "hot")], "k long, tag string")
+    m.merge_into(
+        spark, path, src, on=["k"], matched_set={"tag": "src_tag"},
+        evolve_schema=True,
+    )                                                            # v2
+    dv_delete_where(spark, path, "k >= 20")                      # v3
+    ch = m.read_changes(spark, path, 2, 3, align_schema=True)
+    assert set(ch.columns) == {"_change_type", "k", "v", "tag"}
+    assert ch.count() == 10
+    assert ch.where("tag IS NOT NULL").count() == 0  # backfilled NULLs
+    # values identical to the default-shape read on the shared columns
+    narrow = m.read_changes(spark, path, 2, 3)
+    assert ch.select(*narrow.columns).exceptAll(narrow).count() == 0
