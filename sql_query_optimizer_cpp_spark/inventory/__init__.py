@@ -124,86 +124,84 @@ def shared_sql(
 
 
 #: Evaluation-priority order.  The driver grades registry entries in
-#: iteration order and stops after a fixed 50-query window (r01-r08 each
-#: sampled a different 50; after r08: 206 registered, 194 green-ever,
-#: zero graded-never-green, and exactly TWELVE never-graded queries —
-#: the whole round-8 wave, staged past the r08 window and sim-verified
-#: at sf0.01 and sf0.1).  Round-9 rotation: lead with those twelve in
-#: registration order so nine new components (OCC MERGE, partitioned
-#: OCC, MERGE schema evolution, CDC read_changes, CHECK constraints,
-#: cow_changes DataSource, z-order compaction, merge-on-read deletion
-#: vectors, RESTORE TO VERSION, bloom file index, heavy hitters, RAG
-#: chunking) earn their first driver CORRECTNESS rows; then the
-#: flagship guard; then 37 re-grades of the stalest greens (latest
-#: driver row r05), taken in registration order.  The nine r05 greens
-#: that do not fit (events_sliding, events_props_extract,
-#: join_event_attribution, events_path_bigrams, sample_train_val_test,
-#: orders_rfm, orders_market_basket, events_anomaly_zscore,
-#: date_series_gapfill) lead the r10 re-grade block.  Everything past
-#: _PRIORITY keeps registration order; every registered query stays
-#: covered every round by tests/test_inventory.py +
-#: tools/driver_sim.py regardless of window position.
+#: iteration order and stops after a fixed 50-query window (r01-r09 each
+#: sampled a different 50; after r09: 208 registered, 206 green-ever,
+#: zero graded-never-green, and exactly TWO never-graded queries — the
+#: round-9 lakehouse headliners, staged past the r09 window and
+#: sim-verified at sf0.01 and sf0.1).  Round-10 rotation: lead with
+#: those two (mutate_mor_versioned — the MOR/version-log unification:
+#: DV commits are versions, time travel/CDC/RESTORE over deletion
+#: vectors — and mutate_mor_merge — dv_merge_into, zero-rewrite MERGE);
+#: then the flagship guard; then the nine r05 greens that did not fit
+#: the r09 window; then the 38 stalest r06 greens in registration
+#: order.  The eleven r06 greens that do not fit
+#: (source_roundtrip_formats, insert_select_roundtrip,
+#: source_roundtrip_zorder, mutate_update_delete, mutate_merge_upsert,
+#: mutate_compact_stable, mutate_dml_sql, mutate_partitioned_delete,
+#: mutate_snapshot_diff, mutate_apply_changes, join_order_advice_ga)
+#: lead the r11 re-grade block.  Everything past _PRIORITY keeps
+#: registration order; every registered query stays covered every round
+#: by tests/test_inventory.py + tools/driver_sim.py regardless of
+#: window position.
 _PRIORITY: tuple[str, ...] = (
-    # -- never driver-graded: the full round-8 wave, registration order --
-    "agg_heavy_hitters",
-    "text_chunk_windows",
-    "mutate_occ_merge",
-    "mutate_occ_partitioned",
-    "mutate_schema_evolution",
-    "mutate_read_changes",
-    "mutate_constraints",
-    "mutate_cdf_replay",
-    "mutate_compact_zorder",
-    "mutate_mor_pipeline",
-    "mutate_restore_version",
-    "point_lookup_bloom",
+    # -- never driver-graded: the round-9 lakehouse pair ------------------
+    "mutate_mor_versioned",
+    "mutate_mor_merge",
     # -- regression-guard slot: the headline query ------------------------
     "flagship_demo",
-    # -- re-grades: stalest greens (latest driver row r05), registry order
-    "group_by_all_report",
-    "join_skew_salted",
-    "agg_array_collect",
-    "agg_skew_salted",
-    "agg_grouping_id",
-    "agg_corr_moments",
-    "unpivot_metrics",
-    "scalar_subquery",
-    "scalar_subquery_agg",
-    "in_subquery",
-    "not_in_subquery",
-    "scalar_subquery_where",
-    "exists_subquery",
-    "win_topk_per_group",
-    "win_rank_lag",
-    "win_running_sum",
-    "win_moving_avg",
-    "text_tokens",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "text_fuzzy_match",
-    "text_tfidf_topk",
-    "text_ngram_lm",
-    "doc_quality_histogram",
-    "dedup_ngram_pairs",
-    "dedup_simhash",
-    "text_minhash_signature",
-    "dedup_clusters_star",
-    "dedup_incremental",
-    "dedup_ngram_containment",
-    "corpus_dedup_report",
-    "sim_topk_bruteforce",
-    "sim_neardup_pairs",
-    "sim_nearest_centroid",
-    "sim_recall_report",
-    "events_tumbling",
-    # ==== end of the 50-entry r09 window; r10 queue below ================
-    # r10 rotation plan: lead with the TWO queries staged during round 9
-    # (mutate_mor_versioned — the MOR/version-log unification: DV commits
-    # are versions, time travel/CDC/RESTORE over deletion vectors — and
-    # mutate_mor_merge — dv_merge_into, zero-rewrite MERGE), keep the
-    # flagship guard, then the nine r05 leftovers named above, then the
-    # stalest r06 greens in registry order.
+    # -- re-grades: the nine r05 greens left over from the r09 window -----
+    "events_sliding",
+    "events_props_extract",
+    "join_event_attribution",
+    "events_path_bigrams",
+    "sample_train_val_test",
+    "orders_rfm",
+    "orders_market_basket",
+    "events_anomaly_zscore",
+    "date_series_gapfill",
+    # -- re-grades: stalest greens (latest driver row r06), registry order
+    "scan_star",
+    "filter_point",
+    "filter_compare",
+    "pred_compound",
+    "pred_in_list",
+    "arith_filter",
+    "case_when",
+    "orderby_multi",
+    "scalar_functions",
+    "date_functions",
+    "join_inner",
+    "join_natural",
+    "join_comma",
+    "join_cross",
+    "join_theta",
+    "join_asof",
+    "agg_grouping_sets",
+    "tpch_q1",
+    "complex_q2",
+    "complex_q5",
+    "agg_filter_clause",
+    "recursive_cte_chain",
+    "union_all",
+    "intersect",
+    "except_",
+    "text_boilerplate_ngrams",
+    "text_oov_rate",
+    "dedup_exact",
+    "dedup_cluster_size_hist",
+    "embeddings_norm_stats",
+    "multimodal_meta",
+    "multimodal_resize",
+    "ingest_incremental_e2e",
+    "split_leakage_report",
+    "events_dau_stickiness",
+    "orders_yoy_growth",
+    "events_hourly_topk_types",
+    "source_roundtrip_partitioned",
+    # ==== end of the 50-entry r10 window; r11 queue below ================
+    # r11 rotation plan: lead with any queries staged during round 10,
+    # keep the flagship guard, then the eleven r06 leftovers named above,
+    # then the stalest r07 greens in registry order.
 )
 
 
