@@ -229,16 +229,20 @@ class Engine:
         from_version: int,
         to_version: int | None = None,
         align_schema: bool = False,
+        max_touched_files: int | None = 100_000,
     ) -> DataFrame:
         """CDC: net row changes between two committed versions, tagged
         ``_change_type`` ('insert'/'delete'); reads only the files the
         range touched (operators.mutate.read_changes).  ``align_schema``
-        pins the output to the ``to`` version's full schema."""
+        pins the output to the ``to`` version's full schema;
+        ``max_touched_files`` bounds the DV entry-diff's driver-side file
+        list (past it, the plan scans every common file instead)."""
         from .operators.mutate import read_changes
 
         return read_changes(
             self.spark, path, from_version, to_version,
             align_schema=align_schema,
+            max_touched_files=max_touched_files,
         )
 
     # -- CHECK constraints (enforced by the mutate verbs at stage time) ----

@@ -215,12 +215,30 @@ def _append_dv(spark: SparkSession, path: str, entries: DataFrame) -> int:
         # manifest can pin them) so has_deletion_vectors stays accurate
         # and COW verbs stay usable on a vector-less table
         jvm, fs, _ = _fs(spark, path)
+        leftover: list[str] = []
         for f in post - pre:
-            with contextlib.suppress(Exception):
+            try:
                 fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
-        if not pre:
+            except Exception:
+                leftover.append(f)
+        if not pre and not leftover:
             with contextlib.suppress(Exception):
                 fs.delete(jvm.org.apache.hadoop.fs.Path(dv_root), True)
+        if leftover:
+            # a stranded empty batch flips has_deletion_vectors true and
+            # locks out every COW verb on a logically vector-less table —
+            # say so (mirrors mutate._refresh_indexes' degrade-with-
+            # warning contract) instead of failing the no-op statement
+            import warnings
+
+            warnings.warn(
+                f"could not clean up {len(leftover)} empty deletion-"
+                f"vector part file(s) under {dv_root} (e.g. "
+                f"{leftover[0]}); the table now *looks* merge-on-read, "
+                "so COW DML verbs will refuse it until the empty files "
+                "are removed or materialize_deletes runs",
+                stacklevel=3,
+            )
     return after - before
 
 
@@ -382,6 +400,7 @@ def dv_merge_into(
     check_unique: bool = True,
     matched_delete: str | Column | None = None,
     insert_condition: str | Column | None = None,
+    skip_unchanged: bool = False,
 ) -> MutationStats:
     """Merge-on-read ``MERGE INTO``: the matched legs are exactly
     :func:`dv_update_where`'s machinery — tombstone the old row images,
@@ -399,7 +418,15 @@ def dv_merge_into(
     commits one version.  Crash ordering is the COW-wide contract:
     new data lands before the tombstones that hide the old (duplicates,
     never loss), and matched rows are read from the verb's STARTING file
-    list so its own appends can never re-match."""
+    list so its own appends can never re-match.
+
+    ``skip_unchanged=True`` drops matched rows whose assigned values all
+    null-safe-equal the current ones BEFORE staging: an idempotent replay
+    (the CDC applier's ``CASE WHEN newer THEN src_c ELSE c END`` on a
+    late/duplicate batch) then tombstones nothing, appends nothing, and
+    commits no version — no write amplification from at-least-once
+    delivery.  Off by default because a no-op update IS a row rewrite
+    under plain MERGE semantics (the copy gets a fresh row identity)."""
     for k in on:
         if k not in source.columns:
             raise ValueError(f"merge key {k!r} missing from source")
@@ -475,6 +502,17 @@ def dv_merge_into(
             upd_j = joined
         if matched_set is None:
             upd_j = joined.limit(0)
+        elif skip_unchanged:
+            # a row is worth rewriting only if SOME assignment changes it
+            # (null-safe compare, post-cast, so type coercion can't fake
+            # a diff); everything else stays untouched — not tombstoned,
+            # not copied, not a version
+            changed = F.lit(False)
+            for c in matched_set:
+                changed = changed | ~_cond(matched_set[c]).cast(
+                    sub.schema[c].dataType
+                ).eqNullSafe(F.col(c))
+            upd_j = upd_j.where(changed)
         updated = upd_j.select(
             *[
                 _cond(matched_set[c]).cast(sub.schema[c].dataType).alias(c)

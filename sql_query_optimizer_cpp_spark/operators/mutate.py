@@ -3172,6 +3172,7 @@ def read_changes(
     from_version: int,
     to_version: int | None = None,
     align_schema: bool = False,
+    max_touched_files: int | None = 100_000,
 ) -> DataFrame:
     """CDC read: the NET row-level changes between two committed versions,
     as a DataFrame with a ``_change_type`` column (``'insert'`` /
@@ -3213,6 +3214,14 @@ def read_changes(
 
     Limitations: columns must be exceptAll-comparable (no map type);
     versions must still be reconstructable (not dropped + vacuumed).
+
+    ``max_touched_files`` bounds the one driver-side metadata transfer of
+    the DV entry-diff path (which common files do the changed tombstones
+    reference?) the same way ``merge_into``'s ``max_pruned_files`` bounds
+    its prune list: at most ``max_touched_files + 1`` file names are ever
+    collected, and past the bound the plan falls back to scanning every
+    common file and letting the distributed semi-join do the filtering —
+    same result, no unbounded driver list.
     """
     vs = table_versions(spark, path)
     if not vs:
@@ -3307,10 +3316,22 @@ def read_changes(
             # as the manifest lists): which common files do the changed
             # tombstones reference?  Entries on files added/removed in
             # the range are already covered by the masked parts above.
-            touched = {
-                r["src_file"]
-                for r in ent.select("src_file").distinct().collect()
-            } & common
+            # The limit+fallback mirrors merge_into's max_pruned_files:
+            # a pathological range (tombstones spanning millions of
+            # files) scans every common file instead of materializing an
+            # unbounded name list on the driver — the semi-join below
+            # filters either way.
+            touched_df = ent.select("src_file").distinct()
+            if max_touched_files is not None:
+                touched_df = touched_df.limit(max_touched_files + 1)
+            touched_rows = touched_df.collect()
+            if (
+                max_touched_files is not None
+                and len(touched_rows) > max_touched_files
+            ):
+                touched = set(common)
+            else:
+                touched = {r["src_file"] for r in touched_rows} & common
             if not touched:
                 continue
             df = _read_pinned_files(

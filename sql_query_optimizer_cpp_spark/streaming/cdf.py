@@ -463,21 +463,36 @@ class _CowChangesStreamReader(DataSourceStreamReader, _Common):
         if self.max_versions is not None and self.max_versions < 1:
             raise ValueError("maxVersionsPerTrigger must be >= 1")
 
+    def _sync_cursor(self, *offsets: dict) -> None:
+        """Monotone cursor update from engine-authoritative offsets.  The
+        checkpoint may hold pre-``last_end`` offsets (plain
+        ``{"version": N}``), so both fields count."""
+        vals = [getattr(self, "_last_end", None) or 0]
+        for off in offsets:
+            vals.append(off.get("version", 0))
+            vals.append(off.get("last_end", 0))
+        self._last_end = max(vals)
+
     def initialOffset(self) -> dict:
         vs = self.versions()
         if self.from_version == -1:
             # 'latest': consume nothing that already happened
-            off = {"version": vs[-1]}
+            v = vs[-1]
         else:
-            off = {"version": self.from_version - 1}
-        self._last_end = off["version"]
-        return off
+            v = self.from_version - 1
+        self._last_end = v
+        # last_end rides along in the offset JSON so EVERY offset the
+        # engine ever hands back (partitions' start/end on a checkpoint
+        # replay, commit's end) re-seeds the rate-limit cursor — the
+        # cursor's durability comes from the checkpoint itself, not from
+        # this runner staying alive
+        return {"version": v, "last_end": v}
 
     def latestOffset(self) -> dict:
         vs = self.versions()
         last = getattr(self, "_last_end", None)
         if self.max_versions is None:
-            return {"version": vs[-1]}
+            return {"version": vs[-1], "last_end": vs[-1]}
         if last is None:
             # first call of this runner's lifetime (the API passes no
             # start offset): assume the FRESH-start position.  A restart
@@ -488,7 +503,11 @@ class _CowChangesStreamReader(DataSourceStreamReader, _Common):
             # the cursor (verified against the Spark 4.1.2 jar; pinned
             # by test_cdf_max_versions_per_trigger's restart leg — do
             # NOT remove the partitions() sync, it is the restart
-            # correctness mechanism, not redundancy).
+            # correctness mechanism, not redundancy).  Defense in depth
+            # for a future engine that reorders those calls: offsets
+            # carry last_end (see initialOffset), so the first
+            # partitions()/commit() with checkpointed offsets self-heals
+            # the cursor even if this assumed position was trusted once.
             last = (vs[-1] if self.from_version == -1
                     else self.from_version - 1)
         pending = [v for v in vs if v > last]
@@ -497,16 +516,14 @@ class _CowChangesStreamReader(DataSourceStreamReader, _Common):
         else:
             end = max(vs[-1], last)
         self._last_end = end
-        return {"version": end}
+        return {"version": end, "last_end": end}
 
     def partitions(self, start: dict, end: dict):
         # the one place the engine hands us its authoritative offsets —
         # keep the rate-limit cursor monotone against them (restart
         # replays a checkpointed batch through here before any new
         # latestOffset is trusted)
-        self._last_end = max(
-            getattr(self, "_last_end", None) or 0, end["version"]
-        )
+        self._sync_cursor(start, end)
         vs = self.versions()
         out = []
         for v in vs:
@@ -520,8 +537,10 @@ class _CowChangesStreamReader(DataSourceStreamReader, _Common):
         return _read_change_file(partition)
 
     def commit(self, end: dict) -> None:
-        # manifests are the source of truth; nothing to acknowledge
-        pass
+        # manifests are the source of truth; nothing to acknowledge —
+        # but the acknowledged end is one more engine-authoritative
+        # signal for the rate-limit cursor
+        self._sync_cursor(end)
 
 
 class CowChangesDataSource(DataSource):

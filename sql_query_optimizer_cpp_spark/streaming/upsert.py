@@ -126,10 +126,15 @@ def apply_changes_batch(
         # merge-on-read applier: a k-key micro-batch writes O(k) rows
         # (tombstones + copies + inserts) instead of rewriting every file
         # a matched key lives in — the steady-state CDC cost model;
-        # materialize_deletes is the periodic compaction
+        # materialize_deletes is the periodic compaction.  skip_unchanged
+        # makes at-least-once replays true no-ops: a late/duplicate event
+        # whose ts guard resolves to `ELSE col` assigns every column its
+        # current value, and rewriting (tombstone + copy + version) those
+        # rows on every redelivery is pure write amplification
         from ..operators.mor import dv_merge_into
 
         verb = dv_merge_into
+        kw = {"skip_unchanged": True}
     elif optimistic:
         from ..operators.mutate import occ_merge_into
 

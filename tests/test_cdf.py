@@ -499,3 +499,52 @@ def test_cdf_max_versions_per_trigger(spark, tmp_path):
     covered = [v for b in batches for v in b]
     assert covered == list(range(6, 10)), batches        # only the new ones
     assert all(len(b) <= 2 for b in batches), batches    # still capped
+
+
+def test_cdf_rate_cursor_offset_format_and_sync(spark, tmp_path):
+    """The rate-limit cursor is durable against engine call ordering:
+    offsets carry last_end, partitions() syncs from BOTH offsets (old
+    plain-version checkpoint format included), and commit() is a second
+    authoritative signal — a fresh runner whose first engine contact is
+    any of those never regresses behind the checkpoint."""
+    from sql_query_optimizer_cpp_spark.streaming.cdf import (
+        _CowChangesStreamReader,
+    )
+
+    path = str(tmp_path / "cdf_cursor")
+    spark.range(6).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v"
+    ).coalesce(1).write.parquet(path)
+    enable_versioning(spark, path)                       # v1
+    for i in range(4):                                   # v2..v5
+        update_where(spark, path, {"v": "v + 1"}, f"k = {i}")
+    st = spark.read.parquet(path).schema
+
+    def reader(**opts):
+        return _CowChangesStreamReader(
+            {"path": path, "maxversionspertrigger": "2", **opts}, st
+        )
+
+    # offsets carry last_end alongside version
+    r = reader()
+    off = r.initialOffset()
+    assert off == {"version": 0, "last_end": 0}
+    assert r.latestOffset() == {"version": 2, "last_end": 2}
+    assert r.latestOffset() == {"version": 4, "last_end": 4}
+    # restart shape: fresh runner, engine replays a checkpointed batch
+    # through partitions() FIRST — old plain format must still sync
+    r2 = reader()
+    r2.partitions({"version": 2}, {"version": 4})
+    assert r2.latestOffset() == {"version": 5, "last_end": 5}
+    # commit() alone also seeds the cursor (defense for a future engine
+    # that acknowledges before planning)
+    r3 = reader()
+    r3.commit({"version": 4, "last_end": 4})
+    assert r3.latestOffset() == {"version": 5, "last_end": 5}
+    # without any engine contact the assumed-fresh position still rate
+    # limits from fromVersion (the documented fresh-start behavior)
+    assert reader().latestOffset() == {"version": 2, "last_end": 2}
+    # and fromVersion='latest' consumes nothing that already happened
+    assert reader(fromversion="latest").latestOffset() == {
+        "version": 5, "last_end": 5,
+    }

@@ -644,3 +644,106 @@ def test_read_changes_align_schema_opt_in(spark, tmp_path):
     # values identical to the default-shape read on the shared columns
     narrow = m.read_changes(spark, path, 2, 3)
     assert ch.select(*narrow.columns).exceptAll(narrow).count() == 0
+
+
+def test_dv_merge_skip_unchanged_idempotent_replay(spark, tmp_path):
+    """skip_unchanged=True makes an at-least-once replay a true no-op:
+    no tombstones, no copies, no version commit (the CDC applier's
+    write-amplification fix); without it the same replay rewrites every
+    matched row."""
+    from sql_query_optimizer_cpp_spark.operators.mor import dv_merge_into
+
+    path = _flat(spark, tmp_path)
+    m.enable_versioning(spark, path)                             # v1
+    src = spark.createDataFrame(
+        [(1, 500.0), (2, 2 % 7 * 1.0)], "k long, v double"
+    )  # k=1 really changes, k=2 assigns its current value
+    st = dv_merge_into(
+        spark, path, src, on=["k"], matched_set={"v": "src_v"},
+        skip_unchanged=True,
+    )                                                            # v2
+    assert st.rows_matched == 1                    # k=2 skipped
+    assert dv_count(spark, path) == 1
+    assert m.table_versions(spark, path) == [1, 2]
+    out = read_mor(spark, path)
+    assert out.where("k = 1").first()["v"] == 500.0
+    assert out.where("k = 2").first()["v"] == 2 % 7 * 1.0
+    # replay the SAME batch: now nothing differs -> zero writes, zero
+    # commits, table byte-identical
+    src2 = spark.createDataFrame(
+        [(1, 500.0), (2, 2 % 7 * 1.0)], "k long, v double"
+    )
+    files0 = set(m.list_data_files(spark, path))
+    st2 = dv_merge_into(
+        spark, path, src2, on=["k"], matched_set={"v": "src_v"},
+        skip_unchanged=True,
+    )
+    assert st2.rows_matched == 0 and st2.rows_inserted == 0
+    assert dv_count(spark, path) == 1              # unchanged
+    assert m.table_versions(spark, path) == [1, 2]  # no no-op commit
+    assert set(m.list_data_files(spark, path)) == files0
+    # NULL-safety: an assignment flipping NULL<->value counts as a change
+    src3 = spark.createDataFrame([(10, 1)], "k long, grp long")
+    st3 = dv_merge_into(
+        spark, path, src3, on=["k"], matched_set={"grp": "src_grp"},
+        skip_unchanged=True,
+    )  # grp IS NULL at k=10 (k % 10 == 0) -> real change
+    assert st3.rows_matched == 1
+    assert read_mor(spark, path).where("k = 10").first()["grp"] == 1
+
+
+def test_streaming_mor_applier_replay_commits_nothing(spark, tmp_path):
+    """The mor=True CDC applier passes skip_unchanged: re-applying a
+    batch whose ts guard resolves every assignment to the current value
+    commits no version and appends no tombstones."""
+    from sql_query_optimizer_cpp_spark.streaming.upsert import (
+        apply_changes_batch,
+    )
+
+    path = str(tmp_path / "mor_applier_replay")
+    spark.createDataFrame(
+        [(1, 10.0, 100), (2, 20.0, 100)], "k long, v double, ts long"
+    ).coalesce(1).write.parquet(path)
+    m.enable_versioning(spark, path)                             # v1
+    batch = spark.createDataFrame(
+        [(1, 11.0, 200, "U"), (3, 30.0, 200, "I")],
+        "k long, v double, ts long, op string",
+    )
+    apply_changes_batch(spark, batch, path, on=["k"], mor=True)  # v2
+    assert m.table_versions(spark, path) == [1, 2]
+    assert read_mor(spark, path).count() == 3
+    dv0 = dv_count(spark, path)
+    # at-least-once redelivery of the SAME batch: the update leg assigns
+    # every column its current value (newer-ts guard passes but values
+    # equal), the insert leg matches now -> update leg again no-op
+    apply_changes_batch(spark, batch, path, on=["k"], mor=True)
+    assert m.table_versions(spark, path) == [1, 2]   # no new version
+    assert dv_count(spark, path) == dv0              # no new tombstones
+    out = read_mor(spark, path)
+    assert out.count() == 3
+    assert out.where("k = 1").first()["v"] == 11.0
+    # a genuinely newer event still lands
+    newer = spark.createDataFrame(
+        [(1, 12.0, 300, "U")], "k long, v double, ts long, op string"
+    )
+    apply_changes_batch(spark, newer, path, on=["k"], mor=True)
+    assert m.table_versions(spark, path) == [1, 2, 3]
+    assert read_mor(spark, path).where("k = 1").first()["v"] == 12.0
+
+
+def test_read_changes_max_touched_files_fallback(spark, tmp_path):
+    """The DV entry-diff's driver-side file-name collect is bounded:
+    past max_touched_files the plan falls back to scanning every common
+    file (semi-join filters distributively) — identical result."""
+    path = _flat(spark, tmp_path)
+    m.enable_versioning(spark, path)                             # v1
+    dv_delete_where(spark, path, "k IN (5, 15, 25)")             # v2
+    default = m.read_changes(spark, path, 1, 2).orderBy("k")
+    fallback = m.read_changes(
+        spark, path, 1, 2, max_touched_files=0
+    ).orderBy("k")
+    assert [r.asDict() for r in default.collect()] == [
+        r.asDict() for r in fallback.collect()
+    ]
+    assert default.count() == 3
+    assert {r["_change_type"] for r in default.collect()} == {"delete"}
