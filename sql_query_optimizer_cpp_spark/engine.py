@@ -223,6 +223,26 @@ class Engine:
 
         return restore_version(self.spark, path, version)
 
+    def begin(self, path: str):
+        """Open a multi-statement transaction on a versioned table: every
+        DML verb (including :meth:`dml` statements) until ``commit()``
+        lands as ONE version whose CDC is the composed diff; ``rollback()``
+        restores the table byte-identical (operators.txn.Transaction).
+        Usable as a context manager — commit on clean exit, rollback on
+        exception."""
+        from .operators.txn import begin
+
+        return begin(self.spark, path)
+
+    def recover_table(self, path: str, force: bool = False) -> int:
+        """Crash recovery: roll an abandoned transaction back to the last
+        committed manifest and clear the stale writer lock
+        (operators.txn.recover_table; requires ``force=True`` while the
+        lock file exists)."""
+        from .operators.txn import recover_table
+
+        return recover_table(self.spark, path, force=force)
+
     def read_changes(
         self,
         path: str,

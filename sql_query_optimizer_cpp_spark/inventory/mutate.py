@@ -1634,3 +1634,129 @@ def mutate_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+_TXN_BATCH_ORACLE = (
+    "WITH base AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal, "
+    "c_mktsegment FROM customer), "
+    "u AS (SELECT c_custkey, c_name, c_nationkey, "
+    "CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal + 100 "
+    "ELSE c_acctbal END AS c_acctbal, c_mktsegment FROM base), "
+    "d AS (SELECT * FROM u WHERE NOT COALESCE(c_acctbal < 0, FALSE)), "
+    "src AS (SELECT c_custkey, c_name, c_nationkey, "
+    "CAST(1234.5 AS DOUBLE) AS c_acctbal, c_mktsegment FROM base "
+    "WHERE c_custkey % 97 = 0 "
+    "UNION ALL SELECT c_custkey + 9000000, c_name, c_nationkey, "
+    "CAST(555.25 AS DOUBLE), c_mktsegment FROM base "
+    "WHERE c_custkey % 97 = 0), "
+    "v2 AS (SELECT t.c_custkey, t.c_name, t.c_nationkey, "
+    "CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal "
+    "ELSE t.c_acctbal END AS c_acctbal, t.c_mktsegment "
+    "FROM d t LEFT JOIN src s ON t.c_custkey = s.c_custkey "
+    "UNION ALL SELECT s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal, "
+    "s.c_mktsegment FROM src s "
+    "WHERE NOT EXISTS (SELECT 1 FROM d t WHERE t.c_custkey = s.c_custkey)), "
+    "i12 AS (SELECT * FROM v2 EXCEPT ALL SELECT * FROM base), "
+    "d12 AS (SELECT * FROM base EXCEPT ALL SELECT * FROM v2) "
+    "SELECT CAST(1 AS INT) AS step, "
+    "(SELECT CAST(COUNT(*) AS BIGINT) FROM i12) AS ins_n, "
+    "COALESCE((SELECT " + dsum_sql("c_acctbal") + " FROM i12), 0.0) "
+    "AS ins_total, "
+    "(SELECT CAST(COUNT(*) AS BIGINT) FROM d12) AS del_n, "
+    "COALESCE((SELECT " + dsum_sql("c_acctbal") + " FROM d12), 0.0) "
+    "AS del_total "
+    "UNION ALL SELECT CAST(2 AS INT), "
+    "(SELECT CAST(COUNT(*) AS BIGINT) FROM v2), "
+    "(SELECT " + dsum_sql("c_acctbal") + " FROM v2), "
+    "CAST(2 AS BIGINT), CAST(0.0 AS DOUBLE) "
+    "ORDER BY step"
+)
+
+
+@register(
+    "mutate_txn_batch",
+    oracle=_TXN_BATCH_ORACLE,
+    doc="Multi-statement transaction (operators/txn.py; no reference "
+    "analog — parser.cpp:232-296 parses single DML statements and "
+    "stops): UPDATE, DELETE, and MERGE run under ONE begin()/commit() "
+    "on a versioned customer copy, so the version log gains exactly ONE "
+    "commit whose CDC is the COMPOSED diff of the three verbs (step 1 "
+    "grades read_changes(1, 2) against the oracle's algebraic "
+    "update∘delete∘merge fold + EXCEPT ALL).  A second transaction then "
+    "updates every row and ROLLS BACK, and step 2 grades the final "
+    "table aggregate plus the committed-version count — proving the "
+    "rollback restored the table and committed nothing.  All metadata: "
+    "the transaction adds one deferred manifest write and an "
+    "O(touched-files) rename/delete plan on top of the verbs",
+    tags=("mutate",),
+)
+def mutate_txn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mutate import (
+        enable_versioning,
+        read_changes,
+        table_versions,
+    )
+    from ..operators.txn import begin
+
+    t = load_tables(spark, sf_dir, ("customer",))
+    base = t["customer"].select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    path = _mut_dir(sf_dir, "cust_txn")
+    (
+        base.repartitionByRange(4, "c_custkey")
+        .sortWithinPartitions("c_custkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    enable_versioning(spark, path)                                  # v1
+    hit = base.where("c_custkey % 97 = 0")
+    src = hit.select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.lit(1234.5).cast("double").alias("c_acctbal"), "c_mktsegment",
+    ).unionByName(
+        hit.select(
+            (F.col("c_custkey") + 9000000).alias("c_custkey"),
+            "c_name", "c_nationkey",
+            F.lit(555.25).cast("double").alias("c_acctbal"),
+            "c_mktsegment",
+        )
+    )
+    with begin(spark, path):
+        update_where(
+            spark, path, {"c_acctbal": "c_acctbal + 100"},
+            "c_mktsegment = 'MACHINERY'",
+        )
+        delete_where(spark, path, "c_acctbal < 0")
+        merge_into(
+            spark, path, src, on=["c_custkey"],
+            matched_set={"c_acctbal": "src_c_acctbal"},
+        )                                                           # -> v2
+    vs = table_versions(spark, path)
+    assert vs == [1, 2], f"txn must commit exactly one version, got {vs}"
+    # second batch rolls back: the table must stay at v2, byte-identical
+    txn = begin(spark, path)
+    update_where(spark, path, {"c_acctbal": "0.0"}, "c_custkey >= 0")
+    txn.rollback()
+
+    ins = F.col("_change_type") == "insert"
+    dele = F.col("_change_type") == "delete"
+    ch = read_changes(spark, path, 1, 2)
+    step1 = ch.agg(
+        F.count(F.when(ins, 1)).cast("long").alias("ins_n"),
+        F.coalesce(
+            dsum(F.when(ins, F.col("c_acctbal"))), F.lit(0.0)
+        ).alias("ins_total"),
+        F.count(F.when(dele, 1)).cast("long").alias("del_n"),
+        F.coalesce(
+            dsum(F.when(dele, F.col("c_acctbal"))), F.lit(0.0)
+        ).alias("del_total"),
+    ).select(F.lit(1).cast("int").alias("step"), "*")
+    back = spark.read.parquet(path)
+    step2 = back.agg(
+        F.count("*").cast("long").alias("ins_n"),
+        dsum("c_acctbal").alias("ins_total"),
+        F.lit(len(table_versions(spark, path))).cast("long").alias("del_n"),
+        F.lit(0.0).alias("del_total"),
+    ).select(F.lit(2).cast("int").alias("step"), "*")
+    return step1.unionByName(step2).orderBy("step")

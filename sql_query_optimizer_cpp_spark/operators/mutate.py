@@ -56,6 +56,7 @@ from __future__ import annotations
 import contextlib
 import functools
 import re
+import threading
 import time
 import uuid
 from dataclasses import dataclass
@@ -284,21 +285,11 @@ def _is_already_exists(e: Exception) -> bool:
     )
 
 
-@contextlib.contextmanager
-def _writer_lock(
+def _acquire_writer_lock(
     spark: SparkSession, path: str, wait_seconds: float = 0.0
-):
-    """Advisory single-writer lock: atomically create ``_cow.lock`` (fails
-    if present), release on exit.
-
-    ``wait_seconds=0`` (the classic verbs) DETECTS a concurrent writer and
-    refuses immediately; the optimistic verbs pass a short bound and poll —
-    their lock hold time is the metadata swap only, so waiting beats
-    refusing.  Create-if-absent is atomic on HDFS and local filesystems
-    (S3 needs a real catalog/log for that guarantee; stated, not papered
-    over).  A crashed writer leaves a stale lock; the error says exactly
-    which file to remove after confirming no writer is alive.
-    """
+) -> None:
+    """Atomically create ``_cow.lock`` (fails if present); see
+    :func:`_writer_lock` for the semantics."""
     jvm, fs, table_path = _fs(spark, path)
     lock = jvm.org.apache.hadoop.fs.Path(table_path, LOCK_FILE)
     deadline = time.monotonic() + wait_seconds
@@ -326,10 +317,83 @@ def _writer_lock(
         with contextlib.suppress(Exception):
             fs.delete(lock, False)
         raise
+
+
+def _release_writer_lock(spark: SparkSession, path: str) -> None:
+    jvm, fs, table_path = _fs(spark, path)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(table_path, LOCK_FILE), False)
+
+
+#: Active multi-statement transactions (operators/txn.py): normalized
+#: table path -> state.  Consulted by _writer_lock (the owning thread
+#: re-enters: the transaction already holds the physical lock for its
+#: whole span) and _autoversion/_refresh_indexes (defer the version
+#: commit + index maintenance to Transaction.commit, which writes ONE
+#: manifest for the whole batch).
+_ACTIVE_TXNS: dict[str, "_TxnState"] = {}
+
+
+@dataclass
+class _TxnState:
+    path: str
+    owner: int  # threading.get_ident() of the beginning thread
+    dirty: bool = False  # did any verb change anything?
+    verbs: int = 0
+
+
+def _txn_key(path: str) -> str:
+    from ..catalog import _norm_path
+
+    return _norm_path(path)
+
+
+def _txn_state(path: str) -> "_TxnState | None":
+    return _ACTIVE_TXNS.get(_txn_key(path))
+
+
+def _refuse_in_txn(path: str, what: str) -> None:
+    """Maintenance verbs that reclaim or re-commit state are refused while
+    a transaction is open on the table: vacuum would delete the txn's own
+    uncommitted (manifest-less) files, restore/drop would move the commit
+    anchor the rollback plan targets."""
+    st = _txn_state(path)
+    if st is not None:
+        raise RuntimeError(
+            f"{what} refused: a multi-statement transaction is open on "
+            f"{path} — commit() or rollback() it first"
+        )
+
+
+@contextlib.contextmanager
+def _writer_lock(
+    spark: SparkSession, path: str, wait_seconds: float = 0.0
+):
+    """Advisory single-writer lock: atomically create ``_cow.lock`` (fails
+    if present), release on exit.
+
+    ``wait_seconds=0`` (the classic verbs) DETECTS a concurrent writer and
+    refuses immediately; the optimistic verbs pass a short bound and poll —
+    their lock hold time is the metadata swap only, so waiting beats
+    refusing.  Create-if-absent is atomic on HDFS and local filesystems
+    (S3 needs a real catalog/log for that guarantee; stated, not papered
+    over).  A crashed writer leaves a stale lock; the error says exactly
+    which file to remove after confirming no writer is alive.
+
+    Re-entrant for the thread that opened a multi-statement transaction
+    on the table (operators/txn.py): the Transaction holds the physical
+    lock for its whole span, so its verbs pass straight through while
+    every other thread/process still hits the lock file and refuses.
+    """
+    st = _txn_state(path)
+    if st is not None and st.owner == threading.get_ident():
+        st.verbs += 1
+        yield
+        return
+    _acquire_writer_lock(spark, path, wait_seconds)
     try:
         yield
     finally:
-        fs.delete(lock, False)
+        _release_writer_lock(spark, path)
 
 
 def _with_writer_lock(fn):
@@ -389,6 +453,10 @@ def _refresh_indexes(spark: SparkSession, path: str) -> None:
     so it warns instead of failing the already-committed mutation."""
     import warnings
 
+    if _txn_state(path) is not None:
+        # deferred: Transaction.commit() runs ONE refresh for the batch
+        # (it pops the registry entry before calling back in here)
+        return
     if str(
         spark.conf.get(AUTO_REFRESH_INDEX_CONF, "true")
     ).lower() != "true":
@@ -1447,6 +1515,11 @@ def _occ_mutate(
     """
     if max_attempts < 1:
         raise ValueError("max_attempts must be >= 1")
+    # under an open transaction the writer lock is re-entrant for the
+    # owning thread, which would void the OCC validate-and-swap's
+    # exclusivity — and an optimistic verb inside a single-writer batch
+    # is a contradiction anyway
+    _refuse_in_txn(path, "optimistic DML")
     cond = _cond(condition)
     jvm, fs, jpath = _fs(spark, path)
     partitioned = is_partitioned(spark, path)
@@ -1765,6 +1838,7 @@ def occ_merge_into(
             f"isolation must be 'serializable' or 'write_serializable', "
             f"got {isolation!r}"
         )
+    _refuse_in_txn(path, "optimistic DML")  # see _occ_mutate
     jvm, fs, jpath = _fs(spark, path)
     # the duplicate-source-key guard is attempt-invariant (it reads only
     # the source): run it once, not once per retry
@@ -2747,6 +2821,9 @@ def vacuum(spark: SparkSession, path: str) -> int:
     O(versions × chain) small reads, minutes of metadata crawl on
     object-store latency.
     """
+    # a transaction's in-flight files have no manifest yet — vacuum
+    # would reclaim the batch's own uncommitted work
+    _refuse_in_txn(path, "vacuum")
     jvm, fs, _ = _fs(spark, path)
     referenced: set[str] = set()
     names = list_snapshots(spark, path)
@@ -2887,6 +2964,14 @@ def _autoversion(spark: SparkSession, path: str) -> None:
     import json
     from datetime import datetime, timezone
 
+    st = _txn_state(path)
+    if st is not None:
+        # verb ran inside a multi-statement transaction: defer — the
+        # Transaction.commit() pops the registry entry first, so ITS
+        # _autoversion call lands here with st None and writes the ONE
+        # manifest for the whole batch
+        st.dirty = True
+        return
     vs = table_versions(spark, path)
     if not vs:
         return
@@ -3035,6 +3120,9 @@ def restore_version(
     ``files_rewritten`` in the returned stats counts files that changed
     liveness (restored + retired); ``rows_matched`` is 0 (no row work).
     """
+    # the last committed manifest is an open transaction's rollback
+    # anchor — moving it mid-batch would corrupt the rollback plan
+    _refuse_in_txn(path, "restore_version")
     with _writer_lock(spark, path):
         vs = table_versions(spark, path)
         if not vs:
@@ -3401,6 +3489,7 @@ def drop_versions_before(
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (the latest version stays)")
+    _refuse_in_txn(path, "drop_versions_before")
     with _writer_lock(spark, path):
         vs = table_versions(spark, path)
         doomed = vs[:-keep_last] if keep_last < len(vs) else []

@@ -50,6 +50,10 @@ ADD|DROP|LIST``    value-changing mutation's staged output
 ``ALTER TABLE``    textual constraint DDL through the DML front-end
 ``.. VERSION AS    time travel inside a SELECT on attached tables, by
 OF n ..``          version number or ``TIMESTAMP AS OF '<iso>'``
+``BEGIN n`` /      multi-statement transaction on an attached table:
+``COMMIT`` /       every DML verb until COMMIT lands as ONE version
+``ROLLBACK``       (CDC = the composed diff); ROLLBACK restores the
+                   table byte-identical (operators/txn.py)
 ``REPAIR n         inventory (and with REMOVE, clean) post-crash COW
 [REMOVE]``         staging debris + stale writer lock
 ``TABLES``         list queryable views + attached DML tables
@@ -99,6 +103,10 @@ _HELP = """commands:
                         compaction; ratio = min dead fraction per file)
   ... <name> VERSION AS OF <n> | TIMESTAMP AS OF '<iso>' ...
                         time-travel any attached table inside a SELECT
+  BEGIN <name>          open a transaction: DML until COMMIT lands as ONE
+                        version (CDC = the net diff); ROLLBACK restores
+                        the table byte-identical
+  COMMIT | ROLLBACK     resolve the open transaction
   REPAIR <name> [REMOVE]  inventory / clean post-crash COW debris
   TABLES                list tables
   HELP                  this help;  EXIT | QUIT | \\q  to leave"""
@@ -425,6 +433,51 @@ def handle(
                 engine.drop_constraint(tpath, parts[2].strip())
                 return f"constraint {parts[2].strip()} dropped"
             return usage
+        if verb == "BEGIN":
+            from .operators.txn import begin
+
+            name = rest.strip()
+            if name not in dml_tables:
+                return (
+                    f"usage: BEGIN <attached table>  "
+                    f"(ATTACH {name or '<name>'} first)"
+                )
+            if "txn" in settings:
+                return (
+                    f"a transaction is already open on "
+                    f"{settings['txn'][0]} — COMMIT or ROLLBACK first"
+                )
+            path = dml_tables[name]
+            if not engine.table_versions(path):
+                engine.enable_versioning(path)
+            settings["txn"] = (name, begin(engine.spark, path))
+            return (
+                f"transaction open on {name}: DML batches into ONE "
+                "version at COMMIT; ROLLBACK restores the table"
+            )
+        if verb == "COMMIT":
+            if "txn" not in settings:
+                return "no open transaction (BEGIN <table> first)"
+            name, txn = settings.pop("txn")
+            verbs = txn.verbs_executed
+            v = txn.commit()
+            _refresh_views(engine, dml_tables)
+            if v is None:
+                return f"transaction on {name}: nothing changed; no commit"
+            return (
+                f"transaction on {name} committed as v{v} "
+                f"({verbs} verbs, one version)"
+            )
+        if verb == "ROLLBACK":
+            if "txn" not in settings:
+                return "no open transaction (BEGIN <table> first)"
+            name, txn = settings.pop("txn")
+            changed = txn.rollback()
+            _refresh_views(engine, dml_tables)
+            return (
+                f"transaction on {name} rolled back "
+                f"({changed} files restored/reclaimed)"
+            )
         if verb == "REPAIR":
             from .operators.mutate import repair_table
 
@@ -520,6 +573,12 @@ def main(argv: list[str] | None = None) -> None:
             break
         if out:
             print(out, flush=True)
+    if "txn" in settings:
+        # leaving with an open transaction would strand the writer lock;
+        # an unresolved batch rolls back (the SQL-session convention)
+        name, txn = settings.pop("txn")
+        txn.rollback()
+        print(f"open transaction on {name} rolled back on exit", flush=True)
     spark.stop()
 
 

@@ -558,3 +558,49 @@ def test_repl_materialize_verb(engine, spark, tmp_path):
     assert "usage:" in handle(
         engine, "MATERIALIZE t nope", tables, settings=settings
     )
+
+
+def test_repl_transaction_verbs(engine, tmp_path):
+    """BEGIN/COMMIT batch several DML statements into one version;
+    ROLLBACK restores the table; the guard matrix reads as usage text."""
+    path = str(tmp_path / "repl_txn")
+    engine.spark.range(20).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v"
+    ).coalesce(1).write.parquet(path)
+    tables: dict[str, str] = {}
+    settings: dict = {}
+    assert "attached" in handle(engine, f"ATTACH tx {path}", tables)
+    # guards: COMMIT/ROLLBACK with nothing open, BEGIN on unattached
+    assert "no open transaction" in handle(
+        engine, "COMMIT", tables, settings=settings
+    )
+    assert "no open transaction" in handle(
+        engine, "ROLLBACK", tables, settings=settings
+    )
+    assert "usage: BEGIN" in handle(
+        engine, "BEGIN nope", tables, settings=settings
+    )
+    # BEGIN auto-enables versioning, batches two verbs into ONE commit
+    out = handle(engine, "BEGIN tx", tables, settings=settings)
+    assert "transaction open" in out
+    assert "already open" in handle(
+        engine, "BEGIN tx", tables, settings=settings
+    )
+    handle(engine, "UPDATE tx SET v = v + 100 WHERE k < 2",
+           tables, settings=settings)
+    handle(engine, "DELETE FROM tx WHERE k = 19", tables, settings=settings)
+    out = handle(engine, "COMMIT", tables, settings=settings)
+    assert "committed as v2" in out and "2 verbs" in out
+    assert engine.table_versions(path) == [1, 2]
+    rows = handle(engine, "SELECT v FROM tx WHERE k = 0", tables,
+                  settings=settings)
+    assert "100.0" in rows
+    # ROLLBACK: the batch vanishes, views refresh back
+    handle(engine, "BEGIN tx", tables, settings=settings)
+    handle(engine, "DELETE FROM tx WHERE k >= 0", tables, settings=settings)
+    out = handle(engine, "ROLLBACK", tables, settings=settings)
+    assert "rolled back" in out
+    assert engine.table_versions(path) == [1, 2]
+    rows = handle(engine, "SELECT COUNT(*) AS n FROM tx", tables,
+                  settings=settings)
+    assert "19" in rows  # 20 - the committed k=19 delete

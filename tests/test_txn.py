@@ -1,0 +1,225 @@
+"""Multi-statement transactions (operators/txn.py): one manifest per
+batch, composed CDC, rollback to byte-identical state, crash recovery,
+and the guard matrix against OCC / maintenance verbs."""
+
+from __future__ import annotations
+
+import pytest
+
+from sql_query_optimizer_cpp_spark.operators import mutate as m
+from sql_query_optimizer_cpp_spark.operators.mor import (
+    dv_count,
+    dv_delete_where,
+    has_deletion_vectors,
+    read_mor,
+)
+from sql_query_optimizer_cpp_spark.operators.txn import (
+    begin,
+    recover_table,
+)
+
+
+def _table(spark, tmp_path, name="txn_t", n=60):
+    path = str(tmp_path / name)
+    (
+        spark.range(n)
+        .selectExpr("id AS k", "CAST(id % 5 AS DOUBLE) AS v")
+        .repartitionByRange(3, "k")
+        .write.parquet(path)
+    )
+    m.enable_versioning(spark, path)  # v1
+    return path
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.select("k", "v").collect())
+
+
+def test_txn_batch_commits_one_version_with_composed_cdc(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    before = _rows(spark.read.parquet(path))
+    src = spark.createDataFrame(
+        [(10, 10.5), (1000, -1.0)], "k long, v double"
+    )
+    with begin(spark, path) as txn:
+        m.update_where(spark, path, {"v": "v + 100"}, "k < 3")
+        m.delete_where(spark, path, "k = 59")
+        m.merge_into(spark, path, src, on=["k"], matched_set={"v": "src_v"},
+                     insert_values={"v": "src_v"})
+        # mid-batch: bare reads see progress, version readers do not
+        assert m.table_versions(spark, path) == [1]
+        assert txn.verbs_executed == 3
+    # ONE commit for the whole batch
+    assert m.table_versions(spark, path) == [1, 2]
+    after = spark.read.parquet(path)
+    assert after.where("k = 0").first()["v"] == 100.0
+    assert after.where("k = 59").count() == 0
+    assert after.where("k = 10").first()["v"] == 10.5
+    assert after.where("k = 1000").first()["v"] == -1.0
+    # time travel still sees the pre-batch table
+    assert _rows(m.read_version(spark, path, 1)) == before
+    # CDC over the single version IS the composed diff
+    ch = m.read_changes(spark, path, 1, 2)
+    ins = {tuple(r) for r in
+           ch.where("_change_type = 'insert'").select("k", "v").collect()}
+    dele = {tuple(r) for r in
+            ch.where("_change_type = 'delete'").select("k", "v").collect()}
+    assert (1000, -1.0) in ins and (10, 10.5) in ins
+    assert (0, 100.0) in ins and (1, 101.0) in ins and (2, 102.0) in ins
+    assert (59, 4.0) in dele and (10, 0.0) in dele
+    assert (0, 0.0) in dele and (1, 1.0) in dele and (2, 2.0) in dele
+    assert len(ins) == 5 and len(dele) == 5
+
+
+def test_txn_net_update_then_delete_is_one_delete(spark, tmp_path):
+    """An UPDATE followed by a DELETE of the same row inside one txn
+    nets to a single CDC delete of the ORIGINAL image — the composed
+    diff, not the play-by-play."""
+    path = _table(spark, tmp_path)
+    with begin(spark, path):
+        m.update_where(spark, path, {"v": "999.0"}, "k = 7")
+        m.delete_where(spark, path, "k = 7")
+    ch = m.read_changes(spark, path, 1, 2)
+    rows = [(r["_change_type"], r["k"], r["v"]) for r in ch.collect()]
+    assert ("delete", 7, 7 % 5 * 1.0) in rows
+    assert not any(r[2] == 999.0 for r in rows)
+
+
+def test_txn_rollback_byte_identical(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    files0 = sorted(m.list_data_files(spark, path, recursive=True))
+    before = _rows(spark.read.parquet(path))
+    txn = begin(spark, path)
+    m.update_where(spark, path, {"v": "0.0"}, "k >= 0")
+    m.delete_where(spark, path, "k < 10")
+    assert _rows(spark.read.parquet(path)) != before  # batch is live
+    changed = txn.rollback()
+    assert changed > 0
+    assert sorted(m.list_data_files(spark, path, recursive=True)) == files0
+    assert _rows(spark.read.parquet(path)) == before
+    assert m.table_versions(spark, path) == [1]  # nothing committed
+    # lock released: normal DML works again (and commits v2)
+    m.delete_where(spark, path, "k = 0")
+    assert m.table_versions(spark, path) == [1, 2]
+
+
+def test_txn_context_manager_rolls_back_on_exception(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    before = _rows(spark.read.parquet(path))
+    with pytest.raises(RuntimeError, match="boom"):
+        with begin(spark, path):
+            m.update_where(spark, path, {"v": "1.0"}, "k = 1")
+            raise RuntimeError("boom")
+    assert _rows(spark.read.parquet(path)) == before
+    assert m.table_versions(spark, path) == [1]
+
+
+def test_txn_noop_batch_commits_nothing(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    txn = begin(spark, path)
+    m.update_where(spark, path, {"v": "9.9"}, "k = -1")  # matches nothing
+    assert txn.commit() is None
+    assert m.table_versions(spark, path) == [1]
+    with pytest.raises(RuntimeError, match="already committed"):
+        txn.commit()
+
+
+def test_txn_guards(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    # unversioned table refused
+    bare = str(tmp_path / "bare")
+    spark.range(5).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v") \
+        .write.parquet(bare)
+    with pytest.raises(ValueError, match="enable_versioning"):
+        begin(spark, bare)
+    with begin(spark, path) as txn:
+        # nested begin refused
+        with pytest.raises(RuntimeError, match="already open"):
+            begin(spark, path)
+        # optimistic verbs refused (their exclusivity assumption is void)
+        with pytest.raises(RuntimeError, match="optimistic DML"):
+            m.occ_update_where(spark, path, {"v": "1.0"}, "k = 1")
+        src = spark.createDataFrame([(1, 2.0)], "k long, v double")
+        with pytest.raises(RuntimeError, match="optimistic DML"):
+            m.occ_merge_into(spark, path, src, on=["k"],
+                             matched_set={"v": "src_v"})
+        # maintenance verbs refused
+        with pytest.raises(RuntimeError, match="vacuum refused"):
+            m.vacuum(spark, path)
+        with pytest.raises(RuntimeError, match="restore_version refused"):
+            m.restore_version(spark, path, 1)
+        with pytest.raises(RuntimeError, match="drop_versions_before"):
+            m.drop_versions_before(spark, path)
+        # a DIFFERENT thread is still locked out (reentrancy is per-owner)
+        import threading
+
+        err: list[Exception] = []
+
+        def other():
+            try:
+                m.delete_where(spark, path, "k = 1")
+            except Exception as e:  # noqa: BLE001
+                err.append(e)
+
+        t = threading.Thread(target=other)
+        t.start()
+        t.join()
+        assert err and isinstance(err[0], m._WriterLockHeld)
+        txn.rollback()
+
+
+def test_txn_mor_verbs_and_rollback(spark, tmp_path):
+    """DV verbs participate: one version for a COW+MOR batch; rollback
+    reclaims the tombstone batches too."""
+    path = _table(spark, tmp_path)
+    with begin(spark, path):
+        m.update_where(spark, path, {"v": "v + 1"}, "k = 0")
+        dv_delete_where(spark, path, "k = 5")
+    assert m.table_versions(spark, path) == [1, 2]
+    assert has_deletion_vectors(spark, path)
+    out = read_mor(spark, path)
+    assert out.where("k = 5").count() == 0
+    assert out.where("k = 0").first()["v"] == 1.0
+    # the committed manifest pins the DV batch: CDC shows both changes
+    ch = m.read_changes(spark, path, 1, 2)
+    assert ch.where("_change_type = 'delete' AND k = 5").count() == 1
+    # now a second txn rolled back: DVs return to the committed state
+    txn = begin(spark, path)
+    dv_delete_where(spark, path, "k = 6")
+    assert dv_count(spark, path) == 2
+    txn.rollback()
+    assert dv_count(spark, path) == 1
+    assert read_mor(spark, path).where("k = 6").count() == 1
+
+
+def test_recover_table_after_crash(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    before = _rows(spark.read.parquet(path))
+    files0 = sorted(m.list_data_files(spark, path, recursive=True))
+    txn = begin(spark, path)
+    m.update_where(spark, path, {"v": "-1.0"}, "k < 20")
+    # simulate the process dying: the registry entry evaporates with the
+    # process; the lock file and the uncommitted live state remain
+    from sql_query_optimizer_cpp_spark.operators.mutate import _ACTIVE_TXNS
+
+    _ACTIVE_TXNS.clear()
+    txn._state = None  # the handle is gone with the process
+    # in-process refuse without force (the lock exists)
+    with pytest.raises(RuntimeError, match="force=True"):
+        recover_table(spark, path)
+    changed = recover_table(spark, path, force=True)
+    assert changed > 0
+    assert _rows(spark.read.parquet(path)) == before
+    assert sorted(m.list_data_files(spark, path, recursive=True)) == files0
+    assert m.table_versions(spark, path) == [1]
+    # lock removed: normal DML works
+    m.delete_where(spark, path, "k = 0")
+    assert m.table_versions(spark, path) == [1, 2]
+
+
+def test_recover_refuses_open_txn(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    with begin(spark, path) as txn:
+        with pytest.raises(RuntimeError, match="still open in THIS"):
+            recover_table(spark, path, force=True)
+        txn.rollback()
