@@ -267,15 +267,21 @@ def _commit(spark: SparkSession, path: str) -> None:
 
 
 def dv_delete_where(
-    spark: SparkSession, path: str, condition: str | Column
+    spark: SparkSession,
+    path: str,
+    condition: str | Column,
+    lock_wait_seconds: float = 0.0,
 ) -> int:
     """Merge-on-read ``DELETE``: tombstone the matched row positions
     instead of rewriting their files — O(deleted rows) written, zero data
     files touched.  SQL three-valued logic (NULL keeps the row), same as
     :func:`~.mutate.delete_where`.  Returns rows newly deleted (already
-    tombstoned rows never double-count).  Read back via :func:`read_mor`."""
+    tombstoned rows never double-count).  Read back via :func:`read_mor`.
+    ``lock_wait_seconds`` > 0 waits for a busy writer lock instead of
+    refusing (parallel appliers serialize; see also
+    :func:`occ_dv_delete_where` for the stage-outside-the-lock variant)."""
     cond = _cond(condition)
-    with _writer_lock(spark, path):
+    with _writer_lock(spark, path, lock_wait_seconds):
         files = list_data_files(spark, path, recursive=True)
         if not files or _no_match(spark, path, cond):
             return 0
@@ -292,11 +298,152 @@ def dv_delete_where(
         return n
 
 
+def occ_dv_delete_where(
+    spark: SparkSession,
+    path: str,
+    condition: str | Column,
+    max_attempts: int = 5,
+    lock_wait_seconds: float = 30.0,
+    _after_stage=None,
+) -> int:
+    """Optimistic merge-on-read ``DELETE``: same semantics as
+    :func:`dv_delete_where`, but the matched-row scan and the tombstone
+    batch WRITE run outside the writer lock — only a metadata
+    validate-and-move-in serializes.  Deletion-vector batches are
+    append-only, so the natural conflict unit is the FILE a tombstone
+    references: two writers deleting from disjoint files both commit on
+    their first attempt (the expensive scan/stage overlaps); a conflict
+    exists only when a concurrent commit tombstoned, un-tombstoned, or
+    retired one of THIS writer's files — then the matched set (and the
+    already-tombstoned exclusion that keeps the returned count exact) is
+    re-derived against the new state and the stage retries.
+
+    Protocol (the DV analog of :func:`~.mutate.occ_update_where`):
+
+    1. READ (lock-free): snapshot the data-file list and DV-batch list;
+       ``matched`` = live rows under the predicate at that snapshot.
+    2. STAGE (lock-free): write the tombstone batch to a SIBLING staging
+       dir — never into ``_dv/``, which is live to readers.
+    3. VALIDATE + COMMIT (short lock): every file the batch references
+       must still be live, and no DV batch added or removed since the
+       snapshot may touch those files; then the staged parts RENAME into
+       ``_dv/`` (O(parts) metadata) and the version commits.
+
+    ``_after_stage(attempt)`` is the test seam between stage and commit.
+    """
+    from .mutate import _refuse_in_txn
+
+    cond = _cond(condition)
+    if max_attempts < 1:
+        raise ValueError("max_attempts must be >= 1")
+    _refuse_in_txn(path, "optimistic DML")
+    jvm, fs, _ = _fs(spark, path)
+    root = path.rstrip("/")
+    dv_root = _dv_path(path)
+    last_conflict = ""
+    for attempt in range(1, max_attempts + 1):
+        files0 = sorted(list_data_files(spark, path, recursive=True))
+        if not files0 or _no_match(spark, path, cond):
+            return 0
+        dv0 = set(list_dv_files(spark, path))
+        sub = _with_identity(
+            spark, path, files0, path if is_partitioned(spark, path) else None
+        )
+        dv0_entries = (
+            spark.read.parquet(*sorted(dv0)).select("src_file", "row_idx")
+            if dv0
+            else None
+        )
+        matched = _live(sub.where(cond), dv0_entries)
+        staging = f"{root}__dv_{uuid.uuid4().hex}"
+        try:
+            matched.select(
+                F.col("__src_file").cast("string").alias("src_file"),
+                F.col("__row_idx").cast("long").alias("row_idx"),
+            ).write.parquet(staging)
+            n = spark.read.parquet(staging).count()  # footer metadata only
+            if n == 0:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+                return 0
+            # the batch's file set — bounded by the table's file count
+            # (metadata scale, the same class as the manifest lists)
+            touched = {
+                r["src_file"]
+                for r in spark.read.parquet(staging)
+                .select("src_file")
+                .distinct()
+                .collect()
+            }
+            if _after_stage is not None:
+                _after_stage(attempt)
+            with _writer_lock(spark, path, lock_wait_seconds):
+                live_rel = {
+                    _rel_to_table(path, f)
+                    for f in list_data_files(spark, path, recursive=True)
+                }
+                gone = touched - live_rel
+                if gone:
+                    last_conflict = (
+                        f"files retired/rewritten concurrently: "
+                        f"{sorted(gone)[:3]}"
+                    )
+                    raise _Conflict()
+                dv_now = set(list_dv_files(spark, path))
+                changed_batches = dv_now ^ dv0
+                if changed_batches:
+                    overlap = (
+                        spark.read.parquet(*sorted(changed_batches))
+                        .where(F.col("src_file").isin(list(touched)))
+                        .limit(1)
+                        .count()
+                    )
+                    if overlap:
+                        last_conflict = (
+                            "a concurrent commit changed tombstones on "
+                            "this writer's files"
+                        )
+                        raise _Conflict()
+                # validated: move the staged parts into the live store
+                fs.mkdirs(jvm.org.apache.hadoop.fs.Path(dv_root))
+                for part in list_data_files(spark, staging):
+                    src_p = jvm.org.apache.hadoop.fs.Path(part)
+                    dest = jvm.org.apache.hadoop.fs.Path(
+                        dv_root, src_p.getName()
+                    )
+                    if not fs.rename(src_p, dest):
+                        raise IOError(
+                            f"occ dv commit: rename {part} -> {dest} failed"
+                        )
+                fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+                _commit(spark, path)
+                _mark_mutated(spark, path)
+                spark.catalog.clearCache()
+                return n
+        except _Conflict:
+            with contextlib.suppress(Exception):
+                fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+            continue
+        except BaseException:
+            with contextlib.suppress(Exception):
+                fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+            raise
+    raise RuntimeError(
+        f"occ_dv_delete_where on {path} lost the commit race "
+        f"{max_attempts} times (last conflict: {last_conflict}); raise "
+        "max_attempts or reduce writer contention"
+    )
+
+
+class _Conflict(Exception):
+    """Internal: validation failed, retry against the new state."""
+
+
 def dv_update_where(
     spark: SparkSession,
     path: str,
     set_map: dict[str, str | Column],
     condition: str | Column,
+    lock_wait_seconds: float = 0.0,
 ) -> int:
     """Merge-on-read ``UPDATE`` = insert the updated copies, tombstone the
     originals.  Cost is O(matched rows), not O(files containing them).
@@ -309,7 +456,7 @@ def dv_update_where(
     (schema stability).  CHECK constraints are enforced over the staged
     copies BEFORE anything becomes visible."""
     cond = _cond(condition)
-    with _writer_lock(spark, path):
+    with _writer_lock(spark, path, lock_wait_seconds):
         partitioned = is_partitioned(spark, path)
         files = list_data_files(spark, path, recursive=True)
         if not files or _no_match(spark, path, cond):
@@ -401,6 +548,7 @@ def dv_merge_into(
     matched_delete: str | Column | None = None,
     insert_condition: str | Column | None = None,
     skip_unchanged: bool = False,
+    lock_wait_seconds: float = 0.0,
 ) -> MutationStats:
     """Merge-on-read ``MERGE INTO``: the matched legs are exactly
     :func:`dv_update_where`'s machinery — tombstone the old row images,
@@ -441,7 +589,7 @@ def dv_merge_into(
                 "check_unique=False only if uniqueness is guaranteed "
                 "upstream)"
             )
-    with _writer_lock(spark, path):
+    with _writer_lock(spark, path, lock_wait_seconds):
         partitioned = is_partitioned(spark, path)
         files = list_data_files(spark, path, recursive=True)
         if not files:

@@ -134,7 +134,13 @@ def apply_changes_batch(
         from ..operators.mor import dv_merge_into
 
         verb = dv_merge_into
-        kw = {"skip_unchanged": True}
+        # lock_wait_seconds: two parallel MOR appliers (one per upstream
+        # shard) serialize on the writer lock instead of killing the
+        # second streaming query with a refuse
+        kw = {
+            "skip_unchanged": True,
+            "lock_wait_seconds": lock_wait_seconds,
+        }
     elif optimistic:
         from ..operators.mutate import occ_merge_into
 

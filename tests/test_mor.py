@@ -747,3 +747,126 @@ def test_read_changes_max_touched_files_fallback(spark, tmp_path):
     ]
     assert default.count() == 3
     assert {r["_change_type"] for r in default.collect()} == {"delete"}
+
+
+def test_occ_dv_delete_disjoint_files_first_attempt(spark, tmp_path):
+    """Two concurrent OCC deletion-vector deletes on DISJOINT files both
+    commit without a retry: DV batches are append-only, so the conflict
+    unit is the referenced file, not the table."""
+    from sql_query_optimizer_cpp_spark.operators.mor import (
+        occ_dv_delete_where,
+    )
+
+    path = _flat(spark, tmp_path)  # 4 files range-clustered on k
+    m.enable_versioning(spark, path)                              # v1
+    attempts: dict[str, list[int]] = {"a": [], "b": []}
+    results: dict[str, int] = {}
+    errs: list[Exception] = []
+    import threading
+
+    barrier = threading.Barrier(2, timeout=60)
+
+    def writer(name: str, cond: str):
+        def after_stage(attempt):
+            attempts[name].append(attempt)
+            if attempt == 1:
+                barrier.wait()  # both staged before either commits
+
+        try:
+            results[name] = occ_dv_delete_where(
+                spark, path, cond, _after_stage=after_stage
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    # k<10 lives in file 0; k>=90 lives in file 3 (range-clustered)
+    t1 = threading.Thread(target=writer, args=("a", "k < 10"))
+    t2 = threading.Thread(target=writer, args=("b", "k >= 90"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    assert results == {"a": 10, "b": 10}
+    assert attempts["a"] == [1] and attempts["b"] == [1]  # no retries
+    assert dv_count(spark, path) == 20
+    assert read_mor(spark, path).count() == 80
+    # both commits are first-class versions
+    assert m.table_versions(spark, path) == [1, 2, 3]
+
+
+def test_occ_dv_delete_same_file_conflict_retries_exact(spark, tmp_path):
+    """Overlapping writers: the loser re-derives against the winner's
+    tombstones, so the returned counts stay exact (no double-count) and
+    the final state equals the serial execution."""
+    from sql_query_optimizer_cpp_spark.operators.mor import (
+        occ_dv_delete_where,
+    )
+
+    path = _flat(spark, tmp_path)
+    import threading
+
+    started = threading.Event()
+    done = threading.Event()
+    results: dict[str, int] = {}
+    attempts_b: list[int] = []
+
+    def winner():
+        results["a"] = occ_dv_delete_where(spark, path, "k < 10")
+        done.set()
+
+    def after_stage_b(attempt):
+        attempts_b.append(attempt)
+        if attempt == 1:
+            started.set()
+            assert done.wait(60)  # winner commits k<10 first
+
+    def loser():
+        results["b"] = occ_dv_delete_where(
+            spark, path, "k < 15", _after_stage=after_stage_b
+        )
+
+    tb = threading.Thread(target=loser)
+    tb.start()
+    assert started.wait(60)
+    ta = threading.Thread(target=winner)
+    ta.start(); ta.join(); tb.join()
+    assert results["a"] == 10
+    assert results["b"] == 5          # re-derived: only k in [10, 15)
+    assert attempts_b == [1, 2]       # exactly one retry
+    assert dv_count(spark, path) == 15
+    assert read_mor(spark, path).count() == 85
+
+
+def test_parallel_mor_appliers_serialize(spark, tmp_path):
+    """Two MOR CDC appliers (disjoint key shards) running in parallel
+    both land: lock_wait_seconds turns the second's refuse into a wait."""
+    from sql_query_optimizer_cpp_spark.streaming.upsert import (
+        apply_changes_batch,
+    )
+
+    path = str(tmp_path / "mor_two_appliers")
+    spark.createDataFrame(
+        [(1, 10.0, 100), (2, 20.0, 100)], "k long, v double, ts long"
+    ).coalesce(1).write.parquet(path)
+    import threading
+
+    errs: list[Exception] = []
+
+    def apply(rows):
+        try:
+            batch = spark.createDataFrame(
+                rows, "k long, v double, ts long, op string"
+            )
+            apply_changes_batch(
+                spark, batch, path, on=["k"], mor=True,
+                lock_wait_seconds=60.0,
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    t1 = threading.Thread(target=apply, args=([(1, 11.0, 200, "U")],))
+    t2 = threading.Thread(target=apply, args=([(3, 30.0, 200, "I")],))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    out = read_mor(spark, path)
+    assert out.count() == 3
+    assert out.where("k = 1").first()["v"] == 11.0
+    assert out.where("k = 3").first()["v"] == 30.0
