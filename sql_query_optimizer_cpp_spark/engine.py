@@ -223,6 +223,15 @@ class Engine:
 
         return restore_version(self.spark, path, version)
 
+    def table_cost(self, path: str):
+        """Storage-layer cost of a DML table dir: live vs tombstoned
+        rows, deletion-vector batches, version count, and the
+        maintenance hint those numbers justify (plans.cost.
+        table_storage_report; metadata-only)."""
+        from .plans.cost import table_storage_report
+
+        return table_storage_report(self.spark, path)
+
     def begin(self, path: str):
         """Open a multi-statement transaction on a versioned table: every
         DML verb (including :meth:`dml` statements) until ``commit()``

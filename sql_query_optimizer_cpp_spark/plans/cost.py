@@ -147,3 +147,102 @@ def cost_report(df) -> CostReport:
     _walk(df._jdf.queryExecution().optimizedPlan(), report.nodes)
     report.nodes.reverse()  # root first, like the reference's explain
     return report
+
+
+@dataclass
+class TableStorageReport:
+    """Storage-layer cost of a DML table dir: live files/rows, deletion-
+    vector dead rows, and the maintenance action those numbers justify.
+    The query cost report prices the PLAN; this prices the TABLE — on a
+    merge-on-read table every read pays a broadcast anti join sized by
+    ``dead_rows``, and past a dead-fraction threshold folding the
+    vectors in (``materialize_deletes``) is cheaper than carrying them.
+    All metadata: one ``_dv`` listing + parquet footer counts."""
+
+    path: str
+    files: int
+    rows: int  # live rows (tombstones excluded)
+    base_rows: int  # physical rows in the data files
+    dv_batches: int
+    dead_rows: int
+    versions: int
+    top_dead_files: list[tuple[str, int]] = field(default_factory=list)
+
+    @property
+    def dead_fraction(self) -> float:
+        return self.dead_rows / self.base_rows if self.base_rows else 0.0
+
+    @property
+    def hint(self) -> str:
+        if self.dead_rows == 0:
+            return ""
+        frac = self.dead_fraction
+        if frac >= 0.1:
+            return (
+                f"hint: {frac:.1%} of physical rows are tombstoned dead "
+                "weight — every read scans and anti-joins them away; run "
+                "materialize_deletes (REPL: MATERIALIZE) to fold the "
+                "vectors into rewrites"
+            )
+        return (
+            f"note: {self.dead_rows} tombstoned rows ({frac:.1%}) ride "
+            "along on every read; materialize_deletes(min_dead_ratio=...) "
+            "rewrites only the worst files when it grows"
+        )
+
+    def render(self) -> str:
+        lines = [
+            f"table {self.path}",
+            f"  data files        {self.files:>12}",
+            f"  physical rows     {self.base_rows:>12}",
+            f"  live rows         {self.rows:>12}",
+            f"  deletion vectors  {self.dv_batches:>12} batches, "
+            f"{self.dead_rows} dead rows ({self.dead_fraction:.1%})",
+            f"  committed versions{self.versions:>12}",
+        ]
+        if self.top_dead_files:
+            lines.append("  most-tombstoned files:")
+            lines.extend(
+                f"    {n:>8} dead  {f}" for f, n in self.top_dead_files
+            )
+        if self.hint:
+            lines.append(f"  {self.hint}")
+        return "\n".join(lines)
+
+
+def table_storage_report(spark, path: str, top_n: int = 5) -> TableStorageReport:
+    """Build :class:`TableStorageReport` for a parquet DML table dir —
+    metadata-only (footer counts, one DV-store listing, one manifest
+    listing); never scans data values."""
+    from ..operators.mor import dv_file_stats, list_dv_files
+    from ..operators.mutate import list_data_files, table_versions
+
+    files = list_data_files(spark, path, recursive=True)
+    base_rows = (
+        spark.read.option("mergeSchema", "true").parquet(path).count()
+        if files
+        else 0
+    )
+    dv_files = list_dv_files(spark, path)
+    dead = (
+        spark.read.parquet(*sorted(dv_files)).count() if dv_files else 0
+    )
+    top = []
+    if dead:
+        top = [
+            (r["src_file"], r["dead_rows"])
+            for r in dv_file_stats(spark, path)
+            .orderBy("dead_rows", ascending=False)
+            .limit(top_n)
+            .collect()
+        ]
+    return TableStorageReport(
+        path=path,
+        files=len(files),
+        rows=base_rows - dead,
+        base_rows=base_rows,
+        dv_batches=len(dv_files),
+        dead_rows=dead,
+        versions=len(table_versions(spark, path)),
+        top_dead_files=top,
+    )

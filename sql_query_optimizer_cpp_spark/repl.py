@@ -77,7 +77,8 @@ _HELP = """commands:
   EXPLAIN <query>       plan tree (does not execute)
   OPTIMIZE <query>      rewrites + transform log + plan (does not execute)
   TRACE <query>         rule-by-rule transform log
-  COST <query>          cost report
+  COST <query>          cost report (COST <attached table>: storage-layer
+                        report — dead-row fraction, materialize hint)
   ADVISE <query>        genetic join-order recommendation
   ANALYZE               harvest table statistics
   ATTACH <name> <path>  map a table name to a parquet dir for DML
@@ -495,6 +496,11 @@ def handle(
         if verb == "TRACE":
             return engine.transform_log(rest).render()
         if verb == "COST":
+            # COST <attached table> prices the TABLE (storage layer:
+            # dead-row fraction, DV batches, materialize hint); COST
+            # <query> prices the plan, as ever
+            if rest.strip() in dml_tables:
+                return engine.table_cost(dml_tables[rest.strip()]).render()
             return engine.cost(rest).render()
         if verb == "ADVISE":
             return engine.join_order_advice(rest).render()

@@ -356,3 +356,63 @@ def test_boilerplate_ngrams_topk_fuses(spark):
     a global sort of the distinct-gram table would shuffle it all."""
     plan = _physical(spark, "text_boilerplate_ngrams")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_table_storage_report_dv_dead_fraction(spark, tmp_path):
+    """plans.cost.table_storage_report prices the STORAGE layer: live vs
+    tombstoned rows, DV batches, versions, and the materialize hint once
+    the dead fraction crosses 10% — metadata-only (footer counts)."""
+    from sql_query_optimizer_cpp_spark.operators.mor import dv_delete_where
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        enable_versioning,
+    )
+    from sql_query_optimizer_cpp_spark.plans.cost import (
+        table_storage_report,
+    )
+
+    path = str(tmp_path / "cost_dv")
+    spark.range(100).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v"
+    ).repartitionByRange(4, "k").write.parquet(path)
+    enable_versioning(spark, path)
+    r0 = table_storage_report(spark, path)
+    assert r0.dead_rows == 0 and r0.hint == "" and r0.rows == 100
+    assert r0.versions == 1 and r0.files == 4
+    # light tombstoning: informational note, no materialize push
+    dv_delete_where(spark, path, "k = 0")
+    r1 = table_storage_report(spark, path)
+    assert r1.dead_rows == 1 and r1.rows == 99
+    assert "note:" in r1.hint and "materialize_deletes" in r1.hint
+    # heavy tombstoning: dead fraction >= 10% -> explicit hint
+    dv_delete_where(spark, path, "k < 30")
+    r2 = table_storage_report(spark, path)
+    assert r2.dead_rows == 30 and r2.rows == 70
+    assert r2.dead_fraction == 0.3
+    assert "hint:" in r2.hint and "materialize_deletes" in r2.hint
+    assert r2.top_dead_files and r2.top_dead_files[0][1] >= 1
+    rendered = r2.render()
+    assert "30.0%" in rendered and "materialize_deletes" in rendered
+
+
+def test_repl_cost_on_attached_table(spark, tmp_path):
+    """REPL: COST <attached table> routes to the storage report; COST
+    <query> still prices the plan."""
+    from sql_query_optimizer_cpp_spark.engine import Engine
+    from sql_query_optimizer_cpp_spark.operators.mor import dv_delete_where
+    from sql_query_optimizer_cpp_spark.repl import handle
+
+    from .conftest import SF_DIR
+
+    engine = Engine(spark, sf_dir=SF_DIR)
+    path = str(tmp_path / "repl_cost_dv")
+    spark.range(50).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v"
+    ).coalesce(1).write.parquet(path)
+    tables: dict[str, str] = {}
+    handle(engine, f"ATTACH ct {path}", tables)
+    dv_delete_where(spark, path, "k < 10")
+    out = handle(engine, "COST ct", tables)
+    assert "dead rows" in out and "20.0%" in out
+    assert "materialize" in out
+    out_q = handle(engine, "COST SELECT * FROM region", tables)
+    assert "TOTAL" in out_q
