@@ -331,16 +331,25 @@ def occ_dv_delete_where(
 
     ``_after_stage(attempt)`` is the test seam between stage and commit.
     """
-    from .mutate import _refuse_in_txn
+    from .mutate import (
+        _WriterLockHeld,
+        _is_missing_file_error,
+        _refuse_in_txn,
+    )
 
     cond = _cond(condition)
     if max_attempts < 1:
         raise ValueError("max_attempts must be >= 1")
     _refuse_in_txn(path, "optimistic DML")
-    jvm, fs, _ = _fs(spark, path)
+    jvm, fs, jpath = _fs(spark, path)
     root = path.rstrip("/")
     dv_root = _dv_path(path)
     last_conflict = ""
+
+    def _cleanup(staging: str) -> None:
+        with contextlib.suppress(Exception):
+            fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+
     for attempt in range(1, max_attempts + 1):
         files0 = sorted(list_data_files(spark, path, recursive=True))
         if not files0 or _no_match(spark, path, cond):
@@ -355,28 +364,53 @@ def occ_dv_delete_where(
             else None
         )
         matched = _live(sub.where(cond), dv0_entries)
-        staging = f"{root}__dv_{uuid.uuid4().hex}"
+        # __cow_ prefix: repair_table's crash-debris sweep inventories
+        # (and with REMOVE, cleans) any <base>__cow_* sibling — a SIGKILL
+        # between stage and commit must not strand an invisible dir
+        staging = f"{root}__cow_dv_{uuid.uuid4().hex}"
         try:
-            matched.select(
-                F.col("__src_file").cast("string").alias("src_file"),
-                F.col("__row_idx").cast("long").alias("row_idx"),
-            ).write.parquet(staging)
-            n = spark.read.parquet(staging).count()  # footer metadata only
-            if n == 0:
-                fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
-                return 0
-            # the batch's file set — bounded by the table's file count
-            # (metadata scale, the same class as the manifest lists)
-            touched = {
-                r["src_file"]
-                for r in spark.read.parquet(staging)
-                .select("src_file")
-                .distinct()
-                .collect()
-            }
+            # READ + STAGE run lock-free: a concurrent commit can retire
+            # a files0 member mid-job — Spark surfaces that as a
+            # missing-file error, which is a CONFLICT (retry against the
+            # new state), not an error (mutate._occ_mutate's contract)
+            try:
+                matched.select(
+                    F.col("__src_file").cast("string").alias("src_file"),
+                    F.col("__row_idx").cast("long").alias("row_idx"),
+                ).write.parquet(staging)
+                n = spark.read.parquet(staging).count()  # footers only
+                if n == 0:
+                    _cleanup(staging)
+                    return 0
+                # the batch's file set — bounded by the table's file
+                # count (metadata scale, same class as manifest lists)
+                touched = {
+                    r["src_file"]
+                    for r in spark.read.parquet(staging)
+                    .select("src_file")
+                    .distinct()
+                    .collect()
+                }
+            except Exception as e:
+                if not _is_missing_file_error(e) or not fs.exists(jpath):
+                    raise
+                last_conflict = "input file vanished during stage"
+                spark.catalog.clearCache()
+                raise _Conflict() from None
             if _after_stage is not None:
                 _after_stage(attempt)
-            with _writer_lock(spark, path, lock_wait_seconds):
+            # COMMIT phase: bounded wait — a busy lock past the wait is a
+            # lost attempt, never the 'stale lock, delete it' error
+            try:
+                lock = _writer_lock(spark, path, lock_wait_seconds)
+                lock.__enter__()
+            except _WriterLockHeld:
+                last_conflict = (
+                    f"<writer lock held past the {lock_wait_seconds:g}s "
+                    "wait>"
+                )
+                raise _Conflict() from None
+            try:
                 live_rel = {
                     _rel_to_table(path, f)
                     for f in list_data_files(spark, path, recursive=True)
@@ -389,10 +423,25 @@ def occ_dv_delete_where(
                     )
                     raise _Conflict()
                 dv_now = set(list_dv_files(spark, path))
-                changed_batches = dv_now ^ dv0
+                changed_batches = sorted(dv_now ^ dv0)
+                # a batch file REMOVED since the snapshot (materialize
+                # prune, restore) may be retired or deleted — its path no
+                # longer reads; any store churn we cannot inspect at its
+                # original path is a conflict (re-derive, don't guess)
+                missing_b = [
+                    b
+                    for b in changed_batches
+                    if not fs.exists(jvm.org.apache.hadoop.fs.Path(b))
+                ]
+                if missing_b:
+                    last_conflict = (
+                        "a concurrent commit replaced deletion-vector "
+                        "batches"
+                    )
+                    raise _Conflict()
                 if changed_batches:
                     overlap = (
-                        spark.read.parquet(*sorted(changed_batches))
+                        spark.read.parquet(*changed_batches)
                         .where(F.col("src_file").isin(list(touched)))
                         .limit(1)
                         .count()
@@ -412,20 +461,21 @@ def occ_dv_delete_where(
                     )
                     if not fs.rename(src_p, dest):
                         raise IOError(
-                            f"occ dv commit: rename {part} -> {dest} failed"
+                            f"occ dv commit: rename {part} -> {dest} "
+                            "failed"
                         )
-                fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+                _cleanup(staging)
                 _commit(spark, path)
                 _mark_mutated(spark, path)
                 spark.catalog.clearCache()
                 return n
+            finally:
+                lock.__exit__(None, None, None)
         except _Conflict:
-            with contextlib.suppress(Exception):
-                fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+            _cleanup(staging)
             continue
         except BaseException:
-            with contextlib.suppress(Exception):
-                fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+            _cleanup(staging)
             raise
     raise RuntimeError(
         f"occ_dv_delete_where on {path} lost the commit race "

@@ -2548,6 +2548,10 @@ def create_snapshot(spark: SparkSession, path: str, name: str) -> int:
     deletion-vector batch files alongside the data files, and
     :func:`read_snapshot` applies them — no materialize required.
     """
+    # inside an open transaction the writer lock is re-entrant, so this
+    # would pin the batch's UNCOMMITTED mid-state — and rollback() would
+    # then delete files the named snapshot pins, corrupting it forever
+    _refuse_in_txn(path, "create_snapshot")
     with _writer_lock(spark, path):
         return _create_snapshot_unlocked(spark, path, name)
 

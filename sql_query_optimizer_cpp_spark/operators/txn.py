@@ -181,15 +181,35 @@ class Transaction:
         self._state = None
         return st
 
+    def _reopen(self, st: "_TxnState") -> None:
+        """Commit/rollback work failed BEFORE reaching a resolved state:
+        restore the handle (registry entry + state) and keep the writer
+        lock, so the batch is still protected and the caller — or the
+        context manager's exception path — can rollback() or retry.
+        Discarding the handle here would leave the half-applied batch
+        unlocked, and the next writer's commit would silently fold it
+        into its own version."""
+        _ACTIVE_TXNS[self._key] = st
+        self._state = st
+
     def commit(self) -> int | None:
         """Write ONE version manifest for the whole batch (plus one bloom
         refresh and one stats-staleness bump) and release the lock.
         Returns the committed version number, or None if no verb changed
-        anything (a no-op batch commits no version — idempotent)."""
+        anything (a no-op batch commits no version — idempotent).  If the
+        manifest write itself fails, the transaction STAYS OPEN (lock
+        held, handle valid) — rollback() or retry."""
         st = self._close()
+        if st.dirty:
+            try:
+                _autoversion(self.spark, self.path)
+            except BaseException:
+                self._reopen(st)
+                raise
+        # the version (if any) is committed from here on: maintenance
+        # hooks degrade-with-warning by design, and the lock must release
         try:
             if st.dirty:
-                _autoversion(self.spark, self.path)
                 _refresh_indexes(self.spark, self.path)
                 _mark_mutated(self.spark, self.path)
                 self.spark.catalog.clearCache()
@@ -201,14 +221,19 @@ class Transaction:
     def rollback(self) -> int:
         """Undo every verb of the batch: live state returns to the last
         committed manifest, uncommitted files are reclaimed.  Returns how
-        many files changed liveness."""
+        many files changed liveness.  If the restore plan fails midway,
+        the transaction STAYS OPEN (lock held, handle valid) — the plan
+        is rerunnable (restore-first ordering), so retry rollback()."""
         st = self._close()
-        try:
-            if not st.dirty:
-                return 0
-            return _rollback_to_committed(self.spark, self.path)
-        finally:
-            _release_writer_lock(self.spark, self.path)
+        changed = 0
+        if st.dirty:
+            try:
+                changed = _rollback_to_committed(self.spark, self.path)
+            except BaseException:
+                self._reopen(st)
+                raise
+        _release_writer_lock(self.spark, self.path)
+        return changed
 
     # -- context manager: commit on clean exit, rollback on exception -----
     def __enter__(self) -> "Transaction":

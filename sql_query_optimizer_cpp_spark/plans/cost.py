@@ -214,8 +214,10 @@ def table_storage_report(spark, path: str, top_n: int = 5) -> TableStorageReport
     """Build :class:`TableStorageReport` for a parquet DML table dir —
     metadata-only (footer counts, one DV-store listing, one manifest
     listing); never scans data values."""
-    from ..operators.mor import dv_file_stats, list_dv_files
-    from ..operators.mutate import list_data_files, table_versions
+    from pyspark.sql import functions as F
+
+    from ..operators.mor import list_dv_files
+    from ..operators.mutate import _rel_to_table, list_data_files, table_versions
 
     files = list_data_files(spark, path, recursive=True)
     base_rows = (
@@ -224,18 +226,35 @@ def table_storage_report(spark, path: str, top_n: int = 5) -> TableStorageReport
         else 0
     )
     dv_files = list_dv_files(spark, path)
-    dead = (
-        spark.read.parquet(*sorted(dv_files)).count() if dv_files else 0
-    )
+    dead = 0
     top = []
-    if dead:
+    if dv_files:
+        # count what the read path actually removes: DISTINCT entries on
+        # LIVE files — a crashed materialize legally leaves duplicated
+        # (at-least-once) or stale (replaced-file) tombstones behind,
+        # which read_mor's anti join tolerates and this report must not
+        # double-bill
+        live = spark.createDataFrame(
+            [(_rel_to_table(path, f),) for f in files], "src_file string"
+        )
+        entries = (
+            spark.read.parquet(*sorted(dv_files))
+            .select("src_file", "row_idx")
+            .distinct()
+            .join(F.broadcast(live), "src_file", "left_semi")
+        )
+        per_file = entries.groupBy("src_file").agg(
+            F.count("*").cast("long").alias("dead_rows")
+        )
         top = [
             (r["src_file"], r["dead_rows"])
-            for r in dv_file_stats(spark, path)
-            .orderBy("dead_rows", ascending=False)
+            for r in per_file.orderBy(
+                F.col("dead_rows").desc(), "src_file"
+            )
             .limit(top_n)
             .collect()
         ]
+        dead = entries.count()
     return TableStorageReport(
         path=path,
         files=len(files),

@@ -870,3 +870,77 @@ def test_parallel_mor_appliers_serialize(spark, tmp_path):
     assert out.count() == 3
     assert out.where("k = 1").first()["v"] == 11.0
     assert out.where("k = 3").first()["v"] == 30.0
+
+
+def test_occ_dv_delete_replaced_batches_conflict_and_repair_prefix(
+    spark, tmp_path
+):
+    """(review r10) A concurrent materialize that replaces DV batch
+    files mid-flight is a CONFLICT (retry), not a FileNotFound crash;
+    and the OCC staging dir uses the __cow_ prefix so repair_table's
+    crash-debris sweep inventories it."""
+    from sql_query_optimizer_cpp_spark.operators.mor import (
+        materialize_deletes,
+        occ_dv_delete_where,
+    )
+
+    path = _flat(spark, tmp_path)
+    # pre-existing tombstones on a DIFFERENT file (k>=75 lives in the
+    # last range file; the occ delete below targets k<10, file 0)
+    dv_delete_where(spark, path, "k >= 90")
+    attempts: list[int] = []
+
+    def after_stage(attempt):
+        attempts.append(attempt)
+        if attempt == 1:
+            # replaces/retires every DV batch + rewrites tombstoned file
+            materialize_deletes(spark, path)
+
+    n = occ_dv_delete_where(spark, path, "k < 10", _after_stage=after_stage)
+    assert n == 10
+    assert attempts == [1, 2]  # one conflict, then clean commit
+    assert read_mor(spark, path).count() == 80
+    # crash-sim: an abandoned OCC-DV staging dir is repair-visible
+    import pyspark.sql.functions as F  # noqa: F401
+    from sql_query_optimizer_cpp_spark.operators.mutate import repair_table
+
+    debris = path + "__cow_dv_deadbeef"
+    spark.range(1).selectExpr("CAST('x' AS STRING) AS src_file",
+                              "id AS row_idx").write.parquet(debris)
+    rep = repair_table(spark, path)
+    assert any("__cow_dv_deadbeef" in d for d in rep.staging_dirs), (
+        rep.staging_dirs
+    )
+    repair_table(spark, path, remove=True)
+    rep2 = repair_table(spark, path)
+    assert not rep2.staging_dirs
+
+
+def test_storage_report_ignores_duplicate_and_stale_tombstones(
+    spark, tmp_path
+):
+    """(review r10) table_storage_report counts what read_mor actually
+    removes: DISTINCT entries on LIVE files — duplicated (at-least-once
+    crash window) and stale (replaced-file) tombstones don't double-
+    bill the dead fraction."""
+    from pyspark.sql import functions as F
+    from sql_query_optimizer_cpp_spark.plans.cost import (
+        table_storage_report,
+    )
+
+    path = _flat(spark, tmp_path)
+    dv_delete_where(spark, path, "k < 5")          # 5 real tombstones
+    dv_root = f"{path}/_dv"
+    real = spark.read.parquet(dv_root)
+    # duplicate every entry (legal at-least-once state) + stale entries
+    # keyed to a file name that no longer exists
+    real.write.mode("append").parquet(dv_root)
+    spark.range(7).select(
+        F.lit("part-replaced-gone.parquet").alias("src_file"),
+        F.col("id").alias("row_idx"),
+    ).write.mode("append").parquet(dv_root)
+    assert read_mor(spark, path).count() == 95     # read path: exact
+    rep = table_storage_report(spark, path)
+    assert rep.dead_rows == 5                      # not 17
+    assert rep.rows == 95
+    assert all("gone" not in f for f, _ in rep.top_dead_files)

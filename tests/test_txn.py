@@ -223,3 +223,46 @@ def test_recover_refuses_open_txn(spark, tmp_path):
         with pytest.raises(RuntimeError, match="still open in THIS"):
             recover_table(spark, path, force=True)
         txn.rollback()
+
+
+def test_txn_refuses_create_snapshot_and_commit_failure_keeps_handle(
+    spark, tmp_path, monkeypatch
+):
+    """(review r10) create_snapshot inside a txn would pin UNCOMMITTED
+    files that rollback then deletes — refused; and a commit whose
+    manifest write fails leaves the transaction OPEN (lock held, handle
+    valid) instead of abandoning a half-applied batch unlocked."""
+    path = _table(spark, tmp_path)
+    before = _rows(spark.read.parquet(path))
+    with begin(spark, path) as txn:
+        m.update_where(spark, path, {"v": "1.0"}, "k = 1")
+        with pytest.raises(RuntimeError, match="create_snapshot refused"):
+            m.create_snapshot(spark, path, "mid")
+        # manifest write blows up -> commit fails but the txn stays open
+        import sql_query_optimizer_cpp_spark.operators.txn as txn_mod
+
+        def boom(*a, **k):
+            raise IOError("manifest write failed")
+
+        monkeypatch.setattr(txn_mod, "_autoversion", boom)
+        with pytest.raises(IOError, match="manifest write failed"):
+            txn.commit()
+        assert txn.active  # handle restored, lock still held
+        # another thread still locked out — the batch stays protected
+        import threading
+
+        err: list[Exception] = []
+
+        def other():
+            try:
+                m.delete_where(spark, path, "k = 2")
+            except Exception as e:  # noqa: BLE001
+                err.append(e)
+
+        t = threading.Thread(target=other)
+        t.start(); t.join()
+        assert err and isinstance(err[0], m._WriterLockHeld)
+        monkeypatch.undo()
+        txn.rollback()  # still possible: full undo
+    assert _rows(spark.read.parquet(path)) == before
+    assert m.table_versions(spark, path) == [1]
