@@ -285,6 +285,25 @@ def _is_already_exists(e: Exception) -> bool:
     )
 
 
+#: Per-path in-process mutexes serializing the create-if-absent attempt:
+#: Hadoop's LOCAL FileSystem implements create(overwrite=false) as an
+#: exists() check followed by the create (TOCTOU), so two threads of ONE
+#: process hitting the lock at the same instant could BOTH "acquire" it —
+#: observed as two OCC writers sharing a commit window and the second
+#: manifest overwriting the first.  The mutex guards only the one create
+#: call (never held across the verb); cross-PROCESS atomicity is the
+#: filesystem's contract (HDFS create-if-absent is atomic; local
+#: multi-process writers remain S3-class "bring a real lock service").
+_LOCK_ATTEMPT_MUTEXES: dict[str, threading.Lock] = {}
+_LOCK_ATTEMPT_GUARD = threading.Lock()
+
+
+def _lock_attempt_mutex(path: str) -> threading.Lock:
+    key = _txn_key(path)
+    with _LOCK_ATTEMPT_GUARD:
+        return _LOCK_ATTEMPT_MUTEXES.setdefault(key, threading.Lock())
+
+
 def _acquire_writer_lock(
     spark: SparkSession, path: str, wait_seconds: float = 0.0
 ) -> None:
@@ -292,10 +311,12 @@ def _acquire_writer_lock(
     :func:`_writer_lock` for the semantics."""
     jvm, fs, table_path = _fs(spark, path)
     lock = jvm.org.apache.hadoop.fs.Path(table_path, LOCK_FILE)
+    mutex = _lock_attempt_mutex(path)
     deadline = time.monotonic() + wait_seconds
     while True:
         try:
-            out = fs.create(lock, False)
+            with mutex:  # same-process threads: check+create is atomic
+                out = fs.create(lock, False)
             break
         except Exception as e:  # py4j wraps the Java exception
             if not _is_already_exists(e):
@@ -2507,9 +2528,11 @@ def _read_small_file(spark: SparkSession, path: str) -> bytes:
         stream.close()
 
 
-def _write_small_file(spark: SparkSession, path: str, data: bytes) -> None:
+def _write_small_file(
+    spark: SparkSession, path: str, data: bytes, overwrite: bool = True
+) -> None:
     jvm, fs, jpath = _fs(spark, path)
-    stream = fs.create(jpath, True)
+    stream = fs.create(jpath, overwrite)
     try:
         stream.write(bytearray(data))
     finally:
@@ -3012,10 +3035,15 @@ def _autoversion(spark: SparkSession, path: str) -> None:
         },
         indent=0,
     )
+    # exclusive create: committing a version number that already exists
+    # means two writers shared a commit window (a lock failure) — fail
+    # LOUDLY instead of silently overwriting one commit's history with
+    # the other's
     _write_small_file(
         spark,
         f"{path.rstrip('/')}/{SNAPSHOT_DIR}/v{nxt:08d}.json",
         delta.encode(),
+        overwrite=False,
     )
 
 
