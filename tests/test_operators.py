@@ -816,3 +816,34 @@ def test_trained_ivf_beats_label_centroids(spark, tmp_path):
     assert S.read_ivf_index(spark, str(tmp_path / "nope")) is None
     # the sidecar is invisible to base scans (underscore convention)
     assert spark.read.parquet(tdir).columns == emb.columns
+
+
+def test_trained_ivf_multi_probe_recall_monotone(spark):
+    """n_probes is the IVF recall-vs-cost knob: recall never drops as
+    probes grow, and probing EVERY cell recovers the exact top-k."""
+    from sql_query_optimizer_cpp_spark.operators import similarity as S
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    book = S.kmeans_centroids(emb)  # train once, reuse across probes
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(emb, n_queries=10, k=5).collect()
+    }
+
+    def recall(p):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.ivf_topk_trained(
+                emb, n_queries=10, k=5, codebook=book, n_probes=p
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r1, r2, r_all = recall(1), recall(2), recall(S.IVF_CELLS)
+    assert r1 <= r2 <= r_all, (r1, r2, r_all)
+    assert r2 > r1  # on the fixtures the second probe genuinely helps
+    assert r_all == 1.0  # probing every cell == the exact search
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_probes"):
+        S.ivf_topk_trained(emb, n_probes=0)
