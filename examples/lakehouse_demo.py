@@ -227,6 +227,36 @@ def main() -> None:
             f"{read_mor(spark, uni).count()} rows live again"
         )
 
+    # 13. r10: multi-statement TRANSACTIONS — several verbs, ONE version;
+    #     CDC over it is the composed diff; rollback restores the table
+    from sql_query_optimizer_cpp_spark.operators.txn import begin
+
+    with tempfile.TemporaryDirectory() as d4:
+        tx = f"{d4}/orders_tx"
+        spark.read.parquet(path).repartition(4).write.parquet(tx)
+        enable_versioning(spark, tx)                                # v1
+        with begin(spark, tx):
+            delete_where(spark, tx, "o_totalprice < 20000")
+            update_where(
+                spark, tx, {"o_orderpriority": "'1-URGENT'"},
+                "o_totalprice > 300000",
+            )
+            dv_delete_where(spark, tx, "o_orderkey % 500 = 0")
+        vs = table_versions(spark, tx)
+        net = read_changes(spark, tx, 1, 2).count()
+        print(
+            f"\ntransaction: DELETE + UPDATE + dv_delete committed as ONE "
+            f"version (log = {vs}); CDC v1->v2 nets {net} row changes"
+        )
+        n_before = read_mor(spark, tx).count()
+        txn = begin(spark, tx)
+        dv_delete_where(spark, tx, "o_orderkey >= 0")  # tombstone all
+        txn.rollback()
+        print(
+            f"rollback: table back to {read_mor(spark, tx).count()} rows "
+            f"(= {n_before}), version log still {table_versions(spark, tx)}"
+        )
+
     spark.stop()
 
 
