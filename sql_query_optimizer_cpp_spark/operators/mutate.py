@@ -2534,9 +2534,19 @@ def _write_small_file(
     jvm, fs, jpath = _fs(spark, path)
     stream = fs.create(jpath, overwrite)
     try:
-        stream.write(bytearray(data))
-    finally:
-        stream.close()
+        try:
+            stream.write(bytearray(data))
+        finally:
+            stream.close()
+    except BaseException:
+        # a partial manifest would WEDGE the version log: every later
+        # _autoversion back-walk json-decodes it, and the exclusive
+        # create would misread the leftover as a concurrent commit.
+        # The create succeeded, so the failed write's debris is ours to
+        # remove — the caller's retry then starts clean.
+        with contextlib.suppress(Exception):
+            fs.delete(jpath, False)
+        raise
 
 
 def _rel_to_table(path: str, file_uri: str) -> str:
@@ -2579,10 +2589,14 @@ def create_snapshot(spark: SparkSession, path: str, name: str) -> int:
         return _create_snapshot_unlocked(spark, path, name)
 
 
-def _create_snapshot_unlocked(spark: SparkSession, path: str, name: str) -> int:
+def _create_snapshot_unlocked(
+    spark: SparkSession, path: str, name: str, overwrite: bool = True
+) -> int:
     """Manifest write for callers that already hold the writer lock
     (``_autoversion`` runs inside ``_with_writer_lock``; the lock is not
-    reentrant)."""
+    reentrant).  ``overwrite=False`` is the version-commit tripwire: an
+    auto-version checkpoint must never silently replace a manifest that
+    a concurrent writer already committed under the same number."""
     import json
 
     if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
@@ -2616,6 +2630,7 @@ def _create_snapshot_unlocked(spark: SparkSession, path: str, name: str) -> int:
         spark,
         f"{path.rstrip('/')}/{SNAPSHOT_DIR}/{name}.json",
         manifest.encode(),
+        overwrite=overwrite,
     )
     return len(files)
 
@@ -3012,7 +3027,11 @@ def _autoversion(spark: SparkSession, path: str) -> None:
             break
         deltas_since += 1
     if deltas_since + 1 >= CHECKPOINT_INTERVAL:
-        _create_snapshot_unlocked(spark, path, f"v{nxt:08d}")
+        # exclusive create, like the delta branch below: a colliding
+        # checkpoint commit must fail loudly, never clobber history
+        _create_snapshot_unlocked(
+            spark, path, f"v{nxt:08d}", overwrite=False
+        )
         return
     from .mor import list_dv_files
 

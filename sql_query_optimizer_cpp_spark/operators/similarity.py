@@ -610,23 +610,35 @@ def ivf_topk_trained(
     e = with_norm(df.select(id_col, emb_col), exact=exact).join(
         assign, id_col
     )
-    q_cells = assign_cells(
-        comp.where(F.col(id_col) < n_queries), codebook, id_col,
-        top_p=n_probes,
-    )
-    q = (
-        with_norm(
-            df.select(id_col, emb_col).where(F.col(id_col) < n_queries),
-            exact=exact,
-        )
-        .join(q_cells, id_col)
-        .select(
+    if n_probes == 1:
+        # the query's nearest cell IS its index assignment — reuse e
+        # instead of re-running the assignment pipeline on the queries
+        q = e.filter(F.col(id_col) < n_queries).select(
             F.col(id_col).alias("query_id"),
             F.col(emb_col).alias("q_emb"),
             F.col("nsq").alias("q_nsq"),
             F.col("cell").alias("q_list"),
         )
-    )
+    else:
+        q_cells = assign_cells(
+            comp.where(F.col(id_col) < n_queries), codebook, id_col,
+            top_p=n_probes,
+        )
+        q = (
+            with_norm(
+                df.select(id_col, emb_col).where(
+                    F.col(id_col) < n_queries
+                ),
+                exact=exact,
+            )
+            .join(q_cells, id_col)
+            .select(
+                F.col(id_col).alias("query_id"),
+                F.col(emb_col).alias("q_emb"),
+                F.col("nsq").alias("q_nsq"),
+                F.col("cell").alias("q_list"),
+            )
+        )
     pairs = (
         e.join(
             F.broadcast(q),

@@ -243,18 +243,20 @@ def table_storage_report(spark, path: str, top_n: int = 5) -> TableStorageReport
             .distinct()
             .join(F.broadcast(live), "src_file", "left_semi")
         )
-        per_file = entries.groupBy("src_file").agg(
-            F.count("*").cast("long").alias("dead_rows")
+        # ONE job: the per-file rollup is bounded by the table's file
+        # count (metadata scale), and both the top-N and the dead total
+        # derive from it in Python — never recompute the entries lineage
+        per_file = sorted(
+            (
+                (r["src_file"], r["dead_rows"])
+                for r in entries.groupBy("src_file")
+                .agg(F.count("*").cast("long").alias("dead_rows"))
+                .collect()
+            ),
+            key=lambda t: (-t[1], t[0]),
         )
-        top = [
-            (r["src_file"], r["dead_rows"])
-            for r in per_file.orderBy(
-                F.col("dead_rows").desc(), "src_file"
-            )
-            .limit(top_n)
-            .collect()
-        ]
-        dead = entries.count()
+        top = per_file[:top_n]
+        dead = sum(n for _, n in per_file)
     return TableStorageReport(
         path=path,
         files=len(files),
