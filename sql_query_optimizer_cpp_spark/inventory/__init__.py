@@ -199,11 +199,14 @@ _PRIORITY: tuple[str, ...] = (
     "events_hourly_topk_types",
     "source_roundtrip_partitioned",
     # ==== end of the 50-entry r10 window; r11 queue below ================
-    # r11 rotation plan: lead with the queries staged during round 10
-    # (mutate_txn_batch — multi-statement transactions: one version per
-    # begin()/commit() batch, composed CDC, rollback restores the table),
-    # keep the flagship guard, then the eleven r06 leftovers named above,
-    # then the stalest r07 greens in registry order.
+    # r11 rotation plan: lead with the THREE queries staged during round
+    # 10 (mutate_txn_batch — multi-statement transactions: one version
+    # per begin()/commit() batch, composed CDC, rollback restores the
+    # table; mutate_occ_dv_writers — optimistic deletion-vector deletes,
+    # disjoint-file first-attempt commits + same-file retry;
+    # sim_ivf_recall_trained — label-vs-trained quantizer recall@5),
+    # keep the flagship guard, then the eleven r06 leftovers named
+    # above, then the stalest r07 greens in registry order.
 )
 
 

@@ -1760,3 +1760,129 @@ def mutate_txn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("del_total"),
     ).select(F.lit(2).cast("int").alias("step"), "*")
     return step1.unionByName(step2).orderBy("step")
+
+
+_OCC_DV_ORACLE = (
+    "WITH lim AS (SELECT MIN(c_custkey) AS lo, MAX(c_custkey) AS hi "
+    "FROM customer), "
+    "v1 AS (SELECT c_custkey, c_acctbal FROM customer), "
+    "v2 AS (SELECT * FROM v1 "
+    "  WHERE NOT COALESCE(c_custkey > (SELECT hi - 3 FROM lim), FALSE)), "
+    "v3 AS (SELECT * FROM v2 "
+    "  WHERE NOT COALESCE(c_custkey < (SELECT lo + 3 FROM lim), FALSE)), "
+    "v4 AS (SELECT * FROM v3 "
+    "  WHERE NOT COALESCE(c_custkey < (SELECT lo + 10 FROM lim) "
+    "  AND c_custkey % 2 = 1, FALSE)), "
+    "v5 AS (SELECT * FROM v4 "
+    "  WHERE NOT COALESCE(c_custkey < (SELECT lo + 10 FROM lim) "
+    "  AND c_custkey % 2 = 0, FALSE)) "
+    "SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n, "
+    + dsum_sql("c_acctbal") + " AS total FROM v1 "
+    "UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT), "
+    + dsum_sql("c_acctbal") + " FROM v2 "
+    "UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT), "
+    + dsum_sql("c_acctbal") + " FROM v3 "
+    "UNION ALL SELECT 4, CAST(COUNT(*) AS BIGINT), "
+    + dsum_sql("c_acctbal") + " FROM v4 "
+    "UNION ALL SELECT 5, CAST(COUNT(*) AS BIGINT), "
+    + dsum_sql("c_acctbal") + " FROM v5 "
+    "UNION ALL SELECT 91, 1, 0.0 "
+    "UNION ALL SELECT 92, 2, 0.0 "
+    "ORDER BY version"
+)
+
+
+@register(
+    "mutate_occ_dv_writers",
+    oracle=_OCC_DV_ORACLE,
+    doc="Optimistic DELETION-VECTOR deletes graded end-to-end (r10; no "
+    "reference analog): four interleaved occ_dv_delete_where writers on "
+    "a version-enabled range-clustered customer copy.  Writers 1+2 "
+    "tombstone DISJOINT files (highest vs lowest key range) — the "
+    "interleaved writer commits v2 between the outer writer's stage and "
+    "commit, and the outer writer still commits v3 FIRST-attempt "
+    "(DV batches are append-only, so the conflict unit is the "
+    "referenced FILE; attempts row 91 = 1).  Writers 3+4 tombstone the "
+    "SAME lowest file (odd vs even keys) — the outer writer must lose "
+    "validation against the interleaved v4 batch, re-derive over the "
+    "winner's tombstones (already-deleted rows never double-count), and "
+    "commit v5 on attempt 2 (attempts row 92 = 2).  Every version 1-5 "
+    "is read back DV-aware and aggregated; the oracle folds the five "
+    "tombstone states algebraically — equality proves the OCC-DV "
+    "protocol loses no delete, pins exact DV state per version, and "
+    "counts attempts as designed",
+    tags=("mutate",),
+)
+def mutate_occ_dv_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mor import occ_dv_delete_where
+    from ..operators.mutate import enable_versioning, read_version
+
+    t = load_tables(spark, sf_dir, ("customer",))
+    path = _mut_dir(sf_dir, "cust_occ_dv")
+    (
+        t["customer"]
+        .select("c_custkey", "c_acctbal")
+        .repartitionByRange(4, "c_custkey")
+        .sortWithinPartitions("c_custkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    lo, hi = spark.read.parquet(path).agg(
+        F.min("c_custkey"), F.max("c_custkey")
+    ).first()
+    enable_versioning(spark, path)                                  # v1
+
+    # phase 1 — disjoint files: the interleaved writer tombstones the
+    # HIGHEST keys (last file) committing v2 while the outer writer
+    # (lowest keys, first file) sits between stage and commit; the
+    # outer validation sees DV churn only on a file it never touched
+    # and commits v3 with NO retry
+    a_attempts: list[int] = []
+
+    def interleave_high(attempt: int) -> None:
+        a_attempts.append(attempt)
+        if attempt == 1:
+            occ_dv_delete_where(
+                spark, path, f"c_custkey > {hi} - 3"
+            )                                                       # v2
+    occ_dv_delete_where(
+        spark, path, f"c_custkey < {lo} + 3",
+        _after_stage=interleave_high,
+    )                                                               # v3
+
+    # phase 2 — same file: the interleaved writer tombstones the ODD
+    # keys of the lowest range committing v4; the outer writer (EVEN
+    # keys, same file) must lose validation, re-derive over the
+    # winner's tombstones, and commit v5 on attempt 2
+    c_attempts: list[int] = []
+
+    def interleave_odd(attempt: int) -> None:
+        c_attempts.append(attempt)
+        if attempt == 1:
+            occ_dv_delete_where(
+                spark, path,
+                f"c_custkey < {lo} + 10 AND c_custkey % 2 = 1",
+            )                                                       # v4
+    occ_dv_delete_where(
+        spark, path,
+        f"c_custkey < {lo} + 10 AND c_custkey % 2 = 0",
+        _after_stage=interleave_odd,
+    )                                                               # v5
+
+    frames = [
+        read_version(spark, path, v)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dsum("c_acctbal").alias("total"),
+        )
+        .select(F.lit(v).cast("int").alias("version"), "n", "total")
+        for v in (1, 2, 3, 4, 5)
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    attempts = spark.createDataFrame(
+        [(91, len(a_attempts), 0.0), (92, len(c_attempts), 0.0)],
+        schema="version int, n bigint, total double",
+    )
+    return out.unionByName(attempts).orderBy("version")
