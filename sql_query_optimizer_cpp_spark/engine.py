@@ -148,7 +148,10 @@ class Engine:
         see operators.mutate's optimistic-concurrency protocol).
         ``mor=True`` runs UPDATE/DELETE merge-on-read (deletion vectors,
         operators/mor.py) — O(changed rows), no file rewrites; read the
-        table back via read_mor until materialize_deletes.
+        table back via read_mor until materialize_deletes.  With
+        ``optimistic=True`` too, DELETE routes through the OCC
+        deletion-vector protocol (disjoint-file writers commit
+        first-attempt); MOR UPDATE/MERGE refuse the combination.
 
         Deliberately takes explicit paths rather than the engine's
         fixture views: the fixtures are read-only test inputs, and a DML

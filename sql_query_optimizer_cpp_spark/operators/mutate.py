@@ -2262,8 +2262,11 @@ def execute_dml(
     ``mor=True`` routes UPDATE/DELETE/MERGE through the merge-on-read
     deletion-vector verbs (operators/mor.py): O(changed rows) sidecar +
     append writes, zero file rewrites, read back via ``read_mor``.
-    Mutually exclusive with ``optimistic`` — the MOR verbs use the plain
-    writer lock.
+    ``mor=True, optimistic=True`` composes for DELETE only — the OCC
+    deletion-vector protocol (``occ_dv_delete_where``: tombstone batches
+    stage outside the lock, file-scoped validate-and-move-in); MOR
+    UPDATE/MERGE still commit under the plain writer lock and refuse the
+    combination.
 
     ``tables`` maps table names to parquet directory paths (the catalog
     the reference gets from its live MySQL connection).  The MERGE
@@ -2284,10 +2287,12 @@ def execute_dml(
     list defaults unlisted target columns to the same-named source
     column (else NULL), the common upsert.
     """
-    if mor and optimistic:
+    if mor and optimistic and not _DELETE_RE.match(text):
         raise ValueError(
-            "mor and optimistic are mutually exclusive: the merge-on-read "
-            "verbs commit under the plain writer lock"
+            "mor + optimistic is supported only for DELETE "
+            "(occ_dv_delete_where stages tombstone batches outside the "
+            "lock); merge-on-read UPDATE/MERGE commit under the plain "
+            "writer lock"
         )
     m = _MERGE_RE.match(text)
     if m:
@@ -2466,9 +2471,13 @@ def execute_dml(
         if name not in tables:
             raise ValueError(f"unknown table {name!r}")
         if mor:
-            from .mor import dv_delete_where
+            from .mor import dv_delete_where, occ_dv_delete_where
 
-            n = dv_delete_where(
+            # optimistic + mor: the OCC deletion-vector protocol — the
+            # one verb where both compose (append-only tombstone batches
+            # stage outside the lock, file-scoped validate-and-move-in)
+            dv_verb = occ_dv_delete_where if optimistic else dv_delete_where
+            n = dv_verb(
                 spark, tables[name], where if where is not None else "true"
             )
             return MutationStats(

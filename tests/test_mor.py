@@ -316,9 +316,16 @@ def test_execute_dml_mor_routing(spark, tmp_path):
     out = read_mor(spark, path)
     assert out.count() == 90
     assert out.where("v >= 50").count() == 5
-    with pytest.raises(ValueError, match="mutually exclusive"):
+    # r10: mor+optimistic composes for DELETE (occ_dv protocol) and
+    # refuses for the other verbs
+    st = execute_dml(
+        spark, "DELETE FROM t WHERE k = 1", tables,
+        mor=True, optimistic=True,
+    )
+    assert st.rows_matched == 1 and st.files_rewritten == 0
+    with pytest.raises(ValueError, match="only for DELETE"):
         execute_dml(
-            spark, "DELETE FROM t WHERE k = 1", tables,
+            spark, "UPDATE t SET v = 0.0 WHERE k = 2", tables,
             mor=True, optimistic=True,
         )
     # MERGE routes to dv_merge_into under mor=True (r9); a self-merge
@@ -330,9 +337,9 @@ def test_execute_dml_mor_routing(spark, tmp_path):
         tables,
         mor=True,
     )
-    assert st.files_rewritten == 0 and st.rows_matched == 90
+    assert st.files_rewritten == 0 and st.rows_matched == 89
     out = read_mor(spark, path)
-    assert out.count() == 90 and out.where("v != 0").count() == 0
+    assert out.count() == 89 and out.where("v != 0").count() == 0
 
 
 def test_materialize_min_dead_ratio_incremental(spark, tmp_path):
@@ -533,11 +540,11 @@ def test_dv_merge_execute_dml_and_streaming_upsert(spark, tmp_path):
     out = read_mor(spark, path)
     assert out.where("k = 5").first()["v"] == 555.0
     assert out.where("k = 300").count() == 1
-    with pytest.raises(ValueError, match="mutually exclusive"):
-        m.execute_dml(
-            spark, "DELETE FROM t WHERE k = 1", {"t": path},
-            mor=True, optimistic=True,
-        )
+    st = m.execute_dml(
+        spark, "DELETE FROM t WHERE k = 1", {"t": path},
+        mor=True, optimistic=True,
+    )  # r10: the OCC deletion-vector route
+    assert st.rows_matched == 1 and st.files_rewritten == 0
     # CDC applier: one micro-batch with update, delete, insert, and a
     # stale change that the ts guard must ignore
     tgt = str(tmp_path / "cdc_tgt")
@@ -944,3 +951,23 @@ def test_storage_report_ignores_duplicate_and_stale_tombstones(
     assert rep.dead_rows == 5                      # not 17
     assert rep.rows == 95
     assert all("gone" not in f for f, _ in rep.top_dead_files)
+
+
+def test_execute_dml_mor_optimistic_delete(spark, tmp_path):
+    """mor+optimistic composes for DELETE (routes to occ_dv_delete_where)
+    and still refuses for UPDATE/MERGE, with a message naming why."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import execute_dml
+
+    path = _flat(spark, tmp_path)
+    st = execute_dml(
+        spark, "DELETE FROM t WHERE k < 10", {"t": path},
+        mor=True, optimistic=True,
+    )
+    assert st.rows_matched == 10
+    assert has_deletion_vectors(spark, path)
+    assert read_mor(spark, path).count() == 90
+    with pytest.raises(ValueError, match="only for DELETE"):
+        execute_dml(
+            spark, "UPDATE t SET v = 1.0 WHERE k = 1", {"t": path},
+            mor=True, optimistic=True,
+        )
