@@ -54,6 +54,8 @@ OF n ..``          version number or ``TIMESTAMP AS OF '<iso>'``
 ``COMMIT`` /       every DML verb until COMMIT lands as ONE version
 ``ROLLBACK``       (CDC = the composed diff); ROLLBACK restores the
                    table byte-identical (operators/txn.py)
+``RECOVER n``      crash recovery: roll an ABANDONED transaction back
+                   and clear its stale writer lock
 ``REPAIR n         inventory (and with REMOVE, clean) post-crash COW
 [REMOVE]``         staging debris + stale writer lock
 ``TABLES``         list queryable views + attached DML tables
@@ -108,6 +110,8 @@ _HELP = """commands:
                         version (CDC = the net diff); ROLLBACK restores
                         the table byte-identical
   COMMIT | ROLLBACK     resolve the open transaction
+  RECOVER <name>        roll a CRASHED transaction back to the last
+                        committed manifest and clear its stale lock
   REPAIR <name> [REMOVE]  inventory / clean post-crash COW debris
   TABLES                list tables
   HELP                  this help;  EXIT | QUIT | \\q  to leave"""
@@ -478,6 +482,29 @@ def handle(
             return (
                 f"transaction on {name} rolled back "
                 f"({changed} files restored/reclaimed)"
+            )
+        if verb == "RECOVER":
+            from .operators.txn import recover_table
+
+            name = rest.strip()
+            if name not in dml_tables:
+                return (
+                    f"usage: RECOVER <attached table>  "
+                    f"(ATTACH {name or '<name>'} first)"
+                )
+            if settings.get("txn") and settings["txn"][0] == name:
+                return (
+                    "that transaction is still open in THIS session — "
+                    "COMMIT or ROLLBACK it instead"
+                )
+            changed = recover_table(
+                engine.spark, dml_tables[name], force=True
+            )
+            _refresh_views(engine, dml_tables)
+            return (
+                f"recovered {name}: rolled back to the last committed "
+                f"manifest ({changed} files restored/reclaimed), stale "
+                "writer lock cleared"
             )
         if verb == "REPAIR":
             from .operators.mutate import repair_table

@@ -604,3 +604,43 @@ def test_repl_transaction_verbs(engine, tmp_path):
     rows = handle(engine, "SELECT COUNT(*) AS n FROM tx", tables,
                   settings=settings)
     assert "19" in rows  # 20 - the committed k=19 delete
+
+
+def test_repl_recover_verb(engine, tmp_path):
+    """RECOVER rolls a crashed transaction (stale lock + uncommitted live
+    state, no in-process handle) back to the last committed manifest."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        _ACTIVE_TXNS,
+        table_versions,
+    )
+    from sql_query_optimizer_cpp_spark.operators.txn import begin
+
+    path = str(tmp_path / "repl_recover")
+    engine.spark.range(30).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v"
+    ).coalesce(1).write.parquet(path)
+    tables: dict[str, str] = {}
+    settings: dict = {}
+    handle(engine, f"ATTACH rc {path}", tables)
+    assert "usage: RECOVER" in handle(
+        engine, "RECOVER nope", tables, settings=settings
+    )
+    # crash-sim: a txn from a DIFFERENT (dead) session left its lock
+    engine.enable_versioning(path)
+    txn = begin(engine.spark, path)
+    from sql_query_optimizer_cpp_spark.operators.mutate import delete_where
+
+    delete_where(engine.spark, path, "k >= 0")
+    _ACTIVE_TXNS.clear()  # the process died; lock + live state remain
+    txn._state = None
+    out = handle(engine, "RECOVER rc", tables, settings=settings)
+    assert "recovered rc" in out and "stale writer lock cleared" in out
+    assert table_versions(engine.spark, path) == [1]
+    rows = handle(engine, "SELECT COUNT(*) AS n FROM rc", tables,
+                  settings=settings)
+    assert "30" in rows
+    # an OPEN same-session transaction is refused (resolve it instead)
+    handle(engine, "BEGIN rc", tables, settings=settings)
+    out = handle(engine, "RECOVER rc", tables, settings=settings)
+    assert "still open in THIS session" in out
+    handle(engine, "ROLLBACK", tables, settings=settings)
