@@ -124,89 +124,89 @@ def shared_sql(
 
 
 #: Evaluation-priority order.  The driver grades registry entries in
-#: iteration order and stops after a fixed 50-query window (r01-r09 each
-#: sampled a different 50; after r09: 208 registered, 206 green-ever,
-#: zero graded-never-green, and exactly TWO never-graded queries — the
-#: round-9 lakehouse headliners, staged past the r09 window and
-#: sim-verified at sf0.01 and sf0.1).  Round-10 rotation: lead with
-#: those two (mutate_mor_versioned — the MOR/version-log unification:
-#: DV commits are versions, time travel/CDC/RESTORE over deletion
-#: vectors — and mutate_mor_merge — dv_merge_into, zero-rewrite MERGE);
-#: then the flagship guard; then the nine r05 greens that did not fit
-#: the r09 window; then the 38 stalest r06 greens in registration
-#: order.  The eleven r06 greens that do not fit
-#: (source_roundtrip_formats, insert_select_roundtrip,
-#: source_roundtrip_zorder, mutate_update_delete, mutate_merge_upsert,
-#: mutate_compact_stable, mutate_dml_sql, mutate_partitioned_delete,
-#: mutate_snapshot_diff, mutate_apply_changes, join_order_advice_ga)
-#: lead the r11 re-grade block.  Everything past _PRIORITY keeps
-#: registration order; every registered query stays covered every round
-#: by tests/test_inventory.py + tools/driver_sim.py regardless of
-#: window position.
+#: iteration order and stops after a fixed 50-query window (r01-r10 each
+#: sampled a different 50; after r10: 211 registered, 208 green-ever,
+#: zero graded-never-green, and exactly THREE never-graded queries —
+#: the round-10 headliners, staged past the r10 window and sim-verified
+#: at sf0.01 and sf0.1).  Round-11 rotation: lead with those three
+#: (mutate_txn_batch — multi-statement transactions: one version per
+#: begin()/commit() batch, composed CDC, rollback restores the table;
+#: mutate_occ_dv_writers — optimistic deletion-vector deletes,
+#: disjoint-file first-attempt commits + same-file retry;
+#: sim_ivf_recall_trained — label-vs-trained quantizer recall@5); then
+#: the flagship guard; then the eleven r06 greens that did not fit the
+#: r10 window; then the 35 stalest r07 greens in registration order.
+#: The fourteen r07 greens that do not fit (dedup_clusters,
+#: multimodal_features, multimodal_frame_sample, sample_stratified,
+#: text_filter_pipeline, decontaminate, curation_pipeline_e2e, tpch_q4,
+#: tpch_q7, tpch_q10, tpch_q18, stats_mcv_topk,
+#: mutate_partitioned_merge, mutate_versioned_history) lead the r12
+#: re-grade block.  Everything past _PRIORITY keeps registration order;
+#: every registered query stays covered every round by
+#: tests/test_inventory.py + tools/driver_sim.py regardless of window
+#: position.
 _PRIORITY: tuple[str, ...] = (
-    # -- never driver-graded: the round-9 lakehouse pair ------------------
-    "mutate_mor_versioned",
-    "mutate_mor_merge",
+    # -- never driver-graded: the round-10 headliners ---------------------
+    "mutate_txn_batch",
+    "mutate_occ_dv_writers",
+    "sim_ivf_recall_trained",
     # -- regression-guard slot: the headline query ------------------------
     "flagship_demo",
-    # -- re-grades: the nine r05 greens left over from the r09 window -----
-    "events_sliding",
-    "events_props_extract",
-    "join_event_attribution",
-    "events_path_bigrams",
-    "sample_train_val_test",
-    "orders_rfm",
-    "orders_market_basket",
-    "events_anomaly_zscore",
-    "date_series_gapfill",
-    # -- re-grades: stalest greens (latest driver row r06), registry order
-    "scan_star",
-    "filter_point",
-    "filter_compare",
-    "pred_compound",
-    "pred_in_list",
-    "arith_filter",
-    "case_when",
-    "orderby_multi",
-    "scalar_functions",
-    "date_functions",
-    "join_inner",
-    "join_natural",
-    "join_comma",
-    "join_cross",
-    "join_theta",
-    "join_asof",
-    "agg_grouping_sets",
-    "tpch_q1",
-    "complex_q2",
-    "complex_q5",
-    "agg_filter_clause",
-    "recursive_cte_chain",
-    "union_all",
-    "intersect",
-    "except_",
-    "text_boilerplate_ngrams",
-    "text_oov_rate",
-    "dedup_exact",
-    "dedup_cluster_size_hist",
-    "embeddings_norm_stats",
-    "multimodal_meta",
-    "multimodal_resize",
-    "ingest_incremental_e2e",
-    "split_leakage_report",
-    "events_dau_stickiness",
-    "orders_yoy_growth",
-    "events_hourly_topk_types",
-    "source_roundtrip_partitioned",
-    # ==== end of the 50-entry r10 window; r11 queue below ================
-    # r11 rotation plan: lead with the THREE queries staged during round
-    # 10 (mutate_txn_batch — multi-statement transactions: one version
-    # per begin()/commit() batch, composed CDC, rollback restores the
-    # table; mutate_occ_dv_writers — optimistic deletion-vector deletes,
-    # disjoint-file first-attempt commits + same-file retry;
-    # sim_ivf_recall_trained — label-vs-trained quantizer recall@5),
-    # keep the flagship guard, then the eleven r06 leftovers named
-    # above, then the stalest r07 greens in registry order.
+    # -- re-grades: the eleven r06 greens left over from the r10 window ---
+    "source_roundtrip_formats",
+    "insert_select_roundtrip",
+    "source_roundtrip_zorder",
+    "mutate_update_delete",
+    "mutate_merge_upsert",
+    "mutate_compact_stable",
+    "mutate_dml_sql",
+    "mutate_partitioned_delete",
+    "mutate_snapshot_diff",
+    "mutate_apply_changes",
+    "join_order_advice_ga",
+    # -- re-grades: stalest greens (latest driver row r07), registry order
+    "scan_project",
+    "filter_like",
+    "filter_between",
+    "arith_project",
+    "topk",
+    "null_semantics",
+    "filter_regex",
+    "join_left",
+    "join_right",
+    "join_full",
+    "join_left_anti",
+    "join_right_anti",
+    "join_full_outer_anti",
+    "join_semi",
+    "join_three_way",
+    "tpch_q5",
+    "join_hint_strategies",
+    "agg_global",
+    "agg_groupby",
+    "agg_having",
+    "agg_distinct",
+    "agg_count_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "tpch_q3",
+    "agg_pivot",
+    "agg_percentiles",
+    "agg_approx_distinct",
+    "tpch_q6",
+    "tpch_q14",
+    "union_distinct",
+    "win_distribution",
+    "text_tokens_pandas_udf",
+    "text_vocab_topk",
+    "dedup_simhash_pairs",
+    # ==== end of the 50-entry r11 window; r12 queue below ================
+    # r12 rotation plan: lead with any queries staged during round 11
+    # (new graded queries land BELOW this line during the round, never
+    # inside the active window), keep the flagship guard, then the
+    # fourteen r07 leftovers named above, then the stalest r08 greens
+    # in registry order (join_range, join_lateral, agg_approx_quantile,
+    # ... through mutate_concurrent_writers).
 )
 
 

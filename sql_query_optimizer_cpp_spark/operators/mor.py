@@ -452,18 +452,28 @@ def occ_dv_delete_where(
                             "this writer's files"
                         )
                         raise _Conflict()
-                # validated: move the staged parts into the live store
+                # validated: move the staged parts into the live store.
+                # All-or-nothing: a rename failure mid-loop must not
+                # leave a PARTIAL tombstone batch visible to read_mor
+                # while the verb reports failure — retract the parts
+                # already moved in before re-raising (the retry
+                # re-derives the whole batch from the table).
                 fs.mkdirs(jvm.org.apache.hadoop.fs.Path(dv_root))
+                moved: list = []
                 for part in list_data_files(spark, staging):
                     src_p = jvm.org.apache.hadoop.fs.Path(part)
                     dest = jvm.org.apache.hadoop.fs.Path(
                         dv_root, src_p.getName()
                     )
                     if not fs.rename(src_p, dest):
+                        for d in moved:
+                            with contextlib.suppress(Exception):
+                                fs.delete(d, False)
                         raise IOError(
                             f"occ dv commit: rename {part} -> {dest} "
-                            "failed"
+                            "failed (batch retracted, nothing committed)"
                         )
+                    moved.append(dest)
                 _cleanup(staging)
                 _commit(spark, path)
                 _mark_mutated(spark, path)

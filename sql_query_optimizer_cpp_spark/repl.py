@@ -453,19 +453,32 @@ def handle(
                     f"{settings['txn'][0]} — COMMIT or ROLLBACK first"
                 )
             path = dml_tables[name]
+            enabled = ""
             if not engine.table_versions(path):
+                # transactions need the version log; surface the side
+                # effect (a v1 manifest pinning the current file set)
+                # instead of committing it silently
                 engine.enable_versioning(path)
+                enabled = " (versioning enabled: v1 manifest committed)"
             settings["txn"] = (name, begin(engine.spark, path))
             return (
-                f"transaction open on {name}: DML batches into ONE "
-                "version at COMMIT; ROLLBACK restores the table"
+                f"transaction open on {name}{enabled}: DML batches into "
+                "ONE version at COMMIT; ROLLBACK restores the table"
             )
         if verb == "COMMIT":
             if "txn" not in settings:
                 return "no open transaction (BEGIN <table> first)"
-            name, txn = settings.pop("txn")
+            name, txn = settings["txn"]
             verbs = txn.verbs_executed
-            v = txn.commit()
+            try:
+                v = txn.commit()
+            finally:
+                # commit() reopens the handle on failure (lock kept,
+                # batch still protected) — drop our reference only once
+                # the txn is truly resolved, or a failed COMMIT would
+                # strand the table wedged behind "no open transaction"
+                if not txn.active:
+                    settings.pop("txn", None)
             _refresh_views(engine, dml_tables)
             if v is None:
                 return f"transaction on {name}: nothing changed; no commit"
@@ -476,8 +489,12 @@ def handle(
         if verb == "ROLLBACK":
             if "txn" not in settings:
                 return "no open transaction (BEGIN <table> first)"
-            name, txn = settings.pop("txn")
-            changed = txn.rollback()
+            name, txn = settings["txn"]
+            try:
+                changed = txn.rollback()
+            finally:
+                if not txn.active:
+                    settings.pop("txn", None)
             _refresh_views(engine, dml_tables)
             return (
                 f"transaction on {name} rolled back "
@@ -486,25 +503,38 @@ def handle(
         if verb == "RECOVER":
             from .operators.txn import recover_table
 
-            name = rest.strip()
-            if name not in dml_tables:
+            parts = rest.split()
+            name = parts[0] if parts else ""
+            force = len(parts) == 2 and parts[1].upper() == "FORCE"
+            if name not in dml_tables or (len(parts) > 1 and not force):
                 return (
-                    f"usage: RECOVER <attached table>  "
-                    f"(ATTACH {name or '<name>'} first)"
+                    f"usage: RECOVER <attached table> [FORCE]  "
+                    f"(ATTACH {name or '<name>'} first; FORCE deletes "
+                    "a live writer lock — confirm the holder is dead)"
                 )
             if settings.get("txn") and settings["txn"][0] == name:
                 return (
                     "that transaction is still open in THIS session — "
                     "COMMIT or ROLLBACK it instead"
                 )
-            changed = recover_table(
-                engine.spark, dml_tables[name], force=True
-            )
+            try:
+                changed = recover_table(
+                    engine.spark, dml_tables[name], force=force
+                )
+            except RuntimeError as e:
+                # plain RECOVER never deletes a possibly-live writer's
+                # lock: the FORCE token is the operator's confirmation
+                if "force=True" in str(e):
+                    return (
+                        f"writer lock on {name} still exists — confirm "
+                        f"the holder is dead, then RECOVER {name} FORCE"
+                    )
+                raise
             _refresh_views(engine, dml_tables)
             return (
                 f"recovered {name}: rolled back to the last committed "
-                f"manifest ({changed} files restored/reclaimed), stale "
-                "writer lock cleared"
+                f"manifest ({changed} files restored/reclaimed)"
+                + (", stale writer lock cleared" if force else "")
             )
         if verb == "REPAIR":
             from .operators.mutate import repair_table

@@ -606,6 +606,41 @@ def test_repl_transaction_verbs(engine, tmp_path):
     assert "19" in rows  # 20 - the committed k=19 delete
 
 
+def test_repl_commit_failure_keeps_handle(engine, tmp_path):
+    """A failed COMMIT must not discard the REPL's txn handle: the
+    library keeps the transaction open for retry (lock held, batch
+    protected), and the REPL retry must reach it."""
+    path = str(tmp_path / "repl_txn_fail")
+    engine.spark.range(10).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v"
+    ).coalesce(1).write.parquet(path)
+    tables: dict[str, str] = {}
+    settings: dict = {}
+    handle(engine, f"ATTACH txf {path}", tables)
+    out = handle(engine, "BEGIN txf", tables, settings=settings)
+    assert "versioning enabled" in out  # BEGIN surfaces the side effect
+    handle(engine, "DELETE FROM txf WHERE k = 0", tables, settings=settings)
+    _, txn = settings["txn"]
+    real_commit = txn.commit
+    calls = {"n": 0}
+
+    def flaky_commit():
+        if calls["n"] == 0:
+            calls["n"] += 1
+            raise IOError("disk hiccup before the manifest write")
+        return real_commit()
+
+    txn.commit = flaky_commit
+    out = handle(engine, "COMMIT", tables, settings=settings)
+    assert "error:" in out and "disk hiccup" in out
+    assert "txn" in settings  # handle survives; table is not wedged
+    out = handle(engine, "COMMIT", tables, settings=settings)
+    assert "committed as v2" in out
+    rows = handle(engine, "SELECT COUNT(*) AS n FROM txf", tables,
+                  settings=settings)
+    assert "9" in rows
+
+
 def test_repl_recover_verb(engine, tmp_path):
     """RECOVER rolls a crashed transaction (stale lock + uncommitted live
     state, no in-process handle) back to the last committed manifest."""
@@ -633,7 +668,14 @@ def test_repl_recover_verb(engine, tmp_path):
     delete_where(engine.spark, path, "k >= 0")
     _ACTIVE_TXNS.clear()  # the process died; lock + live state remain
     txn._state = None
+    # plain RECOVER refuses while the lock file exists: deleting a
+    # possibly-live writer's lock needs the explicit FORCE confirmation
     out = handle(engine, "RECOVER rc", tables, settings=settings)
+    assert "RECOVER rc FORCE" in out and "recovered" not in out
+    assert table_versions(engine.spark, path) == [1]  # untouched
+    out = handle(engine, "RECOVER rc nope", tables, settings=settings)
+    assert "usage: RECOVER" in out
+    out = handle(engine, "RECOVER rc FORCE", tables, settings=settings)
     assert "recovered rc" in out and "stale writer lock cleared" in out
     assert table_versions(engine.spark, path) == [1]
     rows = handle(engine, "SELECT COUNT(*) AS n FROM rc", tables,
