@@ -201,11 +201,12 @@ _PRIORITY: tuple[str, ...] = (
     "text_vocab_topk",
     "dedup_simhash_pairs",
     # ==== end of the 50-entry r11 window; r12 queue below ================
-    # r12 rotation plan: lead with any queries staged during round 11
-    # (new graded queries land BELOW this line during the round, never
-    # inside the active window), keep the flagship guard, then the
-    # fourteen r07 leftovers named above, then the stalest r08 greens
-    # in registry order (join_range, join_lateral, agg_approx_quantile,
+    # r12 rotation plan: lead with the queries staged during round 11
+    # (sim_ivf_probe_indexed — persisted-posting-list IVF probe,
+    # sim-green at sf0.01 AND sf0.1; plus any later r11 stagings named
+    # here as they land), keep the flagship guard, then the fourteen
+    # r07 leftovers named above, then the stalest r08 greens in
+    # registry order (join_range, join_lateral, agg_approx_quantile,
     # ... through mutate_concurrent_writers).
 )
 

@@ -534,3 +534,65 @@ def embeddings_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_norm"),
         )
     )
+
+
+# -- persisted-index probe (r11) --------------------------------------------
+
+IVF_PROBES = 2
+
+_IVF_INDEXED_ORACLE = f"""
+WITH {_trained_ctes()},
+{_e_cte()},
+ea AS (
+  SELECT e.vec_id, e.embedding, e.nsq, a.cell
+  FROM e JOIN afull a ON a.vec_id = e.vec_id),
+qp AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT d.vec_id, d.cell,
+           row_number() OVER (PARTITION BY d.vec_id
+                ORDER BY d.dot / sqrt(n.c_nsq) DESC, d.cell) AS rn
+    FROM dotsf d JOIN cnf n ON d.cell = n.cell
+    WHERE d.vec_id < {N_QUERIES}) t WHERE rn <= {IVF_PROBES}),
+q AS (
+  SELECT qp.query_id, e.embedding AS q_emb, e.nsq AS q_nsq,
+         qp.cell AS q_list
+  FROM qp JOIN e ON e.vec_id = qp.query_id),
+pairs AS (
+  SELECT q.query_id, ea.vec_id AS neighbor_id,
+         round({S.dot_expr("q_emb", "embedding", duck=True)}
+           / (sqrt(q.q_nsq) * sqrt(ea.nsq)), 6) AS cos_sim
+  FROM ea JOIN q ON ea.cell = q.q_list AND ea.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, cos_sim, rn FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rn
+  FROM pairs) t WHERE rn <= {K_ANN}
+"""
+
+
+@register(
+    "sim_ivf_probe_indexed",
+    oracle=_IVF_INDEXED_ORACLE,
+    doc="IVF point-probe over a PERSISTED index (new r11, "
+    "operators/similarity.build_ivf_index + ivf_search_indexed — the "
+    "FAISS/liquid-clustering serving shape): the corpus is reclustered "
+    "into per-cell hive partitions with precomputed norms at build "
+    "time, and a multi-probe search (n_probes=2) reads ONLY its probed "
+    "cells' directories — no full-corpus re-assignment per query, the "
+    "r10 gap.  The oracle replays training, corpus assignment, AND the "
+    "query-side top-2 cell ranking in SQL; equality proves the "
+    "persisted codebook/postings round-trip bit-exactly and the pruned "
+    "read loses no candidate (the pruning itself is inputFiles-pinned "
+    "in tests/test_operators.py)",
+    tags=("similarity",),
+)
+def sim_ivf_probe_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .mutate import _mut_dir
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    path = _mut_dir(sf_dir, "embeddings_ivf")
+    t["embeddings"].write.mode("overwrite").parquet(path)
+    S.build_ivf_index(spark, path, id_col="vec_id")
+    return S.ivf_search_indexed(
+        spark, path, n_queries=N_QUERIES, k=K_ANN, n_probes=IVF_PROBES
+    )

@@ -661,6 +661,10 @@ def ivf_topk_trained(
     )
 
 
+def _ivf_root(table_path: str, emb_col: str) -> str:
+    return f"{table_path.rstrip('/')}/_index/ivf/{emb_col}"
+
+
 def build_ivf_index(
     spark,
     table_path: str,
@@ -670,25 +674,150 @@ def build_ivf_index(
     iters: int = IVF_ITERS,
     sample_mod: int = IVF_SAMPLE_MOD,
 ) -> int:
-    """Persist a trained IVF codebook as a table sidecar —
-    ``<table>/_index/ivf/<emb_col>/`` — the bloom-sidecar convention
-    (underscore dir, invisible to base scans, rebuilt on demand).
-    Returns the number of live cells.  :func:`read_ivf_index` loads it
-    back for :func:`ivf_topk_trained`'s ``codebook`` fast path."""
+    """Persist a trained IVF index as a table sidecar —
+    ``<table>/_index/ivf/<emb_col>/{codebook,postings}`` — the
+    bloom-sidecar convention (underscore dir, invisible to base scans,
+    rebuilt on demand).  Returns the number of live cells.
+
+    The POSTING LISTS are the point of the sidecar (the FAISS / Delta
+    liquid-clustering design): the corpus is assigned once at build
+    time and RECLUSTERED by cell — ``postings/cell=<c>/`` hive
+    partitions holding ``(id, embedding, nsq)`` with the norm
+    precomputed — so a probe's candidate read is partition-pruned to
+    its probed cells' files only.  Without this, every search would
+    re-run the full-corpus assignment scan (the r10 shape): fine for
+    one batch search, wrong for point-query serving at 100 TB.
+
+    :func:`read_ivf_index` / :func:`read_ivf_postings` load the two
+    halves back; :func:`ivf_search_indexed` is the probe path."""
     df = spark.read.parquet(table_path)
     codebook = kmeans_centroids(
         df, num_cells, iters, sample_mod, id_col, emb_col
     )
-    dest = f"{table_path.rstrip('/')}/_index/ivf/{emb_col}"
-    codebook.coalesce(1).write.mode("overwrite").parquet(dest)
-    return spark.read.parquet(dest).select("cell").distinct().count()
+    root = _ivf_root(table_path, emb_col)
+    codebook.coalesce(1).write.mode("overwrite").parquet(f"{root}/codebook")
+    book = spark.read.parquet(f"{root}/codebook")
+    assign = assign_cells(_comp(df, id_col, emb_col), book, id_col)
+    postings = (
+        with_norm(df.select(id_col, emb_col), emb_col, exact=True)
+        .join(assign, id_col)
+        # one shuffle on cell: each output file holds exactly one cell,
+        # so probed-cell reads never touch a foreign cell's bytes
+        .repartition("cell")
+    )
+    postings.write.partitionBy("cell").mode("overwrite").parquet(
+        f"{root}/postings"
+    )
+    return book.select("cell").distinct().count()
 
 
 def read_ivf_index(spark, table_path: str, emb_col: str = "embedding"):
     """Load a codebook persisted by :func:`build_ivf_index` (None if the
     sidecar does not exist)."""
-    dest = f"{table_path.rstrip('/')}/_index/ivf/{emb_col}"
+    root = _ivf_root(table_path, emb_col)
+    for dest in (f"{root}/codebook", root):  # root = pre-r11 flat layout
+        try:
+            return spark.read.parquet(dest)
+        except Exception:
+            continue
+    return None
+
+
+def read_ivf_postings(spark, table_path: str, emb_col: str = "embedding"):
+    """Load the reclustered posting lists persisted by
+    :func:`build_ivf_index` (None if absent): one hive partition per
+    cell, ``cell`` read back as INT so probe filters prune partitions."""
     try:
-        return spark.read.parquet(dest)
+        df = spark.read.parquet(f"{_ivf_root(table_path, emb_col)}/postings")
+        return df.withColumn("cell", F.col("cell").cast("int"))
     except Exception:
         return None
+
+
+def ivf_search_indexed(
+    spark,
+    table_path: str,
+    n_queries: int = 10,
+    k: int = 5,
+    n_probes: int = 1,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exact: bool = True,
+) -> DataFrame:
+    """IVF probe over a PERSISTED index (:func:`build_ivf_index`):
+    assign the query vectors to their ``n_probes`` nearest cells
+    (codebook is cells x dim — broadcast), then score only against the
+    probed cells' posting lists.  Because the postings are hive-
+    partitioned by cell, the candidate read is PARTITION-PRUNED — the
+    scan provably touches only ``probed/num_cells`` of the corpus
+    bytes (asserted via inputFiles in tests/test_operators.py), where
+    the unindexed path re-scans and re-assigns the whole corpus per
+    search.  Results are identical to :func:`ivf_topk_trained` with
+    the same codebook and ``n_probes``.
+
+    The probed-cell set is collected to the driver and the candidate
+    read lists ONLY those cells' directories (the bloom "read only the
+    admitted files" pattern — stronger than a partition filter, which
+    still lists every partition at planning time).  Bounded by
+    ``n_queries * n_probes <= num_cells`` distinct values (metadata
+    scale).
+
+    Output: (query_id, neighbor_id, cos_sim, rn)."""
+    if n_probes < 1:
+        raise ValueError("n_probes must be >= 1")
+    codebook = read_ivf_index(spark, table_path, emb_col)
+    root = _ivf_root(table_path, emb_col)
+    if codebook is None or read_ivf_postings(spark, table_path, emb_col) is None:
+        raise ValueError(
+            f"no IVF index under {root} — run build_ivf_index first"
+        )
+    qbase = (
+        spark.read.parquet(table_path)
+        .select(id_col, emb_col)
+        .where(F.col(id_col) < n_queries)
+    )
+    q_cells = assign_cells(
+        _comp(qbase, id_col, emb_col), codebook, id_col, top_p=n_probes
+    )
+    probed = sorted(
+        r["cell"] for r in q_cells.select("cell").distinct().collect()
+    )
+    if not probed:  # no query vectors below the id bound
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rn long"
+        )
+    q = (
+        with_norm(qbase, emb_col, exact=exact)
+        .join(q_cells, id_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(emb_col).alias("q_emb"),
+            F.col("nsq").alias("q_nsq"),
+            F.col("cell").alias("q_list"),
+        )
+    )
+    cand = (
+        spark.read.option("basePath", f"{root}/postings")
+        .parquet(*[f"{root}/postings/cell={c}" for c in probed])
+        .withColumn("cell", F.col("cell").cast("int"))
+    )
+    pairs = (
+        cand.join(
+            F.broadcast(q),
+            (F.col("cell") == F.col("q_list"))
+            & (F.col(id_col) != F.col("query_id")),
+        )
+        .withColumn(
+            "dot", F.expr(dot_expr("q_emb", emb_col, duck=False, exact=exact))
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(F.col("dot") / (F.sqrt("q_nsq") * F.sqrt("nsq")), 6),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cos_sim", "rn")
+    )

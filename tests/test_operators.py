@@ -818,6 +818,74 @@ def test_trained_ivf_beats_label_centroids(spark, tmp_path):
     assert spark.read.parquet(tdir).columns == emb.columns
 
 
+def test_ivf_indexed_probe_prunes_to_probed_cells(spark, tmp_path):
+    """The persisted posting lists are the serving path (r11): probes
+    must (a) return exactly what the train-at-query-time search returns
+    and (b) READ only the probed cells' partitions — the whole point of
+    reclustering the corpus by cell."""
+    from pyspark.sql import functions as F
+
+    from sql_query_optimizer_cpp_spark.operators import similarity as S
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    tdir = str(tmp_path / "emb_ivf")
+    emb.write.parquet(tdir)
+    n_cells = S.build_ivf_index(spark, tdir, id_col="vec_id")
+    book = S.read_ivf_index(spark, tdir)
+    postings = S.read_ivf_postings(spark, tdir)
+    assert book is not None and postings is not None
+    # the posting lists ARE the corpus, reclustered: no row lost
+    assert postings.count() == emb.count()
+    assert postings.select("vec_id").distinct().count() == emb.count()
+    def posting_cells(df):
+        return {
+            int(seg.split("=")[1])
+            for f in df.inputFiles()
+            for seg in f.split("/")
+            if seg.startswith("cell=")
+        }
+
+    all_cells = posting_cells(postings)
+    assert len(all_cells) == n_cells
+    probed = sorted(
+        r["cell"]
+        for r in S.assign_cells(
+            S._comp(emb.where(F.col("vec_id") < 10), "vec_id", "embedding"),
+            book,
+            "vec_id",
+            top_p=1,
+        )
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    assert len(probed) < n_cells  # 10 queries land in < all cells here
+    for p in (1, 2):
+        want = sorted(
+            map(
+                tuple,
+                S.ivf_topk_trained(
+                    emb, n_queries=10, k=5, codebook=book, n_probes=p
+                ).collect(),
+            )
+        )
+        got_df = S.ivf_search_indexed(
+            spark, tdir, n_queries=10, k=5, n_probes=p
+        )
+        assert sorted(map(tuple, got_df.collect())) == want
+        # scan-pruning proof: the probe plan's posting-list leaf holds
+        # ONLY the probed cells' files — at nprobe=1 exactly the query
+        # assignments, strictly fewer than the full index either way
+        touched = posting_cells(got_df)
+        assert touched < all_cells
+        if p == 1:
+            assert touched == set(probed)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="build_ivf_index"):
+        S.ivf_search_indexed(spark, str(tmp_path / "absent"))
+
+
 def test_trained_ivf_multi_probe_recall_monotone(spark):
     """n_probes is the IVF recall-vs-cost knob: recall never drops as
     probes grow, and probing EVERY cell recovers the exact top-k."""
