@@ -146,12 +146,13 @@ class Engine:
         ``optimistic=True`` runs UPDATE/DELETE/MERGE through the
         multi-writer commit-or-retry verbs (flat and hive-partitioned;
         see operators.mutate's optimistic-concurrency protocol).
-        ``mor=True`` runs UPDATE/DELETE merge-on-read (deletion vectors,
-        operators/mor.py) — O(changed rows), no file rewrites; read the
-        table back via read_mor until materialize_deletes.  With
-        ``optimistic=True`` too, DELETE routes through the OCC
-        deletion-vector protocol (disjoint-file writers commit
-        first-attempt); MOR UPDATE/MERGE refuse the combination.
+        ``mor=True`` runs UPDATE/DELETE/MERGE merge-on-read (deletion
+        vectors, operators/mor.py) — O(changed rows), no file rewrites;
+        read the table back via read_mor until materialize_deletes.
+        With ``optimistic=True`` too, all three verbs route through the
+        OCC deletion-vector protocol (occ_dv_delete_where /
+        occ_dv_update_where / occ_dv_merge_into: disjoint-file writers
+        commit first-attempt).
 
         Deliberately takes explicit paths rather than the engine's
         fixture views: the fixtures are read-only test inputs, and a DML

@@ -1886,3 +1886,149 @@ def mutate_occ_dv_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="version int, n bigint, total double",
     )
     return out.unionByName(attempts).orderBy("version")
+
+
+_OCC_DV_UPSERT_ORACLE = (
+    """
+WITH base AS (SELECT c_custkey, c_acctbal FROM customer),
+b AS (SELECT (SELECT MIN(c_custkey) FROM base) AS lo,
+             (SELECT MAX(c_custkey) FROM base) AS hi),
+v2 AS (SELECT c_custkey, c_acctbal FROM base, b
+       WHERE NOT (c_custkey > hi - 3)),
+v3 AS (SELECT c_custkey,
+              CASE WHEN c_custkey < lo + 3 THEN c_acctbal + 1000
+                   ELSE c_acctbal END AS c_acctbal
+       FROM v2, b),
+v4 AS (SELECT c_custkey, c_acctbal FROM v3, b WHERE c_custkey <> lo),
+src AS (SELECT c_custkey, c_acctbal * 2 AS nb FROM base, b
+        WHERE c_custkey < lo + 10),
+v5 AS (SELECT v4.c_custkey, COALESCE(s.nb, v4.c_acctbal) AS c_acctbal
+       FROM v4 LEFT JOIN src s ON s.c_custkey = v4.c_custkey)
+SELECT CAST(1 AS INTEGER) AS version, CAST(COUNT(*) AS BIGINT) AS n, """
+    + dsum_sql("c_acctbal")
+    + """ AS total FROM base
+UNION ALL SELECT CAST(2 AS INTEGER), CAST(COUNT(*) AS BIGINT), """
+    + dsum_sql("c_acctbal")
+    + """ FROM v2
+UNION ALL SELECT CAST(3 AS INTEGER), CAST(COUNT(*) AS BIGINT), """
+    + dsum_sql("c_acctbal")
+    + """ FROM v3
+UNION ALL SELECT CAST(4 AS INTEGER), CAST(COUNT(*) AS BIGINT), """
+    + dsum_sql("c_acctbal")
+    + """ FROM v4
+UNION ALL SELECT CAST(5 AS INTEGER), CAST(COUNT(*) AS BIGINT), """
+    + dsum_sql("c_acctbal")
+    + """ FROM v5
+UNION ALL SELECT CAST(91 AS INTEGER), CAST(1 AS BIGINT), 0.0
+UNION ALL SELECT CAST(92 AS INTEGER), CAST(2 AS BIGINT), 0.0
+ORDER BY version
+"""
+)
+
+
+@register(
+    "mutate_occ_dv_upsert",
+    oracle=_OCC_DV_UPSERT_ORACLE,
+    doc="Optimistic deletion-vector UPDATE and MERGE graded end-to-end "
+    "(new r11, operators/mor.py occ_dv_update_where/occ_dv_merge_into — "
+    "the symmetrization of r10's delete-only OCC-DV protocol; no "
+    "reference analog).  On a version-enabled range-clustered customer "
+    "copy: an occ UPDATE (+1000 on the lowest keys, file 0) overlaps an "
+    "interleaved occ DELETE on the HIGHEST file (v2) and still commits "
+    "v3 FIRST-attempt (disjoint files; attempts row 91 = 1).  Then an "
+    "occ MERGE (source = 2x the original balances for the lowest ten "
+    "keys, insert leg disabled) overlaps an interleaved DELETE of the "
+    "lowest key in its OWN file (v4): the merge loses validation, "
+    "re-derives over the winner's tombstone — the vanished key is "
+    "neither updated nor resurrected — and commits v5 on attempt 2 "
+    "(attempts row 92 = 2).  Versions 1-5 are read back DV-aware and "
+    "aggregated; the oracle folds the history algebraically.  Equality "
+    "proves copies+tombstones move in atomically under the OCC lock, "
+    "the file-granular conflict rule spares disjoint writers, and "
+    "re-derivation keeps counts exact",
+    tags=("mutate",),
+)
+def mutate_occ_dv_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mor import (
+        occ_dv_delete_where,
+        occ_dv_merge_into,
+        occ_dv_update_where,
+    )
+    from ..operators.mutate import enable_versioning, read_version
+
+    t = load_tables(spark, sf_dir, ("customer",))
+    path = _mut_dir(sf_dir, "cust_occ_dv_upsert")
+    (
+        t["customer"]
+        .select("c_custkey", "c_acctbal")
+        .repartitionByRange(4, "c_custkey")
+        .sortWithinPartitions("c_custkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    lo, hi = spark.read.parquet(path).agg(
+        F.min("c_custkey"), F.max("c_custkey")
+    ).first()
+    enable_versioning(spark, path)                                  # v1
+
+    # phase 1 — disjoint files: the interleaved writer tombstones the
+    # HIGHEST keys (last file) committing v2 while the outer UPDATE
+    # (lowest keys, first file) sits between stage and commit; the
+    # update's validation sees churn only on a file it never touched
+    # and commits v3 (copies + tombstones) with NO retry
+    u_attempts: list[int] = []
+
+    def interleave_high(attempt: int) -> None:
+        u_attempts.append(attempt)
+        if attempt == 1:
+            occ_dv_delete_where(
+                spark, path, f"c_custkey > {hi} - 3"
+            )                                                       # v2
+    occ_dv_update_where(
+        spark, path, {"c_acctbal": "c_acctbal + 1000"},
+        f"c_custkey < {lo} + 3",
+        _after_stage=interleave_high,
+    )                                                               # v3
+
+    # phase 2 — same file: the interleaved writer tombstones the lowest
+    # key committing v4; the outer MERGE's tombstones reference that
+    # file, so it must lose validation, re-derive (the dead key drops
+    # out of the matched set and the disabled insert leg cannot
+    # resurrect it), and commit v5 on attempt 2
+    m_attempts: list[int] = []
+
+    def interleave_lo(attempt: int) -> None:
+        m_attempts.append(attempt)
+        if attempt == 1:
+            occ_dv_delete_where(
+                spark, path, f"c_custkey = {lo}"
+            )                                                       # v4
+    src = (
+        t["customer"]
+        .where(f"c_custkey < {lo} + 10")
+        .selectExpr("c_custkey", "c_acctbal * 2 AS nb")
+    )
+    occ_dv_merge_into(
+        spark, path, src, on=["c_custkey"],
+        matched_set={"c_acctbal": "src_nb"},
+        insert_condition="false",
+        _after_stage=interleave_lo,
+    )                                                               # v5
+
+    frames = [
+        read_version(spark, path, v)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dsum("c_acctbal").alias("total"),
+        )
+        .select(F.lit(v).cast("int").alias("version"), "n", "total")
+        for v in (1, 2, 3, 4, 5)
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    attempts = spark.createDataFrame(
+        [(91, len(u_attempts), 0.0), (92, len(m_attempts), 0.0)],
+        schema="version int, n bigint, total double",
+    )
+    return out.unionByName(attempts).orderBy("version")

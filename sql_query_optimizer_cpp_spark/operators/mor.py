@@ -298,6 +298,76 @@ def dv_delete_where(
         return n
 
 
+def _dv_snapshot_conflict(
+    spark: SparkSession,
+    fs,
+    jvm,
+    path: str,
+    touched: set[str],
+    dv0: set[str],
+) -> str | None:
+    """Inside the writer lock: validate an optimistic DV writer's
+    snapshot.  Conflict (returns the reason string) when a concurrent
+    commit retired/rewrote a file this writer's tombstones reference, or
+    added/removed a deletion-vector batch touching one of those files.
+    ``None`` = the snapshot still holds and the batch may move in."""
+    live_rel = {
+        _rel_to_table(path, f)
+        for f in list_data_files(spark, path, recursive=True)
+    }
+    gone = touched - live_rel
+    if gone:
+        return f"files retired/rewritten concurrently: {sorted(gone)[:3]}"
+    dv_now = set(list_dv_files(spark, path))
+    changed_batches = sorted(dv_now ^ dv0)
+    # a batch file REMOVED since the snapshot (materialize prune,
+    # restore) may be retired or deleted — its path no longer reads;
+    # any store churn we cannot inspect at its original path is a
+    # conflict (re-derive, don't guess)
+    missing_b = [
+        b
+        for b in changed_batches
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(b))
+    ]
+    if missing_b:
+        return "a concurrent commit replaced deletion-vector batches"
+    if changed_batches and touched:
+        overlap = (
+            spark.read.parquet(*changed_batches)
+            .where(F.col("src_file").isin(list(touched)))
+            .limit(1)
+            .count()
+        )
+        if overlap:
+            return (
+                "a concurrent commit changed tombstones on this "
+                "writer's files"
+            )
+    return None
+
+
+def _move_dv_parts(spark: SparkSession, fs, jvm, dv_root: str, staging: str) -> None:
+    """Move a staged tombstone batch's parts into the live ``_dv/``
+    store.  All-or-nothing: a rename failure mid-loop must not leave a
+    PARTIAL batch visible to read_mor while the verb reports failure —
+    retract the parts already moved in before re-raising (the retry
+    re-derives the whole batch from the table)."""
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(dv_root))
+    moved: list = []
+    for part in list_data_files(spark, staging):
+        src_p = jvm.org.apache.hadoop.fs.Path(part)
+        dest = jvm.org.apache.hadoop.fs.Path(dv_root, src_p.getName())
+        if not fs.rename(src_p, dest):
+            for d in moved:
+                with contextlib.suppress(Exception):
+                    fs.delete(d, False)
+            raise IOError(
+                f"occ dv commit: rename {part} -> {dest} failed "
+                "(batch retracted, nothing committed)"
+            )
+        moved.append(dest)
+
+
 def occ_dv_delete_where(
     spark: SparkSession,
     path: str,
@@ -411,69 +481,13 @@ def occ_dv_delete_where(
                 )
                 raise _Conflict() from None
             try:
-                live_rel = {
-                    _rel_to_table(path, f)
-                    for f in list_data_files(spark, path, recursive=True)
-                }
-                gone = touched - live_rel
-                if gone:
-                    last_conflict = (
-                        f"files retired/rewritten concurrently: "
-                        f"{sorted(gone)[:3]}"
-                    )
+                conflict = _dv_snapshot_conflict(
+                    spark, fs, jvm, path, touched, dv0
+                )
+                if conflict:
+                    last_conflict = conflict
                     raise _Conflict()
-                dv_now = set(list_dv_files(spark, path))
-                changed_batches = sorted(dv_now ^ dv0)
-                # a batch file REMOVED since the snapshot (materialize
-                # prune, restore) may be retired or deleted — its path no
-                # longer reads; any store churn we cannot inspect at its
-                # original path is a conflict (re-derive, don't guess)
-                missing_b = [
-                    b
-                    for b in changed_batches
-                    if not fs.exists(jvm.org.apache.hadoop.fs.Path(b))
-                ]
-                if missing_b:
-                    last_conflict = (
-                        "a concurrent commit replaced deletion-vector "
-                        "batches"
-                    )
-                    raise _Conflict()
-                if changed_batches:
-                    overlap = (
-                        spark.read.parquet(*changed_batches)
-                        .where(F.col("src_file").isin(list(touched)))
-                        .limit(1)
-                        .count()
-                    )
-                    if overlap:
-                        last_conflict = (
-                            "a concurrent commit changed tombstones on "
-                            "this writer's files"
-                        )
-                        raise _Conflict()
-                # validated: move the staged parts into the live store.
-                # All-or-nothing: a rename failure mid-loop must not
-                # leave a PARTIAL tombstone batch visible to read_mor
-                # while the verb reports failure — retract the parts
-                # already moved in before re-raising (the retry
-                # re-derives the whole batch from the table).
-                fs.mkdirs(jvm.org.apache.hadoop.fs.Path(dv_root))
-                moved: list = []
-                for part in list_data_files(spark, staging):
-                    src_p = jvm.org.apache.hadoop.fs.Path(part)
-                    dest = jvm.org.apache.hadoop.fs.Path(
-                        dv_root, src_p.getName()
-                    )
-                    if not fs.rename(src_p, dest):
-                        for d in moved:
-                            with contextlib.suppress(Exception):
-                                fs.delete(d, False)
-                        raise IOError(
-                            f"occ dv commit: rename {part} -> {dest} "
-                            "failed (batch retracted, nothing committed)"
-                        )
-                    moved.append(dest)
+                _move_dv_parts(spark, fs, jvm, dv_root, staging)
                 _cleanup(staging)
                 _commit(spark, path)
                 _mark_mutated(spark, path)
@@ -597,6 +611,317 @@ def dv_update_where(
         return n
 
 
+def occ_dv_update_where(
+    spark: SparkSession,
+    path: str,
+    set_map: dict[str, str | Column],
+    condition: str | Column,
+    max_attempts: int = 5,
+    lock_wait_seconds: float = 30.0,
+    _after_stage=None,
+) -> int:
+    """Optimistic merge-on-read ``UPDATE``: same semantics as
+    :func:`dv_update_where` (tombstone the originals, append the updated
+    copies — O(matched rows), zero file rewrites), but the matched-row
+    scan AND both staging writes run outside the writer lock; only the
+    metadata validate-and-move-in serializes.  The conflict unit is the
+    FILE a tombstone references (:func:`occ_dv_delete_where`'s rule):
+    writers updating disjoint files commit on their first attempt; a
+    concurrent commit that tombstoned, un-tombstoned, or retired one of
+    THIS writer's files re-derives and retries.
+
+    Protocol: READ (snapshot file+batch lists, matched = live rows under
+    the predicate) → STAGE (tombstone batch AND updated copies to
+    sibling staging dirs; CHECK constraints enforced on the staged
+    copies) → VALIDATE + COMMIT (short lock: :func:`_dv_snapshot_conflict`,
+    then copies move in FIRST, tombstones second — the COW-wide crash
+    ordering: duplicates, never loss — and the version commits).
+
+    ``_after_stage(attempt)`` is the test seam between stage and commit.
+    """
+    from .mutate import (
+        _WriterLockHeld,
+        _is_missing_file_error,
+        _move_in_partitioned,
+        _partition_cols,
+        _refuse_in_txn,
+    )
+
+    cond = _cond(condition)
+    if max_attempts < 1:
+        raise ValueError("max_attempts must be >= 1")
+    _refuse_in_txn(path, "optimistic DML")
+    jvm, fs, jpath = _fs(spark, path)
+    root = path.rstrip("/")
+    dv_root = _dv_path(path)
+    last_conflict = ""
+
+    def _cleanup(*dirs: str | None) -> None:
+        for d in dirs:
+            if d:
+                with contextlib.suppress(Exception):
+                    fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+
+    for attempt in range(1, max_attempts + 1):
+        partitioned = is_partitioned(spark, path)
+        files0 = sorted(list_data_files(spark, path, recursive=True))
+        if not files0 or _no_match(spark, path, cond):
+            return 0
+        dv0 = set(list_dv_files(spark, path))
+        sub = _with_identity(
+            spark, path, files0, path if partitioned else None
+        )
+        data_cols = [
+            c for c in sub.columns if c not in ("__src_file", "__row_idx")
+        ]
+        unknown = set(set_map) - set(data_cols)
+        if unknown:
+            raise ValueError(
+                f"UPDATE SET on unknown columns: {sorted(unknown)}"
+            )
+        part_cols: list[str] = []
+        if partitioned:
+            part_cols = _partition_cols(spark, path, files0[0])
+            part_here = [c for c in set_map if c in part_cols]
+            if part_here:
+                raise ValueError(
+                    f"UPDATE SET on partition columns: {sorted(part_here)}; "
+                    "changing a row's partition is a delete + insert"
+                )
+        dv0_entries = (
+            spark.read.parquet(*sorted(dv0)).select("src_file", "row_idx")
+            if dv0
+            else None
+        )
+        matched = _live(sub.where(cond), dv0_entries)
+        updated = matched.select(
+            *[
+                _cond(set_map[c]).cast(sub.schema[c].dataType).alias(c)
+                if c in set_map
+                else F.col(c)
+                for c in data_cols
+            ]
+        )
+        dv_staging = f"{root}__cow_dv_{uuid.uuid4().hex}"
+        copy_staging: str | None = None
+        created: list[str] = []
+        try:
+            # READ + STAGE run lock-free: a concurrent commit can retire
+            # a files0 member mid-job — a missing-file error is a
+            # CONFLICT (retry against the new state), not an error
+            try:
+                matched.select(
+                    F.col("__src_file").cast("string").alias("src_file"),
+                    F.col("__row_idx").cast("long").alias("row_idx"),
+                ).write.parquet(dv_staging)
+                n = spark.read.parquet(dv_staging).count()  # footers only
+                if n == 0:
+                    _cleanup(dv_staging)
+                    return 0
+                touched = {
+                    r["src_file"]
+                    for r in spark.read.parquet(dv_staging)
+                    .select("src_file")
+                    .distinct()
+                    .collect()
+                }
+                if partitioned:
+                    copy_staging = f"{root}__cow_{uuid.uuid4().hex}"
+                    created.append(copy_staging)
+                    updated.write.partitionBy(*part_cols).mode(
+                        "overwrite"
+                    ).parquet(copy_staging)
+                else:
+                    copy_staging = _stage(spark, path, updated, created)
+                if table_constraints(spark, path):
+                    _enforce_constraints(spark, path, [copy_staging])
+            except Exception as e:
+                if not _is_missing_file_error(e) or not fs.exists(jpath):
+                    raise
+                last_conflict = "input file vanished during stage"
+                spark.catalog.clearCache()
+                raise _Conflict() from None
+            if _after_stage is not None:
+                _after_stage(attempt)
+            try:
+                lock = _writer_lock(spark, path, lock_wait_seconds)
+                lock.__enter__()
+            except _WriterLockHeld:
+                last_conflict = (
+                    f"<writer lock held past the {lock_wait_seconds:g}s "
+                    "wait>"
+                )
+                raise _Conflict() from None
+            try:
+                conflict = _dv_snapshot_conflict(
+                    spark, fs, jvm, path, touched, dv0
+                )
+                if conflict:
+                    last_conflict = conflict
+                    raise _Conflict()
+                # copies land before the tombstones that hide the old
+                # (a crash between the two duplicates, never loses)
+                if partitioned:
+                    _move_in_partitioned(spark, path, copy_staging, part_cols)
+                else:
+                    _move_in(spark, path, copy_staging)
+                _move_dv_parts(spark, fs, jvm, dv_root, dv_staging)
+                _cleanup(dv_staging)
+                _commit(spark, path)
+                _mark_mutated(spark, path)
+                spark.catalog.clearCache()
+                return n
+            finally:
+                lock.__exit__(None, None, None)
+        except _Conflict:
+            _cleanup(dv_staging, copy_staging)
+            continue
+        except BaseException:
+            _cleanup(dv_staging, copy_staging)
+            raise
+    raise RuntimeError(
+        f"occ_dv_update_where on {path} lost the commit race "
+        f"{max_attempts} times (last conflict: {last_conflict}); raise "
+        "max_attempts or reduce writer contention"
+    )
+
+
+def _merge_col_checks(
+    data_cols: list[str],
+    part_cols: list[str],
+    matched_set: dict | None,
+    insert_values: dict | None,
+) -> None:
+    """Shared clause-column validation for the DV merges."""
+    if matched_set:
+        unknown = set(matched_set) - set(data_cols)
+        if unknown:
+            raise ValueError(
+                f"MERGE matched_set on unknown columns: {sorted(unknown)}"
+            )
+        part_hit = [c for c in matched_set if c in part_cols]
+        if part_hit:
+            raise ValueError(
+                f"MERGE matched_set on partition columns: "
+                f"{sorted(part_hit)}; changing a row's partition is a "
+                "delete + insert"
+            )
+    if insert_values:
+        unknown = set(insert_values) - set(data_cols)
+        if unknown:
+            raise ValueError(
+                f"MERGE insert_values on unknown columns: "
+                f"{sorted(unknown)}"
+            )
+
+
+def _merge_frames(
+    sub: DataFrame,
+    live: DataFrame,
+    src: DataFrame,
+    on: list[str],
+    data_cols: list[str],
+    matched_set: dict | None,
+    matched_delete,
+    insert_values: dict | None,
+    insert_condition,
+    skip_unchanged: bool,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared leg derivation for the DV merges: returns
+    ``(updated_copies, tombstone_entries, insert_rows)`` against the
+    caller's ``live`` snapshot.  Clause semantics documented on
+    :func:`dv_merge_into` (delete-before-update, three-valued WHERE,
+    ``src_<name>`` scope, insert defaults, ``skip_unchanged``)."""
+    joined = live.join(src, on=on, how="inner")
+    # delete-before-update, the COW merge's documented clause order;
+    # three-valued WHERE: NULL keeps the row on the update path
+    if matched_delete is not None:
+        dcond = _cond(matched_delete)
+        dead_j = joined.where(dcond)
+        upd_j = joined.where(
+            ~F.coalesce(dcond.cast("boolean"), F.lit(False))
+        )
+    else:
+        dead_j = joined.limit(0)
+        upd_j = joined
+    if matched_set is None:
+        upd_j = joined.limit(0)
+    elif skip_unchanged:
+        # a row is worth rewriting only if SOME assignment changes it
+        # (null-safe compare, post-cast, so type coercion can't fake
+        # a diff); everything else stays untouched — not tombstoned,
+        # not copied, not a version
+        changed = F.lit(False)
+        for c in matched_set:
+            changed = changed | ~_cond(matched_set[c]).cast(
+                sub.schema[c].dataType
+            ).eqNullSafe(F.col(c))
+        upd_j = upd_j.where(changed)
+    updated = upd_j.select(
+        *[
+            _cond(matched_set[c]).cast(sub.schema[c].dataType).alias(c)
+            if matched_set and c in matched_set
+            else F.col(c)
+            for c in data_cols
+        ]
+    )
+    # inserts: source keys with no live target partner
+    unmatched = src.join(
+        live.select(*on).distinct(), on=on, how="left_anti"
+    )
+    if insert_condition is not None:
+        unmatched = unmatched.where(_cond(insert_condition))
+    iv = insert_values or {}
+    ins_cols = []
+    for c in data_cols:
+        dt = sub.schema[c].dataType
+        if c in iv:
+            e = _cond(iv[c])
+        elif c in on:
+            e = F.col(c)
+        elif f"src_{c}" in unmatched.columns:
+            e = F.col(f"src_{c}")
+        else:
+            e = F.lit(None)
+        ins_cols.append(e.cast(dt).alias(c))
+    ins_df = unmatched.select(*ins_cols)
+    tombstones = dead_j.select("__src_file", "__row_idx").unionByName(
+        upd_j.select("__src_file", "__row_idx")
+    )
+    return updated, tombstones, ins_df
+
+
+def _merge_src(source: DataFrame, on: list[str]) -> DataFrame:
+    """Source-column scoping shared by the DV merges: join keys keep
+    their names, everything else becomes ``src_<name>`` (expression
+    scope for clause conditions/assignments — never written; schema
+    evolution stays a COW-path feature)."""
+    return source.select(
+        *[
+            F.col(c).alias(c if c in on else f"src_{c}")
+            for c in source.columns
+        ]
+    )
+
+
+def _merge_check_source(
+    source: DataFrame, on: list[str], check_unique: bool
+) -> None:
+    for k in on:
+        if k not in source.columns:
+            raise ValueError(f"merge key {k!r} missing from source")
+    if not check_unique:
+        return
+    dup = source.groupBy(*on).count().where(F.col("count") > 1).limit(1)
+    if dup.count():
+        raise ValueError(
+            "MERGE source has duplicate join keys; each target row "
+            "must match at most one source row (pass "
+            "check_unique=False only if uniqueness is guaranteed "
+            "upstream)"
+        )
+
+
 def dv_merge_into(
     spark: SparkSession,
     path: str,
@@ -635,20 +960,7 @@ def dv_merge_into(
     commits no version — no write amplification from at-least-once
     delivery.  Off by default because a no-op update IS a row rewrite
     under plain MERGE semantics (the copy gets a fresh row identity)."""
-    for k in on:
-        if k not in source.columns:
-            raise ValueError(f"merge key {k!r} missing from source")
-    if check_unique:
-        dup = (
-            source.groupBy(*on).count().where(F.col("count") > 1).limit(1)
-        )
-        if dup.count():
-            raise ValueError(
-                "MERGE source has duplicate join keys; each target row "
-                "must match at most one source row (pass "
-                "check_unique=False only if uniqueness is guaranteed "
-                "upstream)"
-            )
+    _merge_check_source(source, on, check_unique)
     with _writer_lock(spark, path, lock_wait_seconds):
         partitioned = is_partitioned(spark, path)
         files = list_data_files(spark, path, recursive=True)
@@ -669,86 +981,21 @@ def dv_merge_into(
             from .mutate import _partition_cols
 
             part_cols = _partition_cols(spark, path, files[0])
-        if matched_set:
-            unknown = set(matched_set) - set(data_cols)
-            if unknown:
-                raise ValueError(
-                    f"MERGE matched_set on unknown columns: {sorted(unknown)}"
-                )
-            part_hit = [c for c in matched_set if c in part_cols]
-            if part_hit:
-                raise ValueError(
-                    f"MERGE matched_set on partition columns: "
-                    f"{sorted(part_hit)}; changing a row's partition is a "
-                    "delete + insert"
-                )
-        if insert_values:
-            unknown = set(insert_values) - set(data_cols)
-            if unknown:
-                raise ValueError(
-                    f"MERGE insert_values on unknown columns: "
-                    f"{sorted(unknown)}"
-                )
+        _merge_col_checks(data_cols, part_cols, matched_set, insert_values)
         live = _live(sub, _read_dv(spark, path))
-        src = source.select(
-            *[
-                F.col(c).alias(c if c in on else f"src_{c}")
-                for c in source.columns
-            ]
+        src = _merge_src(source, on)
+        updated, tombstones, ins_df = _merge_frames(
+            sub,
+            live,
+            src,
+            on,
+            data_cols,
+            matched_set,
+            matched_delete,
+            insert_values,
+            insert_condition,
+            skip_unchanged,
         )
-        joined = live.join(src, on=on, how="inner")
-        # delete-before-update, the COW merge's documented clause order;
-        # three-valued WHERE: NULL keeps the row on the update path
-        if matched_delete is not None:
-            dcond = _cond(matched_delete)
-            dead_j = joined.where(dcond)
-            upd_j = joined.where(
-                ~F.coalesce(dcond.cast("boolean"), F.lit(False))
-            )
-        else:
-            dead_j = joined.limit(0)
-            upd_j = joined
-        if matched_set is None:
-            upd_j = joined.limit(0)
-        elif skip_unchanged:
-            # a row is worth rewriting only if SOME assignment changes it
-            # (null-safe compare, post-cast, so type coercion can't fake
-            # a diff); everything else stays untouched — not tombstoned,
-            # not copied, not a version
-            changed = F.lit(False)
-            for c in matched_set:
-                changed = changed | ~_cond(matched_set[c]).cast(
-                    sub.schema[c].dataType
-                ).eqNullSafe(F.col(c))
-            upd_j = upd_j.where(changed)
-        updated = upd_j.select(
-            *[
-                _cond(matched_set[c]).cast(sub.schema[c].dataType).alias(c)
-                if matched_set and c in matched_set
-                else F.col(c)
-                for c in data_cols
-            ]
-        )
-        # inserts: source keys with no live target partner
-        unmatched = src.join(
-            live.select(*on).distinct(), on=on, how="left_anti"
-        )
-        if insert_condition is not None:
-            unmatched = unmatched.where(_cond(insert_condition))
-        iv = insert_values or {}
-        ins_cols = []
-        for c in data_cols:
-            dt = sub.schema[c].dataType
-            if c in iv:
-                e = _cond(iv[c])
-            elif c in on:
-                e = F.col(c)
-            elif f"src_{c}" in unmatched.columns:
-                e = F.col(f"src_{c}")
-            else:
-                e = F.lit(None)
-            ins_cols.append(e.cast(dt).alias(c))
-        ins_df = unmatched.select(*ins_cols)
 
         def _stage_rows(df: DataFrame, created: list[str]) -> str:
             if partitioned:
@@ -794,13 +1041,7 @@ def dv_merge_into(
                     fs.delete(jvm.org.apache.hadoop.fs.Path(s), True)
             raise
         # copies + inserts are live; now hide the matched originals
-        n_dead = _append_dv(
-            spark,
-            path,
-            dead_j.select("__src_file", "__row_idx").unionByName(
-                upd_j.select("__src_file", "__row_idx")
-            ),
-        )
+        n_dead = _append_dv(spark, path, tombstones)
         if n_dead or n_ins:
             _commit(spark, path)
             _mark_mutated(spark, path)
@@ -808,6 +1049,207 @@ def dv_merge_into(
         # files_rewritten = 0 is the point: matched rows tombstone +
         # re-append, nothing rewrites
         return MutationStats(len(files), 0, n_dead, n_ins)
+
+
+def occ_dv_merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: list[str],
+    matched_set: dict[str, str | Column] | None = None,
+    insert_values: dict[str, str | Column] | None = None,
+    check_unique: bool = True,
+    matched_delete: str | Column | None = None,
+    insert_condition: str | Column | None = None,
+    skip_unchanged: bool = False,
+    max_attempts: int = 5,
+    lock_wait_seconds: float = 30.0,
+    _after_stage=None,
+) -> MutationStats:
+    """Optimistic merge-on-read ``MERGE INTO``: :func:`dv_merge_into`'s
+    semantics (clause order, ``src_<name>`` scope, insert defaults,
+    ``skip_unchanged``, O(matched + inserted rows), zero file rewrites)
+    with the join, both staging writes, and the insert staging all
+    OUTSIDE the writer lock — only the metadata validate-and-move-in
+    serializes.  The conflict unit is the FILE a tombstone references
+    (:func:`occ_dv_delete_where`'s rule): merges touching disjoint
+    files commit on their first attempt.
+
+    Isolation is WRITE-SERIALIZABLE, matching
+    :func:`~.mutate.occ_merge_into`'s production default: a concurrent
+    commit that tombstoned/retired one of THIS writer's matched files
+    re-derives and retries, but a concurrent INSERT of the same key is
+    not a conflict (this merge serializes before it) — the Delta
+    WriteSerializable anomaly, documented there too.  A pure-insert
+    merge (no matched rows) therefore commits first-attempt under any
+    non-overlapping churn.
+
+    ``_after_stage(attempt)`` is the test seam between stage and commit.
+    """
+    from .mutate import (
+        _WriterLockHeld,
+        _is_missing_file_error,
+        _move_in_partitioned,
+        _partition_cols,
+        _refuse_in_txn,
+    )
+
+    if max_attempts < 1:
+        raise ValueError("max_attempts must be >= 1")
+    _refuse_in_txn(path, "optimistic DML")
+    _merge_check_source(source, on, check_unique)
+    jvm, fs, jpath = _fs(spark, path)
+    root = path.rstrip("/")
+    dv_root = _dv_path(path)
+    last_conflict = ""
+
+    def _cleanup(*dirs: str | None) -> None:
+        for d in dirs:
+            if d:
+                with contextlib.suppress(Exception):
+                    fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+
+    for attempt in range(1, max_attempts + 1):
+        partitioned = is_partitioned(spark, path)
+        files0 = sorted(list_data_files(spark, path, recursive=True))
+        if not files0:
+            raise ValueError(f"no parquet files under {path}")
+        dv0 = set(list_dv_files(spark, path))
+        sub = _with_identity(
+            spark, path, files0, path if partitioned else None
+        )
+        data_cols = [
+            c for c in sub.columns if c not in ("__src_file", "__row_idx")
+        ]
+        part_cols: list[str] = []
+        if partitioned:
+            part_cols = _partition_cols(spark, path, files0[0])
+        _merge_col_checks(data_cols, part_cols, matched_set, insert_values)
+        dv0_entries = (
+            spark.read.parquet(*sorted(dv0)).select("src_file", "row_idx")
+            if dv0
+            else None
+        )
+        live = _live(sub, dv0_entries)
+        src = _merge_src(source, on)
+        updated, tombstones, ins_df = _merge_frames(
+            sub,
+            live,
+            src,
+            on,
+            data_cols,
+            matched_set,
+            matched_delete,
+            insert_values,
+            insert_condition,
+            skip_unchanged,
+        )
+
+        def _stage_rows_df(df: DataFrame, created: list[str]) -> str:
+            if partitioned:
+                staging = f"{root}__cow_{uuid.uuid4().hex}"
+                created.append(staging)
+                df.write.partitionBy(*part_cols).mode("overwrite").parquet(
+                    staging
+                )
+                return staging
+            return _stage(spark, path, df, created)
+
+        dv_staging = f"{root}__cow_dv_{uuid.uuid4().hex}"
+        created: list[str] = []
+        try:
+            # READ + STAGE run lock-free: a concurrent commit can retire
+            # a files0 member mid-job — a missing-file error is a
+            # CONFLICT (retry against the new state), not an error
+            try:
+                tombstones.select(
+                    F.col("__src_file").cast("string").alias("src_file"),
+                    F.col("__row_idx").cast("long").alias("row_idx"),
+                ).write.parquet(dv_staging)
+                n_dead = spark.read.parquet(dv_staging).count()  # footers
+                touched = (
+                    {
+                        r["src_file"]
+                        for r in spark.read.parquet(dv_staging)
+                        .select("src_file")
+                        .distinct()
+                        .collect()
+                    }
+                    if n_dead
+                    else set()
+                )
+                upd_staging = _stage_rows_df(updated, created)
+                ins_staging = _stage_rows_df(ins_df, created)
+                if table_constraints(spark, path):
+                    _enforce_constraints(
+                        spark, path, [upd_staging, ins_staging]
+                    )
+                n_upd = _staged_rows(spark, upd_staging)
+                n_ins = _staged_rows(spark, ins_staging)
+            except Exception as e:
+                if not _is_missing_file_error(e) or not fs.exists(jpath):
+                    raise
+                last_conflict = "input file vanished during stage"
+                spark.catalog.clearCache()
+                raise _Conflict() from None
+            if n_dead == 0 and n_ins == 0:
+                # nothing matched, nothing inserts: no-op statement —
+                # commit no version, leave no debris
+                _cleanup(dv_staging, *created)
+                return MutationStats(len(files0), 0, 0, 0)
+            if _after_stage is not None:
+                _after_stage(attempt)
+            try:
+                lock = _writer_lock(spark, path, lock_wait_seconds)
+                lock.__enter__()
+            except _WriterLockHeld:
+                last_conflict = (
+                    f"<writer lock held past the {lock_wait_seconds:g}s "
+                    "wait>"
+                )
+                raise _Conflict() from None
+            try:
+                conflict = _dv_snapshot_conflict(
+                    spark, fs, jvm, path, touched, dv0
+                )
+                if conflict:
+                    last_conflict = conflict
+                    raise _Conflict()
+                # copies + inserts land before the tombstones that hide
+                # the old (a crash between duplicates, never loses)
+                mover = _move_in
+                if partitioned:
+                    mover = lambda s, p, st: _move_in_partitioned(  # noqa: E731
+                        s, p, st, part_cols
+                    )
+                if n_upd:
+                    mover(spark, path, upd_staging)
+                else:
+                    _cleanup(upd_staging)
+                if n_ins:
+                    mover(spark, path, ins_staging)
+                else:
+                    _cleanup(ins_staging)
+                if n_dead:
+                    _move_dv_parts(spark, fs, jvm, dv_root, dv_staging)
+                _cleanup(dv_staging)
+                _commit(spark, path)
+                _mark_mutated(spark, path)
+                spark.catalog.clearCache()
+                return MutationStats(len(files0), 0, n_dead, n_ins)
+            finally:
+                lock.__exit__(None, None, None)
+        except _Conflict:
+            _cleanup(dv_staging, *created)
+            continue
+        except BaseException:
+            _cleanup(dv_staging, *created)
+            raise
+    raise RuntimeError(
+        f"occ_dv_merge_into on {path} lost the commit race "
+        f"{max_attempts} times (last conflict: {last_conflict}); raise "
+        "max_attempts or reduce writer contention"
+    )
 
 
 def _staged_rows(spark: SparkSession, staging: str) -> int:

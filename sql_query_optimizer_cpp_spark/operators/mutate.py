@@ -2262,11 +2262,11 @@ def execute_dml(
     ``mor=True`` routes UPDATE/DELETE/MERGE through the merge-on-read
     deletion-vector verbs (operators/mor.py): O(changed rows) sidecar +
     append writes, zero file rewrites, read back via ``read_mor``.
-    ``mor=True, optimistic=True`` composes for DELETE only — the OCC
-    deletion-vector protocol (``occ_dv_delete_where``: tombstone batches
-    stage outside the lock, file-scoped validate-and-move-in); MOR
-    UPDATE/MERGE still commit under the plain writer lock and refuse the
-    combination.
+    ``mor=True, optimistic=True`` composes for ALL THREE verbs (r11) —
+    the OCC deletion-vector protocol (``occ_dv_delete_where`` /
+    ``occ_dv_update_where`` / ``occ_dv_merge_into``: scans and staging
+    writes outside the lock, file-scoped validate-and-move-in; writers
+    touching disjoint files commit first-attempt).
 
     ``tables`` maps table names to parquet directory paths (the catalog
     the reference gets from its live MySQL connection).  The MERGE
@@ -2287,13 +2287,6 @@ def execute_dml(
     list defaults unlisted target columns to the same-named source
     column (else NULL), the common upsert.
     """
-    if mor and optimistic and not _DELETE_RE.match(text):
-        raise ValueError(
-            "mor + optimistic is supported only for DELETE "
-            "(occ_dv_delete_where stages tombstone batches outside the "
-            "lock); merge-on-read UPDATE/MERGE commit under the plain "
-            "writer lock"
-        )
     m = _MERGE_RE.match(text)
     if m:
         t_name, t_alias, s_name, s_alias, on_text, clauses = m.groups()
@@ -2410,9 +2403,10 @@ def execute_dml(
 
         source = read_mor(spark, tables[s_name])
         if mor:
-            from .mor import dv_merge_into
+            from .mor import dv_merge_into, occ_dv_merge_into
 
-            return dv_merge_into(
+            mor_merge = occ_dv_merge_into if optimistic else dv_merge_into
+            return mor_merge(
                 spark,
                 tables[t_name],
                 source,
@@ -2451,9 +2445,10 @@ def execute_dml(
         if not where.strip():
             raise ValueError("UPDATE has WHERE with no condition")
         if mor:
-            from .mor import dv_update_where
+            from .mor import dv_update_where, occ_dv_update_where
 
-            n = dv_update_where(
+            mor_update = occ_dv_update_where if optimistic else dv_update_where
+            n = mor_update(
                 spark, tables[name], _split_assignments(set_text), where
             )
             return MutationStats(

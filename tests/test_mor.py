@@ -316,18 +316,18 @@ def test_execute_dml_mor_routing(spark, tmp_path):
     out = read_mor(spark, path)
     assert out.count() == 90
     assert out.where("v >= 50").count() == 5
-    # r10: mor+optimistic composes for DELETE (occ_dv protocol) and
-    # refuses for the other verbs
+    # r11: mor+optimistic composes for ALL verbs (occ_dv protocol)
     st = execute_dml(
         spark, "DELETE FROM t WHERE k = 1", tables,
         mor=True, optimistic=True,
     )
     assert st.rows_matched == 1 and st.files_rewritten == 0
-    with pytest.raises(ValueError, match="only for DELETE"):
-        execute_dml(
-            spark, "UPDATE t SET v = 0.0 WHERE k = 2", tables,
-            mor=True, optimistic=True,
-        )
+    st = execute_dml(
+        spark, "UPDATE t SET v = v + 1000 WHERE k = 2", tables,
+        mor=True, optimistic=True,
+    )
+    assert st.rows_matched == 1 and st.files_rewritten == 0
+    assert read_mor(spark, path).where("v >= 1000").count() == 1
     # MERGE routes to dv_merge_into under mor=True (r9); a self-merge
     # zeroing v touches every live row without rewriting any file
     st = execute_dml(
@@ -923,6 +923,231 @@ def test_occ_dv_delete_replaced_batches_conflict_and_repair_prefix(
     assert not rep2.staging_dirs
 
 
+def test_occ_dv_update_semantics_match_plain(spark, tmp_path):
+    """occ_dv_update_where is dv_update_where with a different commit
+    protocol: identical final state, count, and version commit on an
+    uncontended table (flat AND hive-partitioned)."""
+    from sql_query_optimizer_cpp_spark.operators.mor import (
+        dv_update_where,
+        occ_dv_update_where,
+    )
+
+    path_a = _flat(spark, tmp_path / "a")
+    path_b = _flat(spark, tmp_path / "b")
+    m.enable_versioning(spark, path_b)
+    n_plain = dv_update_where(spark, path_a, {"v": "v * 10"}, "k < 7")
+    n_occ = occ_dv_update_where(spark, path_b, {"v": "v * 10"}, "k < 7")
+    assert n_plain == n_occ == 7
+    rows_a = sorted(map(tuple, read_mor(spark, path_a).collect()))
+    rows_b = sorted(map(tuple, read_mor(spark, path_b).collect()))
+    assert rows_a == rows_b
+    assert m.table_versions(spark, path_b) == [1, 2]  # one commit
+    # no-match: nothing staged, nothing committed, zero returned
+    assert occ_dv_update_where(spark, path_b, {"v": "0.0"}, "k < 0") == 0
+    assert m.table_versions(spark, path_b) == [1, 2]
+    # already-tombstoned rows never re-match (count exactness)
+    dv_delete_where(spark, path_b, "k = 8")
+    assert occ_dv_update_where(spark, path_b, {"v": "0.0"}, "k = 8") == 0
+    # partitioned: copies route to their key=value dirs; partition
+    # assignment refused (the COW rule)
+    ppath = str(tmp_path / "p")
+    (
+        spark.range(40)
+        .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v",
+                    "CAST(id % 4 AS INT) AS part")
+        .write.partitionBy("part")
+        .parquet(ppath)
+    )
+    assert occ_dv_update_where(spark, ppath, {"v": "v + 0.5"}, "k < 8") == 8
+    out = read_mor(spark, ppath)
+    assert out.count() == 40 and out.where("v = 3.5").count() == 1
+    with pytest.raises(ValueError, match="partition columns"):
+        occ_dv_update_where(spark, ppath, {"part": "0"}, "k = 1")
+
+
+def test_occ_dv_update_disjoint_files_first_attempt(spark, tmp_path):
+    """Two concurrent OCC DV updates on DISJOINT files both commit
+    without a retry — the file-granular conflict rule carries over from
+    the delete verb."""
+    from sql_query_optimizer_cpp_spark.operators.mor import (
+        occ_dv_update_where,
+    )
+
+    path = _flat(spark, tmp_path)  # 4 files range-clustered on k
+    attempts: dict[str, list[int]] = {"a": [], "b": []}
+    results: dict[str, int] = {}
+    errs: list[Exception] = []
+    import threading
+
+    barrier = threading.Barrier(2, timeout=60)
+
+    def writer(name: str, cond: str, val: str):
+        def after_stage(attempt):
+            attempts[name].append(attempt)
+            if attempt == 1:
+                barrier.wait()  # both staged before either commits
+
+        try:
+            results[name] = occ_dv_update_where(
+                spark, path, {"v": val}, cond, _after_stage=after_stage
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    t1 = threading.Thread(target=writer, args=("a", "k < 10", "-1.0"))
+    t2 = threading.Thread(target=writer, args=("b", "k >= 90", "-2.0"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    assert results == {"a": 10, "b": 10}
+    assert attempts["a"] == [1] and attempts["b"] == [1]  # no retries
+    out = read_mor(spark, path)
+    assert out.count() == 100
+    assert out.where("v = -1.0").count() == 10
+    assert out.where("v = -2.0").count() == 10
+
+
+def test_occ_dv_update_same_file_conflict_rederives(spark, tmp_path):
+    """Overlapping update-vs-delete writers: the loser re-derives against
+    the winner's tombstones, so only still-live rows update and the
+    count stays exact."""
+    from sql_query_optimizer_cpp_spark.operators.mor import (
+        occ_dv_delete_where,
+        occ_dv_update_where,
+    )
+
+    path = _flat(spark, tmp_path)
+    import threading
+
+    started = threading.Event()
+    done = threading.Event()
+    results: dict[str, int] = {}
+    attempts_b: list[int] = []
+
+    def winner():
+        results["a"] = occ_dv_delete_where(spark, path, "k < 10")
+        done.set()
+
+    def after_stage_b(attempt):
+        attempts_b.append(attempt)
+        if attempt == 1:
+            started.set()
+            assert done.wait(60)  # winner's delete commits first
+
+    def loser():
+        results["b"] = occ_dv_update_where(
+            spark, path, {"v": "-9.0"}, "k < 15",
+            _after_stage=after_stage_b,
+        )
+
+    tb = threading.Thread(target=loser)
+    tb.start()
+    assert started.wait(60)
+    ta = threading.Thread(target=winner)
+    ta.start(); ta.join(); tb.join()
+    assert results["a"] == 10
+    assert results["b"] == 5          # re-derived: only k in [10, 15)
+    assert attempts_b == [1, 2]       # exactly one retry
+    out = read_mor(spark, path)
+    assert out.count() == 90
+    assert out.where("v = -9.0").count() == 5
+
+
+def test_occ_dv_merge_matches_plain(spark, tmp_path):
+    """occ_dv_merge_into is dv_merge_into with a different commit
+    protocol: identical state, stats, and zero file rewrites."""
+    from sql_query_optimizer_cpp_spark.operators.mor import (
+        dv_merge_into,
+        occ_dv_merge_into,
+    )
+
+    src = spark.range(95, 105).selectExpr(
+        "id AS k", "CAST(-3.0 AS DOUBLE) AS v",
+        "CAST(id % 3 AS BIGINT) AS grp",
+    )
+    path_a = _flat(spark, tmp_path / "a")
+    path_b = _flat(spark, tmp_path / "b")
+    st_a = dv_merge_into(
+        spark, path_a, src, on=["k"], matched_set={"v": "src_v"}
+    )
+    st_b = occ_dv_merge_into(
+        spark, path_b, src, on=["k"], matched_set={"v": "src_v"}
+    )
+    assert (st_a.rows_matched, st_a.rows_inserted) == (5, 5)
+    assert (st_b.rows_matched, st_b.rows_inserted) == (5, 5)
+    assert st_b.files_rewritten == 0
+    rows_a = sorted(map(tuple, read_mor(spark, path_a).collect()))
+    rows_b = sorted(map(tuple, read_mor(spark, path_b).collect()))
+    assert rows_a == rows_b
+    # duplicate-key source still refused up front
+    dup = src.union(src)
+    with pytest.raises(ValueError, match="duplicate join keys"):
+        occ_dv_merge_into(spark, path_b, dup, on=["k"])
+
+
+def test_occ_dv_merge_insert_only_ignores_foreign_churn(spark, tmp_path):
+    """A pure-insert merge references no target file, so ANY concurrent
+    DV churn is non-conflicting: first-attempt commit (the
+    write-serializable contract)."""
+    from sql_query_optimizer_cpp_spark.operators.mor import (
+        occ_dv_merge_into,
+    )
+
+    path = _flat(spark, tmp_path)
+    attempts: list[int] = []
+
+    def after_stage(attempt):
+        attempts.append(attempt)
+        if attempt == 1:
+            # a concurrent delete lands between stage and commit
+            dv_delete_where(spark, path, "k >= 90")
+
+    src = spark.range(200, 205).selectExpr(
+        "id AS k", "CAST(1.5 AS DOUBLE) AS v",
+        "CAST(id % 3 AS BIGINT) AS grp",
+    )
+    st = occ_dv_merge_into(
+        spark, path, src, on=["k"], matched_set={"v": "src_v"},
+        _after_stage=after_stage,
+    )
+    assert attempts == [1]  # no retry: tombstone set is empty
+    assert st.rows_matched == 0 and st.rows_inserted == 5
+    out = read_mor(spark, path)
+    assert out.count() == 95  # 100 - 10 deleted + 5 inserted
+    assert out.where("k >= 200").count() == 5
+
+
+def test_occ_dv_merge_same_file_conflict_rederives(spark, tmp_path):
+    """A merge whose matched files are tombstoned concurrently re-derives:
+    the vanished row flows to the (disabled) insert leg, not to a
+    double-update."""
+    from sql_query_optimizer_cpp_spark.operators.mor import (
+        occ_dv_merge_into,
+    )
+
+    path = _flat(spark, tmp_path)
+    attempts: list[int] = []
+
+    def after_stage(attempt):
+        attempts.append(attempt)
+        if attempt == 1:
+            dv_delete_where(spark, path, "k = 3")  # same file as k<15
+
+    src = spark.range(0, 15).selectExpr(
+        "id AS k", "CAST(-5.0 AS DOUBLE) AS v",
+        "CAST(id % 3 AS BIGINT) AS grp",
+    )
+    st = occ_dv_merge_into(
+        spark, path, src, on=["k"], matched_set={"v": "src_v"},
+        insert_condition="false", _after_stage=after_stage,
+    )
+    assert attempts == [1, 2]         # one conflict, then clean commit
+    assert st.rows_matched == 14      # k=3 no longer live
+    assert st.rows_inserted == 0      # insert leg disabled: no resurrect
+    out = read_mor(spark, path)
+    assert out.count() == 99
+    assert out.where("v = -5.0").count() == 14
+
+
 def test_storage_report_ignores_duplicate_and_stale_tombstones(
     spark, tmp_path
 ):
@@ -953,9 +1178,10 @@ def test_storage_report_ignores_duplicate_and_stale_tombstones(
     assert all("gone" not in f for f, _ in rep.top_dead_files)
 
 
-def test_execute_dml_mor_optimistic_delete(spark, tmp_path):
-    """mor+optimistic composes for DELETE (routes to occ_dv_delete_where)
-    and still refuses for UPDATE/MERGE, with a message naming why."""
+def test_execute_dml_mor_optimistic_verbs(spark, tmp_path):
+    """mor+optimistic composes for all three verbs (r11): DELETE, UPDATE
+    and MERGE route through the occ_dv_* stage-outside-the-lock
+    protocol, zero file rewrites throughout."""
     from sql_query_optimizer_cpp_spark.operators.mutate import execute_dml
 
     path = _flat(spark, tmp_path)
@@ -966,8 +1192,30 @@ def test_execute_dml_mor_optimistic_delete(spark, tmp_path):
     assert st.rows_matched == 10
     assert has_deletion_vectors(spark, path)
     assert read_mor(spark, path).count() == 90
-    with pytest.raises(ValueError, match="only for DELETE"):
-        execute_dml(
-            spark, "UPDATE t SET v = 1.0 WHERE k = 1", {"t": path},
-            mor=True, optimistic=True,
-        )
+    st = execute_dml(
+        spark, "UPDATE t SET v = -1.0 WHERE k >= 95", {"t": path},
+        mor=True, optimistic=True,
+    )
+    assert st.rows_matched == 5 and st.files_rewritten == 0
+    out = read_mor(spark, path)
+    assert out.count() == 90 and out.where("v = -1.0").count() == 5
+    # MERGE upsert: 4 existing keys re-valued, 2 new keys inserted
+    spath = str(tmp_path / "occ_merge_src")
+    spark.range(96, 102).selectExpr(
+        "id AS k", "CAST(-7.0 AS DOUBLE) AS v",
+        "CAST(id % 3 AS BIGINT) AS grp",
+    ).write.parquet(spath)
+    st = execute_dml(
+        spark,
+        "MERGE INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT",
+        {"t": path, "s": spath},
+        mor=True, optimistic=True,
+    )
+    assert st.rows_matched == 4 and st.rows_inserted == 2
+    assert st.files_rewritten == 0
+    out = read_mor(spark, path)
+    assert out.count() == 92
+    assert out.where("v = -7.0").count() == 6
+    assert out.where("v = -1.0").count() == 1  # k=95 kept the UPDATE
