@@ -168,32 +168,38 @@ def bench_spark(spark, registry, sf_dir: str):
         # disjoint-partition OCC, evolving MERGE, CDC version-range diff,
         # staged-write CHECK constraints, CDF source signed replay
         "mutate_occ_merge",
-        "mutate_occ_partitioned",
         "mutate_schema_evolution",
         "mutate_read_changes",
         "mutate_constraints",
         "mutate_cdf_replay",
         "mutate_compact_zorder",
-        # round 8 (late): merge-on-read deletion vectors (tombstone +
-        # append-copies + materialize), metadata-only RESTORE, and the
-        # bloom file-skipping index (build + 8 probed point lookups)
-        "mutate_mor_pipeline",
+        # round 8 (late): metadata-only RESTORE and the bloom
+        # file-skipping index (build + 8 probed point lookups)
         "mutate_restore_version",
         "point_lookup_bloom",
         "agg_heavy_hitters",
         "text_chunk_windows",
-        # round 9's mutate_mor_versioned / mutate_mor_merge are NOT
-        # extras: the full bench already runs ~8.5 min against a ~10 min
-        # capture budget, and their multi-version pipelines (~6 s
-        # combined x 6 runs) would spend the remaining margin — they are
-        # correctness-graded by the driver and sim instead
+        # round 11 rotation: the r9/r10 lakehouse headliners replace two
+        # redundant r8 extras (mutate_mor_pipeline — its DV verbs are
+        # timed inside mutate_mor_versioned/_merge now — and
+        # mutate_occ_partitioned — mutate_occ_merge keeps the one
+        # conflict-retry scenario) to stay inside the ~580 s budget
+        "mutate_mor_versioned",
+        "mutate_mor_merge",
+        "mutate_txn_batch",
+        # trained-quantizer IVF search (k-means training + probe)
+        "sim_ivf_topk",
     ):
         spec = registry.get(name)
         if spec is None:
             continue
         spec.fn(spark, sf_dir).count()
+        # extras run medians-of-3 (headline keeps 5): the r11 rotation
+        # swapped in the multi-version lakehouse pipelines and the
+        # trained-IVF search (~19 s of medians), and 5 timed runs of the
+        # full extras set blows the driver's ~580 s capture budget
         extras[name], extras_spread[name] = timed_median(
-            lambda: spec.fn(spark, sf_dir).count()
+            lambda: spec.fn(spark, sf_dir).count(), runs=3
         )
         print(f"# {name}: {extras[name]:.3f}s (extra)", file=sys.stderr)
         dedup_ops.release_cached()

@@ -257,6 +257,40 @@ def main() -> None:
             f"(= {n_before}), version log still {table_versions(spark, tx)}"
         )
 
+    # 14. r11: CROSS-TABLE transactions — one atomic commit spanning a
+    #     fact and a dimension table (two-phase manifest commit: prepare
+    #     every table's next manifest, decide with one marker, rename)
+    from sql_query_optimizer_cpp_spark.operators.txn import begin_multi
+
+    with tempfile.TemporaryDirectory() as d5:
+        facts = f"{d5}/facts"
+        dims = f"{d5}/dims"
+        spark.read.parquet(path).repartition(4).write.parquet(facts)
+        spark.range(10).selectExpr(
+            "id AS dim_id", "CAST(id AS DOUBLE) AS weight"
+        ).coalesce(1).write.parquet(dims)
+        enable_versioning(spark, facts)                             # v1
+        enable_versioning(spark, dims)                              # v1
+        with begin_multi(spark, [facts, dims]):
+            delete_where(spark, facts, "o_totalprice < 10000")
+            update_where(spark, dims, {"weight": "weight * 2"}, "dim_id < 3")
+        print(
+            f"\ncross-table txn: facts log={table_versions(spark, facts)}, "
+            f"dims log={table_versions(spark, dims)} — one atomic commit, "
+            "decided by a single marker file (crash after it rolls "
+            "FORWARD via recover_tables, before it rolls back)"
+        )
+        txn = begin_multi(spark, [facts, dims])
+        delete_where(spark, facts, "o_orderkey >= 0")
+        update_where(spark, dims, {"weight": "0.0"}, "dim_id >= 0")
+        txn.rollback()
+        print(
+            f"cross-table rollback: facts={spark.read.parquet(facts).count()} "
+            f"rows, dims weight sum="
+            f"{spark.read.parquet(dims).groupBy().sum('weight').first()[0]} "
+            f"— both tables restored, logs unchanged"
+        )
+
     spark.stop()
 
 

@@ -201,14 +201,15 @@ _PRIORITY: tuple[str, ...] = (
     "text_vocab_topk",
     "dedup_simhash_pairs",
     # ==== end of the 50-entry r11 window; r12 queue below ================
-    # r12 rotation plan: lead with the queries staged during round 11
-    # (sim_ivf_probe_indexed — persisted-posting-list IVF probe;
-    # mutate_occ_dv_upsert — optimistic deletion-vector UPDATE/MERGE,
-    # interleaved writers; both sim-green at sf0.01 AND sf0.1), keep
-    # the flagship guard, then the fourteen r07 leftovers named above,
-    # then the stalest r08 greens in registry order (join_range,
-    # join_lateral, agg_approx_quantile, ... through
-    # mutate_concurrent_writers).
+    # r12 rotation plan: lead with the THREE queries staged during
+    # round 11 (sim_ivf_probe_indexed — persisted-posting-list IVF
+    # probe; mutate_occ_dv_upsert — optimistic deletion-vector
+    # UPDATE/MERGE, interleaved writers; mutate_txn_multi — atomic
+    # cross-table transaction, two-phase manifest commit; all
+    # sim-green at sf0.01 AND sf0.1), keep the flagship guard, then
+    # the fourteen r07 leftovers named above, then the stalest r08
+    # greens in registry order (join_range, join_lateral,
+    # agg_approx_quantile, ... through mutate_concurrent_writers).
 )
 
 

@@ -2032,3 +2032,146 @@ def mutate_occ_dv_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="version int, n bigint, total double",
     )
     return out.unionByName(attempts).orderBy("version")
+
+
+_TXN_MULTI_ORACLE = (
+    "WITH fbase AS (SELECT o_orderkey, o_custkey, o_totalprice "
+    "FROM orders), "
+    "fu AS (SELECT o_orderkey, o_custkey, "
+    "CASE WHEN o_custkey % 100 = 0 THEN o_totalprice + 10 "
+    "ELSE o_totalprice END AS o_totalprice FROM fbase), "
+    "fv2 AS (SELECT * FROM fu WHERE NOT (o_orderkey % 1000 = 0)), "
+    "fi AS (SELECT * FROM fv2 EXCEPT ALL SELECT * FROM fbase), "
+    "fd AS (SELECT * FROM fbase EXCEPT ALL SELECT * FROM fv2), "
+    "dbase AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer), "
+    "dv2 AS (SELECT c_custkey, c_acctbal, "
+    "CASE WHEN c_acctbal > 9000 THEN 'VIP' ELSE c_mktsegment END "
+    "AS c_mktsegment FROM dbase), "
+    "di AS (SELECT * FROM dv2 EXCEPT ALL SELECT * FROM dbase), "
+    "dd AS (SELECT * FROM dbase EXCEPT ALL SELECT * FROM dv2) "
+    "SELECT 'dim_cdc_del' AS row_id, CAST(COUNT(*) AS BIGINT) AS n, "
+    "COALESCE(" + dsum_sql("c_acctbal") + ", 0.0) AS total FROM dd "
+    "UNION ALL SELECT 'dim_cdc_ins', CAST(COUNT(*) AS BIGINT), "
+    "COALESCE(" + dsum_sql("c_acctbal") + ", 0.0) FROM di "
+    "UNION ALL SELECT 'dim_final', CAST(COUNT(*) AS BIGINT), "
+    "COALESCE(" + dsum_sql("c_acctbal") + ", 0.0) FROM dv2 "
+    "UNION ALL SELECT 'dim_versions', CAST(2 AS BIGINT), 0.0 "
+    "UNION ALL SELECT 'fact_cdc_del', CAST(COUNT(*) AS BIGINT), "
+    "COALESCE(" + dsum_sql("o_totalprice") + ", 0.0) FROM fd "
+    "UNION ALL SELECT 'fact_cdc_ins', CAST(COUNT(*) AS BIGINT), "
+    "COALESCE(" + dsum_sql("o_totalprice") + ", 0.0) FROM fi "
+    "UNION ALL SELECT 'fact_final', CAST(COUNT(*) AS BIGINT), "
+    "COALESCE(" + dsum_sql("o_totalprice") + ", 0.0) FROM fv2 "
+    "UNION ALL SELECT 'fact_versions', CAST(2 AS BIGINT), 0.0 "
+    "ORDER BY row_id"
+)
+
+
+@register(
+    "mutate_txn_multi",
+    oracle=_TXN_MULTI_ORACLE,
+    doc="CROSS-TABLE transaction graded end-to-end (new r11, "
+    "operators/txn.py begin_multi — beyond both the reference and "
+    "Delta, which commit per table): an atomic fact+dim batch — "
+    "UPDATE + DELETE on an orders copy, segment re-label on a customer "
+    "copy — under ONE begin_multi()/commit(), decided by a two-phase "
+    "manifest commit (prepare .prep manifests on every table, one "
+    "exclusive-create marker, then renames; crash after the marker "
+    "rolls FORWARD, before it rolls BACK).  Each table gains exactly "
+    "one version; per-table CDC equals the oracle's composed "
+    "update-then-delete fold via EXCEPT ALL.  A second multi-table "
+    "batch mutates BOTH tables and ROLLS BACK; the final aggregates "
+    "and the version counts (graded rows) prove the rollback restored "
+    "both tables and committed nothing anywhere.  All metadata: N "
+    "small manifest writes + N renames on top of the verbs",
+    tags=("mutate",),
+)
+def mutate_txn_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mutate import (
+        enable_versioning,
+        read_changes,
+        table_versions,
+    )
+    from ..operators.txn import begin_multi
+
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    fact = _mut_dir(sf_dir, "orders_txn_multi")
+    dim = _mut_dir(sf_dir, "cust_txn_multi")
+    (
+        t["orders"]
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartitionByRange(4, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(fact)
+    )
+    (
+        t["customer"]
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+        .repartitionByRange(4, "c_custkey")
+        .sortWithinPartitions("c_custkey")
+        .write.mode("overwrite")
+        .parquet(dim)
+    )
+    enable_versioning(spark, fact)                                  # v1
+    enable_versioning(spark, dim)                                   # v1
+    with begin_multi(spark, [fact, dim]):
+        update_where(
+            spark, fact, {"o_totalprice": "o_totalprice + 10"},
+            "o_custkey % 100 = 0",
+        )
+        delete_where(spark, fact, "o_orderkey % 1000 = 0")
+        update_where(
+            spark, dim, {"c_mktsegment": "'VIP'"}, "c_acctbal > 9000"
+        )                                                           # -> v2, v2
+    vs_f, vs_d = table_versions(spark, fact), table_versions(spark, dim)
+    assert vs_f == [1, 2] and vs_d == [1, 2], (vs_f, vs_d)
+    # second cross-table batch rolls back: NOTHING commits anywhere
+    txn = begin_multi(spark, [fact, dim])
+    delete_where(spark, fact, "o_orderkey >= 0")
+    update_where(spark, dim, {"c_acctbal": "0.0"}, "c_custkey >= 0")
+    txn.rollback()
+
+    ins = F.col("_change_type") == "insert"
+    dele = F.col("_change_type") == "delete"
+
+    def cdc_rows(path: str, tag: str, val: str) -> DataFrame:
+        ch = read_changes(spark, path, 1, 2)
+        return (
+            ch.agg(
+                F.count(F.when(dele, 1)).cast("long").alias("del_n"),
+                F.coalesce(
+                    dsum(F.when(dele, F.col(val))), F.lit(0.0)
+                ).alias("del_total"),
+                F.count(F.when(ins, 1)).cast("long").alias("ins_n"),
+                F.coalesce(
+                    dsum(F.when(ins, F.col(val))), F.lit(0.0)
+                ).alias("ins_total"),
+            )
+            .selectExpr(
+                f"stack(2, '{tag}_cdc_del', del_n, del_total, "
+                f"'{tag}_cdc_ins', ins_n, ins_total) "
+                "AS (row_id, n, total)"
+            )
+        )
+
+    def final_rows(path: str, tag: str, val: str) -> DataFrame:
+        live = spark.read.parquet(path)
+        n_vs = len(table_versions(spark, path))
+        agg = live.agg(
+            F.count("*").cast("long").alias("n"),
+            F.coalesce(dsum(val), F.lit(0.0)).alias("total"),
+        ).select(F.lit(f"{tag}_final").alias("row_id"), "n", "total")
+        vrow = spark.createDataFrame(
+            [(f"{tag}_versions", n_vs, 0.0)],
+            "row_id string, n bigint, total double",
+        )
+        return agg.unionByName(vrow)
+
+    out = (
+        cdc_rows(fact, "fact", "o_totalprice")
+        .unionByName(cdc_rows(dim, "dim", "c_acctbal"))
+        .unionByName(final_rows(fact, "fact", "o_totalprice"))
+        .unionByName(final_rows(dim, "dim", "c_acctbal"))
+    )
+    return out.orderBy("row_id")

@@ -2601,10 +2601,25 @@ def _create_snapshot_unlocked(
     reentrant).  ``overwrite=False`` is the version-commit tripwire: an
     auto-version checkpoint must never silently replace a manifest that
     a concurrent writer already committed under the same number."""
-    import json
-
     if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
         raise ValueError(f"snapshot name {name!r} must be filesystem-safe")
+    data, n_files = _full_manifest_bytes(spark, path)
+    _write_small_file(
+        spark,
+        f"{path.rstrip('/')}/{SNAPSHOT_DIR}/{name}.json",
+        data,
+        overwrite=overwrite,
+    )
+    return n_files
+
+
+def _full_manifest_bytes(spark: SparkSession, path: str) -> tuple[bytes, int]:
+    """``(manifest bytes, pinned file count)`` for the table's CURRENT
+    state — the compose half of :func:`_create_snapshot_unlocked`, shared
+    with the multi-table two-phase commit (which writes the bytes to a
+    PREPARE name first)."""
+    import json
+
     files = [
         _rel_to_table(path, f)
         for f in list_data_files(spark, path, recursive=True)
@@ -2630,13 +2645,7 @@ def _create_snapshot_unlocked(
         },
         indent=0,
     )
-    _write_small_file(
-        spark,
-        f"{path.rstrip('/')}/{SNAPSHOT_DIR}/{name}.json",
-        manifest.encode(),
-        overwrite=overwrite,
-    )
-    return len(files)
+    return manifest.encode(), len(files)
 
 
 def list_snapshots(spark: SparkSession, path: str) -> list[str]:
@@ -3005,22 +3014,21 @@ def enable_versioning(spark: SparkSession, path: str) -> int:
 CHECKPOINT_INTERVAL = 20
 
 
-def _autoversion(spark: SparkSession, path: str) -> None:
-    # caller (_with_writer_lock / an OCC commit) already holds the lock
+def _compose_next_manifest(
+    spark: SparkSession, path: str
+) -> tuple[int, bytes] | None:
+    """``(next version number, manifest bytes)`` for the table's current
+    live state — exactly what :func:`_autoversion` would commit (a
+    checkpoint every ``CHECKPOINT_INTERVAL`` commits, an add/remove
+    delta otherwise), WITHOUT writing.  ``None`` when versioning is off.
+    The multi-table two-phase commit prepares these bytes under a
+    ``.prep`` name for every table before any final manifest lands."""
     import json
     from datetime import datetime, timezone
 
-    st = _txn_state(path)
-    if st is not None:
-        # verb ran inside a multi-statement transaction: defer — the
-        # Transaction.commit() pops the registry entry first, so ITS
-        # _autoversion call lands here with st None and writes the ONE
-        # manifest for the whole batch
-        st.dirty = True
-        return
     vs = table_versions(spark, path)
     if not vs:
-        return
+        return None
     prev = vs[-1]
     nxt = prev + 1
     # how deep is the open delta chain?  Bounded by CHECKPOINT_INTERVAL,
@@ -3031,12 +3039,8 @@ def _autoversion(spark: SparkSession, path: str) -> None:
             break
         deltas_since += 1
     if deltas_since + 1 >= CHECKPOINT_INTERVAL:
-        # exclusive create, like the delta branch below: a colliding
-        # checkpoint commit must fail loudly, never clobber history
-        _create_snapshot_unlocked(
-            spark, path, f"v{nxt:08d}", overwrite=False
-        )
-        return
+        data, _ = _full_manifest_bytes(spark, path)
+        return nxt, data
     from .mor import list_dv_files
 
     current = sorted(
@@ -3058,6 +3062,23 @@ def _autoversion(spark: SparkSession, path: str) -> None:
         },
         indent=0,
     )
+    return nxt, delta.encode()
+
+
+def _autoversion(spark: SparkSession, path: str) -> None:
+    # caller (_with_writer_lock / an OCC commit) already holds the lock
+    st = _txn_state(path)
+    if st is not None:
+        # verb ran inside a multi-statement transaction: defer — the
+        # Transaction.commit() pops the registry entry first, so ITS
+        # _autoversion call lands here with st None and writes the ONE
+        # manifest for the whole batch
+        st.dirty = True
+        return
+    composed = _compose_next_manifest(spark, path)
+    if composed is None:
+        return
+    nxt, data = composed
     # exclusive create: committing a version number that already exists
     # means two writers shared a commit window (a lock failure) — fail
     # LOUDLY instead of silently overwriting one commit's history with
@@ -3065,7 +3086,7 @@ def _autoversion(spark: SparkSession, path: str) -> None:
     _write_small_file(
         spark,
         f"{path.rstrip('/')}/{SNAPSHOT_DIR}/v{nxt:08d}.json",
-        delta.encode(),
+        data,
         overwrite=False,
     )
 

@@ -44,6 +44,15 @@ is dead (``force=True``).
 At 100 TB this is the same cost model as the verbs themselves: the
 transaction adds zero data I/O — one deferred manifest write, one
 rename/delete plan O(files the batch touched).
+
+Round 11 adds :class:`MultiTableTransaction` / :func:`begin_multi`:
+ONE atomic commit spanning several tables (atomic fact+dim upsert),
+via writer locks acquired in canonical order plus a TWO-PHASE manifest
+commit — prepare every table's next manifest under a ``.prep`` name,
+decide with one exclusive-create marker file, then rename all.  A
+crash after the marker rolls forward, before it rolls back
+(:func:`recover_tables`); version readers never see the set half
+committed.  Still metadata-only: N small-file writes + N renames.
 """
 
 from __future__ import annotations
@@ -55,24 +64,35 @@ from pyspark.sql import SparkSession
 
 from .mutate import (
     LOCK_FILE,
+    SNAPSHOT_DIR,
     _ACTIVE_TXNS,
     _TxnState,
     _acquire_writer_lock,
     _autoversion,
+    _compose_next_manifest,
     _delete_files,
     _fs,
     _manifest_state,
     _mark_mutated,
+    _read_small_file,
     _refresh_indexes,
     _rel_to_table,
     _release_writer_lock,
     _resolve_pinned_files,
     _txn_key,
+    _write_small_file,
     list_data_files,
     table_versions,
 )
 
-__all__ = ["Transaction", "begin", "recover_table"]
+__all__ = [
+    "Transaction",
+    "MultiTableTransaction",
+    "begin",
+    "begin_multi",
+    "recover_table",
+    "recover_tables",
+]
 
 
 def _rollback_to_committed(spark: SparkSession, path: str) -> int:
@@ -253,6 +273,371 @@ def begin(spark: SparkSession, path: str) -> Transaction:
     return Transaction(spark, path)
 
 
+MULTI_COMMIT_MARKER = ".multi_commit.marker"  # not *.json: invisible to
+#                                               list_snapshots/table_versions
+
+
+def _marker_path(path: str) -> str:
+    return f"{path.rstrip('/')}/{SNAPSHOT_DIR}/{MULTI_COMMIT_MARKER}"
+
+
+def _prep_path(path: str, version: int) -> str:
+    # .prep suffix (not *.json): invisible to list_snapshots until the
+    # commit rename makes it a real manifest
+    return f"{path.rstrip('/')}/{SNAPSHOT_DIR}/v{version:08d}.json.prep"
+
+
+def _final_path(path: str, version: int) -> str:
+    return f"{path.rstrip('/')}/{SNAPSHOT_DIR}/v{version:08d}.json"
+
+
+def _list_prep_debris(spark: SparkSession, path: str) -> list[str]:
+    jvm, fs, _ = _fs(spark, path)
+    snap = jvm.org.apache.hadoop.fs.Path(
+        f"{path.rstrip('/')}/{SNAPSHOT_DIR}"
+    )
+    if not fs.exists(snap):
+        return []
+    return [
+        st.getPath().toString()
+        for st in fs.listStatus(snap)
+        if st.getPath().getName().endswith(".json.prep")
+    ]
+
+
+def _finish_multi_commit(spark: SparkSession, marker_abs: str) -> int:
+    """Roll a decided multi-table commit FORWARD: rename every prepared
+    manifest to its final version name (idempotent — already-renamed
+    members are skipped), then delete the marker.  Returns manifests
+    finalized by this call."""
+    import json
+
+    info = json.loads(_read_small_file(spark, marker_abs))
+    done = 0
+    for entry in info["tables"]:
+        t_path, version = entry["path"], entry["version"]
+        # per-table fs handle: members may live on different stores
+        jvm, fs, _ = _fs(spark, t_path)
+        prep = jvm.org.apache.hadoop.fs.Path(_prep_path(t_path, version))
+        final = jvm.org.apache.hadoop.fs.Path(_final_path(t_path, version))
+        if fs.exists(final):
+            # this member already committed; stale prep (rename raced a
+            # crash) is debris
+            with contextlib.suppress(Exception):
+                fs.delete(prep, False)
+            continue
+        if not fs.exists(prep):
+            raise IOError(
+                f"multi-table commit marker names v{version} of {t_path} "
+                "but neither the prepared nor the final manifest exists "
+                "— corrupt commit state, refusing to guess"
+            )
+        if not fs.rename(prep, final):
+            raise IOError(
+                f"multi-table commit: rename {prep} -> {final} failed"
+            )
+        done += 1
+    m_jvm, m_fs, m_jpath = _fs(spark, marker_abs)
+    with contextlib.suppress(Exception):
+        m_fs.delete(m_jpath, False)
+    return done
+
+
+class MultiTableTransaction:
+    """One atomic commit spanning SEVERAL versioned tables (the
+    fact+dimension upsert Delta itself cannot batch)::
+
+        with begin_multi(spark, [facts, dims]) as txn:
+            merge_into(spark, facts, src, on=["k"], ...)
+            update_where(spark, dims, {"flag": "true"}, "k = 7")
+        # clean exit -> ONE new version on every changed table, decided
+        #               atomically; exception -> every table rolls back
+
+    Built on the single-table machinery: every member table's writer
+    lock is held for the span (acquired in canonical path order — two
+    processes opening overlapping sets cannot deadlock, the later one
+    refuses), every verb defers its version commit exactly as inside
+    :class:`Transaction`, and COMMIT is TWO-PHASE:
+
+    1. PREPARE: each dirty table's next manifest is composed and written
+       to a ``v<N>.json.prep`` sibling — invisible to version readers.
+    2. DECIDE: a commit MARKER (exclusive create, the r10 manifest
+       tripwire) listing every (table, version) lands on the
+       canonically-first table.  The marker IS the atomic commit point.
+    3. FINISH: each prep renames to its final ``v<N>.json``; the marker
+       is deleted.  A crash after DECIDE rolls FORWARD
+       (:func:`recover_tables` finishes the renames); a crash before it
+       rolls BACK — so readers never observe table A committed and
+       table B not.
+
+    Version readers (``read_version`` / CDC / time travel) see each
+    table gain exactly one version; cross-table atomicity holds at the
+    manifest level, which is what they read.  Bare-path readers see
+    intermediate states, the same contract single-table transactions
+    already document.
+    """
+
+    def __init__(self, spark: SparkSession, paths: list[str]):
+        self.spark = spark
+        if not paths:
+            raise ValueError("begin_multi needs at least one table path")
+        # canonical order: dedupe on the lock key, sort for a global
+        # acquisition order (no deadlocks between overlapping sets)
+        by_key: dict[str, str] = {}
+        for p in paths:
+            by_key.setdefault(_txn_key(p), p)
+        self._keys = sorted(by_key)
+        self.paths = [by_key[k] for k in self._keys]
+        for p in self.paths:
+            if not table_versions(spark, p):
+                raise ValueError(
+                    f"transactions require versioning on {p}; call "
+                    "enable_versioning first"
+                )
+        clash = [k for k in self._keys if k in _ACTIVE_TXNS]
+        if clash:
+            raise RuntimeError(
+                f"a transaction is already open on {clash[0]} in this "
+                "process"
+            )
+        self._states: dict[str, _TxnState] | None = {}
+        acquired: list[str] = []
+        try:
+            for k, p in zip(self._keys, self.paths):
+                _acquire_writer_lock(spark, p)
+                acquired.append(p)
+                st = _TxnState(path=p, owner=threading.get_ident())
+                self._states[k] = st
+                _ACTIVE_TXNS[k] = st
+        except BaseException:
+            for k in list(self._states):
+                _ACTIVE_TXNS.pop(k, None)
+            for p in acquired:
+                with contextlib.suppress(Exception):
+                    _release_writer_lock(spark, p)
+            self._states = None
+            raise
+
+    @property
+    def active(self) -> bool:
+        return self._states is not None
+
+    @property
+    def verbs_executed(self) -> int:
+        if not self._states:
+            return 0
+        return sum(st.verbs for st in self._states.values())
+
+    def _close_all(self) -> dict[str, _TxnState]:
+        sts = self._states
+        if sts is None:
+            raise RuntimeError(
+                "transaction already committed or rolled back"
+            )
+        for k in sts:
+            _ACTIVE_TXNS.pop(k, None)
+        self._states = None
+        return sts
+
+    def _reopen_all(self, sts: dict[str, _TxnState]) -> None:
+        for k, st in sts.items():
+            _ACTIVE_TXNS[k] = st
+        self._states = sts
+
+    def _release_all(self) -> None:
+        for p in self.paths:
+            with contextlib.suppress(Exception):
+                _release_writer_lock(self.spark, p)
+
+    def commit(self) -> dict[str, int]:
+        """Two-phase commit; returns ``{table path: new version}`` for
+        every table a verb changed (empty dict = no-op batch, nothing
+        committed).  Failures BEFORE the marker reopen the transaction
+        (preps reclaimed — rollback() or retry); a failure AFTER the
+        marker is a decided commit — finish it with
+        ``recover_tables(spark, paths, force=True)`` (in-process safe:
+        the handles are closed by then)."""
+        import json
+        from datetime import datetime, timezone
+
+        sts = self._close_all()
+        dirty = [
+            p
+            for k, p in zip(self._keys, self.paths)
+            if sts[k].dirty
+        ]
+        if not dirty:
+            self._release_all()
+            return {}
+        prepared: list[tuple[str, int]] = []
+
+        def _reclaim_preps() -> None:
+            jvm, fs, _ = _fs(self.spark, self.paths[0])
+            for p, v in prepared:
+                with contextlib.suppress(Exception):
+                    fs.delete(
+                        jvm.org.apache.hadoop.fs.Path(_prep_path(p, v)),
+                        False,
+                    )
+
+        # phase 1 — PREPARE every dirty table (exclusive creates: a
+        # prep name collision means commit state debris; fail loudly)
+        try:
+            for p in dirty:
+                composed = _compose_next_manifest(self.spark, p)
+                if composed is None:  # pragma: no cover - checked in init
+                    continue
+                nxt, data = composed
+                _write_small_file(
+                    self.spark, _prep_path(p, nxt), data, overwrite=False
+                )
+                prepared.append((p, nxt))
+        except BaseException:
+            _reclaim_preps()
+            self._reopen_all(sts)
+            raise
+        # phase 2 — DECIDE: the marker's exclusive create is the atomic
+        # commit point for the whole set
+        marker = _marker_path(self.paths[0])
+        try:
+            _write_small_file(
+                self.spark,
+                marker,
+                json.dumps(
+                    {
+                        "tables": [
+                            {"path": p, "version": v} for p, v in prepared
+                        ],
+                        "created_at": datetime.now(
+                            timezone.utc
+                        ).isoformat(),
+                    },
+                    indent=0,
+                ).encode(),
+                overwrite=False,
+            )
+        except BaseException:
+            _reclaim_preps()
+            self._reopen_all(sts)
+            raise
+        # phase 3 — FINISH: renames + marker delete; from here the
+        # commit is decided and failures roll FORWARD, never back
+        _finish_multi_commit(self.spark, marker)
+        try:
+            for p, _v in prepared:
+                _refresh_indexes(self.spark, p)
+                _mark_mutated(self.spark, p)
+            self.spark.catalog.clearCache()
+        finally:
+            self._release_all()
+        return dict(prepared)
+
+    def rollback(self) -> int:
+        """Undo every verb on every member table; returns files that
+        changed liveness across the set.  Rerunnable on failure (the
+        transaction stays open, same as the single-table contract)."""
+        sts = self._close_all()
+        changed = 0
+        try:
+            for k, p in zip(self._keys, self.paths):
+                if sts[k].dirty:
+                    changed += _rollback_to_committed(self.spark, p)
+                    sts[k].dirty = False
+        except BaseException:
+            self._reopen_all(sts)
+            raise
+        self._release_all()
+        return changed
+
+    def __enter__(self) -> "MultiTableTransaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if self._states is None:
+            return
+        if exc_type is None:
+            self.commit()
+        else:
+            self.rollback()
+
+
+def begin_multi(
+    spark: SparkSession, paths: list[str]
+) -> MultiTableTransaction:
+    """Open one transaction spanning several versioned tables."""
+    return MultiTableTransaction(spark, paths)
+
+
+def recover_tables(
+    spark: SparkSession, paths: list[str], force: bool = False
+) -> int:
+    """Crash recovery for a multi-table transaction: if any member holds
+    a commit MARKER the commit was decided — roll FORWARD (finish the
+    prepared renames); otherwise roll every table BACK to its last
+    committed manifest and reclaim prep debris.  Stale writer locks are
+    removed.  Refuses without ``force=True`` while a lock file exists
+    (same contract as :func:`recover_table`).  Returns files/manifests
+    that changed."""
+    import json
+
+    by_key: dict[str, str] = {}
+    for p in paths:
+        by_key.setdefault(_txn_key(p), p)
+    keys = sorted(by_key)
+    plist = [by_key[k] for k in keys]
+    open_here = [k for k in keys if k in _ACTIVE_TXNS]
+    if open_here:
+        raise RuntimeError(
+            f"a transaction on {open_here[0]} is still open in THIS "
+            "process — commit() or rollback() it instead"
+        )
+    jvm, fs, _ = _fs(spark, plist[0])
+    locks_held = [
+        p
+        for p in plist
+        if fs.exists(
+            jvm.org.apache.hadoop.fs.Path(p.rstrip("/"), LOCK_FILE)
+        )
+    ]
+    if locks_held and not force:
+        raise RuntimeError(
+            f"writer lock on {locks_held[0]} exists: pass force=True "
+            "only after confirming the writer that held it is dead"
+        )
+    changed = 0
+    # a marker anywhere in the set means the commit was DECIDED: finish
+    # it (the marker's own table list is authoritative — it may name
+    # tables the caller forgot to pass)
+    for p in plist:
+        marker = _marker_path(p)
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(marker)):
+            info = json.loads(_read_small_file(spark, marker))
+            changed += _finish_multi_commit(spark, marker)
+            for entry in info["tables"]:
+                _mark_mutated(spark, entry["path"])
+                # marker-listed members the caller forgot to pass still
+                # hold the dead writer's lock; force covers them too
+                if force and entry["path"] not in plist:
+                    locks_held.append(entry["path"])
+            spark.catalog.clearCache()
+            break
+    else:
+        for p in plist:
+            if table_versions(spark, p):
+                changed += _rollback_to_committed(spark, p)
+            for prep in _list_prep_debris(spark, p):
+                with contextlib.suppress(Exception):
+                    fs.delete(jvm.org.apache.hadoop.fs.Path(prep), False)
+                    changed += 1
+    for p in locks_held:
+        with contextlib.suppress(Exception):
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(p.rstrip("/"), LOCK_FILE),
+                False,
+            )
+    return changed
+
+
 def recover_table(
     spark: SparkSession, path: str, force: bool = False
 ) -> int:
@@ -278,6 +663,24 @@ def recover_table(
         raise ValueError(
             f"versioning not enabled on {path}; recover_table can only "
             "roll back to a committed manifest"
+        )
+    # multi-table commit debris: a marker means a DECIDED commit that
+    # must roll FORWARD across the whole set; a prepared manifest means
+    # this table was mid-multi-commit and the decision lives on another
+    # table.  A single-table rollback would break cross-table atomicity
+    # — route to recover_tables with the full set.
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(_marker_path(path))):
+        raise RuntimeError(
+            f"{path} holds a multi-table commit marker — that commit "
+            "was decided and must roll FORWARD: run recover_tables "
+            "with the transaction's table set"
+        )
+    if _list_prep_debris(spark, path):
+        raise RuntimeError(
+            f"{path} holds a prepared multi-table manifest — it was "
+            "part of a multi-table transaction; run recover_tables "
+            "with the full table set (the commit decision lives on the "
+            "coordinator table)"
         )
     changed = _rollback_to_committed(spark, path)
     if lock_held:

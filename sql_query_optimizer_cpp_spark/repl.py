@@ -439,31 +439,55 @@ def handle(
                 return f"constraint {parts[2].strip()} dropped"
             return usage
         if verb == "BEGIN":
-            from .operators.txn import begin
+            from .operators.txn import begin, begin_multi
 
-            name = rest.strip()
-            if name not in dml_tables:
+            names = [n for n in rest.replace(",", " ").split() if n]
+            unknown = [n for n in names if n not in dml_tables]
+            if not names or unknown:
+                bad = unknown[0] if unknown else "<name>"
                 return (
-                    f"usage: BEGIN <attached table>  "
-                    f"(ATTACH {name or '<name>'} first)"
+                    f"usage: BEGIN <attached table>[, <table>...]  "
+                    f"(ATTACH {bad} first)"
                 )
             if "txn" in settings:
                 return (
                     f"a transaction is already open on "
                     f"{settings['txn'][0]} — COMMIT or ROLLBACK first"
                 )
-            path = dml_tables[name]
-            enabled = ""
-            if not engine.table_versions(path):
-                # transactions need the version log; surface the side
-                # effect (a v1 manifest pinning the current file set)
-                # instead of committing it silently
-                engine.enable_versioning(path)
-                enabled = " (versioning enabled: v1 manifest committed)"
-            settings["txn"] = (name, begin(engine.spark, path))
+            enabled: list[str] = []
+            for n in names:
+                if not engine.table_versions(dml_tables[n]):
+                    # transactions need the version log; surface the
+                    # side effect (a v1 manifest pinning the current
+                    # file set) instead of committing it silently
+                    engine.enable_versioning(dml_tables[n])
+                    enabled.append(n)
+            note = (
+                f" (versioning enabled on {', '.join(enabled)}: "
+                "v1 manifest committed)"
+                if enabled
+                else ""
+            )
+            disp = ",".join(names)
+            if len(names) == 1:
+                settings["txn"] = (
+                    disp, begin(engine.spark, dml_tables[names[0]])
+                )
+                return (
+                    f"transaction open on {disp}{note}: DML batches "
+                    "into ONE version at COMMIT; ROLLBACK restores the "
+                    "table"
+                )
+            settings["txn"] = (
+                disp,
+                begin_multi(
+                    engine.spark, [dml_tables[n] for n in names]
+                ),
+            )
             return (
-                f"transaction open on {name}{enabled}: DML batches into "
-                "ONE version at COMMIT; ROLLBACK restores the table"
+                f"cross-table transaction open on {disp}{note}: one "
+                "atomic commit across all tables at COMMIT; ROLLBACK "
+                "restores every table"
             )
         if verb == "COMMIT":
             if "txn" not in settings:
@@ -480,6 +504,20 @@ def handle(
                 if not txn.active:
                     settings.pop("txn", None)
             _refresh_views(engine, dml_tables)
+            if isinstance(v, dict):  # multi-table: {path: version}
+                if not v:
+                    return (
+                        f"transaction on {name}: nothing changed; "
+                        "no commit"
+                    )
+                vers = ", ".join(
+                    f"v{ver}" for _, ver in sorted(v.items())
+                )
+                return (
+                    f"cross-table transaction on {name} committed "
+                    f"atomically ({verbs} verbs; {len(v)} tables -> "
+                    f"{vers})"
+                )
             if v is None:
                 return f"transaction on {name}: nothing changed; no commit"
             return (
@@ -501,39 +539,58 @@ def handle(
                 f"({changed} files restored/reclaimed)"
             )
         if verb == "RECOVER":
-            from .operators.txn import recover_table
+            from .operators.txn import recover_table, recover_tables
 
             parts = rest.split()
-            name = parts[0] if parts else ""
-            force = len(parts) == 2 and parts[1].upper() == "FORCE"
-            if name not in dml_tables or (len(parts) > 1 and not force):
+            force = bool(parts) and parts[-1].upper() == "FORCE"
+            if force:
+                parts = parts[:-1]
+            names = [
+                n for tok in parts for n in tok.split(",") if n
+            ]
+            unknown = [n for n in names if n not in dml_tables]
+            if not names or unknown:
+                bad = unknown[0] if unknown else "<name>"
                 return (
-                    f"usage: RECOVER <attached table> [FORCE]  "
-                    f"(ATTACH {name or '<name>'} first; FORCE deletes "
-                    "a live writer lock — confirm the holder is dead)"
+                    f"usage: RECOVER <attached table>[, <table>...] "
+                    f"[FORCE]  (ATTACH {bad} first; FORCE deletes a "
+                    "live writer lock — confirm the holder is dead)"
                 )
-            if settings.get("txn") and settings["txn"][0] == name:
+            open_names = (
+                set(settings["txn"][0].split(","))
+                if settings.get("txn")
+                else set()
+            )
+            if open_names & set(names):
                 return (
                     "that transaction is still open in THIS session — "
                     "COMMIT or ROLLBACK it instead"
                 )
+            disp = ",".join(names)
             try:
-                changed = recover_table(
-                    engine.spark, dml_tables[name], force=force
-                )
+                if len(names) == 1:
+                    changed = recover_table(
+                        engine.spark, dml_tables[names[0]], force=force
+                    )
+                else:
+                    changed = recover_tables(
+                        engine.spark,
+                        [dml_tables[n] for n in names],
+                        force=force,
+                    )
             except RuntimeError as e:
                 # plain RECOVER never deletes a possibly-live writer's
                 # lock: the FORCE token is the operator's confirmation
                 if "force=True" in str(e):
                     return (
-                        f"writer lock on {name} still exists — confirm "
-                        f"the holder is dead, then RECOVER {name} FORCE"
+                        f"writer lock on {disp} still exists — confirm "
+                        f"the holder is dead, then RECOVER {disp} FORCE"
                     )
                 raise
             _refresh_views(engine, dml_tables)
             return (
-                f"recovered {name}: rolled back to the last committed "
-                f"manifest ({changed} files restored/reclaimed)"
+                f"recovered {disp}: rolled to the committed state "
+                f"({changed} files restored/reclaimed)"
                 + (", stale writer lock cleared" if force else "")
             )
         if verb == "REPAIR":

@@ -606,6 +606,50 @@ def test_repl_transaction_verbs(engine, tmp_path):
     assert "19" in rows  # 20 - the committed k=19 delete
 
 
+def test_repl_multi_table_transaction(engine, tmp_path):
+    """BEGIN t1, t2 opens a cross-table transaction: one atomic COMMIT
+    across both tables, ROLLBACK restores both."""
+    pa, pb = str(tmp_path / "mt_a"), str(tmp_path / "mt_b")
+    for p in (pa, pb):
+        engine.spark.range(10).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS v"
+        ).coalesce(1).write.parquet(p)
+    tables: dict[str, str] = {}
+    settings: dict = {}
+    handle(engine, f"ATTACH ta {pa}", tables)
+    handle(engine, f"ATTACH tb {pb}", tables)
+    assert "usage: BEGIN" in handle(
+        engine, "BEGIN ta, nope", tables, settings=settings
+    )
+    out = handle(engine, "BEGIN ta, tb", tables, settings=settings)
+    assert "cross-table transaction open on ta,tb" in out
+    assert "versioning enabled on ta, tb" in out
+    handle(engine, "DELETE FROM ta WHERE k = 0", tables, settings=settings)
+    handle(engine, "UPDATE tb SET v = -1.0 WHERE k < 3",
+           tables, settings=settings)
+    out = handle(engine, "COMMIT", tables, settings=settings)
+    assert "committed atomically" in out and "2 tables" in out
+    assert engine.table_versions(pa) == [1, 2]
+    assert engine.table_versions(pb) == [1, 2]
+    assert "9" in handle(engine, "SELECT COUNT(*) AS n FROM ta",
+                         tables, settings=settings)
+    # rollback leg: both tables restored, no versions committed
+    handle(engine, "BEGIN ta, tb", tables, settings=settings)
+    handle(engine, "DELETE FROM ta WHERE k >= 0", tables,
+           settings=settings)
+    handle(engine, "DELETE FROM tb WHERE k >= 0", tables,
+           settings=settings)
+    out = handle(engine, "ROLLBACK", tables, settings=settings)
+    assert "rolled back" in out
+    assert engine.table_versions(pa) == [1, 2]
+    assert engine.table_versions(pb) == [1, 2]
+    assert "9" in handle(engine, "SELECT COUNT(*) AS n FROM ta",
+                         tables, settings=settings)
+    # multi-table RECOVER usage line reachable
+    out = handle(engine, "RECOVER ta, tb", tables, settings=settings)
+    assert "recovered ta,tb" in out
+
+
 def test_repl_commit_failure_keeps_handle(engine, tmp_path):
     """A failed COMMIT must not discard the REPL's txn handle: the
     library keeps the transaction open for retry (lock held, batch

@@ -266,3 +266,161 @@ def test_txn_refuses_create_snapshot_and_commit_failure_keeps_handle(
         txn.rollback()  # still possible: full undo
     assert _rows(spark.read.parquet(path)) == before
     assert m.table_versions(spark, path) == [1]
+
+
+# -- multi-table transactions (r11) ------------------------------------------
+
+
+def test_multi_txn_one_version_per_table_atomic(spark, tmp_path):
+    """A cross-table batch commits EXACTLY one new version on every
+    changed table; CDC per table equals the composed diff."""
+    from sql_query_optimizer_cpp_spark.operators.txn import begin_multi
+
+    facts = _table(spark, tmp_path, "facts", n=60)
+    dims = _table(spark, tmp_path, "dims", n=10)
+    before_f = _rows(spark.read.parquet(facts))
+    with begin_multi(spark, [facts, dims]) as txn:
+        m.update_where(spark, facts, {"v": "v + 100"}, "k < 3")
+        m.delete_where(spark, facts, "k = 59")
+        m.update_where(spark, dims, {"v": "-1.0"}, "k = 7")
+        # mid-batch: no version committed anywhere
+        assert m.table_versions(spark, facts) == [1]
+        assert m.table_versions(spark, dims) == [1]
+        assert txn.verbs_executed == 3
+    assert m.table_versions(spark, facts) == [1, 2]
+    assert m.table_versions(spark, dims) == [1, 2]
+    assert spark.read.parquet(facts).where("k = 0").first()["v"] == 100.0
+    assert spark.read.parquet(dims).where("k = 7").first()["v"] == -1.0
+    # time travel: both tables' v1 is the pre-batch state
+    assert _rows(m.read_version(spark, facts, 1)) == before_f
+    ch = m.read_changes(spark, facts, 1, 2)
+    assert ch.where("_change_type = 'delete' AND k = 59").count() == 1
+    # explicit commit returns the version map
+    t2 = begin_multi(spark, [facts, dims])
+    m.delete_where(spark, facts, "k = 58")
+    got = t2.commit()
+    assert got == {facts: 3}  # dims untouched: no version, no entry
+    assert m.table_versions(spark, dims) == [1, 2]
+
+
+def test_multi_txn_rollback_restores_every_table(spark, tmp_path):
+    from sql_query_optimizer_cpp_spark.operators.txn import begin_multi
+
+    a = _table(spark, tmp_path, "a")
+    b = _table(spark, tmp_path, "b", n=20)
+    rows_a, rows_b = (
+        _rows(spark.read.parquet(a)),
+        _rows(spark.read.parquet(b)),
+    )
+    with pytest.raises(RuntimeError, match="boom"):
+        with begin_multi(spark, [a, b]):
+            m.delete_where(spark, a, "k >= 0")
+            m.update_where(spark, b, {"v": "0.0"}, "k >= 0")
+            raise RuntimeError("boom")
+    assert _rows(spark.read.parquet(a)) == rows_a
+    assert _rows(spark.read.parquet(b)) == rows_b
+    assert m.table_versions(spark, a) == [1]
+    assert m.table_versions(spark, b) == [1]
+    # locks released: a fresh transaction opens fine
+    with begin_multi(spark, [a, b]) as t:
+        assert t.active
+
+
+def test_multi_txn_guards(spark, tmp_path):
+    from sql_query_optimizer_cpp_spark.operators.txn import (
+        begin_multi,
+    )
+
+    a = _table(spark, tmp_path, "ga")
+    b = _table(spark, tmp_path, "gb")
+    plain = str(tmp_path / "plain")
+    spark.range(5).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v") \
+        .write.parquet(plain)
+    with pytest.raises(ValueError, match="versioning"):
+        begin_multi(spark, [a, plain])
+    with pytest.raises(ValueError, match="at least one"):
+        begin_multi(spark, [])
+    with begin_multi(spark, [a, b, a]) as t:  # dupes collapse
+        assert len(t.paths) == 2
+        # single-table begin on a member refuses
+        with pytest.raises(RuntimeError, match="already open"):
+            begin(spark, a)
+        # another multi overlapping a member refuses
+        with pytest.raises(RuntimeError, match="already open"):
+            begin_multi(spark, [b])
+        # OCC verbs refuse inside, same as single-table
+        with pytest.raises(RuntimeError, match="transaction"):
+            m.occ_delete_where(spark, a, "k = 1")
+        # no-op commit: nothing committed anywhere
+    assert m.table_versions(spark, a) == [1]
+    assert m.table_versions(spark, b) == [1]
+
+
+def test_multi_txn_crash_before_marker_rolls_back(spark, tmp_path):
+    from sql_query_optimizer_cpp_spark.operators.mutate import _ACTIVE_TXNS
+    from sql_query_optimizer_cpp_spark.operators.txn import (
+        begin_multi,
+        recover_tables,
+    )
+
+    a = _table(spark, tmp_path, "ca")
+    b = _table(spark, tmp_path, "cb")
+    rows_a, rows_b = (
+        _rows(spark.read.parquet(a)),
+        _rows(spark.read.parquet(b)),
+    )
+    txn = begin_multi(spark, [a, b])
+    m.delete_where(spark, a, "k < 10")
+    m.update_where(spark, b, {"v": "9.9"}, "k < 5")
+    # crash: the process dies holding both locks, nothing decided
+    _ACTIVE_TXNS.clear()
+    txn._states = None
+    with pytest.raises(RuntimeError, match="force=True"):
+        recover_tables(spark, [a, b])
+    recover_tables(spark, [a, b], force=True)
+    assert _rows(spark.read.parquet(a)) == rows_a
+    assert _rows(spark.read.parquet(b)) == rows_b
+    assert m.table_versions(spark, a) == [1]
+    assert m.table_versions(spark, b) == [1]
+    # locks cleared: fresh txn opens
+    with begin_multi(spark, [a, b]):
+        pass
+
+
+def test_multi_txn_crash_after_marker_rolls_forward(
+    spark, tmp_path, monkeypatch
+):
+    """A failure AFTER the marker is a decided commit: recover_tables
+    finishes the renames instead of rolling back."""
+    from sql_query_optimizer_cpp_spark.operators import txn as txn_mod
+
+    a = _table(spark, tmp_path, "fa")
+    b = _table(spark, tmp_path, "fb")
+    txn = txn_mod.begin_multi(spark, [a, b])
+    m.delete_where(spark, a, "k < 10")
+    m.update_where(spark, b, {"v": "9.9"}, "k < 5")
+
+    def die(*_a, **_k):
+        raise IOError("simulated crash between marker and renames")
+
+    monkeypatch.setattr(txn_mod, "_finish_multi_commit", die)
+    with pytest.raises(IOError, match="simulated crash"):
+        txn.commit()
+    monkeypatch.undo()
+    # the decision marker exists; single-table recovery refuses BOTH
+    # the coordinator (marker) and the member (prep debris)
+    coord = sorted([a, b])[0]
+    other = b if coord == a else a
+    with pytest.raises(RuntimeError, match="roll FORWARD"):
+        txn_mod.recover_table(spark, coord, force=True)
+    with pytest.raises(RuntimeError, match="recover_tables"):
+        txn_mod.recover_table(spark, other, force=True)
+    txn_mod.recover_tables(spark, [a, b], force=True)
+    # rolled FORWARD: both versions committed, batch state live
+    assert m.table_versions(spark, a) == [1, 2]
+    assert m.table_versions(spark, b) == [1, 2]
+    assert spark.read.parquet(a).where("k < 10").count() == 0
+    assert spark.read.parquet(b).where("v = 9.9").count() == 5
+    # marker + preps gone; recovery is idempotent
+    txn_mod.recover_tables(spark, [a, b], force=True)
+    assert m.table_versions(spark, a) == [1, 2]
