@@ -774,10 +774,12 @@ def occ_dv_update_where(
             finally:
                 lock.__exit__(None, None, None)
         except _Conflict:
-            _cleanup(dv_staging, copy_staging)
+            # created covers a staging dir whose write failed before
+            # copy_staging was assigned (review r11)
+            _cleanup(dv_staging, copy_staging, *created)
             continue
         except BaseException:
-            _cleanup(dv_staging, copy_staging)
+            _cleanup(dv_staging, copy_staging, *created)
             raise
     raise RuntimeError(
         f"occ_dv_update_where on {path} lost the commit race "

@@ -782,7 +782,21 @@ def ivf_search_indexed(
     probed = sorted(
         r["cell"] for r in q_cells.select("cell").distinct().collect()
     )
-    if not probed:  # no query vectors below the id bound
+    # a trained cell can hold ZERO corpus vectors (the empty-cell carry
+    # keeps its centroid alive, and a sample-trained centroid can win no
+    # full-corpus vector): probing it must contribute zero candidates —
+    # same as ivf_topk_trained — not crash on the missing partition dir.
+    # One fs listing of the postings root (metadata scale).
+    post_root = f"{root}/postings"
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(post_root)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    existing = {
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(jpath)
+        if st.isDirectory() and st.getPath().getName().startswith("cell=")
+    }
+    probed = [c for c in probed if c in existing]
+    if not probed:  # no query vectors below the id bound / empty cells
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cos_sim double, rn long"
         )

@@ -49,10 +49,14 @@ Round 11 adds :class:`MultiTableTransaction` / :func:`begin_multi`:
 ONE atomic commit spanning several tables (atomic fact+dim upsert),
 via writer locks acquired in canonical order plus a TWO-PHASE manifest
 commit — prepare every table's next manifest under a ``.prep`` name,
-decide with one exclusive-create marker file, then rename all.  A
-crash after the marker rolls forward, before it rolls back
-(:func:`recover_tables`); version readers never see the set half
-committed.  Still metadata-only: N small-file writes + N renames.
+decide with one exclusive-create marker file, then rename all.  The
+atomicity is DURABILITY-level: a crash after the marker rolls forward,
+before it rolls back (:func:`recover_tables`), so recovery always
+converges to all-tables-committed or none.  A concurrent version
+reader CAN catch the brief FINISH window where some members already
+show the new version and others do not (filesystem renames are
+per-table; closing that window needs a shared catalog).  Still
+metadata-only: N small-file writes + N renames.
 """
 
 from __future__ import annotations
@@ -88,11 +92,19 @@ from .mutate import (
 __all__ = [
     "Transaction",
     "MultiTableTransaction",
+    "RecoveryNeedsForce",
     "begin",
     "begin_multi",
     "recover_table",
     "recover_tables",
 ]
+
+
+class RecoveryNeedsForce(RuntimeError):
+    """A writer lock still exists on a table being recovered: the
+    operator must confirm the holder is dead (``force=True``) before
+    recovery may delete it.  Typed so callers (the REPL's RECOVER verb)
+    can offer the FORCE hint without string-matching error text."""
 
 
 def _rollback_to_committed(spark: SparkSession, path: str) -> int:
@@ -164,6 +176,7 @@ class Transaction:
         self.path = path
         self._key = _txn_key(path)
         self._state: _TxnState | None = None
+        self._rollback_only = False
         if not table_versions(spark, path):
             raise ValueError(
                 f"transactions require versioning on {path}; call "
@@ -219,6 +232,12 @@ class Transaction:
         anything (a no-op batch commits no version — idempotent).  If the
         manifest write itself fails, the transaction STAYS OPEN (lock
         held, handle valid) — rollback() or retry."""
+        if self._rollback_only:
+            raise RuntimeError(
+                "a failed rollback() leaves the transaction "
+                "rollback-only (part of the batch may already be "
+                "undone) — retry rollback(), do not commit"
+            )
         st = self._close()
         if st.dirty:
             try:
@@ -245,6 +264,9 @@ class Transaction:
         the transaction STAYS OPEN (lock held, handle valid) — the plan
         is rerunnable (restore-first ordering), so retry rollback()."""
         st = self._close()
+        # once a rollback starts, commit() is forbidden: a partial undo
+        # folded into a later commit would publish a half-rolled state
+        self._rollback_only = True
         changed = 0
         if st.dirty:
             try:
@@ -367,14 +389,16 @@ class MultiTableTransaction:
     3. FINISH: each prep renames to its final ``v<N>.json``; the marker
        is deleted.  A crash after DECIDE rolls FORWARD
        (:func:`recover_tables` finishes the renames); a crash before it
-       rolls BACK — so readers never observe table A committed and
-       table B not.
+       rolls BACK — recovery always converges to all-or-nothing.
 
     Version readers (``read_version`` / CDC / time travel) see each
-    table gain exactly one version; cross-table atomicity holds at the
-    manifest level, which is what they read.  Bare-path readers see
-    intermediate states, the same contract single-table transactions
-    already document.
+    table gain exactly one version.  The atomicity guarantee is
+    durability-level: recovery can never leave table A committed and
+    table B rolled back.  A concurrent reader racing the FINISH renames
+    can briefly observe some members already at the new version
+    (per-table filesystem renames; a shared catalog would close that
+    window).  Bare-path readers see intermediate states, the same
+    contract single-table transactions already document.
     """
 
     def __init__(self, spark: SparkSession, paths: list[str]):
@@ -401,6 +425,7 @@ class MultiTableTransaction:
                 "process"
             )
         self._states: dict[str, _TxnState] | None = {}
+        self._rollback_only = False
         acquired: list[str] = []
         try:
             for k, p in zip(self._keys, self.paths):
@@ -460,6 +485,13 @@ class MultiTableTransaction:
         import json
         from datetime import datetime, timezone
 
+        if self._rollback_only:
+            raise RuntimeError(
+                "a failed rollback() leaves the transaction "
+                "rollback-only (some tables may already be undone — "
+                "committing the rest would publish a half-rolled "
+                "batch) — retry rollback(), do not commit"
+            )
         sts = self._close_all()
         dirty = [
             p
@@ -472,8 +504,8 @@ class MultiTableTransaction:
         prepared: list[tuple[str, int]] = []
 
         def _reclaim_preps() -> None:
-            jvm, fs, _ = _fs(self.spark, self.paths[0])
             for p, v in prepared:
+                jvm, fs, _ = _fs(self.spark, p)  # per-table store
                 with contextlib.suppress(Exception):
                     fs.delete(
                         jvm.org.apache.hadoop.fs.Path(_prep_path(p, v)),
@@ -535,8 +567,12 @@ class MultiTableTransaction:
     def rollback(self) -> int:
         """Undo every verb on every member table; returns files that
         changed liveness across the set.  Rerunnable on failure (the
-        transaction stays open, same as the single-table contract)."""
+        transaction stays open, same as the single-table contract) —
+        and from the first attempt on, the transaction is
+        ROLLBACK-ONLY: committing after a partial undo would publish a
+        half-rolled, half-committed batch."""
         sts = self._close_all()
+        self._rollback_only = True
         changed = 0
         try:
             for k, p in zip(self._keys, self.paths):
@@ -569,15 +605,30 @@ def begin_multi(
 
 
 def recover_tables(
-    spark: SparkSession, paths: list[str], force: bool = False
+    spark: SparkSession,
+    paths: list[str],
+    force: bool = False,
+    assume_undecided: bool = False,
 ) -> int:
-    """Crash recovery for a multi-table transaction: if any member holds
-    a commit MARKER the commit was decided — roll FORWARD (finish the
-    prepared renames); otherwise roll every table BACK to its last
-    committed manifest and reclaim prep debris.  Stale writer locks are
-    removed.  Refuses without ``force=True`` while a lock file exists
-    (same contract as :func:`recover_table`).  Returns files/manifests
-    that changed."""
+    """Crash recovery for multi-table transactions: every passed table
+    is scanned for a commit MARKER — each marker found means that
+    transaction was DECIDED and rolls FORWARD (the prepared renames
+    finish; the marker's own table list is authoritative and may name
+    tables the caller forgot to pass).  Tables covered by no marker
+    roll BACK to their last committed manifest.
+
+    A table holding a PREPARED manifest but no marker in the passed set
+    is ambiguous: either the crash happened before the decision (roll
+    back is right), or the transaction's coordinator — the table the
+    marker lives on — was not passed (rolling back would destroy a
+    decided commit).  The call REFUSES in that case; pass the
+    transaction's full table set, or ``assume_undecided=True`` after
+    confirming the passed set is complete.
+
+    Stale writer locks are removed.  Refuses without ``force=True``
+    while a lock file exists (:class:`RecoveryNeedsForce`, same
+    contract as :func:`recover_table`).  Returns files/manifests that
+    changed."""
     import json
 
     by_key: dict[str, str] = {}
@@ -591,45 +642,65 @@ def recover_tables(
             f"a transaction on {open_here[0]} is still open in THIS "
             "process — commit() or rollback() it instead"
         )
-    jvm, fs, _ = _fs(spark, plist[0])
-    locks_held = [
-        p
-        for p in plist
+
+    def _tfs(p: str):
+        return _fs(spark, p)  # per-table store
+
+    locks_held = []
+    for p in plist:
+        jvm, fs, _ = _tfs(p)
         if fs.exists(
             jvm.org.apache.hadoop.fs.Path(p.rstrip("/"), LOCK_FILE)
-        )
-    ]
+        ):
+            locks_held.append(p)
     if locks_held and not force:
-        raise RuntimeError(
+        raise RecoveryNeedsForce(
             f"writer lock on {locks_held[0]} exists: pass force=True "
             "only after confirming the writer that held it is dead"
         )
     changed = 0
-    # a marker anywhere in the set means the commit was DECIDED: finish
-    # it (the marker's own table list is authoritative — it may name
-    # tables the caller forgot to pass)
+    # scan EVERY passed table for a marker — independent crashed
+    # transactions may each have left one — and finish each decided
+    # commit; tables a finished marker covers must not then roll back
+    handled: set[str] = set()
     for p in plist:
+        jvm, fs, _ = _tfs(p)
         marker = _marker_path(p)
         if fs.exists(jvm.org.apache.hadoop.fs.Path(marker)):
             info = json.loads(_read_small_file(spark, marker))
             changed += _finish_multi_commit(spark, marker)
             for entry in info["tables"]:
                 _mark_mutated(spark, entry["path"])
+                handled.add(_txn_key(entry["path"]))
                 # marker-listed members the caller forgot to pass still
                 # hold the dead writer's lock; force covers them too
-                if force and entry["path"] not in plist:
+                if force and _txn_key(entry["path"]) not in by_key:
                     locks_held.append(entry["path"])
             spark.catalog.clearCache()
-            break
-    else:
-        for p in plist:
-            if table_versions(spark, p):
-                changed += _rollback_to_committed(spark, p)
-            for prep in _list_prep_debris(spark, p):
-                with contextlib.suppress(Exception):
-                    fs.delete(jvm.org.apache.hadoop.fs.Path(prep), False)
-                    changed += 1
+    for k, p in zip(keys, plist):
+        if k in handled:
+            continue
+        debris = _list_prep_debris(spark, p)
+        if debris and not assume_undecided:
+            raise RuntimeError(
+                f"{p} holds a prepared multi-table manifest but no "
+                "commit marker was found in the passed set — if the "
+                "transaction's coordinator table is missing from this "
+                "call, rolling back here would destroy a DECIDED "
+                "commit.  Pass the transaction's FULL table set; if "
+                "this IS the full set (the crash provably happened "
+                "before the decision marker), re-run with "
+                "assume_undecided=True"
+            )
+        if table_versions(spark, p):
+            changed += _rollback_to_committed(spark, p)
+        jvm, fs, _ = _tfs(p)
+        for prep in debris:
+            with contextlib.suppress(Exception):
+                fs.delete(jvm.org.apache.hadoop.fs.Path(prep), False)
+                changed += 1
     for p in locks_held:
+        jvm, fs, _ = _tfs(p)
         with contextlib.suppress(Exception):
             fs.delete(
                 jvm.org.apache.hadoop.fs.Path(p.rstrip("/"), LOCK_FILE),
@@ -655,7 +726,7 @@ def recover_table(
     lock = jvm.org.apache.hadoop.fs.Path(table_path, LOCK_FILE)
     lock_held = fs.exists(lock)
     if lock_held and not force:
-        raise RuntimeError(
+        raise RecoveryNeedsForce(
             f"writer lock {lock} exists: pass force=True only after "
             "confirming the writer that held it is dead"
         )

@@ -539,7 +539,11 @@ def handle(
                 f"({changed} files restored/reclaimed)"
             )
         if verb == "RECOVER":
-            from .operators.txn import recover_table, recover_tables
+            from .operators.txn import (
+                RecoveryNeedsForce,
+                recover_table,
+                recover_tables,
+            )
 
             parts = rest.split()
             force = bool(parts) and parts[-1].upper() == "FORCE"
@@ -578,15 +582,13 @@ def handle(
                         [dml_tables[n] for n in names],
                         force=force,
                     )
-            except RuntimeError as e:
+            except RecoveryNeedsForce:
                 # plain RECOVER never deletes a possibly-live writer's
                 # lock: the FORCE token is the operator's confirmation
-                if "force=True" in str(e):
-                    return (
-                        f"writer lock on {disp} still exists — confirm "
-                        f"the holder is dead, then RECOVER {disp} FORCE"
-                    )
-                raise
+                return (
+                    f"writer lock on {disp} still exists — confirm "
+                    f"the holder is dead, then RECOVER {disp} FORCE"
+                )
             _refresh_views(engine, dml_tables)
             return (
                 f"recovered {disp}: rolled to the committed state "

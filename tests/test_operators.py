@@ -886,6 +886,40 @@ def test_ivf_indexed_probe_prunes_to_probed_cells(spark, tmp_path):
         S.ivf_search_indexed(spark, str(tmp_path / "absent"))
 
 
+def test_ivf_indexed_probe_survives_empty_cell(spark, tmp_path):
+    """(review r11) A probed cell with no postings partition (a trained
+    centroid that won zero corpus vectors, or an empty-cell carry) must
+    contribute ZERO candidates — exactly ivf_topk_trained's semantics —
+    not crash on the missing directory."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sql_query_optimizer_cpp_spark.operators import similarity as S
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    tdir = str(tmp_path / "emb_ivf_empty")
+    emb.write.parquet(tdir)
+    S.build_ivf_index(spark, tdir, id_col="vec_id")
+    postings = S.read_ivf_postings(spark, tdir)
+    counts = {
+        r["cell"]: r["count"]
+        for r in postings.groupBy("cell").count().collect()
+    }
+    victim = min(counts, key=lambda c: counts[c])
+    victim_ids = {
+        r["vec_id"]
+        for r in postings.where(F.col("cell") == victim).collect()
+    }
+    shutil.rmtree(f"{tdir}/_index/ivf/embedding/postings/cell={victim}")
+    # probe EVERY cell so the victim is guaranteed probed
+    out = S.ivf_search_indexed(
+        spark, tdir, n_queries=10, k=5, n_probes=S.IVF_CELLS
+    ).collect()
+    assert out  # no crash, results produced
+    assert not {r["neighbor_id"] for r in out} & victim_ids
+
+
 def test_trained_ivf_multi_probe_recall_monotone(spark):
     """n_probes is the IVF recall-vs-cost knob: recall never drops as
     probes grow, and probing EVERY cell recovers the exact top-k."""

@@ -424,3 +424,135 @@ def test_multi_txn_crash_after_marker_rolls_forward(
     # marker + preps gone; recovery is idempotent
     txn_mod.recover_tables(spark, [a, b], force=True)
     assert m.table_versions(spark, a) == [1, 2]
+
+
+def test_recover_tables_partial_set_refuses_prep_debris(
+    spark, tmp_path, monkeypatch
+):
+    """(review r11) A member holding a prepared manifest whose marker
+    was NOT passed must refuse to roll back — a partial table set could
+    otherwise destroy a DECIDED commit."""
+    from sql_query_optimizer_cpp_spark.operators import txn as txn_mod
+
+    a = _table(spark, tmp_path, "pa")
+    b = _table(spark, tmp_path, "pb")
+    txn = txn_mod.begin_multi(spark, [a, b])
+    m.delete_where(spark, a, "k < 5")
+    m.delete_where(spark, b, "k < 5")
+    monkeypatch.setattr(
+        txn_mod, "_finish_multi_commit",
+        lambda *_a, **_k: (_ for _ in ()).throw(IOError("die")),
+    )
+    with pytest.raises(IOError):
+        txn.commit()
+    monkeypatch.undo()
+    coord = sorted([a, b])[0]
+    member = b if coord == a else a
+    # recovering only the NON-coordinator member: prep debris, no
+    # marker in the passed set -> refuse with the full-set hint
+    with pytest.raises(RuntimeError, match="FULL table set"):
+        txn_mod.recover_tables(spark, [member], force=True)
+    # the decided commit is intact: full-set recovery rolls forward
+    txn_mod.recover_tables(spark, [a, b], force=True)
+    assert m.table_versions(spark, a) == [1, 2]
+    assert m.table_versions(spark, b) == [1, 2]
+
+
+def test_recover_tables_two_independent_crashes(spark, tmp_path, monkeypatch):
+    """(review r11) recover_tables must finish EVERY decided marker in
+    the passed set, not just the first."""
+    from sql_query_optimizer_cpp_spark.operators import txn as txn_mod
+
+    a = _table(spark, tmp_path, "ia")
+    b = _table(spark, tmp_path, "ib")
+    c = _table(spark, tmp_path, "ic")
+    d = _table(spark, tmp_path, "id")
+
+    def crash_commit(pair_paths):
+        txn = txn_mod.begin_multi(spark, pair_paths)
+        for p in pair_paths:
+            m.delete_where(spark, p, "k < 5")
+        monkeypatch.setattr(
+            txn_mod, "_finish_multi_commit",
+            lambda *_a, **_k: (_ for _ in ()).throw(IOError("die")),
+        )
+        with pytest.raises(IOError):
+            txn.commit()
+        monkeypatch.undo()
+
+    crash_commit([a, b])
+    crash_commit([c, d])
+    txn_mod.recover_tables(spark, [a, b, c, d], force=True)
+    for p in (a, b, c, d):
+        assert m.table_versions(spark, p) == [1, 2], p
+        assert spark.read.parquet(p).where("k < 5").count() == 0
+
+
+def test_recover_tables_pre_decision_preps_need_assume_undecided(
+    spark, tmp_path
+):
+    """(review r11) Prep debris with NO marker anywhere: rolling back is
+    right only if the caller confirms the set is complete."""
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        _write_small_file,
+    )
+    from sql_query_optimizer_cpp_spark.operators import txn as txn_mod
+
+    a = _table(spark, tmp_path, "ua")
+    # simulate a crash between PREPARE and DECIDE: a prep exists,
+    # no marker was ever written
+    _write_small_file(
+        spark, txn_mod._prep_path(a, 2), b'{"add":[],"remove":[]}'
+    )
+    with pytest.raises(RuntimeError, match="assume_undecided"):
+        txn_mod.recover_tables(spark, [a])
+    txn_mod.recover_tables(spark, [a], assume_undecided=True)
+    assert not txn_mod._list_prep_debris(spark, a)
+    assert m.table_versions(spark, a) == [1]
+
+
+def test_rollback_only_latch(spark, tmp_path, monkeypatch):
+    """(review r11) After a failed rollback the transaction is
+    rollback-only: commit() must refuse (a half-rolled-back batch must
+    never fold into a commit), retrying rollback() converges."""
+    from sql_query_optimizer_cpp_spark.operators import txn as txn_mod
+
+    a = _table(spark, tmp_path, "ra")
+    b = _table(spark, tmp_path, "rb")
+    txn = txn_mod.begin_multi(spark, [a, b])
+    m.delete_where(spark, a, "k < 5")
+    m.delete_where(spark, b, "k < 5")
+    real = txn_mod._rollback_to_committed
+    calls = {"n": 0}
+
+    def flaky(spark_, path_):
+        calls["n"] += 1
+        if calls["n"] == 2:  # first table undoes, second fails
+            raise IOError("disk hiccup")
+        return real(spark_, path_)
+
+    monkeypatch.setattr(txn_mod, "_rollback_to_committed", flaky)
+    with pytest.raises(IOError, match="disk hiccup"):
+        txn.rollback()
+    assert txn.active  # reopened for retry
+    with pytest.raises(RuntimeError, match="rollback-only"):
+        txn.commit()
+    monkeypatch.undo()
+    txn.rollback()
+    for p in (a, b):
+        assert m.table_versions(spark, p) == [1]
+        assert spark.read.parquet(p).count() == 60
+    # single-table latch too
+    t1 = txn_mod.begin(spark, a)
+    m.delete_where(spark, a, "k < 5")
+    monkeypatch.setattr(
+        txn_mod, "_rollback_to_committed",
+        lambda *_a: (_ for _ in ()).throw(IOError("die")),
+    )
+    with pytest.raises(IOError):
+        t1.rollback()
+    monkeypatch.undo()
+    with pytest.raises(RuntimeError, match="rollback-only"):
+        t1.commit()
+    t1.rollback()
+    assert spark.read.parquet(a).count() == 60
