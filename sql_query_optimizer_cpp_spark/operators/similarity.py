@@ -708,6 +708,24 @@ def build_ivf_index(
     postings.write.partitionBy("cell").mode("overwrite").parquet(
         f"{root}/postings"
     )
+    # staleness anchor: the postings pin THIS file list; DML that adds
+    # or retires table files silently desyncs the index, so searches
+    # verify it (the bloom sidecar degrades gracefully via
+    # always-candidate unindexed files; a posting list cannot — a
+    # missing vector is a silently lost search result)
+    import json
+
+    from .mutate import _rel_to_table, _write_small_file, list_data_files
+
+    built_from = sorted(
+        _rel_to_table(table_path, f)
+        for f in list_data_files(spark, table_path, recursive=True)
+    )
+    _write_small_file(
+        spark,
+        f"{root}/meta.json",
+        json.dumps({"files": built_from}, indent=0).encode(),
+    )
     return book.select("cell").distinct().count()
 
 
@@ -743,6 +761,7 @@ def ivf_search_indexed(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     exact: bool = True,
+    allow_stale: bool = False,
 ) -> DataFrame:
     """IVF probe over a PERSISTED index (:func:`build_ivf_index`):
     assign the query vectors to their ``n_probes`` nearest cells
@@ -771,6 +790,37 @@ def ivf_search_indexed(
         raise ValueError(
             f"no IVF index under {root} — run build_ivf_index first"
         )
+    # staleness gate: a table that gained/retired files since build has
+    # vectors the postings don't know — a probe would silently LOSE
+    # results (unlike bloom skipping, which degrades to always-probe).
+    # One file listing (metadata scale); opt out via allow_stale.
+    if not allow_stale:
+        import json
+
+        from .mutate import _read_small_file, _rel_to_table, list_data_files
+
+        try:
+            built_from = set(
+                json.loads(_read_small_file(spark, f"{root}/meta.json"))[
+                    "files"
+                ]
+            )
+        except Exception:
+            built_from = None  # pre-r11 sidecar without meta: no gate
+        if built_from is not None:
+            now = {
+                _rel_to_table(table_path, f)
+                for f in list_data_files(spark, table_path, recursive=True)
+            }
+            if now != built_from:
+                raise ValueError(
+                    f"IVF index under {root} is STALE: the table's file "
+                    f"set changed since build_ivf_index "
+                    f"({len(now - built_from)} added, "
+                    f"{len(built_from - now)} removed) — rebuild the "
+                    "index, or pass allow_stale=True to search the "
+                    "indexed subset anyway"
+                )
     qbase = (
         spark.read.parquet(table_path)
         .select(id_col, emb_col)

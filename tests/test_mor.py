@@ -1084,6 +1084,48 @@ def test_occ_dv_merge_matches_plain(spark, tmp_path):
         occ_dv_merge_into(spark, path_b, dup, on=["k"])
 
 
+def test_occ_dv_merge_partitioned_matches_plain(spark, tmp_path):
+    """occ_dv_merge_into on a HIVE-PARTITIONED table: copies and inserts
+    route to their key=value dirs, results equal dv_merge_into, and
+    partition-column assignment is refused (the COW rule)."""
+    from sql_query_optimizer_cpp_spark.operators.mor import (
+        dv_merge_into,
+        occ_dv_merge_into,
+    )
+
+    def mk(leaf):
+        p = str(tmp_path / leaf)
+        (
+            spark.range(40)
+            .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v",
+                        "CAST(id % 4 AS INT) AS part")
+            .write.partitionBy("part")
+            .parquet(p)
+        )
+        return p
+
+    pa, pb = mk("pa"), mk("pb")
+    src = spark.range(35, 45).selectExpr(
+        "id AS k", "CAST(-3.0 AS DOUBLE) AS v", "CAST(id % 4 AS INT) AS part"
+    )
+    st_a = dv_merge_into(spark, pa, src, on=["k"], matched_set={"v": "src_v"})
+    st_b = occ_dv_merge_into(
+        spark, pb, src, on=["k"], matched_set={"v": "src_v"}
+    )
+    assert (st_a.rows_matched, st_a.rows_inserted) == (5, 5)
+    assert (st_b.rows_matched, st_b.rows_inserted) == (5, 5)
+    assert st_b.files_rewritten == 0
+    rows_a = sorted(map(tuple, read_mor(spark, pa).collect()))
+    rows_b = sorted(map(tuple, read_mor(spark, pb).collect()))
+    assert rows_a == rows_b
+    # inserted copies landed in their hive dirs, not a flat dump
+    assert read_mor(spark, pb).where("k = 44 AND part = 0").count() == 1
+    with pytest.raises(ValueError, match="partition columns"):
+        occ_dv_merge_into(
+            spark, pb, src, on=["k"], matched_set={"part": "0"}
+        )
+
+
 def test_occ_dv_merge_insert_only_ignores_foreign_churn(spark, tmp_path):
     """A pure-insert merge references no target file, so ANY concurrent
     DV churn is non-conflicting: first-attempt commit (the

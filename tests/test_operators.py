@@ -920,6 +920,37 @@ def test_ivf_indexed_probe_survives_empty_cell(spark, tmp_path):
     assert not {r["neighbor_id"] for r in out} & victim_ids
 
 
+def test_ivf_index_staleness_gate(spark, tmp_path):
+    """(r11) Posting lists pin the build-time file set: DML/appends after
+    build would silently LOSE search results, so the probe refuses a
+    stale index unless the caller opts in."""
+    import pytest as _pytest
+
+    from sql_query_optimizer_cpp_spark.operators import similarity as S
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    tdir = str(tmp_path / "emb_ivf_stale")
+    emb.write.parquet(tdir)
+    S.build_ivf_index(spark, tdir, id_col="vec_id")
+    assert S.ivf_search_indexed(spark, tdir, n_queries=5, k=3).count() > 0
+    # the corpus grows: the index no longer covers the table
+    emb.limit(7).selectExpr(
+        "vec_id + 1000000 AS vec_id", "embedding", "label"
+    ).write.mode("append").parquet(tdir)
+    with _pytest.raises(ValueError, match="STALE"):
+        S.ivf_search_indexed(spark, tdir, n_queries=5, k=3)
+    # explicit opt-in searches the indexed subset
+    assert (
+        S.ivf_search_indexed(
+            spark, tdir, n_queries=5, k=3, allow_stale=True
+        ).count()
+        > 0
+    )
+    # rebuild re-anchors
+    S.build_ivf_index(spark, tdir, id_col="vec_id")
+    assert S.ivf_search_indexed(spark, tdir, n_queries=5, k=3).count() > 0
+
+
 def test_trained_ivf_multi_probe_recall_monotone(spark):
     """n_probes is the IVF recall-vs-cost knob: recall never drops as
     probes grow, and probing EVERY cell recovers the exact top-k."""
