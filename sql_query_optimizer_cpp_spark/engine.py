@@ -247,6 +247,16 @@ class Engine:
 
         return begin(self.spark, path)
 
+    def begin_multi(self, paths: list[str]):
+        """Open ONE transaction spanning several versioned tables —
+        commit() decides atomically for the whole set via the two-phase
+        manifest commit (operators.txn.MultiTableTransaction); rollback
+        restores every member.  Context-manager semantics match
+        :meth:`begin`."""
+        from .operators.txn import begin_multi
+
+        return begin_multi(self.spark, paths)
+
     def recover_table(self, path: str, force: bool = False) -> int:
         """Crash recovery: roll an abandoned transaction back to the last
         committed manifest and clear the stale writer lock
@@ -255,6 +265,22 @@ class Engine:
         from .operators.txn import recover_table
 
         return recover_table(self.spark, path, force=force)
+
+    def recover_tables(
+        self,
+        paths: list[str],
+        force: bool = False,
+        assume_undecided: bool = False,
+    ) -> int:
+        """Crash recovery for multi-table transactions: decided commits
+        (marker present) roll FORWARD, undecided ones roll back
+        (operators.txn.recover_tables)."""
+        from .operators.txn import recover_tables
+
+        return recover_tables(
+            self.spark, paths, force=force,
+            assume_undecided=assume_undecided,
+        )
 
     def read_changes(
         self,

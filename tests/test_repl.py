@@ -104,6 +104,18 @@ def test_engine_version_facade(engine, spark, tmp_path):
     # Engine.table is the always-correct reader (plain here; MOR-aware
     # on deletion-vector tables, covered in test_mor/test_repl MOR tests)
     assert engine.table(path).count() == 40
+    # cross-table txn facade (r11): atomic commit + recovery passthrough
+    path2 = str(tmp_path / "eng_ver2")
+    spark.range(10).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v").coalesce(
+        1
+    ).write.parquet(path2)
+    engine.enable_versioning(path2)
+    with engine.begin_multi([path, path2]):
+        engine.dml("DELETE FROM t WHERE k = 0", {"t": path})
+        engine.dml("DELETE FROM u WHERE k = 0", {"u": path2})
+    assert engine.table_versions(path) == [1, 2, 3]
+    assert engine.table_versions(path2) == [1, 2]
+    assert engine.recover_tables([path, path2]) == 0  # nothing to undo
 
 
 def test_repl_versions_and_repair(engine, spark, tmp_path):
