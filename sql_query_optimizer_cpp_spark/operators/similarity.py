@@ -665,6 +665,23 @@ def _ivf_root(table_path: str, emb_col: str) -> str:
     return f"{table_path.rstrip('/')}/_index/ivf/{emb_col}"
 
 
+def _table_file_set(spark, table_path: str) -> set[str]:
+    """The table's current state for IVF-staleness purposes: data files
+    AND deletion-vector batch files (table-relative).  A dv_delete adds
+    a batch without touching any data file — excluding DV files would
+    let a desynced index pass the gate and resurrect deleted rows."""
+    from .mor import list_dv_files
+    from .mutate import _rel_to_table, list_data_files
+
+    return {
+        _rel_to_table(table_path, f)
+        for f in list_data_files(spark, table_path, recursive=True)
+    } | {
+        _rel_to_table(table_path, f)
+        for f in list_dv_files(spark, table_path)
+    }
+
+
 def build_ivf_index(
     spark,
     table_path: str,
@@ -690,7 +707,18 @@ def build_ivf_index(
 
     :func:`read_ivf_index` / :func:`read_ivf_postings` load the two
     halves back; :func:`ivf_search_indexed` is the probe path."""
-    df = spark.read.parquet(table_path)
+    from .mor import read_mor
+    from .mutate import _rel_to_table
+
+    # read through the deletion vectors: indexing tombstoned rows would
+    # serve deleted vectors as neighbors.  The staleness anchor is this
+    # SNAPSHOT's file list (data + DV batches, pinned at plan creation)
+    # — re-listing after the build scans would fold in files a
+    # concurrent commit added that the index never saw.
+    df = read_mor(spark, table_path)
+    built_from = sorted(
+        _rel_to_table(table_path, f) for f in df.inputFiles()
+    )
     codebook = kmeans_centroids(
         df, num_cells, iters, sample_mod, id_col, emb_col
     )
@@ -708,19 +736,17 @@ def build_ivf_index(
     postings.write.partitionBy("cell").mode("overwrite").parquet(
         f"{root}/postings"
     )
-    # staleness anchor: the postings pin THIS file list; DML that adds
-    # or retires table files silently desyncs the index, so searches
-    # verify it (the bloom sidecar degrades gracefully via
-    # always-candidate unindexed files; a posting list cannot — a
-    # missing vector is a silently lost search result)
+    # staleness anchor: the postings pin the build snapshot's file list
+    # (computed above, BEFORE the training scans); DML that adds or
+    # retires table files — or tombstones rows via a DV batch —
+    # silently desyncs the index, so searches verify it (the bloom
+    # sidecar degrades gracefully via always-candidate unindexed files;
+    # a posting list cannot — a missing vector is a silently lost
+    # search result)
     import json
 
-    from .mutate import _rel_to_table, _write_small_file, list_data_files
+    from .mutate import _write_small_file
 
-    built_from = sorted(
-        _rel_to_table(table_path, f)
-        for f in list_data_files(spark, table_path, recursive=True)
-    )
     _write_small_file(
         spark,
         f"{root}/meta.json",
@@ -790,14 +816,16 @@ def ivf_search_indexed(
         raise ValueError(
             f"no IVF index under {root} — run build_ivf_index first"
         )
-    # staleness gate: a table that gained/retired files since build has
-    # vectors the postings don't know — a probe would silently LOSE
-    # results (unlike bloom skipping, which degrades to always-probe).
-    # One file listing (metadata scale); opt out via allow_stale.
+    # staleness gate: a table that gained/retired files — or tombstoned
+    # rows via a deletion-vector batch — since build has vectors the
+    # postings don't know (or shouldn't serve): a probe would silently
+    # LOSE or RESURRECT results (unlike bloom skipping, which degrades
+    # to always-probe).  One file listing (metadata scale); opt out via
+    # allow_stale.
     if not allow_stale:
         import json
 
-        from .mutate import _read_small_file, _rel_to_table, list_data_files
+        from .mutate import _is_missing_file_error, _read_small_file
 
         try:
             built_from = set(
@@ -805,24 +833,30 @@ def ivf_search_indexed(
                     "files"
                 ]
             )
-        except Exception:
-            built_from = None  # pre-r11 sidecar without meta: no gate
+        except Exception as e:
+            # ONLY a missing meta file means "pre-r11 sidecar, no gate";
+            # a transient read fault or corrupt JSON must fail loudly —
+            # an ungated search against a stale index is silently wrong
+            if not _is_missing_file_error(e):
+                raise
+            built_from = None
         if built_from is not None:
-            now = {
-                _rel_to_table(table_path, f)
-                for f in list_data_files(spark, table_path, recursive=True)
-            }
+            now = _table_file_set(spark, table_path)
             if now != built_from:
                 raise ValueError(
                     f"IVF index under {root} is STALE: the table's file "
-                    f"set changed since build_ivf_index "
-                    f"({len(now - built_from)} added, "
+                    f"set (data + deletion-vector batches) changed since "
+                    f"build_ivf_index ({len(now - built_from)} added, "
                     f"{len(built_from - now)} removed) — rebuild the "
                     "index, or pass allow_stale=True to search the "
                     "indexed subset anyway"
                 )
+    from .mor import read_mor
+
+    # query vectors read through the deletion vectors too: a tombstoned
+    # row must neither query nor be served
     qbase = (
-        spark.read.parquet(table_path)
+        read_mor(spark, table_path)
         .select(id_col, emb_col)
         .where(F.col(id_col) < n_queries)
     )

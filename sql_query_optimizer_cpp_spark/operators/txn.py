@@ -93,6 +93,7 @@ __all__ = [
     "Transaction",
     "MultiTableTransaction",
     "RecoveryNeedsForce",
+    "UndecidedCommitDebris",
     "begin",
     "begin_multi",
     "recover_table",
@@ -105,6 +106,15 @@ class RecoveryNeedsForce(RuntimeError):
     operator must confirm the holder is dead (``force=True``) before
     recovery may delete it.  Typed so callers (the REPL's RECOVER verb)
     can offer the FORCE hint without string-matching error text."""
+
+
+class UndecidedCommitDebris(RuntimeError):
+    """A table holds a prepared multi-table manifest but no decision
+    marker was found in the passed set: either the coordinator table is
+    missing from the call (rolling back would destroy a decided commit)
+    or the crash genuinely happened before the decision — only the
+    operator can tell (``assume_undecided=True`` / the REPL's UNDECIDED
+    token confirms the latter)."""
 
 
 def _rollback_to_committed(spark: SparkSession, path: str) -> int:
@@ -232,7 +242,9 @@ class Transaction:
         anything (a no-op batch commits no version — idempotent).  If the
         manifest write itself fails, the transaction STAYS OPEN (lock
         held, handle valid) — rollback() or retry."""
-        if self._rollback_only:
+        # closed-handle first: commit() after a SUCCESSFUL rollback must
+        # say "already resolved", not "retry rollback()"
+        if self._state is not None and self._rollback_only:
             raise RuntimeError(
                 "a failed rollback() leaves the transaction "
                 "rollback-only (part of the batch may already be "
@@ -485,7 +497,9 @@ class MultiTableTransaction:
         import json
         from datetime import datetime, timezone
 
-        if self._rollback_only:
+        # closed-handle first: commit() after a SUCCESSFUL rollback must
+        # say "already resolved", not "retry rollback()"
+        if self._states is not None and self._rollback_only:
             raise RuntimeError(
                 "a failed rollback() leaves the transaction "
                 "rollback-only (some tables may already be undone — "
@@ -682,7 +696,7 @@ def recover_tables(
             continue
         debris = _list_prep_debris(spark, p)
         if debris and not assume_undecided:
-            raise RuntimeError(
+            raise UndecidedCommitDebris(
                 f"{p} holds a prepared multi-table manifest but no "
                 "commit marker was found in the passed set — if the "
                 "transaction's coordinator table is missing from this "

@@ -541,24 +541,29 @@ def handle(
         if verb == "RECOVER":
             from .operators.txn import (
                 RecoveryNeedsForce,
+                UndecidedCommitDebris,
                 recover_table,
                 recover_tables,
             )
 
             parts = rest.split()
-            force = bool(parts) and parts[-1].upper() == "FORCE"
-            if force:
-                parts = parts[:-1]
+            mods: set[str] = set()
+            while parts and parts[-1].upper() in ("FORCE", "UNDECIDED"):
+                mods.add(parts.pop().upper())
+            force = "FORCE" in mods
+            undecided = "UNDECIDED" in mods
             names = [
                 n for tok in parts for n in tok.split(",") if n
             ]
             unknown = [n for n in names if n not in dml_tables]
-            if not names or unknown:
+            if not names or unknown or (undecided and len(names) == 1):
                 bad = unknown[0] if unknown else "<name>"
                 return (
                     f"usage: RECOVER <attached table>[, <table>...] "
-                    f"[FORCE]  (ATTACH {bad} first; FORCE deletes a "
-                    "live writer lock — confirm the holder is dead)"
+                    f"[FORCE] [UNDECIDED]  (ATTACH {bad} first; FORCE "
+                    "deletes a live writer lock — confirm the holder "
+                    "is dead; UNDECIDED, multi-table only, confirms a "
+                    "crash provably before the decision marker)"
                 )
             open_names = (
                 set(settings["txn"][0].split(","))
@@ -581,6 +586,7 @@ def handle(
                         engine.spark,
                         [dml_tables[n] for n in names],
                         force=force,
+                        assume_undecided=undecided,
                     )
             except RecoveryNeedsForce:
                 # plain RECOVER never deletes a possibly-live writer's
@@ -588,6 +594,16 @@ def handle(
                 return (
                     f"writer lock on {disp} still exists — confirm "
                     f"the holder is dead, then RECOVER {disp} FORCE"
+                )
+            except UndecidedCommitDebris:
+                return (
+                    f"a prepared multi-table manifest exists on {disp} "
+                    "with no decision marker in this set — RECOVER the "
+                    "transaction's FULL table set; if this IS the full "
+                    "set (the crash happened before the decision), "
+                    f"confirm with: RECOVER {disp}"
+                    + (" FORCE" if force else "")
+                    + " UNDECIDED"
                 )
             _refresh_views(engine, dml_tables)
             return (

@@ -980,3 +980,35 @@ def test_trained_ivf_multi_probe_recall_monotone(spark):
 
     with _pytest.raises(ValueError, match="n_probes"):
         S.ivf_topk_trained(emb, n_probes=0)
+
+
+def test_ivf_staleness_gate_sees_deletion_vectors(spark, tmp_path):
+    """(review r11 #2) A dv_delete touches NO data file, so a file-only
+    anchor would pass the gate and the index would resurrect the
+    deleted vector; the anchor must cover DV batches, and a rebuild
+    must index through read_mor."""
+    import pytest as _pytest
+
+    from sql_query_optimizer_cpp_spark.operators import similarity as S
+    from sql_query_optimizer_cpp_spark.operators.mor import dv_delete_where
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    tdir = str(tmp_path / "emb_ivf_dv")
+    emb.write.parquet(tdir)
+    S.build_ivf_index(spark, tdir, id_col="vec_id")
+    # pick a guaranteed neighbor at n_probes=all: some returned id
+    hit = S.ivf_search_indexed(
+        spark, tdir, n_queries=5, k=3, n_probes=S.IVF_CELLS
+    ).first()["neighbor_id"]
+    assert dv_delete_where(spark, tdir, f"vec_id = {hit}") == 1
+    with _pytest.raises(ValueError, match="STALE"):
+        S.ivf_search_indexed(spark, tdir, n_queries=5, k=3)
+    # rebuild reads through the tombstones: the deleted vector is
+    # neither indexed nor served
+    S.build_ivf_index(spark, tdir, id_col="vec_id")
+    out = S.ivf_search_indexed(
+        spark, tdir, n_queries=5, k=3, n_probes=S.IVF_CELLS
+    ).collect()
+    assert out and hit not in {r["neighbor_id"] for r in out}
+    postings = S.read_ivf_postings(spark, tdir)
+    assert postings.where(f"vec_id = {hit}").count() == 0

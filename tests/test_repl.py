@@ -660,6 +660,24 @@ def test_repl_multi_table_transaction(engine, tmp_path):
     # multi-table RECOVER usage line reachable
     out = handle(engine, "RECOVER ta, tb", tables, settings=settings)
     assert "recovered ta,tb" in out
+    # crash-before-decision debris needs the explicit UNDECIDED token
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        _write_small_file,
+    )
+    from sql_query_optimizer_cpp_spark.operators.txn import _prep_path
+
+    _write_small_file(
+        engine.spark, _prep_path(pa, 3), b'{"add":[],"remove":[]}'
+    )
+    out = handle(engine, "RECOVER ta, tb", tables, settings=settings)
+    assert "UNDECIDED" in out and "recovered" not in out
+    out = handle(
+        engine, "RECOVER ta, tb UNDECIDED", tables, settings=settings
+    )
+    assert "recovered ta,tb" in out
+    assert "usage: RECOVER" in handle(  # single-table UNDECIDED refused
+        engine, "RECOVER ta UNDECIDED", tables, settings=settings
+    )
 
 
 def test_repl_commit_failure_keeps_handle(engine, tmp_path):

@@ -556,3 +556,22 @@ def test_rollback_only_latch(spark, tmp_path, monkeypatch):
         t1.commit()
     t1.rollback()
     assert spark.read.parquet(a).count() == 60
+
+
+def test_commit_after_successful_rollback_says_resolved(spark, tmp_path):
+    """(review r11 #2) commit() after a SUCCESSFUL rollback must say the
+    transaction is already resolved, not advise retrying rollback."""
+    from sql_query_optimizer_cpp_spark.operators import txn as txn_mod
+
+    a = _table(spark, tmp_path, "sa")
+    b = _table(spark, tmp_path, "sb")
+    t1 = txn_mod.begin(spark, a)
+    m.delete_where(spark, a, "k = 1")
+    t1.rollback()
+    with pytest.raises(RuntimeError, match="already committed or rolled"):
+        t1.commit()
+    t2 = txn_mod.begin_multi(spark, [a, b])
+    m.delete_where(spark, b, "k = 1")
+    t2.rollback()
+    with pytest.raises(RuntimeError, match="already committed or rolled"):
+        t2.commit()
