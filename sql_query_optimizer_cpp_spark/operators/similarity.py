@@ -742,17 +742,118 @@ def build_ivf_index(
     # silently desyncs the index, so searches verify it (the bloom
     # sidecar degrades gracefully via always-candidate unindexed files;
     # a posting list cannot — a missing vector is a silently lost
-    # search result)
+    # search result).  n_vectors lets refresh_ivf_index detect a
+    # half-applied earlier refresh (postings/anchor mismatch).
     import json
 
     from .mutate import _write_small_file
 
+    n_vectors = spark.read.parquet(f"{root}/postings").count()  # footers
     _write_small_file(
         spark,
         f"{root}/meta.json",
-        json.dumps({"files": built_from}, indent=0).encode(),
+        json.dumps(
+            {"files": built_from, "n_vectors": n_vectors}, indent=0
+        ).encode(),
     )
     return book.select("cell").distinct().count()
+
+
+def refresh_ivf_index(
+    spark,
+    table_path: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """O(new rows) index maintenance — the bloom-refresh analog: assign
+    ONLY the files added since the last build/refresh with the persisted
+    codebook and append them to their posting lists, then advance the
+    staleness anchor.  No retraining, no re-scan of already-indexed data
+    — the steady-state path for an append-mostly corpus at 100 TB
+    (retrain with :func:`build_ivf_index` when the distribution shifts;
+    the codebook is the recall budget, not the postings).
+
+    Only an APPEND-shaped change qualifies: retired/rewritten files or
+    new deletion-vector batches mean indexed vectors must LEAVE the
+    postings, which is a rebuild (``ValueError`` says so).  A crash
+    between the postings append and the anchor update leaves the gate
+    tripping (safe — searches refuse); the next refresh detects the
+    half-applied append via the anchor's ``n_vectors`` and demands a
+    rebuild instead of appending duplicates.
+
+    Returns the number of vectors appended (0 = already fresh)."""
+    import json
+
+    from .mutate import _read_small_file, _write_small_file
+
+    root = _ivf_root(table_path, emb_col)
+    codebook = read_ivf_index(spark, table_path, emb_col)
+    if codebook is None or read_ivf_postings(spark, table_path, emb_col) is None:
+        raise ValueError(
+            f"no IVF index under {root} — run build_ivf_index first"
+        )
+    try:
+        meta = json.loads(_read_small_file(spark, f"{root}/meta.json"))
+    except Exception as e:
+        raise ValueError(
+            f"no staleness anchor under {root} (pre-r11 sidecar?) — "
+            "refresh needs the build-time file list; rebuild with "
+            "build_ivf_index"
+        ) from e
+    built = set(meta["files"])
+    now = _table_file_set(spark, table_path)
+    removed = built - now
+    added = sorted(now - built)
+    added_dv = [f for f in added if f.startswith("_dv/")]
+    if removed or added_dv:
+        raise ValueError(
+            f"IVF index under {root} cannot refresh incrementally: "
+            f"{len(removed)} indexed file(s) retired/rewritten and "
+            f"{len(added_dv)} new deletion-vector batch(es) — vectors "
+            "must LEAVE the postings, which is a rebuild "
+            "(build_ivf_index)"
+        )
+    if not added:
+        return 0
+    have = spark.read.parquet(f"{root}/postings").count()  # footers only
+    if "n_vectors" in meta and have != meta["n_vectors"]:
+        raise ValueError(
+            f"postings under {root} hold {have} vectors but the "
+            f"anchor recorded {meta['n_vectors']} — a crashed "
+            "refresh left a partial append; rebuild with "
+            "build_ivf_index (appending again would duplicate "
+            "candidates)"
+        )
+    new_df = spark.read.option("basePath", table_path).parquet(
+        *[f"{table_path.rstrip('/')}/{f}" for f in added]
+    ).select(id_col, emb_col)
+    assign = assign_cells(_comp(new_df, id_col, emb_col), codebook, id_col)
+    postings_new = (
+        with_norm(new_df, emb_col, exact=True)
+        .join(assign, id_col)
+        .repartition("cell")
+    )
+    postings_new.write.partitionBy("cell").mode("append").parquet(
+        f"{root}/postings"
+    )
+    # footer counts before/after, not a re-execution of the assignment
+    appended = spark.read.parquet(f"{root}/postings").count() - have
+    _write_small_file(
+        spark,
+        f"{root}/meta.json",
+        json.dumps(
+            {
+                # anchor = exactly what the index now covers (built ∪
+                # added), never a re-listing — files a concurrent commit
+                # adds during THIS refresh stay unindexed and keep the
+                # gate tripping until the next refresh
+                "files": sorted(built | set(added)),
+                "n_vectors": int(have + appended),
+            },
+            indent=0,
+        ).encode(),
+    )
+    return int(appended)
 
 
 def read_ivf_index(spark, table_path: str, emb_col: str = "embedding"):

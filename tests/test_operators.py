@@ -1012,3 +1012,60 @@ def test_ivf_staleness_gate_sees_deletion_vectors(spark, tmp_path):
     assert out and hit not in {r["neighbor_id"] for r in out}
     postings = S.read_ivf_postings(spark, tdir)
     assert postings.where(f"vec_id = {hit}").count() == 0
+
+
+def test_refresh_ivf_index_incremental(spark, tmp_path):
+    """(r11) refresh_ivf_index appends ONLY the new files' vectors using
+    the persisted codebook (no retraining), advances the anchor, refuses
+    non-append drift, and detects a half-applied earlier refresh."""
+    import os
+
+    import pytest as _pytest
+
+    from sql_query_optimizer_cpp_spark.operators import similarity as S
+    from sql_query_optimizer_cpp_spark.operators.mor import dv_delete_where
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    tdir = str(tmp_path / "emb_ivf_refresh")
+    emb.write.parquet(tdir)
+    S.build_ivf_index(spark, tdir, id_col="vec_id")
+    base_n = S.read_ivf_postings(spark, tdir).count()
+    # corpus appends 7 vectors in new files: gate trips, refresh mends
+    emb.limit(7).selectExpr(
+        "vec_id + 1000000 AS vec_id", "embedding", "label"
+    ).write.mode("append").parquet(tdir)
+    with _pytest.raises(ValueError, match="STALE"):
+        S.ivf_search_indexed(spark, tdir, n_queries=5, k=3)
+    assert S.refresh_ivf_index(spark, tdir, id_col="vec_id") == 7
+    postings = S.read_ivf_postings(spark, tdir)
+    assert postings.count() == base_n + 7
+    assert postings.where("vec_id >= 1000000").count() == 7
+    out = S.ivf_search_indexed(
+        spark, tdir, n_queries=5, k=3, n_probes=S.IVF_CELLS
+    )
+    assert out.count() > 0  # gate passes again
+    assert S.refresh_ivf_index(spark, tdir, id_col="vec_id") == 0
+    # half-applied sim: postings grew without the anchor moving
+    extra = postings.where("vec_id = 0").select("vec_id", "embedding", "nsq")
+    extra.write.mode("append").parquet(
+        f"{tdir}/_index/ivf/embedding/postings/cell=0"
+    )
+    emb.limit(2).selectExpr(
+        "vec_id + 2000000 AS vec_id", "embedding", "label"
+    ).write.mode("append").parquet(tdir)
+    with _pytest.raises(ValueError, match="partial append"):
+        S.refresh_ivf_index(spark, tdir, id_col="vec_id")
+    # rebuild converges; then a deletion-vector batch demands rebuild
+    S.build_ivf_index(spark, tdir, id_col="vec_id")
+    dv_delete_where(spark, tdir, "vec_id = 5")
+    with _pytest.raises(ValueError, match="rebuild"):
+        S.refresh_ivf_index(spark, tdir, id_col="vec_id")
+    # retired data file demands rebuild too
+    S.build_ivf_index(spark, tdir, id_col="vec_id")
+    data_files = [
+        f for f in os.listdir(tdir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    os.remove(os.path.join(tdir, data_files[0]))
+    with _pytest.raises(ValueError, match="rebuild"):
+        S.refresh_ivf_index(spark, tdir, id_col="vec_id")
