@@ -96,6 +96,12 @@ _HELP = """commands:
                         per-file bloom index: build (auto-sized), index
                         just the files DML rewrote, probe-and-read a
                         point lookup, show sidecar stats, drop, or list
+  IVF <name> BUILD [<col>] | REFRESH [<col>] | SEARCH <k> [probes] [<col>]
+            | STATS [<col>]
+                        trained-quantizer ANN index: k-means codebook +
+                        cell-partitioned posting lists; REFRESH appends
+                        only new files' vectors; SEARCH probes only the
+                        query's nearest cells (col defaults: embedding)
   CHANGES <name> <from> [<to>]  CDC: net row changes between two versions
   CONSTRAINT <name> ADD <cname> <expr> | DROP <cname> | LIST
                         CHECK constraints enforced by UPDATE/MERGE staging
@@ -106,12 +112,15 @@ _HELP = """commands:
                         compaction; ratio = min dead fraction per file)
   ... <name> VERSION AS OF <n> | TIMESTAMP AS OF '<iso>' ...
                         time-travel any attached table inside a SELECT
-  BEGIN <name>          open a transaction: DML until COMMIT lands as ONE
-                        version (CDC = the net diff); ROLLBACK restores
-                        the table byte-identical
+  BEGIN <name>[, <name>...]  open a transaction: DML until COMMIT lands
+                        as ONE version per table (CDC = the net diff);
+                        several names = ONE atomic cross-table commit;
+                        ROLLBACK restores every table byte-identical
   COMMIT | ROLLBACK     resolve the open transaction
-  RECOVER <name>        roll a CRASHED transaction back to the last
-                        committed manifest and clear its stale lock
+  RECOVER <name>[, <name>...] [FORCE] [UNDECIDED]
+                        roll a CRASHED transaction to its committed
+                        state (decided multi-table commits roll FORWARD;
+                        FORCE clears a dead writer's lock)
   REPAIR <name> [REMOVE]  inventory / clean post-crash COW debris
   TABLES                list tables
   HELP                  this help;  EXIT | QUIT | \\q  to leave"""
@@ -370,6 +379,101 @@ def handle(
                 read_point_lookup(engine.spark, path, col, parsed),
                 max_rows,
             )
+        if verb == "IVF":
+            import json as _json
+
+            from .operators.mutate import _read_small_file
+            from .operators.similarity import (
+                _ivf_root,
+                _table_file_set,
+                build_ivf_index,
+                ivf_search_indexed,
+                read_ivf_index,
+                read_ivf_postings,
+                refresh_ivf_index,
+            )
+
+            parts = rest.split()
+            usage = (
+                "usage: IVF <attached table> BUILD [<col>] | "
+                "REFRESH [<col>] | SEARCH <k> [probes] [<col>] | "
+                "STATS [<col>]"
+            )
+            if len(parts) < 2 or parts[0] not in dml_tables:
+                return usage
+            name, action = parts[0], parts[1].upper()
+            path, args = dml_tables[name], parts[2:]
+            if action == "BUILD":
+                col = args[0] if args else "embedding"
+                n = build_ivf_index(engine.spark, path, emb_col=col)
+                return (
+                    f"ivf index on {name}.{col}: trained codebook + "
+                    f"posting lists over {n} live cell(s)"
+                )
+            if action == "REFRESH":
+                col = args[0] if args else "embedding"
+                n = refresh_ivf_index(engine.spark, path, emb_col=col)
+                return (
+                    f"appended {n} new vector(s) to {name}.{col} "
+                    "posting lists"
+                    if n
+                    else f"ivf index on {name}.{col} already covers "
+                    "every live file"
+                )
+            if action == "SEARCH":
+                if not args:
+                    return usage
+                k = int(args[0])
+                probes = (
+                    int(args[1])
+                    if len(args) > 1 and args[1].isdigit()
+                    else 1
+                )
+                col = (
+                    args[-1]
+                    if args and not args[-1].isdigit()
+                    else "embedding"
+                )
+                return _fmt_rows(
+                    ivf_search_indexed(
+                        engine.spark, path, k=k, n_probes=probes,
+                        emb_col=col,
+                    ),
+                    max_rows,
+                )
+            if action == "STATS":
+                col = args[0] if args else "embedding"
+                book = read_ivf_index(engine.spark, path, col)
+                postings = read_ivf_postings(engine.spark, path, col)
+                if book is None or postings is None:
+                    return (
+                        f"no ivf index on {name}.{col}; "
+                        f"IVF {name} BUILD {col} first"
+                    )
+                cells = book.select("cell").distinct().count()
+                n_vec = postings.count()  # parquet footers only
+                stale = ""
+                try:
+                    meta = _json.loads(
+                        _read_small_file(
+                            engine.spark,
+                            f"{_ivf_root(path, col)}/meta.json",
+                        )
+                    )
+                    if set(meta["files"]) != _table_file_set(
+                        engine.spark, path
+                    ):
+                        stale = (
+                            "  [STALE — the table changed since build; "
+                            f"IVF {name} REFRESH {col} or BUILD]"
+                        )
+                except Exception:
+                    stale = "  [no staleness anchor (pre-r11 index)]"
+                return (
+                    f"ivf index on {name}.{col}: {cells} cell(s), "
+                    f"{n_vec} indexed vector(s){stale}"
+                )
+            return usage
         if verb == "COMPACT":
             from .operators.mutate import compact
 

@@ -680,6 +680,38 @@ def test_repl_multi_table_transaction(engine, tmp_path):
     )
 
 
+def test_repl_ivf_verbs(engine, tmp_path):
+    """IVF BUILD/SEARCH/STATS/REFRESH drive the trained-quantizer ANN
+    index from the prompt, including the staleness lifecycle."""
+    from sql_query_optimizer_cpp_spark.catalog import load_tables
+
+    from .conftest import SF_DIR
+
+    emb = load_tables(engine.spark, SF_DIR, ("embeddings",))["embeddings"]
+    path = str(tmp_path / "repl_ivf")
+    emb.write.parquet(path)
+    tables: dict[str, str] = {}
+    handle(engine, f"ATTACH e {path}", tables)
+    assert "usage: IVF" in handle(engine, "IVF nope BUILD", tables)
+    out = handle(engine, "IVF e BUILD", tables)
+    assert "trained codebook" in out and "cell(s)" in out
+    out = handle(engine, "IVF e STATS", tables)
+    assert "indexed vector(s)" in out and "STALE" not in out
+    out = handle(engine, "IVF e SEARCH 3 2", tables)
+    assert "query_id" in out and "neighbor_id" in out
+    out = handle(engine, "IVF e REFRESH", tables)
+    assert "already covers" in out
+    # corpus appends: STATS flags stale, SEARCH refuses, REFRESH mends
+    emb.limit(4).selectExpr(
+        "vec_id + 1000000 AS vec_id", "embedding", "label"
+    ).write.mode("append").parquet(path)
+    assert "STALE" in handle(engine, "IVF e STATS", tables)
+    assert "error:" in handle(engine, "IVF e SEARCH 3", tables)
+    assert "appended 4" in handle(engine, "IVF e REFRESH", tables)
+    assert "STALE" not in handle(engine, "IVF e STATS", tables)
+    assert "query_id" in handle(engine, "IVF e SEARCH 3", tables)
+
+
 def test_repl_commit_failure_keeps_handle(engine, tmp_path):
     """A failed COMMIT must not discard the REPL's txn handle: the
     library keeps the transaction open for retry (lock held, batch
