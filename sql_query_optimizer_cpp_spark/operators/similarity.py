@@ -665,6 +665,30 @@ def _ivf_root(table_path: str, emb_col: str) -> str:
     return f"{table_path.rstrip('/')}/_index/ivf/{emb_col}"
 
 
+def _ivf_meta(spark, table_path: str, emb_col: str) -> dict:
+    """The index's staleness anchor (``meta.json``: the build/refresh
+    snapshot's file list + vector count).  Every postings-writing build
+    also writes the anchor, so a usable index without one is CRASH
+    DEBRIS (e.g. a failed anchor overwrite) — raise and demand a
+    rebuild rather than silently searching ungated; corrupt JSON and
+    transient read faults are loud for the same reason."""
+    import json
+
+    from .mutate import _is_missing_file_error, _read_small_file
+
+    root = _ivf_root(table_path, emb_col)
+    try:
+        return json.loads(_read_small_file(spark, f"{root}/meta.json"))
+    except Exception as e:
+        if _is_missing_file_error(e):
+            raise ValueError(
+                f"IVF index under {root} has no staleness anchor "
+                "(crashed build/refresh left partial state?) — rebuild "
+                "with build_ivf_index"
+            ) from e
+        raise
+
+
 def _table_file_set(spark, table_path: str) -> set[str]:
     """The table's current state for IVF-staleness purposes: data files
     AND deletion-vector batch files (table-relative).  A dv_delete adds
@@ -792,14 +816,7 @@ def refresh_ivf_index(
         raise ValueError(
             f"no IVF index under {root} — run build_ivf_index first"
         )
-    try:
-        meta = json.loads(_read_small_file(spark, f"{root}/meta.json"))
-    except Exception as e:
-        raise ValueError(
-            f"no staleness anchor under {root} (pre-r11 sidecar?) — "
-            "refresh needs the build-time file list; rebuild with "
-            "build_ivf_index"
-        ) from e
+    meta = _ivf_meta(spark, table_path, emb_col)
     built = set(meta["files"])
     now = _table_file_set(spark, table_path)
     removed = built - now
@@ -924,34 +941,17 @@ def ivf_search_indexed(
     # to always-probe).  One file listing (metadata scale); opt out via
     # allow_stale.
     if not allow_stale:
-        import json
-
-        from .mutate import _is_missing_file_error, _read_small_file
-
-        try:
-            built_from = set(
-                json.loads(_read_small_file(spark, f"{root}/meta.json"))[
-                    "files"
-                ]
+        built_from = set(_ivf_meta(spark, table_path, emb_col)["files"])
+        now = _table_file_set(spark, table_path)
+        if now != built_from:
+            raise ValueError(
+                f"IVF index under {root} is STALE: the table's file "
+                f"set (data + deletion-vector batches) changed since "
+                f"build_ivf_index ({len(now - built_from)} added, "
+                f"{len(built_from - now)} removed) — rebuild the "
+                "index, or pass allow_stale=True to search the "
+                "indexed subset anyway"
             )
-        except Exception as e:
-            # ONLY a missing meta file means "pre-r11 sidecar, no gate";
-            # a transient read fault or corrupt JSON must fail loudly —
-            # an ungated search against a stale index is silently wrong
-            if not _is_missing_file_error(e):
-                raise
-            built_from = None
-        if built_from is not None:
-            now = _table_file_set(spark, table_path)
-            if now != built_from:
-                raise ValueError(
-                    f"IVF index under {root} is STALE: the table's file "
-                    f"set (data + deletion-vector batches) changed since "
-                    f"build_ivf_index ({len(now - built_from)} added, "
-                    f"{len(built_from - now)} removed) — rebuild the "
-                    "index, or pass allow_stale=True to search the "
-                    "indexed subset anyway"
-                )
     from .mor import read_mor
 
     # query vectors read through the deletion vectors too: a tombstoned

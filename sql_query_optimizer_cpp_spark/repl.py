@@ -380,11 +380,8 @@ def handle(
                 max_rows,
             )
         if verb == "IVF":
-            import json as _json
-
-            from .operators.mutate import _read_small_file
             from .operators.similarity import (
-                _ivf_root,
+                _ivf_meta,
                 _table_file_set,
                 build_ivf_index,
                 ivf_search_indexed,
@@ -407,8 +404,8 @@ def handle(
                 col = args[0] if args else "embedding"
                 n = build_ivf_index(engine.spark, path, emb_col=col)
                 return (
-                    f"ivf index on {name}.{col}: trained codebook + "
-                    f"posting lists over {n} live cell(s)"
+                    f"ivf index on {name}.{col}: trained codebook "
+                    f"({n} trained cell(s)) + posting lists"
                 )
             if action == "REFRESH":
                 col = args[0] if args else "embedding"
@@ -421,7 +418,7 @@ def handle(
                     "every live file"
                 )
             if action == "SEARCH":
-                if not args:
+                if not args or not args[0].isdigit():
                     return usage
                 k = int(args[0])
                 probes = (
@@ -454,12 +451,15 @@ def handle(
                 n_vec = postings.count()  # parquet footers only
                 stale = ""
                 try:
-                    meta = _json.loads(
-                        _read_small_file(
-                            engine.spark,
-                            f"{_ivf_root(path, col)}/meta.json",
-                        )
+                    meta = _ivf_meta(engine.spark, path, col)
+                except ValueError:
+                    # crash debris (failed anchor write): say so — a
+                    # silent "looks fine" here hides real staleness
+                    stale = (
+                        "  [NO staleness anchor — crashed "
+                        f"build/refresh? IVF {name} BUILD {col}]"
                     )
+                else:
                     if set(meta["files"]) != _table_file_set(
                         engine.spark, path
                     ):
@@ -467,11 +467,9 @@ def handle(
                             "  [STALE — the table changed since build; "
                             f"IVF {name} REFRESH {col} or BUILD]"
                         )
-                except Exception:
-                    stale = "  [no staleness anchor (pre-r11 index)]"
                 return (
-                    f"ivf index on {name}.{col}: {cells} cell(s), "
-                    f"{n_vec} indexed vector(s){stale}"
+                    f"ivf index on {name}.{col}: {cells} trained "
+                    f"cell(s), {n_vec} indexed vector(s){stale}"
                 )
             return usage
         if verb == "COMPACT":

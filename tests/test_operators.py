@@ -949,6 +949,23 @@ def test_ivf_index_staleness_gate(spark, tmp_path):
     # rebuild re-anchors
     S.build_ivf_index(spark, tdir, id_col="vec_id")
     assert S.ivf_search_indexed(spark, tdir, n_queries=5, k=3).count() > 0
+    # a usable index with NO anchor is crash debris (e.g. a failed
+    # anchor overwrite): searches and refreshes refuse LOUDLY instead
+    # of running ungated forever (review r11, third pass)
+    import os
+
+    os.remove(f"{tdir}/_index/ivf/embedding/meta.json")
+    with _pytest.raises(ValueError, match="no staleness anchor"):
+        S.ivf_search_indexed(spark, tdir, n_queries=5, k=3)
+    with _pytest.raises(ValueError, match="no staleness anchor"):
+        S.refresh_ivf_index(spark, tdir, id_col="vec_id")
+    # allow_stale still reaches the indexed data explicitly
+    assert (
+        S.ivf_search_indexed(
+            spark, tdir, n_queries=5, k=3, allow_stale=True
+        ).count()
+        > 0
+    )
 
 
 def test_trained_ivf_multi_probe_recall_monotone(spark):
