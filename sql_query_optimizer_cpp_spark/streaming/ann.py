@@ -1,0 +1,121 @@
+"""Streaming vector ingest with exactly-once IVF index maintenance.
+
+The batch side (``operators/similarity.py``) persists a trained IVF
+index as a table sidecar — codebook + cell-partitioned posting lists —
+and ``refresh_ivf_index`` advances it by exactly the files appended
+since the last build/refresh.  This module is the streaming form: a
+``foreachBatch`` sink that lands each micro-batch of vectors in the
+table AND keeps the posting lists fresh, so the serving path
+(``ivf_search_indexed``) never trips the staleness gate on an
+append-only corpus.
+
+This is the steady-state ANN story at 100 TB: the corpus grows by
+stream, the index grows by O(batch) posting appends (no corpus
+re-scan, no retraining), and searches stay partition-pruned to probed
+cells.  Retraining the codebook (``build_ivf_index``) remains an
+out-of-band decision when the distribution shifts — the codebook is
+the recall budget, not the postings.
+
+Exactly-once layout (the ``streaming/rollup.py`` idempotence pattern,
+extended to cover the index):
+
+- each epoch's vectors land in their OWN hive partition directory,
+  ``<table>/ingest_epoch=<n>/`` — the layout every reader here already
+  understands (``read_mor`` basePath reads, ``list_data_files``
+  recursive walks);
+- a replay of a COMMITTED epoch (crash after the checkpoint write was
+  decided but before it landed) sees the directory's ``_SUCCESS``
+  marker and skips the data write, so rows are never duplicated;
+- a replay of a CRASHED epoch overwrites the partial directory.  The
+  partial files were never indexed — the refresh runs strictly after
+  the data write commits — so no posting references them, and the
+  staleness anchor never listed them (``removed = built - now`` stays
+  empty: retiring never-indexed debris is invisible to the gate);
+- a crash AFTER the refresh but before the checkpoint commit replays
+  into a skip-write + zero-row refresh: the anchor already covers the
+  epoch's files, ``refresh_ivf_index`` sees nothing added and returns
+  0.  The index never double-counts.
+
+A micro-batch is append-shaped by construction, which is exactly the
+change class ``refresh_ivf_index`` accepts.  If OTHER writers make the
+table non-append (retire files via compaction, add deletion-vector
+batches), the refresh raises its rebuild-required error; the sink
+downgrades that to a ``warnings.warn`` and KEEPS INGESTING — losing
+the ingest stream because a maintenance job compacted the table is the
+worse failure, and searches stay protected by the gate (they refuse
+until ``build_ivf_index`` runs) rather than silently serving a
+desynced index.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+from pyspark.sql import DataFrame
+
+from ..operators.similarity import read_ivf_index, refresh_ivf_index
+
+
+def ingest_vectors_maintaining_ivf(
+    vectors_stream: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Start a ``foreachBatch`` sink appending each micro-batch of
+    ``(id, embedding)`` rows to ``table_path`` (one ``ingest_epoch=<n>``
+    partition per epoch) and advancing the persisted IVF posting lists
+    by exactly the new rows.  Returns the StreamingQuery (caller drives
+    it, e.g. ``processAllAvailable`` in tests).
+
+    The index is OPTIONAL at start: epochs that land before
+    ``build_ivf_index`` has run are simply unindexed (the staleness
+    gate keeps searches honest); once an index exists, every subsequent
+    epoch refreshes it in the same ``foreachBatch`` call, after the
+    epoch's data write commits.  Build the index over a quiet table or
+    accept that the first post-build epoch refreshes the gap — both
+    orders converge because refresh is anchored on file sets, not time.
+    """
+
+    def _ingest(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        from ..operators.mutate import _fs
+
+        dest = f"{table_path.rstrip('/')}/ingest_epoch={epoch_id}"
+        jvm, fs, _ = _fs(spark, dest)
+        marker = jvm.org.apache.hadoop.fs.Path(f"{dest}/_SUCCESS")
+        if fs.exists(marker):
+            # at-least-once replay of a committed epoch: the vectors are
+            # already live; fall through to the refresh, which is a
+            # no-op if its crash window didn't hit
+            pass
+        else:
+            # overwrite, not append: a crashed attempt's partial files
+            # must be retired, not joined, or the replay double-lands
+            # the rows that did make it out
+            batch.select(id_col, emb_col).write.mode("overwrite").parquet(
+                dest
+            )
+        if read_ivf_index(spark, table_path, emb_col) is None:
+            return  # pre-build epochs stay unindexed (gate protects reads)
+        try:
+            refresh_ivf_index(
+                spark, table_path, emb_col=emb_col, id_col=id_col
+            )
+        except ValueError as e:
+            # non-append interference (compaction retired files, a DV
+            # batch landed): the index needs a rebuild, but the INGEST
+            # must not die for it — searches are gate-protected either
+            # way.  Loud, attributable, non-fatal.
+            warnings.warn(
+                f"IVF maintenance skipped at epoch {epoch_id}: {e}",
+                stacklevel=2,
+            )
+
+    return (
+        vectors_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .start()
+    )

@@ -416,3 +416,96 @@ def test_apply_changes_optimistic_concurrent_appliers(tmp_path, spark):
     del want[2], want[12]
     want.update({1: 100.0, 30: 300.0, 11: 110.0, 40: 400.0})
     assert got == want
+
+
+def test_stream_ann_ingest_maintains_ivf_index(tmp_path, spark):
+    """(r11) Streaming vector ingest keeps the persisted IVF index
+    exactly-once fresh: epochs landing BEFORE the build stay unindexed
+    (gate-protected), epochs after it refresh the postings by O(batch),
+    the final probe equals the unindexed trained path on the same
+    persisted codebook, and an at-least-once REPLAY (last checkpoint
+    commit marker deleted, stream restarted) duplicates neither table
+    rows nor postings."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sql_query_optimizer_cpp_spark.operators import similarity as S
+    from sql_query_optimizer_cpp_spark.operators.mor import read_mor
+    from sql_query_optimizer_cpp_spark.streaming.ann import (
+        ingest_vectors_maintaining_ivf,
+    )
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    src = str(tmp_path / "src")
+    tdir = str(tmp_path / "vectors")
+    ckpt = str(tmp_path / "ckpt")
+    emb.where(F.col("vec_id") < n // 2).repartition(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = ingest_vectors_maintaining_ivf(stream, tdir, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    drain()  # pre-build epochs: vectors land, no index to maintain yet
+    assert read_mor(spark, tdir).count() == n // 2
+    S.build_ivf_index(spark, tdir, id_col="vec_id")
+
+    emb.where(F.col("vec_id") >= n // 2).repartition(2).write.mode(
+        "append"
+    ).parquet(src)
+    drain()  # post-build epochs: each refreshes the postings in-batch
+    table = read_mor(spark, tdir)
+    assert table.count() == n
+    assert S.read_ivf_postings(spark, tdir).count() == n
+
+    def probe_rows():
+        # gate must PASS: the stream kept the index fresh
+        return sorted(
+            tuple(r)
+            for r in S.ivf_search_indexed(
+                spark, tdir, n_queries=5, k=3, n_probes=2
+            ).collect()
+        )
+
+    got = probe_rows()
+    want = sorted(
+        tuple(r)
+        for r in S.ivf_topk_trained(
+            table.select("vec_id", "embedding"),
+            n_queries=5,
+            k=3,
+            codebook=S.read_ivf_index(spark, tdir),
+            n_probes=2,
+        ).collect()
+    )
+    assert got and got == want
+
+    # at-least-once replay: drop the LAST commit marker so the restarted
+    # stream re-runs that epoch with the same id + file set — the
+    # _SUCCESS skip must land zero new rows and zero new postings
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ckpt, "commits"))
+        if not f.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    # the local ChecksumFs keeps a hidden .N.crc sidecar; leaving it
+    # stale makes the replayed commit's rename collide
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    drain()
+    assert read_mor(spark, tdir).count() == n
+    assert S.read_ivf_postings(spark, tdir).count() == n
+    assert probe_rows() == want

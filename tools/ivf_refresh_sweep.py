@@ -1,0 +1,127 @@
+"""Randomized sweep: incremental IVF refresh vs the unindexed trained
+search on the same persisted codebook.
+
+For each seed: start from a random slice of the embeddings fixture,
+build the index, then apply a random schedule of append batches (random
+sizes, shuffled id order, occasional empty batch) with a refresh after
+each; after every refresh assert
+
+  ivf_search_indexed(table)  ==  ivf_topk_trained(read_mor(table),
+                                                  codebook=persisted)
+
+row-for-row at a random (k, n_probes), and that the postings count
+equals the table count.  This is the property the unit/streaming tests
+pin at fixed shapes, swept over shapes the example tests never hit
+(the txn/OCC-DV sweep discipline — randomized schedules keep catching
+what example tests miss).
+
+Run:  python tools/ivf_refresh_sweep.py [n_seeds]
+"""
+
+from __future__ import annotations
+
+import random
+import shutil
+import sys
+import tempfile
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main(n_seeds: int = 10) -> None:
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("ivf-refresh-sweep")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from sql_query_optimizer_cpp_spark.catalog import load_tables
+    from sql_query_optimizer_cpp_spark.operators import similarity as S
+    from sql_query_optimizer_cpp_spark.operators.mor import read_mor
+
+    emb = (
+        load_tables(spark, "/root/testdata/sf0.001", ("embeddings",))[
+            "embeddings"
+        ]
+        .select("vec_id", "embedding")
+        .cache()
+    )
+    ids = [r[0] for r in emb.select("vec_id").collect()]
+    n = len(ids)
+    print(f"fixture: {n} vectors; sweeping {n_seeds} seeds")
+
+    for seed in range(n_seeds):
+        rng = random.Random(seed)
+        order = ids[:]
+        rng.shuffle(order)
+        base_n = rng.randint(n // 4, n // 2)
+        root = tempfile.mkdtemp(prefix=f"ivf_sweep_{seed}_")
+        tdir = f"{root}/vectors"
+        try:
+            base_ids = order[:base_n]
+            emb.where(F.col("vec_id").isin(base_ids)).repartition(
+                rng.randint(1, 3)
+            ).write.parquet(tdir)
+            S.build_ivf_index(spark, tdir, id_col="vec_id")
+            cursor = base_n
+            step = 0
+            while cursor < n:
+                size = rng.choice([0, 1, rng.randint(2, max(3, n // 6))])
+                batch_ids = order[cursor : cursor + size]
+                cursor += size
+                if batch_ids:
+                    emb.where(
+                        F.col("vec_id").isin(batch_ids)
+                    ).repartition(rng.randint(1, 2)).write.mode(
+                        "append"
+                    ).parquet(tdir)
+                appended = S.refresh_ivf_index(spark, tdir, id_col="vec_id")
+                assert appended == len(batch_ids), (
+                    f"seed {seed} step {step}: refresh appended "
+                    f"{appended}, expected {len(batch_ids)}"
+                )
+                table = read_mor(spark, tdir)
+                n_post = S.read_ivf_postings(spark, tdir).count()
+                n_tab = table.count()
+                assert n_post == n_tab, (
+                    f"seed {seed} step {step}: postings {n_post} != "
+                    f"table {n_tab}"
+                )
+                k = rng.randint(1, 5)
+                probes = rng.randint(1, S.IVF_CELLS)
+                got = sorted(
+                    tuple(r)
+                    for r in S.ivf_search_indexed(
+                        spark, tdir, n_queries=8, k=k, n_probes=probes
+                    ).collect()
+                )
+                want = sorted(
+                    tuple(r)
+                    for r in S.ivf_topk_trained(
+                        table.select("vec_id", "embedding"),
+                        n_queries=8,
+                        k=k,
+                        codebook=S.read_ivf_index(spark, tdir),
+                        n_probes=probes,
+                    ).collect()
+                )
+                assert got == want, (
+                    f"seed {seed} step {step} (k={k}, probes={probes}): "
+                    f"indexed probe != trained search\n  got {got[:5]}…"
+                    f"\n  want {want[:5]}…"
+                )
+                step += 1
+            print(
+                f"seed {seed}: OK — base {base_n}, {step} refresh "
+                f"steps, final {n_tab} vectors, ALL MATCH"
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    print(f"SWEEP PASS: {n_seeds}/{n_seeds} seeds")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 10)
