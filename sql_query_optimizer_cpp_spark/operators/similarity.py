@@ -665,6 +665,22 @@ def _ivf_root(table_path: str, emb_col: str) -> str:
     return f"{table_path.rstrip('/')}/_index/ivf/{emb_col}"
 
 
+def _rename_identity(df: DataFrame) -> DataFrame:
+    """``__src_file``/``__row_idx`` (the MOR working columns) become the
+    posting store's ``src_file``/``row_idx``.  A table whose OWN schema
+    uses those names would silently duplicate columns — refuse."""
+    clash = {"src_file", "row_idx"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"table column(s) {sorted(clash)} collide with the IVF "
+            "posting lists' row-identity columns — rename them before "
+            "indexing"
+        )
+    return df.withColumnsRenamed(
+        {"__src_file": "src_file", "__row_idx": "row_idx"}
+    )
+
+
 def _ivf_meta(spark, table_path: str, emb_col: str) -> dict:
     """The index's staleness anchor (``meta.json``: the build/refresh
     snapshot's file list + vector count).  Every postings-writing build
@@ -729,29 +745,61 @@ def build_ivf_index(
     re-run the full-corpus assignment scan (the r10 shape): fine for
     one batch search, wrong for point-query serving at 100 TB.
 
+    Each posting row also carries the corpus row's MOR identity
+    ``(src_file, row_idx)`` — the same ``(table-relative file, parquet
+    row index)`` the deletion-vector store keys on — so
+    :func:`maintain_ivf_index` can fold a later DV batch into the index
+    as a PRECISE anti-join (no assumption that ``id_col`` is unique,
+    no corpus re-read to learn which vectors a tombstone hit).
+
     :func:`read_ivf_index` / :func:`read_ivf_postings` load the two
     halves back; :func:`ivf_search_indexed` is the probe path."""
-    from .mor import read_mor
-    from .mutate import _rel_to_table
+    from .mor import _live, _read_dv, _with_identity, list_dv_files
+    from .mutate import (
+        _fs,
+        _rel_to_table,
+        is_partitioned,
+        list_data_files,
+    )
 
     # read through the deletion vectors: indexing tombstoned rows would
     # serve deleted vectors as neighbors.  The staleness anchor is this
-    # SNAPSHOT's file list (data + DV batches, pinned at plan creation)
-    # — re-listing after the build scans would fold in files a
-    # concurrent commit added that the index never saw.
-    df = read_mor(spark, table_path)
+    # SNAPSHOT's file list (data + DV batches, pinned HERE, before the
+    # training scans) — re-listing after the build scans would fold in
+    # files a concurrent commit added that the index never saw.
+    data_files = list_data_files(spark, table_path, recursive=True)
+    dv_files = list_dv_files(spark, table_path)
     built_from = sorted(
-        _rel_to_table(table_path, f) for f in df.inputFiles()
+        _rel_to_table(table_path, f) for f in data_files + dv_files
+    )
+    base_path = table_path if is_partitioned(spark, table_path) else None
+    df = _rename_identity(
+        _live(
+            _with_identity(spark, table_path, data_files, base_path),
+            _read_dv(spark, table_path),
+        )
     )
     codebook = kmeans_centroids(
         df, num_cells, iters, sample_mod, id_col, emb_col
     )
     root = _ivf_root(table_path, emb_col)
+    # a crashed maintain_ivf_index leaves _maintain_* stage/trash dirs
+    # as its loud tripwire; a rebuild supersedes them — sweep so the
+    # debris check doesn't refuse forever after the demanded rebuild
+    jvm, fs, root_p = _fs(spark, root)
+    if fs.exists(root_p):
+        for st in fs.listStatus(root_p):
+            if st.getPath().getName().startswith("_maintain_"):
+                fs.delete(st.getPath(), True)
     codebook.coalesce(1).write.mode("overwrite").parquet(f"{root}/codebook")
     book = spark.read.parquet(f"{root}/codebook")
     assign = assign_cells(_comp(df, id_col, emb_col), book, id_col)
     postings = (
-        with_norm(df.select(id_col, emb_col), emb_col, exact=True)
+        with_norm(
+            df.select(id_col, emb_col, "src_file", "row_idx"),
+            emb_col,
+            exact=True,
+        )
         .join(assign, id_col)
         # one shuffle on cell: each output file holds exactly one cell,
         # so probed-cell reads never touch a foreign cell's bytes
@@ -788,6 +836,7 @@ def refresh_ivf_index(
     table_path: str,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    lock_wait_seconds: float = 30.0,
 ) -> int:
     """O(new rows) index maintenance — the bloom-refresh analog: assign
     ONLY the files added since the last build/refresh with the persisted
@@ -805,10 +854,14 @@ def refresh_ivf_index(
     half-applied append via the anchor's ``n_vectors`` and demands a
     rebuild instead of appending duplicates.
 
+    Two refreshers racing would both read the same anchor and append the
+    same files twice, so the whole pass runs under an advisory lock
+    scoped to the INDEX directory (never contends with table writers).
+
     Returns the number of vectors appended (0 = already fresh)."""
     import json
 
-    from .mutate import _read_small_file, _write_small_file
+    from .mutate import _write_small_file, _writer_lock
 
     root = _ivf_root(table_path, emb_col)
     codebook = read_ivf_index(spark, table_path, emb_col)
@@ -816,34 +869,102 @@ def refresh_ivf_index(
         raise ValueError(
             f"no IVF index under {root} — run build_ivf_index first"
         )
-    meta = _ivf_meta(spark, table_path, emb_col)
-    built = set(meta["files"])
-    now = _table_file_set(spark, table_path)
-    removed = built - now
-    added = sorted(now - built)
-    added_dv = [f for f in added if f.startswith("_dv/")]
-    if removed or added_dv:
-        raise ValueError(
-            f"IVF index under {root} cannot refresh incrementally: "
-            f"{len(removed)} indexed file(s) retired/rewritten and "
-            f"{len(added_dv)} new deletion-vector batch(es) — vectors "
-            "must LEAVE the postings, which is a rebuild "
-            "(build_ivf_index)"
+    with _writer_lock(spark, root, lock_wait_seconds):
+        meta = _ivf_meta(spark, table_path, emb_col)
+        built = set(meta["files"])
+        now = _table_file_set(spark, table_path)
+        removed = built - now
+        added = sorted(now - built)
+        added_dv = [f for f in added if f.startswith("_dv/")]
+        if removed or added_dv:
+            raise ValueError(
+                f"IVF index under {root} cannot refresh incrementally: "
+                f"{len(removed)} indexed file(s) retired/rewritten and "
+                f"{len(added_dv)} new deletion-vector batch(es) — vectors "
+                "must LEAVE the postings, which is a rebuild "
+                "(build_ivf_index)"
+            )
+        if not added:
+            return 0
+        have = spark.read.parquet(f"{root}/postings").count()  # footers only
+        if "n_vectors" in meta and have != meta["n_vectors"]:
+            raise ValueError(
+                f"postings under {root} hold {have} vectors but the "
+                f"anchor recorded {meta['n_vectors']} — a crashed "
+                "refresh left a partial append; rebuild with "
+                "build_ivf_index (appending again would duplicate "
+                "candidates)"
+            )
+        _require_identity_postings(spark, table_path, emb_col, root)
+        _append_files_to_postings(
+            spark, table_path, root, codebook, added, id_col, emb_col
         )
-    if not added:
-        return 0
-    have = spark.read.parquet(f"{root}/postings").count()  # footers only
-    if "n_vectors" in meta and have != meta["n_vectors"]:
-        raise ValueError(
-            f"postings under {root} hold {have} vectors but the "
-            f"anchor recorded {meta['n_vectors']} — a crashed "
-            "refresh left a partial append; rebuild with "
-            "build_ivf_index (appending again would duplicate "
-            "candidates)"
+        # footer counts before/after, not a re-execution of the assignment
+        appended = spark.read.parquet(f"{root}/postings").count() - have
+        _write_small_file(
+            spark,
+            f"{root}/meta.json",
+            json.dumps(
+                {
+                    # anchor = exactly what the index now covers (built ∪
+                    # added), never a re-listing — files a concurrent commit
+                    # adds during THIS refresh stay unindexed and keep the
+                    # gate tripping until the next refresh
+                    "files": sorted(built | set(added)),
+                    "n_vectors": int(have + appended),
+                },
+                indent=0,
+            ).encode(),
         )
-    new_df = spark.read.option("basePath", table_path).parquet(
-        *[f"{table_path.rstrip('/')}/{f}" for f in added]
-    ).select(id_col, emb_col)
+        return int(appended)
+
+
+def _require_identity_postings(
+    spark, table_path: str, emb_col: str, root: str
+) -> None:
+    """Refuse to extend posting lists that predate the row-identity
+    columns: appending identity-bearing rows next to identity-less ones
+    would leave the store's schema footer-dependent, and a later
+    maintain could not target removals precisely."""
+    cols = set(read_ivf_postings(spark, table_path, emb_col).columns)
+    if not {"src_file", "row_idx"} <= cols:
+        raise ValueError(
+            f"IVF postings under {root} predate row-identity postings "
+            "(no src_file/row_idx columns) — rebuild with "
+            "build_ivf_index"
+        )
+
+
+def _append_files_to_postings(
+    spark,
+    table_path: str,
+    root: str,
+    codebook: DataFrame,
+    added_data: list[str],
+    id_col: str,
+    emb_col: str,
+) -> None:
+    """Assign the added files' LIVE rows with the persisted codebook and
+    append them — with their MOR row identity — to the posting lists.
+    The read goes through the deletion vectors so a file whose rows were
+    tombstoned in the same commit that added it (the dv_update shape:
+    copy file + tombstone batch together) never indexes dead rows."""
+    from .mor import _live, _read_dv, _with_identity
+    from .mutate import is_partitioned
+
+    base_path = table_path if is_partitioned(spark, table_path) else None
+    new_df = _rename_identity(
+        _live(
+            _with_identity(
+                spark,
+                table_path,
+                [f"{table_path.rstrip('/')}/{f}" for f in added_data],
+                base_path,
+            ),
+            _read_dv(spark, table_path),
+        )
+    )
+    new_df = new_df.select(id_col, emb_col, "src_file", "row_idx")
     assign = assign_cells(_comp(new_df, id_col, emb_col), codebook, id_col)
     postings_new = (
         with_norm(new_df, emb_col, exact=True)
@@ -853,24 +974,222 @@ def refresh_ivf_index(
     postings_new.write.partitionBy("cell").mode("append").parquet(
         f"{root}/postings"
     )
-    # footer counts before/after, not a re-execution of the assignment
-    appended = spark.read.parquet(f"{root}/postings").count() - have
+
+
+def maintain_ivf_index(
+    spark,
+    table_path: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    lock_wait_seconds: float = 30.0,
+) -> dict:
+    """Fold BOTH change shapes a live table accumulates into the
+    persisted IVF index without retraining or re-scanning the corpus:
+
+    - **added data files** append their live rows to the posting lists
+      with the persisted codebook (exactly :func:`refresh_ivf_index`);
+    - **added deletion-vector batches** REMOVE their tombstoned rows —
+      the gap refresh refuses.  Because every posting row carries its
+      MOR identity ``(src_file, row_idx)`` (the same key the DV store
+      uses), removal is a precise anti-join: read the new batches
+      (O(new tombstones), broadcast side), find the affected cells with
+      one column-pruned postings scan, and rewrite ONLY those cells'
+      hive partitions via stage-then-swap.  A dv_update (tombstone +
+      same-id copy in one commit) therefore maintains cleanly: the old
+      row's identity leaves, the copy file's live rows enter — row
+      identity, not id equality, decides, so an id re-used by the copy
+      is never over-removed.
+
+    At 100 TB this is the steady-state index maintenance story: deletes
+    are a constant trickle and a full rebuild per DV batch (training +
+    corpus assignment) would dwarf the delete itself; this path costs
+    O(new tombstones + affected-cell bytes + new-file bytes).
+
+    Still a rebuild: retired/rewritten data files (compaction,
+    materialize_deletes) — the postings reference files that no longer
+    exist.  Crash discipline: the staleness anchor advances LAST, so a
+    crash anywhere leaves the gate tripping (searches refuse);
+    ``_maintain_*`` stage/trash debris next to DRIFT and the anchor's
+    ``n_vectors`` both make the next maintain demand a rebuild instead
+    of guessing (``build_ivf_index`` sweeps the debris; debris next to
+    a FRESH anchor is a committed maintain's failed final cleanup and
+    is swept in place).  Old cell partitions are
+    renamed into a trash dir, never deleted, until the anchor commits —
+    the duplicates-never-loss ordering.
+
+    Two maintainers racing would both read the same anchor and fold the
+    same changes twice, so the whole pass runs under an advisory lock
+    scoped to the INDEX directory — it never contends with the table's
+    own writer lock, only with other refresh/maintain passes.
+
+    Returns ``{"appended": n, "removed": n, "cells_rewritten": n}``."""
+    from .mutate import _writer_lock
+
+    root = _ivf_root(table_path, emb_col)
+    codebook = read_ivf_index(spark, table_path, emb_col)
+    postings = read_ivf_postings(spark, table_path, emb_col)
+    if codebook is None or postings is None:
+        raise ValueError(
+            f"no IVF index under {root} — run build_ivf_index first"
+        )
+    with _writer_lock(spark, root, lock_wait_seconds):
+        return _maintain_locked(
+            spark, table_path, emb_col, id_col, root, codebook, postings
+        )
+
+
+def _maintain_locked(
+    spark, table_path, emb_col, id_col, root, codebook, postings
+) -> dict:
+    import json
+    import uuid as _uuid
+
+    from .mutate import _fs, _write_small_file
+
+    jvm, fs, root_p = _fs(spark, root)
+    debris = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(root_p)
+        if st.getPath().getName().startswith("_maintain_")
+    )
+    meta = _ivf_meta(spark, table_path, emb_col)
+    built = set(meta["files"])
+    now = _table_file_set(spark, table_path)
+    removed_files = built - now
+    added = sorted(now - built)
+    if not added and not removed_files:
+        # the anchor is the commit point: debris next to a FRESH anchor
+        # is a completed maintain whose final cleanup didn't run —
+        # disposable, not a correctness signal
+        for nm in debris:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/{nm}"), True)
+        return {"appended": 0, "removed": 0, "cells_rewritten": 0}
+    if debris:
+        # drift + debris = a maintain crashed MID-flight (before its
+        # anchor committed); the postings may be part-swapped — rebuild
+        raise ValueError(
+            f"IVF index under {root} has crashed-maintenance debris "
+            f"({', '.join(debris)}) — rebuild with build_ivf_index"
+        )
+    if removed_files:
+        raise ValueError(
+            f"IVF index under {root} cannot be maintained "
+            f"incrementally: {len(removed_files)} indexed file(s) "
+            "retired/rewritten (compaction or materialize) — rebuild "
+            "with build_ivf_index"
+        )
+    post_root = f"{root}/postings"
+    have = spark.read.parquet(post_root).count()  # footers only
+    if "n_vectors" in meta and have != meta["n_vectors"]:
+        raise ValueError(
+            f"postings under {root} hold {have} vectors but the "
+            f"anchor recorded {meta['n_vectors']} — a crashed "
+            "refresh/maintain left partial state; rebuild with "
+            "build_ivf_index"
+        )
+    _require_identity_postings(spark, table_path, emb_col, root)
+    added_dv = [f for f in added if f.startswith("_dv/")]
+    added_data = [f for f in added if not f.startswith("_dv/")]
+
+    n_removed = 0
+    cells_rewritten = 0
+    trash = None
+    if added_dv:
+        doomed = (
+            spark.read.parquet(
+                *[f"{table_path.rstrip('/')}/{f}" for f in added_dv]
+            )
+            .select("src_file", "row_idx")
+            .distinct()
+        )
+        # one column-pruned postings scan; the doomed side is the new
+        # batches only (small by the DV design) and broadcasts
+        affected = sorted(
+            r["cell"]
+            for r in postings.join(
+                F.broadcast(doomed), ["src_file", "row_idx"], "left_semi"
+            )
+            .select("cell")
+            .distinct()
+            .collect()
+        )
+        if affected:
+            token = _uuid.uuid4().hex[:8]
+            stage = f"{root}/_maintain_stage_{token}"
+            trash = f"{root}/_maintain_trash_{token}"
+            live_aff = postings.where(F.col("cell").isin(affected))
+            before_aff = live_aff.count()
+            live_aff.join(
+                F.broadcast(doomed), ["src_file", "row_idx"], "left_anti"
+            ).repartition("cell").write.partitionBy("cell").parquet(stage)
+            try:
+                after_aff = spark.read.parquet(stage).count()
+            except Exception:
+                after_aff = 0  # every affected cell fully emptied
+            n_removed = before_aff - after_aff
+            # swap: old partitions OUT to trash (recoverable until the
+            # anchor commits), staged replacements IN; a cell whose
+            # every row was removed simply has no staged dir — probes
+            # already tolerate missing cell partitions
+            fs.mkdirs(jvm.org.apache.hadoop.fs.Path(trash))
+            for c in affected:
+                src_p = jvm.org.apache.hadoop.fs.Path(
+                    f"{post_root}/cell={c}"
+                )
+                if fs.exists(src_p) and not fs.rename(
+                    src_p,
+                    jvm.org.apache.hadoop.fs.Path(f"{trash}/cell={c}"),
+                ):
+                    raise IOError(
+                        f"ivf maintain: rename {src_p} -> trash failed"
+                    )
+            stage_p = jvm.org.apache.hadoop.fs.Path(stage)
+            for st in fs.listStatus(stage_p):
+                nm = st.getPath().getName()
+                if st.isDirectory() and nm.startswith("cell="):
+                    if not fs.rename(
+                        st.getPath(),
+                        jvm.org.apache.hadoop.fs.Path(
+                            f"{post_root}/{nm}"
+                        ),
+                    ):
+                        raise IOError(
+                            f"ivf maintain: rename {nm} in failed"
+                        )
+            fs.delete(stage_p, True)
+            cells_rewritten = len(affected)
+
+    if added_data:
+        _append_files_to_postings(
+            spark, table_path, root, codebook, added_data, id_col, emb_col
+        )
+    try:
+        final = spark.read.parquet(post_root).count()
+    except Exception:
+        final = 0  # degenerate: the whole corpus was deleted
+    appended = final - (have - n_removed)
     _write_small_file(
         spark,
         f"{root}/meta.json",
         json.dumps(
             {
                 # anchor = exactly what the index now covers (built ∪
-                # added), never a re-listing — files a concurrent commit
-                # adds during THIS refresh stay unindexed and keep the
-                # gate tripping until the next refresh
+                # added), never a re-listing — concurrent commits
+                # during THIS maintain stay un-anchored and keep the
+                # gate tripping until the next maintain
                 "files": sorted(built | set(added)),
-                "n_vectors": int(have + appended),
+                "n_vectors": int(final),
             },
             indent=0,
         ).encode(),
     )
-    return int(appended)
+    if trash is not None:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(trash), True)
+    return {
+        "appended": int(appended),
+        "removed": int(n_removed),
+        "cells_rewritten": int(cells_rewritten),
+    }
 
 
 def read_ivf_index(spark, table_path: str, emb_col: str = "embedding"):
@@ -948,9 +1267,11 @@ def ivf_search_indexed(
                 f"IVF index under {root} is STALE: the table's file "
                 f"set (data + deletion-vector batches) changed since "
                 f"build_ivf_index ({len(now - built_from)} added, "
-                f"{len(built_from - now)} removed) — rebuild the "
-                "index, or pass allow_stale=True to search the "
-                "indexed subset anyway"
+                f"{len(built_from - now)} removed) — maintain_ivf_index "
+                "folds appended files AND deletion-vector batches in "
+                "incrementally (rebuild only for retired files), or "
+                "pass allow_stale=True to search the indexed subset "
+                "anyway"
             )
     from .mor import read_mor
 
@@ -999,6 +1320,9 @@ def ivf_search_indexed(
         spark.read.option("basePath", f"{root}/postings")
         .parquet(*[f"{root}/postings/cell={c}" for c in probed])
         .withColumn("cell", F.col("cell").cast("int"))
+        # prune the row-identity maintenance columns out of the scan —
+        # the probe needs only (id, embedding, norm, cell)
+        .select(id_col, emb_col, "nsq", "cell")
     )
     pairs = (
         cand.join(

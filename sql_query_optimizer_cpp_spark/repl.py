@@ -96,11 +96,13 @@ _HELP = """commands:
                         per-file bloom index: build (auto-sized), index
                         just the files DML rewrote, probe-and-read a
                         point lookup, show sidecar stats, drop, or list
-  IVF <name> BUILD [<col>] | REFRESH [<col>] | SEARCH <k> [probes] [<col>]
-            | STATS [<col>]
+  IVF <name> BUILD [<col>] | REFRESH [<col>] | MAINTAIN [<col>]
+            | SEARCH <k> [probes] [<col>] | STATS [<col>]
                         trained-quantizer ANN index: k-means codebook +
                         cell-partitioned posting lists; REFRESH appends
-                        only new files' vectors; SEARCH probes only the
+                        only new files' vectors; MAINTAIN also folds
+                        deletion-vector batches in (removes tombstoned
+                        vectors by row identity); SEARCH probes only the
                         query's nearest cells (col defaults: embedding)
   CHANGES <name> <from> [<to>]  CDC: net row changes between two versions
   CONSTRAINT <name> ADD <cname> <expr> | DROP <cname> | LIST
@@ -385,6 +387,7 @@ def handle(
                 _table_file_set,
                 build_ivf_index,
                 ivf_search_indexed,
+                maintain_ivf_index,
                 read_ivf_index,
                 read_ivf_postings,
                 refresh_ivf_index,
@@ -393,8 +396,8 @@ def handle(
             parts = rest.split()
             usage = (
                 "usage: IVF <attached table> BUILD [<col>] | "
-                "REFRESH [<col>] | SEARCH <k> [probes] [<col>] | "
-                "STATS [<col>]"
+                "REFRESH [<col>] | MAINTAIN [<col>] | "
+                "SEARCH <k> [probes] [<col>] | STATS [<col>]"
             )
             if len(parts) < 2 or parts[0] not in dml_tables:
                 return usage
@@ -416,6 +419,20 @@ def handle(
                     if n
                     else f"ivf index on {name}.{col} already covers "
                     "every live file"
+                )
+            if action == "MAINTAIN":
+                col = args[0] if args else "embedding"
+                st = maintain_ivf_index(engine.spark, path, emb_col=col)
+                if not any(st.values()):
+                    return (
+                        f"ivf index on {name}.{col} already covers "
+                        "every live file and tombstone"
+                    )
+                return (
+                    f"ivf index on {name}.{col}: appended "
+                    f"{st['appended']}, removed {st['removed']} "
+                    f"vector(s) ({st['cells_rewritten']} cell "
+                    "partition(s) rewritten)"
                 )
             if action == "SEARCH":
                 if not args or not args[0].isdigit():
@@ -465,7 +482,7 @@ def handle(
                     ):
                         stale = (
                             "  [STALE — the table changed since build; "
-                            f"IVF {name} REFRESH {col} or BUILD]"
+                            f"IVF {name} MAINTAIN {col} (or BUILD)]"
                         )
                 return (
                     f"ivf index on {name}.{col}: {cells} trained "

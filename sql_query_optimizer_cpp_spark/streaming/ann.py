@@ -36,12 +36,14 @@ extended to cover the index):
   epoch's files, ``refresh_ivf_index`` sees nothing added and returns
   0.  The index never double-counts.
 
-A micro-batch is append-shaped by construction, which is exactly the
-change class ``refresh_ivf_index`` accepts.  If OTHER writers make the
-table non-append (retire files via compaction, add deletion-vector
-batches), the refresh raises its rebuild-required error; the sink
-downgrades that to a ``warnings.warn`` and KEEPS INGESTING — losing
-the ingest stream because a maintenance job compacted the table is the
+The per-epoch index call is ``maintain_ivf_index``, not the
+append-only refresh: a micro-batch is append-shaped by construction,
+but OTHER writers may land deletion-vector batches between epochs, and
+maintenance folds those in too (identity-precise removal) instead of
+wedging the index behind a rebuild.  Only file-RETIRING interference
+(compaction, materialize) still demands a rebuild; the sink downgrades
+that error to a ``warnings.warn`` and KEEPS INGESTING — losing the
+ingest stream because a maintenance job compacted the table is the
 worse failure, and searches stay protected by the gate (they refuse
 until ``build_ivf_index`` runs) rather than silently serving a
 desynced index.
@@ -53,7 +55,7 @@ import warnings
 
 from pyspark.sql import DataFrame
 
-from ..operators.similarity import read_ivf_index, refresh_ivf_index
+from ..operators.similarity import maintain_ivf_index, read_ivf_index
 
 
 def ingest_vectors_maintaining_ivf(
@@ -100,12 +102,12 @@ def ingest_vectors_maintaining_ivf(
         if read_ivf_index(spark, table_path, emb_col) is None:
             return  # pre-build epochs stay unindexed (gate protects reads)
         try:
-            refresh_ivf_index(
+            maintain_ivf_index(
                 spark, table_path, emb_col=emb_col, id_col=id_col
             )
         except ValueError as e:
-            # non-append interference (compaction retired files, a DV
-            # batch landed): the index needs a rebuild, but the INGEST
+            # file-retiring interference (compaction/materialize) or
+            # crash debris: the index needs a rebuild, but the INGEST
             # must not die for it — searches are gate-protected either
             # way.  Loud, attributable, non-fatal.
             warnings.warn(

@@ -1086,3 +1086,256 @@ def test_refresh_ivf_index_incremental(spark, tmp_path):
     os.remove(os.path.join(tdir, data_files[0]))
     with _pytest.raises(ValueError, match="rebuild"):
         S.refresh_ivf_index(spark, tdir, id_col="vec_id")
+
+
+def test_maintain_ivf_index_folds_deletes_and_appends(spark, tmp_path):
+    """(r11) maintain_ivf_index folds a deletion-vector batch into the
+    persisted index by row identity — O(affected cells), no retrain —
+    and handles appends + deletes arriving together in one call; after
+    every maintain the indexed probe equals the unindexed trained
+    search over read_mor with the same codebook."""
+    import pytest as _pytest
+
+    from sql_query_optimizer_cpp_spark.operators import similarity as S
+    from sql_query_optimizer_cpp_spark.operators.mor import (
+        dv_delete_where,
+        read_mor,
+    )
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    tdir = str(tmp_path / "emb_ivf_maintain")
+    emb.write.parquet(tdir)
+    S.build_ivf_index(spark, tdir, id_col="vec_id")
+    base_n = S.read_ivf_postings(spark, tdir).count()
+
+    def parity(probes=S.IVF_CELLS, k=4):
+        got = sorted(
+            tuple(r)
+            for r in S.ivf_search_indexed(
+                spark, tdir, n_queries=6, k=k, n_probes=probes
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in S.ivf_topk_trained(
+                read_mor(spark, tdir).select("vec_id", "embedding"),
+                n_queries=6,
+                k=k,
+                codebook=S.read_ivf_index(spark, tdir),
+                n_probes=probes,
+            ).collect()
+        )
+        assert got == want and got
+
+    n_del = dv_delete_where(spark, tdir, "vec_id % 7 = 3")
+    assert n_del > 0
+    with _pytest.raises(ValueError, match="STALE"):
+        S.ivf_search_indexed(spark, tdir, n_queries=6, k=4)
+    st = S.maintain_ivf_index(spark, tdir, id_col="vec_id")
+    assert st["removed"] == n_del and st["appended"] == 0
+    assert st["cells_rewritten"] >= 1
+    postings = S.read_ivf_postings(spark, tdir)
+    assert postings.count() == base_n - n_del
+    assert postings.where("vec_id % 7 = 3").count() == 0
+    parity()
+    # idempotent when fresh
+    assert S.maintain_ivf_index(spark, tdir, id_col="vec_id") == {
+        "appended": 0,
+        "removed": 0,
+        "cells_rewritten": 0,
+    }
+    # appends AND a second delete wave folded in ONE maintain — the
+    # delete deliberately hits BOTH indexed rows (removed from
+    # postings) and a not-yet-indexed new row (1000004 % 7 = 5: must be
+    # skipped by the DV-aware append, not appended-then-missed)
+    emb.where("vec_id < 5").selectExpr(
+        "vec_id + 1000000 AS vec_id", "embedding", "label"
+    ).write.mode("append").parquet(tdir)
+    n_del2 = dv_delete_where(spark, tdir, "vec_id % 7 = 5")
+    doomed_new = 1  # of the 5 new ids 1000000..1000004, only 1000004
+    st = S.maintain_ivf_index(spark, tdir, id_col="vec_id")
+    assert st["appended"] == 5 - doomed_new
+    assert st["removed"] == n_del2 - doomed_new
+    postings = S.read_ivf_postings(spark, tdir)
+    # the posting lists exactly mirror the live rows
+    assert postings.count() == read_mor(spark, tdir).count()
+    assert postings.where("vec_id = 1000004").count() == 0
+    assert postings.where("vec_id >= 1000000").count() == 4
+    parity()
+
+
+def test_maintain_ivf_index_update_same_id(spark, tmp_path):
+    """(r11) A dv_update (tombstone + SAME-id copy in one commit) must
+    maintain by ROW IDENTITY: the old row's posting leaves, the copy's
+    live row enters with its new embedding — id equality alone would
+    have removed both."""
+    from sql_query_optimizer_cpp_spark.operators import similarity as S
+    from sql_query_optimizer_cpp_spark.operators.mor import (
+        dv_update_where,
+        read_mor,
+    )
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    tdir = str(tmp_path / "emb_ivf_upd")
+    emb.write.parquet(tdir)
+    S.build_ivf_index(spark, tdir, id_col="vec_id")
+    base_n = S.read_ivf_postings(spark, tdir).count()
+    n_upd = dv_update_where(
+        spark, tdir, {"embedding": "reverse(embedding)"}, "vec_id < 4"
+    )
+    assert n_upd == 4
+    st = S.maintain_ivf_index(spark, tdir, id_col="vec_id")
+    # one tombstone batch + one copy file: 4 rows out, 4 rows in
+    assert st == {"appended": 4, "removed": 4, "cells_rewritten": st["cells_rewritten"]}
+    postings = S.read_ivf_postings(spark, tdir)
+    assert postings.count() == base_n
+    assert postings.where("vec_id < 4").count() == 4  # exactly once
+    # the index serves the UPDATED vectors: parity with the trained
+    # search over the post-update table
+    got = sorted(
+        tuple(r)
+        for r in S.ivf_search_indexed(
+            spark, tdir, n_queries=4, k=3, n_probes=S.IVF_CELLS
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in S.ivf_topk_trained(
+            read_mor(spark, tdir).select("vec_id", "embedding"),
+            n_queries=4,
+            k=3,
+            codebook=S.read_ivf_index(spark, tdir),
+            n_probes=S.IVF_CELLS,
+        ).collect()
+    )
+    assert got == want and got
+
+
+def test_maintain_ivf_index_guards(spark, tmp_path):
+    """(r11) maintain refuses: missing index, crashed-maintenance
+    debris (which build sweeps), retired data files, and pre-identity
+    posting formats."""
+    import os
+
+    import pytest as _pytest
+
+    from sql_query_optimizer_cpp_spark.operators import similarity as S
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    tdir = str(tmp_path / "emb_ivf_guards")
+    emb.write.parquet(tdir)
+    with _pytest.raises(ValueError, match="build_ivf_index first"):
+        S.maintain_ivf_index(spark, tdir, id_col="vec_id")
+    S.build_ivf_index(spark, tdir, id_col="vec_id")
+    root = S._ivf_root(tdir, "embedding")
+    # debris next to a FRESH anchor (a committed maintain whose final
+    # cleanup failed) is disposable: maintain sweeps it and no-ops
+    os.makedirs(f"{root}/_maintain_trash_deadbeef")
+    assert S.maintain_ivf_index(spark, tdir, id_col="vec_id")["removed"] == 0
+    assert not os.path.exists(f"{root}/_maintain_trash_deadbeef")
+    # debris + DRIFT = a maintain crashed mid-flight: refuse; a rebuild
+    # sweeps the debris
+    os.makedirs(f"{root}/_maintain_stage_deadbeef")
+    emb.where("vec_id < 2").selectExpr(
+        "vec_id + 900000 AS vec_id", "embedding", "label"
+    ).write.mode("append").parquet(tdir)
+    with _pytest.raises(ValueError, match="debris"):
+        S.maintain_ivf_index(spark, tdir, id_col="vec_id")
+    S.build_ivf_index(spark, tdir, id_col="vec_id")
+    assert not os.path.exists(f"{root}/_maintain_stage_deadbeef")
+    assert S.maintain_ivf_index(spark, tdir, id_col="vec_id")["removed"] == 0
+    # pre-identity postings (the pre-r11 layout) demand a rebuild from
+    # refresh AND maintain
+    legacy = (
+        S.read_ivf_postings(spark, tdir)
+        .select("vec_id", "embedding", "nsq", "cell")
+    ).cache()
+    legacy.count()
+    legacy.repartition("cell").write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(f"{root}/postings")
+    legacy.unpersist()
+    emb.limit(2).selectExpr(
+        "vec_id + 500000 AS vec_id", "embedding", "label"
+    ).write.mode("append").parquet(tdir)
+    with _pytest.raises(ValueError, match="row-identity"):
+        S.maintain_ivf_index(spark, tdir, id_col="vec_id")
+    with _pytest.raises(ValueError, match="row-identity"):
+        S.refresh_ivf_index(spark, tdir, id_col="vec_id")
+    # retired file still demands rebuild
+    S.build_ivf_index(spark, tdir, id_col="vec_id")
+    data = [
+        f
+        for f in os.listdir(tdir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    os.remove(os.path.join(tdir, data[0]))
+    with _pytest.raises(ValueError, match="rebuild"):
+        S.maintain_ivf_index(spark, tdir, id_col="vec_id")
+
+
+def test_maintain_ivf_index_empties_whole_cell(spark, tmp_path):
+    """(r11) Deleting every vector of a cell leaves no staged dir to
+    swap in: the cell partition disappears and probes treat it as
+    empty instead of crashing."""
+    from sql_query_optimizer_cpp_spark.operators import similarity as S
+    from sql_query_optimizer_cpp_spark.operators.mor import dv_delete_where
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    tdir = str(tmp_path / "emb_ivf_cellkill")
+    emb.write.parquet(tdir)
+    S.build_ivf_index(spark, tdir, id_col="vec_id")
+    postings = S.read_ivf_postings(spark, tdir)
+    cell = postings.groupBy("cell").count().orderBy("count").first()["cell"]
+    ids = [r[0] for r in postings.where(f"cell = {cell}").select("vec_id").collect()]
+    n = dv_delete_where(
+        spark, tdir, "vec_id IN (" + ",".join(map(str, ids)) + ")"
+    )
+    assert n == len(ids)
+    st = S.maintain_ivf_index(spark, tdir, id_col="vec_id")
+    assert st["removed"] == n
+    import os
+
+    root = S._ivf_root(tdir, "embedding")
+    assert not os.path.exists(f"{root}/postings/cell={cell}")
+    out = S.ivf_search_indexed(
+        spark, tdir, n_queries=5, k=3, n_probes=S.IVF_CELLS
+    )
+    assert out.count() > 0
+    assert not [d for d in os.listdir(root) if d.startswith("_maintain_")]
+
+
+def test_maintain_ivf_index_concurrent_maintainers(spark, tmp_path):
+    """(r11) Two maintainers racing the same delete wave serialize on
+    the index-scoped advisory lock: exactly one folds the batch, the
+    other waits and no-ops on the fresh anchor — never a double
+    removal or double append."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from sql_query_optimizer_cpp_spark.operators import similarity as S
+    from sql_query_optimizer_cpp_spark.operators.mor import (
+        dv_delete_where,
+        read_mor,
+    )
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    tdir = str(tmp_path / "emb_ivf_race")
+    emb.write.parquet(tdir)
+    S.build_ivf_index(spark, tdir, id_col="vec_id")
+    n_del = dv_delete_where(spark, tdir, "vec_id % 11 = 4")
+    assert n_del > 0
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [
+            ex.submit(S.maintain_ivf_index, spark, tdir, "embedding", "vec_id")
+            for _ in range(2)
+        ]
+        results = [f.result() for f in futs]
+    assert sum(r["removed"] for r in results) == n_del
+    assert sum(r["appended"] for r in results) == 0
+    postings = S.read_ivf_postings(spark, tdir)
+    assert postings.count() == read_mor(spark, tdir).count()
+    assert postings.where("vec_id % 11 = 4").count() == 0
+    out = S.ivf_search_indexed(
+        spark, tdir, n_queries=5, k=3, n_probes=S.IVF_CELLS
+    )
+    assert out.count() > 0

@@ -1,29 +1,32 @@
-"""Randomized sweep: incremental IVF refresh vs the unindexed trained
-search on the same persisted codebook.
+"""Randomized sweep: incremental IVF maintenance vs the unindexed
+trained search on the same persisted codebook.
 
 For each seed: start from a random slice of the embeddings fixture,
-build the index, then apply a random schedule of append batches (random
-sizes, shuffled id order, occasional empty batch) with a refresh after
-each; after every refresh assert
+build the index, then apply a random schedule of APPEND batches,
+dv_delete waves, and dv_update waves (tombstone + same-id copy) with a
+``maintain_ivf_index`` after each step; after every maintain assert
 
   ivf_search_indexed(table)  ==  ivf_topk_trained(read_mor(table),
                                                   codebook=persisted)
 
 row-for-row at a random (k, n_probes), and that the postings count
-equals the table count.  This is the property the unit/streaming tests
-pin at fixed shapes, swept over shapes the example tests never hit
-(the txn/OCC-DV sweep discipline — randomized schedules keep catching
-what example tests miss).
+equals the live (read_mor) row count.  This is the property the
+unit/streaming tests pin at fixed shapes, swept over interleavings the
+example tests never hit (the txn/OCC-DV sweep discipline — randomized
+schedules keep catching what example tests miss).
 
 Run:  python tools/ivf_refresh_sweep.py [n_seeds]
 """
 
 from __future__ import annotations
 
+import os
 import random
 import shutil
 import sys
 import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -40,7 +43,11 @@ def main(n_seeds: int = 10) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     from sql_query_optimizer_cpp_spark.catalog import load_tables
     from sql_query_optimizer_cpp_spark.operators import similarity as S
-    from sql_query_optimizer_cpp_spark.operators.mor import read_mor
+    from sql_query_optimizer_cpp_spark.operators.mor import (
+        dv_delete_where,
+        dv_update_where,
+        read_mor,
+    )
 
     emb = (
         load_tables(spark, "/root/testdata/sf0.001", ("embeddings",))[
@@ -69,26 +76,57 @@ def main(n_seeds: int = 10) -> None:
             cursor = base_n
             step = 0
             while cursor < n:
-                size = rng.choice([0, 1, rng.randint(2, max(3, n // 6))])
-                batch_ids = order[cursor : cursor + size]
-                cursor += size
-                if batch_ids:
-                    emb.where(
-                        F.col("vec_id").isin(batch_ids)
-                    ).repartition(rng.randint(1, 2)).write.mode(
-                        "append"
-                    ).parquet(tdir)
-                appended = S.refresh_ivf_index(spark, tdir, id_col="vec_id")
-                assert appended == len(batch_ids), (
-                    f"seed {seed} step {step}: refresh appended "
-                    f"{appended}, expected {len(batch_ids)}"
-                )
+                op = rng.choice(["append", "append", "delete", "update"])
+                if op == "append":
+                    size = rng.choice(
+                        [0, 1, rng.randint(2, max(3, n // 6))]
+                    )
+                    batch_ids = order[cursor : cursor + size]
+                    cursor += size
+                    if batch_ids:
+                        emb.where(
+                            F.col("vec_id").isin(batch_ids)
+                        ).repartition(rng.randint(1, 2)).write.mode(
+                            "append"
+                        ).parquet(tdir)
+                    st = S.maintain_ivf_index(spark, tdir, id_col="vec_id")
+                    assert st["appended"] == len(batch_ids), (
+                        f"seed {seed} step {step}: appended "
+                        f"{st['appended']}, expected {len(batch_ids)}"
+                    )
+                elif op == "delete":
+                    # tombstone a random slice of the LIVE rows
+                    mod, rem = rng.randint(5, 23), rng.randint(0, 4)
+                    n_del = dv_delete_where(
+                        spark, tdir, f"vec_id % {mod} = {rem}"
+                    )
+                    st = S.maintain_ivf_index(spark, tdir, id_col="vec_id")
+                    assert st["removed"] == n_del, (
+                        f"seed {seed} step {step}: removed "
+                        f"{st['removed']}, expected {n_del}"
+                    )
+                else:
+                    # tombstone + same-id copy: identity-precise
+                    # maintenance must swap exactly the updated rows
+                    mod, rem = rng.randint(7, 29), rng.randint(0, 6)
+                    n_upd = dv_update_where(
+                        spark,
+                        tdir,
+                        {"embedding": "reverse(embedding)"},
+                        f"vec_id % {mod} = {rem}",
+                    )
+                    st = S.maintain_ivf_index(spark, tdir, id_col="vec_id")
+                    assert st["removed"] == n_upd == st["appended"], (
+                        f"seed {seed} step {step}: update maintained "
+                        f"{st}, expected {n_upd} both ways"
+                    )
                 table = read_mor(spark, tdir)
-                n_post = S.read_ivf_postings(spark, tdir).count()
                 n_tab = table.count()
+                post = S.read_ivf_postings(spark, tdir)
+                n_post = post.count() if post is not None else 0
                 assert n_post == n_tab, (
                     f"seed {seed} step {step}: postings {n_post} != "
-                    f"table {n_tab}"
+                    f"live rows {n_tab}"
                 )
                 k = rng.randint(1, 5)
                 probes = rng.randint(1, S.IVF_CELLS)
