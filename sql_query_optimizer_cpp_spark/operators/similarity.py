@@ -783,51 +783,61 @@ def build_ivf_index(
         df, num_cells, iters, sample_mod, id_col, emb_col
     )
     root = _ivf_root(table_path, emb_col)
-    # a crashed maintain_ivf_index leaves _maintain_* stage/trash dirs
-    # as its loud tripwire; a rebuild supersedes them — sweep so the
-    # debris check doesn't refuse forever after the demanded rebuild
+    # the sidecar writes run under the same INDEX-scoped advisory lock
+    # as refresh/maintain: a rebuild interleaving with a maintain would
+    # otherwise overwrite postings the maintain is mid-swap on (the
+    # training above is read-only and stays outside the lock)
+    from .mutate import _writer_lock
+
     jvm, fs, root_p = _fs(spark, root)
-    if fs.exists(root_p):
+    if not fs.exists(root_p):
+        fs.mkdirs(root_p)  # the lock file needs the dir on first build
+    with _writer_lock(spark, root, 30.0):
+        # a crashed maintain_ivf_index leaves _maintain_* stage/trash
+        # dirs as its loud tripwire; a rebuild supersedes them — sweep
+        # so the debris check doesn't refuse forever after the rebuild
         for st in fs.listStatus(root_p):
             if st.getPath().getName().startswith("_maintain_"):
                 fs.delete(st.getPath(), True)
-    codebook.coalesce(1).write.mode("overwrite").parquet(f"{root}/codebook")
-    book = spark.read.parquet(f"{root}/codebook")
-    assign = assign_cells(_comp(df, id_col, emb_col), book, id_col)
-    postings = (
-        with_norm(
-            df.select(id_col, emb_col, "src_file", "row_idx"),
-            emb_col,
-            exact=True,
+        codebook.coalesce(1).write.mode("overwrite").parquet(
+            f"{root}/codebook"
         )
-        .join(assign, id_col)
-        # one shuffle on cell: each output file holds exactly one cell,
-        # so probed-cell reads never touch a foreign cell's bytes
-        .repartition("cell")
-    )
-    postings.write.partitionBy("cell").mode("overwrite").parquet(
-        f"{root}/postings"
-    )
-    # staleness anchor: the postings pin the build snapshot's file list
-    # (computed above, BEFORE the training scans); DML that adds or
-    # retires table files — or tombstones rows via a DV batch —
-    # silently desyncs the index, so searches verify it (the bloom
-    # sidecar degrades gracefully via always-candidate unindexed files;
-    # a posting list cannot — a missing vector is a silently lost
-    # search result).  n_vectors lets refresh_ivf_index detect a
-    # half-applied earlier refresh (postings/anchor mismatch).
-    import json
+        book = spark.read.parquet(f"{root}/codebook")
+        assign = assign_cells(_comp(df, id_col, emb_col), book, id_col)
+        postings = (
+            with_norm(
+                df.select(id_col, emb_col, "src_file", "row_idx"),
+                emb_col,
+                exact=True,
+            )
+            .join(assign, id_col)
+            # one shuffle on cell: each output file holds exactly one
+            # cell, so probed-cell reads never touch foreign bytes
+            .repartition("cell")
+        )
+        postings.write.partitionBy("cell").mode("overwrite").parquet(
+            f"{root}/postings"
+        )
+        # staleness anchor: the postings pin the build snapshot's file
+        # list (computed above, BEFORE the training scans); DML that
+        # adds or retires table files — or tombstones rows via a DV
+        # batch — silently desyncs the index, so searches verify it
+        # (the bloom sidecar degrades gracefully via always-candidate
+        # unindexed files; a posting list cannot — a missing vector is
+        # a silently lost search result).  n_vectors lets
+        # refresh/maintain detect a half-applied earlier pass.
+        import json
 
-    from .mutate import _write_small_file
+        from .mutate import _write_small_file
 
-    n_vectors = spark.read.parquet(f"{root}/postings").count()  # footers
-    _write_small_file(
-        spark,
-        f"{root}/meta.json",
-        json.dumps(
-            {"files": built_from, "n_vectors": n_vectors}, indent=0
-        ).encode(),
-    )
+        n_vectors = spark.read.parquet(f"{root}/postings").count()
+        _write_small_file(
+            spark,
+            f"{root}/meta.json",
+            json.dumps(
+                {"files": built_from, "n_vectors": n_vectors}, indent=0
+            ).encode(),
+        )
     return book.select("cell").distinct().count()
 
 
@@ -1033,19 +1043,21 @@ def maintain_ivf_index(
             f"no IVF index under {root} — run build_ivf_index first"
         )
     with _writer_lock(spark, root, lock_wait_seconds):
-        return _maintain_locked(
-            spark, table_path, emb_col, id_col, root, codebook, postings
-        )
+        return _maintain_locked(spark, table_path, emb_col, id_col, root)
 
 
-def _maintain_locked(
-    spark, table_path, emb_col, id_col, root, codebook, postings
-) -> dict:
+def _maintain_locked(spark, table_path, emb_col, id_col, root) -> dict:
     import json
     import uuid as _uuid
 
     from .mutate import _fs, _write_small_file
 
+    # re-read both halves INSIDE the lock: the wrapper's DataFrames
+    # pinned their file listings before the lock was held, and a
+    # maintainer (or rebuild) that just committed could have swapped
+    # cell partitions or the codebook since
+    codebook = read_ivf_index(spark, table_path, emb_col)
+    postings = read_ivf_postings(spark, table_path, emb_col)
     jvm, fs, root_p = _fs(spark, root)
     debris = sorted(
         st.getPath().getName()
