@@ -509,3 +509,28 @@ def test_stream_ann_ingest_maintains_ivf_index(tmp_path, spark):
     assert read_mor(spark, tdir).count() == n
     assert S.read_ivf_postings(spark, tdir).count() == n
     assert probe_rows() == want
+
+    # DV interference between epochs: another writer tombstones an
+    # indexed vector; the NEXT epoch's maintain folds the batch in
+    # (identity-precise removal) instead of wedging the index — the
+    # self-healing claim
+    from sql_query_optimizer_cpp_spark.operators.mor import dv_delete_where
+
+    victim = int(
+        S.read_ivf_postings(spark, tdir)
+        .where("vec_id >= 5")
+        .first()["vec_id"]
+    )
+    assert dv_delete_where(spark, tdir, f"vec_id = {victim}") == 1
+    emb.where(F.col("vec_id") < 3).selectExpr(
+        "vec_id + 7000000 AS vec_id", "embedding"
+    ).repartition(1).write.mode("append").parquet(src)
+    drain()
+    postings = S.read_ivf_postings(spark, tdir)
+    assert postings.count() == n + 2  # -1 tombstoned, +3 appended
+    assert postings.where(f"vec_id = {victim}").count() == 0
+    assert postings.where("vec_id >= 7000000").count() == 3
+    # gate passes: the stream maintained through the delete
+    assert S.ivf_search_indexed(
+        spark, tdir, n_queries=3, k=2, n_probes=2
+    ).count() > 0
