@@ -291,6 +291,51 @@ def main() -> None:
             f"— both tables restored, logs unchanged"
         )
 
+    # 15. r11: ANN index lifecycle — a trained IVF index as a table
+    #     sidecar: build (codebook + cell-partitioned posting lists),
+    #     partition-pruned probe, then INCREMENTAL maintenance through
+    #     a delete wave and an append batch (no retraining, no corpus
+    #     re-scan — the deletes fold in by row identity)
+    from sql_query_optimizer_cpp_spark.operators.mor import (
+        dv_delete_where as _dv_del,
+    )
+    from sql_query_optimizer_cpp_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search_indexed,
+        maintain_ivf_index,
+    )
+
+    with tempfile.TemporaryDirectory() as d6:
+        vec = f"{d6}/vectors"
+        load_tables(spark, sf_dir, ("embeddings",))["embeddings"].write.parquet(vec)
+        cells = build_ivf_index(spark, vec, id_col="vec_id")
+        hits = ivf_search_indexed(spark, vec, n_queries=3, k=2, n_probes=2)
+        victim = int(hits.first()["neighbor_id"])
+        print(
+            f"\nivf index: {cells} trained cells; probe touches only its "
+            f"probed cells' partitions; top hit for q0: vec {victim}"
+        )
+        _dv_del(spark, vec, f"vec_id = {victim}")
+        try:
+            ivf_search_indexed(spark, vec, n_queries=3, k=2)
+        except ValueError:
+            print("after dv_delete: staleness gate refuses the desynced index")
+        st = maintain_ivf_index(spark, vec, id_col="vec_id")
+        print(
+            f"maintain: removed {st['removed']} vector by row identity "
+            f"({st['cells_rewritten']} cell partition rewritten, no retrain)"
+        )
+        spark.read.parquet(vec).where("vec_id < 3").selectExpr(
+            "vec_id + 500000 AS vec_id", "embedding", "label"
+        ).write.mode("append").parquet(vec)
+        st = maintain_ivf_index(spark, vec, id_col="vec_id")
+        hits2 = ivf_search_indexed(spark, vec, n_queries=3, k=2, n_probes=2)
+        assert victim not in {r["neighbor_id"] for r in hits2.collect()}
+        print(
+            f"append + maintain: {st['appended']} new vectors indexed; "
+            "probe serves the fresh index, deleted vector never returned"
+        )
+
     spark.stop()
 
 
