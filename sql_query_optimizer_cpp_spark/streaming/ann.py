@@ -84,8 +84,29 @@ def ingest_vectors_maintaining_ivf(
         spark = batch.sparkSession
         from ..operators.mutate import _fs
 
+        # this sink OWNS the table layout (one hive partition dir per
+        # epoch).  A table that already holds FLAT parquet files would
+        # become a mixed flat/partitioned layout Spark cannot list —
+        # refuse loudly instead of writing an unreadable table
+        jvm, fs, root_jp = _fs(spark, table_path)
+        if fs.exists(root_jp):
+            flat = [
+                st.getPath().getName()
+                for st in fs.listStatus(root_jp)
+                if st.isFile()
+                and not st.getPath().getName().startswith(("_", "."))
+            ]
+            if flat:
+                raise ValueError(
+                    f"{table_path} holds {len(flat)} flat data file(s) "
+                    "(e.g. "
+                    f"{flat[0]}); the streaming vector sink writes one "
+                    "ingest_epoch=<n> partition per micro-batch and a "
+                    "mixed flat/partitioned layout is unreadable — "
+                    "start from an empty directory, or rewrite the "
+                    "existing table into the partitioned layout first"
+                )
         dest = f"{table_path.rstrip('/')}/ingest_epoch={epoch_id}"
-        jvm, fs, _ = _fs(spark, dest)
         marker = jvm.org.apache.hadoop.fs.Path(f"{dest}/_SUCCESS")
         if fs.exists(marker):
             # at-least-once replay of a committed epoch: the vectors are

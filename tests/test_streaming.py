@@ -534,3 +534,43 @@ def test_stream_ann_ingest_maintains_ivf_index(tmp_path, spark):
     assert S.ivf_search_indexed(
         spark, tdir, n_queries=3, k=2, n_probes=2
     ).count() > 0
+
+
+def test_stream_ann_ingest_refuses_flat_table(tmp_path, spark):
+    """(r11) The vector sink owns its epoch-partitioned layout: pointed
+    at a table holding flat parquet files it must refuse (a mixed
+    flat/partitioned dir is unreadable) instead of writing into it."""
+    from pyspark.sql import functions as F
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from sql_query_optimizer_cpp_spark.streaming.ann import (
+        ingest_vectors_maintaining_ivf,
+    )
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    src = str(tmp_path / "src")
+    tdir = str(tmp_path / "flat_table")
+    emb.where(F.col("vec_id") < 10).repartition(1).write.parquet(src)
+    emb.where(F.col("vec_id") < 5).repartition(1).write.parquet(tdir)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = ingest_vectors_maintaining_ivf(
+        stream, tdir, str(tmp_path / "ckpt")
+    )
+    try:
+        with pytest.raises(StreamingQueryException, match="flat data file"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    # nothing was written into the flat table
+    import os
+
+    assert not [
+        d for d in os.listdir(tdir) if d.startswith("ingest_epoch=")
+    ]
