@@ -210,6 +210,17 @@ _PRIORITY: tuple[str, ...] = (
     # the fourteen r07 leftovers named above, then the stalest r08
     # greens in registry order (join_range, join_lateral,
     # agg_approx_quantile, ... through mutate_concurrent_writers).
+    # Note for r12: the round-11 continuation also landed DV-aware
+    # incremental IVF maintenance (maintain_ivf_index — identity-
+    # bearing postings, cell-partition rewrites) and the streaming ANN
+    # ingest sink (streaming/ann.py).  Both are NON-graded by design
+    # (the ≤3-new-queries cap): covered by the 1000+-test suite, a
+    # 10-seed randomized append/delete/update sweep
+    # (tools/ivf_refresh_sweep.py), and sim_ivf_probe_indexed, which
+    # grades the same build/probe machinery end-to-end.  A graded
+    # maintain query (build → dv_delete → maintain → probe, oracle
+    # re-deriving the post-delete postings) is a natural r12+ add if a
+    # slot opens.
 )
 
 
