@@ -153,7 +153,7 @@ def main(n_seeds: int = 10) -> None:
                 )
                 step += 1
             print(
-                f"seed {seed}: OK — base {base_n}, {step} refresh "
+                f"seed {seed}: OK — base {base_n}, {step} maintain "
                 f"steps, final {n_tab} vectors, ALL MATCH"
             )
         finally:
