@@ -124,103 +124,89 @@ def shared_sql(
 
 
 #: Evaluation-priority order.  The driver grades registry entries in
-#: iteration order and stops after a fixed 50-query window (r01-r10 each
-#: sampled a different 50; after r10: 211 registered, 208 green-ever,
-#: zero graded-never-green, and exactly THREE never-graded queries —
-#: the round-10 headliners, staged past the r10 window and sim-verified
-#: at sf0.01 and sf0.1).  Round-11 rotation: lead with those three
-#: (mutate_txn_batch — multi-statement transactions: one version per
-#: begin()/commit() batch, composed CDC, rollback restores the table;
-#: mutate_occ_dv_writers — optimistic deletion-vector deletes,
-#: disjoint-file first-attempt commits + same-file retry;
-#: sim_ivf_recall_trained — label-vs-trained quantizer recall@5); then
-#: the flagship guard; then the eleven r06 greens that did not fit the
-#: r10 window; then the 35 stalest r07 greens in registration order.
-#: The fourteen r07 greens that do not fit (dedup_clusters,
-#: multimodal_features, multimodal_frame_sample, sample_stratified,
-#: text_filter_pipeline, decontaminate, curation_pipeline_e2e, tpch_q4,
-#: tpch_q7, tpch_q10, tpch_q18, stats_mcv_topk,
-#: mutate_partitioned_merge, mutate_versioned_history) lead the r12
-#: re-grade block.  Everything past _PRIORITY keeps registration order;
-#: every registered query stays covered every round by
+#: iteration order and stops after a fixed 50-query window (r01-r11 each
+#: sampled a different 50; after r11: 214 registered, 211 green at their
+#: latest grade, zero ever-red, and exactly THREE never-graded queries —
+#: the round-11 headliners, staged past the r11 window and sim-verified
+#: at sf0.01 and sf0.1, independently replayed by the r11 judge:
+#: ALL MATCH).  Round-12 rotation (executing the plan written in r11 and
+#: ratified by VERDICT.md "Next round: do this" #1): lead with those
+#: three (sim_ivf_probe_indexed — persisted-posting-list IVF probe,
+#: partition-pruned serving reads; mutate_occ_dv_upsert — optimistic
+#: deletion-vector UPDATE/MERGE with interleaved writers;
+#: mutate_txn_multi — atomic cross-table transaction, two-phase manifest
+#: commit); then the flagship guard; then the fourteen r07 greens whose
+#: latest driver row is still r07 (the stalest in the registry); then
+#: the first 32 of the 49 r08-stale greens in registration order.  The
+#: 17 r08 greens that do not fit (curation_pipeline_neardup, tpch_q12,
+#: tpch_q19, tpch_q13, tpch_q16, tpch_q17, tpch_q21, tpch_q22, tpch_q2,
+#: tpch_q8, tpch_q9, tpch_q11, tpch_q15, tpch_q20, events_funnel,
+#: events_retention, mutate_concurrent_writers) lead the r13 re-grade
+#: block.  Everything past _PRIORITY keeps registration order; every
+#: registered query stays covered every round by
 #: tests/test_inventory.py + tools/driver_sim.py regardless of window
 #: position.
 _PRIORITY: tuple[str, ...] = (
-    # -- never driver-graded: the round-10 headliners ---------------------
-    "mutate_txn_batch",
-    "mutate_occ_dv_writers",
-    "sim_ivf_recall_trained",
+    # -- never driver-graded: the round-11 headliners ---------------------
+    "sim_ivf_probe_indexed",
+    "mutate_occ_dv_upsert",
+    "mutate_txn_multi",
     # -- regression-guard slot: the headline query ------------------------
     "flagship_demo",
-    # -- re-grades: the eleven r06 greens left over from the r10 window ---
-    "source_roundtrip_formats",
-    "insert_select_roundtrip",
-    "source_roundtrip_zorder",
-    "mutate_update_delete",
-    "mutate_merge_upsert",
-    "mutate_compact_stable",
-    "mutate_dml_sql",
-    "mutate_partitioned_delete",
-    "mutate_snapshot_diff",
-    "mutate_apply_changes",
-    "join_order_advice_ga",
-    # -- re-grades: stalest greens (latest driver row r07), registry order
-    "scan_project",
-    "filter_like",
-    "filter_between",
-    "arith_project",
-    "topk",
-    "null_semantics",
-    "filter_regex",
-    "join_left",
-    "join_right",
-    "join_full",
-    "join_left_anti",
-    "join_right_anti",
-    "join_full_outer_anti",
-    "join_semi",
-    "join_three_way",
-    "tpch_q5",
-    "join_hint_strategies",
-    "agg_global",
-    "agg_groupby",
-    "agg_having",
-    "agg_distinct",
-    "agg_count_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "tpch_q3",
-    "agg_pivot",
-    "agg_percentiles",
-    "agg_approx_distinct",
-    "tpch_q6",
-    "tpch_q14",
-    "union_distinct",
-    "win_distribution",
-    "text_tokens_pandas_udf",
-    "text_vocab_topk",
-    "dedup_simhash_pairs",
-    # ==== end of the 50-entry r11 window; r12 queue below ================
-    # r12 rotation plan: lead with the THREE queries staged during
-    # round 11 (sim_ivf_probe_indexed — persisted-posting-list IVF
-    # probe; mutate_occ_dv_upsert — optimistic deletion-vector
-    # UPDATE/MERGE, interleaved writers; mutate_txn_multi — atomic
-    # cross-table transaction, two-phase manifest commit; all
-    # sim-green at sf0.01 AND sf0.1), keep the flagship guard, then
-    # the fourteen r07 leftovers named above, then the stalest r08
-    # greens in registry order (join_range, join_lateral,
-    # agg_approx_quantile, ... through mutate_concurrent_writers).
-    # Note for r12: the round-11 continuation also landed DV-aware
-    # incremental IVF maintenance (maintain_ivf_index — identity-
-    # bearing postings, cell-partition rewrites) and the streaming ANN
-    # ingest sink (streaming/ann.py).  Both are NON-graded by design
-    # (the ≤3-new-queries cap): covered by the 1000+-test suite, a
-    # 10-seed randomized append/delete/update sweep
-    # (tools/ivf_refresh_sweep.py), and sim_ivf_probe_indexed, which
-    # grades the same build/probe machinery end-to-end.  A graded
-    # maintain query (build → dv_delete → maintain → probe, oracle
-    # re-deriving the post-delete postings) is a natural r12+ add if a
-    # slot opens.
+    # -- re-grades: the fourteen r07 leftovers (stalest in the registry) --
+    "dedup_clusters",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "sample_stratified",
+    "text_filter_pipeline",
+    "decontaminate",
+    "curation_pipeline_e2e",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q18",
+    "stats_mcv_topk",
+    "mutate_partitioned_merge",
+    "mutate_versioned_history",
+    # -- re-grades: stalest greens (latest driver row r08), registry order
+    "join_range",
+    "join_lateral",
+    "agg_approx_quantile",
+    "agg_listagg",
+    "agg_hll_union",
+    "agg_weighted_avg",
+    "intersect_all",
+    "except_all",
+    "win_range_frame",
+    "win_first_last",
+    "win_cumulative_share",
+    "text_redact_pii",
+    "text_repetition",
+    "text_tokens_bpeish",
+    "text_lang_confidence",
+    "doc_span_extract",
+    "dedup_minhash_pairs",
+    "sim_ann_lsh_topk",
+    "sim_topk_blockmax",
+    "dedup_embedding_cosine",
+    "sim_ivf_topk",
+    "events_session",
+    "events_rollup_hypertable",
+    "events_latest_by_user",
+    "events_props_json",
+    "events_sessionize_attrib",
+    "events_gap_stats",
+    "agg_udaf_pandas",
+    "text_bigrams_udtf",
+    "pack_sequences",
+    "sample_fixed_k",
+    "corpus_mix_report",
+    # ==== end of the 50-entry r12 window; r13 queue below ================
+    # r13 rotation plan: lead with the queries staged during round 12
+    # (new-query cap ≤3 per round — see the staging notes appended at
+    # the end of the round), keep the flagship guard, then the 17 r08
+    # leftovers named above, then the stalest r09 greens in registry
+    # order.
 )
 
 
