@@ -1,17 +1,16 @@
 #!/usr/bin/env python
-"""Benchmark harness — runs the headline inventory queries and prints ONE
-JSON line:
+"""Benchmark harness — runs the headline inventory queries and prints the
+graded JSON line (first AND last on stdout, so it survives both a budget
+kill mid-extras and the driver's 2000-char tail capture):
 
-    {"metric": ..., "value": <total sec>, "unit": "sec",
+    {"metric": "headline_queries_total_wall", "value": <total sec>,
+     "unit": "sec", "sf": ..., "baseline_total": ..., "ratio": ...,
      "queries": {name: sec, ...},          # Spark, median of 5 warm runs
-     "baseline": {name: sec, ...},         # DuckDB on the SAME parquet,
+     "baseline": {name: sec, ...}}         # DuckDB on the SAME parquet,
                                            # same medians, same oracles
-     "spread": {"spark"|"baseline"|"extras": {name: [min, max]}},
-                                           # per-query min/max across the
-                                           # timed runs: separates real
-                                           # regressions from machine noise
-     "extras": {...},                      # non-headline measurements
-     "floor_note": "...", "sf": <scale factor>}
+
+between the two, a full-artifact line adds per-query [min, max] spreads
+(machine noise vs real regression) and the non-headline "extras" block.
 
 Scale dir from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1); cores
 from $SPARK_GRAFT_CPUS (default all).  Each query gets one untimed cold
@@ -111,10 +110,12 @@ def _production_fns(spark, sf_dir: str):
 
 
 def bench_spark(spark, registry, sf_dir: str):
+    """Headline medians only — extras live in bench_spark_extras so main()
+    can capture the graded totals BEFORE spending wall on extras (the r11
+    artifact was budget-squeezed: ~456 s of extras inside a ~580 s driver
+    budget left the headline competing with a noisy machine)."""
     timings: dict[str, float] = {}
-    extras: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    extras_spread: dict[str, list[float]] = {}
     overrides = _production_fns(spark, sf_dir)
     for name in HEADLINE:
         spec = registry.get(name)
@@ -131,6 +132,12 @@ def bench_spark(spark, registry, sf_dir: str):
         # their shingle explosion); released AFTER timing so warm runs
         # keep the steady-state cache like a long-lived engine would
         dedup_ops.release_cached()
+    return timings, spread
+
+
+def bench_spark_extras(spark, registry, sf_dir: str):
+    extras: dict[str, float] = {}
+    extras_spread: dict[str, list[float]] = {}
 
     # Supplementary: the DECIMAL(38,20)-exact brute-force path the oracle
     # grades (the bit-parity variant) — kept measured so the exactness tax
@@ -193,17 +200,23 @@ def bench_spark(spark, registry, sf_dir: str):
         spec = registry.get(name)
         if spec is None:
             continue
+        # adaptive depth (r12): the cold run doubles as a probe — extras
+        # whose single pass exceeds 2 s (the multi-version lakehouse
+        # pipelines, trained-IVF search) get ONE timed run; cheap extras
+        # keep median-of-3.  The r11 extras wall was ~456 s of the ~580 s
+        # driver budget, which squeezed the graded headline into a noisy
+        # tail; these are informational numbers, not the graded total, so
+        # depth is the right thing to trade.
+        t0 = time.perf_counter()
         spec.fn(spark, sf_dir).count()
-        # extras run medians-of-3 (headline keeps 5): the r11 rotation
-        # swapped in the multi-version lakehouse pipelines and the
-        # trained-IVF search (~19 s of medians), and 5 timed runs of the
-        # full extras set blows the driver's ~580 s capture budget
+        cold = time.perf_counter() - t0
+        runs = 1 if cold > 2.0 else 3
         extras[name], extras_spread[name] = timed_median(
-            lambda: spec.fn(spark, sf_dir).count(), runs=3
+            lambda: spec.fn(spark, sf_dir).count(), runs=runs
         )
-        print(f"# {name}: {extras[name]:.3f}s (extra)", file=sys.stderr)
+        print(f"# {name}: {extras[name]:.3f}s (extra, {runs} timed)", file=sys.stderr)
         dedup_ops.release_cached()
-    return timings, extras, spread, extras_spread
+    return extras, extras_spread
 
 
 def bench_duckdb(registry, sf_dir: str):
@@ -258,48 +271,65 @@ def main() -> None:
     # Warm up: JVM classloading + parquet footer caches, not billed below.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
-    timings, extras, spark_spread, extras_spread = bench_spark(spark, registry, sf_dir)
+    # Order of work (r12): headline Spark -> DuckDB baseline -> EMIT the
+    # graded line -> extras -> emit the full artifact -> re-emit the
+    # graded line.  The r11 artifact taught two capture lessons: (1) the
+    # driver keeps only the last ~2000 chars of stdout and parses the
+    # LAST JSON line, so per-query Spark medians must live in that final
+    # compact line, not only in the big line whose front gets cut; (2)
+    # extras ran BEFORE the totals were ever printed, so a budget kill
+    # mid-extras would have produced no artifact at all — now the graded
+    # numbers are on stdout before a single extra runs and that early
+    # line doubles as the parsed artifact if extras are cut short.
+    timings, spark_spread = bench_spark(spark, registry, sf_dir)
     baseline, baseline_spread = bench_duckdb(registry, sf_dir)
 
     total = round(sum(timings.values()), 4)
+    base_total = round(sum(baseline.values()), 4)
+    graded_line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "baseline_total": base_total,
+            "ratio": round(total / base_total, 4) if base_total else None,
+            # per-query Spark medians, 3 decimals: ~700 chars, fits the
+            # driver's 2000-char tail with room for the ratio header
+            "queries": {k: round(v, 3) for k, v in timings.items()},
+            "baseline": {k: round(v, 3) for k, v in baseline.items()},
+        }
+    )
+    print(graded_line, flush=True)
+
+    extras, extras_spread = bench_spark_extras(spark, registry, sf_dir)
+
     print(
         json.dumps(
             {
-                # totals FIRST: the driver's log capture can truncate the
-                # line's tail, and the totals are the graded numbers
-                "metric": "headline_queries_total_wall",
+                # least-important fields FIRST: the driver's tail capture
+                # truncates this big line from the FRONT, so the fields
+                # most worth auditing (extras, spreads) sit at the END
+                "metric": "headline_queries_full_artifact",
+                "floor_note": FLOOR_NOTE,
                 "value": total,
                 "unit": "sec",
-                "baseline_total": round(sum(baseline.values()), 4),
+                "baseline_total": base_total,
                 "sf": sf,
                 "queries": timings,
                 "baseline": baseline,
-                "extras": extras,
                 "spread": {
                     "spark": spark_spread,
                     "baseline": baseline_spread,
-                    "extras": extras_spread,
                 },
-                "floor_note": FLOOR_NOTE,
+                "extras": extras,
+                "extras_spread": extras_spread,
             }
         )
     )
-    # The driver's log capture keeps the END of stdout and may truncate
-    # the big line above from the FRONT — so repeat the graded totals in
-    # a tiny standalone JSON line LAST, guaranteed to survive the tail.
-    base_total = round(sum(baseline.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "baseline_total": base_total,
-                "ratio": round(total / base_total, 4) if base_total else None,
-            }
-        )
-    )
+    # Repeat the graded line LAST: the driver parses the final JSON line,
+    # and this one is guaranteed intact inside the tail window.
+    print(graded_line, flush=True)
     spark.stop()
 
 
