@@ -87,6 +87,14 @@ def _cond(condition: str | Column) -> Column:
     return F.expr(condition) if isinstance(condition, str) else condition
 
 
+def __enforce_constraints(spark, path, staged_dirs):
+    """Lazy indirection to :mod:`.constraints` (keeps the import graph
+    acyclic: constraints.py imports this module's helpers eagerly)."""
+    from .constraints import _enforce_constraints
+
+    return _enforce_constraints(spark, path, staged_dirs)
+
+
 def _fs(spark: SparkSession, path: str):
     """Hadoop FileSystem + Path for ``path`` — the cluster-portable file
     API (local fs here; HDFS/S3A on a real cluster with zero code change)."""
@@ -431,6 +439,8 @@ def _with_writer_lock(fn):
             if isinstance(out, MutationStats) and (
                 out.files_rewritten or out.rows_inserted
             ):
+                from .versioning import _autoversion
+
                 _autoversion(spark, path)
                 # bloom sidecars: index the files this verb just created
                 # (compact included — it replaces indexed files wholesale)
@@ -520,6 +530,8 @@ def _default_retain(spark: SparkSession, path: str, retain: bool | None) -> bool
         )
     if retain is not None:
         return retain
+    from .versioning import list_snapshots
+
     return bool(list_snapshots(spark, path))
 
 
@@ -561,7 +573,7 @@ def _swap_in(
     staging = _stage(spark, path, rewritten)
     if enforce:
         try:
-            _enforce_constraints(spark, path, [staging])
+            __enforce_constraints(spark, path, [staging])
         except BaseException:
             jvm, fs, _ = _fs(spark, path)
             with contextlib.suppress(Exception):
@@ -722,7 +734,7 @@ def _mutate_partitioned(
     matched_total = sum(m for _, _, _, m in results)
     if enforce:
         try:
-            _enforce_constraints(spark, path, [s for _, _, s in staged])
+            __enforce_constraints(spark, path, [s for _, _, s in staged])
         except BaseException:
             jvm, fs, _ = _fs(spark, path)
             for _, _, s in staged:
@@ -1177,7 +1189,7 @@ def _merge_prepare(
         # everything is staged and nothing original has moved: verify the
         # table's CHECK constraints over exactly what this merge wrote
         # (rewrites + inserts) in one job; a violation reclaims it all
-        checked_cons = _enforce_constraints(
+        checked_cons = __enforce_constraints(
             spark, path, [s for _, _, s in staged] + [ins_staging]
         )
     except BaseException:
@@ -1443,1086 +1455,6 @@ def compact(
     return MutationStats(files_total, len(small), moved)
 
 
-# -- optimistic concurrency: stage without the lock, commit under it ----------
-#
-# The single-writer lock DETECTS a second writer and refuses.  These verbs
-# replace refuse with commit-or-retry, the lakehouse-standard optimistic
-# protocol (the Delta/Iceberg commit-loop shape):
-#
-#   1. READ   the table state and prune affected files    (no lock)
-#   2. STAGE  the COW rewrite — the expensive Spark jobs  (no lock)
-#   3. COMMIT under a short bounded-wait lock: re-validate that every file
-#      this attempt read-and-will-replace still exists; if yes, swap and
-#      commit the next version manifest; if a concurrent commit replaced
-#      any, discard the staging and RETRY from step 1 against the new
-#      committed state.
-#
-# Two writers on DISJOINT keys therefore both commit (their hit sets are
-# different files, so the second writer's validation passes even though
-# the table changed around it), and the expensive work overlaps — only the
-# metadata swap serializes.  Writers on OVERLAPPING files serialize by
-# retry: the loser discards its staging and re-evaluates its predicate
-# over the winner's committed rows — the serial-equivalent outcome, never
-# a lost update.  ``max_attempts`` exhausted raises
-# :class:`ConcurrentWriteConflict`; the table is then unchanged by this
-# caller.
-#
-# Validation is by exact file-name set: COW part names are uuid-unique, so
-# name identity == content identity.  Scope: FLAT tables — the partitioned
-# verbs keep the serialized lock (their multi-directory swap would need a
-# manifest-level atomic commit to be safely optimistic, which the version
-# log's single manifest file doesn't give per-directory).
-
-
-class ConcurrentWriteConflict(RuntimeError):
-    """All optimistic attempts lost their validation race; the table is
-    unchanged by this caller."""
-
-
-def _uri_path(uri: str) -> str:
-    """Decoded path component of a file URI — the normalization both
-    sides of the OCC validation pass through.  ``input_file_name()``
-    percent-encodes (``file:///a/my%20dir/f``) while Hadoop's
-    ``Path.toString`` does not (``file:/a/my dir/f``); comparing raw
-    strings would see every file as 'gone'."""
-    from urllib.parse import unquote, urlparse
-
-    return unquote(urlparse(uri).path)
-
-
-def _is_missing_file_error(e: Exception) -> bool:
-    """Did a Spark read/collect fail because an input file vanished?
-    Under the optimistic protocol a concurrent commit deleting files
-    during the lock-free read/stage phase is a CONFLICT (retry), not an
-    error.  Matched on the Java cause chain's class names as rendered
-    into the message — FileNotFoundException (task-time),
-    PATH_NOT_FOUND / 'Path does not exist' (planning-time)."""
-    s = str(e)
-    return (
-        "FileNotFoundException" in s
-        or "PATH_NOT_FOUND" in s
-        or "Path does not exist" in s
-    )
-
-
-def _occ_mutate(
-    spark: SparkSession,
-    path: str,
-    condition: str | Column,
-    build,
-    retain: bool | None,
-    max_attempts: int,
-    lock_wait_seconds: float = 30.0,
-    _after_stage=None,
-    enforce: bool = False,
-) -> MutationStats:
-    """Shared optimistic loop for the point verbs, flat AND
-    hive-partitioned.
-
-    ``build(sub, part_cols) -> (rewritten_df, rows_matched)`` over the
-    pruned files — ``rows_matched`` may be an int or a zero-arg callable
-    resolved AFTER the staging write (the verbs fold their matched-count
-    into the staged write via ``DataFrame.observe``, so each attempt costs
-    ONE Spark job, not a count plus a write); ``_after_stage(attempt)`` is
-    a test seam invoked between stage and commit (deterministic
-    interleaving of a concurrent writer).
-
-    Partitioned tables get PER-PARTITION conflict scope for free: the
-    validation unit is the file, and writers on disjoint partitions touch
-    disjoint files — both commit on their first attempt.  The in-lock
-    re-list is scoped to the TOUCHED partition directories only, so
-    validation costs O(files in touched partitions), never O(table) — on
-    a 10⁴-partition table a 2-partition update validates 2 dirs.
-    """
-    if max_attempts < 1:
-        raise ValueError("max_attempts must be >= 1")
-    # under an open transaction the writer lock is re-entrant for the
-    # owning thread, which would void the OCC validate-and-swap's
-    # exclusivity — and an optimistic verb inside a single-writer batch
-    # is a contradiction anyway
-    _refuse_in_txn(path, "optimistic DML")
-    cond = _cond(condition)
-    jvm, fs, jpath = _fs(spark, path)
-    partitioned = is_partitioned(spark, path)
-    last_conflict: list[str] = []
-    last_exc: Exception | None = None
-
-    def _reclaim(dirs):
-        for s in dirs:
-            with contextlib.suppress(Exception):
-                fs.delete(jvm.org.apache.hadoop.fs.Path(s), True)
-
-    for attempt in range(1, max_attempts + 1):
-        # READ + STAGE run lock-free, so a concurrent commit can delete a
-        # file out from under the prune scan or the staging job — Spark
-        # surfaces that as FileNotFound/path-missing, which is a CONFLICT
-        # (retry against the new state), not an error
-        created: list[str] = []
-        try:
-            files = list_data_files(spark, path, recursive=partitioned)
-            hit = affected_files(spark, path, cond)
-            if not hit:
-                return MutationStats(len(files), 0, 0)
-            if partitioned:
-                part_cols = _partition_cols(spark, path, hit[0])
-
-                def stage_one(item: tuple[str, list[str]], cr: list[str]):
-                    part_dir, pfiles = item
-                    sub = spark.read.option("basePath", path).parquet(
-                        *pfiles
-                    )
-                    rewritten, m = build(sub, part_cols)
-                    return (
-                        part_dir,
-                        pfiles,
-                        _stage(spark, path, rewritten.drop(*part_cols), cr),
-                        m() if callable(m) else m,
-                    )
-
-                results = _run_partition_stages(
-                    spark, path, sorted(_group_by_dir(hit).items()),
-                    stage_one,
-                )
-                # _run_partition_stages reclaimed `created` itself on
-                # failure; on success adopt its staging dirs for the
-                # cleanup paths below
-                staged = [(d, p, s) for d, p, s, _ in results]
-                matched = sum(m for *_, m in results)
-            else:
-                sub = spark.read.parquet(*hit)
-                rewritten, matched = build(sub, [])
-                staged = [(path, hit, _stage(spark, path, rewritten, created))]
-                if callable(matched):
-                    matched = matched()
-        except Exception as e:
-            # a missing-file error is only a conflict if the TABLE still
-            # exists — a wrong/deleted table path matches the same Java
-            # classes and must surface as the real error, not as a
-            # misleading ConcurrentWriteConflict after max_attempts
-            # pointless retries
-            if not _is_missing_file_error(e) or not fs.exists(jpath):
-                raise
-            _reclaim(created)
-            last_conflict = ["<file vanished during read/stage>"]
-            last_exc = e
-            spark.catalog.clearCache()
-            continue
-        staging_dirs = [s for _, _, s in staged]
-        checked: dict[str, str] = {}
-        if enforce:
-            # CHECK constraints verify lock-free over this attempt's own
-            # staged output; a violation is terminal (the data is wrong,
-            # not the timing), never a conflict to retry
-            try:
-                checked = _enforce_constraints(spark, path, staging_dirs)
-            except BaseException:
-                _reclaim(staging_dirs)
-                raise
-        if _after_stage is not None:
-            try:
-                _after_stage(attempt)
-            except BaseException:
-                # the seam is a public kwarg: a raising callback must not
-                # leak the just-written staging dirs
-                _reclaim(staging_dirs)
-                raise
-        # COMMIT phase: bounded wait (optimistic competitors hold the
-        # lock only for their metadata swap; a long-running SERIALIZED
-        # verb can legitimately hold it far longer — that counts as a
-        # lost attempt, never as the 'stale lock, delete it' error),
-        # validate, swap
-        try:
-            lock = _writer_lock(
-                spark, path, wait_seconds=lock_wait_seconds
-            )
-            lock.__enter__()
-        except _WriterLockHeld as e:
-            _reclaim(staging_dirs)
-            last_conflict = [
-                f"<writer lock held past the {lock_wait_seconds:g}s wait>"
-            ]
-            last_exc = e
-            continue
-        except Exception:
-            # never acquired: staging is pure debris, reclaim it
-            _reclaim(staging_dirs)
-            raise
-        conflict: list[str] | None = None
-        try:
-            # compare DECODED PATH COMPONENTS, not raw URIs:
-            # input_file_name() (hit) emits percent-encoded file:///x
-            # while Hadoop Path.toString (the re-list) emits unencoded
-            # file:/x — raw-set difference would report a permanent
-            # phantom conflict.  Scope: only the directories this attempt
-            # read (the touched partitions; the table root when flat) — a
-            # concurrent writer elsewhere in the table is irrelevant.
-            current: set[str] = set()
-            dirs_gone = False
-            for part_dir in {d for d, _, _ in staged}:
-                if not fs.exists(jvm.org.apache.hadoop.fs.Path(part_dir)):
-                    # a concurrent DELETE emptied the whole partition dir
-                    dirs_gone = True
-                    continue
-                current |= {
-                    _uri_path(f)
-                    for f in list_data_files(spark, part_dir)
-                }
-            gone = sorted(f for f in hit if _uri_path(f) not in current)
-            if gone or dirs_gone:
-                conflict = gone or ["<partition dir removed>"]
-            else:
-                # a constraint registered BETWEEN this attempt's lock-free
-                # enforcement and the commit lock must still gate the
-                # swap (add_constraint serializes on this same lock, so
-                # inside it the set is stable) — rare, so the re-check
-                # job runs only when the set actually changed
-                if enforce and table_constraints(spark, path) != checked:
-                    try:
-                        _enforce_constraints(spark, path, staging_dirs)
-                    except BaseException:
-                        _reclaim(staging_dirs)
-                        raise
-                # retain decided INSIDE the lock: a snapshot/version
-                # created while this attempt staged (create_snapshot is
-                # serialized on this same lock) must flip the commit to
-                # retire, or the new manifest would pin deleted files
-                ret = _default_retain(spark, path, retain)
-                # a swap failure propagates and LEAVES the staging dirs
-                # (same repair_table story as the serialized verbs — some
-                # parts may already have moved in)
-                _swap_staged(spark, path, staged, ret)
-                _autoversion(spark, path)
-                _refresh_indexes(spark, path)
-                _mark_mutated(spark, path)
-        finally:
-            lock.__exit__(None, None, None)
-        spark.catalog.clearCache()
-        if conflict is None:
-            return MutationStats(len(files), len(hit), matched)
-        # validation lost: a concurrent commit replaced files this attempt
-        # read — its staged rewrite is stale.  Discard and re-read.
-        last_conflict = conflict
-        _reclaim(staging_dirs)
-    raise ConcurrentWriteConflict(
-        f"{max_attempts} optimistic attempt(s) on {path} each lost "
-        f"validation (latest conflict: {last_conflict[:3]}"
-        f"{'...' if len(last_conflict) > 3 else ''}); a concurrent writer "
-        "kept replacing files this mutation read (or held the lock) — "
-        "raise max_attempts or serialize these writers"
-    ) from last_exc
-
-
-#: Backwards-compatible alias (pre-r8 name, flat-only then).
-_occ_mutate_flat = _occ_mutate
-
-
-def occ_update_where(
-    spark: SparkSession,
-    path: str,
-    set_map: dict[str, str | Column],
-    condition: str | Column,
-    retain: bool | None = None,
-    max_attempts: int = 5,
-    lock_wait_seconds: float = 30.0,
-    _after_stage=None,
-) -> MutationStats:
-    """Optimistic ``UPDATE``: same semantics as :func:`update_where`, but
-    concurrent writers on disjoint keys BOTH commit (stage-outside-lock +
-    validate-and-swap; see the protocol comment above).  On a
-    hive-partitioned table the conflict scope is the touched partitions —
-    writers on disjoint partitions never conflict."""
-    cond = _cond(condition)
-
-    def build(sub: DataFrame, part_cols: list[str]):
-        part_here = [c for c in set_map if c in part_cols]
-        if part_here:
-            raise ValueError(
-                f"UPDATE SET on partition columns: {sorted(part_here)}; "
-                "changing a row's partition is a delete + insert"
-            )
-        unknown = set(set_map) - set(sub.columns)
-        if unknown:
-            raise ValueError(
-                f"UPDATE SET on unknown columns: {sorted(unknown)}"
-            )
-        # matched-count rides the staging write as an observed metric —
-        # one job per attempt instead of count + write.  count(when(cond,
-        # 1)) matches where(cond).count() under three-valued logic: NULL
-        # and FALSE both fall to the (absent) otherwise → not counted.
-        obs = Observation()
-        observed = sub.observe(
-            obs, F.count(F.when(cond, F.lit(1))).alias("matched")
-        )
-        projected = [
-            F.when(F.coalesce(cond, F.lit(False)), _cond(set_map[c]))
-            .otherwise(F.col(c))
-            .cast(sub.schema[c].dataType)
-            .alias(c)
-            if c in set_map
-            else F.col(c)
-            for c in sub.columns
-        ]
-        return observed.select(*projected), lambda: obs.get["matched"]
-
-    return _occ_mutate(
-        spark, path, condition, build, retain, max_attempts,
-        lock_wait_seconds, _after_stage, enforce=True,
-    )
-
-
-def occ_delete_where(
-    spark: SparkSession,
-    path: str,
-    condition: str | Column,
-    retain: bool | None = None,
-    max_attempts: int = 5,
-    lock_wait_seconds: float = 30.0,
-    _after_stage=None,
-) -> MutationStats:
-    """Optimistic ``DELETE``: same three-valued-WHERE semantics as
-    :func:`delete_where`, with the commit-or-retry protocol of
-    :func:`occ_update_where`."""
-    cond = _cond(condition)
-
-    def build(sub: DataFrame, part_cols: list[str]):
-        # observe BEFORE the keep-filter so the metric sees every row;
-        # one job per attempt (see occ_update_where)
-        obs = Observation()
-        observed = sub.observe(
-            obs, F.count(F.when(cond, F.lit(1))).alias("matched")
-        )
-        return (
-            observed.where(~F.coalesce(cond, F.lit(False))),
-            lambda: obs.get["matched"],
-        )
-
-    return _occ_mutate(
-        spark, path, condition, build, retain, max_attempts,
-        lock_wait_seconds, _after_stage,
-    )
-
-
-def occ_merge_into(
-    spark: SparkSession,
-    path: str,
-    source: DataFrame,
-    on: list[str],
-    matched_set: dict[str, str | Column] | None = None,
-    insert_values: dict[str, str | Column] | None = None,
-    check_unique: bool = True,
-    matched_delete: str | Column | None = None,
-    insert_condition: str | Column | None = None,
-    retain: bool | None = None,
-    max_attempts: int = 5,
-    lock_wait_seconds: float = 30.0,
-    max_pruned_files: int | None = 100_000,
-    evolve_schema: bool = False,
-    isolation: str = "serializable",
-    _after_stage=None,
-) -> MutationStats:
-    """Optimistic ``MERGE INTO``: same semantics as :func:`merge_into`,
-    staged outside the writer lock with validate-and-swap inside it — the
-    workload the CDC upsert writer (streaming/upsert.py) generates when
-    several micro-batch writers land on one table.
-
-    ``isolation='serializable'`` (default) is stricter than the point
-    verbs': a MERGE's read set is the WHOLE table (the NOT-MATCHED
-    anti-join reads every file's keys to decide what to insert), so the
-    commit requires the table's file list to be byte-identical to what the
-    read saw.  ANY concurrent commit — even on disjoint keys — loses the
-    race and re-derives its matched/unmatched split against the new
-    committed state; disjoint-key concurrent upserts both commit, the
-    loser after one retry.  (The point verbs can validate just their hit
-    files because their rewrite never depends on rows they didn't read; a
-    merge's insert decision does.)
-
-    ``isolation='write_serializable'`` (Delta's default level) validates
-    only the merge's WRITE-dependent read set: conflict = a concurrent
-    commit removed a file this merge is rewriting.  Disjoint-key
-    concurrent merges then commit WITHOUT retrying the expensive
-    restage — the steady-state cost win for sharded CDC appliers.  The
-    documented anomaly is the same one Delta accepts: this merge's
-    insert/matched decisions were made against the pre-commit snapshot,
-    so a concurrent commit that inserted one of this merge's unmatched
-    source keys yields a duplicate insert, and rows a concurrent commit
-    rewrote keep this merge's view for the matched leg.  Writers on
-    DISJOINT keys are anomaly-free; use the default level when key
-    ranges can overlap.
-
-    Per-attempt cost is the same stage-everything-then-swap as
-    :func:`merge_into`; only the metadata validate-and-swap serializes.
-    """
-    if max_attempts < 1:
-        raise ValueError("max_attempts must be >= 1")
-    if isolation not in ("serializable", "write_serializable"):
-        raise ValueError(
-            f"isolation must be 'serializable' or 'write_serializable', "
-            f"got {isolation!r}"
-        )
-    _refuse_in_txn(path, "optimistic DML")  # see _occ_mutate
-    jvm, fs, jpath = _fs(spark, path)
-    # the duplicate-source-key guard is attempt-invariant (it reads only
-    # the source): run it once, not once per retry
-    if check_unique:
-        for k in on:
-            if k not in source.columns:
-                raise ValueError(f"merge key {k!r} missing from source")
-        dup = source.groupBy(*on).count().where(F.col("count") > 1).limit(1)
-        if dup.count():
-            raise ValueError(
-                "MERGE source has duplicate join keys; each target row "
-                "must match at most one source row (pass "
-                "check_unique=False only if uniqueness is guaranteed "
-                "upstream)"
-            )
-    last_conflict: list[str] = []
-    last_exc: Exception | None = None
-
-    def _reclaim(dirs):
-        for s in dirs:
-            with contextlib.suppress(Exception):
-                fs.delete(jvm.org.apache.hadoop.fs.Path(s), True)
-
-    for attempt in range(1, max_attempts + 1):
-        try:
-            st = _merge_prepare(
-                spark, path, source, on, matched_set, insert_values,
-                False, matched_delete, insert_condition, max_pruned_files,
-                evolve_schema,
-            )
-        except Exception as e:
-            # same conflict-vs-error split as _occ_mutate: vanished files
-            # under a still-existing table are a concurrent commit
-            if not _is_missing_file_error(e) or not fs.exists(jpath):
-                raise
-            last_conflict = ["<file vanished during read/stage>"]
-            last_exc = e
-            spark.catalog.clearCache()
-            continue
-        if _after_stage is not None:
-            try:
-                _after_stage(attempt)
-            except BaseException:
-                _reclaim(st.staging_dirs())
-                raise
-        try:
-            lock = _writer_lock(spark, path, wait_seconds=lock_wait_seconds)
-            lock.__enter__()
-        except _WriterLockHeld as e:
-            _reclaim(st.staging_dirs())
-            last_conflict = [
-                f"<writer lock held past the {lock_wait_seconds:g}s wait>"
-            ]
-            last_exc = e
-            continue
-        except Exception:
-            _reclaim(st.staging_dirs())
-            raise
-        conflict: list[str] | None = None
-        try:
-            current = {
-                _uri_path(f)
-                for f in list_data_files(
-                    spark, path, recursive=st.partitioned
-                )
-            }
-            before = {_uri_path(f) for f in st.files}
-            if isolation == "serializable":
-                if current != before:
-                    conflict = sorted(
-                        current.symmetric_difference(before)
-                    )[:10]
-            else:
-                # write_serializable: only the files THIS merge rewrites
-                # are commit-blocking — a concurrent commit that removed
-                # one means our staged rewrite would clobber/resurrect
-                # its rows; anything else is the documented anomaly
-                clash = (before - current) & {
-                    _uri_path(f) for f in st.hit
-                }
-                if clash:
-                    conflict = sorted(clash)[:10]
-            if conflict is None:
-                # same in-lock constraint re-check as _occ_mutate: a set
-                # registered after _merge_prepare's lock-free enforcement
-                # must still gate this commit
-                if table_constraints(spark, path) != st.checked_constraints:
-                    try:
-                        _enforce_constraints(spark, path, st.staging_dirs())
-                    except BaseException:
-                        _reclaim(st.staging_dirs())
-                        raise
-                ret = _default_retain(spark, path, retain)
-                _merge_commit(spark, path, st, ret)
-                _autoversion(spark, path)
-                _refresh_indexes(spark, path)
-                _mark_mutated(spark, path)
-        finally:
-            lock.__exit__(None, None, None)
-        spark.catalog.clearCache()
-        if conflict is None:
-            return MutationStats(
-                len(st.files), len(st.hit), st.rows_matched,
-                st.rows_inserted,
-            )
-        last_conflict = conflict
-        _reclaim(st.staging_dirs())
-    raise ConcurrentWriteConflict(
-        f"{max_attempts} optimistic MERGE attempt(s) on {path} each lost "
-        f"validation (latest conflict: {last_conflict[:3]}"
-        f"{'...' if len(last_conflict) > 3 else ''}); a concurrent writer "
-        "kept changing the table's file list (or held the lock) — raise "
-        "max_attempts or serialize these writers"
-    ) from last_exc
-
-
-# -- textual DML front-end ---------------------------------------------------
-#
-# The reference's DML grammar (engine/src/parser.cpp:232-296) is simple
-# assignments + one WHERE; this front-end parses that same shape and then —
-# unlike the reference — EXECUTES it through the COW verbs above.
-
-# WHERE is OPTIONAL, matching the reference grammar
-# (engine/src/parser.cpp parse_update/parse_delete): a full-table
-# ``DELETE FROM t`` / ``UPDATE t SET ...`` executes with condition TRUE.
-# The UPDATE regex captures everything after SET; the WHERE split happens
-# quote-aware in _find_top_where (a literal containing ' WHERE ' must not
-# split the statement).
-_UPDATE_RE = re.compile(
-    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
-_DELETE_RE = re.compile(
-    r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
-_ALTER_RE = re.compile(
-    r"^\s*ALTER\s+TABLE\s+(\w+)\s+(ADD|DROP)\s+CONSTRAINT\s+(\w+)"
-    r"(?:\s+CHECK\s*\((.+)\))?\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
-
-
-def _segments(text: str):
-    """Yield ``(piece, is_string_literal)`` pieces of a SQL expression,
-    splitting out single-quoted literals (with ``''`` as SQL's escaped
-    quote AND ``\\'`` as Spark's backslash escape — Spark's default lexer
-    un-escapes backslash sequences, so ``'it\\'s'`` is ONE literal to the
-    engine that will evaluate these expressions and must be one literal
-    here, or the boundary mis-lexes and comma/WHERE splitting operates on
-    literal content).  Every structural scan below — comma splitting,
-    WHERE detection, alias rewriting — walks these segments and leaves
-    literal pieces untouched: an expression like ``SET note = 's.tag'``
-    must keep its literal byte-for-byte, never have the alias pattern
-    rewritten inside it (silent data corruption)."""
-    i, n, start = 0, len(text), 0
-    while i < n:
-        if text[i] == "'":
-            if i > start:
-                yield text[start:i], False
-            j = i + 1
-            while j < n:
-                if text[j] == "\\" and j + 1 < n:
-                    # backslash escapes the next char (incl. \' and \\),
-                    # matching Spark's default string-literal lexing
-                    j += 2
-                    continue
-                if text[j] == "'":
-                    if j + 1 < n and text[j + 1] == "'":
-                        j += 2
-                        continue
-                    break
-                j += 1
-            if j >= n:
-                raise ValueError(f"unterminated string literal in {text!r}")
-            yield text[i : j + 1], True
-            start = i = j + 1
-        else:
-            i += 1
-    if start < n:
-        yield text[start:], False
-
-
-def _split_depth0(text: str) -> list[str]:
-    """Split on commas at paren-depth 0 outside string literals (commas
-    inside function calls and inside ``'a,b'`` stay put)."""
-    parts, depth, buf = [], 0, []
-    for seg, quoted in _segments(text):
-        if quoted:
-            buf.append(seg)
-            continue
-        for ch in seg:
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            if ch == "," and depth == 0:
-                parts.append("".join(buf))
-                buf = []
-            else:
-                buf.append(ch)
-    parts.append("".join(buf))
-    return parts
-
-
-def _split_values(text: str):
-    """Split a VALUES list on depth-0 unquoted commas."""
-    for p in _split_depth0(text):
-        yield p.strip()
-
-
-def _split_assignments(text: str) -> dict[str, str]:
-    """Split ``a = f(x, y), b = 'lit,eral'`` into assignments — quote- and
-    depth-aware; a naive ``split(',')`` would cut inside call argument
-    lists or string literals."""
-    out = {}
-    for p in _split_depth0(text):
-        col, eq, expr = p.partition("=")
-        if not eq or not col.strip() or not expr.strip():
-            raise ValueError(f"malformed SET assignment: {p.strip()!r}")
-        out[col.strip()] = expr.strip()
-    return out
-
-
-def _find_top_where(text: str) -> int:
-    """Index of the first WHERE keyword at paren-depth 0 outside string
-    literals, or -1 — so ``SET note = 'x WHERE y'`` is not split there."""
-    depth, pos = 0, 0
-    for seg, quoted in _segments(text):
-        if not quoted:
-            for m in re.finditer(r"[()]|\bWHERE\b", seg, flags=re.IGNORECASE):
-                tok = m.group()
-                if tok == "(":
-                    depth += 1
-                elif tok == ")":
-                    depth -= 1
-                elif depth == 0:
-                    return pos + m.start()
-        pos += len(seg)
-    return -1
-
-
-_MERGE_RE = re.compile(
-    r"^\s*MERGE\s+INTO\s+(\w+)(?:\s+AS)?(?:\s+(\w+))?"
-    r"\s+USING\s+(\w+)(?:\s+AS)?(?:\s+(\w+))?"
-    r"\s+ON\s+(.+?)"
-    r"((?:\s+WHEN\s+(?:NOT\s+)?MATCHED\b.*?THEN\s+(?:UPDATE\s+SET\s+.+?|DELETE|INSERT\b.*?))+)"
-    r"\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
-def _find_top_keyword(text: str, kw: str) -> int:
-    """Index of the first ``kw`` keyword outside string literals, parens,
-    AND ``CASE ... END`` blocks, or -1.  The CASE tracking is what lets a
-    clause condition like ``AND CASE WHEN x THEN true ELSE false END``
-    keep its own THEN while the clause's THEN is still found."""
-    depth = case_depth = pos = 0
-    pat = re.compile(rf"[()]|\bCASE\b|\bEND\b|\b{kw}\b", re.IGNORECASE)
-    for seg, quoted in _segments(text):
-        if not quoted:
-            for m in pat.finditer(seg):
-                tok = m.group().upper()
-                if tok == "(":
-                    depth += 1
-                elif tok == ")":
-                    depth -= 1
-                elif tok == "CASE":
-                    case_depth += 1
-                elif tok == "END":
-                    case_depth = max(0, case_depth - 1)
-                elif depth == 0 and case_depth == 0:
-                    return pos + m.start()
-        pos += len(seg)
-    return -1
-
-
-_WHEN_HEAD_RE = re.compile(r"\bWHEN\s+(NOT\s+)?MATCHED\b", re.IGNORECASE)
-
-
-def _split_when_clauses(text: str) -> list[tuple[bool, str | None, str]]:
-    """Quote- and CASE-aware split of a MERGE tail into
-    ``(is_not_matched, condition, action)`` clauses.
-
-    The old regex split was neither: a ``;`` inside an INSERT literal made
-    it silently DROP the clause (the merge then executed matched-only —
-    a different statement than written), and a literal containing
-    ``WHEN MATCHED`` split mid-literal.  Here clause heads are found only
-    outside literals and outside CASE blocks, the whole tail must be
-    consumed (anything before the first head is an error, every head
-    starts a clause), and each clause's THEN is located with the same
-    literal/paren/CASE discipline.
-    """
-    # clause-head offsets: WHEN [NOT] MATCHED outside literals and CASE
-    heads = []
-    depth = case_depth = pos = 0
-    tok_pat = re.compile(
-        r"[()]|\bCASE\b|\bEND\b|\bWHEN\s+(?:NOT\s+)?MATCHED\b", re.IGNORECASE
-    )
-    for seg, quoted in _segments(text):
-        if not quoted:
-            for m in tok_pat.finditer(seg):
-                tok = m.group().upper()
-                if tok == "(":
-                    depth += 1
-                elif tok == ")":
-                    depth -= 1
-                elif tok == "CASE":
-                    case_depth += 1
-                elif tok == "END":
-                    case_depth = max(0, case_depth - 1)
-                elif depth == 0 and case_depth == 0:
-                    heads.append(pos + m.start())
-        pos += len(seg)
-    if not heads:
-        raise ValueError("MERGE has no WHEN clause")
-    if text[: heads[0]].strip():
-        raise ValueError(
-            f"unparseable text before first WHEN clause: {text[: heads[0]].strip()!r}"
-        )
-    out = []
-    for a, b in zip(heads, heads[1:] + [len(text)]):
-        chunk = text[a:b].strip().rstrip(";").strip()
-        hm = _WHEN_HEAD_RE.match(chunk)
-        neg = bool(hm.group(1))
-        rest = chunk[hm.end():].strip()
-        then_at = _find_top_keyword(rest, "THEN")
-        if then_at < 0:
-            raise ValueError(f"WHEN clause missing THEN: {chunk!r}")
-        cond_text = rest[:then_at].strip()
-        action = rest[then_at + len("THEN"):].strip()
-        cond: str | None = None
-        if cond_text:
-            am = re.match(r"AND\b", cond_text, re.IGNORECASE)
-            if not am:
-                raise ValueError(
-                    f"expected AND <condition> before THEN, got {cond_text!r}"
-                )
-            cond = cond_text[am.end():].strip()
-        if not action:
-            raise ValueError(f"WHEN clause has empty action: {chunk!r}")
-        out.append((neg, cond, action))
-    return out
-
-
-def _alias_rewrite(expr: str, t_alias: str | None, s_alias: str | None) -> str:
-    """Translate ``t.col`` → ``col`` and ``s.col`` → ``src_col`` so the
-    statement's alias-qualified expressions land in merge_into's joined
-    scope (target columns bare, source columns ``src_``-prefixed).
-    String literals pass through untouched: ``'s.tag'`` is data, not an
-    alias reference."""
-    out = []
-    for seg, quoted in _segments(expr):
-        if not quoted:
-            if s_alias:
-                seg = re.sub(rf"\b{re.escape(s_alias)}\.(\w+)", r"src_\1", seg)
-            if t_alias:
-                seg = re.sub(rf"\b{re.escape(t_alias)}\.(\w+)", r"\1", seg)
-        out.append(seg)
-    return "".join(out)
-
-
-def _parse_merge_on(on_text: str, t_alias: str | None, s_alias: str | None) -> list[str]:
-    keys = []
-    for conj in re.split(r"\bAND\b", on_text, flags=re.IGNORECASE):
-        m = re.fullmatch(
-            r"\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*", conj
-        )
-        if not m:
-            raise ValueError(
-                f"MERGE ON must be equi-conjuncts 'a.col = b.col', got {conj.strip()!r}"
-            )
-        a, acol, b, bcol = m.groups()
-        pair = {a: acol, b: bcol}
-        if t_alias not in pair or s_alias not in pair:
-            raise ValueError(f"MERGE ON references unknown alias in {conj.strip()!r}")
-        if pair[t_alias] != pair[s_alias]:
-            raise ValueError(
-                "MERGE ON key columns must share a name on both sides "
-                f"(got {pair[t_alias]!r} vs {pair[s_alias]!r}); alias the "
-                "source column first"
-            )
-        keys.append(pair[t_alias])
-    return keys
-
-
-def execute_dml(
-    spark: SparkSession,
-    text: str,
-    tables: dict[str, str],
-    optimistic: bool = False,
-    mor: bool = False,
-) -> MutationStats:
-    """Parse an UPDATE / DELETE / MERGE statement and execute it
-    copy-on-write.
-
-    ``optimistic=True`` routes every verb through the multi-writer
-    commit-or-retry protocol (:func:`occ_update_where` /
-    :func:`occ_delete_where` / :func:`occ_merge_into`; flat and
-    hive-partitioned tables).
-
-    ``mor=True`` routes UPDATE/DELETE/MERGE through the merge-on-read
-    deletion-vector verbs (operators/mor.py): O(changed rows) sidecar +
-    append writes, zero file rewrites, read back via ``read_mor``.
-    ``mor=True, optimistic=True`` composes for ALL THREE verbs (r11) —
-    the OCC deletion-vector protocol (``occ_dv_delete_where`` /
-    ``occ_dv_update_where`` / ``occ_dv_merge_into``: scans and staging
-    writes outside the lock, file-scoped validate-and-move-in; writers
-    touching disjoint files commit first-attempt).
-
-    ``tables`` maps table names to parquet directory paths (the catalog
-    the reference gets from its live MySQL connection).  The MERGE
-    dialect is the standard one::
-
-        MERGE INTO t [AS a] USING s [AS b] ON a.k = b.k [AND ...]
-        [WHEN MATCHED AND <cond> THEN DELETE]
-        [WHEN MATCHED [AND <cond>] THEN UPDATE SET col = expr, ...]
-        [WHEN NOT MATCHED [AND <cond>] THEN INSERT [(cols) VALUES (exprs)]]
-
-    Clause semantics match SQL's first-matching-clause rule for the
-    subset this executor supports: when both MATCHED clauses are present,
-    the DELETE must come FIRST and carry a condition (the executor
-    applies the delete predicate before the update; a statement whose
-    textual order says otherwise is rejected rather than silently
-    reordered).  A NOT MATCHED condition may reference only source
-    columns — there is no target row to read.  INSERT without a column
-    list defaults unlisted target columns to the same-named source
-    column (else NULL), the common upsert.
-    """
-    m = _MERGE_RE.match(text)
-    if m:
-        t_name, t_alias, s_name, s_alias, on_text, clauses = m.groups()
-        t_alias = t_alias or t_name
-        s_alias = s_alias or s_name
-        for n in (t_name, s_name):
-            if n not in tables:
-                raise ValueError(f"unknown table {n!r}")
-        on = _parse_merge_on(on_text, t_alias, s_alias)
-        matched_set = None
-        matched_delete = None
-        want_insert = False
-        insert_values = None
-        insert_condition = None
-        saw_update = False
-        for neg, cond, action in _split_when_clauses(clauses):
-            action_l = action
-            if neg:
-                if not action_l.upper().startswith("INSERT"):
-                    raise ValueError("WHEN NOT MATCHED supports only INSERT")
-                if want_insert:
-                    # silently keeping only the LAST clause would execute a
-                    # different statement than the user wrote
-                    raise ValueError(
-                        "multiple WHEN NOT MATCHED INSERT clauses: this "
-                        "executor supports one (merge the conditions)"
-                    )
-                want_insert = True
-                if cond:
-                    if re.search(rf"\b{re.escape(t_alias)}\.", cond):
-                        raise ValueError(
-                            "WHEN NOT MATCHED condition cannot reference "
-                            f"the target alias {t_alias!r}: there is no "
-                            "target row"
-                        )
-                    insert_condition = _alias_rewrite(cond, t_alias, s_alias)
-                mi = re.fullmatch(
-                    r"INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*",
-                    action_l,
-                    flags=re.IGNORECASE | re.DOTALL,
-                )
-                if mi:
-                    cols = [c.strip() for c in mi.group(1).split(",")]
-                    vals = list(_split_values(mi.group(2)))
-                    if len(cols) != len(vals):
-                        raise ValueError(
-                            "INSERT column/value count mismatch: "
-                            f"{len(cols)} vs {len(vals)}"
-                        )
-                    insert_values = {
-                        c: _alias_rewrite(v, t_alias, s_alias)
-                        for c, v in zip(cols, vals)
-                    }
-                elif action_l.upper() != "INSERT":
-                    raise ValueError(
-                        f"unsupported INSERT form {action_l!r}; use bare "
-                        "INSERT (same-named source columns) or "
-                        "INSERT (cols) VALUES (exprs)"
-                    )
-            elif action_l.upper().startswith("UPDATE"):
-                if matched_set is not None:
-                    raise ValueError(
-                        "multiple WHEN MATCHED UPDATE clauses: this "
-                        "executor supports one (fold the conditions into "
-                        "CASE expressions)"
-                    )
-                saw_update = True
-                set_text = re.sub(
-                    r"^UPDATE\s+SET\s+", "", action_l, flags=re.IGNORECASE
-                )
-                matched_set = {
-                    _alias_rewrite(k, t_alias, s_alias): _alias_rewrite(
-                        v, t_alias, s_alias
-                    )
-                    for k, v in _split_assignments(set_text).items()
-                }
-                if cond:
-                    # per-clause condition: rows matched but failing it
-                    # keep their old values (merge_into applies the set
-                    # to every matched row, so fold the condition in)
-                    guard = _alias_rewrite(cond, t_alias, s_alias)
-                    matched_set = {
-                        k: f"CASE WHEN ({guard}) THEN ({v}) ELSE ({k}) END"
-                        for k, v in matched_set.items()
-                    }
-            elif action_l.upper() == "DELETE":
-                if matched_delete is not None:
-                    raise ValueError(
-                        "multiple WHEN MATCHED DELETE clauses: this "
-                        "executor supports one (OR the conditions)"
-                    )
-                if saw_update:
-                    raise ValueError(
-                        "WHEN MATCHED DELETE after WHEN MATCHED UPDATE: "
-                        "SQL applies the first matching clause, but this "
-                        "executor evaluates the delete predicate first — "
-                        "put the (conditional) DELETE clause before the "
-                        "UPDATE"
-                    )
-                matched_delete = (
-                    _alias_rewrite(cond, t_alias, s_alias) if cond else "true"
-                )
-            else:
-                raise ValueError(f"unsupported MERGE action {action_l!r}")
-        if matched_delete == "true" and matched_set is not None:
-            raise ValueError(
-                "an unconditional WHEN MATCHED DELETE makes the UPDATE "
-                "clause unreachable; give the DELETE a condition"
-            )
-        # DV-aware source read: if the USING table is itself merge-on-read
-        # (e.g. MERGE INTO t USING t after a dv_update), a base read would
-        # feed tombstoned rows and duplicate keys into the merge
-        from .mor import read_mor
-
-        source = read_mor(spark, tables[s_name])
-        if mor:
-            from .mor import dv_merge_into, occ_dv_merge_into
-
-            mor_merge = occ_dv_merge_into if optimistic else dv_merge_into
-            return mor_merge(
-                spark,
-                tables[t_name],
-                source,
-                on=on,
-                matched_set=matched_set,
-                matched_delete=matched_delete,
-                insert_values=insert_values,
-                insert_condition=(
-                    insert_condition if want_insert else "false"
-                ),
-            )
-        merge_verb = occ_merge_into if optimistic else merge_into
-        return merge_verb(
-            spark,
-            tables[t_name],
-            source,
-            on=on,
-            matched_set=matched_set,
-            matched_delete=matched_delete,
-            insert_values=insert_values,
-            # without a NOT MATCHED clause, unmatched source rows are no-ops
-            insert_condition=(
-                insert_condition if want_insert else "false"
-            ),
-        )
-    m = _UPDATE_RE.match(text)
-    if m:
-        name, rest = m.group(1), m.group(2)
-        if name not in tables:
-            raise ValueError(f"unknown table {name!r}")
-        idx = _find_top_where(rest)
-        if idx >= 0:
-            set_text, where = rest[:idx], rest[idx + len("WHERE"):]
-        else:
-            set_text, where = rest, "true"
-        if not where.strip():
-            raise ValueError("UPDATE has WHERE with no condition")
-        if mor:
-            from .mor import dv_update_where, occ_dv_update_where
-
-            mor_update = occ_dv_update_where if optimistic else dv_update_where
-            n = mor_update(
-                spark, tables[name], _split_assignments(set_text), where
-            )
-            return MutationStats(
-                len(list_data_files(spark, tables[name], recursive=True)),
-                0,
-                n,
-            )
-        verb = occ_update_where if optimistic else update_where
-        return verb(
-            spark, tables[name], _split_assignments(set_text), where
-        )
-    m = _DELETE_RE.match(text)
-    if m:
-        name, where = m.group(1), m.group(2)
-        if name not in tables:
-            raise ValueError(f"unknown table {name!r}")
-        if mor:
-            from .mor import dv_delete_where, occ_dv_delete_where
-
-            # optimistic + mor: the OCC deletion-vector protocol — the
-            # one verb where both compose (append-only tombstone batches
-            # stage outside the lock, file-scoped validate-and-move-in)
-            dv_verb = occ_dv_delete_where if optimistic else dv_delete_where
-            n = dv_verb(
-                spark, tables[name], where if where is not None else "true"
-            )
-            return MutationStats(
-                len(list_data_files(spark, tables[name], recursive=True)),
-                0,
-                n,
-            )
-        verb = occ_delete_where if optimistic else delete_where
-        return verb(
-            spark, tables[name], where if where is not None else "true"
-        )
-    m = _ALTER_RE.match(text)
-    if m:
-        name, action, cname, expr = m.groups()
-        if name not in tables:
-            raise ValueError(f"unknown table {name!r}")
-        if action.upper() == "ADD":
-            if expr is None:
-                raise ValueError(
-                    "ALTER TABLE ... ADD CONSTRAINT needs CHECK (<expr>)"
-                )
-            add_constraint(spark, tables[name], cname, expr.strip())
-        else:
-            if expr is not None:
-                raise ValueError(
-                    "ALTER TABLE ... DROP CONSTRAINT takes no CHECK clause"
-                )
-            drop_constraint(spark, tables[name], cname)
-        # constraint DDL moves no rows; the zero stats make the textual
-        # front-end's return type uniform
-        return MutationStats(0, 0, 0)
-    raise ValueError(
-        "not an executable DML statement (MERGE INTO ... USING ... | "
-        "UPDATE ... SET ... WHERE ... | "
-        "DELETE FROM ... WHERE ... | "
-        "ALTER TABLE ... ADD CONSTRAINT <name> CHECK (<expr>) | "
-        "ALTER TABLE ... DROP CONSTRAINT <name>)"
-    )
-
-
-# -- snapshots, time travel, vacuum ------------------------------------------
-#
-# COW's defining property — a data file, once written, is never modified —
-# means a consistent table VERSION is nothing more than a list of file
-# names.  A snapshot manifest pins that list; DML with retain=True keeps
-# superseded files available under _retired/; vacuum reclaims whatever no
-# manifest can still reach.  This is the metadata core of Delta/Iceberg
-# (manifest = their log checkpoint) without the transaction machinery.
-
-
 def _read_small_file(spark: SparkSession, path: str) -> bytes:
     jvm, fs, jpath = _fs(spark, path)
     stream = fs.open(jpath)
@@ -2569,1225 +1501,6 @@ def _rel_to_table(path: str, file_uri: str) -> str:
         raise ValueError(f"{file_uri} is not under table {path}")
     return file_p[len(table_p) + 1:]
 
-
-def create_snapshot(spark: SparkSession, path: str, name: str) -> int:
-    """Pin the table's CURRENT file list as named version ``name``.
-
-    Returns the number of files pinned.  O(file count) metadata; no data
-    is read or copied — the manifest is the version.
-
-    Takes the table's writer lock: a manifest written concurrently with an
-    in-flight DML could capture a mid-swap file list (old+new duplicates,
-    or originals already retired) as a PERMANENT version — a manifest may
-    only ever pin a committed state.
-
-    Merge-on-read tables snapshot cleanly: the manifest pins the live
-    deletion-vector batch files alongside the data files, and
-    :func:`read_snapshot` applies them — no materialize required.
-    """
-    # inside an open transaction the writer lock is re-entrant, so this
-    # would pin the batch's UNCOMMITTED mid-state — and rollback() would
-    # then delete files the named snapshot pins, corrupting it forever
-    _refuse_in_txn(path, "create_snapshot")
-    with _writer_lock(spark, path):
-        return _create_snapshot_unlocked(spark, path, name)
-
-
-def _create_snapshot_unlocked(
-    spark: SparkSession, path: str, name: str, overwrite: bool = True
-) -> int:
-    """Manifest write for callers that already hold the writer lock
-    (``_autoversion`` runs inside ``_with_writer_lock``; the lock is not
-    reentrant).  ``overwrite=False`` is the version-commit tripwire: an
-    auto-version checkpoint must never silently replace a manifest that
-    a concurrent writer already committed under the same number."""
-    if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
-        raise ValueError(f"snapshot name {name!r} must be filesystem-safe")
-    data, n_files = _full_manifest_bytes(spark, path)
-    _write_small_file(
-        spark,
-        f"{path.rstrip('/')}/{SNAPSHOT_DIR}/{name}.json",
-        data,
-        overwrite=overwrite,
-    )
-    return n_files
-
-
-def _full_manifest_bytes(spark: SparkSession, path: str) -> tuple[bytes, int]:
-    """``(manifest bytes, pinned file count)`` for the table's CURRENT
-    state — the compose half of :func:`_create_snapshot_unlocked`, shared
-    with the multi-table two-phase commit (which writes the bytes to a
-    PREPARE name first)."""
-    import json
-
-    files = [
-        _rel_to_table(path, f)
-        for f in list_data_files(spark, path, recursive=True)
-    ]
-    # Delta-3.x-shaped unification: a manifest pins the DELETION-VECTOR
-    # state alongside the data files (batch files under _dv/ are
-    # immutable once written, so the name list IS the state) — time
-    # travel / CDC / RESTORE over merge-on-read tables read both lists
-    from .mor import list_dv_files
-
-    dv_files = [
-        _rel_to_table(path, f) for f in list_dv_files(spark, path)
-    ]
-    # committed_at powers version_history / read_as_of; informational
-    # metadata, never part of any graded/result-bearing output
-    from datetime import datetime, timezone
-
-    manifest = json.dumps(
-        {
-            "files": sorted(files),
-            "dv_files": sorted(dv_files),
-            "committed_at": datetime.now(timezone.utc).isoformat(),
-        },
-        indent=0,
-    )
-    return manifest.encode(), len(files)
-
-
-def list_snapshots(spark: SparkSession, path: str) -> list[str]:
-    jvm, fs, _ = _fs(spark, path)
-    snap_dir = jvm.org.apache.hadoop.fs.Path(
-        f"{path.rstrip('/')}/{SNAPSHOT_DIR}"
-    )
-    if not fs.exists(snap_dir):
-        return []
-    return sorted(
-        st.getPath().getName()[: -len(".json")]
-        for st in fs.listStatus(snap_dir)
-        if st.getPath().getName().endswith(".json")
-    )
-
-
-def _manifest(spark: SparkSession, path: str, name: str) -> dict:
-    import json
-
-    manifest = f"{path.rstrip('/')}/{SNAPSHOT_DIR}/{name}.json"
-    jvm, fs, _ = _fs(spark, path)
-    if not fs.exists(jvm.org.apache.hadoop.fs.Path(manifest)):
-        raise FileNotFoundError(
-            f"no snapshot named {name!r} (have: {list_snapshots(spark, path)})"
-        )
-    return json.loads(_read_small_file(spark, manifest))
-
-
-def _manifest_state(
-    spark: SparkSession, path: str, name: str
-) -> tuple[list[str], list[str]]:
-    """``(data files, deletion-vector files)`` a manifest pins, both
-    table-relative.  A full manifest carries them outright (``files`` /
-    ``dv_files``); a DELTA version manifest (``add``/``remove`` +
-    ``dv_add``/``dv_remove``, written by :func:`_autoversion` between
-    checkpoints) reconstructs by walking back to the nearest full
-    checkpoint and folding the deltas forward — commit cost stays
-    O(touched files), read cost is bounded by ``CHECKPOINT_INTERVAL``
-    small-file reads.  One walk reconstructs both lists."""
-    d = _manifest(spark, path, name)
-    if "files" in d:
-        return sorted(d["files"]), sorted(d.get("dv_files", []))
-    m = _VERSION_RE.match(name)
-    if not m:
-        raise ValueError(
-            f"manifest {name!r} has no file list and is not a numbered "
-            "version — corrupt snapshot"
-        )
-    v = int(m.group(1))
-    vs = table_versions(spark, path)
-    chain = [d]
-    base: set[str] | None = None
-    base_dv: set[str] = set()
-    for pv in reversed([x for x in vs if x < v]):
-        pd = _manifest(spark, path, f"v{pv:08d}")
-        if "files" in pd:
-            base = set(pd["files"])
-            base_dv = set(pd.get("dv_files", []))
-            break
-        chain.append(pd)
-    if base is None:
-        raise FileNotFoundError(
-            f"version {v}'s delta chain has no base checkpoint — its "
-            "predecessors were removed without compaction (use "
-            "drop_versions_before, which checkpoints the oldest survivor, "
-            "never raw drop_snapshot on version manifests)"
-        )
-    for dd in reversed(chain):
-        base -= set(dd.get("remove", []))
-        base |= set(dd.get("add", []))
-        base_dv -= set(dd.get("dv_remove", []))
-        base_dv |= set(dd.get("dv_add", []))
-    return sorted(base), sorted(base_dv)
-
-
-def _manifest_rel_files(spark: SparkSession, path: str, name: str) -> list[str]:
-    """Table-relative DATA file list a manifest pins (see
-    :func:`_manifest_state`)."""
-    return _manifest_state(spark, path, name)[0]
-
-
-def _resolve_pinned_files(
-    spark: SparkSession, path: str, files: list[str], what: str
-) -> list[str]:
-    """Resolve a manifest's absolute file list against where each file
-    lives NOW — the table root, or (if a later DML retired it) some
-    ``_retired/<batch>/`` dir, which preserves the table-relative path.
-    Raises a clear error naming ``what`` if any file was vacuumed."""
-    jvm, fs, _ = _fs(spark, path)
-    root = path.rstrip("/")
-    missing = []
-    resolved = []
-    for f in files:
-        p = jvm.org.apache.hadoop.fs.Path(f)
-        if fs.exists(p):
-            resolved.append(f)
-            continue
-        # the file may have been retired since the manifest was written;
-        # retirement preserves the table-relative path under each batch
-        rel = _rel_to_table(path, f)
-        retired_root = jvm.org.apache.hadoop.fs.Path(f"{root}/{RETIRED_DIR}")
-        found = None
-        if fs.exists(retired_root):
-            for batch in fs.listStatus(retired_root):
-                cand = jvm.org.apache.hadoop.fs.Path(
-                    batch.getPath(), rel
-                )
-                if fs.exists(cand):
-                    found = cand.toString()
-                    break
-        if found:
-            resolved.append(found)
-        else:
-            missing.append(f)
-    if missing:
-        raise FileNotFoundError(
-            f"{what} references files that no longer exist: "
-            f"{missing[:3]}{'...' if len(missing) > 3 else ''} — removed "
-            "either by DML/compact called with explicit retain=False while "
-            "this snapshot existed, or by vacuum() before the manifest "
-            "covered them (DML defaults to retain when snapshots exist)"
-        )
-    return resolved
-
-
-def _read_pinned_files(
-    spark: SparkSession,
-    path: str,
-    resolved: list[str],
-    with_identity: bool = False,
-) -> DataFrame:
-    """Read an explicit (already-resolved) file list as one DataFrame,
-    grouping by base dir (table root vs each ``_retired`` batch) so
-    hive-style partition columns reconstruct from the key=value path
-    segments under EACH base — one basePath cannot span both locations.
-    ``mergeSchema`` + allow-missing union keep evolved tables readable:
-    files written before an ``evolve_schema`` MERGE NULL-backfill the
-    newer columns.  ``with_identity`` attaches the MOR row identity
-    (``__src_file`` original-table-relative, ``__row_idx``) so callers
-    can apply a version's pinned deletion vectors."""
-    by_base: dict[str, list[str]] = {}
-    for f in resolved:
-        rel = _rel_to_table(path, f)
-        base = f[: len(f) - len(rel) - 1]
-        if RETIRED_DIR in rel.split("/"):
-            # retired file: base = .../_retired/<batch>
-            parts = rel.split("/")
-            i = parts.index(RETIRED_DIR)
-            base = f"{base}/{'/'.join(parts[: i + 2])}"
-        by_base.setdefault(base, []).append(f)
-    jvm, fs, _ = _fs(spark, path)
-    frames = []
-    for base, fl in sorted(by_base.items()):
-        df = (
-            spark.read.option("basePath", base)
-            .option("mergeSchema", "true")
-            .parquet(*fl)
-        )
-        if with_identity:
-            # the MOR row identity, spelled in ORIGINAL table-relative
-            # terms: retirement preserves the relative path under each
-            # batch dir, so "path under this group's base" IS the rel
-            # path the deletion vectors were keyed on (shared recipe:
-            # operators.mor.attach_identity)
-            from .mor import attach_identity
-
-            qbase = fs.makeQualified(
-                jvm.org.apache.hadoop.fs.Path(base)
-            ).toString()
-            df = attach_identity(df, qbase)
-        frames.append(df)
-    out = frames[0]
-    for fr in frames[1:]:
-        out = out.unionByName(fr, allowMissingColumns=True)
-    return out
-
-
-def read_snapshot(spark: SparkSession, path: str, name: str) -> DataFrame:
-    """Time travel: the table exactly as it was at ``create_snapshot(name)``.
-
-    Works because a manifest's files may now live in the table root OR in
-    ``_retired/`` (explicit file paths bypass discovery's underscore
-    filtering — only the manifest decides what this version contains);
-    fails with a clear error if a referenced file was vacuumed.
-    """
-    root0 = path.rstrip("/")
-    # ONE delta-chain walk yields both lists (a second _manifest_dv_files
-    # call would re-read up to CHECKPOINT_INTERVAL manifest JSONs)
-    rel_files, dv_rel = _manifest_state(spark, path, name)
-    files = [f"{root0}/{r}" for r in rel_files]
-    resolved = _resolve_pinned_files(
-        spark, path, files, f"snapshot {name!r}"
-    )
-    if not resolved:
-        raise ValueError(f"snapshot {name!r} is empty")
-    if not dv_rel:
-        return _read_pinned_files(spark, path, resolved)
-    # merge-on-read version: the manifest pins the deletion-vector state
-    # too — apply it exactly as read_mor does on the live table (one
-    # broadcast-sized anti join on the row identity; tombstones keyed to
-    # files outside this version match nothing)
-    dv_resolved = _resolve_pinned_files(
-        spark,
-        path,
-        [f"{root0}/{r}" for r in dv_rel],
-        f"snapshot {name!r} deletion vectors",
-    )
-    dv = spark.read.parquet(*dv_resolved).select("src_file", "row_idx")
-    df = _read_pinned_files(spark, path, resolved, with_identity=True)
-    return df.join(
-        dv,
-        (df["__src_file"] == dv["src_file"])
-        & (df["__row_idx"] == dv["row_idx"]),
-        "left_anti",
-    ).drop("__src_file", "__row_idx")
-
-
-def vacuum(spark: SparkSession, path: str) -> int:
-    """Delete retired files that NO snapshot manifest references; returns
-    how many files were reclaimed.  Empty retire-batch dirs are removed.
-
-    The referenced set is built from every manifest's basenames — COW file
-    names are globally unique (uuid-tagged), so basename identity is safe.
-
-    Version manifests fold FORWARD in one pass (checkpoint resets the
-    running set, each delta applies add/remove), so every manifest is
-    read exactly ONCE — per-version chain reconstruction here would be
-    O(versions × chain) small reads, minutes of metadata crawl on
-    object-store latency.
-    """
-    # a transaction's in-flight files have no manifest yet — vacuum
-    # would reclaim the batch's own uncommitted work
-    _refuse_in_txn(path, "vacuum")
-    jvm, fs, _ = _fs(spark, path)
-    referenced: set[str] = set()
-    names = list_snapshots(spark, path)
-    versioned = sorted(
-        (int(_VERSION_RE.match(n).group(1)), n)
-        for n in names
-        if _VERSION_RE.match(n)
-    )
-    if versioned:
-        first = _manifest(spark, path, versioned[0][1])
-        if "files" not in first:
-            raise FileNotFoundError(
-                f"oldest version manifest {versioned[0][1]!r} of {path} is "
-                "a delta with no base checkpoint — predecessors were "
-                "removed without compaction (use drop_versions_before)"
-            )
-    running: set[str] = set()
-    running_dv: set[str] = set()
-    for _, n in versioned:
-        d = _manifest(spark, path, n)
-        if "files" in d:
-            running = set(d["files"])
-            running_dv = set(d.get("dv_files", []))
-        else:
-            running = (running - set(d.get("remove", []))) | set(
-                d.get("add", [])
-            )
-            running_dv = (
-                running_dv - set(d.get("dv_remove", []))
-            ) | set(d.get("dv_add", []))
-        referenced |= running
-        referenced |= running_dv
-    for n in names:
-        if not _VERSION_RE.match(n):
-            fl, dvl = _manifest_state(spark, path, n)
-            referenced.update(fl)
-            referenced.update(dvl)
-    retired_root = jvm.org.apache.hadoop.fs.Path(
-        f"{path.rstrip('/')}/{RETIRED_DIR}"
-    )
-    if not fs.exists(retired_root):
-        return 0
-
-    def _walk(d):
-        for st in fs.listStatus(d):
-            if st.isDirectory():
-                yield from _walk(st.getPath())
-            else:
-                yield st.getPath()
-
-    reclaimed = 0
-    for batch in fs.listStatus(retired_root):
-        survivors = 0
-        batch_prefix = batch.getPath().toString()
-        for p in list(_walk(batch.getPath())):
-            # table-relative path of the retired file = its path under the
-            # batch dir (retirement preserves it)
-            rel = p.toString()[len(batch_prefix) + 1:]
-            if rel in referenced:
-                survivors += 1
-            else:
-                fs.delete(p, False)
-                reclaimed += 1
-        if survivors == 0:
-            fs.delete(batch.getPath(), True)
-    return reclaimed
-
-
-def drop_snapshot(spark: SparkSession, path: str, name: str) -> None:
-    jvm, fs, _ = _fs(spark, path)
-    fs.delete(
-        jvm.org.apache.hadoop.fs.Path(
-            f"{path.rstrip('/')}/{SNAPSHOT_DIR}/{name}.json"
-        ),
-        False,
-    )
-
-
-# -- version log: MVCC for readers on top of snapshots ------------------------
-#
-# What the r5 review named as the lakehouse user's first question — "what
-# happens to a reader while I mutate?" — answered with the machinery COW
-# already provides.  Versions ARE snapshots with reserved names
-# (v00000001, ...): once enable_versioning pins v1, every DML/compact that
-# changes the table auto-commits the next manifest INSIDE the writer lock
-# (linear history), retain auto-engages (snapshots exist, so superseded
-# files retire instead of deleting), and vacuum refuses to reclaim
-# anything a version still references.  A reader pinned to
-# read_version(path, N) therefore sees version N's exact bytes no matter
-# how many writers commit after it — snapshot isolation for readers.
-# Writers stay single-writer (the advisory lock); what this is NOT is a
-# multi-writer transaction log, and the module docstring says so.
-
-_VERSION_RE = re.compile(r"^v(\d{8})$")
-
-
-def table_versions(spark: SparkSession, path: str) -> list[int]:
-    """Committed version numbers, ascending (empty = versioning off)."""
-    out = []
-    for n in list_snapshots(spark, path):
-        m = _VERSION_RE.match(n)
-        if m:
-            out.append(int(m.group(1)))
-    return sorted(out)
-
-
-def enable_versioning(spark: SparkSession, path: str) -> int:
-    """Turn on the auto-version log by pinning the current file list as
-    version 1 (idempotent: returns the latest version if already on).
-    From here every mutating verb commits the next version before its
-    writer lock releases.
-
-    Runs under the writer lock (v1 must pin a committed state, never a
-    mid-swap file list; the idempotence check re-runs inside the lock so
-    two concurrent enables cannot both write v1).
-
-    Works on merge-on-read tables: v1 pins the live deletion-vector
-    state alongside the data files, and every later DV verb commits its
-    own version — the Delta-3.x unification."""
-    with _writer_lock(spark, path):
-        vs = table_versions(spark, path)
-        if vs:
-            return vs[-1]
-        _create_snapshot_unlocked(spark, path, "v00000001")
-        return 1
-
-
-#: Full-checkpoint cadence for the auto-version log: between checkpoints
-#: each commit writes only its file DELTA (names added/removed — O(touched
-#: files), the Delta-Lake/Iceberg commit shape), and every Nth commit
-#: folds the chain into a full manifest so no reader ever walks more than
-#: N small files to reconstruct a version.
-CHECKPOINT_INTERVAL = 20
-
-
-def _compose_next_manifest(
-    spark: SparkSession, path: str
-) -> tuple[int, bytes] | None:
-    """``(next version number, manifest bytes)`` for the table's current
-    live state — exactly what :func:`_autoversion` would commit (a
-    checkpoint every ``CHECKPOINT_INTERVAL`` commits, an add/remove
-    delta otherwise), WITHOUT writing.  ``None`` when versioning is off.
-    The multi-table two-phase commit prepares these bytes under a
-    ``.prep`` name for every table before any final manifest lands."""
-    import json
-    from datetime import datetime, timezone
-
-    vs = table_versions(spark, path)
-    if not vs:
-        return None
-    prev = vs[-1]
-    nxt = prev + 1
-    # how deep is the open delta chain?  Bounded by CHECKPOINT_INTERVAL,
-    # so this back-walk reads at most that many small manifests.
-    deltas_since = 0
-    for pv in reversed(vs):
-        if "files" in _manifest(spark, path, f"v{pv:08d}"):
-            break
-        deltas_since += 1
-    if deltas_since + 1 >= CHECKPOINT_INTERVAL:
-        data, _ = _full_manifest_bytes(spark, path)
-        return nxt, data
-    from .mor import list_dv_files
-
-    current = sorted(
-        _rel_to_table(path, f)
-        for f in list_data_files(spark, path, recursive=True)
-    )
-    current_dv = sorted(
-        _rel_to_table(path, f) for f in list_dv_files(spark, path)
-    )
-    prev_files, prev_dv = _manifest_state(spark, path, f"v{prev:08d}")
-    prev_set, prev_dv_set = set(prev_files), set(prev_dv)
-    delta = json.dumps(
-        {
-            "add": sorted(set(current) - prev_set),
-            "remove": sorted(prev_set - set(current)),
-            "dv_add": sorted(set(current_dv) - prev_dv_set),
-            "dv_remove": sorted(prev_dv_set - set(current_dv)),
-            "committed_at": datetime.now(timezone.utc).isoformat(),
-        },
-        indent=0,
-    )
-    return nxt, delta.encode()
-
-
-def _autoversion(spark: SparkSession, path: str) -> None:
-    # caller (_with_writer_lock / an OCC commit) already holds the lock
-    st = _txn_state(path)
-    if st is not None:
-        # verb ran inside a multi-statement transaction: defer — the
-        # Transaction.commit() pops the registry entry first, so ITS
-        # _autoversion call lands here with st None and writes the ONE
-        # manifest for the whole batch
-        st.dirty = True
-        return
-    composed = _compose_next_manifest(spark, path)
-    if composed is None:
-        return
-    nxt, data = composed
-    # exclusive create: committing a version number that already exists
-    # means two writers shared a commit window (a lock failure) — fail
-    # LOUDLY instead of silently overwriting one commit's history with
-    # the other's
-    _write_small_file(
-        spark,
-        f"{path.rstrip('/')}/{SNAPSHOT_DIR}/v{nxt:08d}.json",
-        data,
-        overwrite=False,
-    )
-
-
-def current_version(spark: SparkSession, path: str) -> int | None:
-    vs = table_versions(spark, path)
-    return vs[-1] if vs else None
-
-
-def read_version(
-    spark: SparkSession, path: str, version: int | None = None
-) -> DataFrame:
-    """The table exactly as of ``version`` (default: latest committed).
-
-    Old versions stay readable across later DML because retain
-    auto-engages on versioned tables; they stop being readable only after
-    an explicit :func:`drop_versions_before` + :func:`vacuum`.
-    """
-    vs = table_versions(spark, path)
-    if not vs:
-        raise ValueError(
-            f"versioning not enabled on {path}; call enable_versioning first"
-        )
-    v = vs[-1] if version is None else version
-    if v not in vs:
-        raise FileNotFoundError(
-            f"no version {v} for {path} (have {vs[0]}..{vs[-1]}, "
-            f"{len(vs)} committed)"
-        )
-    return read_snapshot(spark, path, f"v{v:08d}")
-
-
-def version_history(
-    spark: SparkSession, path: str, last: int | None = None
-) -> list[tuple[int, str]]:
-    """``(version, committed_at)`` per committed version, ascending —
-    ISO-8601 UTC stamps from the manifests (full AND delta manifests both
-    carry one).  Metadata-only: reads the small JSONs, no data I/O.
-    ``last`` bounds the crawl to the newest N manifests — displays over a
-    long-lived table must not pay O(total versions) of store latency."""
-    vs = table_versions(spark, path)
-    if last is not None:
-        vs = vs[-last:]
-    return [
-        (v, _manifest(spark, path, f"v{v:08d}").get("committed_at") or "")
-        for v in vs
-    ]
-
-
-def _parse_commit_ts(s: str):
-    from datetime import datetime, timezone
-
-    dt = datetime.fromisoformat(s)
-    if dt.tzinfo is None:
-        dt = dt.replace(tzinfo=timezone.utc)
-    return dt
-
-
-def read_as_of(spark: SparkSession, path: str, timestamp: str) -> DataFrame:
-    """Time travel by WALL CLOCK: the newest version committed at or
-    before ``timestamp`` (ISO-8601; a naive stamp is taken as UTC, the
-    zone the manifests are written in).  The Delta ``TIMESTAMP AS OF``
-    shape over the version log; also reachable from SQL text via
-    ``Engine.sql_at``."""
-    ts = _parse_commit_ts(timestamp)
-    best: int | None = None
-    for v, committed in version_history(spark, path):
-        if committed and _parse_commit_ts(committed) <= ts:
-            best = v
-    if best is None:
-        hist = version_history(spark, path)
-        raise ValueError(
-            f"no version of {path} was committed at or before {timestamp} "
-            f"(earliest is v{hist[0][0]} at {hist[0][1]})"
-            if hist
-            else f"versioning not enabled on {path}; call "
-            "enable_versioning first"
-        )
-    return read_version(spark, path, best)
-
-
-def restore_version(
-    spark: SparkSession, path: str, version: int
-) -> MutationStats:
-    """``RESTORE TABLE ... TO VERSION AS OF n``: make the LIVE file set
-    equal version ``n``'s manifest again, as a NEW commit — history rolls
-    forward (every version between stays readable; CDC across the restore
-    shows the net undo), exactly the Delta-Lake RESTORE shape.
-
-    Pure metadata: files still live are left in place, files the later
-    versions retired are MOVED back from ``_retired/`` to their original
-    table-relative slot (COW staging never reuses names, so the slot is
-    free; manifests always record root-absolute paths, so resolution
-    still finds them), and files newer than ``n`` are retired.  No data
-    is read, rewritten, or copied — O(changed files) namespace renames,
-    which is what makes RESTORE instant at 100 TB.
-
-    Crash mid-restore leaves a SUPERSET of files visible (restored files
-    in, extras not yet retired) and no version committed — rerunning the
-    restore converges; nothing is ever lost (``retire`` moves, never
-    deletes).  On a merge-on-read table the deletion-vector batches
-    restore/retire through the same rename plan; mid-crash the UNION of
-    old and restored tombstones may be briefly applied (at-least-once
-    tombstones — rows, never lost, possibly over-hidden until the rerun
-    finishes the retire step).
-
-    ``files_rewritten`` in the returned stats counts files that changed
-    liveness (restored + retired); ``rows_matched`` is 0 (no row work).
-    """
-    # the last committed manifest is an open transaction's rollback
-    # anchor — moving it mid-batch would corrupt the rollback plan
-    _refuse_in_txn(path, "restore_version")
-    with _writer_lock(spark, path):
-        vs = table_versions(spark, path)
-        if not vs:
-            raise ValueError(
-                f"versioning not enabled on {path}; call "
-                "enable_versioning first"
-            )
-        if version not in vs:
-            raise FileNotFoundError(
-                f"no version {version} for {path} "
-                f"(have {vs[0]}..{vs[-1]}, {len(vs)} committed)"
-            )
-        root_ = path.rstrip("/")
-        target_files, target_dv = _manifest_state(
-            spark, path, f"v{version:08d}"
-        )
-        from .mor import list_dv_files
-
-        # data files and deletion-vector batch files restore uniformly:
-        # both are immutable named blobs whose rel path the manifests and
-        # _retired/ batches preserve — one rename plan covers the pair
-        target_abs = [f"{root_}/{r}" for r in target_files + target_dv]
-        target_rel = set(target_files) | set(target_dv)
-        current = list_data_files(spark, path, recursive=True) + list(
-            list_dv_files(spark, path)
-        )
-        current_rel = {_rel_to_table(path, f) for f in current}
-        missing_abs = [
-            f
-            for f in target_abs
-            if _rel_to_table(path, f) not in current_rel
-        ]
-        extras = [
-            f for f in current if _rel_to_table(path, f) not in target_rel
-        ]
-        if not missing_abs and not extras:
-            # already at the target BYTES — but only a true no-op if the
-            # latest committed manifest agrees with the live set.  After a
-            # crash between a previous restore's renames and its commit,
-            # the live table equals the target while the log still says
-            # otherwise; the documented recovery is "rerun the restore",
-            # so the rerun must finish the job by committing the version.
-            lf, ldv = _manifest_state(spark, path, f"v{vs[-1]:08d}")
-            latest_rel = set(lf) | set(ldv)
-            if latest_rel != current_rel:
-                _autoversion(spark, path)
-                _mark_mutated(spark, path)
-                spark.catalog.clearCache()
-            return MutationStats(len(current), 0, 0)
-        # 1) bring back retired files FIRST (crash ⇒ superset, never loss)
-        resolved = _resolve_pinned_files(
-            spark, path, missing_abs, f"restore to version {version}"
-        )
-        jvm, fs, _ = _fs(spark, path)
-        root = path.rstrip("/")
-        for orig, now_at in zip(missing_abs, resolved):
-            rel = _rel_to_table(path, orig)
-            dest = jvm.org.apache.hadoop.fs.Path(f"{root}/{rel}")
-            fs.mkdirs(dest.getParent())
-            if not fs.rename(
-                jvm.org.apache.hadoop.fs.Path(now_at), dest
-            ):
-                raise IOError(f"restore: rename {now_at} -> {dest} failed")
-        # 2) retire the post-``version`` files (older manifests may still
-        #    pin some of them — retire, never delete)
-        _retire_files(spark, path, extras)
-        _autoversion(spark, path)
-        _refresh_indexes(spark, path)
-        _mark_mutated(spark, path)
-        spark.catalog.clearCache()
-        return MutationStats(
-            len(target_abs), len(missing_abs) + len(extras), 0
-        )
-
-
-#: working-column names for the signed multiset diff — namespaced so a
-#: data column can't collide; guarded in signed_net_expand regardless
-_SIGN_COL = "__sqlopt_cdc_sign"
-_NET_COL = "__sqlopt_cdc_net"
-#: per-explode array bound for multiplicity re-expansion: each nested
-#: sequence stays ≤ 64k elements (≈0.5 MB), supporting net multiplicities
-#: to CHUNK² ≈ 4.3e9 identical row images without a single giant array
-_EXPAND_CHUNK = 1 << 16
-
-
-def signed_net_expand(both: DataFrame, cols: list[str]) -> DataFrame:
-    """The shared multiset-diff collapse: ``both`` carries the data
-    ``cols`` plus a ±1 ``_SIGN_COL``; group on the columns, keep net ≠ 0,
-    re-expand |net| copies tagged insert/delete.  This is ``exceptAll``'s
-    own sum-of-signs lowering run once for BOTH directions (one scan, one
-    shuffle).  Re-expansion explodes two NESTED bounded sequences instead
-    of one ``array_repeat(|net|)`` — a degenerate table where one commit
-    nets 10⁸ identical images must not materialize a 10⁸-element array on
-    one executor (the scale regression a single-level explode has vs
-    exceptAll's streaming ReplicateRows)."""
-    bad = [c for c in cols if c in (_SIGN_COL, _NET_COL)]
-    if bad:
-        raise ValueError(
-            f"column name {bad} collides with the CDC diff's working "
-            "columns — rename it"
-        )
-    net = (
-        both.groupBy(*cols)
-        .agg(F.sum(_SIGN_COL).alias(_NET_COL))
-        .where(F.col(_NET_COL) != 0)
-    )
-    n_abs = F.abs(F.col(_NET_COL))
-    chunk = F.lit(_EXPAND_CHUNK).cast("long")
-    outer = F.explode(
-        F.sequence(F.lit(0).cast("long"), F.floor((n_abs - 1) / chunk))
-    )
-    expanded = net.withColumn("__sqlopt_cdc_chunk", outer)
-    inner = F.explode(
-        F.sequence(
-            F.lit(1).cast("long"),
-            F.least(
-                chunk, n_abs - F.col("__sqlopt_cdc_chunk") * chunk
-            ),
-        )
-    )
-    return (
-        expanded.withColumn("__sqlopt_cdc_i", inner)
-        .select(
-            F.when(F.col(_NET_COL) > 0, F.lit("insert"))
-            .otherwise(F.lit("delete"))
-            .alias("_change_type"),
-            *cols,
-        )
-    )
-
-
-def read_changes(
-    spark: SparkSession,
-    path: str,
-    from_version: int,
-    to_version: int | None = None,
-    align_schema: bool = False,
-    max_touched_files: int | None = 100_000,
-) -> DataFrame:
-    """CDC read: the NET row-level changes between two committed versions,
-    as a DataFrame with a ``_change_type`` column (``'insert'`` /
-    ``'delete'``; an UPDATE surfaces as its delete + insert image pair).
-    No reference analog — the reference parses DML and stops
-    (engine/src/parser.cpp:232-296); this is the Delta-Lake
-    ``table_changes`` shape over the COW version log.
-
-    Cost is O(files the range touched), never O(table): the two
-    manifests' file lists diff to ``added`` / ``removed`` name sets, and
-    only those files are read — ONCE.  COW rewrites copy untouched rows
-    into new files alongside the changed ones, so the MULTISET diff
-    cancels every copied-but-identical row — what survives is exactly
-    ``multiset(v_to) − multiset(v_from)`` (the inserts) and the reverse
-    (the deletes), proven by the algebraic EXCEPT ALL oracle on the
-    graded query.  The diff is computed as ONE signed aggregate (+1 per
-    added-file row, −1 per removed-file row, group on all columns, keep
-    net ≠ 0, re-expand multiplicity) rather than two ``exceptAll`` calls
-    — identical multiset semantics (exceptAll itself plans this same
-    sum-of-signs aggregate, NULL- and NaN-safe grouping included) but a
-    single scan of the touched files and a single shuffle instead of two
-    of each.  At 100 TB a single-partition commit diffs two manifest
-    file lists and scans one partition's worth of parquet once.
-
-    Merge-on-read commits diff too (r9): a version's live rows are its
-    data files MINUS its pinned deletion vectors, so added/removed files
-    read under their endpoint's DV mask, and tombstone-only commits emit
-    via a set-level entry diff that reads ONLY the differing DV batches
-    plus the common files they reference — a dv_delete's CDC cost is
-    O(tombstones + files they touch), and a materialize nets to zero.
-
-    Output columns default to the union of the TOUCHED files' schemas —
-    the O(touched) contract: a commit whose files all predate a schema
-    evolution emits pre-evolution images (the evolved column was NULL
-    there anyway).  ``align_schema=True`` instead aligns the output to
-    the ``to`` version's full schema (NULL-backfilling missing columns)
-    at the cost of one footer-union job over that version's pinned
-    files — opt in when a downstream applier needs a stable shape.
-
-    Limitations: columns must be exceptAll-comparable (no map type);
-    versions must still be reconstructable (not dropped + vacuumed).
-
-    ``max_touched_files`` bounds the one driver-side metadata transfer of
-    the DV entry-diff path (which common files do the changed tombstones
-    reference?) the same way ``merge_into``'s ``max_pruned_files`` bounds
-    its prune list: at most ``max_touched_files + 1`` file names are ever
-    collected, and past the bound the plan falls back to scanning every
-    common file and letting the distributed semi-join do the filtering —
-    same result, no unbounded driver list.
-    """
-    vs = table_versions(spark, path)
-    if not vs:
-        raise ValueError(
-            f"versioning not enabled on {path}; call enable_versioning first"
-        )
-    to_v = vs[-1] if to_version is None else to_version
-    for v in (from_version, to_v):
-        if v not in vs:
-            raise FileNotFoundError(
-                f"no version {v} for {path} (have {vs[0]}..{vs[-1]}, "
-                f"{len(vs)} committed)"
-            )
-    if from_version > to_v:
-        raise ValueError(
-            f"from_version {from_version} is newer than to_version {to_v}"
-        )
-    files_from, dv_from_rel = _manifest_state(
-        spark, path, f"v{from_version:08d}"
-    )
-    files_to, dv_to_rel = _manifest_state(spark, path, f"v{to_v:08d}")
-    rel_from, rel_to = set(files_from), set(files_to)
-    root = path.rstrip("/")
-    what = f"version range {from_version}..{to_v} of {path}"
-
-    def _resolve_rels(rels) -> list[str]:
-        return _resolve_pinned_files(
-            spark, path, [f"{root}/{r}" for r in sorted(rels)], what
-        )
-
-    def _dv_entries(rels: set[str]) -> DataFrame | None:
-        if not rels:
-            return None
-        return spark.read.parquet(*_resolve_rels(rels)).select(
-            "src_file", "row_idx"
-        )
-
-    # the endpoint versions' deletion-vector STATES (None = no DVs) —
-    # a version's live rows are its data files minus these tombstones
-    dv_from = _dv_entries(set(dv_from_rel))
-    dv_to = _dv_entries(set(dv_to_rel))
-
-    def _masked(rels: set[str], dv: DataFrame | None) -> DataFrame | None:
-        """The LIVE rows of these data files under the given DV state."""
-        if not rels:
-            return None
-        resolved = _resolve_rels(rels)
-        if dv is None:
-            return _read_pinned_files(spark, path, resolved)
-        df = _read_pinned_files(spark, path, resolved, with_identity=True)
-        return df.join(
-            dv,
-            (df["__src_file"] == dv["src_file"])
-            & (df["__row_idx"] == dv["row_idx"]),
-            "left_anti",
-        ).drop("__src_file", "__row_idx")
-
-    parts: list[tuple[DataFrame, int]] = []
-    added = _masked(rel_to - rel_from, dv_to)
-    removed = _masked(rel_from - rel_to, dv_from)
-    if added is not None:
-        parts.append((added, 1))
-    if removed is not None:
-        parts.append((removed, -1))
-
-    # deletion-vector diff over files live in BOTH versions: rows newly
-    # tombstoned in the range emit deletes; rows un-tombstoned (RESTORE
-    # undoing a dv_delete) emit inserts.  DV batches are immutable, so
-    # only the DIFFERING batch files are read as candidates; membership
-    # is set-level (a materialize prune copies surviving entries into a
-    # new batch — at-least-once tombstones must not read as new deletes).
-    if set(dv_from_rel) != set(dv_to_rel):
-        common = rel_from & rel_to
-        new_batches = _dv_entries(set(dv_to_rel) - set(dv_from_rel))
-        gone_batches = _dv_entries(set(dv_from_rel) - set(dv_to_rel))
-
-        def _entry_diff(cand, other):
-            if cand is None:
-                return None
-            d = cand.distinct()
-            if other is not None:
-                d = d.join(other, ["src_file", "row_idx"], "left_anti")
-            return d
-
-        for ent, sign in (
-            (_entry_diff(new_batches, dv_from), -1),
-            (_entry_diff(gone_batches, dv_to), 1),
-        ):
-            if ent is None:
-                continue
-            # bounded metadata collect (O(touched files), the same class
-            # as the manifest lists): which common files do the changed
-            # tombstones reference?  Entries on files added/removed in
-            # the range are already covered by the masked parts above.
-            # The limit+fallback mirrors merge_into's max_pruned_files:
-            # a pathological range (tombstones spanning millions of
-            # files) scans every common file instead of materializing an
-            # unbounded name list on the driver — the semi-join below
-            # filters either way.
-            touched_df = ent.select("src_file").distinct()
-            if max_touched_files is not None:
-                touched_df = touched_df.limit(max_touched_files + 1)
-            touched_rows = touched_df.collect()
-            if (
-                max_touched_files is not None
-                and len(touched_rows) > max_touched_files
-            ):
-                touched = set(common)
-            else:
-                touched = {r["src_file"] for r in touched_rows} & common
-            if not touched:
-                continue
-            df = _read_pinned_files(
-                spark, path, _resolve_rels(touched), with_identity=True
-            )
-            rows = df.join(
-                ent,
-                (df["__src_file"] == ent["src_file"])
-                & (df["__row_idx"] == ent["row_idx"]),
-                "left_semi",
-            ).drop("__src_file", "__row_idx")
-            parts.append((rows, sign))
-
-    if not parts:
-        base = read_version(spark, path, to_v).limit(0)
-        return base.select(
-            F.lit("insert").alias("_change_type"), "*"
-        ).limit(0)
-    # align every part to one column list (first-seen order, that side's
-    # types win — a widening evolution casts the old images up, an added
-    # column NULL-backfills) so the signed aggregate compares row images;
-    # align_schema seeds the list with the to-version's full schema
-    ordered: list[tuple[str, object]] = []
-    seen: set[str] = set()
-    if align_schema:
-        for fld in read_version(spark, path, to_v).schema.fields:
-            seen.add(fld.name)
-            ordered.append((fld.name, fld.dataType))
-    for side, _ in parts:
-        for fld in side.schema.fields:
-            if fld.name not in seen:
-                seen.add(fld.name)
-                ordered.append((fld.name, fld.dataType))
-
-    cols = [n for n, _ in ordered]
-
-    def _aligned(df: DataFrame, sign: int) -> DataFrame:
-        return df.select(
-            *[
-                (F.col(n) if n in df.columns else F.lit(None))
-                .cast(t)
-                .alias(n)
-                for n, t in ordered
-            ],
-            F.lit(sign).alias(_SIGN_COL),
-        )
-
-    both = _aligned(parts[0][0], parts[0][1])
-    for df, sign in parts[1:]:
-        both = both.unionByName(_aligned(df, sign))
-    return signed_net_expand(both, cols)
-
-
-def drop_versions_before(
-    spark: SparkSession, path: str, keep_last: int = 1
-) -> int:
-    """Retention: drop all but the newest ``keep_last`` version manifests;
-    returns how many were dropped.  Run :func:`vacuum` afterwards to
-    reclaim the retired files only those versions referenced.
-
-    COMPACTS before dropping: if the oldest surviving version is a delta
-    manifest, its reconstruction chain would dangle once its predecessors
-    are gone — so it is first materialized as a full checkpoint (fold the
-    chain once, write ``files`` outright).  Runs under the writer lock:
-    manifest rewrites must not race a committing writer."""
-    import json
-
-    if keep_last < 1:
-        raise ValueError("keep_last must be >= 1 (the latest version stays)")
-    _refuse_in_txn(path, "drop_versions_before")
-    with _writer_lock(spark, path):
-        vs = table_versions(spark, path)
-        doomed = vs[:-keep_last] if keep_last < len(vs) else []
-        if not doomed:
-            return 0
-        oldest_kept = vs[len(doomed)]
-        name = f"v{oldest_kept:08d}"
-        d = _manifest(spark, path, name)
-        if "files" not in d:
-            fl, dvl = _manifest_state(spark, path, name)
-            full = json.dumps(
-                {
-                    "files": fl,
-                    "dv_files": dvl,
-                    "committed_at": d.get("committed_at"),
-                },
-                indent=0,
-            )
-            _write_small_file(
-                spark,
-                f"{path.rstrip('/')}/{SNAPSHOT_DIR}/{name}.json",
-                full.encode(),
-            )
-        dropped = 0
-        for v in doomed:
-            drop_snapshot(spark, path, f"v{v:08d}")
-            dropped += 1
-        return dropped
-
-
-# -- table constraints (CHECK enforcement on COW DML) --------------------------
-#
-# Delta-style CHECK constraints for the mutate verbs; no reference analog
-# (the reference parses DML and stops, engine/src/parser.cpp:232-296, and
-# has no constraint surface at all).  Registered per table dir in an
-# underscore-invisible JSON; every value-changing verb (UPDATE, MERGE, the
-# occ_* variants) verifies its STAGED output against all constraints in ONE
-# column-pruned aggregate job BEFORE any original file moves — a violation
-# aborts with the table untouched.  DELETE and compaction skip the check
-# (they cannot introduce values).  Enforcement cost is O(touched files),
-# the same files the mutation just wrote and the page cache still holds.
-
-CONSTRAINTS_FILE = "_constraints.json"
-
-
-class ConstraintViolation(ValueError):
-    """Staged mutation output (or, at add time, the existing table)
-    violates a registered CHECK constraint.  Raised before any swap —
-    the table is unchanged."""
-
-
-def _violation(expr: str) -> Column:
-    # SQL-standard CHECK semantics: only FALSE violates; NULL passes
-    return ~F.coalesce(F.expr(expr), F.lit(True))
-
-
-def _constraints_doc(spark: SparkSession, path: str) -> dict:
-    """The full constraints document: ``constraints`` (name → CHECK expr)
-    plus ``columns`` (data-column name → DDL type snapshot taken at add
-    time) — the snapshot lets enforcement NULL-backfill a column the
-    staged files happen to lack (pre-evolution rewrites) without an
-    O(table) schema merge per mutation."""
-    import json
-
-    _, fs, jpath = _fs(spark, f"{path.rstrip('/')}/{CONSTRAINTS_FILE}")
-    if not fs.exists(jpath):
-        return {"constraints": {}, "columns": {}}
-    return json.loads(
-        _read_small_file(
-            spark, f"{path.rstrip('/')}/{CONSTRAINTS_FILE}"
-        ).decode()
-    )
-
-
-def table_constraints(spark: SparkSession, path: str) -> dict[str, str]:
-    """name → CHECK expression registered on a COW table dir."""
-    return _constraints_doc(spark, path)["constraints"]
-
-
-def _write_constraints(spark: SparkSession, path: str, doc: dict) -> None:
-    import json
-
-    _write_small_file(
-        spark,
-        f"{path.rstrip('/')}/{CONSTRAINTS_FILE}",
-        json.dumps(doc, indent=0, sort_keys=True).encode(),
-    )
-
-
-def add_constraint(
-    spark: SparkSession,
-    path: str,
-    name: str,
-    expr: str,
-    validate: bool = True,
-) -> None:
-    """Register CHECK constraint ``name`` := ``expr`` on a COW table dir.
-
-    ``validate=True`` (default) first proves the CURRENT table satisfies
-    it (one column-pruned scan; refused otherwise — a constraint the data
-    already breaks would make every later mutation unfixable).  The
-    expression must resolve against DATA columns only — checked against
-    the table's MERGED schema (so a column an evolve_schema MERGE added
-    to only some files still qualifies) minus the partition columns,
-    whose values live in directory names, not in the staged files
-    enforcement reads.  The merged data-column schema is snapshotted into
-    the constraints file so enforcement can NULL-backfill columns a
-    staged rewrite of pre-evolution files legally lacks.  Runs under the
-    writer lock; the OCC verbs additionally re-check constraints INSIDE
-    their commit lock when the registered set changed since their
-    lock-free enforcement pass.
-    """
-    if not re.fullmatch(r"\w+", name):
-        raise ValueError(
-            f"constraint name {name!r} must be a bare identifier"
-        )
-    with _writer_lock(spark, path):
-        doc = _constraints_doc(spark, path)
-        cons = doc["constraints"]
-        if name in cons:
-            raise ValueError(
-                f"constraint {name!r} already exists: {cons[name]!r} "
-                "(drop_constraint first)"
-            )
-        full = read_table(spark, path)
-        if is_partitioned(spark, path):
-            files = list_data_files(spark, path, recursive=True)
-            probe = full.drop(*_partition_cols(spark, path, files[0]))
-        else:
-            probe = full
-        try:
-            probe.select(_violation(expr))
-        except Exception as e:
-            raise ValueError(
-                f"constraint {name!r} ({expr!r}) must resolve against the "
-                f"data columns {probe.columns} — partition columns "
-                "live in directory names, not in the staged files "
-                "enforcement reads"
-            ) from e
-        if validate:
-            bad = probe.where(_violation(expr)).count()
-            if bad:
-                raise ConstraintViolation(
-                    f"cannot add constraint {name!r}: {bad} existing rows "
-                    f"violate {expr!r}"
-                )
-        cons[name] = expr
-        doc["columns"] = {
-            f.name: f.dataType.simpleString() for f in probe.schema.fields
-        }
-        _write_constraints(spark, path, doc)
-
-
-def drop_constraint(spark: SparkSession, path: str, name: str) -> None:
-    with _writer_lock(spark, path):
-        doc = _constraints_doc(spark, path)
-        if name not in doc["constraints"]:
-            raise ValueError(
-                f"no constraint {name!r} on {path} "
-                f"(have: {sorted(doc['constraints'])})"
-            )
-        del doc["constraints"][name]
-        _write_constraints(spark, path, doc)
-
-
-def _enforce_constraints(
-    spark: SparkSession, path: str, staging_dirs: list[str]
-) -> dict[str, str]:
-    """Verify every registered constraint over the union of the staged
-    dirs — ONE aggregate job for all constraints, column-pruned to the
-    referenced columns.  Raises :class:`ConstraintViolation` with
-    per-constraint staged-row counts; callers reclaim their staging and
-    leave the table untouched.  Returns the constraint set it checked so
-    optimistic callers can detect a set that changed before their commit
-    lock and re-check inside it.
-
-    Columns the staged files lack entirely (a rewrite of pre-evolution
-    files on an evolved table) NULL-backfill from the add-time schema
-    snapshot — the staged data means NULL there, and SQL CHECK passes
-    NULL, so a constraint on an evolved column never aborts a legitimate
-    mutation of old files."""
-    doc = _constraints_doc(spark, path)
-    cons = doc["constraints"]
-    if not cons or not staging_dirs:
-        return cons
-    frames = []
-    for d in staging_dirs:
-        try:
-            frames.append(
-                spark.read.option("mergeSchema", "true").parquet(d)
-            )
-        except Exception as e:
-            # an all-delete/no-insert stage writes zero rows (just
-            # _SUCCESS) — nothing to check in that dir
-            if "UNABLE_TO_INFER_SCHEMA" in str(e):
-                continue
-            raise
-    if not frames:
-        return cons
-    df = frames[0]
-    for fr in frames[1:]:
-        df = df.unionByName(fr, allowMissingColumns=True)
-    for col, ddl in doc.get("columns", {}).items():
-        if col not in df.columns:
-            df = df.withColumn(col, F.lit(None).cast(ddl))
-    row = df.agg(
-        *[
-            F.sum(F.when(_violation(e), 1).otherwise(0)).alias(n)
-            for n, e in sorted(cons.items())
-        ]
-    ).first()
-    violated = {n: row[n] for n in cons if row[n]}
-    if violated:
-        raise ConstraintViolation(
-            f"mutation violates CHECK constraints on {path}: "
-            + "; ".join(
-                f"{n} ({cons[n]!r}): {c} staged rows"
-                for n, c in sorted(violated.items())
-            )
-            + " — nothing was swapped; the table is unchanged"
-        )
-    return cons
 
 
 # -- crash recovery -----------------------------------------------------------
@@ -3871,3 +1584,91 @@ def repair_table(
         if stale:
             fs.delete(lock, False)
     return RepairReport(tuple(sorted(staging)), stale, remove)
+
+
+# -- submodule re-exports (r12 split) -----------------------------------------
+#
+# The OCC commit loop, the textual DML front-end, snapshots/versioning,
+# and CHECK constraints moved to sibling modules (occ.py, dml_sql.py,
+# versioning.py, constraints.py) purely for module size.  Every name they
+# define stays importable from THIS module (the historical surface) via
+# PEP 562 lazy attribute access, which also keeps the import graph
+# acyclic: the submodules import mutate's helpers eagerly, mutate never
+# imports a submodule at module scope.
+_SUBMODULE_EXPORTS = {
+    'CHECKPOINT_INTERVAL': 'versioning',
+    'CONSTRAINTS_FILE': 'constraints',
+    'ConcurrentWriteConflict': 'occ',
+    'ConstraintViolation': 'constraints',
+    '_ALTER_RE': 'dml_sql',
+    '_DELETE_RE': 'dml_sql',
+    '_EXPAND_CHUNK': 'versioning',
+    '_MERGE_RE': 'dml_sql',
+    '_NET_COL': 'versioning',
+    '_SIGN_COL': 'versioning',
+    '_UPDATE_RE': 'dml_sql',
+    '_VERSION_RE': 'versioning',
+    '_WHEN_HEAD_RE': 'dml_sql',
+    '_alias_rewrite': 'dml_sql',
+    '_autoversion': 'versioning',
+    '_compose_next_manifest': 'versioning',
+    '_constraints_doc': 'constraints',
+    '_create_snapshot_unlocked': 'versioning',
+    '_enforce_constraints': 'constraints',
+    '_find_top_keyword': 'dml_sql',
+    '_find_top_where': 'dml_sql',
+    '_full_manifest_bytes': 'versioning',
+    '_is_missing_file_error': 'occ',
+    '_manifest': 'versioning',
+    '_manifest_rel_files': 'versioning',
+    '_manifest_state': 'versioning',
+    '_occ_mutate': 'occ',
+    '_occ_mutate_flat': 'occ',
+    '_parse_commit_ts': 'versioning',
+    '_parse_merge_on': 'dml_sql',
+    '_read_pinned_files': 'versioning',
+    '_resolve_pinned_files': 'versioning',
+    '_segments': 'dml_sql',
+    '_split_assignments': 'dml_sql',
+    '_split_depth0': 'dml_sql',
+    '_split_values': 'dml_sql',
+    '_split_when_clauses': 'dml_sql',
+    '_uri_path': 'occ',
+    '_violation': 'constraints',
+    '_write_constraints': 'constraints',
+    'add_constraint': 'constraints',
+    'create_snapshot': 'versioning',
+    'current_version': 'versioning',
+    'drop_constraint': 'constraints',
+    'drop_snapshot': 'versioning',
+    'drop_versions_before': 'versioning',
+    'enable_versioning': 'versioning',
+    'execute_dml': 'dml_sql',
+    'list_snapshots': 'versioning',
+    'occ_delete_where': 'occ',
+    'occ_merge_into': 'occ',
+    'occ_update_where': 'occ',
+    'read_as_of': 'versioning',
+    'read_changes': 'versioning',
+    'read_snapshot': 'versioning',
+    'read_version': 'versioning',
+    'restore_version': 'versioning',
+    'signed_net_expand': 'versioning',
+    'table_constraints': 'constraints',
+    'table_versions': 'versioning',
+    'vacuum': 'versioning',
+    'version_history': 'versioning',
+}
+
+
+def __getattr__(name):
+    mod = _SUBMODULE_EXPORTS.get(name)
+    if mod is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(f'.{mod}', __package__), name)
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_SUBMODULE_EXPORTS))

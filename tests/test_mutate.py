@@ -2222,25 +2222,28 @@ def test_restore_version_rerun_commits_after_crash(spark, cow_table, monkeypatch
     """Crash between restore's renames and its commit: the rerun must not
     no-op — it detects live-set/manifest divergence and commits."""
     from sql_query_optimizer_cpp_spark.operators import mutate as mm
+    from sql_query_optimizer_cpp_spark.operators import versioning as vv
 
     mm.enable_versioning(spark, cow_table)                 # v1
     delete_where(spark, cow_table, "k >= 300")             # v2
     update_where(spark, cow_table, {"v": "v + 1"}, "k < 100")  # v3
 
-    real = mm._autoversion
+    real = vv._autoversion
     calls = {"n": 0}
 
     def dying(spark_, path_):
         calls["n"] += 1
         raise RuntimeError("injected crash before commit")
 
-    monkeypatch.setattr(mm, "_autoversion", dying)
+    # patch the DEFINING module (restore_version lives in versioning.py
+    # since the r12 split; the mutate facade re-export is a lazy alias)
+    monkeypatch.setattr(vv, "_autoversion", dying)
     with pytest.raises(RuntimeError, match="injected crash"):
         mm.restore_version(spark, cow_table, 2)
     # bytes restored, commit missing: live == v2 but log still ends at v3
     assert spark.read.parquet(cow_table).where("k = 0").first()["v"] == 0.0
     assert mm.table_versions(spark, cow_table) == [1, 2, 3]
-    monkeypatch.setattr(mm, "_autoversion", real)
+    monkeypatch.setattr(vv, "_autoversion", real)
     st = mm.restore_version(spark, cow_table, 2)           # the rerun
     assert st.files_rewritten == 0  # nothing to move — but it commits
     assert mm.table_versions(spark, cow_table) == [1, 2, 3, 4]
