@@ -750,7 +750,10 @@ def build_ivf_index(
     row index)`` the deletion-vector store keys on — so
     :func:`maintain_ivf_index` can fold a later DV batch into the index
     as a PRECISE anti-join (no assumption that ``id_col`` is unique,
-    no corpus re-read to learn which vectors a tombstone hit).
+    no corpus re-read to learn which vectors a tombstone hit).  Cell
+    assignment is keyed on that same identity at build AND append time,
+    so a duplicate id within an indexed batch yields two independent
+    posting rows — never a cross-product.
 
     :func:`read_ivf_index` / :func:`read_ivf_postings` load the two
     halves back; :func:`ivf_search_indexed` is the probe path."""
@@ -803,14 +806,22 @@ def build_ivf_index(
             f"{root}/codebook"
         )
         book = spark.read.parquet(f"{root}/codebook")
-        assign = assign_cells(_comp(df, id_col, emb_col), book, id_col)
+        # assignment is keyed on the MOR row identity, not id_col: a
+        # duplicate id within the indexed batch would otherwise
+        # cross-join posting rows against both duplicates' cell
+        # assignments (mismatched (identity, cell) pairs, inflated
+        # counts).  (src_file, row_idx) is unique by construction.
+        keyed = with_norm(
+            df.select(id_col, emb_col, "src_file", "row_idx"),
+            emb_col,
+            exact=True,
+        ).withColumn(
+            "_rowkey", F.concat_ws(":", F.col("src_file"), F.col("row_idx"))
+        )
+        assign = assign_cells(_comp(keyed, "_rowkey", emb_col), book, "_rowkey")
         postings = (
-            with_norm(
-                df.select(id_col, emb_col, "src_file", "row_idx"),
-                emb_col,
-                exact=True,
-            )
-            .join(assign, id_col)
+            keyed.join(assign, "_rowkey")
+            .drop("_rowkey")
             # one shuffle on cell: each output file holds exactly one
             # cell, so probed-cell reads never touch foreign bytes
             .repartition("cell")
@@ -975,11 +986,14 @@ def _append_files_to_postings(
         )
     )
     new_df = new_df.select(id_col, emb_col, "src_file", "row_idx")
-    assign = assign_cells(_comp(new_df, id_col, emb_col), codebook, id_col)
+    # identity-keyed assignment, same reason as build_ivf_index: a
+    # duplicate id within one appended batch must not cross-join
+    keyed = with_norm(new_df, emb_col, exact=True).withColumn(
+        "_rowkey", F.concat_ws(":", F.col("src_file"), F.col("row_idx"))
+    )
+    assign = assign_cells(_comp(keyed, "_rowkey", emb_col), codebook, "_rowkey")
     postings_new = (
-        with_norm(new_df, emb_col, exact=True)
-        .join(assign, id_col)
-        .repartition("cell")
+        keyed.join(assign, "_rowkey").drop("_rowkey").repartition("cell")
     )
     postings_new.write.partitionBy("cell").mode("append").parquet(
         f"{root}/postings"
@@ -1134,10 +1148,22 @@ def _maintain_locked(spark, table_path, emb_col, id_col, root) -> dict:
             live_aff.join(
                 F.broadcast(doomed), ["src_file", "row_idx"], "left_anti"
             ).repartition("cell").write.partitionBy("cell").parquet(stage)
-            try:
-                after_aff = spark.read.parquet(stage).count()
-            except Exception:
-                after_aff = 0  # every affected cell fully emptied
+            # every affected cell fully emptied -> the staged write has
+            # no cell= subdirectories and a parquet read would fail on
+            # schema inference.  Detect THAT case by listing, and let
+            # any genuine read failure (transient I/O, corrupt stage
+            # write) propagate — a blanket except here silently
+            # inflated the reported `removed` count.
+            stage_p = jvm.org.apache.hadoop.fs.Path(stage)
+            staged_cells = [
+                st.getPath().getName()
+                for st in fs.listStatus(stage_p)
+                if st.isDirectory()
+                and st.getPath().getName().startswith("cell=")
+            ]
+            after_aff = (
+                spark.read.parquet(stage).count() if staged_cells else 0
+            )
             n_removed = before_aff - after_aff
             # swap: old partitions OUT to trash (recoverable until the
             # anchor commits), staged replacements IN; a cell whose

@@ -24,8 +24,11 @@ extended to cover the index):
   understands (``read_mor`` basePath reads, ``list_data_files``
   recursive walks);
 - a replay of a COMMITTED epoch (crash after the checkpoint write was
-  decided but before it landed) sees the directory's ``_SUCCESS``
-  marker and skips the data write, so rows are never duplicated;
+  decided but before it landed) sees the sink's own
+  ``_EPOCH_COMMITTED`` sentinel (written by this module right after the
+  data write — robust to committers configured not to emit
+  ``_SUCCESS``, which is still honored when present) and skips the data
+  write, so rows are never duplicated;
 - a replay of a CRASHED epoch overwrites the partial directory.  The
   partial files were never indexed — the refresh runs strictly after
   the data write commits — so no posting references them, and the
@@ -55,6 +58,7 @@ import warnings
 
 from pyspark.sql import DataFrame
 
+from ..operators.mutate import _WriterLockHeld
 from ..operators.similarity import maintain_ivf_index, read_ivf_index
 
 
@@ -107,8 +111,18 @@ def ingest_vectors_maintaining_ivf(
                     "existing table into the partitioned layout first"
                 )
         dest = f"{table_path.rstrip('/')}/ingest_epoch={epoch_id}"
-        marker = jvm.org.apache.hadoop.fs.Path(f"{dest}/_SUCCESS")
-        if fs.exists(marker):
+        # the sink writes its OWN commit sentinel rather than trusting
+        # the committer's _SUCCESS: object-store deployments commonly
+        # disable mapreduce.fileoutputcommitter.marksuccessfuljobs, and
+        # a replay that misses the marker takes the overwrite path —
+        # rewriting a committed-and-indexed partition under new part
+        # file names and retiring files the postings anchor references
+        # (gate-protected, but a needless full rebuild).  _SUCCESS is
+        # still honored when present (tables written before the
+        # sentinel existed must not be overwritten on replay either).
+        own_marker = jvm.org.apache.hadoop.fs.Path(f"{dest}/_EPOCH_COMMITTED")
+        committer_marker = jvm.org.apache.hadoop.fs.Path(f"{dest}/_SUCCESS")
+        if fs.exists(own_marker) or fs.exists(committer_marker):
             # at-least-once replay of a committed epoch: the vectors are
             # already live; fall through to the refresh, which is a
             # no-op if its crash window didn't hit
@@ -120,17 +134,23 @@ def ingest_vectors_maintaining_ivf(
             batch.select(id_col, emb_col).write.mode("overwrite").parquet(
                 dest
             )
+            # sentinel AFTER the data write: a crash in between replays
+            # into the overwrite path, which is safe — the un-sentineled
+            # files were never indexed (refresh runs strictly later)
+            fs.create(own_marker, True).close()
         if read_ivf_index(spark, table_path, emb_col) is None:
             return  # pre-build epochs stay unindexed (gate protects reads)
         try:
             maintain_ivf_index(
                 spark, table_path, emb_col=emb_col, id_col=id_col
             )
-        except ValueError as e:
-            # file-retiring interference (compaction/materialize) or
-            # crash debris: the index needs a rebuild, but the INGEST
-            # must not die for it — searches are gate-protected either
-            # way.  Loud, attributable, non-fatal.
+        except (ValueError, _WriterLockHeld) as e:
+            # file-retiring interference (compaction/materialize), crash
+            # debris, OR a concurrent refresh/maintain/build holding the
+            # index lock past the wait: the index may need a rebuild or
+            # just a later retry, but the INGEST must not die for it —
+            # searches are gate-protected either way.  Loud,
+            # attributable, non-fatal.
             warnings.warn(
                 f"IVF maintenance skipped at epoch {epoch_id}: {e}",
                 stacklevel=2,

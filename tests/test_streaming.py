@@ -574,3 +574,152 @@ def test_stream_ann_ingest_refuses_flat_table(tmp_path, spark):
     assert not [
         d for d in os.listdir(tdir) if d.startswith("ingest_epoch=")
     ]
+
+
+def test_stream_ann_ingest_replay_skips_via_own_marker(tmp_path, spark):
+    """(r12) Exactly-once replay detection must not depend on the
+    committer's ``_SUCCESS`` marker: object-store deployments commonly
+    disable ``mapreduce.fileoutputcommitter.marksuccessfuljobs``.  The
+    sink writes its own ``_EPOCH_COMMITTED`` sentinel; with every
+    ``_SUCCESS`` removed, a replayed committed epoch must still take the
+    skip path (no duplicated rows, no rewritten part files that would
+    retire postings-anchored bytes)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sql_query_optimizer_cpp_spark.operators import similarity as S
+    from sql_query_optimizer_cpp_spark.operators.mor import read_mor
+    from sql_query_optimizer_cpp_spark.streaming.ann import (
+        ingest_vectors_maintaining_ivf,
+    )
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    src = str(tmp_path / "src")
+    tdir = str(tmp_path / "vectors")
+    ckpt = str(tmp_path / "ckpt")
+    emb.repartition(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = ingest_vectors_maintaining_ivf(stream, tdir, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    drain()
+    S.build_ivf_index(spark, tdir, id_col="vec_id")
+    epoch_dirs = [
+        d for d in os.listdir(tdir) if d.startswith("ingest_epoch=")
+    ]
+    assert epoch_dirs
+    # every committed epoch carries the sink's own sentinel
+    for d in epoch_dirs:
+        assert os.path.exists(os.path.join(tdir, d, "_EPOCH_COMMITTED"))
+        # simulate marksuccessfuljobs=false retroactively
+        for m in ("_SUCCESS", "._SUCCESS.crc"):
+            p = os.path.join(tdir, d, m)
+            if os.path.exists(p):
+                os.remove(p)
+
+    files_before = sorted(
+        os.path.join(d, f)
+        for d in epoch_dirs
+        for f in os.listdir(os.path.join(tdir, d))
+        if f.endswith(".parquet")
+    )
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ckpt, "commits"))
+        if not f.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    drain()  # replay of a committed epoch, _SUCCESS absent
+    assert read_mor(spark, tdir).count() == n
+    files_after = sorted(
+        os.path.join(d, f)
+        for d in epoch_dirs
+        for f in os.listdir(os.path.join(tdir, d))
+        if f.endswith(".parquet")
+    )
+    # skip path: the replayed epoch rewrote NOTHING (same part files),
+    # so the postings anchor still matches and the gate stays open
+    assert files_after == files_before
+    assert (
+        S.ivf_search_indexed(spark, tdir, n_queries=3, k=2).count() > 0
+    )
+
+
+def test_stream_ann_ingest_survives_held_index_lock(
+    tmp_path, spark, monkeypatch
+):
+    """(r12, ADVICE fix) A concurrent refresh/maintain/build holding the
+    index lock past the wait raises _WriterLockHeld (a RuntimeError, not
+    a ValueError) out of maintain_ivf_index; the INGEST must warn and
+    keep landing vectors — searches stay gate-protected — instead of
+    killing the streaming query."""
+    from pyspark.sql import functions as F
+
+    import sql_query_optimizer_cpp_spark.streaming.ann as ann_mod
+    from sql_query_optimizer_cpp_spark.operators import similarity as S
+    from sql_query_optimizer_cpp_spark.operators.mor import read_mor
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        _WriterLockHeld,
+    )
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    src = str(tmp_path / "src")
+    tdir = str(tmp_path / "vectors")
+    ckpt = str(tmp_path / "ckpt")
+    emb.where(F.col("vec_id") < n // 2).repartition(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = ann_mod.ingest_vectors_maintaining_ivf(stream, tdir, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    drain()
+    S.build_ivf_index(spark, tdir, id_col="vec_id")
+
+    def held(*a, **k):
+        raise _WriterLockHeld("index lock busy (injected)")
+
+    monkeypatch.setattr(ann_mod, "maintain_ivf_index", held)
+    emb.where(F.col("vec_id") >= n // 2).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    with pytest.warns(UserWarning, match="IVF maintenance skipped"):
+        drain()  # must NOT raise: ingest survives the lock contention
+    # every vector landed even though maintenance was skipped ...
+    assert read_mor(spark, tdir).count() == n
+    # ... and the gate now refuses (index is honestly stale), until a
+    # real maintain catches up
+    monkeypatch.undo()
+    with pytest.raises(ValueError, match="STALE"):
+        S.ivf_search_indexed(spark, tdir, n_queries=3, k=2)
+    S.maintain_ivf_index(spark, tdir, id_col="vec_id")
+    assert (
+        S.ivf_search_indexed(spark, tdir, n_queries=3, k=2).count() > 0
+    )
