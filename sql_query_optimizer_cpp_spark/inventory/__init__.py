@@ -202,11 +202,21 @@ _PRIORITY: tuple[str, ...] = (
     "sample_fixed_k",
     "corpus_mix_report",
     # ==== end of the 50-entry r12 window; r13 queue below ================
-    # r13 rotation plan: lead with the queries staged during round 12
-    # (new-query cap ≤3 per round — see the staging notes appended at
-    # the end of the round), keep the flagship guard, then the 17 r08
-    # leftovers named above, then the stalest r09 greens in registry
-    # order.
+    # r13 rotation plan: lead with the TWO queries staged during round
+    # 12 (new-query cap ≤3 per round; both sim-verified at sf0.01 AND
+    # sf0.1 before staging):
+    #   sim_ivf_maintain_cycle — build -> dv_delete -> maintain_ivf_index
+    #     -> probe; the graded form of the r11 DV-aware incremental IVF
+    #     maintenance (VERDICT r11 task 3); oracle re-derives the
+    #     post-delete postings in SQL;
+    #   sim_ivf_ingest_twin — half the corpus lands as a committed
+    #     epoch, build, then the rest arrives through the REAL
+    #     streaming/ann.py foreachBatch sink (two file-source epochs,
+    #     each running maintain); probe vs a batch-derived oracle whose
+    #     training is restricted to the pre-build half (VERDICT r11
+    #     task 6: stream-maintained state equals batch-derived state).
+    # Keep the flagship guard, then the 17 r08 leftovers named above,
+    # then the stalest r09 greens in registry order.
 )
 
 

@@ -262,20 +262,26 @@ def _trained_ctes(
     num_cells: int = S.IVF_CELLS,
     iters: int = S.IVF_ITERS,
     sample_mod: int = S.IVF_SAMPLE_MOD,
+    train_pred: str = "TRUE",
 ) -> str:
     """DuckDB twin of operators.similarity.kmeans_centroids +
     assign_cells: hash-sampled training set (vec_id % mod = 0), seeds =
     the num_cells smallest sample ids, ``iters`` UNROLLED assign+mean
     rounds (decimal-exact sums, ties to the smallest cell, empty cells
     carry via COALESCE left join), then nearest-cell assignment of the
-    FULL corpus — ends defining ``afull(vec_id, cell)``."""
+    FULL corpus — ends defining ``afull(vec_id, cell)``.  ``train_pred``
+    (over ``vec_id``) further restricts the training set to the rows
+    that were in the table when build_ivf_index ran — the maintenance
+    twins append rows AFTER the build, which the persisted codebook
+    never saw."""
     parts = [
         """fcomp AS (
   SELECT vec_id,
          unnest(generate_series(1, len(embedding))) AS pos,
          CAST(unnest(embedding) AS DOUBLE) AS xd
   FROM embeddings)""",
-        f"scomp AS (SELECT * FROM fcomp WHERE vec_id % {sample_mod} = 0)",
+        f"scomp AS (SELECT * FROM fcomp "
+        f"WHERE vec_id % {sample_mod} = 0 AND ({train_pred}))",
         f"""seeds AS (
   SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
   FROM (SELECT DISTINCT vec_id FROM scomp ORDER BY vec_id LIMIT {num_cells}))""",
@@ -540,19 +546,40 @@ def embeddings_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_PROBES = 2
 
-_IVF_INDEXED_ORACLE = f"""
-WITH {_trained_ctes()},
+def _ivf_indexed_oracle(
+    live_pred: str = "TRUE", train_pred: str = "TRUE"
+) -> str:
+    """DuckDB twin of build_ivf_index + ivf_search_indexed, parametrized
+    for the index-MAINTENANCE twins:
+
+    - ``live_pred`` (over ``vec_id``) — rows still live at probe time.
+      A dv_delete folded in by maintain_ivf_index removes exactly those
+      posting rows AND excludes the same ids from querying (queries read
+      through the deletion vectors), so the predicate filters BOTH the
+      candidate corpus and the query-side cell ranking.
+    - ``train_pred`` (over ``vec_id``) — rows present when
+      build_ivf_index ran, i.e. what the k-means codebook trained on.
+      Appends folded in AFTER the build (refresh/maintain/streaming
+      ingest) assign with the PERSISTED codebook, so the training sample
+      is narrower than the final corpus.
+
+    Defaults reproduce the plain build-then-probe oracle."""
+    return f"""
+WITH {_trained_ctes(train_pred=train_pred)},
 {_e_cte()},
 ea AS (
   SELECT e.vec_id, e.embedding, e.nsq, a.cell
-  FROM e JOIN afull a ON a.vec_id = e.vec_id),
+  FROM e JOIN afull a ON a.vec_id = e.vec_id
+  WHERE {live_pred.replace('vec_id', 'e.vec_id')}),
 qp AS (
   SELECT vec_id AS query_id, cell FROM (
     SELECT d.vec_id, d.cell,
            row_number() OVER (PARTITION BY d.vec_id
                 ORDER BY d.dot / sqrt(n.c_nsq) DESC, d.cell) AS rn
     FROM dotsf d JOIN cnf n ON d.cell = n.cell
-    WHERE d.vec_id < {N_QUERIES}) t WHERE rn <= {IVF_PROBES}),
+    WHERE d.vec_id < {N_QUERIES}
+      AND {live_pred.replace('vec_id', 'd.vec_id')}) t
+  WHERE rn <= {IVF_PROBES}),
 q AS (
   SELECT qp.query_id, e.embedding AS q_emb, e.nsq AS q_nsq,
          qp.cell AS q_list
@@ -568,6 +595,9 @@ SELECT query_id, neighbor_id, cos_sim, rn FROM (
               ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rn
   FROM pairs) t WHERE rn <= {K_ANN}
 """
+
+
+_IVF_INDEXED_ORACLE = _ivf_indexed_oracle()
 
 
 @register(
@@ -593,6 +623,113 @@ def sim_ivf_probe_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _mut_dir(sf_dir, "embeddings_ivf")
     t["embeddings"].write.mode("overwrite").parquet(path)
     S.build_ivf_index(spark, path, id_col="vec_id")
+    return S.ivf_search_indexed(
+        spark, path, n_queries=N_QUERIES, k=K_ANN, n_probes=IVF_PROBES
+    )
+
+
+# -- index maintenance twins (r12) -------------------------------------------
+#
+# The r11 round landed DV-aware incremental IVF maintenance
+# (operators/similarity.maintain_ivf_index) and the streaming ingest sink
+# (streaming/ann.py); both were covered by tests and a randomized sweep
+# but never driver-graded.  These two queries convert that machinery into
+# driver-checkable evidence: each runs a full lifecycle against a scratch
+# copy of `embeddings` and probes the MAINTAINED index, with the oracle
+# re-deriving the expected post-maintenance postings in SQL.
+
+_MAINT_DELETE_PRED = "vec_id % 7 = 3"  # hits query id 3 too — on purpose
+
+
+@register(
+    "sim_ivf_maintain_cycle",
+    oracle=_ivf_indexed_oracle(live_pred=f"NOT ({_MAINT_DELETE_PRED})"),
+    doc="IVF index MAINTENANCE lifecycle (r12, the graded form of the "
+    "r11 maintain_ivf_index path): build a persisted index, tombstone "
+    "1/7 of the corpus via a merge-on-read deletion-vector batch "
+    "(vec_id % 7 = 3 — including query id 3, so the query side thins "
+    "too), fold the tombstones into the posting lists with "
+    "maintain_ivf_index (identity-precise anti-join, only affected "
+    "cells' hive partitions rewritten — O(tombstones + affected-cell "
+    "bytes), no retraining, no corpus re-scan), then multi-probe search "
+    "the maintained index.  The oracle replays training and assignment "
+    "over the ORIGINAL corpus and filters both the candidate corpus and "
+    "the query-side cell ranking to the surviving rows; equality proves "
+    "removal took exactly the doomed posting rows and nothing else",
+    tags=("similarity", "mutate"),
+)
+def sim_ivf_maintain_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.mor import dv_delete_where
+    from .mutate import _mut_dir
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    path = _mut_dir(sf_dir, "embeddings_ivf_maint")
+    t["embeddings"].write.mode("overwrite").parquet(path)
+    S.build_ivf_index(spark, path, id_col="vec_id")
+    dv_delete_where(spark, path, F.expr(_MAINT_DELETE_PRED))
+    S.maintain_ivf_index(spark, path, id_col="vec_id")
+    return S.ivf_search_indexed(
+        spark, path, n_queries=N_QUERIES, k=K_ANN, n_probes=IVF_PROBES
+    )
+
+
+@register(
+    "sim_ivf_ingest_twin",
+    oracle=_ivf_indexed_oracle(train_pred="vec_id % 2 = 0"),
+    doc="streaming ANN ingest graded against its batch-derived twin "
+    "(r12, the graded form of streaming/ann.py): half the corpus "
+    "(vec_id % 2 = 0) lands as a committed ingest epoch, the index is "
+    "built over it (the codebook trains on that half ONLY), then the "
+    "remaining rows arrive through a REAL Structured Streaming "
+    "foreachBatch sink (file source, maxFilesPerTrigger=1 -> multiple "
+    "epochs), each epoch appending its vectors' posting rows with the "
+    "PERSISTED codebook via maintain_ivf_index.  The probe runs over "
+    "the stream-maintained index; the oracle derives the same state in "
+    "batch SQL (training restricted to the pre-build half, assignment "
+    "over the full corpus).  Equality proves stream-maintained state "
+    "equals batch-derived state — the final index is invariant to how "
+    "the stream split rows into epochs, which is what makes a "
+    "deterministic oracle possible",
+    tags=("similarity", "streaming"),
+)
+def sim_ivf_ingest_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.ann import ingest_vectors_maintaining_ivf
+    from .mutate import _mut_dir
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    base = _mut_dir(sf_dir, "embeddings_ivf_ingest")
+    shutil.rmtree(base, ignore_errors=True)
+    path = f"{base}/table"
+    checkpoint = f"{base}/checkpoint"
+    staging = f"{base}/staging"
+
+    emb = t["embeddings"].select("vec_id", "embedding")
+    # epoch "1000000": the pre-build half, written in the sink's own
+    # layout (one hive partition per epoch; a value far above any real
+    # stream epoch id so a replayed stream epoch can never collide)
+    emb.where(F.expr("vec_id % 2 = 0")).write.parquet(
+        f"{path}/ingest_epoch=1000000"
+    )
+    S.build_ivf_index(spark, path, id_col="vec_id")
+
+    # the second half arrives by STREAM: two source files -> two epochs
+    emb.where(F.expr("vec_id % 2 = 1")).repartition(2).write.parquet(staging)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    q = ingest_vectors_maintaining_ivf(stream, path, checkpoint)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     return S.ivf_search_indexed(
         spark, path, n_queries=N_QUERIES, k=K_ANN, n_probes=IVF_PROBES
     )
