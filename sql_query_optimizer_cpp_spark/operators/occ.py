@@ -3,6 +3,13 @@
 Split out of ``mutate.py`` (r12) purely for module size; the commit
 protocol, names, and retry semantics are unchanged and every public name
 is still importable from ``operators.mutate``.
+
+No reference analog: the reference PARSES UPDATE/DELETE and stops
+(``engine/src/parser.cpp:232-296``) and has no concurrency surface at
+all — its executor delegates to a single MySQL connection
+(``engine/src/plan_executor.cpp:53-63``).  This module is the
+lakehouse-standard optimistic commit loop (the Delta/Iceberg shape)
+built on the COW machinery in :mod:`.mutate`.
 """
 
 from __future__ import annotations
