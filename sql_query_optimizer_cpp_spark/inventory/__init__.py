@@ -202,9 +202,10 @@ _PRIORITY: tuple[str, ...] = (
     "sample_fixed_k",
     "corpus_mix_report",
     # ==== end of the 50-entry r12 window; r13 queue below ================
-    # r13 rotation plan: lead with the TWO queries staged during round
-    # 12 (new-query cap ≤3 per round; both sim-verified at sf0.01 AND
-    # sf0.1 before staging):
+    # r13 rotation plan: lead with the THREE queries staged during round
+    # 12 (new-query cap ≤3 per round; all sim-verified at sf0.01 AND
+    # sf0.1 before staging, plus a shuffle.partitions=200 cluster-shape
+    # smoke):
     #   sim_ivf_maintain_cycle — build -> dv_delete -> maintain_ivf_index
     #     -> probe; the graded form of the r11 DV-aware incremental IVF
     #     maintenance (VERDICT r11 task 3); oracle re-derives the
@@ -214,7 +215,13 @@ _PRIORITY: tuple[str, ...] = (
     #     streaming/ann.py foreachBatch sink (two file-source epochs,
     #     each running maintain); probe vs a batch-derived oracle whose
     #     training is restricted to the pre-build half (VERDICT r11
-    #     task 6: stream-maintained state equals batch-derived state).
+    #     task 6: stream-maintained state equals batch-derived state);
+    #   mutate_retention_vacuum — enable_versioning -> DELETE -> UPDATE
+    #     -> drop_versions_before(keep_last=1) -> vacuum; the graded
+    #     form of the retention path (previously tested but never
+    #     driver-graded): post-vacuum content vs the oracle's algebraic
+    #     fold + pinned guards (2 dropped, 1 kept, files reclaimed,
+    #     surviving version reads exactly).
     # Keep the flagship guard, then the 17 r08 leftovers named above,
     # then the stalest r09 greens in registry order.
 )
