@@ -1181,7 +1181,6 @@ def _maintain_locked(spark, table_path, emb_col, id_col, root) -> dict:
                     raise IOError(
                         f"ivf maintain: rename {src_p} -> trash failed"
                     )
-            stage_p = jvm.org.apache.hadoop.fs.Path(stage)
             for st in fs.listStatus(stage_p):
                 nm = st.getPath().getName()
                 if st.isDirectory() and nm.startswith("cell="):
