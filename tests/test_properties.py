@@ -638,3 +638,80 @@ def test_mor_versioned_history_matches_model(spark, rows, ops):
         }
         assert ins == states[-1] - states[0]
         assert dels == states[0] - states[-1]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(-20, 20),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    muts=st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=4),
+    keep_last=st.integers(min_value=1, max_value=5),
+)
+@settings(**_SETTINGS)
+def test_retention_vacuum_preserves_kept_versions(spark, rows, muts, keep_last):
+    """(r12) Randomized version-log retention: whatever random DML
+    schedule built the log, after ``drop_versions_before(keep_last)`` +
+    ``vacuum`` (a) the dropped count is exactly the manifests beyond
+    keep_last, (b) every SURVIVING version still reads row-for-row equal
+    to the content it pinned when it committed (vacuum never reclaims a
+    byte a surviving manifest references — including a checkpointed
+    oldest survivor whose delta chain was dropped), and (c) the live
+    table equals the newest version.  The graded query
+    (mutate_retention_vacuum) pins one fixed schedule; this sweeps
+    arbitrary ones, including no-op mutations that commit no version."""
+    import tempfile
+
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        delete_where,
+        drop_versions_before,
+        enable_versioning,
+        read_version,
+        table_versions,
+        update_where,
+        vacuum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], "id long, k long, v long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/t"
+        df.repartitionByRange(3, "k").write.parquet(path)
+
+        def rowset():
+            return frozenset(
+                (r.id, r.k, r.v) for r in spark.read.parquet(path).collect()
+            )
+
+        enable_versioning(spark, path)
+        expected = {table_versions(spark, path)[-1]: rowset()}
+        for i, m in enumerate(muts):
+            if i % 2 == 0:
+                # may match zero rows -> commits NO version (tracked
+                # dynamically via table_versions, never assumed)
+                delete_where(spark, path, f"k % 5 = {m}")
+            else:
+                update_where(
+                    spark, path, {"v": "v + 100"}, f"k >= {m * 8}"
+                )
+            expected[table_versions(spark, path)[-1]] = rowset()
+        vs_before = table_versions(spark, path)
+        dropped = drop_versions_before(spark, path, keep_last=keep_last)
+        assert dropped == max(0, len(vs_before) - keep_last)
+        vacuum(spark, path)
+        surviving = table_versions(spark, path)
+        assert surviving == vs_before[-keep_last:] or (
+            keep_last >= len(vs_before) and surviving == vs_before
+        )
+        for v in surviving:
+            got = frozenset(
+                (r.id, r.k, r.v)
+                for r in read_version(spark, path, v).collect()
+            )
+            assert got == expected[v], f"version {v} diverged after vacuum"
+        assert rowset() == expected[surviving[-1]]
