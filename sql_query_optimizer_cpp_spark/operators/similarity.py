@@ -1200,10 +1200,18 @@ def _maintain_locked(spark, table_path, emb_col, id_col, root) -> dict:
         _append_files_to_postings(
             spark, table_path, root, codebook, added_data, id_col, emb_col
         )
-    try:
-        final = spark.read.parquet(post_root).count()
-    except Exception:
-        final = 0  # degenerate: the whole corpus was deleted
+    # same discipline as the stage-dir count above: the ONLY legitimate
+    # unreadable-postings state is "every cell emptied" (no cell= dirs
+    # left), detected by listing; a genuine read failure must propagate —
+    # defaulting final to 0 here would commit an n_vectors=0 anchor over
+    # a correct index and force a needless full rebuild at the next
+    # maintain (plus a nonsense negative `appended` in the stats)
+    post_p = jvm.org.apache.hadoop.fs.Path(post_root)
+    final_cells = fs.exists(post_p) and any(
+        st.isDirectory() and st.getPath().getName().startswith("cell=")
+        for st in fs.listStatus(post_p)
+    )
+    final = spark.read.parquet(post_root).count() if final_cells else 0
     appended = final - (have - n_removed)
     _write_small_file(
         spark,

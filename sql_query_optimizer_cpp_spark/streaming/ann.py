@@ -125,8 +125,14 @@ def ingest_vectors_maintaining_ivf(
         if fs.exists(own_marker) or fs.exists(committer_marker):
             # at-least-once replay of a committed epoch: the vectors are
             # already live; fall through to the refresh, which is a
-            # no-op if its crash window didn't hit
-            pass
+            # no-op if its crash window didn't hit.  Backfill the sink's
+            # own sentinel when only _SUCCESS vouches for the epoch
+            # (pre-sentinel table, or a crash between the data write and
+            # the sentinel write): otherwise the epoch stays permanently
+            # dependent on the committer marker object-store lifecycle
+            # rules may strip — the exact trust this sentinel removes.
+            if not fs.exists(own_marker):
+                fs.create(own_marker, True).close()
         else:
             # overwrite, not append: a crashed attempt's partial files
             # must be retired, not joined, or the replay double-lands

@@ -660,6 +660,37 @@ def test_stream_ann_ingest_replay_skips_via_own_marker(tmp_path, spark):
         S.ivf_search_indexed(spark, tdir, n_queries=3, k=2).count() > 0
     )
 
+    # pre-sentinel epoch (or crash between data write and sentinel):
+    # only _SUCCESS vouches for it.  A replay must still skip AND
+    # backfill the sink's own sentinel so the epoch stops depending on
+    # the committer marker lifecycle rules may strip later.  The replay
+    # re-runs only the LAST (checkpoint-uncommitted) epoch, so that is
+    # the one whose sentinel gets stripped here.
+    d0 = max(epoch_dirs, key=lambda d: int(d.split("=", 1)[1]))
+    open(os.path.join(tdir, d0, "_SUCCESS"), "w").close()
+    os.remove(os.path.join(tdir, d0, "_EPOCH_COMMITTED"))
+    crc0 = os.path.join(tdir, d0, "._EPOCH_COMMITTED.crc")
+    if os.path.exists(crc0):
+        os.remove(crc0)
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ckpt, "commits"))
+        if not f.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    drain()
+    assert os.path.exists(os.path.join(tdir, d0, "_EPOCH_COMMITTED"))
+    files_final = sorted(
+        os.path.join(d, f)
+        for d in epoch_dirs
+        for f in os.listdir(os.path.join(tdir, d))
+        if f.endswith(".parquet")
+    )
+    assert files_final == files_before
+    assert read_mor(spark, tdir).count() == n
+
 
 def test_stream_ann_ingest_survives_held_index_lock(
     tmp_path, spark, monkeypatch
