@@ -124,106 +124,96 @@ def shared_sql(
 
 
 #: Evaluation-priority order.  The driver grades registry entries in
-#: iteration order and stops after a fixed 50-query window (r01-r11 each
-#: sampled a different 50; after r11: 214 registered, 211 green at their
+#: iteration order and stops after a fixed 50-query window (r01-r12 each
+#: sampled a different 50; after r12: 217 registered, 214 green at their
 #: latest grade, zero ever-red, and exactly THREE never-graded queries —
-#: the round-11 headliners, staged past the r11 window and sim-verified
-#: at sf0.01 and sf0.1, independently replayed by the r11 judge:
-#: ALL MATCH).  Round-12 rotation (executing the plan written in r11 and
-#: ratified by VERDICT.md "Next round: do this" #1): lead with those
-#: three (sim_ivf_probe_indexed — persisted-posting-list IVF probe,
-#: partition-pruned serving reads; mutate_occ_dv_upsert — optimistic
-#: deletion-vector UPDATE/MERGE with interleaved writers;
-#: mutate_txn_multi — atomic cross-table transaction, two-phase manifest
-#: commit); then the flagship guard; then the fourteen r07 greens whose
-#: latest driver row is still r07 (the stalest in the registry); then
-#: the first 32 of the 49 r08-stale greens in registration order.  The
-#: 17 r08 greens that do not fit (curation_pipeline_neardup, tpch_q12,
-#: tpch_q19, tpch_q13, tpch_q16, tpch_q17, tpch_q21, tpch_q22, tpch_q2,
-#: tpch_q8, tpch_q9, tpch_q11, tpch_q15, tpch_q20, events_funnel,
-#: events_retention, mutate_concurrent_writers) lead the r13 re-grade
+#: the round-12 headliners, staged past the r12 window, sim-verified at
+#: sf0.01 and sf0.1, and independently replayed by the r12 judge:
+#: ALL MATCH).  Round-13 rotation (executing the plan written in r12 and
+#: ratified by VERDICT.md r12 "Next round: do this" #1): lead with those
+#: three (sim_ivf_maintain_cycle — DV-aware incremental IVF maintenance,
+#: build -> dv_delete -> maintain_ivf_index -> probe, oracle re-derives
+#: post-delete postings in SQL; sim_ivf_ingest_twin — streaming ANN
+#: ingest through the REAL streaming/ann.py foreachBatch sink, probe vs
+#: a batch-derived oracle trained on the pre-build half;
+#: mutate_retention_vacuum — enable_versioning -> DELETE -> UPDATE ->
+#: drop_versions_before(keep_last=1) -> vacuum, post-vacuum content vs
+#: the oracle's algebraic fold); then the flagship guard; then the
+#: seventeen r08 greens whose latest driver row is still r08 (the
+#: stalest in the registry); then the first 29 of the 49 r09-stale
+#: greens in registration order.  The 20 r09 greens that do not fit
+#: (text_minhash_signature, dedup_clusters_star, dedup_incremental,
+#: dedup_ngram_containment, corpus_dedup_report, sim_topk_bruteforce,
+#: sim_neardup_pairs, sim_nearest_centroid, sim_recall_report,
+#: events_tumbling, mutate_occ_merge, mutate_occ_partitioned,
+#: mutate_schema_evolution, mutate_read_changes, mutate_constraints,
+#: mutate_cdf_replay, mutate_compact_zorder, mutate_mor_pipeline,
+#: mutate_restore_version, point_lookup_bloom) lead the r14 re-grade
 #: block.  Everything past _PRIORITY keeps registration order; every
 #: registered query stays covered every round by
 #: tests/test_inventory.py + tools/driver_sim.py regardless of window
 #: position.
 _PRIORITY: tuple[str, ...] = (
-    # -- never driver-graded: the round-11 headliners ---------------------
-    "sim_ivf_probe_indexed",
-    "mutate_occ_dv_upsert",
-    "mutate_txn_multi",
+    # -- never driver-graded: the round-12 headliners ---------------------
+    "sim_ivf_maintain_cycle",
+    "sim_ivf_ingest_twin",
+    "mutate_retention_vacuum",
     # -- regression-guard slot: the headline query ------------------------
     "flagship_demo",
-    # -- re-grades: the fourteen r07 leftovers (stalest in the registry) --
-    "dedup_clusters",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "sample_stratified",
-    "text_filter_pipeline",
-    "decontaminate",
-    "curation_pipeline_e2e",
-    "tpch_q4",
-    "tpch_q7",
-    "tpch_q10",
-    "tpch_q18",
-    "stats_mcv_topk",
-    "mutate_partitioned_merge",
-    "mutate_versioned_history",
-    # -- re-grades: stalest greens (latest driver row r08), registry order
-    "join_range",
-    "join_lateral",
-    "agg_approx_quantile",
-    "agg_listagg",
-    "agg_hll_union",
-    "agg_weighted_avg",
-    "intersect_all",
-    "except_all",
-    "win_range_frame",
-    "win_first_last",
-    "win_cumulative_share",
-    "text_redact_pii",
-    "text_repetition",
-    "text_tokens_bpeish",
-    "text_lang_confidence",
-    "doc_span_extract",
-    "dedup_minhash_pairs",
-    "sim_ann_lsh_topk",
-    "sim_topk_blockmax",
-    "dedup_embedding_cosine",
-    "sim_ivf_topk",
-    "events_session",
-    "events_rollup_hypertable",
-    "events_latest_by_user",
-    "events_props_json",
-    "events_sessionize_attrib",
-    "events_gap_stats",
-    "agg_udaf_pandas",
-    "text_bigrams_udtf",
-    "pack_sequences",
-    "sample_fixed_k",
-    "corpus_mix_report",
-    # ==== end of the 50-entry r12 window; r13 queue below ================
-    # r13 rotation plan: lead with the THREE queries staged during round
-    # 12 (new-query cap ≤3 per round; all sim-verified at sf0.01 AND
-    # sf0.1 before staging, plus a shuffle.partitions=200 cluster-shape
-    # smoke):
-    #   sim_ivf_maintain_cycle — build -> dv_delete -> maintain_ivf_index
-    #     -> probe; the graded form of the r11 DV-aware incremental IVF
-    #     maintenance (VERDICT r11 task 3); oracle re-derives the
-    #     post-delete postings in SQL;
-    #   sim_ivf_ingest_twin — half the corpus lands as a committed
-    #     epoch, build, then the rest arrives through the REAL
-    #     streaming/ann.py foreachBatch sink (two file-source epochs,
-    #     each running maintain); probe vs a batch-derived oracle whose
-    #     training is restricted to the pre-build half (VERDICT r11
-    #     task 6: stream-maintained state equals batch-derived state);
-    #   mutate_retention_vacuum — enable_versioning -> DELETE -> UPDATE
-    #     -> drop_versions_before(keep_last=1) -> vacuum; the graded
-    #     form of the retention path (previously tested but never
-    #     driver-graded): post-vacuum content vs the oracle's algebraic
-    #     fold + pinned guards (2 dropped, 1 kept, files reclaimed,
-    #     surviving version reads exactly).
-    # Keep the flagship guard, then the 17 r08 leftovers named above,
-    # then the stalest r09 greens in registry order.
+    # -- re-grades: the seventeen r08 leftovers (stalest in the registry) -
+    "curation_pipeline_neardup",
+    "tpch_q12",
+    "tpch_q19",
+    "tpch_q13",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q21",
+    "tpch_q22",
+    "tpch_q2",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q15",
+    "tpch_q20",
+    "events_funnel",
+    "events_retention",
+    "mutate_concurrent_writers",
+    # -- re-grades: stalest greens (latest driver row r09), registry order
+    "group_by_all_report",
+    "join_skew_salted",
+    "agg_array_collect",
+    "agg_skew_salted",
+    "agg_grouping_id",
+    "agg_corr_moments",
+    "unpivot_metrics",
+    "agg_heavy_hitters",
+    "scalar_subquery",
+    "scalar_subquery_agg",
+    "in_subquery",
+    "not_in_subquery",
+    "scalar_subquery_where",
+    "exists_subquery",
+    "win_topk_per_group",
+    "win_rank_lag",
+    "win_running_sum",
+    "win_moving_avg",
+    "text_tokens",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "text_fuzzy_match",
+    "text_tfidf_topk",
+    "text_ngram_lm",
+    "doc_quality_histogram",
+    "text_chunk_windows",
+    "dedup_ngram_pairs",
+    "dedup_simhash",
+    # ==== end of the 50-entry r13 window; r14 queue below ================
+    # r14 rotation plan: lead with whatever queries are staged during
+    # round 13 (new-query cap ≤3 per round; each sim-verified at sf0.01
+    # AND sf0.1 plus a shuffle.partitions=200 cluster-shape smoke before
+    # staging), then the flagship guard, then the 20 r09 leftovers named
+    # above, then the stalest r10 greens in registry order.
 )
 
 
