@@ -272,6 +272,13 @@ def bench_spark_extras(spark, registry, sf_dir: str):
         "mutate_txn_batch",
         # trained-quantizer IVF search (k-means training + probe)
         "sim_ivf_topk",
+        # round 13: the IVF lifecycle paths (VERDICT r12 task 5) — the
+        # maintenance fold and the streaming-ingest twin had no timing
+        # forensics, so a perf regression there was invisible between
+        # rounds.  Both exceed the 2 s probe, so adaptive depth gives
+        # them ONE timed run each.
+        "sim_ivf_maintain_cycle",
+        "sim_ivf_ingest_twin",
     ):
         spec = registry.get(name)
         if spec is None:

@@ -89,10 +89,15 @@ def _cond(condition: str | Column) -> Column:
 
 def __enforce_constraints(spark, path, staged_dirs):
     """Lazy indirection to :mod:`.constraints` (keeps the import graph
-    acyclic: constraints.py imports this module's helpers eagerly)."""
-    from .constraints import _enforce_constraints
+    acyclic: constraints.py imports this module's helpers eagerly).
 
-    return _enforce_constraints(spark, path, staged_dirs)
+    Patch point (changed by the r12 facade split): the attribute is
+    resolved on :mod:`.constraints` at CALL time, so monkeypatch
+    ``constraints._enforce_constraints`` — patching the facade re-export
+    ``mutate._enforce_constraints`` no longer affects the DML verbs."""
+    from . import constraints
+
+    return constraints._enforce_constraints(spark, path, staged_dirs)
 
 
 def _fs(spark: SparkSession, path: str):

@@ -705,6 +705,36 @@ def _ivf_meta(spark, table_path: str, emb_col: str) -> dict:
         raise
 
 
+def _broadcast_threshold_bytes(spark) -> int:
+    """The session's ``spark.sql.autoBroadcastJoinThreshold`` in bytes —
+    the gate :func:`maintain_ivf_index` applies before force-broadcasting
+    a tombstone set.  Spark stores the conf as a byte-string (``10MB``,
+    ``10485760b``, ``-1`` = broadcast disabled); parse the same suffixes
+    Spark's ``byteStringAsBytes`` accepts for the SQL conf.  Returns -1
+    when broadcasting is disabled (any gate comparison then fails and the
+    hint is never applied)."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    units = {
+        "b": 1,
+        "k": 1 << 10, "kb": 1 << 10,
+        "m": 1 << 20, "mb": 1 << 20,
+        "g": 1 << 30, "gb": 1 << 30,
+        "t": 1 << 40, "tb": 1 << 40,
+    }
+    num = raw
+    mult = 1
+    for suffix in sorted(units, key=len, reverse=True):
+        if raw.endswith(suffix):
+            num, mult = raw[: -len(suffix)], units[suffix]
+            break
+    try:
+        return int(num.strip()) * mult
+    except ValueError:
+        return -1
+
+
 def _table_file_set(spark, table_path: str) -> set[str]:
     """The table's current state for IVF-staleness purposes: data files
     AND deletion-vector batch files (table-relative).  A dv_delete adds
@@ -810,7 +840,10 @@ def build_ivf_index(
         # duplicate id within the indexed batch would otherwise
         # cross-join posting rows against both duplicates' cell
         # assignments (mismatched (identity, cell) pairs, inflated
-        # counts).  (src_file, row_idx) is unique by construction.
+        # counts).  (src_file, row_idx) is unique by construction, and
+        # the string key "file:idx" is injective because row_idx is
+        # numeric — the suffix after the LAST ':' parses back
+        # unambiguously even if src_file itself contains ':'.
         keyed = with_norm(
             df.select(id_col, emb_col, "src_file", "row_idx"),
             emb_col,
@@ -987,7 +1020,9 @@ def _append_files_to_postings(
     )
     new_df = new_df.select(id_col, emb_col, "src_file", "row_idx")
     # identity-keyed assignment, same reason as build_ivf_index: a
-    # duplicate id within one appended batch must not cross-join
+    # duplicate id within one appended batch must not cross-join (the
+    # "file:idx" string key is injective — row_idx is numeric, so the
+    # suffix after the last ':' is unambiguous)
     keyed = with_norm(new_df, emb_col, exact=True).withColumn(
         "_rowkey", F.concat_ws(":", F.col("src_file"), F.col("row_idx"))
     )
@@ -1016,7 +1051,10 @@ def maintain_ivf_index(
       the gap refresh refuses.  Because every posting row carries its
       MOR identity ``(src_file, row_idx)`` (the same key the DV store
       uses), removal is a precise anti-join: read the new batches
-      (O(new tombstones), broadcast side), find the affected cells with
+      (O(new tombstones); broadcast only when their on-disk bytes fit
+      the session's autoBroadcastJoinThreshold — a bulk delete's
+      tombstone set shuffle-joins instead of being forced onto every
+      executor), find the affected cells with
       one column-pruned postings scan, and rewrite ONLY those cells'
       hive partitions via stage-then-swap.  A dv_update (tombstone +
       same-id copy in one commit) therefore maintains cleanly: the old
@@ -1128,12 +1166,36 @@ def _maintain_locked(spark, table_path, emb_col, id_col, root) -> dict:
             .select("src_file", "row_idx")
             .distinct()
         )
-        # one column-pruned postings scan; the doomed side is the new
-        # batches only (small by the DV design) and broadcasts
+        # The doomed side is the NEW batches only — small when deletes
+        # are the steady-state trickle, but nothing enforces that:
+        # dv_delete_where can tombstone any fraction of the table in one
+        # batch, and an unconditional F.broadcast hint would force that
+        # set onto the driver and every executor regardless of size (an
+        # OOM at scale where AQE left alone picks a shuffle join).  So
+        # size-gate the hint on the batches' on-disk bytes — one
+        # getContentSummary per batch file, metadata-scale, and the same
+        # file-size statistic Catalyst itself estimates broadcastability
+        # from — and above the session's own threshold drop the hint
+        # entirely (plain shuffle join; AQE may still choose to
+        # broadcast if runtime stats allow).
+        dv_bytes = sum(
+            fs.getContentSummary(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{table_path.rstrip('/')}/{f}"
+                )
+            ).getLength()
+            for f in added_dv
+        )
+        threshold = _broadcast_threshold_bytes(spark)
+        doomed_hinted = (
+            F.broadcast(doomed) if 0 <= dv_bytes <= threshold else doomed
+        )
+        # one column-pruned postings scan against the (maybe-hinted)
+        # tombstone set
         affected = sorted(
             r["cell"]
             for r in postings.join(
-                F.broadcast(doomed), ["src_file", "row_idx"], "left_semi"
+                doomed_hinted, ["src_file", "row_idx"], "left_semi"
             )
             .select("cell")
             .distinct()
@@ -1146,7 +1208,7 @@ def _maintain_locked(spark, table_path, emb_col, id_col, root) -> dict:
             live_aff = postings.where(F.col("cell").isin(affected))
             before_aff = live_aff.count()
             live_aff.join(
-                F.broadcast(doomed), ["src_file", "row_idx"], "left_anti"
+                doomed_hinted, ["src_file", "row_idx"], "left_anti"
             ).repartition("cell").write.partitionBy("cell").parquet(stage)
             # every affected cell fully emptied -> the staged write has
             # no cell= subdirectories and a parquet read would fail on

@@ -337,8 +337,10 @@ def vacuum(spark: SparkSession, path: str) -> int:
     """Delete retired files that NO snapshot manifest references; returns
     how many files were reclaimed.  Empty retire-batch dirs are removed.
 
-    The referenced set is built from every manifest's basenames — COW file
-    names are globally unique (uuid-tagged), so basename identity is safe.
+    The referenced set holds TABLE-RELATIVE paths (exactly as manifests
+    record them); each retired file's relative path under its retire-batch
+    dir is compared against it — retirement preserves the table-relative
+    layout, so the comparison is path identity, never basename identity.
 
     Version manifests fold FORWARD in one pass (checkpoint resets the
     running set, each delta applies add/remove), so every manifest is
