@@ -209,11 +209,23 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_ngram_pairs",
     "dedup_simhash",
     # ==== end of the 50-entry r13 window; r14 queue below ================
-    # r14 rotation plan: lead with whatever queries are staged during
-    # round 13 (new-query cap ≤3 per round; each sim-verified at sf0.01
-    # AND sf0.1 plus a shuffle.partitions=200 cluster-shape smoke before
-    # staging), then the flagship guard, then the 20 r09 leftovers named
-    # above, then the stalest r10 greens in registry order.
+    # r14 rotation plan: lead with the TWO queries staged during round
+    # 13 (new-query cap ≤3 per round; both sim-verified at sf0.01 AND
+    # sf0.1 plus a shuffle.partitions=200 cluster-shape smoke before
+    # staging):
+    #   sim_ivf_maintain_bulk — bulk-delete IVF maintenance with
+    #     autoBroadcastJoinThreshold=-1, the graded form of the r13
+    #     broadcast size-gate (VERDICT r12 "What's wrong"): half the
+    #     corpus tombstoned in one DV batch, the maintain fold must take
+    #     the hint-free shuffle-join path and remove exactly the doomed
+    #     posting rows;
+    #   sim_pq_adc_topk — product-quantization ADC search
+    #     (operators/pq.py, the FAISS IndexPQ shape): 16 sub-quantizers
+    #     x 16 codes trained in one grouped decimal-exact loop, search
+    #     over the codes table only via a broadcast 16x16 LUT; the
+    #     oracle replays training + encoding + ADC scoring in SQL.
+    # Keep the flagship guard, then the 20 r09 leftovers named above,
+    # then the stalest r10 greens in registry order.
 )
 
 
