@@ -209,8 +209,8 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_ngram_pairs",
     "dedup_simhash",
     # ==== end of the 50-entry r13 window; r14 queue below ================
-    # r14 rotation plan: lead with the TWO queries staged during round
-    # 13 (new-query cap ≤3 per round; both sim-verified at sf0.01 AND
+    # r14 rotation plan: lead with the THREE queries staged during round
+    # 13 (new-query cap ≤3 per round; each sim-verified at sf0.01 AND
     # sf0.1 plus a shuffle.partitions=200 cluster-shape smoke before
     # staging):
     #   sim_ivf_maintain_bulk — bulk-delete IVF maintenance with
@@ -223,7 +223,12 @@ _PRIORITY: tuple[str, ...] = (
     #     (operators/pq.py, the FAISS IndexPQ shape): 16 sub-quantizers
     #     x 16 codes trained in one grouped decimal-exact loop, search
     #     over the codes table only via a broadcast 16x16 LUT; the
-    #     oracle replays training + encoding + ADC scoring in SQL.
+    #     oracle replays training + encoding + ADC scoring in SQL;
+    #   sim_ivfpq_topk — the full IVFPQ composition (pq.ivf_pq_topk):
+    #     coarse-quantizer cells prune candidates to each query's 2
+    #     nearest cells, only those candidates are ADC-scored from
+    #     their codes; the oracle composes BOTH training replays in one
+    #     WITH (disjoint CTE namespaces).
     # Keep the flagship guard, then the 20 r09 leftovers named above,
     # then the stalest r10 greens in registry order.
 )

@@ -927,3 +927,79 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ("embeddings",))
     return PQ.pq_adc_topk(t["embeddings"], n_queries=N_QUERIES, k=K_ANN)
+
+
+def _ivfpq_oracle() -> str:
+    """IVFPQ twin: the coarse-quantizer CTEs (``_trained_ctes`` ->
+    ``afull``/``dotsf``/``cnf``) prune candidates to each query's
+    IVF_PROBES nearest cells; the PQ CTEs (``_pq_ctes`` -> ``pqcodes``/
+    ``pqcf``/``pqnf``) ADC-score only those candidates.  CTE namespaces
+    are disjoint by construction (pq* prefix), so the two training
+    replays compose in one WITH."""
+    return f"""
+WITH {_trained_ctes()},
+{_pq_ctes()},
+{_e_cte()},
+qn AS (SELECT vec_id AS query_id, nsq AS q_nsq FROM e
+       WHERE vec_id < {N_QUERIES}),
+qp AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT d.vec_id, d.cell,
+           row_number() OVER (PARTITION BY d.vec_id
+                ORDER BY d.dot / sqrt(n.c_nsq) DESC, d.cell) AS rn
+    FROM dotsf d JOIN cnf n ON d.cell = n.cell
+    WHERE d.vec_id < {N_QUERIES}) t
+  WHERE rn <= {IVF_PROBES}),
+pqlut AS (
+  SELECT f.vec_id AS query_id, c.sub, c.code,
+         CAST(SUM(CAST(f.xd * c.c AS DECIMAL(28,20))) AS DOUBLE) AS qdot
+  FROM pqf f JOIN pqcf c ON f.pos = c.pos
+  WHERE f.vec_id < {N_QUERIES} GROUP BY 1, 2, 3),
+cand0 AS (
+  SELECT qp.query_id, a.vec_id AS neighbor_id
+  FROM afull a JOIN qp ON a.cell = qp.cell
+  WHERE a.vec_id <> qp.query_id),
+cand AS (
+  SELECT c0.query_id, c0.neighbor_id,
+         CAST(SUM(CAST(l.qdot AS DECIMAL(28,20))) AS DOUBLE) AS dotq,
+         CAST(SUM(CAST(n.c_nsq AS DECIMAL(28,20))) AS DOUBLE) AS xh_nsq
+  FROM cand0 c0
+  JOIN pqcodes pc ON pc.vec_id = c0.neighbor_id
+  JOIN pqlut l ON l.query_id = c0.query_id
+              AND l.sub = pc.sub AND l.code = pc.code
+  JOIN pqnf n ON n.sub = pc.sub AND n.code = pc.code
+  GROUP BY 1, 2)
+SELECT query_id, neighbor_id, cos_sim, rn FROM (
+  SELECT c.query_id, c.neighbor_id,
+         round(c.dotq / (sqrt(q.q_nsq) * sqrt(c.xh_nsq)), 6) AS cos_sim,
+         CAST(row_number() OVER (PARTITION BY c.query_id
+              ORDER BY round(c.dotq / (sqrt(q.q_nsq) * sqrt(c.xh_nsq)), 6)
+                       DESC, c.neighbor_id) AS BIGINT) AS rn
+  FROM cand c JOIN qn q ON c.query_id = q.query_id) t
+WHERE rn <= {K_ANN}
+"""
+
+
+@register(
+    "sim_ivfpq_topk",
+    oracle=_ivfpq_oracle(),
+    doc="IVFPQ top-5 (r13, operators/pq.ivf_pq_topk — the full FAISS "
+    "serving composition): the trained IVF coarse quantizer prunes "
+    "candidates to each query's 2 nearest cells (~1/5 of the corpus), "
+    "and ONLY those candidates are ADC-scored from their 16-code PQ "
+    "representation via the broadcast 16x16 LUT — compressed storage "
+    "AND pruned candidate reads multiply, which is the 100 TB serving "
+    "shape (raw embeddings touched only at train/encode time).  The "
+    "oracle composes BOTH training replays — coarse k-means cells and "
+    "sub-block codebooks — in one WITH (disjoint CTE namespaces) and "
+    "re-derives probe lists, codes, LUT and ADC scores in SQL; "
+    "equality is bit-exact",
+    tags=("similarity",),
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pq as PQ
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return PQ.ivf_pq_topk(
+        t["embeddings"], n_queries=N_QUERIES, k=K_ANN, n_probes=IVF_PROBES
+    )

@@ -197,6 +197,64 @@ def pq_encode(
     )
 
 
+def _adc_tables(
+    df: DataFrame,
+    codebook: DataFrame,
+    n_queries: int,
+    id_col: str,
+    emb_col: str,
+    n_subs: int,
+    dim: int,
+):
+    """The three tiny broadcast sides of an ADC search: ``lut``
+    (query_id, sub, code, qdot) — partial dot of the exact query
+    sub-vector against every centroid; ``cnorm`` (sub, code, c_nsq) —
+    centroid norms; ``qn`` (query_id, q_nsq) — exact query norms."""
+    qmask = F.col(id_col) < n_queries
+    qcomp = _comp_sub(df.where(qmask), id_col, emb_col, n_subs, dim)
+    lut = (
+        qcomp.join(F.broadcast(codebook), ["sub", "pos"])
+        .groupBy(F.col(id_col).alias("query_id"), F.col("sub"), F.col("code"))
+        .agg(
+            F.sum((F.col("xd") * F.col("c")).cast("decimal(28,20)"))
+            .cast("double")
+            .alias("qdot")
+        )
+    )
+    cnorm = codebook.groupBy("sub", "code").agg(
+        F.sum((F.col("c") * F.col("c")).cast("decimal(28,20)"))
+        .cast("double")
+        .alias("c_nsq")
+    )
+    qn = df.where(qmask).select(
+        F.col(id_col).alias("query_id"),
+        F.expr(normsq_expr(emb_col, duck=False, exact=True)).alias("q_nsq"),
+    )
+    return lut, cnorm, qn
+
+
+def _adc_score_topk(
+    cand: DataFrame, qn: DataFrame, id_col: str, k: int
+) -> DataFrame:
+    """Final ADC scoring of candidate (query_id, id, dotq, xh_nsq) sums:
+    approximate cosine + deterministic per-query top-k window."""
+    scored = cand.join(F.broadcast(qn), "query_id").select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(
+            F.col("dotq") / (F.sqrt("q_nsq") * F.sqrt("xh_nsq")), 6
+        ).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
 def pq_adc_topk(
     df: DataFrame,
     n_queries: int = 10,
@@ -220,27 +278,8 @@ def pq_adc_topk(
             df, n_subs, PQ_CODES, PQ_ITERS, PQ_SAMPLE_MOD, id_col, emb_col, dim
         )
     codes = pq_encode(df, codebook, id_col, emb_col, n_subs, dim)
-    qmask = F.col(id_col) < n_queries
-    # per-query LUT: partial dot of the exact query sub-vector against
-    # every (sub, code) centroid
-    qcomp = _comp_sub(df.where(qmask), id_col, emb_col, n_subs, dim)
-    lut = (
-        qcomp.join(F.broadcast(codebook), ["sub", "pos"])
-        .groupBy(F.col(id_col).alias("query_id"), F.col("sub"), F.col("code"))
-        .agg(
-            F.sum((F.col("xd") * F.col("c")).cast("decimal(28,20)"))
-            .cast("double")
-            .alias("qdot")
-        )
-    )
-    cnorm = codebook.groupBy("sub", "code").agg(
-        F.sum((F.col("c") * F.col("c")).cast("decimal(28,20)"))
-        .cast("double")
-        .alias("c_nsq")
-    )
-    qn = df.where(qmask).select(
-        F.col(id_col).alias("query_id"),
-        F.expr(normsq_expr(emb_col, duck=False, exact=True)).alias("q_nsq"),
+    lut, cnorm, qn = _adc_tables(
+        df, codebook, n_queries, id_col, emb_col, n_subs, dim
     )
     cand = (
         codes.join(F.broadcast(lut), ["sub", "code"])
@@ -252,18 +291,70 @@ def pq_adc_topk(
             _dsum("c_nsq").alias("xh_nsq"),
         )
     )
-    scored = cand.join(F.broadcast(qn), "query_id").select(
-        "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        F.round(
-            F.col("dotq") / (F.sqrt("q_nsq") * F.sqrt("xh_nsq")), 6
-        ).alias("cos_sim"),
+    return _adc_score_topk(cand, qn, id_col, k)
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_probes: int = 2,
+    coarse: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_subs: int = PQ_SUBS,
+    dim: int = DIM,
+) -> DataFrame:
+    """IVFPQ — the full FAISS serving composition: the IVF coarse
+    quantizer (:func:`.similarity.kmeans_centroids`) prunes candidates
+    to each query's ``n_probes`` nearest cells, and ONLY those
+    candidates are ADC-scored from their PQ codes.  The two quantizers
+    are independent (coarse cells partition the corpus; sub-quantizers
+    compress within it), so at 100 TB the search reads
+    ``n_probes / n_cells`` of the CODES table — compressed
+    representation AND pruned candidate set multiply.  Candidate
+    pruning changes RESULTS vs :func:`pq_adc_topk` only when a true
+    neighbor lives outside the probed cells — the recall/probe-cost
+    trade the coarse quantizer always makes.
+    Output: ``(query_id, neighbor_id, cos_sim, rn)``."""
+    from .similarity import _comp, assign_cells, kmeans_centroids
+
+    if coarse is None:
+        coarse = kmeans_centroids(df, id_col=id_col, emb_col=emb_col)
+    if codebook is None:
+        codebook = train_pq(
+            df, n_subs, PQ_CODES, PQ_ITERS, PQ_SAMPLE_MOD, id_col, emb_col, dim
+        )
+    qmask = F.col(id_col) < n_queries
+    # corpus -> one cell each; queries -> their n_probes nearest cells
+    cells = assign_cells(_comp(df, id_col, emb_col), coarse, id_col)
+    qcells = assign_cells(
+        _comp(df.where(qmask), id_col, emb_col),
+        coarse,
+        id_col,
+        top_p=n_probes,
+    ).withColumnRenamed(id_col, "query_id")
+    codes = pq_encode(df, codebook, id_col, emb_col, n_subs, dim)
+    lut, cnorm, qn = _adc_tables(
+        df, codebook, n_queries, id_col, emb_col, n_subs, dim
     )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
+    # candidate pairs: cell-equi-join against the broadcast probe list —
+    # a vector has exactly ONE cell, so multi-probe cannot duplicate a
+    # candidate; then ADC-score only these pairs
+    cand0 = (
+        cells.join(F.broadcast(qcells), "cell")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col)
     )
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    cand = (
+        cand0.join(codes, id_col)
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .join(F.broadcast(cnorm), ["sub", "code"])
+        .groupBy("query_id", id_col)
+        .agg(
+            _dsum("qdot").alias("dotq"),
+            _dsum("c_nsq").alias("xh_nsq"),
+        )
     )
+    return _adc_score_topk(cand, qn, id_col, k)

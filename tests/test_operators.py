@@ -1489,3 +1489,46 @@ def test_pq_encode_shapes_and_adc_recall(spark):
     plan = approx._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivfpq_prunes_and_scores_like_adc(spark):
+    """(r13) IVFPQ = coarse-cell pruning x PQ codes: within each query's
+    probed cells the ADC scores are IDENTICAL to pq_adc_topk's (same
+    codebook, same LUT arithmetic), the candidate set is a strict subset
+    of the corpus, and probing ALL cells reproduces exhaustive ADC
+    exactly."""
+    from sql_query_optimizer_cpp_spark.operators import pq as PQ
+    from sql_query_optimizer_cpp_spark.operators import similarity as S
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    coarse = S.kmeans_centroids(emb)
+    book = PQ.train_pq(emb)
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in PQ.pq_adc_topk(
+            emb, n_queries=5, k=5, codebook=book
+        ).collect()
+    }
+    # all-cell probe == exhaustive ADC (pruning only drops candidates,
+    # never rescores them)
+    allcells = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in PQ.ivf_pq_topk(
+            emb,
+            n_queries=5,
+            k=5,
+            n_probes=S.IVF_CELLS,
+            coarse=coarse,
+            codebook=book,
+        ).collect()
+    }
+    assert allcells == full
+    pruned = PQ.ivf_pq_topk(
+        emb, n_queries=5, k=5, n_probes=2, coarse=coarse, codebook=book
+    ).collect()
+    assert len(pruned) == 25
+    # scores agree with exhaustive ADC wherever the pair survives pruning
+    for r in pruned:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in full:
+            assert r["cos_sim"] == full[key]
