@@ -358,3 +358,257 @@ def ivf_pq_topk(
         )
     )
     return _adc_score_topk(cand, qn, id_col, k)
+
+
+# -- persisted IVFPQ index (the serving sidecar) ------------------------------
+
+
+def _ivfpq_root(table_path: str, emb_col: str) -> str:
+    return f"{table_path.rstrip('/')}/_index/ivfpq/{emb_col}"
+
+
+def _ivfpq_meta(spark, table_path: str, emb_col: str) -> dict:
+    """Staleness anchor for the IVFPQ sidecar — same contract as the
+    IVF anchor (:func:`.similarity._ivf_meta`): a usable index without
+    one is crash debris, so raise and demand a rebuild."""
+    import json
+
+    from .mutate import _is_missing_file_error, _read_small_file
+
+    root = _ivfpq_root(table_path, emb_col)
+    try:
+        return json.loads(_read_small_file(spark, f"{root}/meta.json"))
+    except Exception as e:  # noqa: BLE001 — classify below
+        if _is_missing_file_error(e):
+            raise ValueError(
+                f"IVFPQ index under {root} has no staleness anchor "
+                "(meta.json) — crash debris; rebuild with "
+                "build_ivfpq_index"
+            ) from e
+        raise
+
+
+def build_ivfpq_index(
+    spark,
+    table_path: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_cells: int | None = None,
+    n_subs: int = PQ_SUBS,
+    n_codes: int = PQ_CODES,
+    dim: int = DIM,
+) -> int:
+    """Persist a trained IVFPQ index as a table sidecar —
+    ``<table>/_index/ivfpq/<emb_col>/{coarse,codebook,postings}`` — the
+    FAISS ``IndexIVFPQ`` serving layout on the lakehouse sidecar
+    conventions of :func:`.similarity.build_ivf_index` (underscore dir,
+    invisible to base scans, advisory-locked writes, staleness anchor):
+
+    - ``coarse/`` — the k-means cell codebook (cells x dim);
+    - ``codebook/`` — the PQ sub-quantizers (n_subs x n_codes x dsub);
+    - ``postings/cell=<c>/`` — hive partitions holding ``(id, codes
+      array<int>, src_file, row_idx)``: the COMPRESSED representation
+      only.  This is the 100 TB difference from the IVF sidecar, whose
+      postings carry full embeddings: a probed cell's read here is
+      ~16x smaller (16 small ints vs 64 floats per vector), and the
+      raw corpus is never touched at search time.
+
+    Both quantizers train on the deletion-vector-aware live rows; cell
+    assignment and code assignment are keyed on the MOR row identity
+    (same duplicate-id discipline as the IVF build).  v1 maintenance
+    posture: ANY table drift (appends, DV batches, retired files)
+    demands a rebuild — the honest r10-IVF stance; the incremental fold
+    is the IVF sidecar's job until this one grows its own.
+
+    Returns the number of live cells."""
+    from .mor import _live, _read_dv, _with_identity, list_dv_files
+    from .mutate import (
+        _fs,
+        _rel_to_table,
+        _write_small_file,
+        _writer_lock,
+        is_partitioned,
+        list_data_files,
+    )
+    from .similarity import (
+        IVF_CELLS,
+        _rename_identity,
+        assign_cells,
+        kmeans_centroids,
+    )
+
+    num_cells = num_cells or IVF_CELLS
+    data_files = list_data_files(spark, table_path, recursive=True)
+    dv_files = list_dv_files(spark, table_path)
+    built_from = sorted(
+        _rel_to_table(table_path, f) for f in data_files + dv_files
+    )
+    base_path = table_path if is_partitioned(spark, table_path) else None
+    df = _rename_identity(
+        _live(
+            _with_identity(spark, table_path, data_files, base_path),
+            _read_dv(spark, table_path),
+        )
+    )
+    coarse = kmeans_centroids(
+        df, num_cells, id_col=id_col, emb_col=emb_col
+    )
+    book = train_pq(
+        df, n_subs, n_codes, PQ_ITERS, PQ_SAMPLE_MOD, id_col, emb_col, dim
+    )
+    root = _ivfpq_root(table_path, emb_col)
+    jvm, fs, root_p = _fs(spark, root)
+    if not fs.exists(root_p):
+        fs.mkdirs(root_p)
+    with _writer_lock(spark, root, 30.0):
+        coarse.coalesce(1).write.mode("overwrite").parquet(f"{root}/coarse")
+        book.coalesce(1).write.mode("overwrite").parquet(f"{root}/codebook")
+        coarse_rt = spark.read.parquet(f"{root}/coarse")
+        book_rt = spark.read.parquet(f"{root}/codebook")
+        # identity-keyed assignment (duplicate ids never cross-join):
+        # "file:idx" is injective — row_idx is numeric, so the suffix
+        # after the last ':' is unambiguous
+        keyed = df.select(id_col, emb_col, "src_file", "row_idx").withColumn(
+            "_rowkey", F.concat_ws(":", F.col("src_file"), F.col("row_idx"))
+        )
+        from .similarity import _comp
+
+        cells = assign_cells(
+            _comp(keyed, "_rowkey", emb_col), coarse_rt, "_rowkey"
+        )
+        codes_long = assign_codes(
+            _comp_sub(keyed, "_rowkey", emb_col, n_subs, dim),
+            book_rt,
+            "_rowkey",
+        )
+        # (rowkey, codes array ordered by sub): the packed-bytes stand-in
+        codes_arr = codes_long.groupBy("_rowkey").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda x: x["code"],
+            ).alias("codes")
+        )
+        postings = (
+            keyed.drop(emb_col)
+            .join(codes_arr, "_rowkey")
+            .join(cells, "_rowkey")
+            .drop("_rowkey")
+            .repartition("cell")
+        )
+        postings.write.partitionBy("cell").mode("overwrite").parquet(
+            f"{root}/postings"
+        )
+        import json
+
+        n_vectors = spark.read.parquet(f"{root}/postings").count()
+        _write_small_file(
+            spark,
+            f"{root}/meta.json",
+            json.dumps(
+                {"files": built_from, "n_vectors": n_vectors}, indent=0
+            ).encode(),
+        )
+    return coarse_rt.select("cell").distinct().count()
+
+
+def ivfpq_search_indexed(
+    spark,
+    table_path: str,
+    n_queries: int = 10,
+    k: int = 5,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    allow_stale: bool = False,
+    n_subs: int = PQ_SUBS,
+    dim: int = DIM,
+) -> DataFrame:
+    """ADC probe over a PERSISTED IVFPQ index: queries (read through the
+    deletion vectors) rank their ``n_probes`` nearest cells with the
+    persisted coarse codebook, the candidate read lists ONLY those
+    cells' directories (the partition-pruned serving read of
+    :func:`.similarity.ivf_search_indexed`), and candidates are scored
+    from their stored CODES via the broadcast per-query LUT — raw
+    embeddings are read for the ``n_queries`` query vectors only.
+
+    Results are identical to :func:`ivf_pq_topk` with the same
+    quantizers and ``n_probes``.  Staleness gate: any table drift since
+    build refuses (rebuild; ``allow_stale=True`` opts into the indexed
+    subset).  Output: ``(query_id, neighbor_id, cos_sim, rn)``."""
+    from .mor import read_mor
+    from .similarity import _comp, _table_file_set, assign_cells
+
+    if n_probes < 1:
+        raise ValueError("n_probes must be >= 1")
+    root = _ivfpq_root(table_path, emb_col)
+    try:
+        coarse = spark.read.parquet(f"{root}/coarse")
+        book = spark.read.parquet(f"{root}/codebook")
+    except Exception as e:  # noqa: BLE001 — absent index is a user error
+        raise ValueError(
+            f"no IVFPQ index under {root} — run build_ivfpq_index first"
+        ) from e
+    meta = _ivfpq_meta(spark, table_path, emb_col)
+    if not allow_stale:
+        now = _table_file_set(spark, table_path)
+        if now != set(meta["files"]):
+            raise ValueError(
+                f"IVFPQ index under {root} is STALE: the table's file "
+                "set changed since build_ivfpq_index — rebuild (v1 has "
+                "no incremental fold), or pass allow_stale=True to "
+                "search the indexed subset anyway"
+            )
+    qbase = (
+        read_mor(spark, table_path)
+        .select(id_col, emb_col)
+        .where(F.col(id_col) < n_queries)
+    )
+    q_cells = assign_cells(
+        _comp(qbase, id_col, emb_col), coarse, id_col, top_p=n_probes
+    ).withColumnRenamed(id_col, "query_id")
+    probed = sorted(
+        r["cell"] for r in q_cells.select("cell").distinct().collect()
+    )
+    post_root = f"{root}/postings"
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(post_root)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    existing = {
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(jpath)
+        if st.isDirectory() and st.getPath().getName().startswith("cell=")
+    }
+    probed = [c for c in probed if c in existing]
+    if not probed:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rn long"
+        )
+    lut, cnorm, qn = _adc_tables(
+        qbase, book, n_queries, id_col, emb_col, n_subs, dim
+    )
+    cand_rows = (
+        spark.read.option("basePath", post_root)
+        .parquet(*[f"{post_root}/cell={c}" for c in probed])
+        .withColumn("cell", F.col("cell").cast("int"))
+        # prune the identity columns out of the scan: the probe needs
+        # only (id, codes, cell)
+        .select(id_col, "codes", "cell")
+    )
+    pairs = (
+        cand_rows.join(F.broadcast(q_cells), "cell")
+        .where(F.col(id_col) != F.col("query_id"))
+        # unpack the stored code array: position IS the sub-block id
+        # (codes were collected ordered by sub at build time)
+        .select(
+            "query_id", id_col, F.posexplode("codes").alias("sub", "code")
+        )
+    )
+    cand = (
+        pairs.join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .join(F.broadcast(cnorm), ["sub", "code"])
+        .groupBy("query_id", id_col)
+        .agg(
+            _dsum("qdot").alias("dotq"),
+            _dsum("c_nsq").alias("xh_nsq"),
+        )
+    )
+    return _adc_score_topk(cand, qn, id_col, k)

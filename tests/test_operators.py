@@ -1532,3 +1532,64 @@ def test_ivfpq_prunes_and_scores_like_adc(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in full:
             assert r["cos_sim"] == full[key]
+
+
+def test_ivfpq_persisted_index_roundtrip(spark, tmp_path):
+    """(r13) Persisted IVFPQ sidecar: the probe equals the in-memory
+    ivf_pq_topk with the SAME persisted quantizers, reads only the
+    probed cells' partitions, stores codes (never raw embeddings) in
+    the postings, and refuses a stale index after table drift."""
+    import pytest as _pytest
+
+    from sql_query_optimizer_cpp_spark.operators import pq as PQ
+    from sql_query_optimizer_cpp_spark.operators import similarity as S
+    from sql_query_optimizer_cpp_spark.operators.mor import read_mor
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    tdir = str(tmp_path / "emb_ivfpq")
+    emb.write.parquet(tdir)
+    n_cells = PQ.build_ivfpq_index(spark, tdir, id_col="vec_id")
+    assert n_cells > 0
+    root = PQ._ivfpq_root(tdir, "embedding")
+    postings = spark.read.parquet(f"{root}/postings")
+    assert postings.count() == emb.count()
+    assert "embedding" not in postings.columns  # codes only: the 16x story
+    assert "codes" in postings.columns
+    got = PQ.ivfpq_search_indexed(spark, tdir, n_queries=6, k=4, n_probes=2)
+    rows = got.collect()
+    coarse = spark.read.parquet(f"{root}/coarse")
+    book = spark.read.parquet(f"{root}/codebook")
+    want = PQ.ivf_pq_topk(
+        read_mor(spark, tdir).select("vec_id", "embedding"),
+        n_queries=6,
+        k=4,
+        n_probes=2,
+        coarse=coarse,
+        codebook=book,
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, want)) and rows
+    # the candidate read is partition-pruned to the probed cells only
+    probed_files = PQ.ivfpq_search_indexed(
+        spark, tdir, n_queries=6, k=4, n_probes=2
+    ).inputFiles()
+    cell_files = [f for f in probed_files if "/postings/cell=" in f]
+    assert cell_files
+    probed_cells = {f.split("cell=")[1].split("/")[0] for f in cell_files}
+    all_cells = {
+        f.split("cell=")[1].split("/")[0]
+        for f in postings.inputFiles()
+        if "cell=" in f
+    }
+    assert probed_cells < all_cells  # strict subset: pruning is real
+    # drift (an append) trips the staleness gate; allow_stale opts out
+    emb.limit(3).selectExpr(
+        "vec_id + 500000 AS vec_id", "embedding", "label"
+    ).write.mode("append").parquet(tdir)
+    with _pytest.raises(ValueError, match="STALE"):
+        PQ.ivfpq_search_indexed(spark, tdir, n_queries=6, k=4)
+    assert (
+        PQ.ivfpq_search_indexed(
+            spark, tdir, n_queries=6, k=4, allow_stale=True
+        ).count()
+        > 0
+    )
