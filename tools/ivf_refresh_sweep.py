@@ -69,6 +69,28 @@ def main(n_seeds: int = 10) -> None:
         tdir = f"{root}/vectors"
         try:
             base_ids = order[:base_n]
+
+            def maintain():
+                # ~1/3 of maintains run with broadcasting disabled —
+                # the size-gated hint-free path (the bulk-delete
+                # posture, r13): the fold must be join-plan-agnostic
+                if rng.random() < 0.34:
+                    old = spark.conf.get(
+                        "spark.sql.autoBroadcastJoinThreshold"
+                    )
+                    spark.conf.set(
+                        "spark.sql.autoBroadcastJoinThreshold", "-1"
+                    )
+                    try:
+                        return S.maintain_ivf_index(
+                            spark, tdir, id_col="vec_id"
+                        )
+                    finally:
+                        spark.conf.set(
+                            "spark.sql.autoBroadcastJoinThreshold", old
+                        )
+                return S.maintain_ivf_index(spark, tdir, id_col="vec_id")
+
             emb.where(F.col("vec_id").isin(base_ids)).repartition(
                 rng.randint(1, 3)
             ).write.parquet(tdir)
@@ -89,7 +111,7 @@ def main(n_seeds: int = 10) -> None:
                         ).repartition(rng.randint(1, 2)).write.mode(
                             "append"
                         ).parquet(tdir)
-                    st = S.maintain_ivf_index(spark, tdir, id_col="vec_id")
+                    st = maintain()
                     assert st["appended"] == len(batch_ids), (
                         f"seed {seed} step {step}: appended "
                         f"{st['appended']}, expected {len(batch_ids)}"
@@ -100,7 +122,7 @@ def main(n_seeds: int = 10) -> None:
                     n_del = dv_delete_where(
                         spark, tdir, f"vec_id % {mod} = {rem}"
                     )
-                    st = S.maintain_ivf_index(spark, tdir, id_col="vec_id")
+                    st = maintain()
                     assert st["removed"] == n_del, (
                         f"seed {seed} step {step}: removed "
                         f"{st['removed']}, expected {n_del}"
@@ -115,7 +137,7 @@ def main(n_seeds: int = 10) -> None:
                         {"embedding": "reverse(embedding)"},
                         f"vec_id % {mod} = {rem}",
                     )
-                    st = S.maintain_ivf_index(spark, tdir, id_col="vec_id")
+                    st = maintain()
                     assert st["removed"] == n_upd == st["appended"], (
                         f"seed {seed} step {step}: update maintained "
                         f"{st}, expected {n_upd} both ways"
