@@ -104,6 +104,12 @@ _HELP = """commands:
                         deletion-vector batches in (removes tombstoned
                         vectors by row identity); SEARCH probes only the
                         query's nearest cells (col defaults: embedding)
+  IVFPQ <name> BUILD [<col>] | SEARCH <k> [probes] [<col>] | STATS [<col>]
+                        quantized ANN index (FAISS IVFPQ shape): coarse
+                        cells + product-quantization codebooks; postings
+                        hold 16x-compressed CODES only, SEARCH reads just
+                        the probed cells' codes and ADC-scores them (v1:
+                        table drift demands a rebuild)
   CHANGES <name> <from> [<to>]  CDC: net row changes between two versions
   CONSTRAINT <name> ADD <cname> <expr> | DROP <cname> | LIST
                         CHECK constraints enforced by UPDATE/MERGE staging
@@ -487,6 +493,89 @@ def handle(
                 return (
                     f"ivf index on {name}.{col}: {cells} trained "
                     f"cell(s), {n_vec} indexed vector(s){stale}"
+                )
+            return usage
+        if verb == "IVFPQ":
+            from .operators.pq import (
+                _ivfpq_meta,
+                _ivfpq_root,
+                build_ivfpq_index,
+                ivfpq_search_indexed,
+            )
+            from .operators.similarity import _table_file_set
+
+            parts = rest.split()
+            usage = (
+                "usage: IVFPQ <attached table> BUILD [<col>] | "
+                "SEARCH <k> [probes] [<col>] | STATS [<col>]"
+            )
+            if len(parts) < 2 or parts[0] not in dml_tables:
+                return usage
+            name, action = parts[0], parts[1].upper()
+            path, args = dml_tables[name], parts[2:]
+            if action == "BUILD":
+                col = args[0] if args else "embedding"
+                n = build_ivfpq_index(engine.spark, path, emb_col=col)
+                return (
+                    f"ivfpq index on {name}.{col}: coarse codebook "
+                    f"({n} trained cell(s)) + PQ codebooks + codes-only "
+                    "posting lists"
+                )
+            if action == "SEARCH":
+                if not args or not args[0].isdigit():
+                    return usage
+                k = int(args[0])
+                probes = (
+                    int(args[1])
+                    if len(args) > 1 and args[1].isdigit()
+                    else 2
+                )
+                col = (
+                    args[-1]
+                    if args and not args[-1].isdigit()
+                    else "embedding"
+                )
+                return _fmt_rows(
+                    ivfpq_search_indexed(
+                        engine.spark, path, k=k, n_probes=probes,
+                        emb_col=col,
+                    ),
+                    max_rows,
+                )
+            if action == "STATS":
+                col = args[0] if args else "embedding"
+                root = _ivfpq_root(path, col)
+                try:
+                    book = engine.spark.read.parquet(f"{root}/codebook")
+                    postings = engine.spark.read.parquet(f"{root}/postings")
+                except Exception:  # noqa: BLE001 — absent index
+                    return (
+                        f"no ivfpq index on {name}.{col}; "
+                        f"IVFPQ {name} BUILD {col} first"
+                    )
+                n_books = book.select("sub", "code").distinct().count()
+                n_vec = postings.count()  # parquet footers only
+                stale = ""
+                try:
+                    meta = _ivfpq_meta(engine.spark, path, col)
+                except ValueError:
+                    stale = (
+                        "  [NO staleness anchor — crashed build? "
+                        f"IVFPQ {name} BUILD {col}]"
+                    )
+                else:
+                    if set(meta["files"]) != _table_file_set(
+                        engine.spark, path
+                    ):
+                        stale = (
+                            "  [STALE — the table changed since build; "
+                            f"IVFPQ {name} BUILD {col} (v1 has no "
+                            "incremental fold)]"
+                        )
+                return (
+                    f"ivfpq index on {name}.{col}: {n_books} (sub, code) "
+                    f"codebook entr(ies), {n_vec} indexed vector(s), "
+                    f"codes-only postings{stale}"
                 )
             return usage
         if verb == "COMPACT":

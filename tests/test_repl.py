@@ -804,3 +804,35 @@ def test_repl_recover_verb(engine, tmp_path):
     out = handle(engine, "RECOVER rc", tables, settings=settings)
     assert "still open in THIS session" in out
     handle(engine, "ROLLBACK", tables, settings=settings)
+
+
+def test_repl_ivfpq_verbs(engine, tmp_path):
+    """(r13) IVFPQ BUILD/SEARCH/STATS drive the quantized serving index
+    from the prompt, including the v1 drift-demands-rebuild lifecycle."""
+    from sql_query_optimizer_cpp_spark.catalog import load_tables
+
+    from .conftest import SF_DIR
+
+    emb = load_tables(engine.spark, SF_DIR, ("embeddings",))["embeddings"]
+    path = str(tmp_path / "repl_ivfpq")
+    emb.write.parquet(path)
+    tables: dict[str, str] = {}
+    handle(engine, f"ATTACH e {path}", tables)
+    assert "usage: IVFPQ" in handle(engine, "IVFPQ nope BUILD", tables)
+    assert "no ivfpq index" in handle(engine, "IVFPQ e STATS", tables)
+    out = handle(engine, "IVFPQ e BUILD", tables)
+    assert "coarse codebook" in out and "codes-only" in out
+    out = handle(engine, "IVFPQ e STATS", tables)
+    assert "indexed vector(s)" in out and "STALE" not in out
+    out = handle(engine, "IVFPQ e SEARCH 3 2", tables)
+    assert "query_id" in out and "neighbor_id" in out
+    # drift: STATS flags stale with the rebuild hint, SEARCH refuses
+    emb.limit(4).selectExpr(
+        "vec_id + 1000000 AS vec_id", "embedding", "label"
+    ).write.mode("append").parquet(path)
+    assert "STALE" in handle(engine, "IVFPQ e STATS", tables)
+    assert "error:" in handle(engine, "IVFPQ e SEARCH 3", tables)
+    out = handle(engine, "IVFPQ e BUILD", tables)
+    assert "coarse codebook" in out
+    assert "STALE" not in handle(engine, "IVFPQ e STATS", tables)
+    assert "query_id" in handle(engine, "IVFPQ e SEARCH 3", tables)
