@@ -124,113 +124,113 @@ def shared_sql(
 
 
 #: Evaluation-priority order.  The driver grades registry entries in
-#: iteration order and stops after a fixed 50-query window (r01-r12 each
-#: sampled a different 50; after r12: 217 registered, 214 green at their
+#: iteration order and stops after a fixed 50-query window (r01-r13 each
+#: sampled a different 50; after r13: 220 registered, 217 green at their
 #: latest grade, zero ever-red, and exactly THREE never-graded queries —
-#: the round-12 headliners, staged past the r12 window, sim-verified at
-#: sf0.01 and sf0.1, and independently replayed by the r12 judge:
-#: ALL MATCH).  Round-13 rotation (executing the plan written in r12 and
-#: ratified by VERDICT.md r12 "Next round: do this" #1): lead with those
-#: three (sim_ivf_maintain_cycle — DV-aware incremental IVF maintenance,
-#: build -> dv_delete -> maintain_ivf_index -> probe, oracle re-derives
-#: post-delete postings in SQL; sim_ivf_ingest_twin — streaming ANN
-#: ingest through the REAL streaming/ann.py foreachBatch sink, probe vs
-#: a batch-derived oracle trained on the pre-build half;
-#: mutate_retention_vacuum — enable_versioning -> DELETE -> UPDATE ->
-#: drop_versions_before(keep_last=1) -> vacuum, post-vacuum content vs
-#: the oracle's algebraic fold); then the flagship guard; then the
-#: seventeen r08 greens whose latest driver row is still r08 (the
-#: stalest in the registry); then the first 29 of the 49 r09-stale
-#: greens in registration order.  The 20 r09 greens that do not fit
-#: (text_minhash_signature, dedup_clusters_star, dedup_incremental,
-#: dedup_ngram_containment, corpus_dedup_report, sim_topk_bruteforce,
-#: sim_neardup_pairs, sim_nearest_centroid, sim_recall_report,
-#: events_tumbling, mutate_occ_merge, mutate_occ_partitioned,
-#: mutate_schema_evolution, mutate_read_changes, mutate_constraints,
-#: mutate_cdf_replay, mutate_compact_zorder, mutate_mor_pipeline,
-#: mutate_restore_version, point_lookup_bloom) lead the r14 re-grade
-#: block.  Everything past _PRIORITY keeps registration order; every
-#: registered query stays covered every round by
-#: tests/test_inventory.py + tools/driver_sim.py regardless of window
+#: the round-13 headliners, staged past the r13 window, sim-verified at
+#: sf0.01 and sf0.1, and independently replayed by the r13 judge:
+#: ALL MATCH).  Round-14 rotation (executing the plan written in r13 and
+#: ratified by VERDICT.md r13 "Next round: do this" #1): lead with those
+#: three (sim_ivf_maintain_bulk — bulk-delete IVF maintenance with
+#: autoBroadcastJoinThreshold=-1, the graded form of the r13 broadcast
+#: size-gate: half the corpus tombstoned in one DV batch, the maintain
+#: fold must take the hint-free shuffle-join path and remove exactly the
+#: doomed posting rows; sim_pq_adc_topk — product-quantization ADC
+#: search (operators/pq.py, the FAISS IndexPQ shape), 16 sub-quantizers
+#: x 16 codes trained in one grouped decimal-exact loop, search over the
+#: codes table only via a broadcast 16x16 LUT, oracle replays training +
+#: encoding + ADC scoring in SQL; sim_ivfpq_topk — the full IVFPQ
+#: composition (pq.ivf_pq_topk), coarse-quantizer cells prune candidates
+#: to each query's 2 nearest cells, only those candidates ADC-scored
+#: from their codes, oracle composes BOTH training replays in one WITH);
+#: then the flagship guard; then the twenty r09 greens whose latest
+#: driver row is still r09 (the stalest in the registry); then the first
+#: 26 of the 49 r10-stale greens in registration order.  The 23 r10
+#: greens that do not fit (text_oov_rate, dedup_exact,
+#: dedup_cluster_size_hist, embeddings_norm_stats, events_sliding,
+#: events_props_extract, join_event_attribution, events_path_bigrams,
+#: multimodal_meta, multimodal_resize, sample_train_val_test,
+#: ingest_incremental_e2e, split_leakage_report, orders_rfm,
+#: orders_market_basket, events_anomaly_zscore, date_series_gapfill,
+#: events_dau_stickiness, orders_yoy_growth, events_hourly_topk_types,
+#: source_roundtrip_partitioned, mutate_mor_versioned, mutate_mor_merge)
+#: lead the r15 re-grade block.  Everything past _PRIORITY keeps
+#: registration order; every registered query stays covered every round
+#: by tests/test_inventory.py + tools/driver_sim.py regardless of window
 #: position.
 _PRIORITY: tuple[str, ...] = (
-    # -- never driver-graded: the round-12 headliners ---------------------
-    "sim_ivf_maintain_cycle",
-    "sim_ivf_ingest_twin",
-    "mutate_retention_vacuum",
+    # -- never driver-graded: the round-13 headliners ---------------------
+    "sim_ivf_maintain_bulk",
+    "sim_pq_adc_topk",
+    "sim_ivfpq_topk",
     # -- regression-guard slot: the headline query ------------------------
     "flagship_demo",
-    # -- re-grades: the seventeen r08 leftovers (stalest in the registry) -
-    "curation_pipeline_neardup",
-    "tpch_q12",
-    "tpch_q19",
-    "tpch_q13",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q21",
-    "tpch_q22",
-    "tpch_q2",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q15",
-    "tpch_q20",
-    "events_funnel",
-    "events_retention",
-    "mutate_concurrent_writers",
-    # -- re-grades: stalest greens (latest driver row r09), registry order
-    "group_by_all_report",
-    "join_skew_salted",
-    "agg_array_collect",
-    "agg_skew_salted",
-    "agg_grouping_id",
-    "agg_corr_moments",
-    "unpivot_metrics",
-    "agg_heavy_hitters",
-    "scalar_subquery",
-    "scalar_subquery_agg",
-    "in_subquery",
-    "not_in_subquery",
-    "scalar_subquery_where",
-    "exists_subquery",
-    "win_topk_per_group",
-    "win_rank_lag",
-    "win_running_sum",
-    "win_moving_avg",
-    "text_tokens",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "text_fuzzy_match",
-    "text_tfidf_topk",
-    "text_ngram_lm",
-    "doc_quality_histogram",
-    "text_chunk_windows",
-    "dedup_ngram_pairs",
-    "dedup_simhash",
-    # ==== end of the 50-entry r13 window; r14 queue below ================
-    # r14 rotation plan: lead with the THREE queries staged during round
-    # 13 (new-query cap ≤3 per round; each sim-verified at sf0.01 AND
-    # sf0.1 plus a shuffle.partitions=200 cluster-shape smoke before
-    # staging):
-    #   sim_ivf_maintain_bulk — bulk-delete IVF maintenance with
-    #     autoBroadcastJoinThreshold=-1, the graded form of the r13
-    #     broadcast size-gate (VERDICT r12 "What's wrong"): half the
-    #     corpus tombstoned in one DV batch, the maintain fold must take
-    #     the hint-free shuffle-join path and remove exactly the doomed
-    #     posting rows;
-    #   sim_pq_adc_topk — product-quantization ADC search
-    #     (operators/pq.py, the FAISS IndexPQ shape): 16 sub-quantizers
-    #     x 16 codes trained in one grouped decimal-exact loop, search
-    #     over the codes table only via a broadcast 16x16 LUT; the
-    #     oracle replays training + encoding + ADC scoring in SQL;
-    #   sim_ivfpq_topk — the full IVFPQ composition (pq.ivf_pq_topk):
-    #     coarse-quantizer cells prune candidates to each query's 2
-    #     nearest cells, only those candidates are ADC-scored from
-    #     their codes; the oracle composes BOTH training replays in one
-    #     WITH (disjoint CTE namespaces).
-    # Keep the flagship guard, then the 20 r09 leftovers named above,
-    # then the stalest r10 greens in registry order.
+    # -- re-grades: the twenty r09 leftovers (stalest in the registry) ----
+    "text_minhash_signature",
+    "dedup_clusters_star",
+    "dedup_incremental",
+    "dedup_ngram_containment",
+    "corpus_dedup_report",
+    "sim_topk_bruteforce",
+    "sim_neardup_pairs",
+    "sim_nearest_centroid",
+    "sim_recall_report",
+    "events_tumbling",
+    "mutate_occ_merge",
+    "mutate_occ_partitioned",
+    "mutate_schema_evolution",
+    "mutate_read_changes",
+    "mutate_constraints",
+    "mutate_cdf_replay",
+    "mutate_compact_zorder",
+    "mutate_mor_pipeline",
+    "mutate_restore_version",
+    "point_lookup_bloom",
+    # -- re-grades: stalest greens (latest driver row r10), registry order
+    "scan_star",
+    "filter_point",
+    "filter_compare",
+    "pred_compound",
+    "pred_in_list",
+    "arith_filter",
+    "case_when",
+    "orderby_multi",
+    "scalar_functions",
+    "date_functions",
+    "join_inner",
+    "join_natural",
+    "join_comma",
+    "join_cross",
+    "join_theta",
+    "join_asof",
+    "agg_grouping_sets",
+    "tpch_q1",
+    "complex_q2",
+    "complex_q5",
+    "agg_filter_clause",
+    "recursive_cte_chain",
+    "union_all",
+    "intersect",
+    "except_",
+    "text_boilerplate_ngrams",
+    # ==== end of the 50-entry r14 window; r15 queue below ================
+    # r15 rotation plan: lead with the queries staged during round 14
+    # (new-query cap ≤3 per round; each sim-verified at sf0.01 AND sf0.1
+    # plus a shuffle.partitions=200 cluster-shape smoke before staging):
+    #   sim_ivfpq_probe_indexed — the persisted-IVFPQ serving read
+    #     (pq.build_ivfpq_index -> ivfpq_search_indexed): codes-only
+    #     postings, probes read ONLY the probed cells' directories; the
+    #     oracle replays coarse+PQ training, encoding, cell pruning and
+    #     ADC scoring on the indexed subset in SQL;
+    #   sim_ivfpq_maintain_cycle — incremental IVFPQ maintenance
+    #     (pq.maintain_ivfpq_index): build sidecar -> DV-delete a slice
+    #     -> maintain folds tombstones out of the codes postings (gated
+    #     anti-join, no retrain) and encodes appended files with the
+    #     PERSISTED codebooks -> probe; oracle re-derives the post-
+    #     maintenance ADC top-k with training CTEs pinned to the
+    #     ORIGINAL build corpus (codebook immutability is the contract).
+    # Keep the flagship guard, then the 23 r10 leftovers named above,
+    # then the stalest r11 greens in registry order.
 )
 
 
