@@ -279,6 +279,14 @@ def bench_spark_extras(spark, registry, sf_dir: str):
         # them ONE timed run each.
         "sim_ivf_maintain_cycle",
         "sim_ivf_ingest_twin",
+        # round 14: the quantized serving lifecycle (VERDICT r13 task 4)
+        # — build_ivfpq_index (coarse + PQ training, codes-only
+        # postings) plus the partition-pruned ADC probe in one row; the
+        # maintenance fold is the same code path sim_ivf_maintain_cycle
+        # already times, so one row keeps the extras wall inside the
+        # driver budget while making a quantized-serving regression
+        # visible round-over-round.
+        "sim_ivfpq_probe_indexed",
     ):
         spec = registry.get(name)
         if spec is None:

@@ -739,7 +739,7 @@ def sim_ivf_ingest_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- r13 staged queries (never driver-graded; lead the r14 window) -----------
+# -- r13 staged queries (lead the r14 grading window) -------------------------
 
 _BULK_DELETE_PRED = "vec_id % 2 = 0"  # half the corpus, queries included
 
@@ -789,6 +789,7 @@ def _pq_ctes(
     iters: int | None = None,
     sample_mod: int | None = None,
     dim: int | None = None,
+    train_pred: str = "TRUE",
 ) -> str:
     """DuckDB twin of operators.pq.train_pq + pq_encode: one k-means per
     contiguous sub-block (the sub id is a group key, so the unrolled
@@ -798,7 +799,12 @@ def _pq_ctes(
     operator), decimal-exact sums, ties to the smallest code, empty
     codes carry via COALESCE.  Ends defining ``pqcodes(vec_id, sub,
     code)`` (the encoded corpus), ``pqnf(sub, code, c_nsq)`` (code
-    norms) and ``pqcf`` (the final codebook components)."""
+    norms) and ``pqcf`` (the final codebook components).  ``train_pred``
+    (over ``vec_id``) restricts the TRAINING set to the rows present at
+    build time — the maintenance twin appends rows after the build,
+    which the persisted sub-quantizers never saw; encoding (pqcodes)
+    always covers the full corpus, because maintain encodes appends
+    with the PERSISTED codebooks."""
     from ..operators import pq as PQ
 
     n_subs = n_subs or PQ.PQ_SUBS
@@ -816,7 +822,8 @@ def _pq_ctes(
         f"""pqf AS (
   SELECT vec_id, pos, xd,
          CAST(floor((pos - 1) / {dsub}) AS INT) AS sub FROM pqf0)""",
-        f"pqs AS (SELECT * FROM pqf WHERE vec_id % {sample_mod} = 0)",
+        f"pqs AS (SELECT * FROM pqf "
+        f"WHERE vec_id % {sample_mod} = 0 AND ({train_pred}))",
         f"""pqseeds AS (
   SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
   FROM (SELECT DISTINCT vec_id FROM pqs ORDER BY vec_id LIMIT {n_codes}))""",
@@ -929,16 +936,24 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PQ.pq_adc_topk(t["embeddings"], n_queries=N_QUERIES, k=K_ANN)
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_oracle(live_pred: str = "TRUE", train_pred: str = "TRUE") -> str:
     """IVFPQ twin: the coarse-quantizer CTEs (``_trained_ctes`` ->
     ``afull``/``dotsf``/``cnf``) prune candidates to each query's
     IVF_PROBES nearest cells; the PQ CTEs (``_pq_ctes`` -> ``pqcodes``/
     ``pqcf``/``pqnf``) ADC-score only those candidates.  CTE namespaces
     are disjoint by construction (pq* prefix), so the two training
-    replays compose in one WITH."""
+    replays compose in one WITH.
+
+    Parametrized like :func:`_ivf_indexed_oracle` for the persisted-
+    index twins: ``live_pred`` (over ``vec_id``) filters BOTH the
+    candidate corpus and the query side to rows still live at probe
+    time (a folded dv_delete); ``train_pred`` restricts BOTH quantizer
+    training replays to the rows present when build_ivfpq_index ran
+    (appends folded in later encode with the persisted codebooks).
+    Defaults reproduce the plain in-memory composition."""
     return f"""
-WITH {_trained_ctes()},
-{_pq_ctes()},
+WITH {_trained_ctes(train_pred=train_pred)},
+{_pq_ctes(train_pred=train_pred)},
 {_e_cte()},
 qn AS (SELECT vec_id AS query_id, nsq AS q_nsq FROM e
        WHERE vec_id < {N_QUERIES}),
@@ -948,7 +963,8 @@ qp AS (
            row_number() OVER (PARTITION BY d.vec_id
                 ORDER BY d.dot / sqrt(n.c_nsq) DESC, d.cell) AS rn
     FROM dotsf d JOIN cnf n ON d.cell = n.cell
-    WHERE d.vec_id < {N_QUERIES}) t
+    WHERE d.vec_id < {N_QUERIES}
+      AND {live_pred.replace('vec_id', 'd.vec_id')}) t
   WHERE rn <= {IVF_PROBES}),
 pqlut AS (
   SELECT f.vec_id AS query_id, c.sub, c.code,
@@ -958,7 +974,8 @@ pqlut AS (
 cand0 AS (
   SELECT qp.query_id, a.vec_id AS neighbor_id
   FROM afull a JOIN qp ON a.cell = qp.cell
-  WHERE a.vec_id <> qp.query_id),
+  WHERE a.vec_id <> qp.query_id
+    AND {live_pred.replace('vec_id', 'a.vec_id')}),
 cand AS (
   SELECT c0.query_id, c0.neighbor_id,
          CAST(SUM(CAST(l.qdot AS DECIMAL(28,20))) AS DOUBLE) AS dotq,
@@ -1002,4 +1019,94 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
     return PQ.ivf_pq_topk(
         t["embeddings"], n_queries=N_QUERIES, k=K_ANN, n_probes=IVF_PROBES
+    )
+
+
+# -- r14 staged queries (never driver-graded; lead the r15 window) -----------
+
+
+@register(
+    "sim_ivfpq_probe_indexed",
+    oracle=_ivfpq_oracle(),
+    doc="quantized serving read over a PERSISTED IVFPQ sidecar (r14, "
+    "operators/pq.build_ivfpq_index + ivfpq_search_indexed — the FAISS "
+    "IndexIVFPQ serving layout on the lakehouse sidecar conventions): "
+    "both quantizers train once at build time, the corpus is "
+    "reclustered into per-cell hive partitions holding CODES ONLY (16 "
+    "small ints per vector, ~16x smaller than the IVF sidecar's "
+    "embedding postings), and a probe reads ONLY its probed cells' "
+    "directories, scoring candidates from their stored codes via the "
+    "broadcast per-query LUT — at 100 TB the two prunings multiply: "
+    "n_probes/n_cells of the corpus, at 1/16 the bytes, raw embeddings "
+    "touched only for the 10 query vectors.  The PQ geometry comes "
+    "from the index anchor, never caller defaults (ADVICE r13).  The "
+    "oracle replays coarse k-means, sub-block codebooks, encoding, "
+    "cell pruning and ADC scoring in SQL; equality proves the "
+    "persisted quantizers/codes round-trip bit-exactly and the pruned "
+    "read loses no candidate (pruning itself is inputFiles-pinned in "
+    "tests/test_operators.py)",
+    tags=("similarity",),
+)
+def sim_ivfpq_probe_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pq as PQ
+    from .mutate import _mut_dir
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    path = _mut_dir(sf_dir, "embeddings_ivfpq")
+    t["embeddings"].write.mode("overwrite").parquet(path)
+    PQ.build_ivfpq_index(spark, path, id_col="vec_id")
+    return PQ.ivfpq_search_indexed(
+        spark, path, n_queries=N_QUERIES, k=K_ANN, n_probes=IVF_PROBES
+    )
+
+
+_IVFPQ_TRAIN_PRED = "vec_id % 2 = 0"  # the pre-build half
+
+
+@register(
+    "sim_ivfpq_maintain_cycle",
+    oracle=_ivfpq_oracle(
+        live_pred=f"NOT ({_MAINT_DELETE_PRED})",
+        train_pred=_IVFPQ_TRAIN_PRED,
+    ),
+    doc="IVFPQ index MAINTENANCE lifecycle (r14, the graded form of "
+    "operators/pq.maintain_ivfpq_index): build the quantized sidecar "
+    "over HALF the corpus (vec_id % 2 = 0 — both quantizers train on "
+    "that half only), append the other half as new data files, "
+    "tombstone 1/7 of the full corpus via a merge-on-read deletion-"
+    "vector batch (vec_id % 7 = 3, including query id 3), then ONE "
+    "maintain folds both shapes: tombstoned rows leave the codes "
+    "postings via the identity-precise, size-gated anti-join (only "
+    "affected cells' hive partitions rewritten — and they hold codes, "
+    "so the rewrite is ~16x cheaper than the IVF sidecar's), appended "
+    "files' live rows enter encoded with the PERSISTED codebooks "
+    "(codebook immutability — the FAISS posture: no silent retrain).  "
+    "The probe runs over the maintained index; the oracle restricts "
+    "BOTH training replays to the pre-build half, encodes the full "
+    "corpus with the resulting codebooks, and filters candidates and "
+    "query-side cell ranking to survivors.  Equality proves the fold "
+    "removed exactly the doomed posting rows, the appends encode "
+    "identically to a build-time encode, and the maintained state is "
+    "reachable without touching raw indexed bytes",
+    tags=("similarity", "mutate"),
+)
+def sim_ivfpq_maintain_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators import pq as PQ
+    from ..operators.mor import dv_delete_where
+    from .mutate import _mut_dir
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    path = _mut_dir(sf_dir, "embeddings_ivfpq_maint")
+    emb = t["embeddings"]
+    emb.where(F.expr(_IVFPQ_TRAIN_PRED)).write.mode("overwrite").parquet(path)
+    PQ.build_ivfpq_index(spark, path, id_col="vec_id")
+    emb.where(F.expr(f"NOT ({_IVFPQ_TRAIN_PRED})")).write.mode(
+        "append"
+    ).parquet(path)
+    dv_delete_where(spark, path, F.expr(_MAINT_DELETE_PRED))
+    PQ.maintain_ivfpq_index(spark, path, id_col="vec_id")
+    return PQ.ivfpq_search_indexed(
+        spark, path, n_queries=N_QUERIES, k=K_ANN, n_probes=IVF_PROBES
     )

@@ -133,10 +133,27 @@ def train_pq(
     every iteration is a single sample-sized job regardless of
     ``n_subs``).  Codebooks are driver metadata between iterations, the
     FAISS discipline: quantizers broadcast, only assignments stay
-    distributed.  Returns ``(sub int, code int, pos int, c double)``."""
+    distributed.  Returns ``(sub int, code int, pos int, c double)``.
+
+    Duplicate-id discipline: the driver-side seed/means dicts are keyed
+    on ``id_col`` values, so when the input carries the MOR row identity
+    (``src_file``/``row_idx`` — the :func:`build_ivfpq_index` path) the
+    SAMPLE is deduped to one physical row per id (smallest identity
+    wins, deterministically) before seeding/training; a duplicated id
+    would otherwise overwrite ``(sub, code, pos)`` entries in collect
+    order and break bit-exact determinism.  Without identity columns,
+    training assumes unique ids (assignment never does — see
+    ``_rowkey`` in the index builders)."""
     spark = df.sparkSession
-    comp = _comp_sub(df, id_col, emb_col, n_subs, dim)
-    scomp = comp.where((F.col(id_col) % sample_mod) == 0)
+    sdf = df.where((F.col(id_col) % sample_mod) == 0)
+    if {"src_file", "row_idx"} <= set(df.columns):
+        one = W.partitionBy(id_col).orderBy("src_file", "row_idx")
+        sdf = (
+            sdf.withColumn("_trn", F.row_number().over(one))
+            .filter(F.col("_trn") == 1)
+            .drop("_trn")
+        )
+    scomp = _comp_sub(sdf, id_col, emb_col, n_subs, dim)
     seed_ids = [
         r[0]
         for r in scomp.select(id_col)
@@ -388,6 +405,64 @@ def _ivfpq_meta(spark, table_path: str, emb_col: str) -> dict:
         raise
 
 
+def _encode_postings(
+    df: DataFrame,
+    coarse: DataFrame,
+    book: DataFrame,
+    id_col: str,
+    emb_col: str,
+    n_subs: int,
+    dim: int,
+) -> DataFrame:
+    """Encode identity-bearing live rows into codes postings — the one
+    pipeline both :func:`build_ivfpq_index` (full corpus) and
+    :func:`maintain_ivfpq_index` (appended files only) run: coarse cell
+    per row, PQ code per (row, sub-block), codes collected into one
+    sub-ordered array (the packed-bytes stand-in), raw embeddings
+    DROPPED.  Assignment is keyed on the MOR row identity ("file:idx" is
+    injective — row_idx is numeric, so the suffix after the last ':' is
+    unambiguous), never on ``id_col``: duplicate ids must not
+    cross-join.  Output: ``(id, src_file, row_idx, codes, cell)``,
+    repartitioned by cell for the hive-partitioned write."""
+    from .similarity import _comp, assign_cells
+
+    keyed = df.select(id_col, emb_col, "src_file", "row_idx").withColumn(
+        "_rowkey", F.concat_ws(":", F.col("src_file"), F.col("row_idx"))
+    )
+    cells = assign_cells(_comp(keyed, "_rowkey", emb_col), coarse, "_rowkey")
+    codes_long = assign_codes(
+        _comp_sub(keyed, "_rowkey", emb_col, n_subs, dim), book, "_rowkey"
+    )
+    codes_arr = codes_long.groupBy("_rowkey").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))),
+            lambda x: x["code"],
+        ).alias("codes")
+    )
+    return (
+        keyed.drop(emb_col)
+        .join(codes_arr, "_rowkey")
+        .join(cells, "_rowkey")
+        .drop("_rowkey")
+        .repartition("cell")
+    )
+
+
+def _index_geometry(meta: dict, book: DataFrame) -> tuple[int, int]:
+    """The persisted index's PQ geometry ``(n_subs, dim)``: the anchor's
+    recorded build parameters, or — for anchors written before geometry
+    was recorded — derived from the stored codebook itself
+    (``max(sub)+1`` sub-quantizers; ``pos`` is GLOBAL, so the distinct
+    position count IS the dimensionality)."""
+    if "n_subs" in meta and "dim" in meta:
+        return int(meta["n_subs"]), int(meta["dim"])
+    geo = book.agg(
+        (F.max("sub") + F.lit(1)).alias("ns"),
+        F.countDistinct("pos").alias("d"),
+    ).first()
+    return int(geo["ns"]), int(geo["d"])
+
+
 def build_ivfpq_index(
     spark,
     table_path: str,
@@ -415,10 +490,12 @@ def build_ivfpq_index(
 
     Both quantizers train on the deletion-vector-aware live rows; cell
     assignment and code assignment are keyed on the MOR row identity
-    (same duplicate-id discipline as the IVF build).  v1 maintenance
-    posture: ANY table drift (appends, DV batches, retired files)
-    demands a rebuild — the honest r10-IVF stance; the incremental fold
-    is the IVF sidecar's job until this one grows its own.
+    (same duplicate-id discipline as the IVF build).  Maintenance:
+    :func:`maintain_ivfpq_index` folds appends and deletion-vector
+    batches in incrementally (codebooks stay immutable — the FAISS
+    posture); retired/rewritten files still demand a rebuild, and so
+    does quantizer DRIFT (a distribution shift is a retrain decision,
+    never an automatic fold).
 
     Returns the number of live cells."""
     from .mor import _live, _read_dv, _with_identity, list_dv_files
@@ -433,7 +510,6 @@ def build_ivfpq_index(
     from .similarity import (
         IVF_CELLS,
         _rename_identity,
-        assign_cells,
         kmeans_centroids,
     )
 
@@ -465,35 +541,14 @@ def build_ivfpq_index(
         book.coalesce(1).write.mode("overwrite").parquet(f"{root}/codebook")
         coarse_rt = spark.read.parquet(f"{root}/coarse")
         book_rt = spark.read.parquet(f"{root}/codebook")
-        # identity-keyed assignment (duplicate ids never cross-join):
-        # "file:idx" is injective — row_idx is numeric, so the suffix
-        # after the last ':' is unambiguous
-        keyed = df.select(id_col, emb_col, "src_file", "row_idx").withColumn(
-            "_rowkey", F.concat_ws(":", F.col("src_file"), F.col("row_idx"))
-        )
-        from .similarity import _comp
-
-        cells = assign_cells(
-            _comp(keyed, "_rowkey", emb_col), coarse_rt, "_rowkey"
-        )
-        codes_long = assign_codes(
-            _comp_sub(keyed, "_rowkey", emb_col, n_subs, dim),
-            book_rt,
-            "_rowkey",
-        )
-        # (rowkey, codes array ordered by sub): the packed-bytes stand-in
-        codes_arr = codes_long.groupBy("_rowkey").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "code"))),
-                lambda x: x["code"],
-            ).alias("codes")
-        )
-        postings = (
-            keyed.drop(emb_col)
-            .join(codes_arr, "_rowkey")
-            .join(cells, "_rowkey")
-            .drop("_rowkey")
-            .repartition("cell")
+        # a crashed maintain_ivfpq_index leaves _maintain_* stage/trash
+        # dirs as its loud tripwire; a rebuild supersedes them — sweep
+        # so the debris check doesn't refuse forever after the rebuild
+        for st in fs.listStatus(root_p):
+            if st.getPath().getName().startswith("_maintain_"):
+                fs.delete(st.getPath(), True)
+        postings = _encode_postings(
+            df, coarse_rt, book_rt, id_col, emb_col, n_subs, dim
         )
         postings.write.partitionBy("cell").mode("overwrite").parquet(
             f"{root}/postings"
@@ -505,7 +560,19 @@ def build_ivfpq_index(
             spark,
             f"{root}/meta.json",
             json.dumps(
-                {"files": built_from, "n_vectors": n_vectors}, indent=0
+                {
+                    "files": built_from,
+                    "n_vectors": n_vectors,
+                    # PQ geometry: the search path derives its LUT/unpack
+                    # shape from the INDEX, never from caller defaults — a
+                    # build with non-default n_subs would otherwise be
+                    # silently mis-searched (wrong sub tags drop every LUT
+                    # join row, empty results, no error)
+                    "n_subs": int(n_subs),
+                    "n_codes": int(n_codes),
+                    "dim": int(dim),
+                },
+                indent=0,
             ).encode(),
         )
     return coarse_rt.select("cell").distinct().count()
@@ -520,8 +587,8 @@ def ivfpq_search_indexed(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     allow_stale: bool = False,
-    n_subs: int = PQ_SUBS,
-    dim: int = DIM,
+    n_subs: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """ADC probe over a PERSISTED IVFPQ index: queries (read through the
     deletion vectors) rank their ``n_probes`` nearest cells with the
@@ -531,11 +598,21 @@ def ivfpq_search_indexed(
     from their stored CODES via the broadcast per-query LUT — raw
     embeddings are read for the ``n_queries`` query vectors only.
 
+    The PQ geometry (``n_subs``/``dim``) comes from the INDEX — the
+    anchor's recorded build geometry, or derived from the persisted
+    codebook for pre-geometry anchors — never from caller defaults: a
+    sidecar built with non-default ``n_subs`` would otherwise tag query
+    components with wrong sub-block ids and the LUT join would silently
+    drop every row.  Passing ``n_subs``/``dim`` explicitly is a cross-
+    check only (mismatch with the index raises).
+
     Results are identical to :func:`ivf_pq_topk` with the same
     quantizers and ``n_probes``.  Staleness gate: any table drift since
-    build refuses (rebuild; ``allow_stale=True`` opts into the indexed
+    build refuses (rebuild, or :func:`maintain_ivfpq_index` for
+    append/DV-shaped drift; ``allow_stale=True`` opts into the indexed
     subset).  Output: ``(query_id, neighbor_id, cos_sim, rn)``."""
     from .mor import read_mor
+    from .mutate import _is_missing_file_error
     from .similarity import _comp, _table_file_set, assign_cells
 
     if n_probes < 1:
@@ -544,11 +621,30 @@ def ivfpq_search_indexed(
     try:
         coarse = spark.read.parquet(f"{root}/coarse")
         book = spark.read.parquet(f"{root}/codebook")
-    except Exception as e:  # noqa: BLE001 — absent index is a user error
-        raise ValueError(
-            f"no IVFPQ index under {root} — run build_ivfpq_index first"
-        ) from e
+    except Exception as e:  # noqa: BLE001 — classify below
+        # only an ABSENT index is a "build it first" user error; a
+        # permission fault or corrupt file must keep its real cause
+        if _is_missing_file_error(e):
+            raise ValueError(
+                f"no IVFPQ index under {root} — run build_ivfpq_index "
+                "first"
+            ) from e
+        raise
     meta = _ivfpq_meta(spark, table_path, emb_col)
+    idx_subs, idx_dim = _index_geometry(meta, book)
+    if n_subs is not None and n_subs != idx_subs:
+        raise ValueError(
+            f"IVFPQ index under {root} was built with n_subs={idx_subs}, "
+            f"caller asked for {n_subs} — the index decides; rebuild to "
+            "change geometry"
+        )
+    if dim is not None and dim != idx_dim:
+        raise ValueError(
+            f"IVFPQ index under {root} was built with dim={idx_dim}, "
+            f"caller asked for {dim} — the index decides; rebuild to "
+            "change geometry"
+        )
+    n_subs, dim = idx_subs, idx_dim
     if not allow_stale:
         now = _table_file_set(spark, table_path)
         if now != set(meta["files"]):
@@ -612,3 +708,121 @@ def ivfpq_search_indexed(
         )
     )
     return _adc_score_topk(cand, qn, id_col, k)
+
+
+def _read_ivfpq_postings(spark, root: str):
+    """Load the codes postings persisted by :func:`build_ivfpq_index`
+    (None if absent), ``cell`` read back as INT so probe filters prune
+    partitions — the IVFPQ twin of
+    :func:`.similarity.read_ivf_postings`."""
+    try:
+        df = spark.read.parquet(f"{root}/postings")
+        return df.withColumn("cell", F.col("cell").cast("int"))
+    except Exception:
+        return None
+
+
+def _append_files_to_codes(
+    spark, table_path: str, root: str, added_data: list[str], id_col: str,
+    emb_col: str,
+) -> None:
+    """Encode the added files' LIVE rows with the PERSISTED quantizers
+    and append them — with their MOR row identity — to the codes
+    postings.  Codebooks are read INSIDE the maintain lock (the caller
+    holds it) and never retrained: appends cost O(new-file bytes), and
+    whether accumulated drift warrants a retrain is an explicit
+    :func:`build_ivfpq_index` decision, not something a maintenance
+    fold should silently make.  The read goes through the deletion
+    vectors so a file whose rows were tombstoned in the same commit
+    that added it (the dv_update shape) never indexes dead rows."""
+    from .mor import _live, _read_dv, _with_identity
+    from .mutate import is_partitioned
+    from .similarity import _rename_identity
+
+    coarse = spark.read.parquet(f"{root}/coarse")
+    book = spark.read.parquet(f"{root}/codebook")
+    n_subs, dim = _index_geometry(
+        _ivfpq_meta(spark, table_path, emb_col), book
+    )
+    base_path = table_path if is_partitioned(spark, table_path) else None
+    new_df = _rename_identity(
+        _live(
+            _with_identity(
+                spark,
+                table_path,
+                [f"{table_path.rstrip('/')}/{f}" for f in added_data],
+                base_path,
+            ),
+            _read_dv(spark, table_path),
+        )
+    )
+    postings_new = _encode_postings(
+        new_df, coarse, book, id_col, emb_col, n_subs, dim
+    )
+    postings_new.write.partitionBy("cell").mode("append").parquet(
+        f"{root}/postings"
+    )
+
+
+def maintain_ivfpq_index(
+    spark,
+    table_path: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    lock_wait_seconds: float = 30.0,
+) -> dict:
+    """Fold table drift into the persisted IVFPQ index without
+    retraining either quantizer — the quantized twin of
+    :func:`.similarity.maintain_ivf_index`, running the SAME maintenance
+    fold (:func:`.similarity._maintain_locked` — one implementation of
+    the stage-then-swap/crash/lock discipline, two sidecars):
+
+    - **added data files** append their live rows to the codes postings,
+      encoded with the PERSISTED coarse + PQ codebooks (codebook
+      immutability is the FAISS serving contract: recall drifts with the
+      distribution, the index never silently retrains — rebuild when YOU
+      decide the drift warrants it);
+    - **added deletion-vector batches** REMOVE their tombstoned rows via
+      the precise ``(src_file, row_idx)`` anti-join — broadcast only
+      when the batches' on-disk bytes fit the session's
+      autoBroadcastJoinThreshold (a bulk delete's tombstone set
+      shuffle-joins) — rewriting ONLY the affected cells' hive
+      partitions via stage-then-swap;
+    - **retired/rewritten files** (compaction, materialize) still demand
+      a rebuild, as do crashed-maintain debris and a postings/anchor
+      count mismatch.
+
+    At 100 TB this is the steady-state story for the QUANTIZED serving
+    index: a delete trickle costs O(tombstones + affected-cell CODE
+    bytes) — and the code bytes are ~16x smaller than the IVF sidecar's
+    embedding postings, so the same fold rewrites ~16x fewer bytes.
+
+    Crash discipline: the staleness anchor advances LAST; old cell
+    partitions are trashed, never deleted, until it commits.  The whole
+    pass runs under the INDEX-scoped advisory lock (never contends with
+    table writers, only other maintains/rebuilds of THIS sidecar).
+
+    Returns ``{"appended": n, "removed": n, "cells_rewritten": n}``."""
+    from .mutate import _writer_lock
+    from .similarity import _maintain_locked
+
+    root = _ivfpq_root(table_path, emb_col)
+    if _read_ivfpq_postings(spark, root) is None:
+        raise ValueError(
+            f"no IVFPQ index under {root} — run build_ivfpq_index first"
+        )
+    with _writer_lock(spark, root, lock_wait_seconds):
+        return _maintain_locked(
+            spark,
+            table_path,
+            emb_col,
+            id_col,
+            root,
+            kind="IVFPQ",
+            rebuild_with="build_ivfpq_index",
+            read_postings=lambda: _read_ivfpq_postings(spark, root),
+            meta_reader=lambda: _ivfpq_meta(spark, table_path, emb_col),
+            append_files=lambda added: _append_files_to_codes(
+                spark, table_path, root, added, id_col, emb_col
+            ),
+        )

@@ -521,10 +521,25 @@ def kmeans_centroids(
     each one (id, cell)-grouped shuffle of sample components; the corpus
     itself is only ever scanned by the final assignment.
 
-    Returns the codebook DataFrame ``(cell int, pos int, c double)``."""
+    Returns the codebook DataFrame ``(cell int, pos int, c double)``.
+
+    Duplicate-id discipline (same contract as ``pq.train_pq``): the
+    driver-side seed/means dicts key on ``id_col`` values, so when the
+    input carries the MOR row identity (``src_file``/``row_idx`` — the
+    ``build_ivf_index``/``build_ivfpq_index`` path) the SAMPLE is
+    deduped to one physical row per id (smallest identity wins) before
+    seeding/training; without identity columns training assumes unique
+    ids (assignment never does — it keys on ``_rowkey``)."""
     spark = df.sparkSession
-    comp = _comp(df, id_col, emb_col)
-    scomp = comp.where((F.col(id_col) % sample_mod) == 0)
+    sdf = df.where((F.col(id_col) % sample_mod) == 0)
+    if {"src_file", "row_idx"} <= set(df.columns):
+        one = W.partitionBy(id_col).orderBy("src_file", "row_idx")
+        sdf = (
+            sdf.withColumn("_trn", F.row_number().over(one))
+            .filter(F.col("_trn") == 1)
+            .drop("_trn")
+        )
+    scomp = _comp(sdf, id_col, emb_col)
     seed_ids = [
         r[0]
         for r in scomp.select(id_col)
@@ -1098,25 +1113,64 @@ def maintain_ivf_index(
         return _maintain_locked(spark, table_path, emb_col, id_col, root)
 
 
-def _maintain_locked(spark, table_path, emb_col, id_col, root) -> dict:
+def _maintain_locked(
+    spark,
+    table_path,
+    emb_col,
+    id_col,
+    root,
+    *,
+    kind: str = "IVF",
+    rebuild_with: str = "build_ivf_index",
+    read_postings=None,
+    meta_reader=None,
+    append_files=None,
+) -> dict:
+    """The maintenance fold shared by the IVF and IVFPQ sidecars (the
+    caller holds the index lock).  The fold itself is postings-schema-
+    agnostic — tombstone removal anti-joins whole rows on the MOR
+    identity and the stage-then-swap moves hive partitions — so the two
+    indexes differ only in the hooks: how postings/meta are read and how
+    an added file's live rows are encoded for append.  Defaults are the
+    IVF sidecar's; :func:`..pq.maintain_ivfpq_index` passes its own."""
     import json
     import uuid as _uuid
 
     from .mutate import _fs, _write_small_file
 
-    # re-read both halves INSIDE the lock: the wrapper's DataFrames
+    if read_postings is None:
+        read_postings = lambda: read_ivf_postings(  # noqa: E731
+            spark, table_path, emb_col
+        )
+    if meta_reader is None:
+        meta_reader = lambda: _ivf_meta(spark, table_path, emb_col)  # noqa: E731
+    if append_files is None:
+
+        def append_files(added_data):
+            # re-read the codebook INSIDE the lock — a rebuild that just
+            # committed could have swapped it since the wrapper's check
+            _append_files_to_postings(
+                spark,
+                table_path,
+                root,
+                read_ivf_index(spark, table_path, emb_col),
+                added_data,
+                id_col,
+                emb_col,
+            )
+
+    # re-read the postings INSIDE the lock: the wrapper's DataFrames
     # pinned their file listings before the lock was held, and a
     # maintainer (or rebuild) that just committed could have swapped
-    # cell partitions or the codebook since
-    codebook = read_ivf_index(spark, table_path, emb_col)
-    postings = read_ivf_postings(spark, table_path, emb_col)
+    # cell partitions since
+    postings = read_postings()
     jvm, fs, root_p = _fs(spark, root)
     debris = sorted(
         st.getPath().getName()
         for st in fs.listStatus(root_p)
         if st.getPath().getName().startswith("_maintain_")
     )
-    meta = _ivf_meta(spark, table_path, emb_col)
+    meta = meta_reader()
     built = set(meta["files"])
     now = _table_file_set(spark, table_path)
     removed_files = built - now
@@ -1132,15 +1186,15 @@ def _maintain_locked(spark, table_path, emb_col, id_col, root) -> dict:
         # drift + debris = a maintain crashed MID-flight (before its
         # anchor committed); the postings may be part-swapped — rebuild
         raise ValueError(
-            f"IVF index under {root} has crashed-maintenance debris "
-            f"({', '.join(debris)}) — rebuild with build_ivf_index"
+            f"{kind} index under {root} has crashed-maintenance debris "
+            f"({', '.join(debris)}) — rebuild with {rebuild_with}"
         )
     if removed_files:
         raise ValueError(
-            f"IVF index under {root} cannot be maintained "
+            f"{kind} index under {root} cannot be maintained "
             f"incrementally: {len(removed_files)} indexed file(s) "
             "retired/rewritten (compaction or materialize) — rebuild "
-            "with build_ivf_index"
+            f"with {rebuild_with}"
         )
     post_root = f"{root}/postings"
     have = spark.read.parquet(post_root).count()  # footers only
@@ -1149,9 +1203,14 @@ def _maintain_locked(spark, table_path, emb_col, id_col, root) -> dict:
             f"postings under {root} hold {have} vectors but the "
             f"anchor recorded {meta['n_vectors']} — a crashed "
             "refresh/maintain left partial state; rebuild with "
-            "build_ivf_index"
+            f"{rebuild_with}"
         )
-    _require_identity_postings(spark, table_path, emb_col, root)
+    if not {"src_file", "row_idx"} <= set(postings.columns):
+        raise ValueError(
+            f"{kind} postings under {root} predate row-identity "
+            "postings (no src_file/row_idx columns) — rebuild with "
+            f"{rebuild_with}"
+        )
     added_dv = [f for f in added if f.startswith("_dv/")]
     added_data = [f for f in added if not f.startswith("_dv/")]
 
@@ -1259,9 +1318,7 @@ def _maintain_locked(spark, table_path, emb_col, id_col, root) -> dict:
             cells_rewritten = len(affected)
 
     if added_data:
-        _append_files_to_postings(
-            spark, table_path, root, codebook, added_data, id_col, emb_col
-        )
+        append_files(added_data)
     # same discipline as the stage-dir count above: the ONLY legitimate
     # unreadable-postings state is "every cell emptied" (no cell= dirs
     # left), detected by listing; a genuine read failure must propagate —
@@ -1280,6 +1337,10 @@ def _maintain_locked(spark, table_path, emb_col, id_col, root) -> dict:
         f"{root}/meta.json",
         json.dumps(
             {
+                # non-fold anchor keys (e.g. the IVFPQ geometry) pass
+                # through untouched — a maintain must never strip what a
+                # build recorded
+                **meta,
                 # anchor = exactly what the index now covers (built ∪
                 # added), never a re-listing — concurrent commits
                 # during THIS maintain stay un-anchored and keep the

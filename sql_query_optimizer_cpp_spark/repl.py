@@ -104,7 +104,8 @@ _HELP = """commands:
                         deletion-vector batches in (removes tombstoned
                         vectors by row identity); SEARCH probes only the
                         query's nearest cells (col defaults: embedding)
-  IVFPQ <name> BUILD [<col>] | SEARCH <k> [probes] [<col>] | STATS [<col>]
+  IVFPQ <name> BUILD [<col>] | MAINTAIN [<col>] | SEARCH <k> [probes] [<col>]
+               | STATS [<col>]
                         quantized ANN index (FAISS IVFPQ shape): coarse
                         cells + product-quantization codebooks; postings
                         hold 16x-compressed CODES only, SEARCH reads just
@@ -501,13 +502,15 @@ def handle(
                 _ivfpq_root,
                 build_ivfpq_index,
                 ivfpq_search_indexed,
+                maintain_ivfpq_index,
             )
             from .operators.similarity import _table_file_set
 
             parts = rest.split()
             usage = (
                 "usage: IVFPQ <attached table> BUILD [<col>] | "
-                "SEARCH <k> [probes] [<col>] | STATS [<col>]"
+                "MAINTAIN [<col>] | SEARCH <k> [probes] [<col>] | "
+                "STATS [<col>]"
             )
             if len(parts) < 2 or parts[0] not in dml_tables:
                 return usage
@@ -520,6 +523,20 @@ def handle(
                     f"ivfpq index on {name}.{col}: coarse codebook "
                     f"({n} trained cell(s)) + PQ codebooks + codes-only "
                     "posting lists"
+                )
+            if action == "MAINTAIN":
+                col = args[0] if args else "embedding"
+                st = maintain_ivfpq_index(engine.spark, path, emb_col=col)
+                if not any(st.values()):
+                    return (
+                        f"ivfpq index on {name}.{col} already covers "
+                        "every live file and tombstone"
+                    )
+                return (
+                    f"ivfpq index on {name}.{col}: appended "
+                    f"{st['appended']}, removed {st['removed']} "
+                    f"vector(s) ({st['cells_rewritten']} cell "
+                    "partition(s) rewritten; codebooks untouched)"
                 )
             if action == "SEARCH":
                 if not args or not args[0].isdigit():
@@ -569,8 +586,7 @@ def handle(
                     ):
                         stale = (
                             "  [STALE — the table changed since build; "
-                            f"IVFPQ {name} BUILD {col} (v1 has no "
-                            "incremental fold)]"
+                            f"IVFPQ {name} MAINTAIN {col} (or BUILD)]"
                         )
                 return (
                     f"ivfpq index on {name}.{col}: {n_books} (sub, code) "

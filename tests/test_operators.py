@@ -1475,7 +1475,8 @@ def test_pq_encode_shapes_and_adc_recall(spark):
         F.min("code").alias("lo"), F.max("code").alias("hi")
     ).first()
     assert rng["lo"] >= 0 and rng["hi"] < PQ.PQ_CODES
-    # every vector's 4 codes fit in 4 bytes: the 64x compression story
+    # every vector's 16 sub-block codes fit in ~16 bytes vs 256 B of
+    # floats: the 16x compression story (geometry sized for recall)
     approx = PQ.pq_adc_topk(emb, n_queries=6, k=5, codebook=book)
     exact = S.brute_force_topk(emb, n_queries=6, k=5)
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
@@ -1593,3 +1594,155 @@ def test_ivfpq_persisted_index_roundtrip(spark, tmp_path):
         ).count()
         > 0
     )
+
+
+def test_ivfpq_geometry_comes_from_the_index(spark, tmp_path):
+    """(r14, ADVICE r13) The search path derives n_subs/dim from the
+    persisted index, so a sidecar built with NON-DEFAULT geometry is
+    searched correctly by a default-arg probe; a caller-passed geometry
+    that contradicts the index raises instead of silently dropping every
+    LUT join row; and a pre-geometry anchor (meta.json without
+    n_subs/dim) still works via codebook derivation."""
+    import json
+
+    import pytest as _pytest
+
+    from sql_query_optimizer_cpp_spark.operators import pq as PQ
+    from sql_query_optimizer_cpp_spark.operators.mor import read_mor
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        _read_small_file,
+        _write_small_file,
+    )
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    tdir = str(tmp_path / "emb_ivfpq_geo")
+    emb.where("vec_id < 400").write.parquet(tdir)
+    # non-default geometry: 8 sub-quantizers (dsub=8), 8 codes
+    PQ.build_ivfpq_index(spark, tdir, id_col="vec_id", n_subs=8, n_codes=8)
+    root = PQ._ivfpq_root(tdir, "embedding")
+    meta = json.loads(_read_small_file(spark, f"{root}/meta.json"))
+    assert (meta["n_subs"], meta["n_codes"], meta["dim"]) == (8, 8, PQ.DIM)
+    got = PQ.ivfpq_search_indexed(spark, tdir, n_queries=4, k=3)
+    rows = got.collect()
+    assert len(rows) == 12  # 4 queries x top-3: the LUT join held
+    want = PQ.ivf_pq_topk(
+        read_mor(spark, tdir).select("vec_id", "embedding"),
+        n_queries=4,
+        k=3,
+        coarse=spark.read.parquet(f"{root}/coarse"),
+        codebook=spark.read.parquet(f"{root}/codebook"),
+        n_subs=8,
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, want))
+    # contradicting the index is a loud error, not an empty result
+    with _pytest.raises(ValueError, match="n_subs=8"):
+        PQ.ivfpq_search_indexed(spark, tdir, n_queries=4, k=3, n_subs=16)
+    with _pytest.raises(ValueError, match=f"dim={PQ.DIM}"):
+        PQ.ivfpq_search_indexed(spark, tdir, n_queries=4, k=3, dim=32)
+    # legacy anchor without geometry keys: derived from the codebook
+    _write_small_file(
+        spark,
+        f"{root}/meta.json",
+        json.dumps(
+            {"files": meta["files"], "n_vectors": meta["n_vectors"]},
+            indent=0,
+        ).encode(),
+    )
+    legacy = PQ.ivfpq_search_indexed(spark, tdir, n_queries=4, k=3).collect()
+    assert sorted(map(tuple, legacy)) == sorted(map(tuple, want))
+
+
+def test_maintain_ivfpq_index_folds_appends_and_deletes(spark, tmp_path):
+    """(r14) maintain_ivfpq_index folds a deletion-vector batch and an
+    append into the persisted codes postings by row identity — the
+    PERSISTED codebooks encode the new rows, nothing retrains — and
+    after every maintain the indexed ADC probe equals the in-memory
+    ivf_pq_topk over read_mor with the same quantizers.  The anchor's
+    geometry keys survive the maintain rewrite."""
+    import json
+
+    import pytest as _pytest
+
+    from sql_query_optimizer_cpp_spark.operators import pq as PQ
+    from sql_query_optimizer_cpp_spark.operators.mor import (
+        dv_delete_where,
+        read_mor,
+    )
+    from sql_query_optimizer_cpp_spark.operators.mutate import (
+        _read_small_file,
+    )
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    tdir = str(tmp_path / "emb_ivfpq_maintain")
+    emb.write.parquet(tdir)
+    PQ.build_ivfpq_index(spark, tdir, id_col="vec_id")
+    root = PQ._ivfpq_root(tdir, "embedding")
+    base_n = spark.read.parquet(f"{root}/postings").count()
+    book_before = sorted(
+        map(tuple, spark.read.parquet(f"{root}/codebook").collect())
+    )
+
+    def parity(k=4):
+        got = sorted(
+            tuple(r)
+            for r in PQ.ivfpq_search_indexed(
+                spark, tdir, n_queries=6, k=k, n_probes=2
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in PQ.ivf_pq_topk(
+                read_mor(spark, tdir).select("vec_id", "embedding"),
+                n_queries=6,
+                k=k,
+                n_probes=2,
+                coarse=spark.read.parquet(f"{root}/coarse"),
+                codebook=spark.read.parquet(f"{root}/codebook"),
+            ).collect()
+        )
+        assert got == want and got
+
+    n_del = dv_delete_where(spark, tdir, "vec_id % 7 = 3")
+    assert n_del > 0
+    with _pytest.raises(ValueError, match="STALE"):
+        PQ.ivfpq_search_indexed(spark, tdir, n_queries=6, k=4)
+    st = PQ.maintain_ivfpq_index(spark, tdir, id_col="vec_id")
+    assert st["removed"] == n_del and st["appended"] == 0
+    assert st["cells_rewritten"] >= 1
+    postings = spark.read.parquet(f"{root}/postings")
+    assert postings.count() == base_n - n_del
+    assert postings.where("vec_id % 7 = 3").count() == 0
+    assert "embedding" not in postings.columns  # still codes-only
+    parity()
+    # idempotent when fresh
+    assert PQ.maintain_ivfpq_index(spark, tdir, id_col="vec_id") == {
+        "appended": 0,
+        "removed": 0,
+        "cells_rewritten": 0,
+    }
+    # append + second delete wave in ONE maintain; the delete hits both
+    # indexed rows and a not-yet-indexed new row (1000004 % 7 = 5),
+    # which the DV-aware append must skip
+    emb.where("vec_id < 5").selectExpr(
+        "vec_id + 1000000 AS vec_id", "embedding", "label"
+    ).write.mode("append").parquet(tdir)
+    n_del2 = dv_delete_where(spark, tdir, "vec_id % 7 = 5")
+    st = PQ.maintain_ivfpq_index(spark, tdir, id_col="vec_id")
+    assert st["appended"] == 4 and st["removed"] == n_del2 - 1
+    postings = spark.read.parquet(f"{root}/postings")
+    assert postings.count() == read_mor(spark, tdir).count()
+    assert postings.where("vec_id = 1000004").count() == 0
+    assert postings.where("vec_id >= 1000000").count() == 4
+    parity()
+    # the codebooks never retrained and the anchor kept its geometry
+    book_after = sorted(
+        map(tuple, spark.read.parquet(f"{root}/codebook").collect())
+    )
+    assert book_after == book_before
+    meta = json.loads(_read_small_file(spark, f"{root}/meta.json"))
+    assert (meta["n_subs"], meta["n_codes"], meta["dim"]) == (
+        PQ.PQ_SUBS,
+        PQ.PQ_CODES,
+        PQ.DIM,
+    )
+    assert meta["n_vectors"] == postings.count()

@@ -807,8 +807,9 @@ def test_repl_recover_verb(engine, tmp_path):
 
 
 def test_repl_ivfpq_verbs(engine, tmp_path):
-    """(r13) IVFPQ BUILD/SEARCH/STATS drive the quantized serving index
-    from the prompt, including the v1 drift-demands-rebuild lifecycle."""
+    """(r13, +MAINTAIN r14) IVFPQ BUILD/MAINTAIN/SEARCH/STATS drive the
+    quantized serving index from the prompt: drift flags stale, a
+    rebuild OR an incremental maintain clears it."""
     from sql_query_optimizer_cpp_spark.catalog import load_tables
 
     from .conftest import SF_DIR
@@ -836,3 +837,15 @@ def test_repl_ivfpq_verbs(engine, tmp_path):
     assert "coarse codebook" in out
     assert "STALE" not in handle(engine, "IVFPQ e STATS", tables)
     assert "query_id" in handle(engine, "IVFPQ e SEARCH 3", tables)
+    # incremental path (r14): drift again, MAINTAIN folds it in place —
+    # codebooks untouched, no rebuild — and clears the stale flag
+    emb.limit(3).selectExpr(
+        "vec_id + 2000000 AS vec_id", "embedding", "label"
+    ).write.mode("append").parquet(path)
+    assert "STALE" in handle(engine, "IVFPQ e STATS", tables)
+    out = handle(engine, "IVFPQ e MAINTAIN", tables)
+    assert "appended 3" in out and "codebooks untouched" in out
+    assert "STALE" not in handle(engine, "IVFPQ e STATS", tables)
+    assert "query_id" in handle(engine, "IVFPQ e SEARCH 3", tables)
+    out = handle(engine, "IVFPQ e MAINTAIN", tables)
+    assert "already covers" in out

@@ -1,13 +1,17 @@
-"""Randomized sweep: incremental IVF maintenance vs the unindexed
-trained search on the same persisted codebook.
+"""Randomized sweep: incremental index maintenance vs the unindexed
+search on the same persisted quantizers — for BOTH sidecars.
 
 For each seed: start from a random slice of the embeddings fixture,
-build the index, then apply a random schedule of APPEND batches,
-dv_delete waves, and dv_update waves (tombstone + same-id copy) with a
-``maintain_ivf_index`` after each step; after every maintain assert
+build an index (even seeds: the IVF sidecar; odd seeds: the IVFPQ
+codes sidecar — same wall-clock as the pre-r14 sweep, alternating
+coverage), then apply a random schedule of APPEND batches, dv_delete
+waves, and dv_update waves (tombstone + same-id copy) with a maintain
+after each step; after every maintain assert
 
-  ivf_search_indexed(table)  ==  ivf_topk_trained(read_mor(table),
-                                                  codebook=persisted)
+  ivf_search_indexed(table)    ==  ivf_topk_trained(read_mor(table),
+                                                    codebook=persisted)
+  ivfpq_search_indexed(table)  ==  ivf_pq_topk(read_mor(table),
+                                               coarse/codebook=persisted)
 
 row-for-row at a random (k, n_probes), and that the postings count
 equals the live (read_mor) row count.  This is the property the
@@ -42,6 +46,7 @@ def main(n_seeds: int = 10) -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     from sql_query_optimizer_cpp_spark.catalog import load_tables
+    from sql_query_optimizer_cpp_spark.operators import pq as PQ
     from sql_query_optimizer_cpp_spark.operators import similarity as S
     from sql_query_optimizer_cpp_spark.operators.mor import (
         dv_delete_where,
@@ -62,13 +67,23 @@ def main(n_seeds: int = 10) -> None:
 
     for seed in range(n_seeds):
         rng = random.Random(seed)
+        # even seeds sweep the IVF sidecar, odd seeds the IVFPQ codes
+        # sidecar (r14): both run the SAME shared maintenance fold
+        # (similarity._maintain_locked) with different read/append hooks,
+        # so alternating keeps the sweep wall flat while covering both
+        kind = "ivf" if seed % 2 == 0 else "ivfpq"
         order = ids[:]
         rng.shuffle(order)
         base_n = rng.randint(n // 4, n // 2)
-        root = tempfile.mkdtemp(prefix=f"ivf_sweep_{seed}_")
+        root = tempfile.mkdtemp(prefix=f"{kind}_sweep_{seed}_")
         tdir = f"{root}/vectors"
         try:
             base_ids = order[:base_n]
+            maintain_fn = (
+                S.maintain_ivf_index
+                if kind == "ivf"
+                else PQ.maintain_ivfpq_index
+            )
 
             def maintain():
                 # ~1/3 of maintains run with broadcasting disabled —
@@ -82,19 +97,20 @@ def main(n_seeds: int = 10) -> None:
                         "spark.sql.autoBroadcastJoinThreshold", "-1"
                     )
                     try:
-                        return S.maintain_ivf_index(
-                            spark, tdir, id_col="vec_id"
-                        )
+                        return maintain_fn(spark, tdir, id_col="vec_id")
                     finally:
                         spark.conf.set(
                             "spark.sql.autoBroadcastJoinThreshold", old
                         )
-                return S.maintain_ivf_index(spark, tdir, id_col="vec_id")
+                return maintain_fn(spark, tdir, id_col="vec_id")
 
             emb.where(F.col("vec_id").isin(base_ids)).repartition(
                 rng.randint(1, 3)
             ).write.parquet(tdir)
-            S.build_ivf_index(spark, tdir, id_col="vec_id")
+            if kind == "ivf":
+                S.build_ivf_index(spark, tdir, id_col="vec_id")
+            else:
+                PQ.build_ivfpq_index(spark, tdir, id_col="vec_id")
             cursor = base_n
             step = 0
             while cursor < n:
@@ -144,7 +160,12 @@ def main(n_seeds: int = 10) -> None:
                     )
                 table = read_mor(spark, tdir)
                 n_tab = table.count()
-                post = S.read_ivf_postings(spark, tdir)
+                if kind == "ivf":
+                    post = S.read_ivf_postings(spark, tdir)
+                else:
+                    post = PQ._read_ivfpq_postings(
+                        spark, PQ._ivfpq_root(tdir, "embedding")
+                    )
                 n_post = post.count() if post is not None else 0
                 assert n_post == n_tab, (
                     f"seed {seed} step {step}: postings {n_post} != "
@@ -152,31 +173,53 @@ def main(n_seeds: int = 10) -> None:
                 )
                 k = rng.randint(1, 5)
                 probes = rng.randint(1, S.IVF_CELLS)
-                got = sorted(
-                    tuple(r)
-                    for r in S.ivf_search_indexed(
-                        spark, tdir, n_queries=8, k=k, n_probes=probes
-                    ).collect()
-                )
-                want = sorted(
-                    tuple(r)
-                    for r in S.ivf_topk_trained(
-                        table.select("vec_id", "embedding"),
-                        n_queries=8,
-                        k=k,
-                        codebook=S.read_ivf_index(spark, tdir),
-                        n_probes=probes,
-                    ).collect()
-                )
+                if kind == "ivf":
+                    got = sorted(
+                        tuple(r)
+                        for r in S.ivf_search_indexed(
+                            spark, tdir, n_queries=8, k=k, n_probes=probes
+                        ).collect()
+                    )
+                    want = sorted(
+                        tuple(r)
+                        for r in S.ivf_topk_trained(
+                            table.select("vec_id", "embedding"),
+                            n_queries=8,
+                            k=k,
+                            codebook=S.read_ivf_index(spark, tdir),
+                            n_probes=probes,
+                        ).collect()
+                    )
+                else:
+                    pq_root = PQ._ivfpq_root(tdir, "embedding")
+                    got = sorted(
+                        tuple(r)
+                        for r in PQ.ivfpq_search_indexed(
+                            spark, tdir, n_queries=8, k=k, n_probes=probes
+                        ).collect()
+                    )
+                    want = sorted(
+                        tuple(r)
+                        for r in PQ.ivf_pq_topk(
+                            table.select("vec_id", "embedding"),
+                            n_queries=8,
+                            k=k,
+                            n_probes=probes,
+                            coarse=spark.read.parquet(f"{pq_root}/coarse"),
+                            codebook=spark.read.parquet(
+                                f"{pq_root}/codebook"
+                            ),
+                        ).collect()
+                    )
                 assert got == want, (
                     f"seed {seed} step {step} (k={k}, probes={probes}): "
-                    f"indexed probe != trained search\n  got {got[:5]}…"
+                    f"indexed probe != in-memory twin\n  got {got[:5]}…"
                     f"\n  want {want[:5]}…"
                 )
                 step += 1
             print(
-                f"seed {seed}: OK — base {base_n}, {step} maintain "
-                f"steps, final {n_tab} vectors, ALL MATCH"
+                f"seed {seed} ({kind}): OK — base {base_n}, {step} "
+                f"maintain steps, final {n_tab} vectors, ALL MATCH"
             )
         finally:
             shutil.rmtree(root, ignore_errors=True)
