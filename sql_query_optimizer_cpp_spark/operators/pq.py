@@ -650,9 +650,12 @@ def ivfpq_search_indexed(
         if now != set(meta["files"]):
             raise ValueError(
                 f"IVFPQ index under {root} is STALE: the table's file "
-                "set changed since build_ivfpq_index — rebuild (v1 has "
-                "no incremental fold), or pass allow_stale=True to "
-                "search the indexed subset anyway"
+                "set (data + deletion-vector batches) changed since "
+                "build_ivfpq_index — maintain_ivfpq_index folds "
+                "appended files AND deletion-vector batches in "
+                "incrementally (rebuild only for retired files), or "
+                "pass allow_stale=True to search the indexed subset "
+                "anyway"
             )
     qbase = (
         read_mor(spark, table_path)
@@ -712,14 +715,19 @@ def ivfpq_search_indexed(
 
 def _read_ivfpq_postings(spark, root: str):
     """Load the codes postings persisted by :func:`build_ivfpq_index`
-    (None if absent), ``cell`` read back as INT so probe filters prune
-    partitions — the IVFPQ twin of
-    :func:`.similarity.read_ivf_postings`."""
+    (None only when ABSENT — a permission fault or corrupt file keeps
+    its real cause instead of masquerading as "no index"), ``cell``
+    read back as INT so probe filters prune partitions — the IVFPQ twin
+    of :func:`.similarity.read_ivf_postings`."""
+    from .mutate import _is_missing_file_error
+
     try:
         df = spark.read.parquet(f"{root}/postings")
         return df.withColumn("cell", F.col("cell").cast("int"))
-    except Exception:
-        return None
+    except Exception as e:  # noqa: BLE001 — classify below
+        if _is_missing_file_error(e):
+            return None
+        raise
 
 
 def _append_files_to_codes(
