@@ -214,21 +214,28 @@ _PRIORITY: tuple[str, ...] = (
     "except_",
     "text_boilerplate_ngrams",
     # ==== end of the 50-entry r14 window; r15 queue below ================
-    # r15 rotation plan: lead with the queries staged during round 14
-    # (new-query cap ≤3 per round; each sim-verified at sf0.01 AND sf0.1
-    # plus a shuffle.partitions=200 cluster-shape smoke before staging):
+    # r15 rotation plan: lead with the THREE queries staged during round
+    # 14 (new-query cap ≤3 per round; each sim-verified at sf0.01 AND
+    # sf0.1 plus a shuffle.partitions=200 cluster-shape smoke before
+    # staging):
     #   sim_ivfpq_probe_indexed — the persisted-IVFPQ serving read
     #     (pq.build_ivfpq_index -> ivfpq_search_indexed): codes-only
     #     postings, probes read ONLY the probed cells' directories; the
     #     oracle replays coarse+PQ training, encoding, cell pruning and
     #     ADC scoring on the indexed subset in SQL;
     #   sim_ivfpq_maintain_cycle — incremental IVFPQ maintenance
-    #     (pq.maintain_ivfpq_index): build sidecar -> DV-delete a slice
-    #     -> maintain folds tombstones out of the codes postings (gated
-    #     anti-join, no retrain) and encodes appended files with the
-    #     PERSISTED codebooks -> probe; oracle re-derives the post-
-    #     maintenance ADC top-k with training CTEs pinned to the
-    #     ORIGINAL build corpus (codebook immutability is the contract).
+    #     (pq.maintain_ivfpq_index): build sidecar on the vec_id%2=0
+    #     half -> append the other half -> dv_delete 1/7 -> ONE maintain
+    #     folds tombstones out of the codes postings (gated anti-join,
+    #     no retrain) and encodes appended files with the PERSISTED
+    #     codebooks -> probe; oracle pins BOTH training replays to the
+    #     pre-build half and filters candidates/query ranking to
+    #     survivors (codebook immutability is the contract);
+    #   sim_ivfpq_refine_topk — refined IVFPQ (pq.ivf_pq_refine_topk,
+    #     the FAISS IndexRefineFlat shape): ADC keeps each query's
+    #     top-15 approximate candidates, only those are re-scored
+    #     exactly from raw embeddings, final top-5 ranks on TRUE
+    #     cosines; oracle replays the ADC cut and the exact re-rank.
     # Keep the flagship guard, then the 23 r10 leftovers named above,
     # then the stalest r11 greens in registry order.
 )

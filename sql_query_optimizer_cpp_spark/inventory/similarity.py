@@ -936,23 +936,25 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PQ.pq_adc_topk(t["embeddings"], n_queries=N_QUERIES, k=K_ANN)
 
 
-def _ivfpq_oracle(live_pred: str = "TRUE", train_pred: str = "TRUE") -> str:
-    """IVFPQ twin: the coarse-quantizer CTEs (``_trained_ctes`` ->
+def _ivfpq_cand_ctes(
+    live_pred: str = "TRUE", train_pred: str = "TRUE"
+) -> str:
+    """The shared IVFPQ CTE chain through ``cand(query_id, neighbor_id,
+    dotq, xh_nsq)``: the coarse-quantizer CTEs (``_trained_ctes`` ->
     ``afull``/``dotsf``/``cnf``) prune candidates to each query's
     IVF_PROBES nearest cells; the PQ CTEs (``_pq_ctes`` -> ``pqcodes``/
     ``pqcf``/``pqnf``) ADC-score only those candidates.  CTE namespaces
     are disjoint by construction (pq* prefix), so the two training
-    replays compose in one WITH.
+    replays compose in one WITH.  Also defines ``e``/``qn`` for the
+    finishers.
 
     Parametrized like :func:`_ivf_indexed_oracle` for the persisted-
     index twins: ``live_pred`` (over ``vec_id``) filters BOTH the
     candidate corpus and the query side to rows still live at probe
     time (a folded dv_delete); ``train_pred`` restricts BOTH quantizer
     training replays to the rows present when build_ivfpq_index ran
-    (appends folded in later encode with the persisted codebooks).
-    Defaults reproduce the plain in-memory composition."""
-    return f"""
-WITH {_trained_ctes(train_pred=train_pred)},
+    (appends folded in later encode with the persisted codebooks)."""
+    return f"""{_trained_ctes(train_pred=train_pred)},
 {_pq_ctes(train_pred=train_pred)},
 {_e_cte()},
 qn AS (SELECT vec_id AS query_id, nsq AS q_nsq FROM e
@@ -985,7 +987,15 @@ cand AS (
   JOIN pqlut l ON l.query_id = c0.query_id
               AND l.sub = pc.sub AND l.code = pc.code
   JOIN pqnf n ON n.sub = pc.sub AND n.code = pc.code
-  GROUP BY 1, 2)
+  GROUP BY 1, 2)"""
+
+
+def _ivfpq_oracle(live_pred: str = "TRUE", train_pred: str = "TRUE") -> str:
+    """IVFPQ twin: rank the ADC approximate cosines directly (the
+    quantized serving answer).  Defaults reproduce the plain in-memory
+    composition."""
+    return f"""
+WITH {_ivfpq_cand_ctes(live_pred, train_pred)}
 SELECT query_id, neighbor_id, cos_sim, rn FROM (
   SELECT c.query_id, c.neighbor_id,
          round(c.dotq / (sqrt(q.q_nsq) * sqrt(c.xh_nsq)), 6) AS cos_sim,
@@ -1109,4 +1119,72 @@ def sim_ivfpq_maintain_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     PQ.maintain_ivfpq_index(spark, path, id_col="vec_id")
     return PQ.ivfpq_search_indexed(
         spark, path, n_queries=N_QUERIES, k=K_ANN, n_probes=IVF_PROBES
+    )
+
+
+PQ_REFINE = 15  # ADC keeps 3x the final k; exact re-rank picks the 5
+
+
+def _ivfpq_refine_oracle(refine: int) -> str:
+    """Refined-IVFPQ twin (the FAISS IndexRefineFlat shape): the shared
+    IVFPQ chain yields ADC approximate scores, ``adc`` keeps each
+    query's top-``refine`` by that ranking (ties to the smallest
+    neighbor, exactly the operator's window), and the finisher
+    re-scores ONLY those pairs with the decimal-exact cosine before the
+    final top-K_ANN — the graded result carries EXACT cosines."""
+    return f"""
+WITH {_ivfpq_cand_ctes()},
+adc AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT c.query_id, c.neighbor_id,
+           row_number() OVER (PARTITION BY c.query_id
+                ORDER BY round(c.dotq / (sqrt(q.q_nsq) * sqrt(c.xh_nsq)), 6)
+                         DESC, c.neighbor_id) AS rn
+    FROM cand c JOIN qn q ON c.query_id = q.query_id) t
+  WHERE rn <= {refine}),
+qe AS (SELECT vec_id AS query_id, embedding AS q_emb, nsq AS q_nsq
+       FROM e WHERE vec_id < {N_QUERIES}),
+ex AS (
+  SELECT a.query_id, a.neighbor_id,
+         round({S.dot_expr("q_emb", "embedding", duck=True)}
+           / (sqrt(qe.q_nsq) * sqrt(e.nsq)), 6) AS cos_sim
+  FROM adc a
+  JOIN e ON e.vec_id = a.neighbor_id
+  JOIN qe ON qe.query_id = a.query_id)
+SELECT query_id, neighbor_id, cos_sim, rn FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rn
+  FROM ex) t WHERE rn <= {K_ANN}
+"""
+
+
+@register(
+    "sim_ivfpq_refine_topk",
+    oracle=_ivfpq_refine_oracle(PQ_REFINE),
+    doc="refined IVFPQ top-5 (r14, operators/pq.ivf_pq_refine_topk — "
+    "the FAISS IndexRefineFlat serving shape): the quantized index does "
+    "the RECALL work (coarse cells prune, ADC over 16x-compressed codes "
+    "keeps each query's top-15 approximate candidates), then ONLY those "
+    "15-per-query survivors are re-scored exactly from raw embeddings "
+    "(decimal-exact dot, broadcast candidate-pair list against one "
+    "column-pruned corpus scan — raw embeddings never shuffle) and the "
+    "final top-5 ranks on TRUE cosines.  At 100 TB this is the "
+    "standard precision/recall split: corpus-sized reads stay on codes, "
+    "exact arithmetic touches n_queries x refine rows.  The oracle "
+    "replays both quantizer trainings, ADC ranking, the top-15 cut, "
+    "and the exact re-rank in SQL; equality is bit-exact including the "
+    "refine-boundary tie-breaks",
+    tags=("similarity",),
+)
+def sim_ivfpq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pq as PQ
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return PQ.ivf_pq_refine_topk(
+        t["embeddings"],
+        n_queries=N_QUERIES,
+        k=K_ANN,
+        refine=PQ_REFINE,
+        n_probes=IVF_PROBES,
     )

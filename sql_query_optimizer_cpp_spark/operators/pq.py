@@ -713,6 +713,71 @@ def ivfpq_search_indexed(
     return _adc_score_topk(cand, qn, id_col, k)
 
 
+def ivf_pq_refine_topk(
+    df: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    refine: int = 20,
+    n_probes: int = 2,
+    coarse: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_subs: int = PQ_SUBS,
+    dim: int = DIM,
+) -> DataFrame:
+    """Refined IVFPQ search — the FAISS ``IndexRefineFlat`` shape: the
+    quantized index does the RECALL work (ADC-approximate top-``refine``
+    candidates per query via :func:`ivf_pq_topk`), then those few
+    survivors are re-scored EXACTLY from their raw embeddings and the
+    final top-``k`` ranks on true cosines.  This is the standard
+    serving trade at 100 TB: the corpus-sized read stays on the
+    16x-compressed codes (pruned to probed cells), while the
+    expensive exact arithmetic touches only ``n_queries x refine``
+    rows — the re-rank join broadcasts the candidate-pair list
+    (metadata scale) against ONE column-pruned corpus scan, so raw
+    embeddings never shuffle.  ``refine`` is the precision knob:
+    ``refine = k`` returns ADC ORDER with exact scores; larger
+    ``refine`` recovers neighbors ADC misranked (with all cells probed
+    and ``refine >= corpus``, the result IS the exact brute-force
+    top-k).  Output: ``(query_id, neighbor_id, cos_sim, rn)`` with
+    EXACT cosines."""
+    from .similarity import dot_expr, with_norm
+
+    if refine < k:
+        raise ValueError(f"refine ({refine}) must be >= k ({k})")
+    approx = ivf_pq_topk(
+        df, n_queries, refine, n_probes, coarse, codebook, id_col,
+        emb_col, n_subs, dim,
+    )
+    cand = approx.select("query_id", "neighbor_id")
+    e = with_norm(df.select(id_col, emb_col), emb_col, exact=True)
+    q = e.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    pairs = (
+        e.join(F.broadcast(cand), F.col(id_col) == F.col("neighbor_id"))
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "dot", F.expr(dot_expr("q_emb", emb_col, duck=False, exact=True))
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(F.col("dot") / (F.sqrt("q_nsq") * F.sqrt("nsq")), 6),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
 def _read_ivfpq_postings(spark, root: str):
     """Load the codes postings persisted by :func:`build_ivfpq_index`
     (None only when ABSENT — a permission fault or corrupt file keeps

@@ -1746,3 +1746,86 @@ def test_maintain_ivfpq_index_folds_appends_and_deletes(spark, tmp_path):
         PQ.DIM,
     )
     assert meta["n_vectors"] == postings.count()
+
+
+def test_maintain_ivfpq_index_concurrent_maintainers(spark, tmp_path):
+    """(r14) Two IVFPQ maintainers racing the same delete wave serialize
+    on the index-scoped advisory lock exactly like the IVF pair (shared
+    fold, shared lock discipline): one folds the batch, the other
+    no-ops on the fresh anchor — never a double removal."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from sql_query_optimizer_cpp_spark.operators import pq as PQ
+    from sql_query_optimizer_cpp_spark.operators.mor import (
+        dv_delete_where,
+        read_mor,
+    )
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    tdir = str(tmp_path / "emb_ivfpq_race")
+    emb.write.parquet(tdir)
+    PQ.build_ivfpq_index(spark, tdir, id_col="vec_id")
+    n_del = dv_delete_where(spark, tdir, "vec_id % 11 = 4")
+    assert n_del > 0
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [
+            ex.submit(
+                PQ.maintain_ivfpq_index, spark, tdir, "embedding", "vec_id"
+            )
+            for _ in range(2)
+        ]
+        results = [f.result() for f in futs]
+    assert sum(r["removed"] for r in results) == n_del
+    assert sum(r["appended"] for r in results) == 0
+    root = PQ._ivfpq_root(tdir, "embedding")
+    postings = spark.read.parquet(f"{root}/postings")
+    assert postings.count() == read_mor(spark, tdir).count()
+    assert postings.where("vec_id % 11 = 4").count() == 0
+    out = PQ.ivfpq_search_indexed(spark, tdir, n_queries=5, k=3, n_probes=2)
+    assert out.count() > 0
+
+
+def test_ivf_pq_refine_topk_exact_rerank(spark):
+    """(r14) Refined IVFPQ (FAISS IndexRefineFlat shape): with all
+    cells probed and refine >= corpus the result IS the exact
+    brute-force top-k (the ADC stage only selects, never scores the
+    output); with real pruning every emitted cosine is the EXACT
+    cosine (bit-equal to brute force for every surviving pair); and
+    refine < k is a loud error."""
+    import pytest as _pytest
+
+    from sql_query_optimizer_cpp_spark.operators import pq as PQ
+    from sql_query_optimizer_cpp_spark.operators import similarity as S
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    n = emb.count()
+    coarse = S.kmeans_centroids(emb)
+    book = PQ.train_pq(emb)
+    exact = S.brute_force_topk(emb, n_queries=5, k=5)
+    full = PQ.ivf_pq_refine_topk(
+        emb,
+        n_queries=5,
+        k=5,
+        refine=n,
+        n_probes=S.IVF_CELLS,
+        coarse=coarse,
+        codebook=book,
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+    # pruned + thin refine: scores are still TRUE cosines — compare
+    # against the exhaustive exact ranking over all pairs
+    all_exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in S.brute_force_topk(emb, n_queries=5, k=n).collect()
+    }
+    pruned = PQ.ivf_pq_refine_topk(
+        emb, n_queries=5, k=5, refine=15, n_probes=2,
+        coarse=coarse, codebook=book,
+    ).collect()
+    assert len(pruned) == 25
+    for r in pruned:
+        assert r["cos_sim"] == all_exact[(r["query_id"], r["neighbor_id"])]
+    with _pytest.raises(ValueError, match="refine"):
+        PQ.ivf_pq_refine_topk(emb, n_queries=5, k=5, refine=3)
