@@ -1829,3 +1829,112 @@ def test_ivf_pq_refine_topk_exact_rerank(spark):
         assert r["cos_sim"] == all_exact[(r["query_id"], r["neighbor_id"])]
     with _pytest.raises(ValueError, match="refine"):
         PQ.ivf_pq_refine_topk(emb, n_queries=5, k=5, refine=3)
+
+
+def test_sq8_grid_codes_and_recall(spark):
+    """(r14) SQ8 scalar quantization: the grid covers every dimension,
+    codes stay in [0, 255] with the corpus max landing on the top code,
+    and compressed-exhaustive search over the 4x representation is
+    near-exact (SQ8 is the recall-precious tier of the compression
+    ladder — far above PQ's approximate recall)."""
+    from sql_query_optimizer_cpp_spark.operators import similarity as S
+    from sql_query_optimizer_cpp_spark.operators import sq as SQ
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    n = emb.count()
+    grid = SQ.train_sq(emb)
+    assert grid.count() == SQ.DIM
+    assert grid.where("step < 0").count() == 0
+    codes = SQ.sq_encode(emb, grid)
+    assert codes.count() == n * SQ.DIM
+    rng = codes.agg(F.min("code").alias("lo"), F.max("code").alias("hi")).first()
+    assert rng["lo"] >= 0 and rng["hi"] <= SQ.SQ_LEVELS
+    approx = SQ.sq_topk(emb, n_queries=6, k=5, grid=grid)
+    exact = S.brute_force_topk(emb, n_queries=6, k=5)
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    assert len(a) == 30
+    recall = len(a & e) / len(e)
+    assert recall >= 0.9, f"SQ8 recall@5 collapsed: {recall}"
+    # compressed-exhaustive plan: grid + query sides broadcast, the
+    # codes scan is the only big side — no cartesian, no BNLJ
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sq8_codes_match_duckdb_replay(spark):
+    """(r14) Cross-engine determinism of the SQ8 pipeline — the de-risk
+    for the r15 oracle: the grid arithmetic (min/max, step, floor-clamp
+    encode, midpoint reconstruction, decimal-exact cosine) evaluated
+    with identical IEEE-754 expression shapes yields BIT-IDENTICAL
+    codes and search results in Spark and DuckDB, including the
+    boundary component (x == per-dim max) whose (hi-lo)/step floors on
+    the 255-edge."""
+    import duckdb
+
+    from sql_query_optimizer_cpp_spark.operators import similarity as S
+    from sql_query_optimizer_cpp_spark.operators import sq as SQ
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    base = """
+WITH f AS (
+  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS xd
+  FROM embeddings),
+grid AS (
+  SELECT pos, MIN(xd) AS lo, (MAX(xd) - MIN(xd)) / 255.0 AS step
+  FROM f GROUP BY pos),
+codes AS (
+  SELECT f.vec_id, f.pos,
+         CASE WHEN g.step = 0 THEN 0
+              ELSE LEAST(255, CAST(FLOOR((f.xd - g.lo) / g.step) AS INT))
+         END AS code
+  FROM f JOIN grid g ON f.pos = g.pos)
+"""
+    # codes: bit-identical (DuckDB pos is 1-based; Spark's is 0-based)
+    duck_codes = {
+        (r[0], r[1] - 1): r[2]
+        for r in con.execute(base + "SELECT vec_id, pos, code FROM codes").fetchall()
+    }
+    spark_codes = {
+        (r["vec_id"], r["pos"]): r["code"]
+        for r in SQ.sq_encode(emb).collect()
+    }
+    assert spark_codes == duck_codes
+    # search results: bit-identical cosines and ranks
+    nq, k = 6, 5
+    duck_rows = con.execute(
+        base
+        + f""",
+rec AS (
+  SELECT c.vec_id, c.pos, g.lo + (c.code + 0.5) * g.step AS xh
+  FROM codes c JOIN grid g ON c.pos = g.pos),
+e AS (SELECT vec_id, {S.normsq_expr("embedding", duck=True, exact=True)} AS nsq
+      FROM embeddings),
+q AS (SELECT vec_id AS query_id, pos, xd AS qd FROM f WHERE vec_id < {nq}),
+qn AS (SELECT vec_id AS query_id, nsq AS q_nsq FROM e WHERE vec_id < {nq}),
+cand AS (
+  SELECT q.query_id, r.vec_id AS neighbor_id,
+         CAST(SUM(CAST(q.qd * r.xh AS DECIMAL(28,20))) AS DOUBLE) AS dotq,
+         CAST(SUM(CAST(r.xh * r.xh AS DECIMAL(28,20))) AS DOUBLE) AS xh_nsq
+  FROM rec r JOIN q ON r.pos = q.pos AND r.vec_id <> q.query_id
+  GROUP BY 1, 2)
+SELECT query_id, neighbor_id, cos_sim, rn FROM (
+  SELECT c.query_id, c.neighbor_id,
+         round(c.dotq / (sqrt(n.q_nsq) * sqrt(c.xh_nsq)), 6) AS cos_sim,
+         CAST(row_number() OVER (PARTITION BY c.query_id
+              ORDER BY round(c.dotq / (sqrt(n.q_nsq) * sqrt(c.xh_nsq)), 6)
+                       DESC, c.neighbor_id) AS BIGINT) AS rn
+  FROM cand c JOIN qn n ON c.query_id = n.query_id) t
+WHERE rn <= {k}
+"""
+    ).fetchall()
+    spark_rows = SQ.sq_topk(emb, n_queries=nq, k=k).collect()
+    assert sorted(map(tuple, spark_rows)) == sorted(map(tuple, duck_rows))
+    assert len(spark_rows) == nq * k
