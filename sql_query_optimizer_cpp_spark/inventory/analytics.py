@@ -67,34 +67,53 @@ SELECT stage, n_users FROM (
     tags=("events", "analytics"),
 )
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE shuffle of events (the per-user groupBy) instead of three
+    # same-key groupBys plus two join-backs: each later stage's
+    # timestamps are carried as a per-user array and the ordered-funnel
+    # recursion (t_k = min stage-k ts strictly after t_{k-1}) runs as
+    # array expressions inside the aggregated row.  NULL propagation
+    # reproduces the join semantics exactly: a user absent from stage
+    # k-1 has t_{k-1} NULL, so x > NULL filters everything and
+    # array_min(empty) stays NULL.  Per-user array size is that user's
+    # stage-event count — the same per-key hot-spot bound the
+    # sessionization window already carries.
     e = load_tables(spark, sf_dir, ("events",))["events"]
     stage0, *rest = FUNNEL_STAGES
-    entered = (
-        e.groupBy("user_id")
-        .agg(F.min(F.when(F.col("event_type") == stage0, F.col("ts"))).alias("t"))
-        .where(F.col("t").isNotNull())
-    )
-    frames = [(stage0, entered)]
-    for stage in rest:
-        prev = frames[-1][1]
-        entered = (
-            e.where(F.col("event_type") == stage)
-            .join(prev.select("user_id", F.col("t").alias("t_prev")), "user_id")
-            .where(F.col("ts") > F.col("t_prev"))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias("t"))
-        )
-        frames.append((stage, entered))
-    counts = [
-        df.agg(F.count("*").alias("n_users")).select(
-            F.lit(stage).alias("stage"), "n_users"
-        )
-        for stage, df in frames
+    aggs = [
+        F.min(F.when(F.col("event_type") == stage0, F.col("ts"))).alias("t_0")
     ]
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionAll(c)
-    return out
+    for i, stage in enumerate(rest, start=1):
+        aggs.append(
+            F.collect_list(
+                F.when(F.col("event_type") == stage, F.col("ts"))
+            ).alias(f"_ts{i}")
+        )
+    per_user = e.groupBy("user_id").agg(*aggs)
+
+    def _strictly_after(prev_col):
+        return lambda x: x > prev_col
+
+    for i in range(1, len(FUNNEL_STAGES)):
+        per_user = per_user.withColumn(
+            f"t_{i}",
+            F.array_min(
+                F.filter(
+                    F.col(f"_ts{i}"), _strictly_after(F.col(f"t_{i - 1}"))
+                )
+            ),
+        )
+    counts = per_user.agg(
+        *[
+            F.count(F.col(f"t_{i}")).alias(f"n{i}")
+            for i in range(len(FUNNEL_STAGES))
+        ]
+    )
+    pairs = ", ".join(
+        f"'{stage}', n{i}" for i, stage in enumerate(FUNNEL_STAGES)
+    )
+    return counts.selectExpr(
+        f"stack({len(FUNNEL_STAGES)}, {pairs}) AS (stage, n_users)"
+    )
 
 
 @register(

@@ -49,6 +49,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from .dedup import _spread
 from .similarity import DIM, normsq_expr
 
 PQ_SUBS = 16
@@ -118,6 +119,85 @@ def assign_codes(
     )
 
 
+# -- constant-codebook fast assignment (the PQ twin of
+# similarity._centroid_consts / _best_cells_col: sub-quantizers are
+# n_subs x n_codes x dsub doubles — driver metadata — so nearest-code
+# assignment is ONE narrow projection producing the codes array directly,
+# replacing explode + broadcast join + (id, sub, code) shuffle + window.
+# Bit-identical scores (same literal decimal-aggregate dot, same
+# score-desc/code-asc tie-break) by construction; codebooks over the
+# literal budget keep the distributed assign_codes path.
+
+
+def _pq_consts(
+    spark, codebook: DataFrame | dict
+) -> list[list[tuple[int, list[float], float]]] | None:
+    """Driver-side per-sub constants ``[sub][(code, subvec, |c|^2)]``
+    (subs ascending, codes ascending), or None when over the literal
+    budget.  ``codebook`` is the ``(sub, code, pos, c)`` DataFrame or the
+    training loop's ``{(sub, code, pos): c}`` dict.  ``pos`` is GLOBAL,
+    so each subvec lists its components in global-position order —
+    exactly the rows the distributed path joins on."""
+    from .similarity import _const_normsq, _lit_assign_budget
+
+    if isinstance(codebook, dict):
+        items = codebook.items()
+    else:
+        items = (
+            ((r["sub"], r["code"], r["pos"]), r["c"])
+            for r in codebook.collect()
+        )
+    by_sc: dict[tuple[int, int], dict[int, float]] = {}
+    for (s, k, p), c in items:
+        by_sc.setdefault((int(s), int(k)), {})[int(p)] = float(c)
+    n_terms = sum(len(v) for v in by_sc.values())
+    if n_terms > _lit_assign_budget(spark):
+        return None
+    keys = sorted(by_sc)
+    vecs = [[by_sc[key][p] for p in sorted(by_sc[key])] for key in keys]
+    norms = _const_normsq(spark, vecs)
+    n_subs = max(s for s, _ in keys) + 1
+    out: list[list[tuple[int, list[float], float]]] = [
+        [] for _ in range(n_subs)
+    ]
+    for (s, k), vec, nsq in zip(keys, vecs, norms):
+        out[s].append((k, vec, nsq))
+    return out
+
+
+def _codes_col(emb_col: str, consts, dsub: int):
+    """Array column of nearest codes (index = sub-block id) for
+    ``emb_col`` against constant sub-quantizers — the literal twin of
+    :func:`assign_codes`'s ranking (score desc, ties to the smallest
+    code), one transform-argmax per sub-block over the slice of the
+    embedding that sub-quantizer covers (same O(codes + dim) plan-size
+    discipline as similarity._scores_sql)."""
+    from .similarity import _scores_sql
+
+    per_sub = []
+    for s, codes in enumerate(consts):
+        sl = f"slice({emb_col}, {s * dsub + 1}, {dsub})"
+        per_sub.append(f"-array_max({_scores_sql(sl, codes)}).nc")
+    return F.expr(f"array({', '.join(per_sub)})")
+
+
+def _pq_cnorm_df(spark, consts) -> DataFrame:
+    """(sub, code, c_nsq) DataFrame from driver constants — values are
+    the Spark-evaluated exact norms, so broadcast-join consumers see the
+    same bits the distributed cnorm aggregation produces."""
+    from .similarity import _values_df
+
+    return _values_df(
+        spark,
+        ["sub", "code", "c_nsq"],
+        [
+            (s, code, float(nsq))
+            for s, codes in enumerate(consts)
+            for code, _, nsq in codes
+        ],
+    )
+
+
 def train_pq(
     df: DataFrame,
     n_subs: int = PQ_SUBS,
@@ -145,57 +225,95 @@ def train_pq(
     training assumes unique ids (assignment never does — see
     ``_rowkey`` in the index builders)."""
     spark = df.sparkSession
-    sdf = df.where((F.col(id_col) % sample_mod) == 0)
+    dsub = dim // n_subs
+    sdf = df.where((F.col(id_col) % sample_mod) == 0).select(id_col, emb_col)
     if {"src_file", "row_idx"} <= set(df.columns):
         one = W.partitionBy(id_col).orderBy("src_file", "row_idx")
         sdf = (
-            sdf.withColumn("_trn", F.row_number().over(one))
+            df.where((F.col(id_col) % sample_mod) == 0)
+            .withColumn("_trn", F.row_number().over(one))
             .filter(F.col("_trn") == 1)
-            .drop("_trn")
+            .select(id_col, emb_col)
         )
-    scomp = _comp_sub(sdf, id_col, emb_col, n_subs, dim)
-    seed_ids = [
-        r[0]
-        for r in scomp.select(id_col)
-        .distinct()
-        .orderBy(id_col)
-        .limit(n_codes)
-        .collect()
-    ]
-    seed_map = spark.createDataFrame(
-        [(int(v), i) for i, v in enumerate(seed_ids)],
-        f"{id_col} long, code int",
-    )
-    rows = {
-        (r["sub"], r["code"], r["pos"]): r["c"]
-        for r in scomp.join(seed_map, id_col)
-        .select("sub", "code", "pos", F.col("xd").alias("c"))
-        .collect()
-    }
-    for _ in range(iters):
-        cdf = spark.createDataFrame(
-            [(s, k, p, v) for (s, k, p), v in sorted(rows.items())],
-            "sub int, code int, pos int, c double",
+    # sample reused by the seed collect + one scan per iteration (same
+    # rationale as kmeans_centroids: don't re-derive it from the corpus
+    # iters+1 times); _spread parallelizes the assignment arithmetic
+    sdf = _spread(sdf).persist()
+    try:
+        # seeds: the n_codes smallest sample ids — the same seed vector
+        # feeds every sub-block, split by global position
+        rows: dict[tuple[int, int, int], float] = {}
+        for code, r in enumerate(
+            sdf.orderBy(id_col).limit(n_codes).collect()
+        ):
+            for p, x in enumerate(r[emb_col]):
+                rows[(p // dsub, code, p)] = float(x)
+        for _ in range(iters):
+            consts = _pq_consts(spark, rows)
+            if consts is not None:
+                # ONE job per iteration: inline nearest-code array, then
+                # the (sub, code, pos) decimal mean — no assignment
+                # shuffle, no sample join, no window
+                enc = sdf.withColumn(
+                    "_codes", _codes_col(emb_col, consts, dsub)
+                )
+                means = (
+                    enc.select(
+                        "_codes", F.posexplode(emb_col).alias("pos", "x")
+                    )
+                    .withColumn("sub", (F.col("pos") / dsub).cast("int"))
+                    .select(
+                        "sub",
+                        F.element_at(
+                            "_codes", F.col("sub") + F.lit(1)
+                        ).alias("code"),
+                        "pos",
+                        F.col("x").cast("double").alias("xd"),
+                    )
+                    .groupBy("sub", "code", "pos")
+                    .agg((_dsum("xd") / F.count("*")).alias("c"))
+                )
+            else:
+                from .similarity import _values_df
+
+                scomp = _comp_sub(sdf, id_col, emb_col, n_subs, dim)
+                cdf = _values_df(
+                    spark,
+                    ["sub", "code", "pos", "c"],
+                    [
+                        (s, k, p, float(v))
+                        for (s, k, p), v in sorted(rows.items())
+                    ],
+                )
+                assign = assign_codes(scomp, cdf, id_col)
+                means = (
+                    scomp.join(assign, [id_col, "sub"])
+                    .groupBy("sub", "code", "pos")
+                    .agg((_dsum("xd") / F.count("*")).alias("c"))
+                )
+            new = {
+                (r["sub"], r["code"], r["pos"]): r["c"]
+                for r in means.collect()
+            }
+            refit = {(s, k) for s, k, _ in new}
+            # empty codes carry their previous centroid (SQL twin:
+            # COALESCE left join from the previous codebook)
+            rows = {
+                key: (new[key] if key[:2] in refit else old)
+                for key, old in rows.items()
+            }
+    finally:
+        sdf.unpersist()
+    from .similarity import _values_df
+
+    if not rows:
+        return spark.createDataFrame(
+            [], "sub int, code int, pos int, c double"
         )
-        assign = assign_codes(scomp, cdf, id_col)
-        means = (
-            scomp.join(assign, [id_col, "sub"])
-            .groupBy("sub", "code", "pos")
-            .agg((_dsum("xd") / F.count("*")).alias("c"))
-        )
-        new = {
-            (r["sub"], r["code"], r["pos"]): r["c"] for r in means.collect()
-        }
-        refit = {(s, k) for s, k, _ in new}
-        # empty codes carry their previous centroid (SQL twin: COALESCE
-        # left join from the previous codebook)
-        rows = {
-            key: (new[key] if key[:2] in refit else old)
-            for key, old in rows.items()
-        }
-    return spark.createDataFrame(
-        [(s, k, p, v) for (s, k, p), v in sorted(rows.items())],
-        "sub int, code int, pos int, c double",
+    return _values_df(
+        spark,
+        ["sub", "code", "pos", "c"],
+        [(s, k, p, float(v)) for (s, k, p), v in sorted(rows.items())],
     )
 
 
@@ -209,6 +327,16 @@ def pq_encode(
 ) -> DataFrame:
     """Encode the corpus: ``(id, sub, code)`` — the compressed
     representation ADC search scans instead of raw embeddings."""
+    consts = _pq_consts(df.sparkSession, codebook)
+    if consts is not None:
+        # ONE narrow projection + unpack: no explode-join, no shuffle,
+        # no window (the literal fast path — bit-identical codes)
+        return _spread(df.select(id_col, emb_col)).select(
+            id_col,
+            F.posexplode(
+                _codes_col(emb_col, consts, dim // len(consts))
+            ).alias("sub", "code"),
+        )
     return assign_codes(
         _comp_sub(df, id_col, emb_col, n_subs, dim), codebook, id_col
     )
@@ -227,22 +355,53 @@ def _adc_tables(
     (query_id, sub, code, qdot) — partial dot of the exact query
     sub-vector against every centroid; ``cnorm`` (sub, code, c_nsq) —
     centroid norms; ``qn`` (query_id, q_nsq) — exact query norms."""
+    from .similarity import _DOT_OVER_CB, _cb_array_sql
+
     qmask = F.col(id_col) < n_queries
-    qcomp = _comp_sub(df.where(qmask), id_col, emb_col, n_subs, dim)
-    lut = (
-        qcomp.join(F.broadcast(codebook), ["sub", "pos"])
-        .groupBy(F.col(id_col).alias("query_id"), F.col("sub"), F.col("code"))
-        .agg(
-            F.sum((F.col("xd") * F.col("c")).cast("decimal(28,20)"))
-            .cast("double")
-            .alias("qdot")
+    consts = _pq_consts(df.sparkSession, codebook)
+    if consts is not None:
+        # literal LUT: one narrow projection over the query rows (each
+        # (sub, code) partial dot is the constant-vector exact dot
+        # against the query's sub-slice) + an explode to the long form
+        # the broadcast consumers join on — no codebook join, no shuffle
+        dsub = dim // len(consts)
+        per_sub = []
+        for s, codes in enumerate(consts):
+            sl = f"slice({emb_col}, {s * dsub + 1}, {dsub})"
+            dot = _DOT_OVER_CB.format(col=sl)
+            per_sub.append(
+                f"transform({_cb_array_sql(codes)}, c -> "
+                f"struct({s} AS sub, -c.nc AS code, {dot} AS qdot))"
+            )
+        lut = (
+            df.where(qmask)
+            .select(
+                F.col(id_col).alias("query_id"),
+                F.explode(
+                    F.expr(f"flatten(array({', '.join(per_sub)}))")
+                ).alias("e"),
+            )
+            .select("query_id", "e.sub", "e.code", "e.qdot")
         )
-    )
-    cnorm = codebook.groupBy("sub", "code").agg(
-        F.sum((F.col("c") * F.col("c")).cast("decimal(28,20)"))
-        .cast("double")
-        .alias("c_nsq")
-    )
+        cnorm = _pq_cnorm_df(df.sparkSession, consts)
+    else:
+        qcomp = _comp_sub(df.where(qmask), id_col, emb_col, n_subs, dim)
+        lut = (
+            qcomp.join(F.broadcast(codebook), ["sub", "pos"])
+            .groupBy(
+                F.col(id_col).alias("query_id"), F.col("sub"), F.col("code")
+            )
+            .agg(
+                F.sum((F.col("xd") * F.col("c")).cast("decimal(28,20)"))
+                .cast("double")
+                .alias("qdot")
+            )
+        )
+        cnorm = codebook.groupBy("sub", "code").agg(
+            F.sum((F.col("c") * F.col("c")).cast("decimal(28,20)"))
+            .cast("double")
+            .alias("c_nsq")
+        )
     qn = df.where(qmask).select(
         F.col(id_col).alias("query_id"),
         F.expr(normsq_expr(emb_col, duck=False, exact=True)).alias("q_nsq"),
@@ -335,7 +494,7 @@ def ivf_pq_topk(
     neighbor lives outside the probed cells — the recall/probe-cost
     trade the coarse quantizer always makes.
     Output: ``(query_id, neighbor_id, cos_sim, rn)``."""
-    from .similarity import _comp, assign_cells, kmeans_centroids
+    from .similarity import assign_cells_fast, kmeans_centroids
 
     if coarse is None:
         coarse = kmeans_centroids(df, id_col=id_col, emb_col=emb_col)
@@ -345,12 +504,11 @@ def ivf_pq_topk(
         )
     qmask = F.col(id_col) < n_queries
     # corpus -> one cell each; queries -> their n_probes nearest cells
-    cells = assign_cells(_comp(df, id_col, emb_col), coarse, id_col)
-    qcells = assign_cells(
-        _comp(df.where(qmask), id_col, emb_col),
-        coarse,
-        id_col,
-        top_p=n_probes,
+    # (assign_cells_fast: literal narrow projection under the codebook
+    # budget, the distributed assign_cells pipeline above it)
+    cells = assign_cells_fast(df, coarse, id_col, emb_col=emb_col)
+    qcells = assign_cells_fast(
+        df.where(qmask), coarse, id_col, top_p=n_probes, emb_col=emb_col
     ).withColumnRenamed(id_col, "query_id")
     codes = pq_encode(df, codebook, id_col, emb_col, n_subs, dim)
     lut, cnorm, qn = _adc_tables(
@@ -424,9 +582,28 @@ def _encode_postings(
     unambiguous), never on ``id_col``: duplicate ids must not
     cross-join.  Output: ``(id, src_file, row_idx, codes, cell)``,
     repartitioned by cell for the hive-partitioned write."""
-    from .similarity import _comp, assign_cells
+    from .similarity import _best_cells_col, _centroid_consts, _comp, assign_cells
 
-    keyed = df.select(id_col, emb_col, "src_file", "row_idx").withColumn(
+    spark = df.sparkSession
+    keyed = _spread(df.select(id_col, emb_col, "src_file", "row_idx"))
+    cc = _centroid_consts(spark, coarse)
+    pc = _pq_consts(spark, book)
+    if cc is not None and pc is not None:
+        # literal fast path: cell tag and codes array are inline narrow
+        # projections on the one corpus scan — no _rowkey joins, no
+        # collect_list re-grouping, no assignment shuffles; duplicate
+        # ids are trivially safe (nothing joins on anything)
+        return (
+            keyed.withColumn(
+                "codes", _codes_col(emb_col, pc, dim // len(pc))
+            )
+            .withColumn(
+                "cell", F.element_at(_best_cells_col(emb_col, cc), 1)
+            )
+            .drop(emb_col)
+            .repartition("cell")
+        )
+    keyed = keyed.withColumn(
         "_rowkey", F.concat_ws(":", F.col("src_file"), F.col("row_idx"))
     )
     cells = assign_cells(_comp(keyed, "_rowkey", emb_col), coarse, "_rowkey")
@@ -613,7 +790,7 @@ def ivfpq_search_indexed(
     subset).  Output: ``(query_id, neighbor_id, cos_sim, rn)``."""
     from .mor import read_mor
     from .mutate import _is_missing_file_error
-    from .similarity import _comp, _table_file_set, assign_cells
+    from .similarity import _table_file_set, assign_cells_fast
 
     if n_probes < 1:
         raise ValueError("n_probes must be >= 1")
@@ -662,8 +839,8 @@ def ivfpq_search_indexed(
         .select(id_col, emb_col)
         .where(F.col(id_col) < n_queries)
     )
-    q_cells = assign_cells(
-        _comp(qbase, id_col, emb_col), coarse, id_col, top_p=n_probes
+    q_cells = assign_cells_fast(
+        qbase, coarse, id_col, top_p=n_probes, emb_col=emb_col
     ).withColumnRenamed(id_col, "query_id")
     probed = sorted(
         r["cell"] for r in q_cells.select("cell").distinct().collect()
@@ -684,7 +861,7 @@ def ivfpq_search_indexed(
     lut, cnorm, qn = _adc_tables(
         qbase, book, n_queries, id_col, emb_col, n_subs, dim
     )
-    cand_rows = (
+    cand_rows = _spread(
         spark.read.option("basePath", post_root)
         .parquet(*[f"{post_root}/cell={c}" for c in probed])
         .withColumn("cell", F.col("cell").cast("int"))

@@ -36,6 +36,8 @@ import hashlib
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from .dedup import _spread
+
 DIM = 64
 NUM_PLANES = 4
 
@@ -148,7 +150,12 @@ def brute_force_topk(
     whole corpus; per-query window keeps the top k.
 
     Output: (query_id, neighbor_id, cos_sim, rn)."""
-    e = with_norm(df.select(id_col, emb_col), exact=exact)
+    # _spread (exact path only): the corpus-side decimal-exact dot
+    # arithmetic runs map-side in the scan stage, and a one-split local
+    # file would serialize it on one core; the plain-double production
+    # path is scan-bound, where the repartition costs more than it saves
+    base = df.select(id_col, emb_col)
+    e = with_norm(_spread(base) if exact else base, exact=exact)
     q = e.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"),
         F.col(emb_col).alias("q_emb"),
@@ -198,7 +205,8 @@ def lsh_bucketed_topk(
     on the exact path so both modes probe identical buckets.
 
     Output: (query_id, neighbor_id, cos_sim, rn)."""
-    e = with_norm(df.select(id_col, emb_col), exact=exact).withColumn(
+    base = df.select(id_col, emb_col)
+    e = with_norm(_spread(base) if exact else base, exact=exact).withColumn(
         "bucket", F.expr(bucket_expr(emb_col, duck=False))
     )
     q = e.filter(F.col(id_col) < n_queries).select(
@@ -272,7 +280,8 @@ def two_phase_topk(
     unchanged — this optimizes the selection shuffle, which is what
     actually breaks first when N grows.
     """
-    e = with_norm(df.select(id_col, emb_col), exact=exact).withColumn(
+    base = df.select(id_col, emb_col)
+    e = with_norm(_spread(base) if exact else base, exact=exact).withColumn(
         "bucket", F.expr(bucket_expr(emb_col, duck=False))
     )
     q = e.filter(F.col(id_col) < n_queries).select(
@@ -313,7 +322,8 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked on the sign-LSH bucket
     (exact precision, LSH recall).  Output: (vec_a, vec_b, cos_sim)."""
-    e = with_norm(df.select(id_col, emb_col), exact=exact).withColumn(
+    base = df.select(id_col, emb_col)
+    e = with_norm(_spread(base) if exact else base, exact=exact).withColumn(
         "bucket", F.expr(bucket_expr(emb_col, duck=False))
     )
     a = e.select(
@@ -494,6 +504,217 @@ def assign_cells(
     )
 
 
+# -- constant-codebook fast assignment ----------------------------------------
+#
+# assign_cells' explode -> broadcast-join -> (id, cell)-shuffle -> window
+# pipeline is the right shape when the codebook is too large to inline in an
+# expression, but a coarse quantizer is cells x dim doubles — driver
+# metadata (the FAISS posture: quantizers broadcast).  For codebooks under
+# the literal budget the assignment is instead ONE narrow projection: each
+# cell's score is the literal-constant exact dot (``plane_dot_expr`` — the
+# same decimal-aggregate form every oracle already replays) divided by the
+# cell's norm, and the argmax is ``array_max`` over ``struct(score, -cell)``
+# (score desc, ties to the smallest cell — exactly the window's ordering,
+# including NaN sorting greatest).  No explode, no join, no shuffle, no
+# window; bit-identical scores and identical tie-breaks by construction.
+#
+# At 100 TB this removes a cells*dim-fold component-row blowup and two
+# shuffles from every corpus-sized assignment (build, maintain-append,
+# encode); the guard below keeps truly large codebooks (where a literal
+# expression would dwarf the plan) on the distributed path.
+
+#: cells*dim literal-budget default; override with the session conf
+#: ``spark.sqlopt.ann.literalAssignMaxTerms`` (set <= 0 to force the
+#: distributed path).
+LIT_ASSIGN_MAX_TERMS = 65536
+
+
+def _lit_assign_budget(spark) -> int:
+    try:
+        return int(
+            spark.conf.get(
+                "spark.sqlopt.ann.literalAssignMaxTerms",
+                str(LIT_ASSIGN_MAX_TERMS),
+            )
+        )
+    except ValueError:
+        return LIT_ASSIGN_MAX_TERMS
+
+
+def _sql_double(x: float) -> str:
+    """Exact double literal (repr round-trips; CAST parses it back to the
+    same bits — the plane_dot_expr discipline)."""
+    return f"CAST({x!r} AS DOUBLE)"
+
+
+#: One shared dot-product lambda body: the decimal-exact aggregate over
+#: zip_with({col}, c.v) — c is the codebook-entry struct bound by the
+#: enclosing transform.  Keeping ONE lambda per expression (instead of
+#: one aggregate subtree per cell) is what makes plan time O(cells + dim)
+#: instead of O(cells * dim): measured 10x faster analysis on the
+#: 10-cell x 64-dim coarse codebook.
+_DOT_OVER_CB = (
+    "CAST(aggregate(zip_with({col}, c.v, (x, y) -> "
+    "CAST(CAST(x AS DOUBLE) * y AS DECIMAL(28,20))), "
+    "CAST(0 AS DECIMAL(38,20)), "
+    "(acc, v) -> CAST(acc + v AS DECIMAL(38,20))) AS DOUBLE)"
+)
+
+
+def _const_normsq(spark, vecs: list[list[float]]) -> list[float]:
+    """Exact decimal-summed ``|v|^2`` for constant vectors, evaluated by
+    the session's own arithmetic (one OneRowRelation SELECT, no scan) so
+    the values are bit-identical to the distributed ``cnorm`` aggregation
+    — never re-implemented driver-side, where Python decimal rounding
+    could drift an ulp from Spark's."""
+    if not vecs:
+        return []
+    entries = ", ".join(
+        "struct(array(" + ", ".join(_sql_double(x) for x in v) + ") AS v)"
+        for v in vecs
+    )
+    row = spark.sql(
+        f"SELECT transform(array({entries}), c -> "
+        + _DOT_OVER_CB.format(col="c.v")
+        + ") AS ns"
+    ).first()
+    return list(row["ns"])
+
+
+def _centroid_consts(
+    spark, codebook: DataFrame | dict
+) -> list[tuple[int, list[float], float]] | None:
+    """Driver-side ``[(cell, vector, |c|^2)]`` sorted by cell, or None
+    when the codebook exceeds the literal-assignment budget (callers then
+    keep the distributed :func:`assign_cells` path).  ``codebook`` is the
+    ``(cell, pos, c)`` DataFrame or the training loop's
+    ``{(cell, pos): c}`` dict (already driver metadata — no collect)."""
+    if isinstance(codebook, dict):
+        items = codebook.items()
+    else:
+        items = (
+            ((r["cell"], r["pos"]), r["c"]) for r in codebook.collect()
+        )
+    by_cell: dict[int, dict[int, float]] = {}
+    for (cell, pos), c in items:
+        by_cell.setdefault(int(cell), {})[int(pos)] = float(c)
+    n_terms = sum(len(v) for v in by_cell.values())
+    if n_terms > _lit_assign_budget(spark):
+        return None
+    cells = sorted(by_cell)
+    vecs = [
+        [by_cell[cell][p] for p in sorted(by_cell[cell])] for cell in cells
+    ]
+    norms = _const_normsq(spark, vecs)
+    return list(zip(cells, vecs, norms))
+
+
+def _cb_array_sql(consts: list[tuple[int, list[float], float]]) -> str:
+    """The codebook as ONE literal array-of-structs ``(v, n, nc)`` —
+    folded to a single Literal at optimization time, so the assignment
+    expression's tree is O(cells + dim), not O(cells * dim)."""
+    entries = ", ".join(
+        "struct(array("
+        + ", ".join(_sql_double(x) for x in vec)
+        + f") AS v, {_sql_double(nsq)} AS n, {-cell} AS nc)"
+        for cell, vec, nsq in consts
+    )
+    return f"array({entries})"
+
+
+def _scores_sql(emb_col: str, consts) -> str:
+    """``array<struct<s: double, nc: int>>`` of per-cell scores for
+    ``emb_col`` (an embedding column or slice expression): the literal
+    decimal-exact dot over each codebook entry divided by its norm —
+    bit-identical to the distributed scoring, computed in one
+    transform."""
+    dot = _DOT_OVER_CB.format(col=emb_col)
+    return (
+        f"transform({_cb_array_sql(consts)}, c -> "
+        f"struct({dot} / sqrt(c.n) AS s, c.nc AS nc))"
+    )
+
+
+def _best_cells_col(
+    emb_col: str,
+    consts: list[tuple[int, list[float], float]],
+    top_p: int = 1,
+):
+    """Array column of the ``top_p`` nearest cells for ``emb_col``
+    (descending preference) against a constant codebook — the literal
+    twin of :func:`assign_cells`'s ranking: score desc, ties to the
+    smallest cell (struct ordering on ``(s, nc=-cell)`` — NaN sorts
+    greatest, exactly the window's)."""
+    scores = _scores_sql(emb_col, consts)
+    if top_p == 1:
+        return F.expr(f"array(-array_max({scores}).nc)")
+    return F.expr(
+        f"transform(slice(sort_array({scores}, false), 1, {top_p}), "
+        "x -> -x.nc)"
+    )
+
+
+def assign_cells_fast(
+    df: DataFrame,
+    codebook: DataFrame | dict,
+    id_col: str = "vec_id",
+    top_p: int = 1,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) assignment against an UNEXPLODED frame: the literal
+    narrow projection when the codebook fits the budget, else the
+    distributed :func:`assign_cells` pipeline.  Results are identical
+    (tests pin both paths equal)."""
+    spark = df.sparkSession
+    consts = _centroid_consts(spark, codebook)
+    if consts is None:
+        cb = (
+            codebook
+            if isinstance(codebook, DataFrame)
+            else _codebook_df(spark, codebook)
+        )
+        return assign_cells(_comp(df, id_col, emb_col), cb, id_col, top_p)
+    return df.select(
+        id_col,
+        F.explode(_best_cells_col(emb_col, consts, top_p)).alias("cell"),
+    )
+
+
+def _values_df(spark, cols: list[str], rows: list[tuple]) -> DataFrame:
+    """Small metadata DataFrame as a VALUES LocalRelation — JVM-only, so
+    writes/collects of codebook-sized frames skip the Python-RDD
+    serialization path ``createDataFrame(list)`` takes (measured ~5 s per
+    640-row codebook write through Python workers vs ~0.2 s as VALUES).
+    Doubles are emitted as ``CAST(repr AS DOUBLE)`` (exact round-trip);
+    ints/strings literally."""
+
+    def _lit(x) -> str:
+        if isinstance(x, float):
+            return _sql_double(x)
+        if isinstance(x, bool) or x is None:
+            raise TypeError(f"unsupported VALUES literal: {x!r}")
+        if isinstance(x, int):
+            return str(x)
+        raise TypeError(f"unsupported VALUES literal type: {type(x)}")
+
+    tuples = ", ".join(
+        "(" + ", ".join(_lit(x) for x in row) + ")" for row in rows
+    )
+    names = ", ".join(cols)
+    return spark.sql(f"SELECT * FROM VALUES {tuples} AS t({names})")
+
+
+def _codebook_df(spark, rows: dict) -> DataFrame:
+    """(cell, pos, c) DataFrame from the training loop's driver dict."""
+    if not rows:  # empty corpus/sample: keep the schema, skip VALUES
+        return spark.createDataFrame([], "cell int, pos int, c double")
+    return _values_df(
+        spark,
+        ["cell", "pos", "c"],
+        [(c, p, float(v)) for (c, p), v in sorted(rows.items())],
+    )
+
+
 def kmeans_centroids(
     df: DataFrame,
     num_cells: int = IVF_CELLS,
@@ -531,63 +752,84 @@ def kmeans_centroids(
     seeding/training; without identity columns training assumes unique
     ids (assignment never does — it keys on ``_rowkey``)."""
     spark = df.sparkSession
-    sdf = df.where((F.col(id_col) % sample_mod) == 0)
+    sdf = df.where((F.col(id_col) % sample_mod) == 0).select(id_col, emb_col)
     if {"src_file", "row_idx"} <= set(df.columns):
         one = W.partitionBy(id_col).orderBy("src_file", "row_idx")
         sdf = (
-            sdf.withColumn("_trn", F.row_number().over(one))
+            df.where((F.col(id_col) % sample_mod) == 0)
+            .withColumn("_trn", F.row_number().over(one))
             .filter(F.col("_trn") == 1)
-            .drop("_trn")
+            .select(id_col, emb_col)
         )
-    scomp = _comp(sdf, id_col, emb_col)
-    seed_ids = [
-        r[0]
-        for r in scomp.select(id_col)
-        .distinct()
-        .orderBy(id_col)
-        .limit(num_cells)
-        .collect()
-    ]
-    seed_map = spark.createDataFrame(
-        [(int(v), i) for i, v in enumerate(seed_ids)],
-        f"{id_col} long, cell int",
-    )
-    rows = {
-        (r["cell"], r["pos"]): r["c"]
-        for r in scomp.join(seed_map, id_col)
-        .select("cell", "pos", F.col("xd").alias("c"))
-        .collect()
-    }
-    for _ in range(iters):
-        cdf = spark.createDataFrame(
-            [(c, p, v) for (c, p), v in sorted(rows.items())],
-            "cell int, pos int, c double",
-        )
-        assign = assign_cells(scomp, cdf, id_col)
-        means = (
-            scomp.join(assign, id_col)
-            .groupBy("cell", "pos")
-            .agg(
-                (
-                    F.sum(F.col("xd").cast("decimal(28,20)")).cast("double")
-                    / F.count("*")
-                ).alias("c")
-            )
-        )
-        new = {
-            (r["cell"], r["pos"]): r["c"] for r in means.collect()
-        }
-        refit = {c for c, _ in new}
-        # empty cells carry their previous centroid (the SQL twin is a
-        # COALESCE left join from the previous codebook)
-        rows = {
-            key: (new[key] if key[0] in refit else old)
-            for key, old in rows.items()
-        }
-    return spark.createDataFrame(
-        [(c, p, v) for (c, p), v in sorted(rows.items())],
-        "cell int, pos int, c double",
-    )
+    # the sample feeds the seed collect plus one scan per iteration; at
+    # 100 TB re-deriving it from the corpus each pass would multiply the
+    # training read by iters+1 (guide §5: reuse justifies the cache);
+    # _spread parallelizes the per-row assignment arithmetic locally
+    sdf = _spread(sdf).persist()
+    try:
+        # seeds: the num_cells smallest sample ids, vectors collected in
+        # the SAME job (ids are unique here — deduped above when the MOR
+        # identity is present, contractual otherwise)
+        rows: dict[tuple[int, int], float] = {}
+        for cell, r in enumerate(
+            sdf.orderBy(id_col).limit(num_cells).collect()
+        ):
+            for p, x in enumerate(r[emb_col]):
+                rows[(cell, p)] = float(x)
+        for _ in range(iters):
+            consts = _centroid_consts(spark, rows)
+            if consts is not None:
+                # ONE job per iteration: inline nearest-cell tag, then
+                # the (cell, pos) decimal mean — no codebook join, no
+                # assignment shuffle, no window
+                means = (
+                    sdf.withColumn(
+                        "_cell",
+                        F.element_at(_best_cells_col(emb_col, consts), 1),
+                    )
+                    .select("_cell", F.posexplode(emb_col).alias("pos", "x"))
+                    .groupBy(F.col("_cell").alias("cell"), "pos")
+                    .agg(
+                        (
+                            F.sum(
+                                F.col("x")
+                                .cast("double")
+                                .cast("decimal(28,20)")
+                            ).cast("double")
+                            / F.count("*")
+                        ).alias("c")
+                    )
+                )
+            else:
+                scomp = _comp(sdf, id_col, emb_col)
+                assign = assign_cells(
+                    scomp, _codebook_df(spark, rows), id_col
+                )
+                means = (
+                    scomp.join(assign, id_col)
+                    .groupBy("cell", "pos")
+                    .agg(
+                        (
+                            F.sum(
+                                F.col("xd").cast("decimal(28,20)")
+                            ).cast("double")
+                            / F.count("*")
+                        ).alias("c")
+                    )
+                )
+            new = {
+                (r["cell"], r["pos"]): r["c"] for r in means.collect()
+            }
+            refit = {c for c, _ in new}
+            # empty cells carry their previous centroid (the SQL twin is
+            # a COALESCE left join from the previous codebook)
+            rows = {
+                key: (new[key] if key[0] in refit else old)
+                for key, old in rows.items()
+            }
+    finally:
+        sdf.unpersist()
+    return _codebook_df(spark, rows)
 
 
 def ivf_topk_trained(
@@ -620,40 +862,62 @@ def ivf_topk_trained(
         codebook = kmeans_centroids(
             df, num_cells, iters, sample_mod, id_col, emb_col
         )
-    comp = _comp(df, id_col, emb_col)
-    assign = assign_cells(comp, codebook, id_col)
-    e = with_norm(df.select(id_col, emb_col), exact=exact).join(
-        assign, id_col
-    )
-    if n_probes == 1:
-        # the query's nearest cell IS its index assignment — reuse e
-        # instead of re-running the assignment pipeline on the queries
-        q = e.filter(F.col(id_col) < n_queries).select(
+    consts = _centroid_consts(df.sparkSession, codebook)
+    if consts is not None:
+        # literal assignment: corpus and query cells are inline narrow
+        # projections — no codebook join-back, no assignment shuffles
+        e = with_norm(
+            _spread(df.select(id_col, emb_col)), exact=exact
+        ).withColumn(
+            "cell", F.element_at(_best_cells_col(emb_col, consts), 1)
+        )
+        qbase = e.filter(F.col(id_col) < n_queries)
+        if n_probes > 1:
+            qbase = qbase.withColumn(
+                "cell",
+                F.explode(_best_cells_col(emb_col, consts, n_probes)),
+            )
+        q = qbase.select(
             F.col(id_col).alias("query_id"),
             F.col(emb_col).alias("q_emb"),
             F.col("nsq").alias("q_nsq"),
             F.col("cell").alias("q_list"),
         )
     else:
-        q_cells = assign_cells(
-            comp.where(F.col(id_col) < n_queries), codebook, id_col,
-            top_p=n_probes,
+        comp = _comp(df, id_col, emb_col)
+        assign = assign_cells(comp, codebook, id_col)
+        e = with_norm(df.select(id_col, emb_col), exact=exact).join(
+            assign, id_col
         )
-        q = (
-            with_norm(
-                df.select(id_col, emb_col).where(
-                    F.col(id_col) < n_queries
-                ),
-                exact=exact,
-            )
-            .join(q_cells, id_col)
-            .select(
+        if n_probes == 1:
+            # the query's nearest cell IS its index assignment — reuse e
+            # instead of re-running the assignment pipeline on the queries
+            q = e.filter(F.col(id_col) < n_queries).select(
                 F.col(id_col).alias("query_id"),
                 F.col(emb_col).alias("q_emb"),
                 F.col("nsq").alias("q_nsq"),
                 F.col("cell").alias("q_list"),
             )
-        )
+        else:
+            q_cells = assign_cells(
+                comp.where(F.col(id_col) < n_queries), codebook, id_col,
+                top_p=n_probes,
+            )
+            q = (
+                with_norm(
+                    df.select(id_col, emb_col).where(
+                        F.col(id_col) < n_queries
+                    ),
+                    exact=exact,
+                )
+                .join(q_cells, id_col)
+                .select(
+                    F.col(id_col).alias("query_id"),
+                    F.col(emb_col).alias("q_emb"),
+                    F.col("nsq").alias("q_nsq"),
+                    F.col("cell").alias("q_list"),
+                )
+            )
     pairs = (
         e.join(
             F.broadcast(q),
@@ -860,20 +1124,33 @@ def build_ivf_index(
         # numeric — the suffix after the LAST ':' parses back
         # unambiguously even if src_file itself contains ':'.
         keyed = with_norm(
-            df.select(id_col, emb_col, "src_file", "row_idx"),
+            _spread(df.select(id_col, emb_col, "src_file", "row_idx")),
             emb_col,
             exact=True,
-        ).withColumn(
-            "_rowkey", F.concat_ws(":", F.col("src_file"), F.col("row_idx"))
         )
-        assign = assign_cells(_comp(keyed, "_rowkey", emb_col), book, "_rowkey")
-        postings = (
-            keyed.join(assign, "_rowkey")
-            .drop("_rowkey")
-            # one shuffle on cell: each output file holds exactly one
-            # cell, so probed-cell reads never touch foreign bytes
-            .repartition("cell")
-        )
+        consts = _centroid_consts(spark, book)
+        if consts is not None:
+            # literal assignment: the cell tag is computed inline on the
+            # corpus scan — no _rowkey join-back, no assignment shuffles
+            # (duplicate ids are trivially safe: nothing joins on id)
+            postings = keyed.withColumn(
+                "cell", F.element_at(_best_cells_col(emb_col, consts), 1)
+            ).repartition("cell")
+        else:
+            keyed = keyed.withColumn(
+                "_rowkey",
+                F.concat_ws(":", F.col("src_file"), F.col("row_idx")),
+            )
+            assign = assign_cells(
+                _comp(keyed, "_rowkey", emb_col), book, "_rowkey"
+            )
+            postings = (
+                keyed.join(assign, "_rowkey")
+                .drop("_rowkey")
+                # one shuffle on cell: each output file holds exactly one
+                # cell, so probed-cell reads never touch foreign bytes
+                .repartition("cell")
+            )
         postings.write.partitionBy("cell").mode("overwrite").parquet(
             f"{root}/postings"
         )
@@ -1034,17 +1311,28 @@ def _append_files_to_postings(
         )
     )
     new_df = new_df.select(id_col, emb_col, "src_file", "row_idx")
-    # identity-keyed assignment, same reason as build_ivf_index: a
-    # duplicate id within one appended batch must not cross-join (the
-    # "file:idx" string key is injective — row_idx is numeric, so the
-    # suffix after the last ':' is unambiguous)
-    keyed = with_norm(new_df, emb_col, exact=True).withColumn(
-        "_rowkey", F.concat_ws(":", F.col("src_file"), F.col("row_idx"))
-    )
-    assign = assign_cells(_comp(keyed, "_rowkey", emb_col), codebook, "_rowkey")
-    postings_new = (
-        keyed.join(assign, "_rowkey").drop("_rowkey").repartition("cell")
-    )
+    keyed = with_norm(_spread(new_df), emb_col, exact=True)
+    consts = _centroid_consts(spark, codebook)
+    if consts is not None:
+        # inline literal assignment (same as build): no join keyed on
+        # anything, so duplicate ids cannot cross-join by construction
+        postings_new = keyed.withColumn(
+            "cell", F.element_at(_best_cells_col(emb_col, consts), 1)
+        ).repartition("cell")
+    else:
+        # identity-keyed assignment, same reason as build_ivf_index: a
+        # duplicate id within one appended batch must not cross-join (the
+        # "file:idx" string key is injective — row_idx is numeric, so the
+        # suffix after the last ':' is unambiguous)
+        keyed = keyed.withColumn(
+            "_rowkey", F.concat_ws(":", F.col("src_file"), F.col("row_idx"))
+        )
+        assign = assign_cells(
+            _comp(keyed, "_rowkey", emb_col), codebook, "_rowkey"
+        )
+        postings_new = (
+            keyed.join(assign, "_rowkey").drop("_rowkey").repartition("cell")
+        )
     postings_new.write.partitionBy("cell").mode("append").parquet(
         f"{root}/postings"
     )
@@ -1450,11 +1738,21 @@ def ivf_search_indexed(
         .select(id_col, emb_col)
         .where(F.col(id_col) < n_queries)
     )
-    q_cells = assign_cells(
-        _comp(qbase, id_col, emb_col), codebook, id_col, top_p=n_probes
-    )
+    consts = _centroid_consts(spark, codebook)
+    if consts is not None:
+        # literal probe-cell ranking: ONE narrow job over the n_queries
+        # rows (was: explode + codebook join + two shuffles + window,
+        # then a join-back)
+        qtag = with_norm(qbase, emb_col, exact=exact).withColumn(
+            "cell", F.explode(_best_cells_col(emb_col, consts, n_probes))
+        )
+    else:
+        q_cells = assign_cells(
+            _comp(qbase, id_col, emb_col), codebook, id_col, top_p=n_probes
+        )
+        qtag = with_norm(qbase, emb_col, exact=exact).join(q_cells, id_col)
     probed = sorted(
-        r["cell"] for r in q_cells.select("cell").distinct().collect()
+        r["cell"] for r in qtag.select("cell").distinct().collect()
     )
     # a trained cell can hold ZERO corpus vectors (the empty-cell carry
     # keeps its centroid alive, and a sample-trained centroid can win no
@@ -1474,17 +1772,13 @@ def ivf_search_indexed(
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cos_sim double, rn long"
         )
-    q = (
-        with_norm(qbase, emb_col, exact=exact)
-        .join(q_cells, id_col)
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(emb_col).alias("q_emb"),
-            F.col("nsq").alias("q_nsq"),
-            F.col("cell").alias("q_list"),
-        )
+    q = qtag.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        F.col("nsq").alias("q_nsq"),
+        F.col("cell").alias("q_list"),
     )
-    cand = (
+    cand = _spread(
         spark.read.option("basePath", f"{root}/postings")
         .parquet(*[f"{root}/postings/cell={c}" for c in probed])
         .withColumn("cell", F.col("cell").cast("int"))
