@@ -125,3 +125,46 @@ def pround_sql(expr: str, scale: int = 6) -> str:
     """DuckDB twin of :func:`pround` (same ops, same bits)."""
     p = float(10**scale)
     return f"(floor(({expr}) * {p!r} + 0.5) / {p!r})"
+
+
+def values_df(spark, schema: str, rows: list[tuple]):
+    """Small driver-side metadata frame as a SQL VALUES LocalRelation.
+
+    ``createDataFrame(list)`` routes through the Python-RDD path: the
+    rows become defaultParallelism pickled slices, and any downstream
+    ``coalesce(1)`` (or plain collect) evaluates every slice through a
+    Python worker round-trip — measured ~6.5 s for one 640-row codebook
+    write.  A VALUES relation is JVM-only: same rows, same declared
+    schema, ~0.2 s.  ``schema`` is the createDataFrame schema-string
+    subset ``"name type, ..."`` with int/bigint/long/double/float/
+    string/boolean columns; every cell is CAST to the declared type, so
+    the result's schema is identical to the createDataFrame it
+    replaces.  Doubles are emitted via repr (exact round-trip — the
+    dot_expr discipline); strings are quote-escaped."""
+    if not rows:  # VALUES needs >=1 tuple; empty stays a plain empty frame
+        return spark.createDataFrame([], schema)
+    cols = []
+    for part in schema.split(","):
+        name, typ = part.strip().rsplit(" ", 1)
+        cols.append((name.strip(), typ.strip().lower()))
+
+    def _lit(x, typ: str) -> str:
+        if x is None:
+            return f"CAST(NULL AS {typ})"
+        if typ in ("double", "float"):
+            return f"CAST({float(x)!r} AS {typ})"
+        if typ in ("int", "integer", "bigint", "long"):
+            return f"CAST({int(x)} AS {'bigint' if typ == 'long' else typ})"
+        if typ == "string":
+            s = str(x).replace("\\", "\\\\").replace("'", "\\'")
+            return f"'{s}'"
+        if typ == "boolean":
+            return "true" if x else "false"
+        raise TypeError(f"values_df: unsupported column type {typ!r}")
+
+    tuples = ", ".join(
+        "(" + ", ".join(_lit(x, t) for x, (_, t) in zip(row, cols)) + ")"
+        for row in rows
+    )
+    names = ", ".join(n for n, _ in cols)
+    return spark.sql(f"SELECT * FROM VALUES {tuples} AS t({names})")

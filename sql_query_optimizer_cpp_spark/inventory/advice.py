@@ -219,7 +219,10 @@ def join_order_advice_ga(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every cost term is symmetric in (l, r); see module doc)
     if order[1] < order[0]:
         order = [order[1], order[0], *order[2:]]
-    return spark.createDataFrame(
+    from ..functions import values_df
+
+    return values_df(
+        spark,
+        "pos int, table_name string, n_rows bigint",
         [(i + 1, name, rows[name]) for i, name in enumerate(order)],
-        schema="pos int, table_name string, n_rows bigint",
     )

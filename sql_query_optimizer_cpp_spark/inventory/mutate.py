@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from . import register
 from ..catalog import load_tables
-from ..functions import dsum, dsum_sql
+from ..functions import dsum, dsum_sql, values_df
 from ..operators.mutate import (
     compact,
     delete_where,
@@ -675,9 +675,10 @@ def mutate_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in frames[1:]:
         out = out.unionByName(fr)
     # the attempt counts ARE part of the graded protocol evidence
-    attempts = spark.createDataFrame(
+    attempts = values_df(
+        spark,
+        "version int, n bigint, total double",
         [(91, len(a_attempts), 0.0), (92, len(c_attempts), 0.0)],
-        schema="version int, n bigint, total double",
     )
     return out.unionByName(attempts).orderBy("version")
 
@@ -760,9 +761,7 @@ def mutate_occ_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         ]
         rows = [(k, delta) for k in keys] + [(k + shift, delta) for k in keys]
-        return spark.createDataFrame(
-            rows, schema="c_custkey long, delta double"
-        )
+        return values_df(spark, "c_custkey long, delta double", rows)
 
     src_b = src_for(f"c_custkey < {lo} + 3", 2_000_000, 500.0)
     src_a = src_for(f"c_custkey > {hi} - 3", 3_000_000, 900.0)
@@ -796,9 +795,10 @@ def mutate_occ_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = frames[0]
     for fr in frames[1:]:
         out = out.unionByName(fr)
-    attempts = spark.createDataFrame(
+    attempts = values_df(
+        spark,
+        "version int, n bigint, total double",
         [(91, len(a_attempts), 0.0)],
-        schema="version int, n bigint, total double",
     )
     return out.unionByName(attempts).orderBy("version")
 
@@ -865,9 +865,10 @@ def mutate_occ_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("total"),
         )
     )
-    attempts = spark.createDataFrame(
+    attempts = values_df(
+        spark,
+        "o_orderstatus string, n bigint, total double",
         [("_attempts", len(a_attempts), 0.0)],
-        schema="o_orderstatus string, n bigint, total double",
     )
     return out.unionByName(attempts).orderBy("o_orderstatus")
 
@@ -1128,9 +1129,10 @@ def mutate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("total"),
         )
     )
-    guard = spark.createDataFrame(
+    guard = values_df(
+        spark,
+        "seg string, n bigint, total double",
         [("__violations_blocked", blocked, 0.0)],
-        schema="seg string, n bigint, total double",
     )
     return out.unionByName(guard).orderBy("seg")
 
@@ -1881,9 +1883,10 @@ def mutate_occ_dv_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = frames[0]
     for fr in frames[1:]:
         out = out.unionByName(fr)
-    attempts = spark.createDataFrame(
+    attempts = values_df(
+        spark,
+        "version int, n bigint, total double",
         [(91, len(a_attempts), 0.0), (92, len(c_attempts), 0.0)],
-        schema="version int, n bigint, total double",
     )
     return out.unionByName(attempts).orderBy("version")
 
@@ -2027,9 +2030,10 @@ def mutate_occ_dv_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = frames[0]
     for fr in frames[1:]:
         out = out.unionByName(fr)
-    attempts = spark.createDataFrame(
+    attempts = values_df(
+        spark,
+        "version int, n bigint, total double",
         [(91, len(u_attempts), 0.0), (92, len(m_attempts), 0.0)],
-        schema="version int, n bigint, total double",
     )
     return out.unionByName(attempts).orderBy("version")
 
@@ -2162,9 +2166,10 @@ def mutate_txn_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n"),
             F.coalesce(dsum(val), F.lit(0.0)).alias("total"),
         ).select(F.lit(f"{tag}_final").alias("row_id"), "n", "total")
-        vrow = spark.createDataFrame(
-            [(f"{tag}_versions", n_vs, 0.0)],
+        vrow = values_df(
+            spark,
             "row_id string, n bigint, total double",
+            [(f"{tag}_versions", n_vs, 0.0)],
         )
         return agg.unionByName(vrow)
 

@@ -180,8 +180,10 @@ def _index_rows(
     # a file whose column is entirely NULL produces no position group;
     # it still needs an (all-zero) index row, else refresh counts it as
     # "new" forever and the probe treats it as an always-candidate
-    all_rels = spark.createDataFrame(
-        [(_rel_to_table(path, f),) for f in files], "src_file string"
+    from ..functions import values_df
+
+    all_rels = values_df(
+        spark, "src_file string", [(_rel_to_table(path, f),) for f in files]
     )
     return all_rels.join(packed, "src_file", "left").select(
         "src_file",
@@ -311,12 +313,17 @@ def _probe(
     files = list_data_files(spark, path, recursive=True)
     by_rel = {_rel_to_table(path, f): f for f in files}
     # the literals' positions via the SAME JVM hash expression as build
-    pos_lists = [
-        r["p"]
-        for r in spark.createDataFrame(
+    from ..functions import values_df
+
+    try:
+        lits = values_df(spark, f"v {meta['col_type']}", [(v,) for v in vals])
+    except TypeError:  # col types outside the VALUES subset keep the
+        lits = spark.createDataFrame(  # Python-RDD path (rare, tiny)
             [(v,) for v in vals], f"v {meta['col_type']}"
         )
-        .select(
+    pos_lists = [
+        r["p"]
+        for r in lits.select(
             _positions(
                 F.col("v"), meta["num_hashes"], meta["num_bits"]
             ).alias("p")

@@ -234,8 +234,12 @@ def table_storage_report(spark, path: str, top_n: int = 5) -> TableStorageReport
         # (at-least-once) or stale (replaced-file) tombstones behind,
         # which read_mor's anti join tolerates and this report must not
         # double-bill
-        live = spark.createDataFrame(
-            [(_rel_to_table(path, f),) for f in files], "src_file string"
+        from ..functions import values_df
+
+        live = values_df(
+            spark,
+            "src_file string",
+            [(_rel_to_table(path, f),) for f in files],
         )
         entries = (
             spark.read.parquet(*sorted(dv_files))
