@@ -1336,9 +1336,16 @@ def mutate_mor_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*agg_cols)
     )
     # grade the post-materialize base read; read_mor equivalence is
-    # asserted by intersecting (an inconsistency would change row counts)
+    # asserted by intersecting (an inconsistency would change row counts) —
+    # the pinned rows ride back in as a VALUES LocalRelation (JVM-only;
+    # doubles repr-exact, so the intersect compares identical bits) rather
+    # than a Python-RDD createDataFrame
     return after.intersect(
-        spark.createDataFrame(before_rows, before.schema)
+        values_df(
+            spark,
+            "seg string, n long, total double",
+            [tuple(r) for r in before_rows],
+        )
     ).orderBy("seg")
 
 
