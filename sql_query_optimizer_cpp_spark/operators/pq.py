@@ -207,6 +207,7 @@ def train_pq(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     dim: int = DIM,
+    sample: DataFrame | None = None,
 ) -> DataFrame:
     """Train all ``n_subs`` sub-quantizers in ONE grouped loop (not a
     per-sub Python loop — the sub-block id is just another group key, so
@@ -224,21 +225,21 @@ def train_pq(
     order and break bit-exact determinism.  Without identity columns,
     training assumes unique ids (assignment never does — see
     ``_rowkey`` in the index builders)."""
+    from .similarity import training_sample
+
     spark = df.sparkSession
     dsub = dim // n_subs
-    sdf = df.where((F.col(id_col) % sample_mod) == 0).select(id_col, emb_col)
-    if {"src_file", "row_idx"} <= set(df.columns):
-        one = W.partitionBy(id_col).orderBy("src_file", "row_idx")
-        sdf = (
-            df.where((F.col(id_col) % sample_mod) == 0)
-            .withColumn("_trn", F.row_number().over(one))
-            .filter(F.col("_trn") == 1)
-            .select(id_col, emb_col)
-        )
     # sample reused by the seed collect + one scan per iteration (same
     # rationale as kmeans_centroids: don't re-derive it from the corpus
-    # iters+1 times); _spread parallelizes the assignment arithmetic
-    sdf = _spread(sdf).persist()
+    # iters+1 times).  ``sample`` (r15): a caller-owned pre-persisted
+    # training_sample frame — build_ivfpq_index shares one cache between
+    # its two trainers (same sample predicate by construction).
+    caller_owned = sample is not None
+    sdf = (
+        sample
+        if caller_owned
+        else training_sample(df, sample_mod, id_col, emb_col).persist()
+    )
     try:
         # seeds: the n_codes smallest sample ids — the same seed vector
         # feeds every sub-block, split by global position
@@ -303,7 +304,8 @@ def train_pq(
                 for key, old in rows.items()
             }
     finally:
-        sdf.unpersist()
+        if not caller_owned:
+            sdf.unpersist()
     from .similarity import _values_df
 
     if not rows:
@@ -686,8 +688,10 @@ def build_ivfpq_index(
     )
     from .similarity import (
         IVF_CELLS,
+        IVF_SAMPLE_MOD,
         _rename_identity,
         kmeans_centroids,
+        training_sample,
     )
 
     num_cells = num_cells or IVF_CELLS
@@ -703,19 +707,72 @@ def build_ivfpq_index(
             _read_dv(spark, table_path),
         )
     )
-    coarse = kmeans_centroids(
-        df, num_cells, id_col=id_col, emb_col=emb_col
+    # The two quantizer trainings are INDEPENDENT (coarse cells partition
+    # the corpus; sub-quantizers compress within it) and — with today's
+    # module constants — draw the SAME hash sample (id % 3 == 0), so:
+    # one shared persisted sample (guide §5: don't materialize the
+    # identical frame twice) and the trainings overlap from a 2-thread
+    # pool (guide §2.6: independent jobs back-fill each other's per-job
+    # scheduling floor — each training is a short chain of sample-sized
+    # jobs whose wall here is job count, not compute).  Results are
+    # bit-identical to the sequential form: each training is a
+    # deterministic function of the sample, and nothing below reads
+    # shared mutable state.
+    from concurrent.futures import ThreadPoolExecutor
+
+    shared = IVF_SAMPLE_MOD == PQ_SAMPLE_MOD
+    sample = (
+        training_sample(df, IVF_SAMPLE_MOD, id_col, emb_col).persist()
+        if shared
+        else None
     )
-    book = train_pq(
-        df, n_subs, n_codes, PQ_ITERS, PQ_SAMPLE_MOD, id_col, emb_col, dim
-    )
+    try:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_coarse = pool.submit(
+                kmeans_centroids,
+                df,
+                num_cells,
+                id_col=id_col,
+                emb_col=emb_col,
+                sample=sample,
+            )
+            f_book = pool.submit(
+                train_pq,
+                df,
+                n_subs,
+                n_codes,
+                PQ_ITERS,
+                PQ_SAMPLE_MOD,
+                id_col,
+                emb_col,
+                dim,
+                sample=sample,
+            )
+            coarse = f_coarse.result()
+            book = f_book.result()
+    finally:
+        if sample is not None:
+            sample.unpersist()
     root = _ivfpq_root(table_path, emb_col)
     jvm, fs, root_p = _fs(spark, root)
     if not fs.exists(root_p):
         fs.mkdirs(root_p)
     with _writer_lock(spark, root, 30.0):
-        coarse.coalesce(1).write.mode("overwrite").parquet(f"{root}/coarse")
-        book.coalesce(1).write.mode("overwrite").parquet(f"{root}/codebook")
+        # the two codebook writes are independent single-file jobs —
+        # overlap them too (same §2.6 floor argument)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            w1 = pool.submit(
+                lambda: coarse.coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{root}/coarse")
+            )
+            w2 = pool.submit(
+                lambda: book.coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{root}/codebook")
+            )
+            w1.result()
+            w2.result()
         coarse_rt = spark.read.parquet(f"{root}/coarse")
         book_rt = spark.read.parquet(f"{root}/codebook")
         # a crashed maintain_ivfpq_index leaves _maintain_* stage/trash
@@ -839,12 +896,50 @@ def ivfpq_search_indexed(
         .select(id_col, emb_col)
         .where(F.col(id_col) < n_queries)
     )
-    q_cells = assign_cells_fast(
-        qbase, coarse, id_col, top_p=n_probes, emb_col=emb_col
-    ).withColumnRenamed(id_col, "query_id")
-    probed = sorted(
-        r["cell"] for r in q_cells.select("cell").distinct().collect()
-    )
+    # Collect the query-side metadata ONCE (n_queries rows — the same
+    # driver round-trip the probed-cell pruning below always paid) and
+    # re-inject it as VALUES LocalRelations: one job computes each
+    # query's n_probes nearest cells AND its exact norm, so the final
+    # candidate job's broadcast sides carry literal rows instead of
+    # re-running the assignment/norm subtrees (query scan + literal
+    # scoring) inside their BroadcastExchanges.  All values are
+    # Spark-evaluated (the literal-codebook exact arithmetic), so the
+    # VALUES round-trip is bit-identical by the repr discipline.
+    from .similarity import _best_cells_col, _centroid_consts
+
+    cc = _centroid_consts(spark, coarse)
+    qn_rows: list[tuple[int, float]] | None = None
+    if cc is not None:
+        qrows = qbase.select(
+            F.col(id_col).alias("query_id"),
+            _best_cells_col(emb_col, cc, n_probes).alias("cells"),
+            F.expr(normsq_expr(emb_col, duck=False, exact=True)).alias(
+                "q_nsq"
+            ),
+        ).collect()
+        q_rows = [
+            (int(r["query_id"]), int(c)) for r in qrows for c in r["cells"]
+        ]
+        qn_rows = [
+            (
+                int(r["query_id"]),
+                None if r["q_nsq"] is None else float(r["q_nsq"]),
+            )
+            for r in qrows
+        ]
+    else:
+        # over-budget codebook: the distributed assignment pipeline (the
+        # fallback the literal path is pinned equal to); norms stay a
+        # lazy broadcast subtree inside the final job
+        q_rows = [
+            (int(r["query_id"]), int(r["cell"]))
+            for r in assign_cells_fast(
+                qbase, coarse, id_col, top_p=n_probes, emb_col=emb_col
+            )
+            .withColumnRenamed(id_col, "query_id")
+            .collect()
+        ]
+    probed = sorted({c for _, c in q_rows})
     post_root = f"{root}/postings"
     jpath = spark._jvm.org.apache.hadoop.fs.Path(post_root)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -858,10 +953,24 @@ def ivfpq_search_indexed(
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cos_sim double, rn long"
         )
+    from ..functions import values_df
+
+    q_cells = values_df(spark, "query_id bigint, cell int", q_rows)
     lut, cnorm, qn = _adc_tables(
         qbase, book, n_queries, id_col, emb_col, n_subs, dim
     )
-    cand_rows = _spread(
+    if qn_rows is not None:
+        qn = values_df(spark, "query_id bigint, q_nsq double", qn_rows)
+    # NOT _spread here (r15 A/B: 1.94 s vs 2.50 s median at sf0.1): ADC
+    # candidate scoring is LUT lookups — broadcast joins + posexplode,
+    # none of the heavy decimal-dot arithmetic _spread exists to
+    # parallelize (contrast ivf_search_indexed, whose candidates each
+    # pay an exact 64-dim decimal dot and keep the spread) — and the
+    # decimal sums run after the (query, candidate) groupBy shuffle,
+    # which redistributes regardless.  At scale the probed cells' files
+    # split naturally; locally the gate would fire and add a pure-waste
+    # shuffle of the codes.
+    cand_rows = (
         spark.read.option("basePath", post_root)
         .parquet(*[f"{post_root}/cell={c}" for c in probed])
         .withColumn("cell", F.col("cell").cast("int"))

@@ -543,7 +543,16 @@ def _lit_assign_budget(spark) -> int:
 
 def _sql_double(x: float) -> str:
     """Exact double literal (repr round-trips; CAST parses it back to the
-    same bits — the plane_dot_expr discipline)."""
+    same bits — the plane_dot_expr discipline).  Non-finite values go
+    through their string forms: repr(inf)/repr(nan) are bare identifiers
+    that CAST cannot parse (ADVICE r14 — a NaN training component would
+    otherwise raise AnalysisException instead of flowing through)."""
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
     return f"CAST({x!r} AS DOUBLE)"
 
 
@@ -715,6 +724,35 @@ def _codebook_df(spark, rows: dict) -> DataFrame:
     )
 
 
+def training_sample(
+    df: DataFrame,
+    sample_mod: int = IVF_SAMPLE_MOD,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """The deterministic, explicitly SAMPLE-BOUNDED training input both
+    quantizer trainers draw (guide §5: training cost must be a fraction
+    chosen by ``sample_mod``, never a function of corpus size): rows with
+    ``id % sample_mod == 0``, projected to ``(id, emb)``, deduped to one
+    physical row per id (smallest MOR identity wins, deterministically)
+    when the identity columns are present — exactly the frame
+    :func:`kmeans_centroids` and :func:`..pq.train_pq` derived inline
+    before r15.  Factored out so a composite build (IVFPQ: coarse k-means
+    AND PQ sub-quantizers over the SAME sample predicate) derives and
+    persists the sample ONCE instead of once per trainer."""
+    sdf = df.where((F.col(id_col) % sample_mod) == 0).select(id_col, emb_col)
+    if {"src_file", "row_idx"} <= set(df.columns):
+        one = W.partitionBy(id_col).orderBy("src_file", "row_idx")
+        sdf = (
+            df.where((F.col(id_col) % sample_mod) == 0)
+            .withColumn("_trn", F.row_number().over(one))
+            .filter(F.col("_trn") == 1)
+            .select(id_col, emb_col)
+        )
+    # _spread parallelizes the per-row assignment arithmetic locally
+    return _spread(sdf)
+
+
 def kmeans_centroids(
     df: DataFrame,
     num_cells: int = IVF_CELLS,
@@ -722,6 +760,7 @@ def kmeans_centroids(
     sample_mod: int = IVF_SAMPLE_MOD,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    sample: DataFrame | None = None,
 ) -> DataFrame:
     """Sample-based k-means coarse quantizer — the TRAINED alternative to
     :func:`nearest_centroid`'s per-label means (on the fixtures it more
@@ -750,22 +789,23 @@ def kmeans_centroids(
     ``build_ivf_index``/``build_ivfpq_index`` path) the SAMPLE is
     deduped to one physical row per id (smallest identity wins) before
     seeding/training; without identity columns training assumes unique
-    ids (assignment never does — it keys on ``_rowkey``)."""
+    ids (assignment never does — it keys on ``_rowkey``).
+
+    ``sample`` (r15): a caller-owned pre-derived training sample — the
+    :func:`training_sample` frame, already persisted by the caller, who
+    keeps lifecycle responsibility.  Lets :func:`..pq.build_ivfpq_index`
+    share ONE cached sample between its two trainers instead of
+    materializing the identical frame twice."""
     spark = df.sparkSession
-    sdf = df.where((F.col(id_col) % sample_mod) == 0).select(id_col, emb_col)
-    if {"src_file", "row_idx"} <= set(df.columns):
-        one = W.partitionBy(id_col).orderBy("src_file", "row_idx")
-        sdf = (
-            df.where((F.col(id_col) % sample_mod) == 0)
-            .withColumn("_trn", F.row_number().over(one))
-            .filter(F.col("_trn") == 1)
-            .select(id_col, emb_col)
-        )
     # the sample feeds the seed collect plus one scan per iteration; at
     # 100 TB re-deriving it from the corpus each pass would multiply the
-    # training read by iters+1 (guide §5: reuse justifies the cache);
-    # _spread parallelizes the per-row assignment arithmetic locally
-    sdf = _spread(sdf).persist()
+    # training read by iters+1 (guide §5: reuse justifies the cache)
+    caller_owned = sample is not None
+    sdf = (
+        sample
+        if caller_owned
+        else training_sample(df, sample_mod, id_col, emb_col).persist()
+    )
     try:
         # seeds: the num_cells smallest sample ids, vectors collected in
         # the SAME job (ids are unique here — deduped above when the MOR
@@ -828,7 +868,8 @@ def kmeans_centroids(
                 for key, old in rows.items()
             }
     finally:
-        sdf.unpersist()
+        if not caller_owned:
+            sdf.unpersist()
     return _codebook_df(spark, rows)
 
 
