@@ -1938,3 +1938,109 @@ WHERE rn <= {k}
     spark_rows = SQ.sq_topk(emb, n_queries=nq, k=k).collect()
     assert sorted(map(tuple, spark_rows)) == sorted(map(tuple, duck_rows))
     assert len(spark_rows) == nq * k
+
+
+# -- r15: pin the distributed assignment FALLBACK equal to the literal
+# fast path (VERDICT r14 "what's wrong" #2).  At production codebook
+# sizes (cells*dim > literalAssignMaxTerms) the explode+join pipeline IS
+# the hot path; without these tests it could rot silently behind the
+# fixture-scale literal path.
+
+
+import contextlib as _ctx
+
+
+@_ctx.contextmanager
+def _forced_fallback(spark):
+    """Session scope with literalAssignMaxTerms=0: every assignment takes
+    the distributed explode+join pipeline."""
+    key = "spark.sqlopt.ann.literalAssignMaxTerms"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "0")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def _no_cartesian(df):
+    """The fallback must stay an equi-join pipeline — no cartesian blowup."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_fallback_ivf_assign_equals_literal(spark):
+    from sql_query_optimizer_cpp_spark.operators import similarity as S
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    book = S.kmeans_centroids(emb)
+    for top_p in (1, 2):
+        lit = sorted(
+            map(tuple, S.assign_cells_fast(emb, book, top_p=top_p).collect())
+        )
+        with _forced_fallback(spark):
+            assert S._centroid_consts(spark, book) is None  # gate engaged
+            fb_df = S.assign_cells_fast(emb, book, top_p=top_p)
+            _no_cartesian(fb_df)
+            fb = sorted(map(tuple, fb_df.collect()))
+        assert fb == lit, f"fallback diverged from literal path at top_p={top_p}"
+
+
+def test_fallback_pq_encode_equals_literal(spark):
+    from sql_query_optimizer_cpp_spark.operators import pq as PQ
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    book = PQ.train_pq(emb)
+    lit = sorted(map(tuple, PQ.pq_encode(emb, book).collect()))
+    with _forced_fallback(spark):
+        assert PQ._pq_consts(spark, book) is None  # gate engaged
+        fb_df = PQ.pq_encode(emb, book)
+        _no_cartesian(fb_df)
+        fb = sorted(map(tuple, fb_df.collect()))
+    assert fb == lit, "fallback PQ encoding diverged from literal path"
+
+
+def test_fallback_ivfpq_probe_equals_literal(spark, tmp_path):
+    """Build the sidecar under the FALLBACK (distributed training,
+    assignment and encode), then probe it under both paths: the persisted
+    index and the serving read must be bit-identical to the
+    literal-path build + probe."""
+    from sql_query_optimizer_cpp_spark.operators import pq as PQ
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    lit_dir = str(tmp_path / "lit")
+    fb_dir = str(tmp_path / "fb")
+    emb.write.parquet(lit_dir)
+    emb.write.parquet(fb_dir)
+    PQ.build_ivfpq_index(spark, lit_dir, id_col="vec_id")
+    lit = sorted(
+        map(
+            tuple,
+            PQ.ivfpq_search_indexed(
+                spark, lit_dir, n_queries=10, k=5, n_probes=2
+            ).collect(),
+        )
+    )
+    with _forced_fallback(spark):
+        PQ.build_ivfpq_index(spark, fb_dir, id_col="vec_id")
+        fb_df = PQ.ivfpq_search_indexed(
+            spark, fb_dir, n_queries=10, k=5, n_probes=2
+        )
+        _no_cartesian(fb_df)
+        fb = sorted(map(tuple, fb_df.collect()))
+    assert fb == lit, "fallback IVFPQ build+probe diverged from literal path"
+    # cross-path: the fallback-built sidecar serves identically through
+    # the literal probe too (codebooks/codes round-trip bit-exactly)
+    cross = sorted(
+        map(
+            tuple,
+            PQ.ivfpq_search_indexed(
+                spark, fb_dir, n_queries=10, k=5, n_probes=2
+            ).collect(),
+        )
+    )
+    assert cross == lit
