@@ -452,9 +452,14 @@ def _with_writer_lock(fn):
                 _refresh_indexes(spark, path)
                 # layout-only verbs (compact/recluster) move bytes but
                 # change no row — ANALYZE row/NDV stats stay exact, so
-                # they must not trip the staleness warning + re-harvest
+                # they must not trip the staleness warning + re-harvest.
+                # They DO rewrite files, so the catalog's file-listing
+                # epoch (which the load_tables definition memo keys on)
+                # must advance either way; _mark_mutated bumps both.
                 if fn.__name__ not in _LAYOUT_ONLY_VERBS:
                     _mark_mutated(spark, path)
+                else:
+                    _mark_files_changed(spark, path)
             return out
 
     return wrapper
@@ -467,11 +472,23 @@ _LAYOUT_ONLY_VERBS = frozenset({"compact"})
 def _mark_mutated(spark: SparkSession, path: str) -> None:
     """Bump the catalog's per-path mutation epoch so registered ANALYZE
     stats for this table are surfaced as stale instead of silently served
-    (catalog.stats_stale / plans.genetic.graph_for_advice)."""
+    (catalog.stats_stale / plans.genetic.graph_for_advice).  Also bumps
+    the file-listing epoch (every row mutation rewrites files)."""
     from ..catalog import mark_table_mutated
 
     with contextlib.suppress(Exception):
         mark_table_mutated(spark, path)
+
+
+def _mark_files_changed(spark: SparkSession, path: str) -> None:
+    """Bump ONLY the catalog's file-listing epoch — the layout-only-verb
+    half of :func:`_mark_mutated`: compact() moves every byte into new
+    files (the load_tables definition memo must invalidate) without
+    changing a row value (ANALYZE stats stay exact)."""
+    from ..catalog import mark_table_files_changed
+
+    with contextlib.suppress(Exception):
+        mark_table_files_changed(spark, path)
 
 
 #: set to "false" to opt out of post-DML bloom-index maintenance (the
