@@ -152,7 +152,18 @@ def values_df(spark, schema: str, rows: list[tuple]):
         if x is None:
             return f"CAST(NULL AS {typ})"
         if typ in ("double", "float"):
-            return f"CAST({float(x)!r} AS {typ})"
+            f = float(x)
+            # repr(inf)/repr(nan) are bare identifiers — invalid inside
+            # CAST.  Spark parses the string forms ('Infinity', 'NaN')
+            # to the exact IEEE values, preserving createDataFrame
+            # parity for non-finite cells (ADVICE r14).
+            if f != f:
+                return f"CAST('NaN' AS {typ})"
+            if f == float("inf"):
+                return f"CAST('Infinity' AS {typ})"
+            if f == float("-inf"):
+                return f"CAST('-Infinity' AS {typ})"
+            return f"CAST({f!r} AS {typ})"
         if typ in ("int", "integer", "bigint", "long"):
             return f"CAST({int(x)} AS {'bigint' if typ == 'long' else typ})"
         if typ == "string":
