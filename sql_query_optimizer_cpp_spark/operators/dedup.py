@@ -304,13 +304,32 @@ def _verify_overlap(
     counts, so a multiset ``shingles`` input (the cheap path — see
     :func:`doc_shingles`) verifies identically to a pre-distinct one."""
     ex = shingles if shingles is not None else doc_shingles(df, id_col, text_col, n)
+    # Candidate-scoped verification (r15, guide §2.3/§8 — decide with
+    # small rows): every aggregation below inner-joins back to ``cand``,
+    # so only the shingles of docs appearing in SOME candidate pair ever
+    # matter.  Semi-join the corpus-scale shingle frame down to that doc
+    # set before any shuffle: the per-doc size aggregation — previously
+    # a CORPUS-WIDE two-level countDistinct shuffle, computed twice (sa
+    # and sb are separate subtrees Catalyst does not dedupe) — and both
+    # intersection join sides become candidate-scoped.  ``cand`` is
+    # persisted (tracked, released by release_cached like the shingle
+    # cache) because it now feeds four consumers — recomputing the
+    # banded-LSH/blocking self-join per consumer would cost more than
+    # the scoping saves.  Results identical by construction.
+    cand = _persist_tracked(cand)
+    docs = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .union(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    exc = _persist_tracked(ex.join(docs, id_col, "left_semi"))
     # per-SIDE dedup happens inside the candidate-scoped aggregation (the
     # countDistinct below), NOT as a corpus-wide distinct() here — that
     # corpus shuffle is exactly what the multiset path exists to avoid;
     # join fan-out from duplicated shingles is bounded by per-doc
     # duplication and only on candidate pairs
-    ea = ex.select(F.col(id_col).alias("doc_a"), F.col("s"))
-    eb = ex.select(F.col(id_col).alias("_doc_b"), F.col("s").alias("s_b"))
+    ea = exc.select(F.col(id_col).alias("doc_a"), F.col("s"))
+    eb = exc.select(F.col(id_col).alias("_doc_b"), F.col("s").alias("s_b"))
     inter = (
         cand.join(ea, "doc_a")
         .join(
@@ -321,7 +340,7 @@ def _verify_overlap(
         .groupBy("doc_a", "doc_b")
         .agg(F.countDistinct("s").cast("long").alias("inter"))
     )
-    sizes = ex.groupBy(id_col).agg(
+    sizes = exc.groupBy(id_col).agg(
         F.countDistinct("s").cast("long").alias("sz")
     )
     sa = sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sz", "sz_a")
