@@ -172,6 +172,7 @@ def pack_sequences(
     n_shards: int = 8,
     ctx: int = 2048,
     carry_cols: tuple[str, ...] = (),
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Concat-and-chop sequence packing: within a shard (``id mod
     n_shards``), documents are laid out in id order and chopped into
@@ -182,16 +183,28 @@ def pack_sequences(
     plus any ``carry_cols`` passed through unchanged (rides the same
     window shuffle; saves a join-back when a downstream stage needs, say,
     the language label alongside the packing assignment).
+
+    ``n_tokens_col`` (r15): the name of a PRECOMPUTED token-count column
+    to use instead of re-deriving ``token_count(text_col)`` here — lets
+    an upstream stage count tokens map-side and drop the text payload
+    before its own shuffle (guide §2.3: the count is 8 bytes, the text
+    is the corpus).  Identical output by construction when the column
+    was computed as ``token_count`` of the same text.
     """
     w = (
         W.partitionBy("shard")
         .orderBy(id_col)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    n_tokens = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col is not None
+        else token_count(text_col)
+    )
     toks = df.select(
         F.col(id_col),
         (F.col(id_col) % n_shards).alias("shard"),
-        token_count(text_col).alias("n_tokens"),
+        n_tokens.alias("n_tokens"),
         *[F.col(c) for c in carry_cols],
     )
     start = F.sum("n_tokens").over(w) - F.col("n_tokens")
