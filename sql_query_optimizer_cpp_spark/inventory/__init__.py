@@ -159,85 +159,72 @@ def shared_sql(
 #: by tests/test_inventory.py + tools/driver_sim.py regardless of window
 #: position.
 _PRIORITY: tuple[str, ...] = (
-    # -- never driver-graded: the round-13 headliners ---------------------
-    "sim_ivf_maintain_bulk",
-    "sim_pq_adc_topk",
-    "sim_ivfpq_topk",
+    # ==== r15 window: executing the rotation written during r14 and
+    # ratified by VERDICT.md r14 "Next round: do this" #6 ================
+    # -- never driver-graded: the three queries staged during round 14
+    #    (new-query cap ≤3 per round; each sim-verified at sf0.001,
+    #    sf0.01 AND sf0.1 again this round after the r15 optimization
+    #    pass — see OPTIMIZATION_r15.md) -----------------------------------
+    "sim_ivfpq_probe_indexed",
+    "sim_ivfpq_maintain_cycle",
+    "sim_ivfpq_refine_topk",
     # -- regression-guard slot: the headline query ------------------------
     "flagship_demo",
-    # -- re-grades: the twenty r09 leftovers (stalest in the registry) ----
-    "text_minhash_signature",
-    "dedup_clusters_star",
-    "dedup_incremental",
-    "dedup_ngram_containment",
-    "corpus_dedup_report",
-    "sim_topk_bruteforce",
-    "sim_neardup_pairs",
-    "sim_nearest_centroid",
-    "sim_recall_report",
-    "events_tumbling",
-    "mutate_occ_merge",
-    "mutate_occ_partitioned",
-    "mutate_schema_evolution",
-    "mutate_read_changes",
-    "mutate_constraints",
-    "mutate_cdf_replay",
-    "mutate_compact_zorder",
-    "mutate_mor_pipeline",
-    "mutate_restore_version",
-    "point_lookup_bloom",
-    # -- re-grades: stalest greens (latest driver row r10), registry order
-    "scan_star",
-    "filter_point",
-    "filter_compare",
-    "pred_compound",
-    "pred_in_list",
-    "arith_filter",
-    "case_when",
-    "orderby_multi",
-    "scalar_functions",
-    "date_functions",
-    "join_inner",
-    "join_natural",
-    "join_comma",
-    "join_cross",
-    "join_theta",
-    "join_asof",
-    "agg_grouping_sets",
-    "tpch_q1",
-    "complex_q2",
-    "complex_q5",
-    "agg_filter_clause",
-    "recursive_cte_chain",
-    "union_all",
-    "intersect",
-    "except_",
-    "text_boilerplate_ngrams",
-    # ==== end of the 50-entry r14 window; r15 queue below ================
-    # r15 rotation plan: lead with the THREE queries staged during round
-    # 14 (new-query cap ≤3 per round; each sim-verified at sf0.01 AND
-    # sf0.1 plus a shuffle.partitions=200 cluster-shape smoke before
-    # staging):
-    #   sim_ivfpq_probe_indexed — the persisted-IVFPQ serving read
-    #     (pq.build_ivfpq_index -> ivfpq_search_indexed): codes-only
-    #     postings, probes read ONLY the probed cells' directories; the
-    #     oracle replays coarse+PQ training, encoding, cell pruning and
-    #     ADC scoring on the indexed subset in SQL;
-    #   sim_ivfpq_maintain_cycle — incremental IVFPQ maintenance
-    #     (pq.maintain_ivfpq_index): build sidecar on the vec_id%2=0
-    #     half -> append the other half -> dv_delete 1/7 -> ONE maintain
-    #     folds tombstones out of the codes postings (gated anti-join,
-    #     no retrain) and encodes appended files with the PERSISTED
-    #     codebooks -> probe; oracle pins BOTH training replays to the
-    #     pre-build half and filters candidates/query ranking to
-    #     survivors (codebook immutability is the contract);
-    #   sim_ivfpq_refine_topk — refined IVFPQ (pq.ivf_pq_refine_topk,
-    #     the FAISS IndexRefineFlat shape): ADC keeps each query's
-    #     top-15 approximate candidates, only those are re-scored
-    #     exactly from raw embeddings, final top-5 ranks on TRUE
-    #     cosines; oracle replays the ADC cut and the exact re-rank.
-    # Keep the flagship guard, then the 23 r10 leftovers named above,
-    # then the stalest r11 greens in registry order.
+    # -- re-grades: the 23 r10 leftovers (stalest in the registry — the
+    #    block the r14 window could not fit, named in the r14 comment) ----
+    "text_oov_rate",
+    "dedup_exact",
+    "dedup_cluster_size_hist",
+    "embeddings_norm_stats",
+    "events_sliding",
+    "events_props_extract",
+    "join_event_attribution",
+    "events_path_bigrams",
+    "multimodal_meta",
+    "multimodal_resize",
+    "sample_train_val_test",
+    "ingest_incremental_e2e",
+    "split_leakage_report",
+    "orders_rfm",
+    "orders_market_basket",
+    "events_anomaly_zscore",
+    "date_series_gapfill",
+    "events_dau_stickiness",
+    "orders_yoy_growth",
+    "events_hourly_topk_types",
+    "source_roundtrip_partitioned",
+    "mutate_mor_versioned",
+    "mutate_mor_merge",
+    # -- re-grades: stalest greens (latest driver row r11), registry order
+    "scan_project",
+    "filter_like",
+    "filter_between",
+    "arith_project",
+    "topk",
+    "null_semantics",
+    "filter_regex",
+    "join_left",
+    "join_right",
+    "join_full",
+    "join_left_anti",
+    "join_right_anti",
+    "join_full_outer_anti",
+    "join_semi",
+    "join_three_way",
+    "tpch_q5",
+    "join_hint_strategies",
+    "agg_global",
+    "agg_groupby",
+    "agg_having",
+    "agg_distinct",
+    "agg_count_distinct",
+    "agg_rollup",
+    # ==== end of the 50-entry r15 window; r16 queue below ================
+    # After this window the stalest block is r11/26 (the remaining r11
+    # greens in registry order lead the next rotation), then r12/49.
+    # Every registered query stays covered every round by
+    # tests/test_inventory.py + tools/driver_sim.py regardless of window
+    # position.
 )
 
 
